@@ -1,1 +1,8 @@
-# streaming trigger runtime — populated by triggers.py / retention.py
+from redisgears_spark.streaming.retention import apply_retention  # noqa: F401
+from redisgears_spark.streaming.triggers import (  # noqa: F401
+    CHANGES_SCHEMA,
+    STREAM_SCHEMA,
+    KeyspaceTriggerRuntime,
+    StreamTriggerRuntime,
+    events_to_stream,
+)

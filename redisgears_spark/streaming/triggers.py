@@ -1,0 +1,459 @@
+"""Stream-trigger and keyspace-trigger runtime on Structured Streaming.
+
+Re-creates the reference's streaming core (SURVEY §2.B/C) Spark-first:
+
+  reference mechanism                          → here
+  ------------------------------------------------------------------
+  registerStreamTrigger(prefix, fn, window)    → one streaming query per
+    (redisgears_core/src/lib.rs:392-479)         trigger: source → prefix
+                                                 filter → ordered per-key
+                                                 processing → sinks
+  one-record-at-a-time reads + in-flight       → micro-batches; strict
+    window (stream_reader.rs:278-297,435-442)    per-stream-key ordered
+                                                 processing inside each
+                                                 batch (applyInPandas),
+                                                 `window` caps the records
+                                                 admitted per key per batch
+  ack / nack, error-does-not-halt              → per-record status rows;
+    (stream_reader.rs:125-150, 368-371)          failures counted + last_error
+                                                 surfaced, frontier advances
+  checkpoint replication to replicas           → Structured Streaming
+    (stream_reader.rs:351-363)                   checkpointLocation (WAL +
+                                                 commits); restart resumes
+                                                 from the acked frontier
+  XTRIM MINID min-over-consumers               → retention.py frontier job
+  keyspace notifications + NotificationBlocker → changes feed with an
+    re-entrancy guard (lib.rs:629-645)           `origin` column; trigger-
+                                                 origin writes are tagged and
+                                                 filtered from trigger input
+  onTriggerFired read-only snapshot stage      → eager snapshot projection
+    (KeySpace_Triggers.md:119-205)               inside the same micro-batch,
+                                                 before the action stage
+
+Delivery contract (same as the reference, Stream_Triggers.md:182-184):
+exactly-once while the query runs; at-least-once across restart (sink
+appends are idempotent per (trigger, stream_key, id) — dedupe downstream or
+use a transactional sink for end-to-end exactly-once).
+
+Scale: the canonical stream schema hash-partitions on stream_key, so per-key
+ordering costs one shuffle per micro-batch and state is bounded per key.
+User callbacks run executor-side via Arrow-batched applyInPandas — the
+driver never sees records, only per-batch counters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from redisgears_spark.engine import GearsEngine, Library
+
+# canonical stream-record schema (the Spark shape of the reference's
+# GearsStreamRecord — stream_run_ctx.rs:73-100: (ms,seq) id + field pairs)
+STREAM_SCHEMA = (
+    "stream_key string, id bigint, id_ts timestamp, fields map<string,string>"
+)
+
+_RESULT_SCHEMA = (
+    "stream_key string, id bigint, id_ts timestamp, "
+    "status string, result string, error string"
+)
+
+
+def events_to_stream(df: DataFrame) -> DataFrame:
+    """Adapt the fixture `events` table to the canonical stream shape:
+    one Redis-stream-like log per user (stream_key = 'user:<id>')."""
+    return df.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("stream_key"),
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("id_ts"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("value").cast("string"),
+            F.lit("props"), F.col("props"),
+        ).alias("fields"),
+    )
+
+
+@dataclass
+class TriggerStats:
+    """Observability parity with TFUNCTION LIST vvv per-trigger fields
+    (function_list_command.rs:159-300: num_trigger/success/failed,
+    last_error, lag)."""
+
+    n_batches: int = 0
+    n_records: int = 0
+    n_success: int = 0
+    n_failed: int = 0
+    last_error: str | None = None
+    max_lag_us: int = 0
+    # acked frontier per stream_key (max processed id) — feeds retention
+    frontier: dict[str, int] = field(default_factory=dict)
+
+
+def _make_group_processor(
+    fn: Callable[[dict], Any], window: int
+) -> Callable[[Any, pd.DataFrame], pd.DataFrame]:
+    """Build the executor-side per-stream-key processor: strictly ordered by
+    id (the reference's per-stream read order), at most `window` records
+    admitted per key per micro-batch (in-flight bound — excess records are
+    deferred, and because the source is replayed from the checkpoint only
+    for unprocessed offsets, deferral here is a backpressure knob, not data
+    loss: the sink marks them 'deferred').
+
+    Errors follow reference semantics: a failing record records the error
+    and the frontier still advances (stream_reader.rs:368-371 — Nack sets
+    last_error but does not halt progress).
+    """
+
+    def process(key: Any, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        out: list[dict] = []
+        admitted = 0
+        for rec in pdf.to_dict("records"):
+            row = {
+                "stream_key": rec["stream_key"],
+                "id": rec["id"],
+                "id_ts": rec["id_ts"],
+                "status": "ok",
+                "result": None,
+                "error": None,
+            }
+            if admitted >= window:
+                row["status"] = "deferred"
+                out.append(row)
+                continue
+            admitted += 1
+            try:
+                res = fn(
+                    {
+                        "stream_key": rec["stream_key"],
+                        "id": rec["id"],
+                        "id_ts": rec["id_ts"],
+                        "fields": dict(rec["fields"]) if rec["fields"] else {},
+                    }
+                )
+                if res is not None:
+                    row["result"] = json.dumps(res, default=str)
+            except Exception as e:  # record error, keep going
+                row["status"] = "error"
+                row["error"] = f"{type(e).__name__}: {e}"
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return process
+
+
+class StreamTriggerRuntime:
+    """Owns the streaming queries for a library's triggers (the analog of
+    the reference's StreamReaderCtx consumer tracking,
+    stream_reader.rs:54-58)."""
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.engine = engine
+        self.spark: SparkSession = engine.spark
+        self.spool_dir = spool_dir
+        self.work_dir = work_dir
+        self.source_adapter = source_adapter
+        self.stats: dict[str, TriggerStats] = {}
+        self.queries: dict[str, StreamingQuery] = {}
+        self._lock = threading.Lock()
+
+    # -- source --------------------------------------------------------------
+
+    def _source(self) -> DataFrame:
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        if self.source_adapter is not None:
+            raw = (
+                self.spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(self.spool_dir)
+            )
+            return self.source_adapter(raw)
+        return (
+            self.spark.readStream.schema(STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(self.spool_dir)
+        )
+
+    # -- per-trigger query ---------------------------------------------------
+
+    def start_trigger(self, lib: Library, name: str) -> StreamingQuery:
+        spec = lib.stream_triggers[name]
+        qkey = f"{lib.name}.{name}"
+        stats = self.stats.setdefault(qkey, TriggerStats())
+        sink_dir = os.path.join(self.work_dir, "sink", lib.name, name)
+        err_dir = os.path.join(self.work_dir, "errors", lib.name, name)
+        ckpt_dir = os.path.join(self.work_dir, "checkpoints", lib.name, name)
+        os.makedirs(sink_dir, exist_ok=True)
+        os.makedirs(err_dir, exist_ok=True)
+
+        prefix: str = spec["prefix"]
+        processor = _make_group_processor(spec["fn"], spec["window"])
+
+        def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # prefix filter — predicate-pushdown-friendly, the consumer
+            # match of keys_notifications.rs:199-203
+            matched = batch_df.filter(F.col("stream_key").startswith(prefix))
+            results = matched.groupBy("stream_key").applyInPandas(
+                processor, _RESULT_SCHEMA
+            )
+            results.persist()
+            try:
+                agg = results.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                    F.count(F.when(F.col("status") == "error", 1)).alias("err"),
+                    F.max(F.when(F.col("status") != "deferred", F.col("id"))).alias(
+                        "max_id"
+                    ),
+                ).collect()[0]
+                frontier_rows = (
+                    results.filter(F.col("status") != "deferred")
+                    .groupBy("stream_key")
+                    .agg(F.max("id").alias("max_id"))
+                    .collect()
+                )
+                err_rows = (
+                    results.filter(F.col("status") == "error").limit(1).collect()
+                )
+                # sinks: processed records append (at-least-once, idempotent
+                # per (stream_key, id)); errors to the error log
+                results.filter(F.col("status") == "ok").write.mode("append").parquet(
+                    sink_dir
+                )
+                results.filter(F.col("status") == "error").write.mode(
+                    "append"
+                ).parquet(err_dir)
+                with self._lock:
+                    stats.n_batches += 1
+                    stats.n_records += agg["n"] or 0
+                    stats.n_success += agg["ok"] or 0
+                    stats.n_failed += agg["err"] or 0
+                    if err_rows:
+                        stats.last_error = err_rows[0]["error"]
+                    for r in frontier_rows:
+                        cur = stats.frontier.get(r["stream_key"], -1)
+                        stats.frontier[r["stream_key"]] = max(cur, r["max_id"])
+            finally:
+                results.unpersist()
+
+        query = (
+            self._source()
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .queryName(qkey)
+            .start()
+        )
+        self.queries[qkey] = query
+        return query
+
+    def start_library(self, lib: Library) -> list[StreamingQuery]:
+        return [self.start_trigger(lib, name) for name in lib.stream_triggers]
+
+    def stop_all(self) -> None:
+        for q in self.queries.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self.queries.clear()
+
+    def process_available(self) -> None:
+        """Drain everything currently in the spool (test/batch-drive mode)."""
+        for q in self.queries.values():
+            q.processAllAvailable()
+
+    # -- retention frontier (XTRIM MINID analog) ----------------------------
+
+    def min_frontier(self) -> dict[str, int]:
+        """Per-stream trim boundary = min over all consumers' acked frontier
+        (stream_reader.rs:60-110: 'trimmed according to the slowest
+        consumer'). Streams not yet seen by every consumer are not
+        trimmable."""
+        per_consumer = [s.frontier for s in self.stats.values()]
+        if not per_consumer:
+            return {}
+        keys = set.intersection(*[set(f) for f in per_consumer])
+        return {
+            k: min(f[k] for f in per_consumer) for k in keys
+        }
+
+
+# ---------------------------------------------------------------------------
+# keyspace (CDC) triggers
+# ---------------------------------------------------------------------------
+
+CHANGES_SCHEMA = (
+    "seq bigint, event string, key string, ts timestamp, "
+    "origin string, snapshot map<string,string>"
+)
+
+_CDC_RESULT_SCHEMA = (
+    "seq bigint, key string, event string, status string, result string, "
+    "error string"
+)
+
+
+class KeyspaceTriggerRuntime:
+    """CDC-trigger runtime over a `changes` feed.
+
+    Re-entrancy suppression: the reference blocks notifications fired by
+    writes made inside callbacks (NotificationBlocker, lib.rs:629-645).
+    Here every change row carries `origin`; rows written by trigger actions
+    are tagged origin='trigger' and the subscription filters them out — the
+    loop-breaker is a column predicate (SURVEY §4's 'custom engine logic').
+
+    Snapshot stage: the reference's onTriggerFired runs synchronously,
+    read-only, at event time (lib.rs:518-526 hardwires NO_WRITES). Here the
+    snapshot map is materialized in the same micro-batch row the action
+    sees — event-time values, not action-time.
+    """
+
+    def __init__(self, engine: GearsEngine, changes_dir: str, work_dir: str):
+        self.engine = engine
+        self.spark = engine.spark
+        self.changes_dir = changes_dir
+        self.work_dir = work_dir
+        self.stats: dict[str, TriggerStats] = {}
+        self.queries: dict[str, StreamingQuery] = {}
+        self._lock = threading.Lock()
+        self._seq = 0
+
+    # -- feed helpers (used by tests and by trigger actions) ----------------
+
+    def append_changes(self, rows: list[dict], origin: str = "client") -> None:
+        """Append change events to the feed. Trigger-origin writes MUST pass
+        origin='trigger' — that tag is what breaks notification loops."""
+        self._seq += len(rows)
+        pdf = pd.DataFrame(
+            [
+                {
+                    "seq": r["seq"],
+                    "event": r.get("event", "set"),
+                    "key": r["key"],
+                    "ts": r.get("ts", pd.Timestamp("2024-01-01")),
+                    "origin": origin,
+                    "snapshot": r.get("snapshot", {}),
+                }
+                for r in rows
+            ]
+        )
+        self.spark.createDataFrame(pdf, CHANGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.changes_dir)
+
+    def start_trigger(self, lib: Library, name: str) -> StreamingQuery:
+        spec = lib.keyspace_triggers[name]
+        qkey = f"{lib.name}.{name}"
+        stats = self.stats.setdefault(qkey, TriggerStats())
+        sink_dir = os.path.join(self.work_dir, "cdc_sink", lib.name, name)
+        ckpt_dir = os.path.join(self.work_dir, "cdc_ckpt", lib.name, name)
+        os.makedirs(sink_dir, exist_ok=True)
+
+        prefix = spec["prefix"]
+        fn = spec["fn"]
+        on_fired = spec["on_trigger_fired"]
+        runtime = self
+
+        def process_partition(pdf_iter):
+            for pdf in pdf_iter:
+                out = []
+                for rec in pdf.sort_values("seq").to_dict("records"):
+                    row = {
+                        "seq": rec["seq"],
+                        "key": rec["key"],
+                        "event": rec["event"],
+                        "status": "ok",
+                        "result": None,
+                        "error": None,
+                    }
+                    try:
+                        data = {
+                            "event": rec["event"],
+                            "key": rec["key"],
+                            "ts": rec["ts"],
+                            # event-time snapshot (onTriggerFired stage):
+                            # values captured when the event was produced
+                            "snapshot": dict(rec["snapshot"] or {}),
+                        }
+                        if on_fired is not None:
+                            data["snapshot_view"] = on_fired(data)
+                        res = fn(data)
+                        if res is not None:
+                            row["result"] = json.dumps(res, default=str)
+                    except Exception as e:
+                        row["status"] = "error"
+                        row["error"] = f"{type(e).__name__}: {e}"
+                    out.append(row)
+                yield pd.DataFrame(out)
+
+        def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            matched = batch_df.filter(
+                F.col("key").startswith(prefix)
+                # re-entrancy suppression: engine-origin writes excluded
+                & (F.col("origin") != F.lit("trigger"))
+            )
+            results = matched.mapInPandas(process_partition, _CDC_RESULT_SCHEMA)
+            results.persist()
+            try:
+                agg = results.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                    F.count(F.when(F.col("status") == "error", 1)).alias("err"),
+                ).collect()[0]
+                err_rows = (
+                    results.filter(F.col("status") == "error").limit(1).collect()
+                )
+                results.write.mode("append").parquet(sink_dir)
+                with self._lock:
+                    stats.n_batches += 1
+                    stats.n_records += agg["n"] or 0
+                    stats.n_success += agg["ok"] or 0
+                    stats.n_failed += agg["err"] or 0
+                    if err_rows:
+                        stats.last_error = err_rows[0]["error"]
+            finally:
+                results.unpersist()
+            _ = runtime  # actions that write back must use append_changes(origin='trigger')
+
+        query = (
+            self.spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(self.changes_dir)
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .queryName(qkey)
+            .start()
+        )
+        self.queries[qkey] = query
+        return query
+
+    def process_available(self) -> None:
+        for q in self.queries.values():
+            q.processAllAvailable()
+
+    def stop_all(self) -> None:
+        for q in self.queries.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self.queries.clear()

@@ -1,8 +1,20 @@
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
-from redisgears_spark.session import get_spark
+# make test modules importable on Spark python workers (pickled trigger
+# callbacks defined in tests resolve by module reference)
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH", "")]
+)
+sys.path.insert(0, _TESTS_DIR)
+
+from redisgears_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_T2 = "/root/testdata/sf0.01"

@@ -1,0 +1,174 @@
+"""Engine registry semantics — parity with the reference's behavioral
+tests (pytests/test_basics.py: load/upgrade/revert/flags/errors)."""
+
+from __future__ import annotations
+
+import pytest
+
+from redisgears_spark.engine import (
+    NO_WRITES,
+    RAW_ARGUMENTS,
+    GearsEngine,
+    GearsError,
+)
+
+
+@pytest.fixture()
+def engine(spark, sf_dir):
+    return GearsEngine(spark, sf_dir)
+
+
+def _basic_setup(lib):
+    lib.register_function("ping", lambda client: "PONG")
+    lib.register_function(
+        "ro", lambda client: client.sql("CREATE TABLE t AS SELECT 1"),
+        flags={NO_WRITES},
+    )
+    lib.register_function("boom", lambda client: 1 / 0)
+
+
+class TestRegistry:
+    def test_load_call(self, engine):
+        engine.load_library(_basic_setup, name="lib1")
+        assert engine.call("lib1", "ping") == "PONG"
+
+    def test_unknown_lookups(self, engine):
+        engine.load_library(_basic_setup, name="lib2")
+        with pytest.raises(GearsError, match="unknown library"):
+            engine.call("nope", "ping")
+        with pytest.raises(GearsError, match="unknown function"):
+            engine.call("lib2", "nope")
+
+    def test_duplicate_load_requires_replace(self, engine):
+        engine.load_library(_basic_setup, name="lib3")
+        with pytest.raises(GearsError, match="already exists"):
+            engine.load_library(_basic_setup, name="lib3")
+        engine.load_library(_basic_setup, name="lib3", replace=True)
+
+    def test_failed_upgrade_reverts(self, engine):
+        """Reference: failed TFUNCTION LOAD REPLACE keeps the old library
+        (function_load_command.rs:141-167)."""
+        engine.load_library(_basic_setup, name="lib4")
+
+        def bad(lib):
+            lib.register_function("newfn", lambda c: 1)
+            raise RuntimeError("load failed")
+
+        with pytest.raises(RuntimeError):
+            engine.load_library(bad, name="lib4", replace=True)
+        assert engine.call("lib4", "ping") == "PONG"  # old lib intact
+        with pytest.raises(GearsError):
+            engine.call("lib4", "newfn")
+
+    def test_delete(self, engine):
+        engine.load_library(_basic_setup, name="lib5")
+        engine.delete_library("lib5")
+        with pytest.raises(GearsError):
+            engine.call("lib5", "ping")
+        with pytest.raises(GearsError):
+            engine.delete_library("lib5")
+
+    def test_name_validation(self, engine):
+        with pytest.raises(GearsError, match="must match"):
+            engine.load_library(lambda l: None, name="bad-name!")
+
+        def bad_fn_name(lib):
+            lib.register_function("no spaces", lambda c: 1)
+
+        with pytest.raises(GearsError, match="must match"):
+            engine.load_library(bad_fn_name, name="okname")
+
+    def test_duplicate_function_rejected(self, engine):
+        def dup(lib):
+            lib.register_function("f", lambda c: 1)
+            lib.register_function("f", lambda c: 2)
+
+        with pytest.raises(GearsError, match="already registered"):
+            engine.load_library(dup, name="duplib")
+
+
+class TestFlagsAndCalls:
+    def test_no_writes_enforced(self, engine):
+        engine.load_library(_basic_setup, name="flib")
+        with pytest.raises(GearsError, match="NO_WRITES"):
+            engine.call("flib", "ro")
+
+    def test_raw_arguments(self, engine):
+        def setup(lib):
+            lib.register_function("echo", lambda c, a: a)
+            lib.register_function(
+                "echo_raw", lambda c, a: a, flags={RAW_ARGUMENTS}
+            )
+
+        engine.load_library(setup, name="rawlib")
+        # default: bytes are utf-8 decoded; invalid utf-8 errors
+        assert engine.call("rawlib", "echo", b"hi") == "hi"
+        with pytest.raises(GearsError, match="invalid utf-8"):
+            engine.call("rawlib", "echo", b"\xff\xfe")
+        # raw: bytes pass through untouched
+        assert engine.call("rawlib", "echo_raw", b"\xff\xfe") == b"\xff\xfe"
+
+    def test_stats_and_errors(self, engine):
+        engine.load_library(_basic_setup, name="slib")
+        engine.call("slib", "ping")
+        with pytest.raises(ZeroDivisionError):
+            engine.call("slib", "boom")
+        libs = engine.list_libraries(verbose=2)
+        fns = {f["name"]: f for f in libs[0]["functions"]}
+        assert fns["ping"]["stats"]["n_success"] == 1
+        assert fns["boom"]["stats"]["n_failed"] == 1
+        assert "ZeroDivisionError" in fns["boom"]["stats"]["last_error"]
+
+    def test_async_call(self, engine):
+        def setup(lib):
+            lib.register_async_function(
+                "count_events",
+                lambda client: client.table("events").count(),
+            )
+
+        engine.load_library(setup, name="alib")
+        fut = engine.call_async("alib", "count_events")
+        assert fut.result(timeout=120) == 1000
+
+    def test_client_data_access(self, engine):
+        def setup(lib):
+            def lookup(client, custkey):
+                df = client.table("customer")
+                return df.filter(df.c_custkey == int(custkey)).count()
+
+            lib.register_function("lookup", lookup, flags={NO_WRITES})
+
+        engine.load_library(setup, name="dlib")
+        assert engine.call("dlib", "lookup", "42") == 1
+
+
+class TestClusterFunctions:
+    def test_run_on_shards_gather(self, engine, spark, sf_dir):
+        """Scatter/gather with per-partition error isolation
+        (reference test_cluster.py:127-156: per-shard errors are gathered,
+        not raised)."""
+
+        def setup(lib):
+            def count_rows(it):
+                return sum(1 for _ in it)
+
+            def fail_sometimes(it, threshold):
+                n = sum(1 for _ in it)
+                if n > int(threshold):
+                    raise ValueError(f"partition too big: {n}")
+                return n
+
+            lib.register_cluster_function("count_rows", count_rows)
+            lib.register_cluster_function("fail_big", fail_sometimes)
+
+        engine.load_library(setup, name="clib")
+        df = engine.spark.range(0, 1000, 1, 8)
+        results = engine.run_on_shards("clib", "count_rows", df)
+        assert len(results) == 8
+        assert sum(r["ok"] for r in results) == 1000
+
+        mixed = engine.run_on_shards("clib", "fail_big", df, 10**9)
+        assert all("ok" in r for r in mixed)
+        failed = engine.run_on_shards("clib", "fail_big", df, 0)
+        assert all("error" in r for r in failed)
+        assert "partition too big" in failed[0]["error"]

@@ -1,0 +1,80 @@
+"""Scale-readiness plan assertions: the physical plans we'd want at 100 TB
+— pushdown reaching the scan, dimensions broadcast, no cartesian products.
+This is the `.explain()` feedback loop as executable checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from redisgears_spark.operators import ORACLES, QUERIES
+from redisgears_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    df = QUERIES["q01_point_lookup"](spark, sf_dir)
+    assert_pushed_filters(df, "EqualTo(c_custkey,42)")
+
+
+def test_filter_scan_pushdown(spark, sf_dir):
+    df = QUERIES["q03_filter_scan"](spark, sf_dir)
+    assert_pushed_filters(
+        df, "EqualTo(c_mktsegment,BUILDING)", "GreaterThan(c_acctbal,1000.0)"
+    )
+
+
+def test_derived_stream_filter_pushdown(spark, sf_dir):
+    df = QUERIES["q13_derived_stream"](spark, sf_dir)
+    assert_pushed_filters(df, "EqualTo(event_type,purchase)")
+
+
+def test_lookup_join_broadcasts_dim(spark, sf_dir):
+    df = QUERIES["q11_lookup_join"](spark, sf_dir)
+    assert_broadcast_join(df, 1)
+
+
+def test_tpch_q3_broadcasts_both_dims(spark, sf_dir):
+    df = QUERIES["tpch_q3_shipping"](spark, sf_dir)
+    assert_broadcast_join(df, 2)
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["tpch_q5_nation_revenue"](spark, sf_dir)
+    assert_broadcast_join(df, 4)
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-K + driver merge), not a full Exchange+Sort."""
+    plan = formatted_plan(QUERIES["q08_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must not read the whole lineitem schema."""
+    plan = formatted_plan(QUERIES["q16_global_agg"](spark, sf_dir))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    assert "l_extendedprice" in scan_lines[0]
+    assert "l_returnflag" not in scan_lines[0]  # unused column pruned
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    """No oracle-checked query may plan a CartesianProduct (the intentional
+    broadcast cross joins compile to BroadcastNestedLoopJoin)."""
+    offenders = []
+    for name in sorted(ORACLES):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_events_lag_single_scan_broadcast(spark, sf_dir):
+    """q10's max-ts should join back via broadcast, not shuffle the fact."""
+    df = QUERIES["q10_event_lag"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
