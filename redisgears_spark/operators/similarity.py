@@ -68,6 +68,41 @@ _ORACLE_QUANT_CTE = """
 """
 
 
+def _corpus_numpy(spark: SparkSession, sf_dir: str):
+    """Quantized corpus as numpy (ids: int64[n], M: int64[n, dim]).
+
+    Used by the block-matmul kernels below. At fixture scale the corpus is
+    ~1 MB; the brute-force operators that collect it are explicitly the
+    *verifier/baseline* path — the 100 TB candidate generator is
+    sim_ann_lsh, which never materializes the corpus on the driver.
+    """
+    import numpy as np
+
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_QUANT).alias("v"))
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    M = np.vstack(pdf["v"].to_numpy()).astype("int64")
+    return ids, M
+
+
+def _block_cosine(A, M):
+    """Exact-integer block cosine: every element is
+    double(dot_int) / (sqrt(double(na_int)) * sqrt(double(nb_int))) —
+    the identical IEEE op sequence the DuckDB oracle performs, so results
+    are bit-exact despite the vectorized evaluation."""
+    import numpy as np
+
+    dot = A @ M.T  # int64 exact (|x|<=2e5 → dot <= 64*4e10 << 2^63)
+    na = np.einsum("ij,ij->i", A, A)  # int64 exact
+    nb = np.einsum("ij,ij->i", M, M)
+    return dot.astype("float64") / (
+        np.sqrt(na.astype("float64"))[:, None] * np.sqrt(nb.astype("float64"))[None, :]
+    )
+
+
 @query(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -96,22 +131,47 @@ _ORACLE_QUANT_CTE = """
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < 8).
 
-    Scale: the query set broadcasts; the corpus streams through once — cost
-    O(|corpus| * |queries| * dim) with zero shuffle of the corpus. The
-    per-query top-k is a bounded-state window (row_number <= k). For large
-    query sets switch to sim_ann_lsh.
+    Scale: the (tiny) query matrix ships to executors in the task closure;
+    the corpus streams through mapInPandas in Arrow batches — one narrow
+    pass, cost O(|corpus| * |queries| * dim) as a vectorized int64 matmul,
+    zero shuffle of the corpus. The per-query top-k is a bounded-state
+    window over |queries|*|corpus| scored pairs pre-reduced executor-side
+    to |queries|*k per batch. For large query sets switch to sim_ann_lsh.
     """
-    corpus = quantized(spark, sf_dir, "n")
-    queries = quantized(spark, sf_dir, "q").filter(F.col("q_id") < _N_QUERIES)
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine"),
-        )
+    import numpy as np
+
+    ids, M = _corpus_numpy(spark, sf_dir)
+    qmask = ids < _N_QUERIES
+    q_ids, Q = ids[qmask], M[qmask]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            B = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            cos = _block_cosine(Q, B)  # queries x batch
+            qq, nn = np.broadcast_arrays(q_ids[:, None], n_ids[None, :])
+            keep = qq != nn
+            out = pd.DataFrame(
+                {
+                    "q_id": qq[keep],
+                    "n_id": nn[keep],
+                    "cosine": cos[keep],
+                }
+            )
+            # executor-side pre-reduction: keep top-k per query per batch
+            out = (
+                out.sort_values(["cosine", "n_id"], ascending=[False, True])
+                .groupby("q_id", group_keys=False)
+                .head(_TOP_K)
+            )
+            yield out
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("v")
     )
+    scored = corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -144,20 +204,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.35).
 
     Brute-force all-pairs — correct but quadratic; it is the oracle-checked
-    verifier. At 100 TB, generate candidates with sim_ann_lsh buckets and
-    verify with this cosine on candidates only.
+    verifier. Executed as a blocked int64 matmul: each Arrow batch of rows
+    scores against the full corpus matrix (shipped in the task closure) and
+    emits only above-threshold pairs, so the quadratic work is vectorized
+    and the output is sparse. At 100 TB, generate candidates with
+    sim_ann_lsh buckets and verify with this cosine on candidates only.
     """
-    a = quantized(spark, sf_dir, "a")
-    b = quantized(spark, sf_dir, "b")
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            _cosine(_dot("a_q", "b_q"), "a_nq", "b_nq").alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
+    import numpy as np
+
+    ids, M = _corpus_numpy(spark, sf_dir)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            A = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            cos = _block_cosine(A, M)
+            aa, bb = np.broadcast_arrays(a_ids[:, None], ids[None, :])
+            keep = (aa < bb) & (cos >= 0.35)
+            yield pd.DataFrame(
+                {"a_id": aa[keep], "b_id": bb[keep], "cosine": cos[keep]}
+            )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("v")
     )
+    return corpus.mapInPandas(score, "a_id long, b_id long, cosine double")
 
 
 _LSH_TABLES = 8
@@ -182,28 +255,35 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cross join, so cost scales with bucket occupancy, not |corpus|².
     Candidates are re-scored with the exact quantized cosine and top-k'd.
     """
-    planes = _hyperplanes()
+    import numpy as np
+
+    planes = np.array(_hyperplanes())  # (tables, bits, dim)
+
+    def bucketize(batches):
+        import pandas as pd
+
+        # sign-bit bucketing as one (batch × dim) @ (dim × tables*bits)
+        # matmul per Arrow batch — vectorized, deterministic
+        P = planes.reshape(-1, planes.shape[-1]).T  # (dim, tables*bits)
+        weights = (1 << np.arange(_LSH_BITS, dtype="int64"))
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            bits = (V @ P) > 0  # (batch, tables*bits)
+            bits = bits.reshape(len(V), _LSH_TABLES, _LSH_BITS)
+            bucket = (bits * weights[None, None, :]).sum(axis=2)  # (batch, tables)
+            vec_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, _LSH_TABLES),
+                    "tbl": np.tile(np.arange(_LSH_TABLES, dtype="int64"), len(V)),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-
-    def bucket_col(t: int) -> Column:
-        bits = []
-        for bi in range(_LSH_BITS):
-            # hyperplane folded in as an array literal → pure JVM expression
-            dot = F.expr(
-                f"aggregate(zip_with(v, array({','.join(str(c) + 'D' for c in planes[t][bi])}), "
-                "(x, y) -> x * y), 0D, (acc, w) -> acc + w)"
-            )
-            bits.append(F.when(dot > 0, F.lit(1 << bi)).otherwise(F.lit(0)))
-        return sum(bits).alias("bucket")
-
-    tables = [
-        emb.select("vec_id", F.lit(t).alias("tbl"), bucket_col(t)) for t in range(_LSH_TABLES)
-    ]
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    buckets = emb.mapInPandas(bucketize, "vec_id long, tbl long, bucket long")
 
     queries = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "tbl", "bucket"
