@@ -29,19 +29,23 @@ replication protocol.
 
 from __future__ import annotations
 
+import importlib
 import json
 import re
 import threading
 import time
 import traceback
+import uuid
 from collections.abc import Callable
 from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeout
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from redisgears_spark.sources.keyspace import TABLES, load_table
+from redisgears_spark.sources.keyspace import PRIMARY_KEYS, TABLES, load_table
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
 
@@ -81,6 +85,20 @@ class RegisteredFunction:
     is_async: bool
     description: str | None = None
     stats: FunctionStats = field(default_factory=FunctionStats)
+
+
+def _setup_ref(setup: Callable) -> str | None:
+    """Importable path of a library's setup callable, or None for closures.
+
+    The reference persists library *source* in RDB and recompiles on load
+    (rdb.rs:96-213). The Python analog of "the source" is the importable
+    module-level setup function; lambdas/closures are session-local and
+    marked non-persistable."""
+    mod = getattr(setup, "__module__", None)
+    qual = getattr(setup, "__qualname__", "")
+    if not mod or "<lambda>" in qual or "<locals>" in qual:
+        return None
+    return f"{mod}:{qual}"
 
 
 class GearsClient:
@@ -134,6 +152,8 @@ class Library:
         self.stream_triggers: dict[str, dict[str, Any]] = {}
         self.keyspace_triggers: dict[str, dict[str, Any]] = {}
         self.cluster_functions: dict[str, Callable[..., Any]] = {}
+        # import path of the setup callable, for registry persistence
+        self._setup_ref: str | None = None
 
     # -- registration API (called from the library's setup function) --------
 
@@ -247,11 +267,29 @@ class GearsEngine:
             lib = Library(name, api_version, config)
             try:
                 setup(lib)
+                if old is not None:
+                    self._check_upgrade(old, lib)
             except Exception:
                 # revert: old library remains untouched
                 raise
+            lib._setup_ref = _setup_ref(setup)
             self._libraries[name] = lib
             return lib
+
+    @staticmethod
+    def _check_upgrade(old: Library, new: Library) -> None:
+        """Upgrade rules (reference lib.rs:411-439): a stream trigger kept
+        across an upgrade may change window/trim/callback but NOT its prefix
+        — the prefix defines the consumer's stream identity, and changing it
+        would silently orphan the acked frontier (checkpoint state is keyed
+        by (library, trigger))."""
+        for name, spec in new.stream_triggers.items():
+            old_spec = old.stream_triggers.get(name)
+            if old_spec is not None and old_spec["prefix"] != spec["prefix"]:
+                raise GearsError(
+                    f"stream trigger '{name}': prefix may not change on "
+                    f"upgrade ('{old_spec['prefix']}' -> '{spec['prefix']}')"
+                )
 
     # -- TFUNCTION DELETE / LIST --------------------------------------------
 
@@ -334,12 +372,48 @@ class GearsEngine:
         finally:
             rf.stats.total_duration_s += time.perf_counter() - started
 
-    def call(self, lib_name: str, fn_name: str, *args: Any) -> Any:
+    def call(
+        self, lib_name: str, fn_name: str, *args: Any, timeout: float | None = None
+    ) -> Any:
         """Sync invocation (TFCALL). Async-registered functions must go
         through call_async (the reference rejects async fns when blocking is
-        not allowed — lib.rs:1363-1366)."""
+        not allowed — lib.rs:1363-1366).
+
+        `timeout` is the analog of the reference's lock-timeout watchdog
+        (v8_backend.rs:567-613, default policy Abort): the call runs under a
+        Spark job tag; on expiry its in-flight jobs are cancelled and the
+        call raises. Bounded worst-case blocking, same contract."""
         lib, rf = self._resolve(lib_name, fn_name)
-        return self._invoke(lib, rf, args)
+        if timeout is None:
+            return self._invoke(lib, rf, args)
+        return self._invoke_with_timeout(lib, rf, args, timeout)
+
+    def _invoke_with_timeout(
+        self, lib: Library, rf: RegisteredFunction, args: tuple, timeout: float
+    ) -> Any:
+        tag = f"rg-call-{uuid.uuid4().hex}"
+
+        def run():
+            self.spark.addTag(tag)
+            try:
+                return self._invoke(lib, rf, args)
+            finally:
+                self.spark.removeTag(tag)
+
+        fut = self._pool.submit(run)
+        try:
+            return fut.result(timeout=timeout)
+        except FutureTimeout:
+            # Abort policy: cancel the call's Spark jobs, surface the error
+            try:
+                self.spark.interruptTag(tag)
+            except Exception:
+                pass
+            rf.stats.n_failed += 1
+            rf.stats.last_error = f"timeout after {timeout}s (aborted)"
+            raise GearsError(
+                f"'{lib.name}.{rf.name}' exceeded {timeout}s and was aborted"
+            ) from None
 
     def call_async(self, lib_name: str, fn_name: str, *args: Any) -> Future:
         """Background invocation (TFCALLASYNC): submitted to the engine's
@@ -347,6 +421,54 @@ class GearsEngine:
         scheduler. Returns a Future."""
         lib, rf = self._resolve(lib_name, fn_name)
         return self._pool.submit(self._invoke, lib, rf, args)
+
+    # -- registry persistence (RDB save/restore analog) ----------------------
+
+    def save_registry(self, path: str) -> None:
+        """Persist the registry catalog (reference rdb.rs:52-94 serializes
+        name/code/config per library; per-consumer stream frontiers live in
+        streaming checkpoints here, so only the catalog is saved). Libraries
+        whose setup is a closure are skipped — like the reference, what is
+        persisted must be re-evaluable (an importable setup function)."""
+        with self._lock:
+            catalog = [
+                {
+                    "name": lib.name,
+                    "api_version": lib.api_version,
+                    "config": lib.config,
+                    "setup": lib._setup_ref,
+                }
+                for lib in self._libraries.values()
+                if lib._setup_ref is not None
+            ]
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": 1, "libraries": catalog}, fh, indent=1)
+        import os
+
+        os.replace(tmp, path)
+
+    def restore_registry(self, path: str) -> list[str]:
+        """Reload the catalog: re-import and re-evaluate each setup function
+        (the reference recompiles library code on RDB load, rdb.rs:96-213).
+        Returns loaded library names."""
+        with open(path) as fh:
+            catalog = json.load(fh)
+        loaded = []
+        for entry in catalog["libraries"]:
+            mod_name, _, qual = entry["setup"].partition(":")
+            fn: Any = importlib.import_module(mod_name)
+            for part in qual.split("."):
+                fn = getattr(fn, part)
+            self.load_library(
+                fn,
+                name=entry["name"],
+                api_version=entry["api_version"],
+                replace=True,
+                config=entry["config"],
+            )
+            loaded.append(entry["name"])
+        return loaded
 
     # -- cluster functions (runOnShards / runOnKey analogs) ------------------
 
@@ -384,3 +506,77 @@ class GearsEngine:
 
         results = df.rdd.mapPartitions(run_partition).collect()
         return [json.loads(r) for r in results]
+
+    def run_on_key(
+        self,
+        lib_name: str,
+        fn_name: str,
+        table: str,
+        key: Any,
+        *args: Any,
+        timeout: float | None = 30.0,
+    ) -> Any:
+        """Route a read-only task to the data owning `key` — the runOnKey
+        analog (v8_native_functions.rs:316-378; libmr dispatch
+        background_run_ctx.rs:179-205).
+
+        The reference hash-slots the key to a shard; Spark's analog is an
+        equality predicate on the table's primary key, which Catalyst pushes
+        into the scan (partition pruning / row-group skipping), so only the
+        partition(s) owning the key are read — no user-visible routing.
+        The function receives the matching rows iterator. Timeouts raise,
+        like the reference's remote-task-default-timeout (lib.rs:1913)."""
+        with self._lock:
+            lib = self._libraries.get(lib_name)
+            if lib is None:
+                raise GearsError(f"unknown library '{lib_name}'")
+            fn = lib.cluster_functions.get(fn_name)
+            if fn is None:
+                raise GearsError(f"unknown cluster function '{fn_name}'")
+        if table not in PRIMARY_KEYS:
+            raise GearsError(f"table '{table}' has no primary key mapping")
+
+        payload = json.dumps(list(args))
+        pruned = load_table(self.spark, self.sf_dir, table).filter(
+            F.col(PRIMARY_KEYS[table]) == F.lit(key)
+        )
+
+        def run_partition(it):
+            import json as _json
+
+            rows = list(it)
+            if not rows:
+                return iter(())
+            try:
+                return iter([_json.dumps({"ok": fn(iter(rows), *_json.loads(payload))})])
+            except Exception as e:
+                return iter(
+                    [_json.dumps({"error": f"{type(e).__name__}: {e}"})]
+                )
+
+        tag = f"rg-key-{uuid.uuid4().hex}"
+
+        def job():
+            self.spark.addTag(tag)
+            try:
+                return pruned.rdd.mapPartitions(run_partition).collect()
+            finally:
+                self.spark.removeTag(tag)
+
+        fut = self._pool.submit(job)
+        try:
+            results = fut.result(timeout=timeout)
+        except FutureTimeout:
+            try:
+                self.spark.interruptTag(tag)
+            except Exception:
+                pass
+            raise GearsError(
+                f"remote task '{lib_name}.{fn_name}' timed out after {timeout}s"
+            ) from None
+        out = [json.loads(r) for r in results]
+        if not out:
+            return None  # key owns no rows
+        if "error" in out[0]:
+            raise GearsError(out[0]["error"])
+        return out[0]["ok"]

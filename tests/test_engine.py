@@ -142,6 +142,83 @@ class TestFlagsAndCalls:
         assert engine.call("dlib", "lookup", "42") == 1
 
 
+def persisted_setup(lib):
+    """Module-level setup — importable, so the registry can persist it."""
+    lib.register_function("ping", lambda client: "PONG")
+    lib.register_function("two", lambda client: 2)
+
+
+class TestTimeouts:
+    def test_call_timeout_aborts(self, engine):
+        """Lock-timeout watchdog analog (v8_backend.rs:567-613, Abort
+        policy): a call exceeding its budget raises and records the error."""
+        import time as _t
+
+        engine.load_library(
+            lambda l: l.register_function("slow", lambda c: _t.sleep(10)),
+            name="tlib",
+        )
+        with pytest.raises(GearsError, match="aborted"):
+            engine.call("tlib", "slow", timeout=0.5)
+        fns = {f["name"]: f for f in engine.list_libraries(verbose=2)[0]["functions"]}
+        assert "timeout" in fns["slow"]["stats"]["last_error"]
+
+    def test_call_timeout_pass_through(self, engine):
+        engine.load_library(
+            lambda l: l.register_function("fast", lambda c: 7), name="t2lib"
+        )
+        assert engine.call("t2lib", "fast", timeout=30) == 7
+
+
+class TestRegistryPersistence:
+    def test_save_restore_round_trip(self, engine, spark, sf_dir, tmp_path):
+        """RDB save/load analog (rdb.rs:52-94, 96-213): catalog persists
+        (name, setup ref, config); restore re-evaluates the setup."""
+        path = str(tmp_path / "registry.json")
+        engine.load_library(persisted_setup, name="durable", config={"k": 1})
+        # closure-based library: session-local, not persisted
+        engine.load_library(lambda l: l.register_function("f", lambda c: 1),
+                            name="ephemeral")
+        engine.save_registry(path)
+
+        fresh = GearsEngine(spark, sf_dir)
+        loaded = fresh.restore_registry(path)
+        assert loaded == ["durable"]
+        assert fresh.call("durable", "ping") == "PONG"
+        assert fresh._libraries["durable"].config == {"k": 1}
+        with pytest.raises(GearsError):
+            fresh.call("ephemeral", "f")
+
+
+class TestUpgradeRules:
+    def test_prefix_change_rejected(self, engine):
+        """Stream-trigger upgrade may change window/trim but not prefix
+        (lib.rs:417-423)."""
+        engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "t", prefix="user:", fn=lambda d: None, window=1
+            ),
+            name="ulib",
+        )
+        with pytest.raises(GearsError, match="prefix may not change"):
+            engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "t", prefix="order:", fn=lambda d: None, window=1
+                ),
+                name="ulib",
+                replace=True,
+            )
+        # window change on the same prefix is fine
+        engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "t", prefix="user:", fn=lambda d: None, window=5
+            ),
+            name="ulib",
+            replace=True,
+        )
+        assert engine._libraries["ulib"].stream_triggers["t"]["window"] == 5
+
+
 class TestClusterFunctions:
     def test_run_on_shards_gather(self, engine, spark, sf_dir):
         """Scatter/gather with per-partition error isolation
@@ -172,3 +249,26 @@ class TestClusterFunctions:
         failed = engine.run_on_shards("clib", "fail_big", df, 0)
         assert all("error" in r for r in failed)
         assert "partition too big" in failed[0]["error"]
+
+    def test_run_on_key(self, engine):
+        """runOnKey analog (v8_native_functions.rs:316-378): task runs
+        against the rows owned by the key; missing key → None; in-task
+        errors raise (single-target semantics, unlike gather)."""
+
+        def setup(lib):
+            def get_name(rows, suffix):
+                row = next(rows)
+                return row["c_name"] + suffix
+
+            def boom(rows):
+                raise RuntimeError("task failed")
+
+            lib.register_cluster_function("get_name", get_name)
+            lib.register_cluster_function("boom", boom)
+
+        engine.load_library(setup, name="keylib")
+        name = engine.run_on_key("keylib", "get_name", "customer", 42, "!")
+        assert name.endswith("!") and "42" in name
+        assert engine.run_on_key("keylib", "get_name", "customer", 10**9) is None
+        with pytest.raises(GearsError, match="task failed"):
+            engine.run_on_key("keylib", "boom", "customer", 42)
