@@ -1,0 +1,319 @@
+"""Relational widening — operators the reference cannot express natively
+(SURVEY §2.G: joins, set ops, grouping lattices, time windows are all absent
+from the reference engine; RedisGears users hand-roll them in JS callbacks
+over client.call — v8_native_functions.rs:513-624). Here each is a
+first-class declarative operator.
+
+Includes the custom operators Spark itself lacks as built-ins:
+
+  * as-of join — implemented as union + keyed last-non-null window, the
+    partition-parallel formulation (one shuffle on the join key, linear
+    scan per key), NOT a range join (which is quadratic per key);
+  * gap-based sessionization — lag + running sum, one shuffle on user_id;
+  * tumbling / hopping event-time windows — the batch shadow of Structured
+    Streaming's window()/slide semantics.
+
+Determinism: all aggregates in exact integer domains (cents/micros); ties
+broken on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from redisgears_spark.functions.exact import cents, micros
+from redisgears_spark.operators.registry import query
+from redisgears_spark.sources.keyspace import load_table
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_latest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           o.o_orderkey AS last_orderkey,
+           epoch_us(o.o_orderdate) AS last_orderdate_us
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each event picks the customer's most recent
+    order at or before the event time.
+
+    Spark-first formulation: union both sides tagged, one window over
+    (key, time, side) carrying the last non-null order struct. Cost is a
+    single hash shuffle on the key plus a per-key linear scan — unlike the
+    naive range-join + argmax, there is no per-key quadratic blowup, so the
+    plan survives keys with millions of rows. Orders are pre-deduped to one
+    row per (custkey, date) (max orderkey) to make "the" as-of row
+    deterministic — mirrored in the oracle's ASOF JOIN input.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_side = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("o_orderkey").alias("last_orderkey"),
+            micros("o_orderdate").alias("last_orderdate_us"),
+        ).alias("ostate"),
+    )
+    e_side = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None)
+        .cast("struct<last_orderkey:bigint,last_orderdate_us:bigint>")
+        .alias("ostate"),
+    )
+    # side=0 sorts before side=1 at equal t → "at or before" inclusive
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = o_side.unionByName(e_side).withColumn(
+        "last_o", F.last("ostate", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        micros("t").alias("ts_us"),
+        F.col("last_o.last_orderkey").alias("last_orderkey"),
+        F.col("last_o.last_orderdate_us").alias("last_orderdate_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization / time windows
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "session_windows",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM s
+    )
+    SELECT user_id, session_no,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, session_no
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the batch shadow of
+    session_window() in Structured Streaming.
+
+    Scale: lag + running-sum + group-by all share ONE hash partitioning on
+    user_id — Catalyst reuses the exchange, so the whole operator is a
+    single shuffle; per-key state is a sort bounded by that key's rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = micros("ts") - micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(micros("ts")).alias("session_start_us"),
+            F.max(micros("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch shadow of
+    `groupBy(window(ts, '1 hour'))` in streaming mode. Scale: bucket is a
+    scalar projection, so this is a plain partial-aggregated group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+        )
+    )
+
+
+@query(
+    "hopping_window_agg",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, value,
+             unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                     (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000])
+               AS window_start_us
+      FROM events
+    )
+    SELECT window_start_us, event_type, COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM h GROUP BY window_start_us, event_type
+    """,
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window (1 h length, 30 min slide): each event lands in two
+    overlapping windows — F.window() generates them natively (the streaming
+    sliding-window operator run in batch mode). Scale: the 2× row expansion
+    happens map-side before the partial agg, so the exchange still carries
+    only |windows × types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations / semi-anti joins / grouping lattices
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_buyers_vs_active",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         active AS (SELECT DISTINCT user_id AS k FROM events)
+    SELECT 'both' AS op, k FROM (SELECT k FROM buyers INTERSECT SELECT k FROM active)
+    UNION ALL
+    SELECT 'buyers_only', k FROM (SELECT k FROM buyers EXCEPT SELECT k FROM active)
+    UNION ALL
+    SELECT 'active_only', k FROM (SELECT k FROM active EXCEPT SELECT k FROM buyers)
+    """,
+)
+def set_ops_buyers_vs_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.G): intersect/except over two key sets,
+    tagged into one result. Scale: each set op is a distinct-aggregate +
+    co-partitioned join; the inputs are pre-projected to the key column so
+    exchanges carry 8 bytes/row."""
+    buyers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    active = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    return (
+        buyers.intersect(active).withColumn("op", F.lit("both"))
+        .unionByName(buyers.exceptAll(active).withColumn("op", F.lit("buyers_only")))
+        .unionByName(active.exceptAll(buyers).withColumn("op", F.lit("active_only")))
+        .select("op", "k")
+    )
+
+
+@query(
+    "semi_anti_returned_orders",
+    oracle="""
+    SELECT 'has_return' AS op, o_orderkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    UNION ALL
+    SELECT 'no_return', o_orderkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+)
+def semi_anti_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join (EXISTS / NOT EXISTS): orders partitioned by whether
+    any line item was returned. Scale: left-semi/left-anti never materialize
+    the probe side's payload — the filtered lineitem projects to just
+    l_orderkey before the shuffle; at 100 TB bucket both tables on orderkey
+    and the exchange disappears."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    has = orders.join(returned, "o_orderkey", "leftsemi").withColumn(
+        "op", F.lit("has_return")
+    )
+    none = orders.join(returned, "o_orderkey", "leftanti").withColumn(
+        "op", F.lit("no_return")
+    )
+    return has.unionByName(none).select("op", "o_orderkey")
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping lattice (CUBE) — all 4 grouping sets in one pass.
+    Scale: Spark expands cube rows map-side then partial-aggregates, so the
+    exchange carries |lattice| × |groups|, independent of input size."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
