@@ -233,8 +233,135 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(score, "a_id long, b_id long, cosine double")
 
 
-_LSH_TABLES = 8
-_LSH_BITS = 10
+_IVF_CELLS = 16
+_IVF_NPROBE = 6
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Deterministic IVF coarse quantizer: fixed seed vectors (vec_id
+    100..115) + ONE distributed Lloyd refinement.
+
+    The refinement accumulates in the exact integer domain (quantized
+    micro-units summed as int64 — order-independent across partitions),
+    then divides once, so the trained centroids are bit-stable no matter
+    how the corpus is partitioned. Returns L2-normalized (cells, dim).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds_pdf = (
+        emb.filter(F.col("vec_id").between(100, 100 + _IVF_CELLS - 1))
+        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    C = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            cell = (V @ C.T).argmax(axis=1)  # ties → lowest cell index
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                 "cell": cell.astype("int64")}
+            )
+
+    vecs = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    assigned = vecs.mapInPandas(assign, "vec_id long, cell long")
+    # Lloyd step: per-(cell, dim) exact-integer mean over quantized values
+    qex = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(F.expr(_QUANT)).alias("pos", "q")
+    )
+    stats = (
+        assigned.join(qex, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    refined = np.array(C)
+    for r in stats:
+        refined[r["cell"], r["pos"]] = (r["s"] / r["n"]) / 1e6
+    return refined / np.linalg.norm(refined, axis=1, keepdims=True)
+
+
+@query("sim_ann_ivf")  # approximate — rows-only check; recall tested in tests/
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    cluster-then-probe alternative to sim_ann_lsh.
+
+    Scale path: corpus vectors partition into |cells| inverted lists (one
+    narrow assignment pass); each query probes its nprobe nearest cells, so
+    the candidate join is an equi-join on `cell` touching ~nprobe/cells of
+    the corpus. Candidates are rescored with the exact quantized cosine and
+    top-k'd. Training cost is one seeded Lloyd iteration, fully
+    distributed, exact-integer (deterministic under any partitioning).
+    """
+    import numpy as np
+
+    C = _ivf_centroids(spark, sf_dir)
+
+    def assign_corpus(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            cell = (V @ C.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                 "cell": cell.astype("int64")}
+            )
+
+    def assign_queries(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            dots = V @ C.T
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :_IVF_NPROBE]
+            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {"q_id": np.repeat(q_ids, _IVF_NPROBE),
+                 "cell": order.reshape(-1).astype("int64")}
+            )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    lists = vecs.mapInPandas(assign_corpus, "vec_id long, cell long")
+    probes = (
+        vecs.filter(F.col("vec_id") < _N_QUERIES)
+        .mapInPandas(assign_queries, "q_id long, cell long")
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"))
+        .distinct()
+    )
+    qv = quantized(spark, sf_dir, "q")
+    nv = quantized(spark, sf_dir, "n")
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .select(
+            "q_id", "n_id", _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+_LSH_TABLES = 16
+_LSH_BITS = 6
 
 
 def _hyperplanes(dim: int = 64):

@@ -135,6 +135,90 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf_odds
+    FROM tf JOIN df ON tf.term = df.term, n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting: integer term/document frequencies with the
+    idf carried as the rational odds ratio (N+1)/(df+1) — division and
+    multiply are single IEEE ops, bit-identical across engines, whereas
+    ln() is a libm transcendental that differs in the last ulp between
+    DuckDB and the JVM. ln is monotone, so ranking by tfidf_odds ≡ ranking
+    by classic tf·idf; consumers wanting the log scale apply it last-mile.
+
+    Scale: tf is a (doc_id, term) group-by; df re-aggregates tf's output
+    (already one row per doc-term, so COUNT(*) == distinct docs — no second
+    expensive distinct over raw tokens); the df side joins back broadcast
+    (|vocabulary| rows). The token explode never shuffles the raw text —
+    only fixed-width (doc_id, term-hash-sized) rows move.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; at 100 TB read from table stats instead
+    weight = F.col("tf") * ((n_docs + 1.0) / (F.col("df") + 1.0))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", "tf", "df", weight.alias("tfidf_odds"))
+    )
+
+
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks (the GPT-2-style split shape, sans merges).
+# Two spellings of the same regex: Spark SQL string literals process
+# backslash escapes ('\s' → 's'), DuckDB's don't — so the Spark literal
+# needs the backslash doubled to reach the regex engine intact.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+_BPE_RE_SPARK = r"[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "text_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_RE}'),
+                                x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT)
+             AS n_alpha,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_RE}'),
+                                x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)
+             AS n_num,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '{_BPE_RE}')))
+             AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counting: letter runs / digit runs /
+    punctuation marks via one regex pass — the subword-tokenizer-shaped
+    statistic (whitespace counting is text_token_stats). All JVM regex,
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE_SPARK}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).cast("long").alias(
+            "n_alpha"
+        ),
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("long").alias(
+            "n_num"
+        ),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
