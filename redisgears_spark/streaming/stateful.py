@@ -1,0 +1,204 @@
+"""Stateful per-key stream processing — the reference's per-consumer state
+(ConsumerInfo: records_processed, last_read_id, lag totals —
+redisgears_core/src/stream_reader.rs:112-150) re-created as a Structured
+Streaming stateful operator (SURVEY §7 milestone-2's transformWithState
+design).
+
+Where triggers.py processes each micro-batch statelessly and keeps counters
+on the driver, this runtime keeps the counters IN the state store: per
+stream_key running totals survive across micro-batches and restarts via the
+checkpoint, exactly like the reference's replicated last-read-id frontier
+(stream_reader.rs:351-363) — but with Spark's WAL doing the replication.
+
+Lifecycle parity:
+  * stream deletion (reference lib.rs:1521-1530: `del` of a tracked stream
+    drops its consumers' state) → a control record (`__ctl__ = 'del'`)
+    removes the key's state;
+  * FLUSHALL (lib.rs:1627-1640: clears stream info, keeps registrations) →
+    ``flush()`` deletes checkpoints + state, library registry untouched.
+
+Scale: state is hash-partitioned by stream_key across executors; each key's
+state is O(1) (a handful of counters), so total state = O(|live keys|),
+evictable per key via the deletion path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from redisgears_spark.engine import GearsEngine
+
+# canonical stream shape (triggers.STREAM_SCHEMA) in, running stats out
+_OUTPUT_SCHEMA = (
+    "stream_key string, n_records bigint, value_cents_total bigint, "
+    "last_id bigint, deleted boolean"
+)
+_STATE_SCHEMA = "n_records bigint, value_cents_total bigint, last_id bigint"
+
+_CTL_FIELD = "__ctl__"
+_CTL_DELETE = "del"
+
+
+def _running_stats(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-stream-key reducer: exact-integer running totals, id-ordered.
+
+    A `del` control record drops the key's state (stream-deletion
+    semantics); records after the tombstone in the same batch start a
+    fresh epoch, matching the reference where a re-created stream is a new
+    tracked stream (stream_reader.rs:511-524).
+    """
+    (stream_key,) = key
+    if state.exists:
+        n, cents, last_id = state.get
+    else:
+        n, cents, last_id = 0, 0, -1
+
+    deleted = False
+    for pdf in pdfs:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        for rec in pdf.to_dict("records"):
+            fields = dict(rec["fields"]) if rec["fields"] else {}
+            if fields.get(_CTL_FIELD) == _CTL_DELETE:
+                n, cents, last_id = 0, 0, -1
+                deleted = True
+                continue
+            deleted = False
+            n += 1
+            # exact integer accumulation (same discipline as functions.exact)
+            v = fields.get("value")
+            if v is not None:
+                cents += int(round(float(v) * 100))
+            last_id = max(last_id, rec["id"])
+
+    if deleted and n == 0:
+        state.remove()
+    else:
+        state.update((n, cents, last_id))
+    yield pd.DataFrame(
+        [
+            {
+                "stream_key": stream_key,
+                "n_records": n,
+                "value_cents_total": cents,
+                "last_id": last_id,
+                "deleted": deleted and n == 0,
+            }
+        ]
+    )
+
+
+class StatefulStatsRuntime:
+    """Owns the stateful running-stats query for a stream source."""
+
+    def __init__(self, engine: GearsEngine, spool_dir: str, work_dir: str,
+                 source_adapter=None):
+        self.engine = engine
+        self.spark: SparkSession = engine.spark
+        self.spool_dir = spool_dir
+        self.work_dir = work_dir
+        self.source_adapter = source_adapter
+        self.query: StreamingQuery | None = None
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "stateful_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "stateful_sink")
+
+    def _source(self) -> DataFrame:
+        from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        if self.source_adapter is not None:
+            raw = (
+                self.spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(self.spool_dir)
+            )
+            return self.source_adapter(raw)
+        return (
+            self.spark.readStream.schema(STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(self.spool_dir)
+        )
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        from pyspark.sql import functions as F
+
+        src = self._source()
+        if prefix:
+            src = src.filter(F.col("stream_key").startswith(prefix))
+        stats = src.groupBy("stream_key").applyInPandasWithState(
+            _running_stats,
+            _OUTPUT_SCHEMA,
+            _STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        os.makedirs(self.sink_dir, exist_ok=True)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.sink_dir)
+
+        self.query = (
+            stats.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt_dir)
+            .outputMode("update")
+            .queryName("stateful_stats")
+            .start()
+        )
+        return self.query
+
+    def latest(self) -> dict[str, dict]:
+        """Most recent state snapshot per stream_key from the sink."""
+        import glob
+
+        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+            return {}
+        pdf = self.spark.read.parquet(self.sink_dir).toPandas()
+        out: dict[str, dict] = {}
+        # the snapshot for a key is its row from the highest epoch (update
+        # mode emits one row per touched key per epoch)
+        for rec in pdf.to_dict("records"):
+            cur = out.get(rec["stream_key"])
+            if cur is None or rec["epoch"] >= cur["epoch"]:
+                out[rec["stream_key"]] = rec
+        return out
+
+    def process_available(self) -> None:
+        if self.query is not None:
+            self.query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self.query is not None:
+            try:
+                self.query.stop()
+            except Exception:
+                pass
+            self.query = None
+
+    # -- FLUSHALL (lib.rs:1627-1640): drop stream state, keep registry -------
+
+    def flush(self) -> None:
+        """Clear all streaming state (checkpoints + sink), keep the engine
+        registry intact — the FLUSHALL contract: consumers restart from a
+        clean slate, registrations survive."""
+        self.stop()
+        for d in (self._ckpt_dir, self.sink_dir):
+            shutil.rmtree(d, ignore_errors=True)

@@ -15,6 +15,7 @@ from redisgears_spark.sources.keyspace import load_table
 from redisgears_spark.streaming import (
     STREAM_SCHEMA,
     KeyspaceTriggerRuntime,
+    StatefulStatsRuntime,
     StreamTriggerRuntime,
     apply_retention,
     events_to_stream,
@@ -256,6 +257,127 @@ class TestStreamTriggers:
         assert evicted == 100  # every record acked → all evictable
         remaining = spark.read.schema(STREAM_SCHEMA).parquet(canon_dir)
         assert remaining.count() == 0
+
+
+def _write_canonical(spark, spool_dir, rows):
+    """Append canonical-shape stream records to the spool."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "stream_key": k,
+                "id": i,
+                "id_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                "fields": f,
+            }
+            for (k, i, f) in rows
+        ]
+    )
+    spark.createDataFrame(pdf, STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(spool_dir)
+
+
+class TestStatefulStats:
+    def test_state_accumulates_across_batches(self, spark, sf_dir, spool, work):
+        """Per-key counters live in the state store and keep accumulating
+        across drains (the reference's ConsumerInfo totals,
+        stream_reader.rs:112-150)."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = StatefulStatsRuntime(engine, spool, work)
+        _write_canonical(
+            spark, spool,
+            [("s:1", 1, {"value": "2.5"}), ("s:1", 2, {"value": "1.0"}),
+             ("s:2", 1, {"value": "10.0"})],
+        )
+        rt.start(prefix="s:")
+        try:
+            rt.process_available()
+            snap = rt.latest()
+            assert snap["s:1"]["n_records"] == 2
+            assert snap["s:1"]["value_cents_total"] == 350
+            assert snap["s:2"]["value_cents_total"] == 1000
+            # second drain: totals continue from stored state
+            _write_canonical(spark, spool, [("s:1", 3, {"value": "0.5"})])
+            rt.process_available()
+            snap = rt.latest()
+            assert snap["s:1"]["n_records"] == 3
+            assert snap["s:1"]["value_cents_total"] == 400
+            assert snap["s:1"]["last_id"] == 3
+        finally:
+            rt.stop()
+
+    def test_state_survives_restart(self, spark, sf_dir, spool, work):
+        """Restart with the same checkpoint resumes per-key state — the
+        reference replicates its acked frontier for exactly this
+        (stream_reader.rs:351-363); Spark's checkpoint is our WAL."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = StatefulStatsRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s:9", i, {"value": "1.0"}) for i in range(5)])
+        rt.start()
+        rt.process_available()
+        rt.stop()
+
+        rt2 = StatefulStatsRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s:9", 5, {"value": "1.0"})])
+        rt2.start()
+        try:
+            rt2.process_available()
+            snap = rt2.latest()
+            assert snap["s:9"]["n_records"] == 6
+            assert snap["s:9"]["value_cents_total"] == 600
+        finally:
+            rt2.stop()
+
+    def test_stream_deletion_drops_state(self, spark, sf_dir, spool, work):
+        """A `del` control record clears the key's state; a re-created
+        stream starts a fresh epoch (lib.rs:1521-1530,
+        stream_reader.rs:511-524)."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = StatefulStatsRuntime(engine, spool, work)
+        _write_canonical(
+            spark, spool, [("s:d", 1, {"value": "5.0"}), ("s:d", 2, {"value": "5.0"})]
+        )
+        rt.start()
+        try:
+            rt.process_available()
+            assert rt.latest()["s:d"]["n_records"] == 2
+            _write_canonical(spark, spool, [("s:d", 3, {"__ctl__": "del"})])
+            rt.process_available()
+            assert rt.latest()["s:d"]["deleted"] is True
+            assert rt.latest()["s:d"]["n_records"] == 0
+            # re-created stream: fresh totals
+            _write_canonical(spark, spool, [("s:d", 10, {"value": "1.0"})])
+            rt.process_available()
+            snap = rt.latest()["s:d"]
+            assert snap["n_records"] == 1
+            assert snap["value_cents_total"] == 100
+        finally:
+            rt.stop()
+
+    def test_flush_clears_state_keeps_registry(self, spark, sf_dir, spool, work):
+        """FLUSHALL semantics (lib.rs:1627-1640): stream state is dropped,
+        library registrations survive, and a restarted consumer reprocesses
+        from scratch."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.load_library(
+            lambda l: l.register_function("ping", lambda c: "PONG"), name="keepme"
+        )
+        rt = StatefulStatsRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s:f", 1, {"value": "3.0"})])
+        rt.start()
+        rt.process_available()
+        assert rt.latest()["s:f"]["n_records"] == 1
+        rt.flush()
+        assert rt.latest() == {}
+        assert engine.call("keepme", "ping") == "PONG"  # registry intact
+        # restart: source replays from the beginning (fresh checkpoint)
+        rt3 = StatefulStatsRuntime(engine, spool, work)
+        rt3.start()
+        try:
+            rt3.process_available()
+            assert rt3.latest()["s:f"]["n_records"] == 1
+        finally:
+            rt3.stop()
 
 
 class TestKeyspaceTriggers:
