@@ -363,6 +363,13 @@ class GearsEngine:
         rf.stats.n_calls += 1
         try:
             result = rf.fn(client, *args)
+            if not isinstance(result, DataFrame):
+                # reply sink: enforce the JS→RESP conversion rules
+                # (v8_function_ctx.rs:58-141 — nesting cap, map-key types,
+                # set ordering) on scalar/collection replies
+                from redisgears_spark.functions.types import reply_shape
+
+                result = reply_shape(result)
             rf.stats.n_success += 1
             return result
         except Exception as e:

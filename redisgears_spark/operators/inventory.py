@@ -119,6 +119,39 @@ def q03_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", cents("c_acctbal").alias("acctbal_cents"))
 
 
+@query(
+    "q_binary_safety",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           decode(encode(text)) AS decoded,
+           CAST(decode(encode(text)) = text AS BOOLEAN) AS roundtrip_ok,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def q_binary_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-safe value handling (SURVEY §1.2: every value carries a raw
+    bytes form and a decoded-or-null UTF-8 view — reference
+    v8_stream_ctx.rs:71-101). The payload travels as a binary column;
+    the string view is derived via try-decode (NULL on malformed bytes,
+    exercised with invalid UTF-8 in tests/test_types.py — fixture text is
+    all well-formed). All JVM intrinsics, no Python.
+    """
+    from redisgears_spark.functions.types import try_decode_utf8
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    decoded = try_decode_utf8(payload)
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        decoded.alias("decoded"),
+        (decoded == F.col("text")).alias("roundtrip_ok"),
+        F.md5(payload).alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B. Aggregation surface (reference Q4–Q8: counters via INCR, set cardinality,
 #    zset rankings — docs KeySpace_Triggers.md:123-147, Examples.md)
