@@ -252,11 +252,16 @@ def q07_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct via HyperLogLog++ — the 100 TB path: one pass,
     constant memory, mergeable across partitions. No oracle (DuckDB's
     approx_count_distinct uses a different sketch, values differ by design).
+
+    rsd=0.023 ≈ 2^11 registers: the sketch must stay cheap enough to beat
+    the exact two-stage expansion it replaces (at rsd=0.01 the 2^14-register
+    update loop measured ~3× slower than exact countDistinct at sf0.1 —
+    a sketch slower than the exact answer is a bug, not a feature).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.approx_count_distinct("l_partkey", rsd=0.023).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.023).alias("approx_supps"),
     )
 
 

@@ -39,3 +39,12 @@ def assert_broadcast_join(df: DataFrame, n_broadcasts: int = 1) -> None:
 def no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"unplanned cartesian product:\n{plan}"
+
+
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Count physical-plan nodes by name in the formatted plan (each node
+    appears exactly once as a '(<id>) <Name>' details header)."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(re.findall(rf"\(\d+\) {re.escape(node)}\b", plan))

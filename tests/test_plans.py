@@ -10,6 +10,7 @@ from redisgears_spark.operators import ORACLES, QUERIES
 from redisgears_spark.plans.explain import (
     assert_broadcast_join,
     assert_pushed_filters,
+    count_nodes,
     formatted_plan,
 )
 
@@ -78,3 +79,45 @@ def test_events_lag_single_scan_broadcast(spark, sf_dir):
     df = QUERIES["q10_event_lag"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    """lag-window, running-sum window, and the session group-by must all
+    reuse ONE hash partitioning on user_id — the whole operator is a
+    single shuffle."""
+    df = QUERIES["session_windows"](spark, sf_dir)
+    assert count_nodes(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_asof_join_bounded_shuffles(spark, sf_dir):
+    """The as-of join must be window-based (no range-join explosion): at
+    most the orders-dedup exchange + the union window exchange, and no
+    cartesian/nested-loop anywhere."""
+    df = QUERIES["asof_join_latest_order"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert count_nodes(df, "Window") == 1, plan
+
+
+def test_semi_anti_plan_shapes(spark, sf_dir):
+    """EXISTS/NOT EXISTS must compile to semi/anti joins (never a full
+    join + filter)."""
+    df = QUERIES["semi_anti_returned_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tfidf_df_side_broadcasts(spark, sf_dir):
+    """The |vocabulary|-sized df table must broadcast back onto tf."""
+    df = QUERIES["text_tfidf"](spark, sf_dir)
+    assert_broadcast_join(df, 1)
+
+
+def test_windows_partial_aggregate(spark, sf_dir):
+    """Tumbling/hopping window aggs must partial-aggregate map-side
+    (two HashAggregate phases around one exchange)."""
+    for name in ("tumbling_window_agg", "hopping_window_agg"):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_nodes(df, "HashAggregate") >= 2, formatted_plan(df)
+        assert count_nodes(df, "Exchange") == 1, formatted_plan(df)
