@@ -93,6 +93,7 @@ class TriggerStats:
     n_records: int = 0
     n_success: int = 0
     n_failed: int = 0
+    n_deferred: int = 0  # window-overflow records re-spooled for later
     last_error: str | None = None
     max_lag_us: int = 0
     # acked frontier per stream_key (max processed id) — feeds retention
@@ -103,21 +104,21 @@ def _make_group_processor(
     fn: Callable[[dict], Any], window: int
 ) -> Callable[[Any, pd.DataFrame], pd.DataFrame]:
     """Build the executor-side per-stream-key processor: strictly ordered by
-    id (the reference's per-stream read order), at most `window` records
-    admitted per key per micro-batch (in-flight bound — excess records are
-    deferred, and because the source is replayed from the checkpoint only
-    for unprocessed offsets, deferral here is a backpressure knob, not data
-    loss: the sink marks them 'deferred').
+    id (the reference's per-stream read order). Only records already
+    admitted by the window gate reach this processor (see start_trigger —
+    the gate re-spools the overflow so it is REPROCESSED later, the batch
+    analog of the reference pausing reads at `window` pending records,
+    stream_reader.rs:435-442).
 
     Errors follow reference semantics: a failing record records the error
     and the frontier still advances (stream_reader.rs:368-371 — Nack sets
     last_error but does not halt progress).
     """
+    _ = window  # admission happens upstream; kept for spec parity
 
     def process(key: Any, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort")
         out: list[dict] = []
-        admitted = 0
         for rec in pdf.to_dict("records"):
             row = {
                 "stream_key": rec["stream_key"],
@@ -127,11 +128,6 @@ def _make_group_processor(
                 "result": None,
                 "error": None,
             }
-            if admitted >= window:
-                row["status"] = "deferred"
-                out.append(row)
-                continue
-            admitted += 1
             try:
                 res = fn(
                     {
@@ -175,7 +171,7 @@ class StreamTriggerRuntime:
 
     # -- source --------------------------------------------------------------
 
-    def _source(self) -> DataFrame:
+    def _source(self, respool_dir: str | None = None) -> DataFrame:
         raw_schema = (
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string"
@@ -186,12 +182,23 @@ class StreamTriggerRuntime:
                 .option("maxFilesPerTrigger", 8)
                 .parquet(self.spool_dir)
             )
-            return self.source_adapter(raw)
-        return (
-            self.spark.readStream.schema(STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(self.spool_dir)
-        )
+            base = self.source_adapter(raw)
+        else:
+            base = (
+                self.spark.readStream.schema(STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(self.spool_dir)
+            )
+        if respool_dir is not None:
+            # this trigger's deferred records come back through its private
+            # respool (already canonical shape); union keeps one query
+            respooled = (
+                self.spark.readStream.schema(STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(respool_dir)
+            )
+            base = base.unionByName(respooled)
+        return base
 
     # -- per-trigger query ---------------------------------------------------
 
@@ -202,17 +209,40 @@ class StreamTriggerRuntime:
         sink_dir = os.path.join(self.work_dir, "sink", lib.name, name)
         err_dir = os.path.join(self.work_dir, "errors", lib.name, name)
         ckpt_dir = os.path.join(self.work_dir, "checkpoints", lib.name, name)
-        os.makedirs(sink_dir, exist_ok=True)
-        os.makedirs(err_dir, exist_ok=True)
+        respool_dir = os.path.join(self.work_dir, "respool", lib.name, name)
+        for d in (sink_dir, err_dir, respool_dir):
+            os.makedirs(d, exist_ok=True)
 
         prefix: str = spec["prefix"]
-        processor = _make_group_processor(spec["fn"], spec["window"])
+        window: int = spec["window"]
+        processor = _make_group_processor(spec["fn"], window)
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            from pyspark.sql.window import Window as W
+
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
             matched = batch_df.filter(F.col("stream_key").startswith(prefix))
-            results = matched.groupBy("stream_key").applyInPandas(
+            # window admission gate (stream_reader.rs:592-597): at most
+            # `window` records per key enter this batch, id order. The
+            # overflow is RE-SPOOLED — it re-enters the source and is
+            # processed by a later batch, the batch analog of the reference
+            # pausing reads while pending >= window. The checkpoint may
+            # advance past the original offsets because the respool file
+            # carries the records forward (at-least-once preserved).
+            gate = W.partitionBy("stream_key").orderBy("id")
+            ranked = matched.withColumn("_rn", F.row_number().over(gate))
+            admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
+            deferred = ranked.filter(F.col("_rn") > window).drop("_rn")
+            deferred.persist()
+            try:
+                n_deferred = deferred.count()
+                if n_deferred:
+                    deferred.coalesce(1).write.mode("append").parquet(respool_dir)
+            finally:
+                deferred.unpersist()
+
+            results = admitted.groupBy("stream_key").applyInPandas(
                 processor, _RESULT_SCHEMA
             )
             results.persist()
@@ -221,13 +251,9 @@ class StreamTriggerRuntime:
                     F.count(F.lit(1)).alias("n"),
                     F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
                     F.count(F.when(F.col("status") == "error", 1)).alias("err"),
-                    F.max(F.when(F.col("status") != "deferred", F.col("id"))).alias(
-                        "max_id"
-                    ),
                 ).collect()[0]
                 frontier_rows = (
-                    results.filter(F.col("status") != "deferred")
-                    .groupBy("stream_key")
+                    results.groupBy("stream_key")
                     .agg(F.max("id").alias("max_id"))
                     .collect()
                 )
@@ -247,6 +273,7 @@ class StreamTriggerRuntime:
                     stats.n_records += agg["n"] or 0
                     stats.n_success += agg["ok"] or 0
                     stats.n_failed += agg["err"] or 0
+                    stats.n_deferred += n_deferred
                     if err_rows:
                         stats.last_error = err_rows[0]["error"]
                     for r in frontier_rows:
@@ -256,7 +283,7 @@ class StreamTriggerRuntime:
                 results.unpersist()
 
         query = (
-            self._source()
+            self._source(respool_dir)
             .writeStream.foreachBatch(handle_batch)
             .option("checkpointLocation", ckpt_dir)
             .queryName(qkey)

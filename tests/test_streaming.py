@@ -182,11 +182,45 @@ class TestStreamTriggers:
             fast = rt.stats["mlib.all_users"]
             slow = rt.stats["mlib.slow"]
             assert fast.n_success == 100
-            # the windowed consumer deferred beyond 2/key/batch
-            assert slow.n_success < 100
+            # the windowed consumer throttled to 2/key/batch: the overflow
+            # was deferred + re-spooled, and every record still processed
+            assert slow.n_deferred > 0
+            assert slow.n_success == 100
+            assert slow.n_batches > fast.n_batches  # extra respool batches
             tf = rt.min_frontier()
             for k, v in tf.items():
                 assert v == min(fast.frontier[k], slow.frontier[k])
+        finally:
+            rt.stop_all()
+
+    def test_window_respool_no_data_loss(self, spark, sf_dir, spool, work):
+        """The in-flight window must throttle, never drop: 7 records on one
+        key with window=2 take ceil(7/2) batches but ALL reach the sink in
+        id order (reference semantics: reading pauses at `window` pending,
+        resumes on ack — stream_reader.rs:435-442,592-597)."""
+        import pandas as pd
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "narrow", prefix="s:", fn=lambda d: {"id": d["id"]}, window=2
+            ),
+            name="wlib",
+        )
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(
+            spark, spool, [("s:1", i, {"value": "1.0"}) for i in range(7)]
+        )
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            stats = rt.stats["wlib.narrow"]
+            assert stats.n_success == 7  # nothing lost
+            assert stats.n_deferred >= 5  # 5 overflowed the first batch
+            sink = spark.read.parquet(os.path.join(work, "sink", "wlib", "narrow"))
+            ids = sorted(r["id"] for r in sink.select("id").collect())
+            assert ids == list(range(7))
+            assert stats.frontier["s:1"] == 6
         finally:
             rt.stop_all()
 
