@@ -236,6 +236,30 @@ class GearsEngine:
         self._lock = threading.RLock()
         # reference execution-threads: 1-32 background workers (lib.rs:1912)
         self._pool = ThreadPoolExecutor(max_workers=8, thread_name_prefix="rg-exec")
+        # admission-control state (§2.F guards)
+        self._oom = False
+        self._read_only = False
+        # trigger runtimes that feed TFUNCTION LIST-style stats
+        self._runtimes: list[Any] = []
+
+    # -- admission control (§2.F) -------------------------------------------
+
+    def set_oom(self, flag: bool) -> None:
+        """Simulate the OOM admission state: while set, only functions
+        flagged ALLOW_OOM or NO_WRITES may run (reference verify_oom,
+        lib.rs:1286-1297 — writes are what memory pressure must block)."""
+        self._oom = flag
+
+    def set_read_only(self, flag: bool) -> None:
+        """Replica/read-only gate: while set, functions that may write
+        (no NO_WRITES flag) are refused (verify_ok_on_replica,
+        lib.rs:1299-1313)."""
+        self._read_only = flag
+
+    def register_trigger_runtime(self, runtime: Any) -> None:
+        """Called by trigger runtimes so list_libraries can surface their
+        per-trigger stats (TFUNCTION LIST vvv parity)."""
+        self._runtimes.append(runtime)
 
     # -- TFUNCTION LOAD ------------------------------------------------------
 
@@ -317,8 +341,14 @@ class GearsEngine:
                         }
                         for f in lib.functions.values()
                     ]
-                    entry["stream_triggers"] = list(lib.stream_triggers)
-                    entry["keyspace_triggers"] = list(lib.keyspace_triggers)
+                    entry["stream_triggers"] = [
+                        self._trigger_entry(lib, n, spec, verbose)
+                        for n, spec in lib.stream_triggers.items()
+                    ]
+                    entry["keyspace_triggers"] = [
+                        self._trigger_entry(lib, n, spec, verbose)
+                        for n, spec in lib.keyspace_triggers.items()
+                    ]
                 if verbose >= 2:
                     for fe, f in zip(entry["functions"], lib.functions.values()):
                         fe["stats"] = {
@@ -330,6 +360,37 @@ class GearsEngine:
                         }
                 out.append(entry)
             return out
+
+    def _trigger_entry(
+        self, lib: Library, name: str, spec: dict, verbose: int
+    ) -> dict[str, Any]:
+        """One trigger's listing row; at verbose>=2 merges live runtime
+        stats (num_trigger/success/failed, last_error, pending — the
+        TFUNCTION LIST vvv per-trigger fields,
+        function_list_command.rs:159-300)."""
+        entry: dict[str, Any] = {
+            "name": name,
+            "prefix": spec["prefix"],
+            "description": spec.get("description"),
+        }
+        if "window" in spec:
+            entry["window"] = spec["window"]
+        if verbose >= 2:
+            qkey = f"{lib.name}.{name}"
+            for rt in self._runtimes:
+                st = getattr(rt, "stats", {}).get(qkey)
+                if st is not None:
+                    entry["stats"] = {
+                        "n_batches": st.n_batches,
+                        "n_records": st.n_records,
+                        "n_success": st.n_success,
+                        "n_failed": st.n_failed,
+                        "n_deferred": st.n_deferred,
+                        "last_error": st.last_error,
+                        "n_streams": len(st.frontier),
+                    }
+                    break
+        return entry
 
     # -- TFCALL --------------------------------------------------------------
 
@@ -343,7 +404,21 @@ class GearsEngine:
                 raise GearsError(f"unknown function '{lib_name}.{fn_name}'")
             return lib, fn
 
+    def _admit(self, rf: RegisteredFunction) -> None:
+        """Guards run before every invocation (§2.F)."""
+        if self._oom and not ({ALLOW_OOM, NO_WRITES} & rf.flags):
+            raise GearsError(
+                f"'{rf.name}' rejected: engine is OOM and the function has "
+                "neither ALLOW_OOM nor NO_WRITES"
+            )
+        if self._read_only and NO_WRITES not in rf.flags:
+            raise GearsError(
+                f"'{rf.name}' rejected: engine is read-only and the function "
+                "is not flagged NO_WRITES"
+            )
+
     def _invoke(self, lib: Library, rf: RegisteredFunction, args: tuple) -> Any:
+        self._admit(rf)
         # RAW_ARGUMENTS: pass bytes through untouched; default decodes
         # bytes→str erroring on invalid utf-8 (v8_function_ctx.rs:253-267)
         if RAW_ARGUMENTS not in rf.flags:
@@ -391,6 +466,12 @@ class GearsEngine:
         Spark job tag; on expiry its in-flight jobs are cancelled and the
         call raises. Bounded worst-case blocking, same contract."""
         lib, rf = self._resolve(lib_name, fn_name)
+        if rf.is_async:
+            # the reference rejects async functions via TFCALL when blocking
+            # is not allowed (lib.rs:1363-1366)
+            raise GearsError(
+                f"'{lib_name}.{fn_name}' is async — invoke via call_async"
+            )
         if timeout is None:
             return self._invoke(lib, rf, args)
         return self._invoke_with_timeout(lib, rf, args, timeout)

@@ -168,6 +168,7 @@ class StreamTriggerRuntime:
         self.stats: dict[str, TriggerStats] = {}
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
+        engine.register_trigger_runtime(self)
 
     # -- source --------------------------------------------------------------
 
@@ -363,6 +364,7 @@ class KeyspaceTriggerRuntime:
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
         self._seq = 0
+        engine.register_trigger_runtime(self)
 
     # -- feed helpers (used by tests and by trigger actions) ----------------
 

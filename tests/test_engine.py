@@ -170,6 +170,55 @@ class TestTimeouts:
         assert engine.call("t2lib", "fast", timeout=30) == 7
 
 
+class TestAdmissionGuards:
+    def test_async_requires_call_async(self, engine):
+        """TFCALL of an async function errors; TFCALLASYNC runs it
+        (lib.rs:1363-1366)."""
+        engine.load_library(
+            lambda l: l.register_async_function("bg", lambda c: 99), name="aglib"
+        )
+        with pytest.raises(GearsError, match="call_async"):
+            engine.call("aglib", "bg")
+        assert engine.call_async("aglib", "bg").result(timeout=30) == 99
+
+    def test_oom_admission(self, engine):
+        """Under OOM only ALLOW_OOM / NO_WRITES functions run
+        (verify_oom, lib.rs:1286-1297)."""
+        from redisgears_spark.engine import ALLOW_OOM
+
+        def setup(lib):
+            lib.register_function("writer", lambda c: "w")
+            lib.register_function("reader", lambda c: "r", flags={NO_WRITES})
+            lib.register_function("oomok", lambda c: "o", flags={ALLOW_OOM})
+
+        engine.load_library(setup, name="oomlib")
+        engine.set_oom(True)
+        try:
+            with pytest.raises(GearsError, match="OOM"):
+                engine.call("oomlib", "writer")
+            assert engine.call("oomlib", "reader") == "r"
+            assert engine.call("oomlib", "oomok") == "o"
+        finally:
+            engine.set_oom(False)
+        assert engine.call("oomlib", "writer") == "w"
+
+    def test_read_only_gate(self, engine):
+        """Replica semantics: functions that may write are refused while
+        the engine is read-only (verify_ok_on_replica, lib.rs:1299-1313)."""
+        def setup(lib):
+            lib.register_function("writer", lambda c: "w")
+            lib.register_function("reader", lambda c: "r", flags={NO_WRITES})
+
+        engine.load_library(setup, name="replib")
+        engine.set_read_only(True)
+        try:
+            with pytest.raises(GearsError, match="read-only"):
+                engine.call("replib", "writer")
+            assert engine.call("replib", "reader") == "r"
+        finally:
+            engine.set_read_only(False)
+
+
 class TestRegistryPersistence:
     def test_save_restore_round_trip(self, engine, spark, sf_dir, tmp_path):
         """RDB save/load analog (rdb.rs:52-94, 96-213): catalog persists

@@ -193,6 +193,32 @@ class TestStreamTriggers:
         finally:
             rt.stop_all()
 
+    def test_list_libraries_surfaces_trigger_stats(self, spark, sf_dir, spool, work):
+        """TFUNCTION LIST vvv parity: per-trigger num_trigger/success/
+        failed/last_error come from the live runtime
+        (function_list_command.rs:159-300)."""
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "listed", prefix="user:", fn=upper_type, window=10**9
+            ),
+            name="lslib",
+        )
+        rt = StreamTriggerRuntime(engine, spool, work, source_adapter=events_to_stream)
+        write_slice(spark, sf_dir, spool, 0, 50)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            listing = engine.list_libraries(verbose=2)
+            entry = next(e for e in listing if e["name"] == "lslib")
+            trig = entry["stream_triggers"][0]
+            assert trig["name"] == "listed" and trig["prefix"] == "user:"
+            assert trig["stats"]["n_records"] == 50
+            assert trig["stats"]["n_success"] == 50
+            assert trig["stats"]["n_failed"] == 0
+        finally:
+            rt.stop_all()
+
     def test_window_respool_no_data_loss(self, spark, sf_dir, spool, work):
         """The in-flight window must throttle, never drop: 7 records on one
         key with window=2 take ceil(7/2) batches but ALL reach the sink in
