@@ -296,6 +296,59 @@ def semi_anti_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT p.p_type,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             AS revenue_e4,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE)
+             / SUM(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))))
+               OVER () AS revenue_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape: per-part-type revenue and its share of the total
+    (the PROMO row is Q14's promo_revenue numerator).
+
+    Scale: part broadcasts (dimension), so the fact table never shuffles
+    for the join; the share is a window over the |types|-row aggregate —
+    essentially free. Exact integer revenue; one double division per row
+    against an exact integer total (identical IEEE sequence to the oracle).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    from redisgears_spark.functions.exact import basis_points
+
+    rev = cents("l_extendedprice") * (100 - basis_points("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(rev).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    total = W.partitionBy()
+    return agg.select(
+        "p_type",
+        "revenue_e4",
+        "n_items",
+        (F.col("revenue_e4").cast("double") / F.sum("revenue_e4").over(total)).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@query(
     "cube_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
