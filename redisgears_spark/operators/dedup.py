@@ -153,7 +153,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates (dedup_minhash_lsh); here it doubles as the oracle-checked
     ground truth.
     """
-    docs = shingled_docs(spark, sf_dir)
+    # cache: the shingle stage feeds four plan branches (two self-join
+    # sides + two size projections) — without it the Python shingling
+    # recomputes per branch
+    docs = shingled_docs(spark, sf_dir).cache()
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
     a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))

@@ -38,6 +38,12 @@ def get_spark(
         # converted to timestamp in sources.keyspace.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # small fixture files must still split across all cores: without a
+        # floor, one sub-128MB parquet file = ONE task, serializing every
+        # mapInPandas stage behind a single Python worker (measured: the
+        # dedup family ran 1-task stages on 32 cores). On a real cluster
+        # inputs have >> cores files and this floor is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
