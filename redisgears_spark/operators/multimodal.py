@@ -99,6 +99,136 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir))
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "resized binary"
+)
+
+
+def _resize_image(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """Resize step — STUBBED (PIL absent). Real implementation:
+    Image.thumbnail((max_side, max_side)) + re-encode. The deterministic
+    fake preserves the contract: aspect-ratio-preserving dims and an
+    output payload derived from the input (here: truncated proportionally
+    to the area ratio), so downstream size accounting is exercised."""
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(payload))
+        w, h = img.width, img.height
+        img.thumbnail((max_side, max_side))
+        buf = io.BytesIO()
+        img.save(buf, format=img.format or "PNG")
+        return w, h, img.width, img.height, buf.getvalue()
+    except Exception:
+        w, h, _fmt = _decode_image(payload)
+        scale = min(1.0, max_side / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        keep = max(1, int(len(payload) * (ow * oh) / (w * h)))
+        return w, h, ow, oh, payload[:keep]
+
+
+def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Arrow-batched resize over binary payloads: (doc_id, payload) →
+    original + output geometry + resized payload. Scale: batch-bounded
+    memory; the blob column is pruned to exactly this stage's input."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (doc_id, *_resize_image(bytes(p), max_side))
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_width", "out_height",
+                    "resized",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_crc long"
+
+_FRAME_SIZE = 256  # fake fixed-size frames carved from the payload
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling for video-like payloads: one input row fans out to
+    its sampled frames (1:N mapInPandas — the shape a real decoder
+    produces). STUBBED decode: frames are fixed-size byte windows; real
+    implementation would use pyav/ffmpeg keyframe iteration.
+
+    Scale: fan-out happens executor-side inside the Arrow batch; only
+    fixed-width frame descriptors leave the stage, never frame payloads,
+    so the downstream exchange is O(frames), not O(bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                n_frames = max(1, len(p) // _FRAME_SIZE)
+                for idx in range(0, n_frames, _FRAME_STRIDE):
+                    off = idx * _FRAME_SIZE
+                    frame = p[off : off + _FRAME_SIZE]
+                    out.append(
+                        (doc_id, idx, off, zlib.crc32(frame) & 0x7FFFFFFF)
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_offset", "frame_crc"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+@query("multimodal_resize")  # binary transform path — rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline stage (decode stubbed, plumbing real): returns
+    geometry accounting; the resized blob itself is dropped before any
+    exchange (the 100 TB rule: blobs never shuffle)."""
+    resized = resize_images(media_table(spark, sf_dir))
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.length("resized").cast("long").alias("resized_len"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * {_FRAME_SIZE} AS BIGINT) AS frame_offset
+    FROM (
+      SELECT doc_id,
+             unnest(range(0,
+               greatest(1, octet_length(encode(text)) // {_FRAME_SIZE}),
+               {_FRAME_STRIDE})) AS frame_idx
+      FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample stage: every 4th fixed-size frame per payload. The
+    frame *positions* are oracle-checkable (pure arithmetic over payload
+    length); the crc accounting column is covered by unit tests instead
+    (DuckDB lacks crc32)."""
+    return sample_frames(media_table(spark, sf_dir)).select(
+        "doc_id", "frame_idx", "frame_offset"
+    )
+
+
 @query(
     "multimodal_metadata",
     oracle="""

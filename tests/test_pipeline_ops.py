@@ -48,6 +48,43 @@ def test_ann_scores_are_exact(ann, spark, sf_dir):
             assert r["cosine"] == exact[key]
 
 
+class TestMultimodalStages:
+    def test_resize_preserves_aspect_and_bounds(self, spark, sf_dir):
+        from redisgears_spark.operators.multimodal import media_table, resize_images
+
+        out = resize_images(media_table(spark, sf_dir), max_side=64).collect()
+        assert out
+        for r in out:
+            assert 1 <= r["out_width"] <= 64 and 1 <= r["out_height"] <= 64
+            # no upscaling; dims follow the single-scale-factor contract
+            assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+            scale = min(1.0, 64 / max(r["width"], r["height"]))
+            assert r["out_width"] == max(1, int(r["width"] * scale))
+            assert r["out_height"] == max(1, int(r["height"] * scale))
+            assert len(r["resized"]) >= 1
+
+    def test_frame_sampling_deterministic_fanout(self, spark, sf_dir):
+        from redisgears_spark.operators.multimodal import (
+            _FRAME_SIZE,
+            _FRAME_STRIDE,
+            media_table,
+            sample_frames,
+        )
+
+        media = media_table(spark, sf_dir)
+        frames = sample_frames(media).collect()
+        by_doc: dict = {}
+        for r in frames:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        sizes = {r["doc_id"]: r["n"] for r in media.selectExpr(
+            "doc_id", "length(payload) as n").collect()}
+        for doc_id, rows in by_doc.items():
+            expect = len(range(0, max(1, sizes[doc_id] // _FRAME_SIZE), _FRAME_STRIDE))
+            assert len(rows) == expect
+            for r in rows:
+                assert r["frame_offset"] == r["frame_idx"] * _FRAME_SIZE
+
+
 def test_minhash_candidates_no_false_positives(spark, sf_dir):
     """The LSH candidate set is verified with exact Jaccard, so every
     emitted pair must also appear in the exhaustive exact-Jaccard result
