@@ -18,6 +18,82 @@ import sys
 import time
 
 
+def bench_streaming(spark, sf_dir: str, n_events: int = 20000) -> dict:
+    """Stream-trigger overhead, mirroring the reference's benchmark shape
+    (BASELINE.md: trigger throughput vs no-trigger baseline on identical
+    load): the same event slice is driven through (a) a pass-through
+    Structured Streaming query and (b) a stream trigger (prefix filter →
+    per-key ordered callback → sinks + stats). Reports events/sec for both
+    and the overhead ratio."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.sources.keyspace import load_table
+    from redisgears_spark.streaming import StreamTriggerRuntime, events_to_stream
+
+    base = tempfile.mkdtemp(prefix="rg-bench-stream-")
+    spool = os.path.join(base, "spool")
+    try:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") < n_events
+        )
+        # 8 files → multiple micro-batches under maxFilesPerTrigger=8
+        ev.repartition(8).write.mode("overwrite").parquet(spool)
+
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+
+        # (a) pass-through baseline: same source discipline, parquet sink
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(spool)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "pt_sink"))
+            .option("checkpointLocation", os.path.join(base, "pt_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        passthrough_s = time.perf_counter() - t0
+
+        # (b) the trigger pipeline
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "bench",
+                prefix="user:",
+                fn=lambda d: {"etype": d["fields"].get("event_type", "").upper()},
+                window=10**9,
+            ),
+            name="benchlib",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, os.path.join(base, "work"),
+            source_adapter=events_to_stream,
+        )
+        t0 = time.perf_counter()
+        rt.start_library(lib)
+        rt.process_available()
+        rt.stop_all()
+        trigger_s = time.perf_counter() - t0
+        n = rt.stats["benchlib.bench"].n_success
+        return {
+            "events": n,
+            "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
+            "trigger_events_per_sec": round(n / trigger_s, 1),
+            "overhead_ratio": round(trigger_s / passthrough_s, 2),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -41,12 +117,15 @@ def main() -> None:
         run(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    streaming = bench_streaming(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "inventory_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

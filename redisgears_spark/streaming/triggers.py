@@ -67,6 +67,12 @@ _RESULT_SCHEMA = (
     "status string, result string, error string"
 )
 
+# windows at or above this are treated as unbounded: the admission gate and
+# respool machinery are skipped entirely (the common fast path — the
+# reference's default window is small, but most Spark consumers want
+# micro-batch-sized admission)
+UNBOUNDED_WINDOW = 10**9
+
 
 def events_to_stream(df: DataFrame) -> DataFrame:
     """Adapt the fixture `events` table to the canonical stream shape:
@@ -216,6 +222,7 @@ class StreamTriggerRuntime:
 
         prefix: str = spec["prefix"]
         window: int = spec["window"]
+        bounded = window < UNBOUNDED_WINDOW
         processor = _make_group_processor(spec["fn"], window)
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -224,60 +231,72 @@ class StreamTriggerRuntime:
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
             matched = batch_df.filter(F.col("stream_key").startswith(prefix))
-            # window admission gate (stream_reader.rs:592-597): at most
-            # `window` records per key enter this batch, id order. The
-            # overflow is RE-SPOOLED — it re-enters the source and is
-            # processed by a later batch, the batch analog of the reference
-            # pausing reads while pending >= window. The checkpoint may
-            # advance past the original offsets because the respool file
-            # carries the records forward (at-least-once preserved).
-            gate = W.partitionBy("stream_key").orderBy("id")
-            ranked = matched.withColumn("_rn", F.row_number().over(gate))
-            admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
-            deferred = ranked.filter(F.col("_rn") > window).drop("_rn")
-            deferred.persist()
-            try:
-                n_deferred = deferred.count()
-                if n_deferred:
-                    deferred.coalesce(1).write.mode("append").parquet(respool_dir)
-            finally:
-                deferred.unpersist()
+            n_deferred = 0
+            if bounded:
+                # window admission gate (stream_reader.rs:592-597): at most
+                # `window` records per key enter this batch, id order. The
+                # overflow is RE-SPOOLED — it re-enters the source and is
+                # processed by a later batch, the batch analog of the
+                # reference pausing reads while pending >= window. The
+                # checkpoint may advance past the original offsets because
+                # the respool file carries the records forward
+                # (at-least-once preserved).
+                gate = W.partitionBy("stream_key").orderBy("id")
+                ranked = matched.withColumn("_rn", F.row_number().over(gate))
+                admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
+                deferred = ranked.filter(F.col("_rn") > window).drop("_rn")
+                deferred.persist()
+                try:
+                    n_deferred = deferred.count()
+                    if n_deferred:
+                        deferred.coalesce(1).write.mode("append").parquet(
+                            respool_dir
+                        )
+                finally:
+                    deferred.unpersist()
+            else:
+                admitted = matched
 
             results = admitted.groupBy("stream_key").applyInPandas(
                 processor, _RESULT_SCHEMA
             )
             results.persist()
             try:
-                agg = results.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                    F.count(F.when(F.col("status") == "error", 1)).alias("err"),
-                ).collect()[0]
-                frontier_rows = (
+                # one job for all per-batch accounting: per-key frontier,
+                # ok/err counts, and an error sample (driver folds the
+                # |keys|-row summary — tiny)
+                summary = (
                     results.groupBy("stream_key")
-                    .agg(F.max("id").alias("max_id"))
+                    .agg(
+                        F.max("id").alias("max_id"),
+                        F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                        F.count(F.when(F.col("status") == "error", 1)).alias(
+                            "err"
+                        ),
+                        F.max("error").alias("an_error"),
+                    )
                     .collect()
                 )
-                err_rows = (
-                    results.filter(F.col("status") == "error").limit(1).collect()
-                )
+                n_ok = sum(r["ok"] for r in summary)
+                n_err = sum(r["err"] for r in summary)
                 # sinks: processed records append (at-least-once, idempotent
                 # per (stream_key, id)); errors to the error log
                 results.filter(F.col("status") == "ok").write.mode("append").parquet(
                     sink_dir
                 )
-                results.filter(F.col("status") == "error").write.mode(
-                    "append"
-                ).parquet(err_dir)
+                if n_err:
+                    results.filter(F.col("status") == "error").write.mode(
+                        "append"
+                    ).parquet(err_dir)
                 with self._lock:
                     stats.n_batches += 1
-                    stats.n_records += agg["n"] or 0
-                    stats.n_success += agg["ok"] or 0
-                    stats.n_failed += agg["err"] or 0
+                    stats.n_records += n_ok + n_err
+                    stats.n_success += n_ok
+                    stats.n_failed += n_err
                     stats.n_deferred += n_deferred
-                    if err_rows:
-                        stats.last_error = err_rows[0]["error"]
-                    for r in frontier_rows:
+                    for r in summary:
+                        if r["err"] and r["an_error"]:
+                            stats.last_error = r["an_error"]
                         cur = stats.frontier.get(r["stream_key"], -1)
                         stats.frontier[r["stream_key"]] = max(cur, r["max_id"])
             finally:
