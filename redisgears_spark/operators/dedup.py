@@ -250,6 +250,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_corpus_filter",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    keep AS (
+      SELECT fingerprint, MIN(doc_id) AS keep_doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS fingerprint
+            FROM documents)
+      GROUP BY fingerprint
+    )
+    SELECT q.doc_id, q.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM quality q
+    JOIN keep k
+      ON md5(lower(trim(regexp_replace(q.text, '\\s+', ' ', 'g'))))
+         = k.fingerprint AND q.doc_id = k.keep_doc_id
+    WHERE q.n_tokens >= 10 AND q.lang IN ('en', 'de', 'fr', 'es')
+    """,
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate (token floor) →
+    language allow-list → exact-dedup survivor selection, in ONE plan.
+
+    This is the shape the engine exists for: each stage is a cheap column
+    predicate or a fingerprint aggregate, composed so Catalyst fuses the
+    scans — the quality+language filters prune *before* the dedup join, and
+    the dedup side carries only (fingerprint, keep_doc_id). At 100 TB the
+    filters drop the bulk of the corpus before anything shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    n_tokens = F.expr(f"CAST(size({_WORDS}) AS BIGINT)")
+    keep = (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    gated = (
+        docs.withColumn("n_tokens", n_tokens)
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        .withColumn("fingerprint", fp)
+    )
+    return (
+        gated.join(
+            F.broadcast(keep),
+            (gated.fingerprint == keep.fingerprint)
+            & (gated.doc_id == keep.keep_doc_id),
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 _SIMHASH_BITS = 48
 _SIMHASH_BANDS = 4  # 12 bits per band → candidates within hamming ≈ 3
 

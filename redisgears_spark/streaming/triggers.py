@@ -462,22 +462,20 @@ class KeyspaceTriggerRuntime:
             results = matched.mapInPandas(process_partition, _CDC_RESULT_SCHEMA)
             results.persist()
             try:
+                # one accounting job (counts + error sample), one sink write
                 agg = results.agg(
-                    F.count(F.lit(1)).alias("n"),
                     F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
                     F.count(F.when(F.col("status") == "error", 1)).alias("err"),
+                    F.max("error").alias("an_error"),
                 ).collect()[0]
-                err_rows = (
-                    results.filter(F.col("status") == "error").limit(1).collect()
-                )
                 results.write.mode("append").parquet(sink_dir)
                 with self._lock:
                     stats.n_batches += 1
-                    stats.n_records += agg["n"] or 0
+                    stats.n_records += (agg["ok"] or 0) + (agg["err"] or 0)
                     stats.n_success += agg["ok"] or 0
                     stats.n_failed += agg["err"] or 0
-                    if err_rows:
-                        stats.last_error = err_rows[0]["error"]
+                    if agg["err"]:
+                        stats.last_error = agg["an_error"]
             finally:
                 results.unpersist()
             _ = runtime  # actions that write back must use append_changes(origin='trigger')
