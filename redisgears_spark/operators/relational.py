@@ -349,6 +349,57 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.sum_qty_c
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape (large-volume orders): HAVING-filtered aggregate of
+    the fact table drives joins back to orders and customer.
+
+    Scale: the lineitem aggregate reduces to |orders| rows before any
+    join; its post-HAVING survivor set is small → broadcast into orders,
+    and that join's output (rarer still) broadcasts into customer. The
+    fact table shuffles once (the group-by), never for a join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 20000)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            micros("o_orderdate").alias("orderdate_us"),
+            cents("o_totalprice").alias("totalprice_cents"),
+            "sum_qty_c",
+        )
+    )
+
+
+@query(
     "cube_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -328,6 +328,34 @@ class StreamTriggerRuntime:
         for q in self.queries.values():
             q.processAllAvailable()
 
+    # -- sink reads ----------------------------------------------------------
+
+    def read_sink(
+        self, lib_name: str, trigger: str, exactly_once: bool = True
+    ) -> DataFrame:
+        """Read a trigger's processed-record sink.
+
+        The sink itself is append-only (at-least-once across restarts —
+        the same delivery contract as the reference, which replays from
+        the last replicated acked frontier on failover,
+        Stream_Triggers.md:182-184). `exactly_once=True` collapses
+        replay duplicates by (stream_key, id) keeping the latest write —
+        the documented end-to-end exactly-once read: dedupe at the
+        consumer over the idempotency key. One shuffle on (key, id)."""
+        from pyspark.sql.window import Window as W
+
+        df = self.spark.read.parquet(
+            os.path.join(self.work_dir, "sink", lib_name, trigger)
+        )
+        if not exactly_once:
+            return df
+        w = W.partitionBy("stream_key", "id").orderBy(F.col("id_ts").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     # -- retention frontier (XTRIM MINID analog) ----------------------------
 
     def min_frontier(self) -> dict[str, int]:

@@ -193,6 +193,41 @@ class TestStreamTriggers:
         finally:
             rt.stop_all()
 
+    def test_read_sink_exactly_once_after_replay(self, spark, sf_dir, spool, work):
+        """A fresh runtime on the SAME spool but a fresh checkpoint replays
+        the source; the sink then holds duplicates (at-least-once), and
+        read_sink(exactly_once=True) collapses them by (stream_key, id)."""
+        engine = GearsEngine(spark, sf_dir)
+
+        def mk(work_dir):
+            lib = engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "eo", prefix="user:", fn=upper_type, window=10**9
+                ),
+                name="eolib",
+                replace=True,
+            )
+            rt = StreamTriggerRuntime(
+                engine, spool, work_dir, source_adapter=events_to_stream
+            )
+            rt.start_library(lib)
+            rt.process_available()
+            rt.stop_all()
+            return rt
+
+        write_slice(spark, sf_dir, spool, 0, 100)
+        rt = mk(work)
+        # simulate losing the checkpoint but keeping the sink: replay
+        import shutil
+
+        shutil.rmtree(os.path.join(work, "checkpoints"), ignore_errors=True)
+        rt = mk(work)
+        raw = spark.read.parquet(os.path.join(work, "sink", "eolib", "eo"))
+        assert raw.count() == 200  # duplicated by the replay
+        deduped = rt.read_sink("eolib", "eo", exactly_once=True)
+        assert deduped.count() == 100
+        assert deduped.select("stream_key", "id").distinct().count() == 100
+
     def test_list_libraries_surfaces_trigger_stats(self, spark, sf_dir, spool, work):
         """TFUNCTION LIST vvv parity: per-trigger num_trigger/success/
         failed/last_error come from the live runtime
