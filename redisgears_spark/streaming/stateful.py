@@ -55,6 +55,14 @@ def _running_stats(
     semantics); records after the tombstone in the same batch start a
     fresh epoch, matching the reference where a re-created stream is a new
     tracked stream (stream_reader.rs:511-524).
+
+    NOTE on timers: GroupStateTimeout.ProcessingTimeTimeout was tried for
+    TTL expiry and reverted — with registered timers the micro-batch engine
+    keeps scheduling no-data batches and `processAllAvailable()` never
+    returns (busy loop observed: hundreds of empty batches). Expiry is
+    instead driven by `StatefulStatsRuntime.expire_idle`, which emits the
+    same `del` tombstones — the reference likewise runs expiry/trim as
+    deferred jobs, not inline (lib.rs:1510-1530 post-notification jobs).
     """
     (stream_key,) = key
     if state.exists:
@@ -107,6 +115,8 @@ class StatefulStatsRuntime:
         self.work_dir = work_dir
         self.source_adapter = source_adapter
         self.query: StreamingQuery | None = None
+        # wall-clock of each committed epoch, for idle-key expiry
+        self._epoch_seen: dict[int, float] = {}
 
     @property
     def _ckpt_dir(self) -> str:
@@ -152,9 +162,12 @@ class StatefulStatsRuntime:
         os.makedirs(self.sink_dir, exist_ok=True)
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            import time as _time
+
             batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
                 "append"
             ).parquet(self.sink_dir)
+            self._epoch_seen[epoch_id] = _time.time()
 
         self.query = (
             stats.writeStream.foreachBatch(sink)
@@ -192,6 +205,43 @@ class StatefulStatsRuntime:
             except Exception:
                 pass
             self.query = None
+
+    # -- TTL expiry (expiry-driven events, KeySpace_Triggers.md:11-13) -------
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        """Expire keys idle longer than `ttl_seconds`: emit a `del`
+        tombstone per idle key into the spool, so the stateful operator
+        drops their state through the normal deletion path and the sink
+        records a final `deleted` snapshot. Run as a maintenance step (the
+        reference also defers expiry/trim to post-notification jobs rather
+        than doing it inline). Returns the expired keys; drain the query
+        afterwards to apply."""
+        import time as _time
+
+        now = _time.time()
+        expired = []
+        rows = []
+        for key, rec in self.latest().items():
+            if rec["deleted"]:
+                continue
+            seen = self._epoch_seen.get(rec["epoch"])
+            if seen is not None and now - seen > ttl_seconds:
+                expired.append(key)
+                rows.append(
+                    {
+                        "stream_key": key,
+                        "id": rec["last_id"] + 1,
+                        "id_ts": pd.Timestamp("2024-01-01"),
+                        "fields": {_CTL_FIELD: _CTL_DELETE},
+                    }
+                )
+        if rows:
+            from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+            self.spark.createDataFrame(
+                pd.DataFrame(rows), STREAM_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(self.spool_dir)
+        return expired
 
     # -- FLUSHALL (lib.rs:1627-1640): drop stream state, keep registry -------
 

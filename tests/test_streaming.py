@@ -449,6 +449,39 @@ class TestStatefulStats:
         finally:
             rt.stop()
 
+    def test_ttl_expires_idle_keys(self, spark, sf_dir, spool, work):
+        """Expiry-driven events (reference KeySpace_Triggers.md:11-13):
+        the expire_idle maintenance step tombstones keys idle past the TTL;
+        their state drops and the sink records a final `deleted` snapshot.
+        Active keys survive."""
+        import time as _t
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StatefulStatsRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s:ttl", 1, {"value": "2.0"})])
+        rt.start()
+        try:
+            rt.process_available()
+            assert rt.latest()["s:ttl"]["n_records"] == 1
+            _t.sleep(1.2)  # let the key go idle
+            # s:other stays active (fresh epoch below); s:ttl expires
+            _write_canonical(spark, spool, [("s:other", 1, {"value": "1.0"})])
+            rt.process_available()
+            expired = rt.expire_idle(ttl_seconds=1.0)
+            assert expired == ["s:ttl"]
+            rt.process_available()
+            snap = rt.latest()
+            assert snap["s:ttl"]["deleted"] is True
+            assert snap["s:other"]["deleted"] is False
+            # state is gone: new data for the key starts a fresh epoch
+            _write_canonical(spark, spool, [("s:ttl", 9, {"value": "1.0"})])
+            rt.process_available()
+            fresh = rt.latest()["s:ttl"]
+            assert fresh["n_records"] == 1
+            assert fresh["value_cents_total"] == 100
+        finally:
+            rt.stop()
+
     def test_flush_clears_state_keeps_registry(self, spark, sf_dir, spool, work):
         """FLUSHALL semantics (lib.rs:1627-1640): stream state is dropped,
         library registrations survive, and a restarted consumer reprocesses
