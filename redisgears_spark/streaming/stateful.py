@@ -74,7 +74,10 @@ def _running_stats(
     for pdf in pdfs:
         pdf = pdf.sort_values("id", kind="mergesort")
         for rec in pdf.to_dict("records"):
-            fields = dict(rec["fields"]) if rec["fields"] else {}
+            fields = dict(rec["fields"]) if rec["fields"] is not None else {}
+            pairs = rec.get("record")
+            if not fields and pairs is not None and len(pairs):
+                fields = {p["field"]: p["value"] for p in pairs}
             if fields.get(_CTL_FIELD) == _CTL_DELETE:
                 n, cents, last_id = 0, 0, -1
                 deleted = True
@@ -233,6 +236,7 @@ class StatefulStatsRuntime:
                         "id": rec["last_id"] + 1,
                         "id_ts": pd.Timestamp("2024-01-01"),
                         "fields": {_CTL_FIELD: _CTL_DELETE},
+                        "record": None,
                     }
                 )
         if rows:

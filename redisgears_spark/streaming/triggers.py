@@ -57,9 +57,16 @@ from pyspark.sql.streaming import StreamingQuery
 from redisgears_spark.engine import GearsEngine, Library
 
 # canonical stream-record schema (the Spark shape of the reference's
-# GearsStreamRecord — stream_run_ctx.rs:73-100: (ms,seq) id + field pairs)
+# GearsStreamRecord — stream_run_ctx.rs:73-100: (ms,seq) id + field pairs).
+# `fields` is the convenient map view; `record` is the faithful ordered
+# pair list — duplicate field names are legal in Redis streams
+# (Stream_Triggers.md:78) and only the pair form can carry them. Producers
+# may leave `record` null when no duplicates occur; callbacks receive the
+# pair list when present.
 STREAM_SCHEMA = (
-    "stream_key string, id bigint, id_ts timestamp, fields map<string,string>"
+    "stream_key string, id bigint, id_ts timestamp, "
+    "fields map<string,string>, "
+    "record array<struct<field:string,value:string>>"
 )
 
 _RESULT_SCHEMA = (
@@ -77,6 +84,7 @@ UNBOUNDED_WINDOW = 10**9
 def events_to_stream(df: DataFrame) -> DataFrame:
     """Adapt the fixture `events` table to the canonical stream shape:
     one Redis-stream-like log per user (stream_key = 'user:<id>')."""
+    pair = "named_struct('field', '{f}', 'value', {v})"
     return df.select(
         F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("stream_key"),
         F.col("event_id").alias("id"),
@@ -86,6 +94,18 @@ def events_to_stream(df: DataFrame) -> DataFrame:
             F.lit("value"), F.col("value").cast("string"),
             F.lit("props"), F.col("props"),
         ).alias("fields"),
+        F.expr(
+            "array("
+            + ", ".join(
+                pair.format(f=f, v=v)
+                for f, v in (
+                    ("event_type", "event_type"),
+                    ("value", "cast(value as string)"),
+                    ("props", "props"),
+                )
+            )
+            + ")"
+        ).alias("record"),
     )
 
 
@@ -135,12 +155,24 @@ def _make_group_processor(
                 "error": None,
             }
             try:
+                # `record`: ordered (field, value) pairs, duplicates legal
+                # (Stream_Triggers.md:78); `fields`: last-wins map view
+                pairs = rec.get("record")
+                if pairs is not None and len(pairs):
+                    pairs = [(p["field"], p["value"]) for p in pairs]
+                    fields = dict(pairs)
+                elif rec["fields"]:
+                    fields = dict(rec["fields"])
+                    pairs = list(fields.items())
+                else:
+                    fields, pairs = {}, []
                 res = fn(
                     {
                         "stream_key": rec["stream_key"],
                         "id": rec["id"],
                         "id_ts": rec["id_ts"],
-                        "fields": dict(rec["fields"]) if rec["fields"] else {},
+                        "fields": fields,
+                        "record": pairs,
                     }
                 )
                 if res is not None:

@@ -193,6 +193,39 @@ class TestStreamTriggers:
         finally:
             rt.stop_all()
 
+    def test_duplicate_field_names_preserved(self, spark, sf_dir, spool, work):
+        """Redis stream records may repeat field names
+        (Stream_Triggers.md:78); the ordered `record` pair list must reach
+        the callback intact while `fields` gives the last-wins map view."""
+        engine = GearsEngine(spark, sf_dir)
+
+        def capture(d):
+            return {"pairs": d["record"], "v": d["fields"].get("x")}
+
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "dups", prefix="s:", fn=capture, window=10**9
+            ),
+            name="dlib",
+        )
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(
+            spark, spool,
+            [("s:1", 1, {"x": "2"})],
+            record=[[("x", "1"), ("x", "2"), ("y", "3")]],
+        )
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            sink = spark.read.parquet(os.path.join(work, "sink", "dlib", "dups"))
+            import json as _json
+
+            res = _json.loads(sink.collect()[0]["result"])
+            assert res["pairs"] == [["x", "1"], ["x", "2"], ["y", "3"]]
+            assert res["v"] == "2"  # map view is last-wins
+        finally:
+            rt.stop_all()
+
     def test_read_sink_exactly_once_after_replay(self, spark, sf_dir, spool, work):
         """A fresh runtime on the SAME spool but a fresh checkpoint replays
         the source; the sink then holds duplicates (at-least-once), and
@@ -354,8 +387,10 @@ class TestStreamTriggers:
         assert remaining.count() == 0
 
 
-def _write_canonical(spark, spool_dir, rows):
-    """Append canonical-shape stream records to the spool."""
+def _write_canonical(spark, spool_dir, rows, record=None):
+    """Append canonical-shape stream records to the spool. Each row is
+    (stream_key, id, fields_map); `record` optionally supplies ordered
+    (field, value) pair lists per row (duplicates legal)."""
     pdf = pd.DataFrame(
         [
             {
@@ -363,8 +398,9 @@ def _write_canonical(spark, spool_dir, rows):
                 "id": i,
                 "id_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
                 "fields": f,
+                "record": record[n] if record is not None else None,
             }
-            for (k, i, f) in rows
+            for n, (k, i, f) in enumerate(rows)
         ]
     )
     spark.createDataFrame(pdf, STREAM_SCHEMA).coalesce(1).write.mode(
