@@ -114,6 +114,39 @@ def test_tfidf_df_side_broadcasts(spark, sf_dir):
     assert_broadcast_join(df, 1)
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """The 100 TB claim made in the join docstrings ('bucket both tables on
+    orderkey and the exchange disappears'), executed: orders ⋈ lineitem on
+    bucketed tables plans ZERO exchanges — SortMergeJoin straight over
+    bucketed scans."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.sources.keyspace import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+        for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            load_table(spark, sf_dir, t).write.mode("overwrite").bucketBy(
+                8, key
+            ).sortBy(key).saveAsTable(f"buckets.{t}_b")
+        joined = spark.table("buckets.orders_b").join(
+            spark.table("buckets.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert count_nodes(joined, "Exchange") == 0, formatted_plan(joined)
+        assert "SortMergeJoin" in formatted_plan(joined)
+        # sanity: the bucketed join returns the same row count
+        plain = load_table(spark, sf_dir, "orders").join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP DATABASE IF EXISTS buckets CASCADE")
+
+
 def test_windows_partial_aggregate(spark, sf_dir):
     """Tumbling/hopping window aggs must partial-aggregate map-side
     (two HashAggregate phases around one exchange)."""
