@@ -20,6 +20,11 @@ Lifecycle parity:
 Scale: state is hash-partitioned by stream_key across executors; each key's
 state is O(1) (a handful of counters), so total state = O(|live keys|),
 evictable per key via the deletion path.
+
+API choice: Spark 4.1's newer `transformWithStateInPandas` was evaluated
+and is unavailable in this environment (its driver worker requires the
+`protobuf` Python package); `applyInPandasWithState` provides the same
+per-key state + checkpoint semantics with no extra dependency.
 """
 
 from __future__ import annotations
