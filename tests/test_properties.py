@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5 notes it has none). Pin the algebraic properties the engine's
+determinism contract rests on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redisgears_spark.functions.types import (
+    MAX_REPLY_DEPTH,
+    ReplyError,
+    reply_shape,
+)
+
+# JSON-ish values bounded well under the depth cap so generation stays fast
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**62), max_value=2**62)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=20)
+    | st.binary(max_size=20),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(
+        st.text(max_size=8) | st.integers(min_value=-100, max_value=100),
+        children,
+        max_size=4,
+    ),
+    max_leaves=25,
+)
+
+
+class TestReplyShapeProperties:
+    @given(json_values)
+    @settings(max_examples=200, deadline=None)
+    def test_total_on_json_domain(self, v):
+        """reply_shape never raises on the JSON-representable domain
+        (only non-string/int map keys, exotic types, or depth overflow may
+        reject — none of which this strategy generates)."""
+        reply_shape(v)
+
+    @given(json_values)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, v):
+        """Normalization is a projection: applying it twice equals once —
+        the reply sink can safely re-normalize without drift."""
+        once = reply_shape(v)
+        assert reply_shape(once) == once
+
+    @given(st.sets(st.integers(min_value=-(2**31), max_value=2**31), max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_sets_deterministic(self, s):
+        """Any set normalizes to the same sorted list regardless of
+        iteration order (RESP Set determinism)."""
+        assert reply_shape(s) == sorted(s)
+
+    def test_depth_cap_is_exact(self):
+        v: object = 1
+        for _ in range(MAX_REPLY_DEPTH):
+            v = [v]
+        reply_shape(v)  # exactly at the cap: fine
+        import pytest
+
+        with pytest.raises(ReplyError):
+            reply_shape([v])  # one deeper: rejected
+
+
+class TestExactArithmeticProperties:
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=50
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_integer_sum_order_free(self, xs):
+        """The foundation of the oracle-exactness design: integer
+        accumulation is associative/commutative, so ANY partitioning of the
+        rows yields the same total (floats would not survive this)."""
+        import itertools
+        import random
+
+        total = sum(xs)
+        rnd = random.Random(7)
+        for _ in range(3):
+            shuffled = xs[:]
+            rnd.shuffle(shuffled)
+            # arbitrary partition boundaries
+            k = rnd.randint(1, len(shuffled))
+            parts = [shuffled[i::k] for i in range(k)]
+            assert sum(itertools.chain.from_iterable(parts)) == total
+            assert sum(sum(p) for p in parts) == total
+
+    @given(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        st.integers(min_value=1, max_value=10**6),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_exact_avg_single_division(self, total, n):
+        """avg = double(total)/double(n) in one IEEE op — the engine and the
+        oracle both compute exactly this, so equality is bitwise."""
+        assert float(total) / float(n) == float(total) / float(n)
+        # and the op is reproducible from the integer pair alone
+        import struct
+
+        a = struct.pack("<d", float(total) / float(n))
+        b = struct.pack("<d", float(total) / float(n))
+        assert a == b
