@@ -311,6 +311,43 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsampling — downsample dominant strata
+    (here: keep 50% of 'en', 20% of everything else) with a portable
+    content hash, so the SAME rows are selected on any engine, any
+    partitioning, any run (df.sample() is none of those things).
+
+    The hash is the first 8 hex digits of md5(doc_id) — identical in Spark
+    (conv base-16) and DuckDB (0x cast), making a sampling operator
+    oracle-checkable at all. Scale: pure narrow projection + filter;
+    at 100 TB the predicate rides the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
 _SIMHASH_BITS = 48
 _SIMHASH_BANDS = 4  # 12 bits per band → candidates within hamming ≈ 3
 
