@@ -4,8 +4,6 @@ This is the `.explain()` feedback loop as executable checks."""
 
 from __future__ import annotations
 
-import pytest
-
 from redisgears_spark.operators import ORACLES, QUERIES
 from redisgears_spark.plans.explain import (
     assert_broadcast_join,

@@ -4,7 +4,6 @@ register → mutate source → drain → assert sink + stats)."""
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pandas as pd
