@@ -10,6 +10,7 @@ builder applies — only master/shuffle-partitions change.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,11 @@ def get_spark(
         # inputs have >> cores files and this floor is a no-op.
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
+        # keep saveAsTable warehouse data out of the repo/cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "rg-spark-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
