@@ -190,10 +190,20 @@ class Library:
         window: int = 1,
         trim_stream: bool = False,
         description: str | None = None,
+        mode: str = "sync",
     ) -> None:
-        """Spec only — execution wiring lives in streaming.triggers."""
+        """Spec only — execution wiring lives in streaming.triggers.
+
+        mode: 'sync' runs the callback inside the ingest micro-batch
+        (atomic with the batch transaction — the reference's sync callback
+        is atomic with the event); 'async' decouples it behind a queue, so
+        callback failures/slowness never block the ingest frontier (the
+        reference's coroutine consumers: queued to background, no
+        ordering/atomicity guarantee — v8_stream_ctx.rs async path)."""
         if window < 1:
             raise GearsError("window must be >= 1")  # v8_native_functions.rs:1148
+        if mode not in ("sync", "async"):
+            raise GearsError("mode must be 'sync' or 'async'")
         self._check_name(name, self.stream_triggers)
         self.stream_triggers[name] = {
             "prefix": prefix,
@@ -201,6 +211,7 @@ class Library:
             "window": window,
             "trim_stream": trim_stream,
             "description": description,
+            "mode": mode,
         }
 
     def register_keyspace_trigger(
@@ -375,6 +386,8 @@ class GearsEngine:
         }
         if "window" in spec:
             entry["window"] = spec["window"]
+        if "mode" in spec:
+            entry["mode"] = spec["mode"]
         if verbose >= 2:
             qkey = f"{lib.name}.{name}"
             for rt in self._runtimes:
@@ -388,6 +401,7 @@ class GearsEngine:
                         "n_deferred": st.n_deferred,
                         "last_error": st.last_error,
                         "n_streams": len(st.frontier),
+                        "max_lag_us": st.max_lag_us,
                     }
                     break
         return entry

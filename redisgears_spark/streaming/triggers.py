@@ -210,12 +210,21 @@ class StreamTriggerRuntime:
 
     # -- source --------------------------------------------------------------
 
-    def _source(self, respool_dir: str | None = None) -> DataFrame:
+    def _source(
+        self, respool_dir: str | None = None, base_override: str | None = None
+    ) -> DataFrame:
         raw_schema = (
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string"
         )
-        if self.source_adapter is not None:
+        if base_override is not None:
+            # already-canonical intermediate (async-mode queue)
+            base = (
+                self.spark.readStream.schema(STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(base_override)
+            )
+        elif self.source_adapter is not None:
             raw = (
                 self.spark.readStream.schema(raw_schema)
                 .option("maxFilesPerTrigger", 8)
@@ -254,8 +263,32 @@ class StreamTriggerRuntime:
 
         prefix: str = spec["prefix"]
         window: int = spec["window"]
+        mode: str = spec.get("mode", "sync")
         bounded = window < UNBOUNDED_WINDOW
         processor = _make_group_processor(spec["fn"], window)
+        queue_dir: str | None = None
+
+        if mode == "async":
+            # decoupled execution (reference async consumers: queued to
+            # background, no atomicity with the event): an ingest query
+            # materializes matched records into a queue, and the worker
+            # query below consumes the queue under its own checkpoint —
+            # worker failures or slowness never hold the ingest frontier.
+            queue_dir = os.path.join(self.work_dir, "queue", lib.name, name)
+            ingest_ckpt = os.path.join(
+                self.work_dir, "checkpoints", lib.name, f"{name}__ingest"
+            )
+            os.makedirs(queue_dir, exist_ok=True)
+            ingest = (
+                self._source(None)
+                .filter(F.col("stream_key").startswith(prefix))
+                .writeStream.format("parquet")
+                .option("path", queue_dir)
+                .option("checkpointLocation", ingest_ckpt)
+                .queryName(f"{qkey}__ingest")
+                .start()
+            )
+            self.queries[f"{qkey}__ingest"] = ingest
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             from pyspark.sql.window import Window as W
@@ -306,11 +339,20 @@ class StreamTriggerRuntime:
                             "err"
                         ),
                         F.max("error").alias("an_error"),
+                        F.min(F.unix_micros("id_ts")).alias("oldest_us"),
                     )
                     .collect()
                 )
                 n_ok = sum(r["ok"] for r in summary)
                 n_err = sum(r["err"] for r in summary)
+                # consumer lag = now − record event time (the reference
+                # tracks lag per record, stream_reader.rs:127-135; the
+                # batch analog is the oldest record processed this batch)
+                import time as _time
+
+                now_us = int(_time.time() * 1_000_000)
+                oldest = [r["oldest_us"] for r in summary if r["oldest_us"] is not None]
+                batch_lag_us = (now_us - min(oldest)) if oldest else 0
                 # sinks: processed records append (at-least-once, idempotent
                 # per (stream_key, id)); errors to the error log
                 results.filter(F.col("status") == "ok").write.mode("append").parquet(
@@ -326,6 +368,7 @@ class StreamTriggerRuntime:
                     stats.n_success += n_ok
                     stats.n_failed += n_err
                     stats.n_deferred += n_deferred
+                    stats.max_lag_us = max(stats.max_lag_us, batch_lag_us)
                     for r in summary:
                         if r["err"] and r["an_error"]:
                             stats.last_error = r["an_error"]
@@ -334,9 +377,12 @@ class StreamTriggerRuntime:
             finally:
                 results.unpersist()
 
+        worker_source = self._source(
+            respool_dir,
+            base_override=queue_dir if mode == "async" else None,
+        )
         query = (
-            self._source(respool_dir)
-            .writeStream.foreachBatch(handle_batch)
+            worker_source.writeStream.foreachBatch(handle_batch)
             .option("checkpointLocation", ckpt_dir)
             .queryName(qkey)
             .start()

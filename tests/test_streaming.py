@@ -192,6 +192,45 @@ class TestStreamTriggers:
         finally:
             rt.stop_all()
 
+    def test_async_mode_decouples_ingest_from_callback(
+        self, spark, sf_dir, spool, work
+    ):
+        """Async consumers run behind a queue (reference coroutine path:
+        queued to background, no atomicity with the event): the ingest
+        query materializes matched records regardless of callback failures,
+        and the worker records the errors independently. Lag stats are
+        tracked (stream_reader.rs:127-135)."""
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "bg", prefix="user:", fn=fails_on_errors, window=10**9,
+                mode="async",
+            ),
+            name="alib2",
+        )
+        rt = StreamTriggerRuntime(engine, spool, work, source_adapter=events_to_stream)
+        write_slice(spark, sf_dir, spool, 0, 200)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            # ingest side holds every matched record, failures included
+            queue = spark.read.parquet(os.path.join(work, "queue", "alib2", "bg"))
+            assert queue.count() == 200
+            stats = rt.stats["alib2.bg"]
+            assert stats.n_records == 200
+            assert stats.n_failed > 0 and stats.n_success > 0
+            assert stats.max_lag_us > 0  # fixture events are in the past
+            # mode is visible in the listing
+            listing = engine.list_libraries(verbose=1)
+            trig = next(e for e in listing if e["name"] == "alib2")[
+                "stream_triggers"
+            ][0]
+            assert trig["mode"] == "async"
+            # both queries exist: ingest + worker
+            assert "alib2.bg__ingest" in rt.queries and "alib2.bg" in rt.queries
+        finally:
+            rt.stop_all()
+
     def test_duplicate_field_names_preserved(self, spark, sf_dir, spool, work):
         """Redis stream records may repeat field names
         (Stream_Triggers.md:78); the ordered `record` pair list must reach
