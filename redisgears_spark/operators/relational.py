@@ -54,39 +54,40 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, time, side) carrying the last non-null order struct. Cost is a
     single hash shuffle on the key plus a per-key linear scan — unlike the
     naive range-join + argmax, there is no per-key quadratic blowup, so the
-    plan survives keys with millions of rows. Orders are pre-deduped to one
-    row per (custkey, date) (max orderkey) to make "the" as-of row
-    deterministic — mirrored in the oracle's ASOF JOIN input.
+    plan survives keys with millions of rows. Same-date order duplicates
+    resolve inside the window sort (orderkey ascending + running `last`
+    ⇒ max orderkey wins), so no pre-dedup shuffle is needed — the oracle's
+    ASOF JOIN input is pre-deduped to the same max-orderkey row.
     """
     ev = load_table(spark, sf_dir, "events")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-    )
+    orders = load_table(spark, sf_dir, "orders")
     o_side = orders.select(
         F.col("o_custkey").alias("key"),
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("sort_id"),
         F.struct(
             F.col("o_orderkey").alias("last_orderkey"),
             micros("o_orderdate").alias("last_orderdate_us"),
         ).alias("ostate"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     e_side = ev.select(
         F.col("user_id").alias("key"),
         F.col("ts").alias("t"),
         F.lit(1).alias("side"),
-        "event_id",
+        F.col("event_id").alias("sort_id"),
         F.lit(None)
         .cast("struct<last_orderkey:bigint,last_orderdate_us:bigint>")
         .alias("ostate"),
+        "event_id",
     )
-    # side=0 sorts before side=1 at equal t → "at or before" inclusive
+    # side=0 sorts before side=1 at equal t → "at or before" inclusive;
+    # among same-(key, t) orders, ascending orderkey + running last ⇒ the
+    # max orderkey is the one carried forward (the deterministic as-of row)
     w = (
         W.partitionBy("key")
-        .orderBy("t", "side", "event_id")
+        .orderBy("t", "side", "sort_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = o_side.unionByName(e_side).withColumn(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from redisgears_spark.operators.registry import query
-from redisgears_spark.sources.keyspace import load_table
+from redisgears_spark.sources.keyspace import load_table, rebalanced
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -131,7 +131,7 @@ def _block_cosine(A, M):
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < 8).
 
-    Scale: the (tiny) query matrix ships to executors in the task closure;
+    Scale: the (tiny) query matrix ships to executors via broadcast;
     the corpus streams through mapInPandas in Arrow batches — one narrow
     pass, cost O(|corpus| * |queries| * dim) as a vectorized int64 matmul,
     zero shuffle of the corpus. The per-query top-k is a bounded-state
@@ -140,13 +140,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    ids, M = _corpus_numpy(spark, sf_dir)
-    qmask = ids < _N_QUERIES
-    q_ids, Q = ids[qmask], M[qmask]
+    # corpus ships once per executor as a broadcast (not per-task closure)
+    bc = spark.sparkContext.broadcast(_corpus_numpy(spark, sf_dir))
 
     def score(batches):
         import pandas as pd
 
+        ids, M = bc.value
+        qmask = ids < _N_QUERIES
+        q_ids, Q = ids[qmask], M[qmask]
         for pdf in batches:
             n_ids = pdf["vec_id"].to_numpy(dtype="int64")
             B = np.vstack(pdf["v"].to_numpy()).astype("int64")
@@ -168,8 +170,8 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    corpus = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QUANT).alias("v")
+    corpus = rebalanced(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", F.expr(_QUANT).alias("v"))
     )
     scored = corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
@@ -205,18 +207,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Brute-force all-pairs — correct but quadratic; it is the oracle-checked
     verifier. Executed as a blocked int64 matmul: each Arrow batch of rows
-    scores against the full corpus matrix (shipped in the task closure) and
+    scores against the full corpus matrix (a one-per-executor broadcast) and
     emits only above-threshold pairs, so the quadratic work is vectorized
     and the output is sparse. At 100 TB, generate candidates with
     sim_ann_lsh buckets and verify with this cosine on candidates only.
     """
     import numpy as np
 
-    ids, M = _corpus_numpy(spark, sf_dir)
+    # corpus ships once per executor as a broadcast (not per-task closure)
+    bc = spark.sparkContext.broadcast(_corpus_numpy(spark, sf_dir))
 
     def score(batches):
         import pandas as pd
 
+        ids, M = bc.value
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy(dtype="int64")
             A = np.vstack(pdf["v"].to_numpy()).astype("int64")
@@ -227,8 +231,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"a_id": aa[keep], "b_id": bb[keep], "cosine": cos[keep]}
             )
 
-    corpus = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QUANT).alias("v")
+    corpus = rebalanced(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", F.expr(_QUANT).alias("v"))
     )
     return corpus.mapInPandas(score, "a_id long, b_id long, cosine double")
 
@@ -269,9 +273,9 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
                  "cell": cell.astype("int64")}
             )
 
-    vecs = emb.select(
+    vecs = rebalanced(emb.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
+    ))
     assigned = vecs.mapInPandas(assign, "vec_id long, cell long")
     # Lloyd step: per-(cell, dim) exact-integer mean over quantized values
     qex = load_table(spark, sf_dir, "embeddings").select(
@@ -329,9 +333,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "cell": order.reshape(-1).astype("int64")}
             )
 
-    vecs = load_table(spark, sf_dir, "embeddings").select(
+    vecs = rebalanced(load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
+    ))
     lists = vecs.mapInPandas(assign_corpus, "vec_id long, cell long")
     probes = (
         vecs.filter(F.col("vec_id") < _N_QUERIES)
@@ -407,9 +411,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = rebalanced(load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
+    ))
     buckets = emb.mapInPandas(bucketize, "vec_id long, tbl long, bucket long")
 
     queries = buckets.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -61,6 +61,20 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def rebalanced(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance ahead of an expensive Arrow/Python stage.
+
+    Parquet splits no finer than a row group, so a small single-row-group
+    file arrives as ONE partition no matter what
+    spark.sql.files.minPartitionNum asks for — serializing every
+    mapInPandas stage behind a single Python worker. An explicit
+    repartition before per-row Python work is the standard fix (it also
+    evens out row-group skew on big inputs); the shuffled payload is the
+    narrow pre-UDF projection, not the full table.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Pure `spark.read.parquet` so Catalyst owns
     pushdown/pruning; no caching — callers that reuse a small dim should
