@@ -126,62 +126,97 @@ class TriggerStats:
     frontier: dict[str, int] = field(default_factory=dict)
 
 
-def _make_group_processor(
+def _make_partition_processor(
     fn: Callable[[dict], Any], window: int
-) -> Callable[[Any, pd.DataFrame], pd.DataFrame]:
-    """Build the executor-side per-stream-key processor: strictly ordered by
-    id (the reference's per-stream read order). Only records already
-    admitted by the window gate reach this processor (see start_trigger —
-    the gate re-spools the overflow so it is REPROCESSED later, the batch
-    analog of the reference pausing reads at `window` pending records,
-    stream_reader.rs:435-442).
+) -> Callable[[Any], Any]:
+    """Build the executor-side processor: strictly ordered by id per
+    stream_key (the reference's per-stream read order). Only records
+    already admitted by the window gate reach this processor (see
+    start_trigger — the gate re-spools the overflow so it is REPROCESSED
+    later, the batch analog of the reference pausing reads at `window`
+    pending records, stream_reader.rs:435-442).
+
+    Runs under mapInPandas over data that is hash-partitioned by
+    stream_key and sorted by (stream_key, id) within each partition — so
+    a whole partition (many keys, large Arrow batches) costs ONE Python
+    call, instead of applyInPandas's one-call-per-key, while preserving
+    exactly the per-key id order the reference guarantees. At 100 TB this
+    is the difference between |keys| Python roundtrips and |cores|.
 
     Errors follow reference semantics: a failing record records the error
     and the frontier still advances (stream_reader.rs:368-371 — Nack sets
     last_error but does not halt progress).
+
+    Besides one result row per record, the processor emits a single
+    status='frontier' row per key (id = max processed id). Per-key
+    accounting therefore happens executor-side, inside the same pass that
+    runs the callback — the driver picks the frontier rows up via observe()
+    metrics on the sink write, so a micro-batch costs ONE job.
     """
     _ = window  # admission happens upstream; kept for spec parity
 
-    def process(key: Any, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id", kind="mergesort")
-        out: list[dict] = []
-        for rec in pdf.to_dict("records"):
-            row = {
-                "stream_key": rec["stream_key"],
-                "id": rec["id"],
-                "id_ts": rec["id_ts"],
-                "status": "ok",
-                "result": None,
-                "error": None,
-            }
-            try:
-                # `record`: ordered (field, value) pairs, duplicates legal
-                # (Stream_Triggers.md:78); `fields`: last-wins map view
-                pairs = rec.get("record")
-                if pairs is not None and len(pairs):
-                    pairs = [(p["field"], p["value"]) for p in pairs]
-                    fields = dict(pairs)
-                elif rec["fields"]:
-                    fields = dict(rec["fields"])
-                    pairs = list(fields.items())
-                else:
-                    fields, pairs = {}, []
-                res = fn(
+    def process(batches: Any) -> Any:
+        frontier: dict[str, int] = {}
+        first_ts: dict[str, Any] = {}
+        for pdf in batches:
+            out: list[dict] = []
+            for rec in pdf.to_dict("records"):
+                row = {
+                    "stream_key": rec["stream_key"],
+                    "id": rec["id"],
+                    "id_ts": rec["id_ts"],
+                    "status": "ok",
+                    "result": None,
+                    "error": None,
+                }
+                try:
+                    # `record`: ordered (field, value) pairs, duplicates
+                    # legal (Stream_Triggers.md:78); `fields`: last-wins
+                    # map view
+                    pairs = rec.get("record")
+                    if pairs is not None and len(pairs):
+                        pairs = [(p["field"], p["value"]) for p in pairs]
+                        fields = dict(pairs)
+                    elif rec["fields"]:
+                        fields = dict(rec["fields"])
+                        pairs = list(fields.items())
+                    else:
+                        fields, pairs = {}, []
+                    res = fn(
+                        {
+                            "stream_key": rec["stream_key"],
+                            "id": rec["id"],
+                            "id_ts": rec["id_ts"],
+                            "fields": fields,
+                            "record": pairs,
+                        }
+                    )
+                    if res is not None:
+                        row["result"] = json.dumps(res, default=str)
+                except Exception as e:  # record error, keep going
+                    row["status"] = "error"
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+                # input arrives sorted by (stream_key, id): a plain
+                # last-write is the running max per key
+                frontier[rec["stream_key"]] = rec["id"]
+                first_ts.setdefault(rec["stream_key"], rec["id_ts"])
+            if out:
+                yield pd.DataFrame(out)
+        if frontier:
+            yield pd.DataFrame(
+                [
                     {
-                        "stream_key": rec["stream_key"],
-                        "id": rec["id"],
-                        "id_ts": rec["id_ts"],
-                        "fields": fields,
-                        "record": pairs,
+                        "stream_key": k,
+                        "id": v,
+                        "id_ts": first_ts[k],
+                        "status": "frontier",
+                        "result": None,
+                        "error": None,
                     }
-                )
-                if res is not None:
-                    row["result"] = json.dumps(res, default=str)
-            except Exception as e:  # record error, keep going
-                row["status"] = "error"
-                row["error"] = f"{type(e).__name__}: {e}"
-            out.append(row)
-        return pd.DataFrame(out)
+                    for k, v in frontier.items()
+                ]
+            )
 
     return process
 
@@ -265,7 +300,7 @@ class StreamTriggerRuntime:
         window: int = spec["window"]
         mode: str = spec.get("mode", "sync")
         bounded = window < UNBOUNDED_WINDOW
-        processor = _make_group_processor(spec["fn"], window)
+        processor = _make_partition_processor(spec["fn"], window)
         queue_dir: str | None = None
 
         if mode == "async":
@@ -296,7 +331,9 @@ class StreamTriggerRuntime:
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
             matched = batch_df.filter(F.col("stream_key").startswith(prefix))
-            n_deferred = 0
+            from pyspark.sql import Observation
+
+            obs_gate: Observation | None = None
             if bounded:
                 # window admission gate (stream_reader.rs:592-597): at most
                 # `window` records per key enter this batch, id order. The
@@ -305,77 +342,101 @@ class StreamTriggerRuntime:
                 # reference pausing reads while pending >= window. The
                 # checkpoint may advance past the original offsets because
                 # the respool file carries the records forward
-                # (at-least-once preserved).
+                # (at-least-once preserved). The overflow COUNT rides on the
+                # main job as an observe() metric; the overflow rows are
+                # only materialized (deterministic recompute) when > 0.
                 gate = W.partitionBy("stream_key").orderBy("id")
                 ranked = matched.withColumn("_rn", F.row_number().over(gate))
+                obs_gate = Observation()
+                ranked = ranked.observe(
+                    obs_gate,
+                    F.count(F.when(F.col("_rn") > window, 1)).alias(
+                        "deferred"
+                    ),
+                )
+                # the Window operator leaves each partition hash-distributed
+                # by stream_key and sorted by (stream_key, id) — exactly the
+                # layout the partition processor needs; no extra shuffle
                 admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
-                deferred = ranked.filter(F.col("_rn") > window).drop("_rn")
-                deferred.persist()
-                try:
-                    n_deferred = deferred.count()
-                    if n_deferred:
-                        deferred.coalesce(1).write.mode("append").parquet(
-                            respool_dir
-                        )
-                finally:
-                    deferred.unpersist()
             else:
-                admitted = matched
+                admitted = matched.repartition("stream_key").sortWithinPartitions(
+                    "stream_key", "id"
+                )
 
-            results = admitted.groupBy("stream_key").applyInPandas(
-                processor, _RESULT_SCHEMA
-            )
-            results.persist()
-            try:
-                # one job for all per-batch accounting: per-key frontier,
-                # ok/err counts, and an error sample (driver folds the
-                # |keys|-row summary — tiny)
-                summary = (
-                    results.groupBy("stream_key")
-                    .agg(
-                        F.max("id").alias("max_id"),
-                        F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                        F.count(F.when(F.col("status") == "error", 1)).alias(
-                            "err"
-                        ),
-                        F.max("error").alias("an_error"),
-                        F.min(F.unix_micros("id_ts")).alias("oldest_us"),
+            results = admitted.mapInPandas(processor, _RESULT_SCHEMA)
+            # ONE job per micro-batch: the sink write. All accounting rides
+            # on it as observe() metrics — the processor already emitted one
+            # status='frontier' row per key, so per-key frontiers arrive as
+            # a collect_list metric (|keys| tiny structs), and counts/lag/
+            # error-sample are plain aggregates. The ok-filter sits ABOVE
+            # the CollectMetrics node, so the metrics see every row while
+            # only ok records land in the sink.
+            obs = Observation()
+            observed = results.observe(
+                obs,
+                F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                F.count(F.when(F.col("status") == "error", 1)).alias("err"),
+                F.max(F.when(F.col("status") == "error", F.col("error"))).alias(
+                    "an_error"
+                ),
+                F.min(
+                    F.when(
+                        F.col("status") != "frontier", F.unix_micros("id_ts")
                     )
-                    .collect()
+                ).alias("oldest_us"),
+                F.collect_list(
+                    F.when(
+                        F.col("status") == "frontier",
+                        F.struct("stream_key", "id"),
+                    )
+                ).alias("frontiers"),
+            )
+            observed.filter(F.col("status") == "ok").write.mode("append").parquet(
+                sink_dir
+            )
+            m = obs.get
+            n_ok, n_err = m["ok"], m["err"]
+            n_deferred = int(obs_gate.get["deferred"]) if obs_gate else 0
+            if n_deferred:
+                # overflow is exceptional — recompute the gate (fn never ran
+                # on these rows; the window is deterministic) and re-spool
+                gate = W.partitionBy("stream_key").orderBy("id")
+                (
+                    matched.withColumn("_rn", F.row_number().over(gate))
+                    .filter(F.col("_rn") > window)
+                    .drop("_rn")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(respool_dir)
                 )
-                n_ok = sum(r["ok"] for r in summary)
-                n_err = sum(r["err"] for r in summary)
-                # consumer lag = now − record event time (the reference
-                # tracks lag per record, stream_reader.rs:127-135; the
-                # batch analog is the oldest record processed this batch)
-                import time as _time
+            if n_err:
+                # error batches are exceptional — re-running the pass for
+                # the error log keeps the hot path at one job (fn is
+                # deterministic; reference semantics only require the error
+                # to be recorded, stream_reader.rs:368-371)
+                results.filter(F.col("status") == "error").write.mode(
+                    "append"
+                ).parquet(err_dir)
+            # consumer lag = now − record event time (the reference tracks
+            # lag per record, stream_reader.rs:127-135; the batch analog is
+            # the oldest record processed this batch)
+            import time as _time
 
-                now_us = int(_time.time() * 1_000_000)
-                oldest = [r["oldest_us"] for r in summary if r["oldest_us"] is not None]
-                batch_lag_us = (now_us - min(oldest)) if oldest else 0
-                # sinks: processed records append (at-least-once, idempotent
-                # per (stream_key, id)); errors to the error log
-                results.filter(F.col("status") == "ok").write.mode("append").parquet(
-                    sink_dir
-                )
-                if n_err:
-                    results.filter(F.col("status") == "error").write.mode(
-                        "append"
-                    ).parquet(err_dir)
-                with self._lock:
-                    stats.n_batches += 1
-                    stats.n_records += n_ok + n_err
-                    stats.n_success += n_ok
-                    stats.n_failed += n_err
-                    stats.n_deferred += n_deferred
-                    stats.max_lag_us = max(stats.max_lag_us, batch_lag_us)
-                    for r in summary:
-                        if r["err"] and r["an_error"]:
-                            stats.last_error = r["an_error"]
-                        cur = stats.frontier.get(r["stream_key"], -1)
-                        stats.frontier[r["stream_key"]] = max(cur, r["max_id"])
-            finally:
-                results.unpersist()
+            now_us = int(_time.time() * 1_000_000)
+            oldest = m["oldest_us"]
+            batch_lag_us = (now_us - oldest) if oldest is not None else 0
+            with self._lock:
+                stats.n_batches += 1
+                stats.n_records += n_ok + n_err
+                stats.n_success += n_ok
+                stats.n_failed += n_err
+                stats.n_deferred += n_deferred
+                stats.max_lag_us = max(stats.max_lag_us, batch_lag_us)
+                if n_err and m["an_error"]:
+                    stats.last_error = m["an_error"]
+                for r in m["frontiers"]:
+                    cur = stats.frontier.get(r["stream_key"], -1)
+                    stats.frontier[r["stream_key"]] = max(cur, r["id"])
 
         worker_source = self._source(
             respool_dir,
@@ -566,24 +627,27 @@ class KeyspaceTriggerRuntime:
                 & (F.col("origin") != F.lit("trigger"))
             )
             results = matched.mapInPandas(process_partition, _CDC_RESULT_SCHEMA)
-            results.persist()
-            try:
-                # one accounting job (counts + error sample), one sink write
-                agg = results.agg(
-                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                    F.count(F.when(F.col("status") == "error", 1)).alias("err"),
-                    F.max("error").alias("an_error"),
-                ).collect()[0]
-                results.write.mode("append").parquet(sink_dir)
-                with self._lock:
-                    stats.n_batches += 1
-                    stats.n_records += (agg["ok"] or 0) + (agg["err"] or 0)
-                    stats.n_success += agg["ok"] or 0
-                    stats.n_failed += agg["err"] or 0
-                    if agg["err"]:
-                        stats.last_error = agg["an_error"]
-            finally:
-                results.unpersist()
+            # ONE job per micro-batch: the sink write carries the counters
+            # as observe() metrics (the CDC sink keeps all statuses, so no
+            # second write is ever needed)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = results.observe(
+                obs,
+                F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                F.count(F.when(F.col("status") == "error", 1)).alias("err"),
+                F.max("error").alias("an_error"),
+            )
+            observed.write.mode("append").parquet(sink_dir)
+            m = obs.get
+            with self._lock:
+                stats.n_batches += 1
+                stats.n_records += (m["ok"] or 0) + (m["err"] or 0)
+                stats.n_success += m["ok"] or 0
+                stats.n_failed += m["err"] or 0
+                if m["err"]:
+                    stats.last_error = m["an_error"]
             _ = runtime  # actions that write back must use append_changes(origin='trigger')
 
         query = (
