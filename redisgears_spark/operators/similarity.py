@@ -262,29 +262,49 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     C = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    def assign(batches):
+    def partial_stats(batches):
+        """Assign cells AND accumulate the Lloyd sums in one pass,
+        executor-side: each partition emits |cells|*dim partial rows
+        (int64 sums + counts) instead of shuffling |corpus|*dim exploded
+        values through a join. Order-independent integer sums keep the
+        refinement bit-stable under any partitioning."""
         import pandas as pd
 
+        sums = None  # (cells, dim) int64
+        counts = np.zeros(_IVF_CELLS, dtype="int64")
         for pdf in batches:
             V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            Q = np.vstack(pdf["q"].to_numpy()).astype("int64")
+            if sums is None:
+                sums = np.zeros((_IVF_CELLS, Q.shape[1]), dtype="int64")
             cell = (V @ C.T).argmax(axis=1)  # ties → lowest cell index
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
-                 "cell": cell.astype("int64")}
-            )
+            for c in np.unique(cell):
+                sums[c] += Q[cell == c].sum(axis=0)
+            counts += np.bincount(cell, minlength=_IVF_CELLS)
+        if sums is None:
+            return
+        cells, dim = sums.shape
+        yield pd.DataFrame(
+            {
+                "cell": np.repeat(np.arange(cells, dtype="int64"), dim),
+                "pos": np.tile(np.arange(dim, dtype="int64"), cells),
+                "s": sums.reshape(-1),
+                "n": np.repeat(counts, dim),
+            }
+        )
 
     vecs = rebalanced(emb.select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.expr(_QUANT).alias("q"),
     ))
-    assigned = vecs.mapInPandas(assign, "vec_id long, cell long")
-    # Lloyd step: per-(cell, dim) exact-integer mean over quantized values
-    qex = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode(F.expr(_QUANT)).alias("pos", "q")
-    )
+    # Lloyd step: per-(cell, dim) exact-integer mean over quantized values —
+    # map-side partials, one tiny final agg, zero corpus-width shuffles
     stats = (
-        assigned.join(qex, "vec_id")
+        vecs.mapInPandas(partial_stats, "cell long, pos long, s long, n long")
         .groupBy("cell", "pos")
-        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
         .collect()
     )
     refined = np.array(C)
