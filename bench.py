@@ -94,6 +94,88 @@ def bench_streaming(spark, sf_dir: str, n_events: int = 20000) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_keyspace(spark, sf_dir: str, n_events: int = 20000) -> dict:
+    """Keyspace(CDC)-trigger overhead, mirroring the reference's
+    rg_keyspace_sync_simple harness shape (BASELINE.md: SET-with-trigger
+    throughput vs SET-without): the same change feed is driven through
+    (a) a pass-through Structured Streaming query and (b) a keyspace
+    trigger (prefix+origin filter → snapshot stage → callback → sink)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.sources.keyspace import load_table
+    from redisgears_spark.streaming import KeyspaceTriggerRuntime
+
+    base = tempfile.mkdtemp(prefix="rg-bench-keyspace-")
+    changes_dir = os.path.join(base, "changes")
+    try:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") < n_events
+        )
+        # the fixture events become SET changes with an event-time snapshot
+        changes = ev.select(
+            F.col("event_id").alias("seq"),
+            F.lit("set").alias("event"),
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias(
+                "key"
+            ),
+            F.col("ts"),
+            F.lit("client").alias("origin"),
+            F.create_map(
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("value"), F.col("value").cast("string"),
+            ).alias("snapshot"),
+        )
+        changes.repartition(8).write.mode("overwrite").parquet(changes_dir)
+
+        from redisgears_spark.streaming.triggers import CHANGES_SCHEMA
+
+        # (a) pass-through baseline: same source discipline, parquet sink
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(changes_dir)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "pt_sink"))
+            .option("checkpointLocation", os.path.join(base, "pt_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        passthrough_s = time.perf_counter() - t0
+
+        # (b) the trigger pipeline (sync, with a snapshot read — the
+        # reference's onTriggerFired + callback shape)
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "bench",
+                prefix="user:",
+                fn=lambda d: {"etype": d["snapshot"].get("event_type", "").upper()},
+            ),
+            name="kbenchlib",
+        )
+        rt = KeyspaceTriggerRuntime(engine, changes_dir, os.path.join(base, "work"))
+        t0 = time.perf_counter()
+        rt.start_trigger(lib, "bench")
+        rt.process_available()
+        rt.stop_all()
+        trigger_s = time.perf_counter() - t0
+        n = rt.stats["kbenchlib.bench"].n_success
+        return {
+            "events": n,
+            "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
+            "trigger_events_per_sec": round(n / trigger_s, 1),
+            "overhead_ratio": round(trigger_s / passthrough_s, 2),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -132,6 +214,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     streaming = bench_streaming(spark, sf_dir)
+    keyspace = bench_keyspace(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -140,6 +223,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming": streaming,
+        "keyspace": keyspace,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

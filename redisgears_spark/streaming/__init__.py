@@ -1,4 +1,8 @@
 from redisgears_spark.streaming.retention import apply_retention  # noqa: F401
+from redisgears_spark.streaming.windows import (  # noqa: F401
+    WindowedAggRuntime,
+    windowed_stream_agg,
+)
 from redisgears_spark.streaming.stateful import StatefulStatsRuntime  # noqa: F401
 from redisgears_spark.streaming.triggers import (  # noqa: F401
     CHANGES_SCHEMA,

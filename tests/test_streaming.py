@@ -16,6 +16,7 @@ from redisgears_spark.streaming import (
     KeyspaceTriggerRuntime,
     StatefulStatsRuntime,
     StreamTriggerRuntime,
+    WindowedAggRuntime,
     apply_retention,
     events_to_stream,
 )
@@ -653,3 +654,99 @@ class TestKeyspaceTriggers:
             assert rt.stats["loopy.echo"].n_records == 2
         finally:
             rt.stop_all()
+
+
+class TestWindowedAgg:
+    """Event-time windows + watermarks (SURVEY §2.G additive capability —
+    the reference processes records on arrival with no event-time gating,
+    stream_reader.rs:127-135; here late data has a declared policy)."""
+
+    T0 = pd.Timestamp("2024-03-01 00:00:00")
+
+    def _write(self, spark, spool_dir, rows):
+        """Append canonical stream-shape rows: (key, id, seconds-offset,
+        value)."""
+        pdf = pd.DataFrame(
+            [
+                {
+                    "stream_key": k,
+                    "id": i,
+                    "id_ts": self.T0 + pd.Timedelta(seconds=s),
+                    "fields": {"value": str(v)},
+                    "record": None,
+                }
+                for (k, i, s, v) in rows
+            ]
+        )
+        spark.createDataFrame(pdf, STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(spool_dir)
+
+    def test_windows_finalize_on_watermark_and_drop_late(
+        self, spark, sf_dir, spool, work
+    ):
+        engine = GearsEngine(spark, sf_dir)
+        rt = WindowedAggRuntime(engine, spool, work)
+        # window [00:00, 00:10): 3 records; window [00:10, 00:20): 1 record
+        self._write(
+            spark,
+            spool,
+            [
+                ("user:1", 1, 0, 1.25),
+                ("user:1", 2, 4, 2.00),
+                ("user:1", 3, 9, 0.75),
+                ("user:1", 4, 12, 10.00),
+            ],
+        )
+        rt.start(window="10 seconds", watermark="5 seconds")
+        try:
+            rt.query.processAllAvailable()
+            # watermark after first drain = 00:12 − 5s = 00:07 — no window
+            # end has passed it, so append mode has emitted nothing
+            assert rt.finalized().count() == 0
+
+            # an event far ahead pushes the watermark past both windows
+            self._write(spark, spool, [("user:1", 5, 40, 1.00)])
+            rt.query.processAllAvailable()
+            got = {
+                (r["win_start"], r["n_records"], r["value_cents"])
+                for r in rt.finalized().collect()
+            }
+            assert got == {
+                (self.T0, 3, 400),  # 125 + 200 + 75 cents
+                (self.T0 + pd.Timedelta(seconds=10), 1, 1000),
+            }
+
+            # a record older than the watermark (00:35) is DROPPED: no new
+            # window row, no re-emission of the already-final [00:00,00:10)
+            self._write(spark, spool, [("user:1", 6, 1, 99.0)])
+            rt.query.processAllAvailable()
+            assert rt.finalized().count() == 2
+        finally:
+            rt.stop()
+
+    def test_hopping_window_plan_batch(self, spark, sf_dir):
+        """Hopping (slide < window) evaluated in batch mode: each record
+        lands in window-duration / slide windows."""
+        from redisgears_spark.streaming import windowed_stream_agg
+
+        pdf = pd.DataFrame(
+            [
+                {
+                    "stream_key": "user:7",
+                    "id": 1,
+                    "id_ts": self.T0 + pd.Timedelta(seconds=15),
+                    "fields": {"value": "2.50"},
+                    "record": None,
+                }
+            ]
+        )
+        src = spark.createDataFrame(pdf, STREAM_SCHEMA)
+        out = windowed_stream_agg(
+            src, window="20 seconds", slide="10 seconds", watermark="1 seconds"
+        ).collect()
+        # the 00:15 record belongs to [00:00,00:20) and [00:10,00:30)
+        assert {(r["win_start"], r["n_records"], r["value_cents"]) for r in out} == {
+            (self.T0, 1, 250),
+            (self.T0 + pd.Timedelta(seconds=10), 1, 250),
+        }
