@@ -123,10 +123,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_ORACLE_DOCS_CTE},
+# shingle-overlap pair counts — shared by the Jaccard verifier and the
+# duplicate-cluster oracle below
+_ORACLE_PAIRS_CTE = f"""
+    {_ORACLE_DOCS_CTE},
     ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
     sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
     pairs AS (
@@ -134,6 +134,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_ORACLE_PAIRS_CTE}
     SELECT a_id, b_id, inter,
            (sa.n + sb.n - inter) AS union_n,
            CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
@@ -179,6 +186,148 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+_CC_MAX_ITERS = 25
+# edge count up to which the whole component-fold runs as ONE executor task
+# (union-find over the edge list — ~16 bytes/edge, so 5M edges ≈ 80 MB)
+_CC_LOCAL_EDGE_LIMIT = 5_000_000
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_PAIRS_CTE},
+    jp AS (
+      SELECT a_id, b_id
+      FROM pairs
+      JOIN sizes sa ON pairs.a_id = sa.doc_id
+      JOIN sizes sb ON pairs.b_id = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM jp
+      UNION ALL
+      SELECT b_id, a_id FROM jp
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           (MIN(r) = node) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the near-dup
+    pair graph, cluster_id = min doc_id in the component, survivor = the
+    canonical member. Pairs say "these two are similar"; a training-data
+    pipeline needs "keep THIS one, drop THOSE" — that requires closing the
+    graph transitively (A~B, B~C → one cluster even if A≁C directly).
+
+    Two physical strategies behind one semantic:
+
+    * **Compact graph** (≤ _CC_LOCAL_EDGE_LIMIT edges): one executor-side
+      union-find over the edge list in a single task. The thresholded pair
+      graph is orders of magnitude smaller than the corpus — even a 100 TB
+      corpus rarely yields more than ~10^8 near-dup edges (~1.6 GB), which
+      one task folds in seconds with zero per-round scheduling cost. Note
+      this is executor-side, not a driver collect.
+    * **Huge graph**: distributed min-label propagation as DataFrame
+      joins — each round every node takes the min label among itself and
+      its neighbors; O(diameter) rounds, one changed-count scalar to the
+      driver per round. For adversarial high-diameter graphs swap in
+      large-star/small-star (same join shapes, O(log n) rounds).
+
+    Either path reaches the same fixpoint as the DuckDB recursive CTE
+    (transitive closure → min reachable id), so this "non-SQL-expressible
+    iterative algorithm" is exact-checked after all.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .cache()
+    )
+    n_edges = edges.count()  # materializes the cache; sizes the strategy
+
+    if n_edges <= _CC_LOCAL_EDGE_LIMIT:
+
+        def cc_union_find(batches):
+            import pandas as pd
+
+            parent: dict = {}
+            seen: set = set()
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for pdf in batches:
+                for a, b in zip(pdf["src"], pdf["dst"]):
+                    a, b = int(a), int(b)
+                    seen.add(a)
+                    seen.add(b)
+                    ra, rb = find(a), find(b)
+                    if ra == rb:
+                        continue
+                    if ra < rb:  # min doc_id becomes the root
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            if seen:
+                nodes = sorted(seen)
+                yield pd.DataFrame(
+                    {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
+                )
+
+        labels = edges.repartition(1).mapInPandas(
+            cc_union_find, "doc_id long, cluster_id long"
+        )
+        result = labels.withColumn(
+            "is_survivor", F.col("doc_id") == F.col("cluster_id")
+        )
+        return result
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(_CC_MAX_ITERS):
+        msgs = edges.join(
+            labels, edges["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), F.col("cluster_id"))
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "prev"), "doc_id"
+            )
+            .filter(F.col("cluster_id") < F.col("prev"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_survivor", F.col("doc_id") == F.col("cluster_id")
     )
 
 

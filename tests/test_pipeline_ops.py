@@ -100,3 +100,47 @@ def test_minhash_candidates_no_false_positives(spark, sf_dir):
         key = (r["a_id"], r["b_id"])
         assert key in exact, f"false positive {key}"
         assert r["jaccard"] == exact[key]
+
+
+def test_dedup_clusters_fixpoint_and_survivors(spark, sf_dir):
+    """Connected-components contract: (a) the labeling is a fixpoint —
+    both endpoints of every near-dup edge carry the same cluster_id;
+    (b) cluster_id is the min doc_id of the component (so exactly one
+    survivor per cluster, and it is the smallest id)."""
+    from redisgears_spark.operators.dedup import dedup_clusters
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    assert pairs, "fixture has no near-dup pairs"
+    for r in pairs:
+        assert labels[r["a_id"]][0] == labels[r["b_id"]][0], (
+            f"edge ({r['a_id']},{r['b_id']}) spans two clusters"
+        )
+    by_cluster: dict[int, list[int]] = {}
+    for doc_id, (cid, _) in labels.items():
+        by_cluster.setdefault(cid, []).append(doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        survivors = [d for d in members if labels[d][1]]
+        assert survivors == [cid]
+
+
+def test_dedup_clusters_strategies_agree(spark, sf_dir, monkeypatch):
+    """The single-task union-find and the distributed label-propagation
+    paths must produce identical labelings (same fixpoint, different
+    physical plans)."""
+    from redisgears_spark.operators import dedup as D
+
+    compact = {
+        (r["doc_id"], r["cluster_id"], r["is_survivor"])
+        for r in D.dedup_clusters(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(D, "_CC_LOCAL_EDGE_LIMIT", 0)
+    distributed = {
+        (r["doc_id"], r["cluster_id"], r["is_survivor"])
+        for r in D.dedup_clusters(spark, sf_dir).collect()
+    }
+    assert compact and compact == distributed
