@@ -422,3 +422,141 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated-subquery shapes (TPC-H Q21/Q22 style) — the hardest relational
+# patterns users hand-roll in reference callbacks; Catalyst decorrelates
+# them into joins, we express them join-first so the plan is explicit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape (waiting suppliers): suppliers that were the ONLY
+    late supplier in a finished multi-supplier order. The fixture lacks
+    commit/receipt dates, so "late" := shipped more than 90 days after the
+    order date.
+
+    The oracle states it with correlated EXISTS / NOT EXISTS; here the
+    decorrelation is explicit and cheaper than the textbook double
+    self-join: aggregate lineitem to per-(order, supplier) lateness flags,
+    then a per-order window over those (already reduced) rows — EXISTS
+    becomes n_suppliers > 1, NOT EXISTS becomes n_late_suppliers = 1.
+    The fact table is scanned ONCE and shuffled once at full width (the
+    window's second exchange moves only |order×supplier| flag rows);
+    supplier broadcasts. No self-join, no re-scan — the plan-shape test
+    pins it.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias(
+            "late"
+        ),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late")
+    )
+    w = W.partitionBy("l_orderkey")
+    waiting = (
+        per_os.withColumn("n_sups", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum(F.col("sup_late").cast("int")).over(w))
+        .filter(
+            F.col("sup_late") & (F.col("n_sups") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+    )
+    return waiting.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust,
+           SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos)
+            > (SELECT s FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape (global sales opportunity): customers with
+    above-average positive balance and no RECENT order (none since
+    2000-01-01 — the fixture has no order-less customers, so dormancy is
+    the non-degenerate analog of Q22's "no orders"), grouped by nation.
+
+    Two classic subquery shapes, both exact: the scalar AVG threshold is
+    compared by integer cross-multiplication (cents * N > S — no IEEE
+    division anywhere, so Spark and the oracle agree bit-for-bit), and the
+    NOT EXISTS is a left-anti join on o_custkey. The threshold aggregate is
+    a 1-row broadcast; the anti join shuffles customer against the orders
+    key projection only.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("c_acctbal")).alias("s"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(cents("c_acctbal") * F.col("n") > F.col("s"))
+        .join(okeys, cust.c_custkey == okeys.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents("c_acctbal")).alias("totacctbal_cents"),
+        )
+    )

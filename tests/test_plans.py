@@ -152,3 +152,23 @@ def test_windows_partial_aggregate(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         assert count_nodes(df, "HashAggregate") >= 2, formatted_plan(df)
         assert count_nodes(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_q21_single_fact_shuffle_broadcast_supplier(spark, sf_dir):
+    """Q21-shape: the two EXISTS subqueries must NOT become lineitem
+    self-joins — lineitem is read once and aggregated; supplier rides a
+    broadcast."""
+    df = QUERIES["tpch_q21_sole_late_supplier"](spark, sf_dir)
+    assert count_nodes(df, "Scan parquet") == 3  # lineitem + orders + supplier
+    assert "BroadcastExchange" in formatted_plan(df)
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22-shape: NOT EXISTS compiles to an anti join, the scalar
+    threshold to a 1-row broadcast, and the date predicate is pushed to
+    the orders scan."""
+    df = QUERIES["tpch_q22_idle_rich_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate,")
