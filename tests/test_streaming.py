@@ -750,3 +750,61 @@ class TestWindowedAgg:
             (self.T0, 1, 250),
             (self.T0 + pd.Timedelta(seconds=10), 1, 250),
         }
+
+
+class TestDedupIngest:
+    """Streaming dedup at ingest (dropDuplicatesWithinWatermark): replays
+    within the watermark horizon die executor-side; state is evicted once
+    the watermark passes, after which the same content is admitted again —
+    the horizon IS the guarantee (batch sweeps catch the rest)."""
+
+    T0 = pd.Timestamp("2024-05-01 12:00:00")
+
+    def _write(self, spark, spool_dir, rows):
+        from redisgears_spark.streaming import DOC_STREAM_SCHEMA
+
+        pdf = pd.DataFrame(
+            [
+                {
+                    "doc_id": i,
+                    "ingest_ts": self.T0 + pd.Timedelta(minutes=m),
+                    "text": t,
+                }
+                for (i, m, t) in rows
+            ]
+        )
+        spark.createDataFrame(pdf, DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(spool_dir)
+
+    def test_replays_dropped_until_state_evicts(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import DedupIngestRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = DedupIngestRuntime(engine, spool, work)
+        self._write(
+            spark,
+            spool,
+            [(1, 0, "hello world foo"), (2, 1, "a different document")],
+        )
+        rt.start(watermark="10 minutes")
+        try:
+            rt.query.processAllAvailable()
+            assert {r["doc_id"] for r in rt.admitted().collect()} == {1, 2}
+
+            # same content, different whitespace/case → same fingerprint →
+            # dropped while the state entry lives
+            self._write(spark, spool, [(3, 2, "  Hello   WORLD foo ")])
+            rt.query.processAllAvailable()
+            assert {r["doc_id"] for r in rt.admitted().collect()} == {1, 2}
+
+            # advance the watermark far past t0+10min → fp state evicted
+            self._write(spark, spool, [(4, 40, "watermark pusher")])
+            rt.query.processAllAvailable()
+            # the same content is admissible again — horizon contract
+            self._write(spark, spool, [(5, 41, "hello world foo")])
+            rt.query.processAllAvailable()
+            got = {r["doc_id"] for r in rt.admitted().collect()}
+            assert got == {1, 2, 4, 5}
+        finally:
+            rt.stop()
