@@ -7,5 +7,6 @@ from redisgears_spark.operators import (  # noqa: F401,E402
     multimodal,
     relational,
     similarity,
+    skew,
     text,
 )

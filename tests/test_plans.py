@@ -172,3 +172,73 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate,")
+
+
+def test_salted_join_matches_plain_join_on_hot_key(spark, sf_dir):
+    """salted_join must be semantically invisible even when one key owns
+    most rows — identical aggregate as the plain join."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.operators.skew import salted_join
+
+    left = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    right = spark.range(0, 1_000).select(
+        F.col("id").alias("k2"), (F.col("id") * 10).alias("w")
+    )
+    plain = (
+        left.join(right, left.k == right.k2)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+        .collect()[0]
+    )
+    salted = (
+        salted_join(left, right, "k", "k2", salt_src="row_id", n_salts=8)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+        .collect()[0]
+    )
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+    assert plain["n"] == 25_000 + 500  # hot key 7 + uniform tail
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """With one hot key, AQE must mark the sort-merge join skew=true and
+    split the oversized partition at runtime — the unplanned-skew safety
+    net our session config promises."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        pad = F.lpad(F.lit("x"), 64, "x")
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(0, 20_000).select(F.col("id").alias("k2"))
+        joined = left.join(right, F.col("k") == F.col("k2")).select("k", "pad")
+        assert len(joined.collect()) == 210_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
