@@ -18,13 +18,17 @@ import sys
 import time
 
 
-def bench_streaming(spark, sf_dir: str, n_events: int = 20000) -> dict:
+def bench_streaming(
+    spark, sf_dir: str, n_events: int = 20000, mode: str = "sync"
+) -> dict:
     """Stream-trigger overhead, mirroring the reference's benchmark shape
     (BASELINE.md: trigger throughput vs no-trigger baseline on identical
-    load): the same event slice is driven through (a) a pass-through
-    Structured Streaming query and (b) a stream trigger (prefix filter →
-    per-key ordered callback → sinks + stats). Reports events/sec for both
-    and the overhead ratio."""
+    load, for both rg_stream_process_sync and rg_stream_process_async):
+    the same event slice is driven through (a) a pass-through Structured
+    Streaming query and (b) a stream trigger (prefix filter → per-key
+    ordered callback → sinks + stats; mode='async' decouples the worker
+    behind an ingest queue). Reports events/sec for both and the overhead
+    ratio."""
     import shutil
     import tempfile
 
@@ -71,6 +75,7 @@ def bench_streaming(spark, sf_dir: str, n_events: int = 20000) -> dict:
                 prefix="user:",
                 fn=lambda d: {"etype": d["fields"].get("event_type", "").upper()},
                 window=10**9,
+                mode=mode,
             ),
             name="benchlib",
         )
@@ -80,16 +85,25 @@ def bench_streaming(spark, sf_dir: str, n_events: int = 20000) -> dict:
         )
         t0 = time.perf_counter()
         rt.start_library(lib)
+        ingest_s = None
+        if mode == "async":
+            # the async contract: ingest (atomic with the event) commits
+            # fast; the callback drains behind the queue. Time them apart.
+            rt.queries["benchlib.bench__ingest"].processAllAvailable()
+            ingest_s = time.perf_counter() - t0
         rt.process_available()
         rt.stop_all()
         trigger_s = time.perf_counter() - t0
         n = rt.stats["benchlib.bench"].n_success
-        return {
+        out = {
             "events": n,
             "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
             "trigger_events_per_sec": round(n / trigger_s, 1),
             "overhead_ratio": round(trigger_s / passthrough_s, 2),
         }
+        if ingest_s is not None:
+            out["ingest_events_per_sec"] = round(n_events / ingest_s, 1)
+        return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -214,6 +228,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     streaming = bench_streaming(spark, sf_dir)
+    streaming_async = bench_streaming(spark, sf_dir, mode="async")
     keyspace = bench_keyspace(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -223,6 +238,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming": streaming,
+        "streaming_async": streaming_async,
         "keyspace": keyspace,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
