@@ -808,3 +808,27 @@ class TestDedupIngest:
             assert got == {1, 2, 4, 5}
         finally:
             rt.stop()
+
+    def test_state_survives_restart(self, spark, sf_dir, spool, work):
+        """Stop the query, build a fresh runtime over the same checkpoint:
+        the fingerprint state must be restored — a replay that arrives
+        after the restart is still dropped."""
+        from redisgears_spark.streaming import DedupIngestRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = DedupIngestRuntime(engine, spool, work)
+        self._write(spark, spool, [(1, 0, "persistent content here")])
+        rt.start(watermark="10 minutes")
+        try:
+            rt.query.processAllAvailable()
+        finally:
+            rt.stop()
+
+        rt2 = DedupIngestRuntime(engine, spool, work)
+        rt2.start(watermark="10 minutes")
+        try:
+            self._write(spark, spool, [(2, 1, "Persistent   CONTENT here")])
+            rt2.query.processAllAvailable()
+            assert {r["doc_id"] for r in rt2.admitted().collect()} == {1}
+        finally:
+            rt2.stop()
