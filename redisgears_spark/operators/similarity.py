@@ -330,14 +330,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = _ivf_centroids(spark, sf_dir)
 
     def assign_corpus(batches):
+        """One pass emits the inverted list AND the quantized vector +
+        norm — the candidate rescore joins against this output instead of
+        re-scanning the embeddings table (scan count matters at 100 TB)."""
         import pandas as pd
 
         for pdf in batches:
             V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            Q = np.vstack(pdf["q"].to_numpy()).astype("int64")
             cell = (V @ C.T).argmax(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
-                 "cell": cell.astype("int64")}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "cell": cell.astype("int64"),
+                    "n_q": list(Q),
+                    "n_nq": np.einsum("ij,ij->i", Q, Q),
+                }
             )
 
     def assign_queries(batches):
@@ -354,9 +362,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     vecs = rebalanced(load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.expr(_QUANT).alias("q"),
     ))
-    lists = vecs.mapInPandas(assign_corpus, "vec_id long, cell long")
+    lists = vecs.mapInPandas(
+        assign_corpus, "vec_id long, cell long, n_q array<bigint>, n_nq long"
+    )
     probes = (
         vecs.filter(F.col("vec_id") < _N_QUERIES)
         .mapInPandas(assign_queries, "q_id long, cell long")
@@ -364,14 +376,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         lists.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"))
-        .distinct()
+        .select("q_id", F.col("vec_id").alias("n_id"), "n_q", "n_nq")
+        .dropDuplicates(["q_id", "n_id"])
     )
-    qv = quantized(spark, sf_dir, "q")
-    nv = quantized(spark, sf_dir, "n")
+    qv = quantized(spark, sf_dir, "q").filter(F.col("q_id") < _N_QUERIES)
     scored = (
         cand.join(F.broadcast(qv), "q_id")
-        .join(nv, "n_id")
         .select(
             "q_id", "n_id", _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine")
         )
