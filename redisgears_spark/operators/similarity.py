@@ -455,7 +455,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("n_id"))
         .distinct()
     )
-    qv = quantized(spark, sf_dir, "q")
+    # broadcast ONLY the query vectors (the corpus-side payload arrives by
+    # joining the candidate ids against one quantized scan — broadcasting
+    # the full corpus would ship |corpus|×dim to every executor)
+    qv = quantized(spark, sf_dir, "q").filter(F.col("q_id") < _N_QUERIES)
     nv = quantized(spark, sf_dir, "n")
     scored = (
         cand.join(F.broadcast(qv), "q_id")
