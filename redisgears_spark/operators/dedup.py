@@ -515,9 +515,12 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fingerprint", fp)
     )
+    # no broadcast hint: `keep` is |distinct fingerprints| ≈ |docs| — at
+    # 100 TB this must be a shuffled join on the 16-byte fingerprint (AQE
+    # still picks broadcast at small scale on its own)
     return (
         gated.join(
-            F.broadcast(keep),
+            keep,
             (gated.fingerprint == keep.fingerprint)
             & (gated.doc_id == keep.keep_doc_id),
         )

@@ -386,9 +386,11 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ob = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    # the survivor⋈orders output (rarer than the survivors) broadcasts into
+    # customer — customer is the probe side and never shuffles
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        cust.join(F.broadcast(ob), ob.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
