@@ -57,12 +57,37 @@ class DedupIngestRuntime:
     def _ckpt_dir(self) -> str:
         return os.path.join(self.work_dir, "ingest_ckpt")
 
-    def start(self, *, watermark: str = "10 minutes") -> StreamingQuery:
+    def start(
+        self,
+        *,
+        watermark: str = "10 minutes",
+        min_tokens: int | None = None,
+        max_stop_ratio: float | None = None,
+    ) -> StreamingQuery:
+        """Optionally compose the cheap quality gate (token floor, stopword
+        ceiling — the same expressions as the batch `text_quality_score`
+        operator) BEFORE the dedup state lookup: junk dies on a column
+        predicate and never touches the state store."""
+        from redisgears_spark.operators.text import (
+            _count_in,
+            _STOPWORDS,
+            _TOKENS,
+        )
+
         src = (
             self.spark.readStream.schema(DOC_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 8)
             .parquet(self.spool_dir)
         )
+        if min_tokens is not None or max_stop_ratio is not None:
+            n_tokens = F.expr(f"CAST(size({_TOKENS}) AS BIGINT)")
+            if min_tokens is not None:
+                src = src.filter(n_tokens >= min_tokens)
+            if max_stop_ratio is not None:
+                n_stop = F.expr(_count_in(_TOKENS, _STOPWORDS, sql=False))
+                src = src.filter(
+                    n_stop.cast("double") / n_tokens <= max_stop_ratio
+                )
         deduped = (
             src.withColumn("fingerprint", _fingerprint())
             .withWatermark("ingest_ts", watermark)

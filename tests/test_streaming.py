@@ -832,3 +832,26 @@ class TestDedupIngest:
             assert {r["doc_id"] for r in rt2.admitted().collect()} == {1}
         finally:
             rt2.stop()
+
+    def test_quality_gate_before_dedup_state(self, spark, sf_dir, spool, work):
+        """With a token floor, junk documents die on the column predicate
+        before the dedup state lookup; quality documents still dedup."""
+        from redisgears_spark.streaming import DedupIngestRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = DedupIngestRuntime(engine, spool, work)
+        self._write(
+            spark,
+            spool,
+            [
+                (1, 0, "short junk"),  # 2 tokens < floor
+                (2, 1, "a long enough document with plenty of tokens"),
+                (3, 2, "a long enough DOCUMENT   with plenty of tokens"),
+            ],
+        )
+        rt.start(watermark="10 minutes", min_tokens=5)
+        try:
+            rt.query.processAllAvailable()
+            assert {r["doc_id"] for r in rt.admitted().collect()} == {2}
+        finally:
+            rt.stop()
