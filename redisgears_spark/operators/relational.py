@@ -426,6 +426,34 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third lattice form beside rollup/cube:
+    exactly the requested groupings (each dimension alone + grand total),
+    skipping the cross product a CUBE would also compute. One pass, one
+    exchange, same partial-aggregation shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # correlated-subquery shapes (TPC-H Q21/Q22 style) — the hardest relational
 # patterns users hand-roll in reference callbacks; Catalyst decorrelates
