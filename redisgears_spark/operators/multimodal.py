@@ -255,3 +255,34 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_consistent"
         ),
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS payload_md5, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact media dedup: fingerprint the opaque binary payload and
+    keep the lowest doc_id per fingerprint. Unlike the text `dedup_exact`
+    there is deliberately NO normalization — two media blobs are duplicates
+    iff their bytes match (a resized image is a different asset; near-dup
+    media belongs to the embedding-cosine path).
+
+    Scale: identical shape to dedup_exact — project to (md5, doc_id)
+    map-side so the exchange carries 24 bytes/row no matter how large the
+    payloads are; the payload column itself is pruned after the hash.
+    """
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(F.md5("payload").alias("payload_md5"), "doc_id")
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
