@@ -242,3 +242,23 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_left_join_keeps_unmatched_rows_once(spark, sf_dir):
+    """Left-outer salted join: a fact row with no build-side match must
+    survive exactly once (the fact side carries ONE salt per row — only
+    the build side is replicated)."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.operators.skew import salted_join
+
+    left = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), F.col("id").alias("row_id")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k2"), F.lit(1).alias("w")
+    )
+    out = salted_join(left, right, "k", "k2", salt_src="row_id",
+                      n_salts=8, how="left")
+    assert out.count() == 1_000
+    assert out.filter(F.col("w").isNull()).count() == 500
