@@ -247,6 +247,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative algorithm" is exact-checked after all.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs)
+
+
+@query("dedup_clusters_lsh")  # candidate graph is probabilistic — rows-only
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cluster path end-to-end: MinHash-LSH candidate pairs →
+    connected components → survivor pick. Identical clustering machinery to
+    `dedup_clusters`; the only difference is the pair source — banding
+    instead of the exhaustive shingle self-join, so the whole pipeline is
+    linear-ish in the corpus. LSH emits a SUBSET of the exact pairs (the
+    no-false-positive test), so every cluster here refines an exact-path
+    cluster — the containment is pinned in tests.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over an (a_id, b_id) pair DataFrame →
+    (doc_id, cluster_id, is_survivor). Strategy auto-selected by edge count
+    (see dedup_clusters docstring)."""
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(

@@ -144,3 +144,29 @@ def test_dedup_clusters_strategies_agree(spark, sf_dir, monkeypatch):
         for r in D.dedup_clusters(spark, sf_dir).collect()
     }
     assert compact and compact == distributed
+
+
+def test_lsh_clusters_refine_exact_clusters(spark, sf_dir):
+    """The LSH-candidate clustering must REFINE the exact clustering:
+    every LSH cluster's members share one exact cluster (LSH pairs are a
+    subset of exact pairs, so LSH can split clusters but never merge
+    across exact-cluster boundaries)."""
+    from redisgears_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_lsh,
+    )
+
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    lsh_rows = dedup_clusters_lsh(spark, sf_dir).collect()
+    assert lsh_rows, "LSH path found no clusters on the fixture"
+    by_lsh_cluster: dict[int, set[int]] = {}
+    for r in lsh_rows:
+        by_lsh_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for cid, members in by_lsh_cluster.items():
+        exact_cids = {exact[d] for d in members}
+        assert len(exact_cids) == 1, (
+            f"LSH cluster {cid} spans exact clusters {exact_cids}"
+        )
