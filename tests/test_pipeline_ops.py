@@ -24,13 +24,13 @@ def truth(spark, sf_dir):
 
 
 @pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf])
-def test_ann_recall_beats_half(ann, spark, sf_dir, truth):
+def test_ann_recall_beats_floor(ann, spark, sf_dir, truth):
     """Both ANN paths must recover most of the exact top-5 neighbor set
     (deterministic pipelines → recall is a fixed number per fixture;
-    currently 0.775 LSH / 0.8 IVF at sf0.001)."""
+    currently 0.775 LSH / 0.8 IVF at sf0.001 — floor set with margin)."""
     got = _pairs(ann(spark, sf_dir))
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.5, f"recall {recall:.3f} below floor"
+    assert recall >= 0.7, f"recall {recall:.3f} below floor"
 
 
 @pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf])
