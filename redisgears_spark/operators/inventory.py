@@ -227,6 +227,36 @@ def q06_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q06b_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q06b_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the ZSET-rank/latency-
+    quantile pattern). Exactness: inputs are integer cents, and Spark's
+    `percentile` and DuckDB's `quantile_cont` interpolate with the same
+    lo + (hi-lo)*frac IEEE sequence over integers — bit-identical without
+    any sketch. Scale: exact percentile buffers per group; at 100 TB with
+    huge groups switch to approx_percentile (t-digest, mergeable, one
+    pass) and accept the error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(cast(round(value*100) as bigint), 0.5)"
+        ).alias("p50"),
+        F.expr(
+            "percentile(cast(round(value*100) as bigint), 0.95)"
+        ).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q07_distinct_count",
     oracle="""
     SELECT COUNT(DISTINCT l_partkey) AS n_parts,
