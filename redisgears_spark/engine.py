@@ -154,6 +154,8 @@ class Library:
         self.cluster_functions: dict[str, Callable[..., Any]] = {}
         # import path of the setup callable, for registry persistence
         self._setup_ref: str | None = None
+        # the setup callable itself, for the WITHCODE listing
+        self._setup: Callable[[Library], None] | None = None
 
     # -- registration API (called from the library's setup function) --------
 
@@ -308,6 +310,7 @@ class GearsEngine:
                 # revert: old library remains untouched
                 raise
             lib._setup_ref = _setup_ref(setup)
+            lib._setup = setup  # retained for the WITHCODE listing
             self._libraries[name] = lib
             return lib
 
@@ -334,7 +337,13 @@ class GearsEngine:
                 raise GearsError(f"unknown library '{name}'")
             del self._libraries[name]
 
-    def list_libraries(self, verbose: int = 0) -> list[dict[str, Any]]:
+    def list_libraries(
+        self, verbose: int = 0, with_code: bool = False
+    ) -> list[dict[str, Any]]:
+        """Library listing (TFUNCTION LIST analog). `with_code=True` is the
+        WITHCODE option (function_list_command.rs:302-333): includes the
+        library's setup source where Python can recover it (None for
+        lambdas/builtins — the registry stores callables, not text)."""
         with self._lock:
             out = []
             for lib in self._libraries.values():
@@ -342,6 +351,13 @@ class GearsEngine:
                     "name": lib.name,
                     "api_version": lib.api_version,
                 }
+                if with_code:
+                    import inspect
+
+                    try:
+                        entry["code"] = inspect.getsource(lib._setup)
+                    except (OSError, TypeError):
+                        entry["code"] = None
                 if verbose >= 1:
                     entry["functions"] = [
                         {

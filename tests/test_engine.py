@@ -321,3 +321,22 @@ class TestClusterFunctions:
         assert engine.run_on_key("keylib", "get_name", "customer", 10**9) is None
         with pytest.raises(GearsError, match="task failed"):
             engine.run_on_key("keylib", "boom", "customer", 42)
+
+
+class TestWithCode:
+    def test_listing_includes_source(self, engine):
+        """WITHCODE option (function_list_command.rs:302-333): the listing
+        carries the library's setup source when recoverable."""
+
+        def my_setup(lib):
+            lib.register_function("f", lambda client: 1)
+
+        engine.load_library(my_setup, name="srclib")
+        listing = engine.list_libraries(with_code=True)
+        row = next(e for e in listing if e["name"] == "srclib")
+        assert "def my_setup(lib):" in (row["code"] or "")
+        # default listing omits code entirely
+        plain = next(
+            e for e in engine.list_libraries() if e["name"] == "srclib"
+        )
+        assert "code" not in plain
