@@ -590,3 +590,48 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("c_acctbal")).alias("totacctbal_cents"),
         )
     )
+
+
+@query(
+    "full_outer_daily_activity",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT epoch_us(CAST(COALESCE(e.d, o.d) AS TIMESTAMP)) AS day_us,
+           e.n_events, o.n_orders
+    FROM e FULL JOIN o ON e.d = o.d
+    """,
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join shape the inventory lacked: daily
+    event counts reconciled against daily order counts, keeping days that
+    exist on either side with nulls on the other (the fixture's ranges are
+    disjoint, so both null-fill directions are exercised).
+
+    Scale: both inputs pre-aggregate to |days| rows before the join — the
+    full-outer shuffle moves day-level counts, never fact rows.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        ev.join(orders, ev.d == orders.d2, "full")
+        .select(
+            micros(F.coalesce(ev.d, orders.d2)).alias("day_us"),
+            "n_events",
+            "n_orders",
+        )
+    )
