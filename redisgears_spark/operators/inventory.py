@@ -22,6 +22,7 @@ Scale notes per query are inline; the common ones:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -253,6 +254,52 @@ def q06b_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(cast(round(value*100) as bigint), 0.95)"
         ).alias("p95"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q06c_udaf_iqr",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)
+             - quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)
+             AS iqr_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q06c_udaf_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via Arrow-batched GROUPED_AGG pandas UDF — the
+    UDAF surface SURVEY §2.G declares (the reference only has scalar-ish
+    callbacks). Interquartile range per group, computed by numpy over
+    int64 cents: np.percentile's linear interpolation is the same
+    lo + (hi-lo)*frac sequence as the oracle's quantile_cont, so even the
+    Python-side aggregate is bit-exact.
+
+    Scale: a GROUPED_AGG UDF materializes each group in one Arrow batch —
+    right for bounded groups (here |event_type| ≈ 5 with ~n/5 rows); for
+    unbounded groups use built-in approx_percentile (mergeable sketch).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def iqr_cents(v: pd.Series) -> float:
+        import numpy as np
+
+        a = v.to_numpy(dtype="int64")
+        q75, q25 = np.percentile(a, [75, 25], method="linear")
+        return float(q75 - q25)
+
+    # GROUPED_AGG UDFs can't mix with built-in aggregates in one agg —
+    # the row count is a second pandas aggregate over the same groups
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("c", cents("value")).groupBy("event_type").agg(
+        iqr_cents("c").alias("iqr_cents"),
+        n_rows("c").alias("n"),
     )
 
 
