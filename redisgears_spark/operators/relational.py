@@ -635,3 +635,49 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, SUM(v) AS total, COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, 'qty_c' AS metric,
+             CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price_cents',
+             CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'disc_bp',
+             CAST(round(l_discount * 10000) AS BIGINT) FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt) + aggregate — the table-reshaping
+    primitive training pipelines use to normalize heterogeneous metric
+    columns into one (metric, value) stream.
+
+    Spark's `unpivot` expands rows map-side (a Generate node — no shuffle,
+    no self-union re-scan: the oracle's UNION ALL formulation reads the
+    table three times, this plan reads it ONCE); the aggregate then
+    partial-aggregates as usual. All values land in exact integer domains
+    before summation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_cents"),
+        (F.round(F.col("l_discount") * 10000).cast("long")).alias("disc_bp"),
+    )
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["qty_c", "price_cents", "disc_bp"],
+            "metric",
+            "v",
+        )
+        .groupBy("l_returnflag", "metric")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
