@@ -681,3 +681,61 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "metric")
         .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "pivot_nation_by_segment",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+               THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+             AS automobile_cents,
+           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+               THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+             AS building_cents,
+           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'FURNITURE'
+               THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+             AS furniture_cents,
+           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
+               THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+             AS household_cents,
+           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+               THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
+             AS machinery_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def pivot_nation_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape (PIVOT, the inverse of unpivot): order revenue per
+    nation, one column per market segment. The pivot value list is
+    EXPLICIT — with it, Spark skips the extra distinct-values job and the
+    output schema is fixed (the scale rule: never let pivot infer its
+    columns from data).
+    """
+    seg = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("price_c")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("c_mktsegment", seg)
+        .sum("price_c")
+    )
+    # zero-fill: a nation with no orders in a segment is revenue 0, not
+    # NULL (and NULL-free numerics keep the value-hash dtype-stable)
+    return wide.select(
+        "nation",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"{s.lower()}_cents")
+            for s in seg
+        ],
+    )
