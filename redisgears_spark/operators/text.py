@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from redisgears_spark.operators.registry import query
 from redisgears_spark.sources.keyspace import load_table
@@ -238,4 +239,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fingerprint"),
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT unnest([w[i] || ' ' || w[i+1]
+                     for i in generate_series(1, len(w) - 1)]) AS bigram
+      FROM ws WHERE len(w) >= 2
+    ),
+    counted AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
+    SELECT bigram, n, rank FROM (
+      SELECT bigram, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank
+      FROM counted
+    ) WHERE rank <= 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 word bigrams with a
+    deterministic tie-break (count desc, bigram asc) — the language-model
+    frequency pass every text pipeline runs before building vocabularies.
+
+    Scale: bigram construction is an Arrow-batched map-side stage (the
+    Catalyst transform+explode formulation re-evaluates the token split
+    per OUTPUT row — the same O(words × ngrams) trap shingled_docs
+    documents); the count partial-aggregates; the ranked top-k is a global
+    window over the already-aggregated bigram counts — acceptable because
+    its input is |distinct bigrams|, not |corpus| (for huge vocabularies,
+    pre-prune with `ORDER BY n DESC LIMIT k*fudge` per partition first).
+    """
+    import re
+
+    from redisgears_spark.sources.keyspace import rebalanced
+
+    def bigram_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[str] = []
+            for text in pdf["text"]:
+                w = [x for x in re.split(r"\s+", text.lower()) if x]
+                out.extend(
+                    f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)
+                )
+            yield pd.DataFrame({"bigram": out})
+
+    docs = rebalanced(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
+    counted = (
+        docs.mapInPandas(bigram_rows, "bigram string")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
     )
