@@ -450,8 +450,8 @@ def q10_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism. Scale: the 1-row max aggregate is broadcast — no shuffle of
     the big side beyond the group-by."""
     ev = load_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("max_ts"))
-    lag = F.unix_micros(F.col("max_ts")) - micros("ts")
+    mx = ev.agg(F.max(micros("ts")).alias("max_us"))
+    lag = F.col("max_us") - micros("ts")
     n = F.count(F.lit(1))
     return (
         ev.crossJoin(F.broadcast(mx))

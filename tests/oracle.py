@@ -36,6 +36,27 @@ def _norm(v):
     return v
 
 
+def _dtype_kind(dt) -> str:
+    """Canonical dtype bucket for the driver-hash mirror.
+
+    The driver hashes rendered values, so int64 vs float64 (DuckDB HUGEINT
+    round-trip) differ even when numerically equal. We bucket dtypes into
+    kinds that render identically and assert the *kind* matches: all ints
+    together, all floats together, datetimes regardless of unit, everything
+    else by exact name.
+    """
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s in ("object", "string", "str"):
+        return "object"
+    return s
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "q"):
     sdf = spark_df.toPandas()
     odf = con.sql(sql).df()
@@ -44,6 +65,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "q")
         f"oracle={sorted(odf.columns)}"
     )
     cols = sorted(sdf.columns)
+    # Driver-hash mirror: dtype *kind* must match per column (an uncast
+    # DuckDB SUM comes back HUGEINT -> float64 while Spark gives int64;
+    # numerically equal but hash-different on the driver).
+    dtype_mismatch = [
+        (c, str(sdf[c].dtype), str(odf[c].dtype))
+        for c in cols
+        if _dtype_kind(sdf[c].dtype) != _dtype_kind(odf[c].dtype)
+    ]
+    assert not dtype_mismatch, (
+        f"{name}: dtype drift (col, spark, oracle): {dtype_mismatch} — "
+        f"cast the oracle aggregate (e.g. CAST(SUM(..) AS BIGINT)) so the "
+        f"driver hash matches"
+    )
     srows = sorted(
         [tuple(_norm(v) for v in row) for row in sdf[cols].itertuples(index=False)]
     )
