@@ -70,7 +70,8 @@ def q01_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey,
-             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS new_bal_cents
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS new_bal_cents
       FROM orders GROUP BY o_custkey
     ) u ON c.c_custkey = u.o_custkey
     """,
@@ -200,8 +201,10 @@ def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_agg_stats",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
            MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
            MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents,
            CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
@@ -470,7 +473,8 @@ def q10_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           SUM(CAST(round(e.value * 100) AS BIGINT)) AS sum_value_cents,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
            COUNT(DISTINCT e.user_id) AS n_users
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -608,8 +612,10 @@ def q15_expiry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_global_agg",
     oracle="""
     SELECT COUNT(*) AS n,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_price_cents,
-           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS total_qty_c
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_price_cents,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS total_qty_c
     FROM lineitem
     """,
 )
@@ -689,15 +695,17 @@ def q18_queue_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-             AS sum_disc_price_e4,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l_discount * 100) AS BIGINT))
                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-             AS sum_charge_e6,
+             AS BIGINT) AS sum_charge_e6,
            CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
              / COUNT(*) / 100.0 AS avg_qty,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
@@ -740,9 +748,9 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     oracle="""
     SELECT l.l_orderkey,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-             AS revenue_e4,
+             AS BIGINT) AS revenue_e4,
            epoch_us(o.o_orderdate) AS orderdate_us,
            o.o_orderpriority
     FROM customer c
@@ -795,9 +803,9 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_nation_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-             AS revenue_e4,
+             AS BIGINT) AS revenue_e4,
            COUNT(*) AS n_items
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -843,7 +851,8 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
            COUNT(*) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

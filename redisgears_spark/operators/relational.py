@@ -122,8 +122,8 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     ),
     g AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM s
     )
     SELECT user_id, session_no,
@@ -167,7 +167,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
            COUNT(*) AS n,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -199,7 +200,8 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT window_start_us, event_type, COUNT(*) AS n,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
     FROM h GROUP BY window_start_us, event_type
     """,
 )
@@ -219,7 +221,7 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_value_cents"),
         )
         .select(
-            F.unix_micros("win.start").alias("window_start_us"),
+            micros(F.col("win.start")).alias("window_start_us"),
             "event_type",
             "n",
             "sum_value_cents",
@@ -300,9 +302,9 @@ def semi_anti_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_share",
     oracle="""
     SELECT p.p_type,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-             AS revenue_e4,
+             AS BIGINT) AS revenue_e4,
            COUNT(*) AS n_items,
            CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
@@ -354,7 +356,8 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH big AS (
       SELECT l_orderkey,
-             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_c
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
     )
@@ -406,7 +409,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
            COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -430,7 +434,8 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
            COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -542,7 +547,8 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_acctbal > 0
     )
     SELECT n.n_name, COUNT(*) AS numcust,
-           SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos)
             > (SELECT s FROM pos)
@@ -640,7 +646,8 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unpivot_lineitem_metrics",
     oracle="""
-    SELECT l_returnflag, metric, SUM(v) AS total, COUNT(*) AS n
+    SELECT l_returnflag, metric, CAST(SUM(v) AS BIGINT) AS total,
+           COUNT(*) AS n
     FROM (
       SELECT l_returnflag, 'qty_c' AS metric,
              CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem
@@ -687,21 +694,21 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_nation_by_segment",
     oracle="""
     SELECT n.n_name AS nation,
-           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+           CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
                THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
-             AS automobile_cents,
-           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+             AS BIGINT) AS automobile_cents,
+           CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
                THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
-             AS building_cents,
-           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'FURNITURE'
+             AS BIGINT) AS building_cents,
+           CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'FURNITURE'
                THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
-             AS furniture_cents,
-           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
+             AS BIGINT) AS furniture_cents,
+           CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
                THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
-             AS household_cents,
-           COALESCE(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+             AS BIGINT) AS household_cents,
+           CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
                THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END), 0)
-             AS machinery_cents
+             AS BIGINT) AS machinery_cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -70,7 +70,8 @@ def salted_join(
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           SUM(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,

@@ -45,10 +45,12 @@ def _dtype_kind(dt) -> str:
     together, all floats together, datetimes regardless of unit, everything
     else by exact name.
     """
+    from pandas.api import types as ptypes
+
     s = str(dt)
-    if s.startswith(("int", "uint", "Int", "UInt")):
+    if ptypes.is_integer_dtype(dt):
         return "int"
-    if s.startswith(("float", "Float")):
+    if ptypes.is_float_dtype(dt):
         return "float"
     if s.startswith("datetime64"):
         return "datetime"
