@@ -68,21 +68,37 @@ _ORACLE_QUANT_CTE = """
 """
 
 
-def _corpus_numpy(spark: SparkSession, sf_dir: str):
-    """Quantized corpus as numpy (ids: int64[n], M: int64[n, dim]).
+# Hard cap on driver-side vector materialization (rows). 1M × dim-64 int64
+# ≈ 0.5 GB — the point past which the all-pairs verifier must hand off to
+# the bucketed candidate generators.
+_BRUTEFORCE_MAX_ROWS = 1_000_000
 
-    Used by the block-matmul kernels below. At fixture scale the corpus is
-    ~1 MB; the brute-force operators that collect it are explicitly the
-    *verifier/baseline* path — the 100 TB candidate generator is
-    sim_ann_lsh, which never materializes the corpus on the driver.
+
+def _corpus_numpy(spark: SparkSession, sf_dir: str, predicate=None):
+    """Quantized vectors as numpy (ids: int64[n], M: int64[n, dim]).
+
+    Used by the block-matmul kernels below. `predicate` narrows the pull
+    (e.g. just the query vectors). Materialization is bounded: pulling more
+    than _BRUTEFORCE_MAX_ROWS raises instead of OOMing the driver — at that
+    scale generate candidates with sim_ann_lsh / sim_ann_ivf and use the
+    exact cosine only on candidate pairs.
     """
     import numpy as np
 
-    pdf = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.expr(_QUANT).alias("v"))
-        .toPandas()
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("v")
     )
+    if predicate is not None:
+        df = df.filter(predicate)
+    # limit(cap+1) bounds the transfer structurally — the driver never
+    # receives more than cap+1 rows even when the guard trips
+    pdf = df.limit(_BRUTEFORCE_MAX_ROWS + 1).toPandas()
+    if len(pdf) > _BRUTEFORCE_MAX_ROWS:
+        raise ValueError(
+            f"brute-force path refuses > {_BRUTEFORCE_MAX_ROWS} vectors "
+            "on the driver; use sim_ann_lsh or sim_ann_ivf to generate "
+            "candidates and rescore with the exact quantized cosine"
+        )
     ids = pdf["vec_id"].to_numpy(dtype="int64")
     M = np.vstack(pdf["v"].to_numpy()).astype("int64")
     return ids, M
@@ -131,7 +147,8 @@ def _block_cosine(A, M):
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < 8).
 
-    Scale: the (tiny) query matrix ships to executors via broadcast;
+    Scale: the (tiny) query matrix ships to executors via broadcast —
+    ONLY the query vectors are ever driver-materialized, never the corpus;
     the corpus streams through mapInPandas in Arrow batches — one narrow
     pass, cost O(|corpus| * |queries| * dim) as a vectorized int64 matmul,
     zero shuffle of the corpus. The per-query top-k is a bounded-state
@@ -140,15 +157,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    # corpus ships once per executor as a broadcast (not per-task closure)
-    bc = spark.sparkContext.broadcast(_corpus_numpy(spark, sf_dir))
+    # queries ship once per executor as a broadcast (not per-task closure)
+    bc = spark.sparkContext.broadcast(
+        _corpus_numpy(spark, sf_dir, predicate=F.col("vec_id") < _N_QUERIES)
+    )
 
     def score(batches):
         import pandas as pd
 
-        ids, M = bc.value
-        qmask = ids < _N_QUERIES
-        q_ids, Q = ids[qmask], M[qmask]
+        q_ids, Q = bc.value
         for pdf in batches:
             n_ids = pdf["vec_id"].to_numpy(dtype="int64")
             B = np.vstack(pdf["v"].to_numpy()).astype("int64")
