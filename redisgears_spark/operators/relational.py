@@ -375,9 +375,13 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table drives joins back to orders and customer.
 
     Scale: the lineitem aggregate reduces to |orders| rows before any
-    join; its post-HAVING survivor set is small → broadcast into orders,
-    and that join's output (rarer still) broadcasts into customer. The
-    fact table shuffles once (the group-by), never for a join.
+    join; its post-HAVING survivor set is small → broadcast into orders.
+    The second join (survivors⋈orders against customer) carries NO hint:
+    its build side is the output of a fact join, whose size no static
+    hint should assert — AQE sees the runtime size and picks broadcast
+    when it fits (it does at fixture scale), falling back to a safe
+    shuffle join at 100× instead of OOMing on a forced broadcast.
+    The fact table shuffles once (the group-by), never for a join.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
@@ -390,10 +394,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     ob = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-    # the survivor⋈orders output (rarer than the survivors) broadcasts into
-    # customer — customer is the probe side and never shuffles
     return (
-        cust.join(F.broadcast(ob), ob.o_custkey == cust.c_custkey)
+        ob.join(cust, ob.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

@@ -174,6 +174,19 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate,")
 
 
+def test_q18_aqe_broadcasts_survivor_join(spark, sf_dir):
+    """Q18-shape: the survivors⋈orders→customer join carries NO static
+    broadcast hint (a hint there would assert the size of a fact-join
+    output — an OOM risk at 100×). At fixture scale AQE must still pick
+    broadcast at runtime from the observed size: after execution, the
+    adaptive plan shows both joins as BroadcastHashJoin and customer
+    never shuffles."""
+    df = QUERIES["tpch_q18_large_orders"](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("BroadcastHashJoin") >= 2, executed[:3000]
+
+
 def test_salted_join_matches_plain_join_on_hot_key(spark, sf_dir):
     """salted_join must be semantically invisible even when one key owns
     most rows — identical aggregate as the plain join."""
