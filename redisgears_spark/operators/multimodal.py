@@ -92,11 +92,30 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
-@query("multimodal_features")  # binary decode path — rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height,
+           'fake' AS format
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → features via mapInPandas (decode stubbed, plumbing
-    real). Columns pruned to (doc_id, payload) before the Python stage."""
-    return extract_features(media_table(spark, sf_dir))
+    real). Columns pruned to (doc_id, payload) before the Python stage.
+
+    The oracle pins the deterministic-fake decode contract (dims derived
+    from payload length) — which exactly checks the *plumbing*: per-row
+    doc_id↔payload alignment through Arrow batches, byte-length fidelity
+    of the binary column, and output dtypes. The crc32 checksum column is
+    excluded here (DuckDB has no crc32) and pinned by a unit test instead,
+    like multimodal_frame_sample's frame_crc."""
+    return extract_features(media_table(spark, sf_dir)).select(
+        "doc_id", "payload_len", "width", "height", "format"
+    )
 
 
 RESIZED_SCHEMA = (
@@ -189,11 +208,43 @@ def sample_frames(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
 
 
-@query("multimodal_resize")  # binary transform path — rows-only check
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             (octet_length(encode(text)) % 640) + 1 AS w,
+             (octet_length(encode(text)) % 480) + 1 AS h
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n, w, h,
+             greatest(1, CAST(floor(
+               w * least(1.0, 64.0 / greatest(w, h))) AS BIGINT)) AS ow,
+             greatest(1, CAST(floor(
+               h * least(1.0, 64.0 / greatest(w, h))) AS BIGINT)) AS oh
+      FROM geo
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           CAST(greatest(1, CAST(floor(n * ow * oh / (w * h)) AS BIGINT))
+                AS BIGINT) AS resized_len
+    FROM o
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline stage (decode stubbed, plumbing real): returns
     geometry accounting; the resized blob itself is dropped before any
-    exchange (the 100 TB rule: blobs never shuffle)."""
+    exchange (the 100 TB rule: blobs never shuffle).
+
+    Oracle: the deterministic-fake resize is pure arithmetic over the
+    payload byte length (aspect-preserving scale, floor-truncated output
+    dims, proportional byte retention) — both engines execute the same
+    IEEE double sequence, so the check is exact. What it really verifies:
+    the Python stage's row alignment, the binary column's byte fidelity,
+    and that resized_len accounting survives the Arrow round-trip."""
     resized = resize_images(media_table(spark, sf_dir))
     return resized.select(
         "doc_id",

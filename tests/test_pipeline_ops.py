@@ -63,6 +63,26 @@ class TestMultimodalStages:
             assert r["out_height"] == max(1, int(r["height"] * scale))
             assert len(r["resized"]) >= 1
 
+    def test_feature_checksum_matches_payload_crc(self, spark, sf_dir):
+        """The crc32 checksum column is outside the SQL oracle (DuckDB has
+        no crc32) — pin it here against a driver-side recomputation."""
+        import zlib
+
+        from redisgears_spark.operators.multimodal import (
+            extract_features,
+            media_table,
+        )
+
+        media = media_table(spark, sf_dir)
+        payloads = {
+            r["doc_id"]: bytes(r["payload"]) for r in media.collect()
+        }
+        feats = extract_features(media).collect()
+        assert len(feats) == len(payloads)
+        for r in feats:
+            expect = zlib.crc32(payloads[r["doc_id"]]) & 0x7FFFFFFF
+            assert r["checksum"] == expect
+
     def test_frame_sampling_deterministic_fanout(self, spark, sf_dir):
         from redisgears_spark.operators.multimodal import (
             _FRAME_SIZE,
