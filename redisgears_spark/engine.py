@@ -101,6 +101,20 @@ def _setup_ref(setup: Callable) -> str | None:
     return f"{mod}:{qual}"
 
 
+class Background:
+    """Marker returned by a function body to continue in the background —
+    the analog of the reference's ``executeAsync`` promise
+    (v8_native_functions.rs:696-763; docs Sync_Async.md:142-184): the
+    function starts synchronously (cache-hit fast path pays no
+    thread-pool dispatch) and only the returned continuation moves to a
+    background worker."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn: Callable[["GearsClient"], Any]):
+        self.fn = fn
+
+
 class GearsClient:
     """What a callback receives as its first argument — the analog of the
     reference's ``client`` with its ``call(...)`` data-access surface
@@ -127,6 +141,14 @@ class GearsClient:
         if self._read_only:
             raise GearsError("function flagged NO_WRITES attempted a write")
         df.write.mode(mode).parquet(path)
+
+    def execute_async(self, fn: Callable[["GearsClient"], Any]) -> Background:
+        """Hand the rest of the call to a background worker (the
+        reference's ``executeAsync``). Return this from a function body
+        invoked via ``engine.execute_async``: everything before it ran
+        synchronously on the caller thread (the fast path); ``fn``
+        completes on the pool."""
+        return Background(fn)
 
 
 class Library:
@@ -242,7 +264,12 @@ class Library:
 class GearsEngine:
     """The engine: registry + dispatch + distribution."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str = "/root/testdata/sf0.001",
+        fatal_failure_policy: str = "abort",
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
         self._libraries: dict[str, Library] = {}
@@ -252,6 +279,14 @@ class GearsEngine:
         # admission-control state (§2.F guards)
         self._oom = False
         self._read_only = False
+        # library-fatal-failure-policy (reference config.rs:105-117):
+        # 'abort' cancels the offending call; 'kill' additionally unloads
+        # the library whose function blew the timeout
+        if fatal_failure_policy not in ("abort", "kill"):
+            raise GearsError(
+                "fatal_failure_policy must be 'abort' or 'kill'"
+            )
+        self.fatal_failure_policy = fatal_failure_policy
         # trigger runtimes that feed TFUNCTION LIST-style stats
         self._runtimes: list[Any] = []
 
@@ -468,6 +503,11 @@ class GearsEngine:
         rf.stats.n_calls += 1
         try:
             result = rf.fn(client, *args)
+            if isinstance(result, Background):
+                # executeAsync handoff: the continuation's value is shaped
+                # when it completes (engine.execute_async), not here
+                rf.stats.n_success += 1
+                return result
             if not isinstance(result, DataFrame):
                 # reply sink: enforce the JS→RESP conversion rules
                 # (v8_function_ctx.rs:58-141 — nesting cap, map-key types,
@@ -522,15 +562,22 @@ class GearsEngine:
         try:
             return fut.result(timeout=timeout)
         except FutureTimeout:
-            # Abort policy: cancel the call's Spark jobs, surface the error
+            # fatal policy (config.rs:105-117): Abort always cancels the
+            # call's Spark jobs; Kill additionally unloads the library
             try:
                 self.spark.interruptTag(tag)
             except Exception:
                 pass
             rf.stats.n_failed += 1
-            rf.stats.last_error = f"timeout after {timeout}s (aborted)"
+            killed = ""
+            if self.fatal_failure_policy == "kill":
+                with self._lock:
+                    self._libraries.pop(lib.name, None)
+                killed = "; library unloaded (fatal policy: kill)"
+            rf.stats.last_error = f"timeout after {timeout}s (aborted){killed}"
             raise GearsError(
-                f"'{lib.name}.{rf.name}' exceeded {timeout}s and was aborted"
+                f"'{lib.name}.{rf.name}' exceeded {timeout}s and was "
+                f"aborted{killed}"
             ) from None
 
     def call_async(self, lib_name: str, fn_name: str, *args: Any) -> Future:
@@ -539,6 +586,43 @@ class GearsEngine:
         scheduler. Returns a Future."""
         lib, rf = self._resolve(lib_name, fn_name)
         return self._pool.submit(self._invoke, lib, rf, args)
+
+    def execute_async(self, lib_name: str, fn_name: str, *args: Any) -> Future:
+        """Hybrid invocation — the reference's ``executeAsync`` contract
+        (v8_native_functions.rs:696-763; Sync_Async.md:142-184): the
+        function body starts SYNCHRONOUSLY on the caller thread; if it
+        returns a plain value (the cache-hit fast path) the returned
+        Future is already resolved — zero thread-pool dispatch cost. Only
+        when the body hands back ``client.execute_async(cont)`` does the
+        continuation move to a background worker."""
+        lib, rf = self._resolve(lib_name, fn_name)
+        if rf.is_async:
+            # async-registered functions never had a sync fast path
+            return self._pool.submit(self._invoke, lib, rf, args)
+        result = self._invoke(lib, rf, args)  # sync portion, caller thread
+        if isinstance(result, Background):
+            client = GearsClient(self, read_only=NO_WRITES in rf.flags)
+
+            def continuation():
+                started = time.perf_counter()
+                try:
+                    out = result.fn(client)
+                    if not isinstance(out, DataFrame):
+                        from redisgears_spark.functions.types import reply_shape
+
+                        out = reply_shape(out)
+                    return out
+                except Exception as e:
+                    rf.stats.n_failed += 1
+                    rf.stats.last_error = f"{type(e).__name__}: {e}"
+                    raise
+                finally:
+                    rf.stats.total_duration_s += time.perf_counter() - started
+
+            return self._pool.submit(continuation)
+        fut: Future = Future()
+        fut.set_result(result)
+        return fut
 
     # -- registry persistence (RDB save/restore analog) ----------------------
 

@@ -248,6 +248,18 @@ class StreamTriggerRuntime:
     def _source(
         self, respool_dir: str | None = None, base_override: str | None = None
     ) -> DataFrame:
+        """Build the trigger's streaming source.
+
+        Backfill/bootstrap contract (the reference scans the keyspace for
+        pre-existing streams on registration and consumes them from the
+        beginning — lib.rs:1546-1574 scan_key_space_for_streams): a file
+        stream's FIRST listing includes every file already in the spool,
+        so records that existed before the trigger was registered are
+        processed — exactly once, because the initial listing is recorded
+        in the checkpoint like any other micro-batch. A restart resumes
+        from the checkpoint and does not re-run the backfill. Pinned by
+        tests/test_streaming.py::test_backfill_bootstrap_pre_populated_stream.
+        """
         raw_schema = (
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string"

@@ -169,6 +169,97 @@ class TestTimeouts:
         )
         assert engine.call("t2lib", "fast", timeout=30) == 7
 
+    def test_fatal_policy_kill_unloads_library(self, spark, sf_dir):
+        """library-fatal-failure-policy=kill (config.rs:105-117): a fatal
+        timeout unloads the whole library, not just the call; under the
+        default abort policy the library survives."""
+        import time as _t
+
+        from redisgears_spark.engine import GearsEngine
+
+        kill_engine = GearsEngine(spark, sf_dir, fatal_failure_policy="kill")
+        kill_engine.load_library(
+            lambda l: l.register_function("slow", lambda c: _t.sleep(10)),
+            name="klib",
+        )
+        with pytest.raises(GearsError, match="library unloaded"):
+            kill_engine.call("klib", "slow", timeout=0.5)
+        assert kill_engine.list_libraries() == []  # gone
+        with pytest.raises(GearsError, match="unknown library"):
+            kill_engine.call("klib", "slow")
+
+    def test_fatal_policy_rejects_unknown(self, spark, sf_dir):
+        from redisgears_spark.engine import GearsEngine
+
+        with pytest.raises(GearsError, match="abort.*kill|kill.*abort"):
+            GearsEngine(spark, sf_dir, fatal_failure_policy="nuke")
+
+
+class TestExecuteAsyncHybrid:
+    """The reference's executeAsync contract (v8_native_functions.rs:696-763,
+    Sync_Async.md:142-184): start synchronously, go background only on the
+    slow path — the cache-hit optimization."""
+
+    def test_fast_path_resolves_synchronously(self, engine):
+        import threading as _th
+
+        seen_thread = {}
+
+        def setup(lib):
+            def fn(client, key):
+                seen_thread["ident"] = _th.get_ident()
+                return f"cached:{key}"  # fast path: plain value
+
+            lib.register_function("get", fn)
+
+        engine.load_library(setup, name="hyblib")
+        fut = engine.execute_async("hyblib", "get", "k1")
+        # already resolved — no pool dispatch happened for the fast path
+        assert fut.done()
+        assert fut.result(timeout=0) == "cached:k1"
+        assert seen_thread["ident"] == _th.get_ident()  # ran on caller thread
+
+    def test_slow_path_goes_background(self, engine):
+        import threading as _th
+
+        threads = {}
+
+        def setup(lib):
+            def fn(client, key):
+                threads["sync"] = _th.get_ident()
+
+                def cont(c2):
+                    threads["bg"] = _th.get_ident()
+                    return c2.table("events").count()
+
+                return client.execute_async(cont)  # slow path handoff
+
+            lib.register_function("get_or_compute", fn)
+
+        engine.load_library(setup, name="hyb2lib")
+        fut = engine.execute_async("hyb2lib", "get_or_compute", "missing")
+        assert fut.result(timeout=120) == 1000
+        assert threads["sync"] == _th.get_ident()  # sync start, caller thread
+        assert threads["bg"] != _th.get_ident()  # continuation on the pool
+
+    def test_slow_path_errors_recorded(self, engine):
+        def setup(lib):
+            lib.register_function(
+                "bad", lambda c: c.execute_async(lambda c2: 1 / 0)
+            )
+
+        engine.load_library(setup, name="hyb3lib")
+        fut = engine.execute_async("hyb3lib", "bad")
+        with pytest.raises(ZeroDivisionError):
+            fut.result(timeout=30)
+        fns = {
+            f["name"]: f
+            for f in engine.list_libraries(verbose=2)[0]["functions"]
+            if f["name"] == "bad"
+        }
+        assert fns["bad"]["stats"]["n_failed"] == 1
+        assert "ZeroDivisionError" in fns["bad"]["stats"]["last_error"]
+
 
 class TestAdmissionGuards:
     def test_async_requires_call_async(self, engine):

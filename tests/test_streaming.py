@@ -83,6 +83,65 @@ class TestStreamTriggers:
         finally:
             rt.stop_all()
 
+    def test_backfill_bootstrap_pre_populated_stream(
+        self, spark, sf_dir, spool, work
+    ):
+        """Register AGAINST a pre-populated stream (the reference's
+        key-scan bootstrap, lib.rs:1546-1574): records written before the
+        trigger existed are processed exactly once; a restarted runtime
+        resumes from the checkpoint without re-running the backfill; new
+        records still flow."""
+        from pyspark.sql import functions as F
+
+        # the stream exists and has history BEFORE any engine/trigger does
+        # (three separate files — the backfill spans multiple micro-batches)
+        for lo, hi in ((0, 100), (100, 200), (200, 300)):
+            write_slice(spark, sf_dir, spool, lo, hi)
+
+        def make_runtime():
+            engine = GearsEngine(spark, sf_dir)
+            lib = engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "boot", prefix="user:", fn=upper_type, window=10**9
+                ),
+                name="bootlib",
+            )
+            rt = StreamTriggerRuntime(
+                engine, spool, work, source_adapter=events_to_stream
+            )
+            return lib, rt
+
+        lib, rt = make_runtime()
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            assert rt.stats["bootlib.boot"].n_success == 300  # full backfill
+        finally:
+            rt.stop_all()
+        sink_dir = os.path.join(work, "sink", "bootlib", "boot")
+        raw = spark.read.parquet(sink_dir)
+        assert raw.count() == 300
+        # exactly once: no (stream_key, id) appears twice even in the raw
+        # append-only sink (no restart happened mid-backfill)
+        assert raw.select("stream_key", "id").distinct().count() == 300
+
+        # restart: a fresh runtime over the same checkpoints must NOT
+        # re-process the backfilled records...
+        lib2, rt2 = make_runtime()
+        rt2.start_library(lib2)
+        try:
+            rt2.process_available()
+            assert rt2.stats["bootlib.boot"].n_records == 0
+            # ...but new records appended after the restart flow through
+            write_slice(spark, sf_dir, spool, 300, 350)
+            rt2.process_available()
+            assert rt2.stats["bootlib.boot"].n_success == 50
+        finally:
+            rt2.stop_all()
+        final = spark.read.parquet(sink_dir)
+        assert final.count() == 350
+        assert final.select("stream_key", "id").distinct().count() == 350
+
     def test_prefix_filter(self, spark, sf_dir, spool, work):
         engine = GearsEngine(spark, sf_dir)
         lib = engine.load_library(
