@@ -5,6 +5,7 @@ from redisgears_spark.operators import (  # noqa: F401,E402
     dedup,
     inventory,
     multimodal,
+    pipeline,
     relational,
     similarity,
     skew,

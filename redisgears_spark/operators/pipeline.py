@@ -1,0 +1,213 @@
+"""Corpus-level pipeline operators: benchmark decontamination and
+deterministic shard packing.
+
+These are the two remaining ops a 100 TB training-data pipeline runs after
+filtering/dedup (operators/dedup.py): strip documents that leak evaluation
+data, then pack the survivors into fixed-token-budget output shards.
+
+Both are oracle-backed (exact DuckDB SQL): the n-gram overlap is a plain
+join on portable md5 fingerprints, and shard packing is an exclusive
+prefix sum over a deterministic order — integer arithmetic throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from redisgears_spark.operators.registry import query
+from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
+from redisgears_spark.sources.keyspace import load_table, rebalanced
+
+# word n-gram width for contamination matching (eval-set leakage detection;
+# 13 is the published convention for web-scale corpora — the fixture docs
+# are ~55 words, so 5 keeps per-doc gram counts meaningful at test scale)
+_DECON_N = 5
+# deterministic pseudo-eval-set selector: ~8% of the corpus at every SF
+_DECON_EVAL_MOD = 13
+
+_DECON_GRAMS_CTE = f"""
+    tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4]
+                     for i in generate_series(1, len(w) - {_DECON_N - 1})]) AS g
+      FROM tok WHERE len(w) >= {_DECON_N}
+    )
+"""
+
+
+def _gram_rows(spark: SparkSession, sf_dir: str, predicate) -> DataFrame:
+    """documents[predicate] → exploded (doc_id, g) word-5-gram rows.
+
+    One Arrow-batched pass that emits grams already exploded — the Catalyst
+    transform+explode formulation re-evaluates the token split per OUTPUT
+    row (the shingled_docs trap, measured 7-10x at sf0.1), while this stage
+    tokenizes each document exactly once. The text column never survives
+    the stage: only (doc_id, gram) rows flow on, and the join key is
+    md5(gram) computed JVM-side after, so exchanges carry fixed-width rows.
+    """
+    import re
+
+    def grams(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            gs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = [x for x in re.split(r"\s+", text.lower()) if x]
+                for i in range(len(w) - (_DECON_N - 1)):
+                    ids.append(doc_id)
+                    gs.append(" ".join(w[i : i + _DECON_N]))
+            yield pd.DataFrame({"doc_id": ids, "g": gs})
+
+    docs = rebalanced(
+        load_table(spark, sf_dir, "documents")
+        .filter(predicate)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(grams, "doc_id long, g string")
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH {_DECON_GRAMS_CTE},
+    eg AS (SELECT DISTINCT md5(g) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    tg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hits
+             FROM tg JOIN eg USING (gh) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_eval_grams,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with the held-out evaluation set (here: the deterministic
+    doc_id % 13 == 0 slice standing in for an external benchmark table).
+    Output per training doc: how many distinct eval 5-grams it contains,
+    and the contaminated verdict.
+
+    Scale: both sides tokenize map-side in one Arrow pass each
+    (_gram_rows) and reduce to DISTINCT md5 fingerprints, so the join
+    carries 32-byte keys — never text. The eval side of a real pipeline is
+    a benchmark suite (thousands of docs): it broadcast-joins; here it is
+    corpus-proportional, so no hint — AQE broadcasts when it fits and
+    shuffle-joins when it does not, which is the honest 100 TB behavior.
+    """
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_grams = (
+        _gram_rows(spark, sf_dir, is_eval)
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train_grams = (
+        _gram_rows(spark, sf_dir, ~is_eval)
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    hits = train_grams.join(eval_grams, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    train_docs = (
+        load_table(spark, sf_dir, "documents").filter(~is_eval).select("doc_id")
+    )
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_eval_grams"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# tokens per output shard (the training-shard packing budget)
+_SHARD_BUDGET = 5_000
+# coarse buckets for the two-phase distributed prefix sum
+_PACK_BUCKETS = 32
+
+
+@query(
+    "pipeline_pack_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS token_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard packing: assign every document a global
+    token offset (exclusive prefix sum over doc_id order) and the shard it
+    lands in at a fixed token budget per shard — the layout step that turns
+    a filtered corpus into evenly sized training files.
+
+    Scale design — the distributed prefix sum: a naive global
+    `SUM() OVER (ORDER BY doc_id)` plans a single-partition window, which
+    serializes the entire corpus through one task at 100 TB. Instead:
+
+      1. range-bucket doc_id into {_PACK_BUCKETS} coarse buckets (a narrow
+         projection riding the scan);
+      2. aggregate per-bucket token sums — {_PACK_BUCKETS} rows to the
+         driver (bounded, like _ivf_centroids' stats gather);
+      3. turn them into exclusive bucket offsets and broadcast-join back;
+      4. run the window cumsum WITHIN each bucket (parallel across
+         buckets) and add the bucket's offset.
+
+    Every shuffle carries (doc_id, n_tokens) — 16 bytes/row; the window
+    state is one running long per task. Same two-phase shape as
+    zipWithIndex, expressed in DataFrame ops, and bit-exact against the
+    oracle's global window because integer addition is associative.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_tokens")
+    )
+    lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, (hi - lo + _PACK_BUCKETS) // _PACK_BUCKETS)
+    t = t.withColumn("bucket", ((F.col("doc_id") - lo) / width).cast("long"))
+
+    bucket_sums = (
+        t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum")).collect()
+    )
+    sums = {r["bucket"]: r["bsum"] for r in bucket_sums}
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
+    boff = spark.createDataFrame(offsets, "bucket long, bucket_offset long")
+
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local_off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_offset") + local_off).alias("token_offset"),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"CAST(token_offset DIV {_SHARD_BUDGET} AS BIGINT)"),
+        )
+    )

@@ -173,6 +173,80 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    b AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2 THEN
+               [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+             ELSE [] END AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS n_dup_words,
+           CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+             AS dup_word_ratio,
+           CAST(list_max([len(list_filter(w, y -> y = x))
+                          for x in list_distinct(w)]) AS BIGINT) AS top_word_n,
+           CAST(list_max([len(list_filter(w, y -> y = x))
+                          for x in list_distinct(w)]) AS DOUBLE) / len(w)
+             AS top_word_ratio,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+           ELSE 0.0 END AS dup_bigram_ratio
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 repetition-filter
+    family): duplicate-word fraction, most-frequent-word fraction, and
+    duplicate-bigram fraction per document. Highly repetitive documents
+    (boilerplate, keyword stuffing, templated spam) score high and get
+    dropped before training.
+
+    Scale: pure per-row Catalyst higher-order functions — a narrow
+    projection, zero shuffles, so it holds at 100 TB by construction. The
+    top-word count is O(distinct x tokens) per document inside one JVM
+    expression (documents are bounded; no explode, so no re-evaluation
+    trap). That per-row cost is CPU-heavy enough that the fixture's single
+    parquet file must not serialize it through one task — `rebalanced`
+    splits the scan (at 100 TB the thousands of input files parallelize
+    naturally). Ratios are exact-integer counts with one IEEE division at
+    the end — bit-identical across engines.
+    """
+    from redisgears_spark.sources.keyspace import rebalanced
+
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
+    w = F.expr(_TOKENS)
+    bg = F.expr(
+        f"CASE WHEN size({_TOKENS}) >= 2 THEN "
+        f"transform(sequence(0, size({_TOKENS}) - 2), "
+        f"i -> concat({_TOKENS}[i], ' ', {_TOKENS}[i+1])) "
+        "ELSE array() END"
+    )
+    d = docs.select("doc_id", w.alias("w"), bg.alias("bg"))
+    n = F.size("w").cast("long")
+    n_dup = (F.size("w") - F.size(F.array_distinct("w"))).cast("long")
+    top_n = F.expr(
+        "array_max(transform(array_distinct(w), "
+        "x -> size(filter(w, y -> y = x))))"
+    ).cast("long")
+    n_bg = F.size("bg")
+    dup_bg = (n_bg - F.size(F.array_distinct("bg"))).cast("double")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_dup.alias("n_dup_words"),
+        (n_dup.cast("double") / n).alias("dup_word_ratio"),
+        top_n.alias("top_word_n"),
+        (top_n.cast("double") / n).alias("top_word_ratio"),
+        F.when(n_bg > 0, dup_bg / n_bg).otherwise(0.0).alias("dup_bigram_ratio"),
+    )
+
+
 # BPE-ish pre-tokenization classes: letter runs, digit runs, single
 # non-alphanumeric marks (the GPT-2-style split shape, sans merges).
 # Two spellings of the same regex: Spark SQL string literals process

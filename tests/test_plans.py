@@ -275,3 +275,28 @@ def test_salted_left_join_keeps_unmatched_rows_once(spark, sf_dir):
                       n_salts=8, how="left")
     assert out.count() == 1_000
     assert out.filter(F.col("w").isNull()).count() == 500
+
+
+def test_pack_shards_window_never_single_partition(spark, sf_dir):
+    """The distributed prefix sum must NOT plan a single-partition global
+    window: the cumsum window partitions by the range bucket (parallel),
+    and the only SinglePartition exchange allowed is none at all — the
+    bucket offsets arrive via broadcast."""
+    plan = formatted_plan(QUERIES["pipeline_pack_shards"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # bucket offsets ride a broadcast
+
+
+def test_decontaminate_joins_on_fingerprint_not_text(spark, sf_dir):
+    """The contamination join must carry md5 fingerprints, never document
+    text: no 'text' column may appear above the gram stages (text is
+    consumed inside mapInPandas), and the eval-side join key is the
+    32-byte hash."""
+    df = QUERIES["pipeline_decontaminate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "gh" in l]
+    assert join_lines, plan  # the hit join keys on the fingerprint column
+    # text never appears in any exchange (only inside the Python stage input)
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("text" in l for l in exch), plan
