@@ -254,6 +254,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(score, "a_id long, b_id long, cosine double")
 
 
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-duplicate candidate pairs over the WHOLE corpus
+    (not just the query vectors), verified with the exact quantized cosine
+    (>= 0.35, dedup_embedding_cosine's threshold).
+
+    The 100 TB semantic-dedup pair generator: vectors land in one bucket
+    per hash table; the candidate self-join is an equi-join on
+    (table, bucket), so cost follows bucket occupancy instead of
+    |corpus|²; the exact cosine then runs on candidates only. Emitted
+    pairs are a SUBSET of dedup_embedding_cosine's (same exact verify) —
+    pinned in tests.
+    """
+    import numpy as np
+
+    planes = np.array(_hyperplanes())
+
+    def bucketize(batches):
+        import pandas as pd
+
+        P = planes.reshape(-1, planes.shape[-1]).T
+        weights = (1 << np.arange(_LSH_BITS, dtype="int64"))
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            bits = (V @ P) > 0
+            bits = bits.reshape(len(V), _LSH_TABLES, _LSH_BITS)
+            bucket = (bits * weights[None, None, :]).sum(axis=2)
+            vec_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, _LSH_TABLES),
+                    "tbl": np.tile(np.arange(_LSH_TABLES, dtype="int64"), len(V)),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
+    emb = rebalanced(load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ))
+    buckets = emb.mapInPandas(bucketize, "vec_id long, tbl long, bucket long")
+    l = buckets.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
+    r = buckets.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
+    cand = (
+        l.join(r, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = quantized(spark, sf_dir, "a")
+    bv = quantized(spark, sf_dir, "b")
+    return (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id", "b_id",
+            _cosine(_dot("a_q", "b_q"), "a_nq", "b_nq").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@query("dedup_embedding_clusters")  # LSH candidates — rows-only check
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end at the 100 TB shape: LSH-bucketed
+    candidate pairs → exact-cosine verify → connected components →
+    survivor pick. The embedding twin of dedup_clusters_lsh: every stage
+    is linear-ish in the corpus (bucket equi-join, candidate-only
+    verification, then the same union-find / label-propagation machinery),
+    and because the verifier is exact, clusters here refine the exhaustive
+    dedup_embedding_cosine clustering — containment pinned in tests.
+    """
+    from redisgears_spark.operators.dedup import connected_components
+
+    pairs = embedding_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id"),
+        "is_survivor",
+    )
+
+
 _IVF_CELLS = 16
 _IVF_NPROBE = 6
 

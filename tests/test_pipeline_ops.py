@@ -190,3 +190,53 @@ def test_lsh_clusters_refine_exact_clusters(spark, sf_dir):
         assert len(exact_cids) == 1, (
             f"LSH cluster {cid} spans exact clusters {exact_cids}"
         )
+
+
+def test_embedding_lsh_pairs_no_false_positives(spark, sf_dir):
+    """Embedding LSH candidates are verified with the same exact quantized
+    cosine as the brute-force path, so every emitted pair must appear in
+    dedup_embedding_cosine's output with the identical score."""
+    from redisgears_spark.operators.dedup import dedup_exact  # noqa: F401
+    from redisgears_spark.operators.similarity import embedding_lsh_pairs
+
+    from redisgears_spark.operators import QUERIES
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    approx = embedding_lsh_pairs(spark, sf_dir).collect()
+    assert approx, "embedding LSH found no near-dup pairs on the fixture"
+    for r in approx:
+        key = (r["a_id"], r["b_id"])
+        assert key in exact, f"false positive {key}"
+        assert r["cosine"] == exact[key]
+
+
+def test_embedding_clusters_refine_exact(spark, sf_dir):
+    """Semantic-dedup clusters from LSH candidates must refine the
+    exhaustive clustering: members of one LSH cluster always share one
+    exact cluster (subset edges can split, never merge)."""
+    from redisgears_spark.operators.dedup import connected_components
+    from redisgears_spark.operators.similarity import (
+        dedup_embedding_clusters,
+    )
+    from redisgears_spark.operators import QUERIES
+
+    exact_pairs = QUERIES["dedup_embedding_cosine"](spark, sf_dir).select(
+        "a_id", "b_id"
+    )
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(exact_pairs).collect()
+    }
+    rows = dedup_embedding_clusters(spark, sf_dir).collect()
+    assert rows, "embedding clustering found nothing on the fixture"
+    by_cluster: dict[int, set[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    for cid, members in by_cluster.items():
+        exact_cids = {exact[m] for m in members}
+        assert len(exact_cids) == 1, (
+            f"LSH cluster {cid} spans exact clusters {exact_cids}"
+        )

@@ -300,3 +300,15 @@ def test_decontaminate_joins_on_fingerprint_not_text(spark, sf_dir):
     # text never appears in any exchange (only inside the Python stage input)
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert not any("text" in l for l in exch), plan
+
+
+def test_repetition_is_single_pass(spark, sf_dir):
+    """text_repetition's claim: a narrow per-row projection — no joins, no
+    aggregation, and the only exchange is the explicit round-robin
+    rebalance ahead of the CPU-heavy expression (at 100 TB the many input
+    files parallelize without it)."""
+    df = QUERIES["text_repetition"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert count_nodes(df, "Exchange") == 1, plan
