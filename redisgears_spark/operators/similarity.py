@@ -347,6 +347,14 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     micro-units summed as int64 — order-independent across partitions),
     then divides once, so the trained centroids are bit-stable no matter
     how the corpus is partitioned. Returns L2-normalized (cells, dim).
+
+    Deliberately NOT cached across the three Arrow passes (training,
+    corpus assign, query assign): measured at sf0.1, a .cache() of the
+    quantized projection is a net LOSS (3.8→5.0 s cold, 3.0→3.2 s warm —
+    the materialization barrier costs more than the narrow parquet
+    re-scans it saves), and at 100 TB pinning a corpus-wide projection in
+    executor memory is a spill liability. Re-scanning a columnar source
+    is the cheap, pipelined option.
     """
     import numpy as np
 
