@@ -264,6 +264,36 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def union_find_labels(edges) -> dict:
+    """Min-root union-find over an iterable of (a, b) edges →
+    {node: min reachable node}. The single-task kernel behind the compact
+    path of `connected_components`; module-level so the property suite can
+    pin it against brute-force transitive closure without Spark."""
+    parent: dict = {}
+    seen: set = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        a, b = int(a), int(b)
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:  # min doc_id becomes the root
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    return {x: find(x) for x in seen}
+
+
 def connected_components(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over an (a_id, b_id) pair DataFrame →
     (doc_id, cluster_id, is_survivor). Strategy auto-selected by edge count
@@ -282,33 +312,15 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         def cc_union_find(batches):
             import pandas as pd
 
-            parent: dict = {}
-            seen: set = set()
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for pdf in batches:
-                for a, b in zip(pdf["src"], pdf["dst"]):
-                    a, b = int(a), int(b)
-                    seen.add(a)
-                    seen.add(b)
-                    ra, rb = find(a), find(b)
-                    if ra == rb:
-                        continue
-                    if ra < rb:  # min doc_id becomes the root
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-            if seen:
-                nodes = sorted(seen)
+            labels = union_find_labels(
+                (a, b)
+                for pdf in batches
+                for a, b in zip(pdf["src"], pdf["dst"])
+            )
+            if labels:
+                nodes = sorted(labels)
                 yield pd.DataFrame(
-                    {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
+                    {"doc_id": nodes, "cluster_id": [labels[x] for x in nodes]}
                 )
 
         labels = edges.repartition(1).mapInPandas(

@@ -106,3 +106,60 @@ class TestExactArithmeticProperties:
         a = struct.pack("<d", float(total) / float(n))
         b = struct.pack("<d", float(total) / float(n))
         assert a == b
+
+
+class TestUnionFindProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_matches_transitive_closure(self, edges):
+        """The union-find kernel behind dedup cluster resolution must label
+        every node with the MINIMUM node reachable through the undirected
+        edge set — checked against brute-force reachability on random
+        graphs (self-loops and duplicate edges included)."""
+        from redisgears_spark.operators.dedup import union_find_labels
+
+        labels = union_find_labels(edges)
+        # brute-force: adjacency + BFS per node
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for node in adj:
+            seen = {node}
+            frontier = [node]
+            while frontier:
+                cur = frontier.pop()
+                for nxt in adj[cur]:
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        frontier.append(nxt)
+            assert labels[node] == min(seen)
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.integers(min_value=0, max_value=20),
+            ),
+            max_size=40,
+        ),
+        st.randoms(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_edge_order_invariant(self, edges, rnd):
+        """Labeling is independent of edge processing order — the property
+        that makes the single-task fold correct regardless of how Spark
+        orders the shuffled edge partitions."""
+        from redisgears_spark.operators.dedup import union_find_labels
+
+        shuffled = list(edges)
+        rnd.shuffle(shuffled)
+        assert union_find_labels(edges) == union_find_labels(shuffled)
