@@ -371,6 +371,16 @@ class GearsEngine:
             if name not in self._libraries:
                 raise GearsError(f"unknown library '{name}'")
             del self._libraries[name]
+        self._stop_library_triggers(name)
+
+    def _stop_library_triggers(self, name: str) -> None:
+        """Unloading a library takes its running trigger queries with it
+        (the reference drops stream/keyspace consumers with the
+        GearsLibraryCtx on FUNCTION DELETE and on fatal Kill)."""
+        for rt in self._runtimes:
+            stop = getattr(rt, "stop_library", None)
+            if stop is not None:
+                stop(name)
 
     def list_libraries(
         self, verbose: int = 0, with_code: bool = False
@@ -482,7 +492,13 @@ class GearsEngine:
                 "is not flagged NO_WRITES"
             )
 
-    def _invoke(self, lib: Library, rf: RegisteredFunction, args: tuple) -> Any:
+    def _invoke(
+        self,
+        lib: Library,
+        rf: RegisteredFunction,
+        args: tuple,
+        allow_background: bool = False,
+    ) -> Any:
         self._admit(rf)
         # RAW_ARGUMENTS: pass bytes through untouched; default decodes
         # bytes→str erroring on invalid utf-8 (v8_function_ctx.rs:253-267)
@@ -504,10 +520,15 @@ class GearsEngine:
         try:
             result = rf.fn(client, *args)
             if isinstance(result, Background):
-                # executeAsync handoff: the continuation's value is shaped
-                # when it completes (engine.execute_async), not here
-                rf.stats.n_success += 1
-                return result
+                if allow_background:
+                    # executeAsync handoff: the continuation's value is
+                    # shaped — and its success/failure counted — when it
+                    # completes (engine.execute_async), not here
+                    return result
+                # call/call_async: resolve the promise inline, like the
+                # reference's TFCALL when blocking is allowed
+                # (lib.rs:1363-1366 only rejects when it is not)
+                result = result.fn(client)
             if not isinstance(result, DataFrame):
                 # reply sink: enforce the JS→RESP conversion rules
                 # (v8_function_ctx.rs:58-141 — nesting cap, map-key types,
@@ -573,6 +594,7 @@ class GearsEngine:
             if self.fatal_failure_policy == "kill":
                 with self._lock:
                     self._libraries.pop(lib.name, None)
+                self._stop_library_triggers(lib.name)
                 killed = "; library unloaded (fatal policy: kill)"
             rf.stats.last_error = f"timeout after {timeout}s (aborted){killed}"
             raise GearsError(
@@ -599,7 +621,8 @@ class GearsEngine:
         if rf.is_async:
             # async-registered functions never had a sync fast path
             return self._pool.submit(self._invoke, lib, rf, args)
-        result = self._invoke(lib, rf, args)  # sync portion, caller thread
+        # sync portion, caller thread; Background resolves below
+        result = self._invoke(lib, rf, args, allow_background=True)
         if isinstance(result, Background):
             client = GearsClient(self, read_only=NO_WRITES in rf.flags)
 
@@ -611,6 +634,7 @@ class GearsEngine:
                         from redisgears_spark.functions.types import reply_shape
 
                         out = reply_shape(out)
+                    rf.stats.n_success += 1
                     return out
                 except Exception as e:
                     rf.stats.n_failed += 1
@@ -727,7 +751,11 @@ class GearsEngine:
         into the scan (partition pruning / row-group skipping), so only the
         partition(s) owning the key are read — no user-visible routing.
         The function receives the matching rows iterator. Timeouts raise,
-        like the reference's remote-task-default-timeout (lib.rs:1913)."""
+        like the reference's remote-task-default-timeout (lib.rs:1913).
+        Config parity note: the reference defaults that timeout to 500 ms —
+        appropriate for an in-memory hash-slot hop; a Spark job that reads
+        parquet cold needs more, hence 30 s here. Pass ``timeout=0.5`` for
+        reference-identical behavior."""
         with self._lock:
             lib = self._libraries.get(lib_name)
             if lib is None:

@@ -59,7 +59,7 @@ def _shingles_py(text: str) -> list[str]:
     _SHINGLES, shared by the shingle stage and the sketch signatures."""
     import re
 
-    w = [x for x in re.split(r"\s+", text.lower()) if x]
+    w = [x for x in re.split(r"\s+", text.lower(), flags=re.ASCII) if x]
     if len(w) >= 3:
         return list(dict.fromkeys(" ".join(w[i : i + 3]) for i in range(len(w) - 2)))
     return [""]
@@ -635,7 +635,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             wlists = [
-                [x for x in re.split(r"\s+", t.lower()) if x] or [""]
+                [x for x in re.split(r"\s+", t.lower(), flags=re.ASCII) if x]
+                or [""]
                 for t in pdf["text"]
             ]
             lens = np.fromiter((len(w) for w in wlists), dtype=np.int64, count=len(wlists))

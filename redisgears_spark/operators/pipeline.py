@@ -58,7 +58,7 @@ def _gram_rows(spark: SparkSession, sf_dir: str, predicate) -> DataFrame:
             ids: list = []
             gs: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = [x for x in re.split(r"\s+", text.lower()) if x]
+                w = [x for x in re.split(r"\s+", text.lower(), flags=re.ASCII) if x]
                 for i in range(len(w) - (_DECON_N - 1)):
                     ids.append(doc_id)
                     gs.append(" ".join(w[i : i + _DECON_N]))
@@ -129,8 +129,12 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # tokens per output shard (the training-shard packing budget)
 _SHARD_BUDGET = 5_000
-# coarse buckets for the two-phase distributed prefix sum
-_PACK_BUCKETS = 32
+# two-phase prefix-sum bucket sizing: scale bucket count with the corpus so
+# per-bucket work stays bounded at 100 TB (a fixed count would cap the
+# windowed cumsum at that many tasks), floored at cluster parallelism and
+# capped so the driver-side offset gather stays trivially small
+_PACK_TARGET_ROWS_PER_BUCKET = 1_000_000
+_PACK_MAX_BUCKETS = 65_536
 
 
 @query(
@@ -162,10 +166,12 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SUM() OVER (ORDER BY doc_id)` plans a single-partition window, which
     serializes the entire corpus through one task at 100 TB. Instead:
 
-      1. range-bucket doc_id into {_PACK_BUCKETS} coarse buckets (a narrow
-         projection riding the scan);
-      2. aggregate per-bucket token sums — {_PACK_BUCKETS} rows to the
-         driver (bounded, like _ivf_centroids' stats gather);
+      1. range-bucket doc_id into coarse buckets (a narrow projection
+         riding the scan) — bucket count scales with corpus size
+         (~{_PACK_TARGET_ROWS_PER_BUCKET} rows/bucket), floored at
+         defaultParallelism, capped at {_PACK_MAX_BUCKETS};
+      2. aggregate per-bucket token sums — |buckets| rows to the driver
+         (bounded, like _ivf_centroids' stats gather);
       3. turn them into exclusive bucket offsets and broadcast-join back;
       4. run the window cumsum WITHIN each bucket (parallel across
          buckets) and add the bucket's offset.
@@ -173,15 +179,32 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every shuffle carries (doc_id, n_tokens) — 16 bytes/row; the window
     state is one running long per task. Same two-phase shape as
     zipWithIndex, expressed in DataFrame ops, and bit-exact against the
-    oracle's global window because integer addition is associative.
+    oracle's global window because integer addition is associative (and
+    the bucket id is integer floor division — exact for any 64-bit
+    doc_id range, unlike a double-rounded divide).
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_tokens")
     )
-    lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
-    width = max(1, (hi - lo + _PACK_BUCKETS) // _PACK_BUCKETS)
-    t = t.withColumn("bucket", ((F.col("doc_id") - lo) / width).cast("long"))
+    n_rows, lo, hi = t.agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id")
+    ).first()
+    if not n_rows:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, token_offset long, shard_id long"
+        )
+    n_buckets = min(
+        _PACK_MAX_BUCKETS,
+        max(
+            spark.sparkContext.defaultParallelism,
+            n_rows // _PACK_TARGET_ROWS_PER_BUCKET,
+        ),
+    )
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    t = t.withColumn(
+        "bucket", F.expr(f"(doc_id - {lo}) DIV {width}")
+    )
 
     bucket_sums = (
         t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum")).collect()

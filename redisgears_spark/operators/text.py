@@ -341,10 +341,11 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram construction is an Arrow-batched map-side stage (the
     Catalyst transform+explode formulation re-evaluates the token split
     per OUTPUT row — the same O(words × ngrams) trap shingled_docs
-    documents); the count partial-aggregates; the ranked top-k is a global
-    window over the already-aggregated bigram counts — acceptable because
-    its input is |distinct bigrams|, not |corpus| (for huge vocabularies,
-    pre-prune with `ORDER BY n DESC LIMIT k*fudge` per partition first).
+    documents); the count partial-aggregates; the ranked top-k is
+    orderBy+limit, which compiles to TakeOrderedAndProject (per-partition
+    top-20 + driver merge — no single-partition sort over |distinct
+    bigrams|, which is corpus-scale cardinality). The rank window then
+    runs over the ≤20 surviving rows only.
     """
     import re
 
@@ -356,7 +357,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out: list[str] = []
             for text in pdf["text"]:
-                w = [x for x in re.split(r"\s+", text.lower()) if x]
+                w = [x for x in re.split(r"\s+", text.lower(), flags=re.ASCII) if x]
                 out.extend(
                     f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)
                 )
@@ -370,8 +371,6 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(20)
     w = W.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w))

@@ -474,6 +474,17 @@ class StreamTriggerRuntime:
                 pass
         self.queries.clear()
 
+    def stop_library(self, lib_name: str) -> None:
+        """Stop every query owned by one library (TFUNCTION DELETE / fatal
+        Kill unload the whole library, triggers included — the reference
+        drops its stream consumers with the GearsLibraryCtx)."""
+        owned = [k for k in self.queries if k.startswith(f"{lib_name}.")]
+        for k in owned:
+            try:
+                self.queries.pop(k).stop()
+            except Exception:
+                pass
+
     def process_available(self) -> None:
         """Drain everything currently in the spool (test/batch-drive mode)."""
         for q in self.queries.values():
@@ -685,3 +696,13 @@ class KeyspaceTriggerRuntime:
             except Exception:
                 pass
         self.queries.clear()
+
+    def stop_library(self, lib_name: str) -> None:
+        """Stop every query owned by one library (see
+        StreamTriggerRuntime.stop_library)."""
+        owned = [k for k in self.queries if k.startswith(f"{lib_name}.")]
+        for k in owned:
+            try:
+                self.queries.pop(k).stop()
+            except Exception:
+                pass

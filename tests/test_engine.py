@@ -431,3 +431,86 @@ class TestWithCode:
             e for e in engine.list_libraries() if e["name"] == "srclib"
         )
         assert "code" not in plain
+
+
+class TestBackgroundResolution:
+    """call()/call_async() on a body that hands back executeAsync must
+    resolve the continuation, not leak the marker — the reference's TFCALL
+    resolves the promise when blocking is allowed (lib.rs:1363-1366 only
+    rejects when it is not)."""
+
+    def _setup(self, lib):
+        def fn(client, x):
+            return client.execute_async(lambda c2: f"resolved:{x}")
+
+        lib.register_function("bg", fn)
+        lib.register_function(
+            "bg_fail", lambda c: c.execute_async(lambda c2: 1 / 0)
+        )
+
+    def test_call_resolves_background_inline(self, engine):
+        engine.load_library(self._setup, name="bgres")
+        assert engine.call("bgres", "bg", "v") == "resolved:v"
+
+    def test_call_async_resolves_background(self, engine):
+        engine.load_library(self._setup, name="bgres2")
+        fut = engine.call_async("bgres2", "bg", "w")
+        assert fut.result(timeout=30) == "resolved:w"
+
+    def test_stats_count_once_per_call(self, engine):
+        """A Background call is ONE call: success and failure are counted
+        exactly once, in the continuation's outcome — never both."""
+        engine.load_library(self._setup, name="bgres3")
+        engine.call("bgres3", "bg", "v")
+        fut = engine.execute_async("bgres3", "bg", "v")
+        fut.result(timeout=30)
+        bad = engine.execute_async("bgres3", "bg_fail")
+        with pytest.raises(ZeroDivisionError):
+            bad.result(timeout=30)
+        stats = {
+            f["name"]: f["stats"]
+            for f in engine.list_libraries(verbose=2)[0]["functions"]
+        }
+        assert stats["bg"]["n_calls"] == 2
+        assert stats["bg"]["n_success"] == 2
+        assert stats["bg"]["n_failed"] == 0
+        assert stats["bg_fail"]["n_calls"] == 1
+        assert stats["bg_fail"]["n_success"] == 0
+        assert stats["bg_fail"]["n_failed"] == 1
+
+
+class TestLibraryUnloadStopsTriggers:
+    """Unloading a library (DELETE or fatal Kill) must stop its running
+    trigger queries — the reference drops stream consumers with the
+    GearsLibraryCtx; a 'killed' library must not keep firing."""
+
+    class _FakeRuntime:
+        def __init__(self):
+            self.stopped = []
+            self.stats = {}
+
+        def stop_library(self, name):
+            self.stopped.append(name)
+
+    def test_delete_stops_owned_queries(self, engine):
+        rt = self._FakeRuntime()
+        engine.register_trigger_runtime(rt)
+        engine.load_library(_basic_setup, name="dlib")
+        engine.delete_library("dlib")
+        assert rt.stopped == ["dlib"]
+
+    def test_kill_policy_stops_owned_queries(self, spark, sf_dir):
+        import time as _time
+
+        kill_engine = GearsEngine(spark, sf_dir, fatal_failure_policy="kill")
+        rt = self._FakeRuntime()
+        kill_engine.register_trigger_runtime(rt)
+        kill_engine.load_library(
+            lambda lib: lib.register_function(
+                "slow", lambda c: _time.sleep(10)
+            ),
+            name="klib2",
+        )
+        with pytest.raises(GearsError, match="aborted"):
+            kill_engine.call("klib2", "slow", timeout=0.5)
+        assert rt.stopped == ["klib2"]

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from redisgears_spark.operators import QUERIES
 from redisgears_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
 from redisgears_spark.operators.similarity import (
     sim_ann_ivf,
@@ -240,3 +241,38 @@ def test_embedding_clusters_refine_exact(spark, sf_dir):
         assert len(exact_cids) == 1, (
             f"LSH cluster {cid} spans exact clusters {exact_cids}"
         )
+
+
+def test_pack_shards_prefix_sum_invariant(spark, sf_dir):
+    """The two-phase distributed prefix sum must reproduce the exclusive
+    running sum exactly, whatever partitioning Spark picked — the
+    bit-exactness contract behind the bucket-offset decomposition."""
+    from redisgears_spark.operators.pipeline import _SHARD_BUDGET
+
+    pdf = (
+        QUERIES["pipeline_pack_shards"](spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    running = pdf["n_tokens"].cumsum().shift(1, fill_value=0)
+    assert (pdf["token_offset"] == running).all()
+    assert (pdf["shard_id"] == pdf["token_offset"] // _SHARD_BUDGET).all()
+
+
+def test_pack_shards_empty_corpus(spark, tmp_path):
+    """An empty documents table yields an empty, correctly-typed frame
+    (not a TypeError from min/max returning NULL)."""
+    empty_dir = tmp_path / "sf_empty"
+    empty_dir.mkdir()
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(
+        str(empty_dir / "documents.parquet")
+    )
+    out = QUERIES["pipeline_pack_shards"](spark, str(empty_dir))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_tokens",
+        "token_offset",
+        "shard_id",
+    ]

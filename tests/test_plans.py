@@ -312,3 +312,18 @@ def test_repetition_is_single_pass(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "HashAggregate" not in plan, plan
     assert count_nodes(df, "Exchange") == 1, plan
+
+
+def test_top_bigrams_no_global_sort(spark, sf_dir):
+    """The corpus-wide top-20 must compile to TakeOrderedAndProject over
+    the aggregated counts — a single-partition Sort there would sort
+    |distinct bigrams| (corpus-scale at 100 TB). The rank window runs
+    over the ≤20 rows surviving the limit, so the only allowed
+    SinglePartition exchange is the one feeding that bounded window."""
+    plan = formatted_plan(QUERIES["text_top_bigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    sort_lines = [l for l in plan.splitlines() if "Sort " in l]
+    take_idx = plan.index("TakeOrderedAndProject")
+    # any remaining Sort must sit above the limit (bounded ≤20-row input)
+    for line in sort_lines:
+        assert plan.index(line) < take_idx, plan
