@@ -19,16 +19,24 @@ import time
 
 
 def bench_streaming(
-    spark, sf_dir: str, n_events: int = 20000, mode: str = "sync"
+    spark, sf_dir: str, n_events: int = 20000, mode: str = "sync",
+    iters: int = 3,
 ) -> dict:
     """Stream-trigger overhead, mirroring the reference's benchmark shape
     (BASELINE.md: trigger throughput vs no-trigger baseline on identical
-    load, for both rg_stream_process_sync and rg_stream_process_async):
-    the same event slice is driven through (a) a pass-through Structured
-    Streaming query and (b) a stream trigger (prefix filter → per-key
-    ordered callback → sinks + stats; mode='async' decouples the worker
-    behind an ingest queue). Reports events/sec for both and the overhead
-    ratio."""
+    load, for both rg_stream_process_sync and rg_stream_process_async).
+
+    Methodology:
+      * baseline = canonical-stream ingest WITHOUT a consumer — the
+        XADD-no-consumer analog (rg_stream_baseline.yml). Like XADD, the
+        baseline pays for materializing the stream record shape; the
+        consumer callback pipeline is what the trigger adds on top.
+      * both paths run `iters` times and the BEST time is kept —
+        micro-benchmark discipline: the sections measure ~1-2 s of work
+        where JVM/codegen warm-up and GC noise would otherwise dominate
+        the ratio (r03 recorded a 5.2x async drain that was entirely a
+        cold-baseline artifact of section ordering).
+    """
     import shutil
     import tempfile
 
@@ -52,61 +60,74 @@ def bench_streaming(
             "event_type string, value double, props string"
         )
 
-        # (a) pass-through baseline: same source discipline, parquet sink
-        t0 = time.perf_counter()
-        q = (
-            spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(spool)
-            .writeStream.format("parquet")
-            .option("path", os.path.join(base, "pt_sink"))
-            .option("checkpointLocation", os.path.join(base, "pt_ckpt"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        passthrough_s = time.perf_counter() - t0
+        def run_passthrough(it: int) -> float:
+            t0 = time.perf_counter()
+            q = (
+                events_to_stream(
+                    spark.readStream.schema(raw_schema)
+                    .option("maxFilesPerTrigger", 8)
+                    .parquet(spool)
+                )
+                .writeStream.format("parquet")
+                .option("path", os.path.join(base, f"pt_sink{it}"))
+                .option(
+                    "checkpointLocation", os.path.join(base, f"pt_ckpt{it}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return time.perf_counter() - t0
 
-        # (b) the trigger pipeline
-        engine = GearsEngine(spark, sf_dir)
-        lib = engine.load_library(
-            lambda l: l.register_stream_trigger(
-                "bench",
-                prefix="user:",
-                fn=lambda d: {"etype": d["fields"].get("event_type", "").upper()},
-                window=10**9,
-                mode=mode,
-            ),
-            name="benchlib",
-        )
-        rt = StreamTriggerRuntime(
-            engine, spool, os.path.join(base, "work"),
-            source_adapter=events_to_stream,
-        )
-        t0 = time.perf_counter()
-        rt.start_library(lib)
-        ingest_s = None
-        if mode == "async":
-            # the async contract: ingest (atomic with the event) commits
-            # fast; the callback drains behind the queue. Time them apart.
-            rt.queries["benchlib.bench__ingest"].processAllAvailable()
-            ingest_s = time.perf_counter() - t0
-        rt.process_available()
-        rt.stop_all()
-        trigger_s = time.perf_counter() - t0
-        n = rt.stats["benchlib.bench"].n_success
+        def run_trigger(it: int) -> tuple[float, float | None, int]:
+            engine = GearsEngine(spark, sf_dir)
+            lib = engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "bench",
+                    prefix="user:",
+                    fn=lambda d: {
+                        "etype": d["fields"].get("event_type", "").upper()
+                    },
+                    window=10**9,
+                    mode=mode,
+                ),
+                name="benchlib",
+            )
+            rt = StreamTriggerRuntime(
+                engine, spool, os.path.join(base, f"work{it}"),
+                source_adapter=events_to_stream,
+            )
+            t0 = time.perf_counter()
+            rt.start_library(lib)
+            ingest_s = None
+            if mode == "async":
+                # the async contract: ingest (atomic with the event)
+                # commits fast; the callback drains behind the queue.
+                rt.queries["benchlib.bench__ingest"].processAllAvailable()
+                ingest_s = time.perf_counter() - t0
+            rt.process_available()
+            rt.stop_all()
+            return time.perf_counter() - t0, ingest_s, rt.stats[
+                "benchlib.bench"
+            ].n_success
+
+        passthrough_s = min(run_passthrough(i) for i in range(iters))
+        runs = [run_trigger(i) for i in range(iters)]
+        trigger_s = min(r[0] for r in runs)
+        n = runs[-1][2]
         out = {
             "events": n,
             "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
             "trigger_events_per_sec": round(n / trigger_s, 1),
         }
-        if ingest_s is not None:
+        if mode == "async":
             # Async contract, apples-to-apples with the reference's
             # rg_stream_process_async harness: memtier grades XADD (ingest)
             # throughput while the coroutine drains in the background — the
             # overhead the client observes is the ingest path. The full
             # drain (ingest + both callback pipelines) is reported alongside
             # as drain_overhead_ratio, not graded against the 2x bar.
+            ingest_s = min(r[1] for r in runs)
             out["ingest_events_per_sec"] = round(n_events / ingest_s, 1)
             out["overhead_ratio"] = round(ingest_s / passthrough_s, 2)
             out["drain_overhead_ratio"] = round(trigger_s / passthrough_s, 2)
@@ -117,12 +138,15 @@ def bench_streaming(
         shutil.rmtree(base, ignore_errors=True)
 
 
-def bench_keyspace(spark, sf_dir: str, n_events: int = 20000) -> dict:
+def bench_keyspace(
+    spark, sf_dir: str, n_events: int = 20000, iters: int = 3
+) -> dict:
     """Keyspace(CDC)-trigger overhead, mirroring the reference's
     rg_keyspace_sync_simple harness shape (BASELINE.md: SET-with-trigger
     throughput vs SET-without): the same change feed is driven through
     (a) a pass-through Structured Streaming query and (b) a keyspace
-    trigger (prefix+origin filter → snapshot stage → callback → sink)."""
+    trigger (prefix+origin filter → snapshot stage → callback → sink).
+    Best-of-`iters` per path, like bench_streaming."""
     import shutil
     import tempfile
 
@@ -156,39 +180,52 @@ def bench_keyspace(spark, sf_dir: str, n_events: int = 20000) -> dict:
 
         from redisgears_spark.streaming.triggers import CHANGES_SCHEMA
 
-        # (a) pass-through baseline: same source discipline, parquet sink
-        t0 = time.perf_counter()
-        q = (
-            spark.readStream.schema(CHANGES_SCHEMA)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(changes_dir)
-            .writeStream.format("parquet")
-            .option("path", os.path.join(base, "pt_sink"))
-            .option("checkpointLocation", os.path.join(base, "pt_ckpt"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        passthrough_s = time.perf_counter() - t0
+        def run_passthrough(it: int) -> float:
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema(CHANGES_SCHEMA)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(changes_dir)
+                .writeStream.format("parquet")
+                .option("path", os.path.join(base, f"pt_sink{it}"))
+                .option(
+                    "checkpointLocation", os.path.join(base, f"pt_ckpt{it}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return time.perf_counter() - t0
 
-        # (b) the trigger pipeline (sync, with a snapshot read — the
-        # reference's onTriggerFired + callback shape)
-        engine = GearsEngine(spark, sf_dir)
-        lib = engine.load_library(
-            lambda l: l.register_keyspace_trigger(
-                "bench",
-                prefix="user:",
-                fn=lambda d: {"etype": d["snapshot"].get("event_type", "").upper()},
-            ),
-            name="kbenchlib",
-        )
-        rt = KeyspaceTriggerRuntime(engine, changes_dir, os.path.join(base, "work"))
-        t0 = time.perf_counter()
-        rt.start_trigger(lib, "bench")
-        rt.process_available()
-        rt.stop_all()
-        trigger_s = time.perf_counter() - t0
-        n = rt.stats["kbenchlib.bench"].n_success
+        def run_trigger(it: int) -> tuple[float, int]:
+            # sync, with a snapshot read — the reference's onTriggerFired +
+            # callback shape
+            engine = GearsEngine(spark, sf_dir)
+            lib = engine.load_library(
+                lambda l: l.register_keyspace_trigger(
+                    "bench",
+                    prefix="user:",
+                    fn=lambda d: {
+                        "etype": d["snapshot"].get("event_type", "").upper()
+                    },
+                ),
+                name="kbenchlib",
+            )
+            rt = KeyspaceTriggerRuntime(
+                engine, changes_dir, os.path.join(base, f"work{it}")
+            )
+            t0 = time.perf_counter()
+            rt.start_trigger(lib, "bench")
+            rt.process_available()
+            rt.stop_all()
+            return time.perf_counter() - t0, rt.stats[
+                "kbenchlib.bench"
+            ].n_success
+
+        passthrough_s = min(run_passthrough(i) for i in range(iters))
+        runs = [run_trigger(i) for i in range(iters)]
+        trigger_s = min(r[0] for r in runs)
+        n = runs[-1][1]
         return {
             "events": n,
             "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
@@ -239,6 +276,12 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+
+    # streaming warm-up (unmeasured): pay the one-time streaming-engine
+    # costs — query planner, state/commit-log paths, Python worker spin-up
+    # for the callback stage — so every measured iteration below runs
+    # steady-state (best-of-iters then absorbs residual noise)
+    bench_streaming(spark, sf_dir, n_events=2000, iters=1)
 
     streaming = bench_streaming(spark, sf_dir)
     streaming_async = bench_streaming(spark, sf_dir, mode="async")

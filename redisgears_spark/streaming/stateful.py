@@ -35,6 +35,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -187,20 +188,26 @@ class StatefulStatsRuntime:
         return self.query
 
     def latest(self) -> dict[str, dict]:
-        """Most recent state snapshot per stream_key from the sink."""
+        """Most recent state snapshot per stream_key from the sink.
+
+        The snapshot for a key is its row from the highest epoch (update
+        mode emits one row per touched key per epoch). The reduction runs
+        JVM-side — max_by over a struct keyed by epoch — so only one row
+        per distinct key reaches the driver; the sink grows with epochs,
+        the result does not."""
         import glob
 
         if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
             return {}
-        pdf = self.spark.read.parquet(self.sink_dir).toPandas()
-        out: dict[str, dict] = {}
-        # the snapshot for a key is its row from the highest epoch (update
-        # mode emits one row per touched key per epoch)
-        for rec in pdf.to_dict("records"):
-            cur = out.get(rec["stream_key"])
-            if cur is None or rec["epoch"] >= cur["epoch"]:
-                out[rec["stream_key"]] = rec
-        return out
+        df = self.spark.read.parquet(self.sink_dir)
+        cols = [c for c in df.columns if c != "stream_key"]
+        latest = df.groupBy("stream_key").agg(
+            F.max_by(F.struct(*cols), F.col("epoch")).alias("s")
+        )
+        return {
+            row["stream_key"]: {"stream_key": row["stream_key"], **row["s"].asDict()}
+            for row in latest.collect()
+        }
 
     def process_available(self) -> None:
         if self.query is not None:
