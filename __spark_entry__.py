@@ -39,14 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness harness verifies the first 50 entries of queries() in dict
 # order (CORRECTNESS_r01..r03 each contain exactly the first 50 registered
-# names).  With 71 registered queries, coverage therefore rotates across
+# names).  With 73 registered queries, coverage therefore rotates across
 # rounds: r01-r03 verified the dedup/inventory/multimodal/text/pipeline
 # families (all hash-green in r03); _PRIORITY puts the 21 queries with no
 # driver row yet (relational windowing/grouping, similarity, skew) first,
 # followed by the 29 most load-bearing of the already-green set — including
-# every query whose implementation changed this round.  The 21 rotated out
-# below the cap are trivial point/filter lookups and rows-only sketch ops,
-# all driver-green in CORRECTNESS_r03.json.
+# every query whose implementation changed this round.  Rotated out below
+# the cap: trivial point/filter lookups and rows-only sketch ops (all
+# driver-green in CORRECTNESS_r03.json) and the two round-4 additions
+# (pipeline_gopher_filters, pipeline_shuffle_pack — local parity green,
+# rotate into the top 50 next round).
 _PRIORITY = [
     # never driver-verified (r01-r03): relational widening
     "asof_join_latest_order",

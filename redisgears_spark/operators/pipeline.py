@@ -234,3 +234,188 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(token_offset DIV {_SHARD_BUDGET} AS BIGINT)"),
         )
     )
+
+
+# Gopher-style quality gates (published web-corpus filter rules — word-count
+# bounds, mean-word-length band, symbol ratio, stopword presence), fused
+# into one pass with a reasons bitmask. Bounds calibrated to the fixture
+# distribution so keeps and drops both occur at every SF.
+_G_MIN_WORDS, _G_MAX_WORDS = 30, 90
+_G_MIN_MWL, _G_MAX_MWL = 4.0, 10.0
+_G_MAX_SYMBOL_RATIO = 0.1
+_G_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@query(
+    "pipeline_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_TOKENS_SQL} AS w,
+             len(text) AS nc,
+             len(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS sym
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+                            AS DOUBLE) / len(w)
+             END AS mean_word_len,
+             CASE WHEN nc > 0 THEN CAST(sym AS DOUBLE) / nc END AS symbol_ratio,
+             len(list_filter(w, x -> x IN {_G_STOPWORDS})) > 0 AS has_stopword
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, has_stopword,
+           CAST(
+             CASE WHEN n_words < {_G_MIN_WORDS} THEN 1 ELSE 0 END
+           + CASE WHEN n_words > {_G_MAX_WORDS} THEN 2 ELSE 0 END
+           + CASE WHEN mean_word_len IS NULL OR mean_word_len < {_G_MIN_MWL}
+                       OR mean_word_len > {_G_MAX_MWL} THEN 4 ELSE 0 END
+           + CASE WHEN symbol_ratio IS NULL
+                       OR symbol_ratio > {_G_MAX_SYMBOL_RATIO} THEN 8 ELSE 0 END
+           + CASE WHEN NOT has_stopword THEN 16 ELSE 0 END
+           AS BIGINT) AS reasons,
+           (  n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
+          AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
+          AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO} AND has_stopword
+           ) AS keep
+    FROM s
+    """,
+)
+def pipeline_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filtering (the published web-corpus rule set:
+    word-count bounds, mean-word-length band, symbol ratio, stopword
+    presence), one pass per document with a per-rule `reasons` bitmask —
+    the curation report a training pipeline keeps alongside the verdict.
+
+    Scale: pure Catalyst — a narrow projection over the scan, zero
+    shuffles, zero Python; every signal is integer arithmetic with ONE
+    IEEE division per ratio, so verdicts are bit-identical across engines.
+    Reference parity: composes the same per-record filter surface as
+    `pipeline_corpus_filter` (lib.rs registered-function filters); the
+    rule set itself follows the Gopher/MassiveText quality heuristics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in _G_STOPWORDS)
+    t = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CASE WHEN size({_TOKENS}) > 0 THEN "
+            f"CAST(aggregate(transform({_TOKENS}, x -> length(x)), 0L, "
+            f"(acc, x) -> acc + x) AS DOUBLE) / size({_TOKENS}) END"
+        ).alias("mean_word_len"),
+        F.expr(
+            "CASE WHEN length(text) > 0 THEN "
+            "CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE)"
+            " / length(text) END"
+        ).alias("symbol_ratio"),
+        F.expr(
+            f"size(filter({_TOKENS}, x -> x IN ({stop_list}))) > 0"
+        ).alias("has_stopword"),
+    )
+    too_short = F.when(F.col("n_words") < _G_MIN_WORDS, 1).otherwise(0)
+    too_long = F.when(F.col("n_words") > _G_MAX_WORDS, 2).otherwise(0)
+    bad_mwl = F.when(
+        F.col("mean_word_len").isNull()
+        | (F.col("mean_word_len") < _G_MIN_MWL)
+        | (F.col("mean_word_len") > _G_MAX_MWL),
+        4,
+    ).otherwise(0)
+    bad_sym = F.when(
+        F.col("symbol_ratio").isNull()
+        | (F.col("symbol_ratio") > _G_MAX_SYMBOL_RATIO),
+        8,
+    ).otherwise(0)
+    no_stop = F.when(~F.col("has_stopword"), 16).otherwise(0)
+    reasons = (too_short + too_long + bad_mwl + bad_sym + no_stop).cast("long")
+    return t.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "has_stopword",
+        reasons.alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
+# deterministic-shuffle packing: hash-prefix buckets are uniform by
+# construction, so 4 hex chars = 65536 ordered buckets bound per-task work
+# at any corpus size while the driver-side offset gather stays tiny
+_SHUFFLE_BUCKET_CHARS = 4
+
+
+@query(
+    "pipeline_shuffle_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS token_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def pipeline_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard packing: documents are laid out
+    in md5(doc_id) order — the seedable, reproducible training-order
+    shuffle every run needs — then packed into fixed-token-budget shards
+    with an exclusive prefix sum, exactly like `pipeline_pack_shards` but
+    over the shuffled order.
+
+    Scale: same two-phase distributed prefix sum, with a twist that makes
+    it BETTER-conditioned than id-range bucketing: the bucket is the first
+    {_SHUFFLE_BUCKET_CHARS} hex chars of the hash, so buckets are uniform
+    by construction (no skew from dense/sparse id ranges), lexicographic
+    bucket order equals hash order, and the windowed cumsum parallelizes
+    across 16^{_SHUFFLE_BUCKET_CHARS} buckets regardless of id
+    distribution. Only (doc_id, 16-byte hash, count) ever shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_tokens"),
+    ).withColumn("bucket", F.substring("h", 1, _SHUFFLE_BUCKET_CHARS))
+    bucket_sums = (
+        t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum")).collect()
+    )
+    if not bucket_sums:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, token_offset long, shard_id long"
+        )
+    offsets, acc = [], 0
+    for r in sorted(bucket_sums, key=lambda r: r["bucket"]):
+        offsets.append((r["bucket"], acc))
+        acc += r["bsum"]
+    boff = spark.createDataFrame(offsets, "bucket string, bucket_offset long")
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local_off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_offset") + local_off).alias("token_offset"),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"CAST(token_offset DIV {_SHARD_BUDGET} AS BIGINT)"),
+        )
+    )

@@ -327,3 +327,22 @@ def test_top_bigrams_no_global_sort(spark, sf_dir):
     # any remaining Sort must sit above the limit (bounded ≤20-row input)
     for line in sort_lines:
         assert plan.index(line) < take_idx, plan
+
+
+def test_gopher_filters_no_shuffle(spark, sf_dir):
+    """The fused quality-rule pass is a pure narrow projection: no joins,
+    no aggregates, no exchanges — the whole rule set rides the scan."""
+    df = QUERIES["pipeline_gopher_filters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_shuffle_pack_window_never_single_partition(spark, sf_dir):
+    """The shuffled-order prefix sum keeps the pack_shards contract: the
+    cumsum window partitions by the hash-prefix bucket (uniform by
+    construction), never a SinglePartition global window."""
+    plan = formatted_plan(QUERIES["pipeline_shuffle_pack"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
