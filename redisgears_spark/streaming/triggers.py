@@ -632,35 +632,47 @@ class KeyspaceTriggerRuntime:
 
         def process_partition(pdf_iter):
             for pdf in pdf_iter:
-                out = []
-                for rec in pdf.sort_values("seq").to_dict("records"):
-                    row = {
-                        "seq": rec["seq"],
-                        "key": rec["key"],
-                        "event": rec["event"],
-                        "status": "ok",
-                        "result": None,
-                        "error": None,
-                    }
+                n = len(pdf)
+                if not n:
+                    continue
+                pdf = pdf.sort_values("seq")
+                seqs = pdf["seq"].to_numpy()
+                keys = pdf["key"].to_numpy()
+                events = pdf["event"].to_numpy()
+                tss = pdf["ts"].to_numpy()
+                snaps = pdf["snapshot"].to_numpy()
+                status = ["ok"] * n
+                result: list = [None] * n
+                error: list = [None] * n
+                for i in range(n):
                     try:
+                        snap = snaps[i]
                         data = {
-                            "event": rec["event"],
-                            "key": rec["key"],
-                            "ts": rec["ts"],
+                            "event": events[i],
+                            "key": keys[i],
+                            "ts": tss[i],
                             # event-time snapshot (onTriggerFired stage):
                             # values captured when the event was produced
-                            "snapshot": dict(rec["snapshot"] or {}),
+                            "snapshot": dict(snap) if snap is not None else {},
                         }
                         if on_fired is not None:
                             data["snapshot_view"] = on_fired(data)
                         res = fn(data)
                         if res is not None:
-                            row["result"] = json.dumps(res, default=str)
+                            result[i] = json.dumps(res, default=str)
                     except Exception as e:
-                        row["status"] = "error"
-                        row["error"] = f"{type(e).__name__}: {e}"
-                    out.append(row)
-                yield pd.DataFrame(out)
+                        status[i] = "error"
+                        error[i] = f"{type(e).__name__}: {e}"
+                yield pd.DataFrame(
+                    {
+                        "seq": seqs,
+                        "key": keys,
+                        "event": events,
+                        "status": status,
+                        "result": result,
+                        "error": error,
+                    }
+                )
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             matched = batch_df.filter(
