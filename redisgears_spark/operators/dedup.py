@@ -236,11 +236,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus rarely yields more than ~10^8 near-dup edges (~1.6 GB), which
       one task folds in seconds with zero per-round scheduling cost. Note
       this is executor-side, not a driver collect.
-    * **Huge graph**: distributed min-label propagation as DataFrame
-      joins — each round every node takes the min label among itself and
-      its neighbors; O(diameter) rounds, one changed-count scalar to the
-      driver per round. For adversarial high-diameter graphs swap in
-      large-star/small-star (same join shapes, O(log n) rounds).
+    * **Huge graph**: distributed min-label propagation with pointer
+      jumping, as DataFrame joins — each round every node takes the min
+      label among itself and its neighbors, then follows its label's own
+      label (path doubling). O(log diameter) rounds, one changed-count
+      scalar to the driver per round — adversarial chain graphs converge
+      in ~log2(n) rounds instead of n.
 
     Either path reaches the same fixpoint as the DuckDB recursive CTE
     (transitive closure → min reachable id), so this "non-SQL-expressible
@@ -339,14 +340,39 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
     labels.count()
     for _ in range(_CC_MAX_ITERS):
+        # neighbor-min step: every node takes the min label among itself
+        # and its neighbors
         msgs = edges.join(
             labels, edges["src"] == labels["doc_id"]
         ).select(F.col("dst").alias("doc_id"), F.col("cluster_id"))
-        new_labels = (
+        relaxed = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
+        )
+        # pointer-jump step: follow the label's own label (path doubling) —
+        # chains halve every round, so convergence is O(log diameter)
+        # instead of O(diameter); labels only decrease and stay within the
+        # component, so the fixpoint is still the component minimum.
+        # localCheckpoint (not cache) — the self-join references `relaxed`
+        # twice, so without truncating the LOGICAL plan each round the
+        # analyzer cost doubles per iteration (cache only truncates
+        # physical execution)
+        relaxed = relaxed.localCheckpoint(eager=True)
+        parents = relaxed.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
+        new_labels = (
+            relaxed.join(
+                parents, relaxed["cluster_id"] == parents["p_id"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("p_cluster", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(

@@ -276,3 +276,21 @@ def test_pack_shards_empty_corpus(spark, tmp_path):
         "token_offset",
         "shard_id",
     ]
+
+
+def test_distributed_cc_converges_on_long_chains(spark, monkeypatch):
+    """The distributed label-propagation path must converge on a 200-node
+    chain graph within the 25-round cap — only possible with the
+    pointer-jumping (path-doubling) step, since plain neighbor-min needs
+    O(diameter) = 200 rounds. Also pins the fixpoint: every node labeled
+    with the chain minimum."""
+    from redisgears_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_CC_LOCAL_EDGE_LIMIT", 0)  # force distributed
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a_id long, b_id long"
+    )
+    out = dedup.connected_components(pairs).collect()
+    assert len(out) == 201
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_survivor"] for r in out) == 1
