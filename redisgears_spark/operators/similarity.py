@@ -579,3 +579,221 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+# Product quantization: 64 dims → 8 subspaces × 8 dims, 16 centroids each
+# (4-bit codes; a vector compresses to ONE 32-bit word packed in a long)
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SHORTLIST = 64  # ADC candidates per query before the exact re-rank
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Deterministic PQ codebooks: seed centroids from fixed corpus rows
+    (vec_id 200..215, one sub-vector per subspace each) + ONE distributed
+    Lloyd refinement per subspace.
+
+    Same exact-integer discipline as _ivf_centroids: assignments and sums
+    accumulate in quantized int64 micro-units (order-independent across
+    partitions), one division at the end — the trained codebooks are
+    bit-stable under any partitioning. Driver gather is
+    M*K*dsub = {m}*{k}*8 = 1024 rows, same size as the IVF stats gather.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds_pdf = (
+        emb.filter(F.col("vec_id").between(200, 200 + _PQ_K - 1))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    S = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")  # (K, dim)
+    dim = S.shape[1]
+    dsub = dim // _PQ_M
+    # C[m, k] = k-th seed vector's m-th sub-vector
+    C = np.stack([S[:, m * dsub : (m + 1) * dsub] for m in range(_PQ_M)])
+
+    def partial_stats(batches):
+        import pandas as pd
+
+        sums = np.zeros((_PQ_M, _PQ_K, dsub), dtype="int64")
+        counts = np.zeros((_PQ_M, _PQ_K), dtype="int64")
+        seen = False
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            Q = np.vstack(pdf["q"].to_numpy()).astype("int64")
+            seen = True
+            for m in range(_PQ_M):
+                Vm = V[:, m * dsub : (m + 1) * dsub]
+                Qm = Q[:, m * dsub : (m + 1) * dsub]
+                # nearest centroid by L2: argmin ||v - c||^2; ties → lowest k
+                d2 = (
+                    np.einsum("ij,ij->i", Vm, Vm)[:, None]
+                    - 2.0 * (Vm @ C[m].T)
+                    + np.einsum("ij,ij->i", C[m], C[m])[None, :]
+                )
+                code = d2.argmin(axis=1)
+                for k in np.unique(code):
+                    sums[m, k] += Qm[code == k].sum(axis=0)
+                counts[m] += np.bincount(code, minlength=_PQ_K)
+        if not seen:
+            return
+        m_idx = np.repeat(np.arange(_PQ_M, dtype="int64"), _PQ_K * dsub)
+        k_idx = np.tile(np.repeat(np.arange(_PQ_K, dtype="int64"), dsub), _PQ_M)
+        p_idx = np.tile(np.arange(dsub, dtype="int64"), _PQ_M * _PQ_K)
+        yield pd.DataFrame(
+            {
+                "m": m_idx,
+                "k": k_idx,
+                "pos": p_idx,
+                "s": sums.reshape(-1),
+                "n": counts.repeat(dsub).reshape(-1),
+            }
+        )
+
+    import pandas as pd  # noqa: F401  (workers import inside closures)
+
+    vecs = rebalanced(
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+            F.expr(_QUANT).alias("q"),
+        )
+    )
+    stats = (
+        vecs.mapInPandas(partial_stats, "m long, k long, pos long, s long, n long")
+        .groupBy("m", "k", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    refined = np.array(C)
+    for r in stats:
+        refined[r["m"], r["k"], r["pos"]] = (r["s"] / r["n"]) / 1e6
+    return refined
+
+
+@query("sim_ann_pq")  # approximate — rows-only check; recall tested in tests/
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization with ADC (asymmetric
+    distance computation) and exact re-ranking.
+
+    The third ANN family beside hashing (sim_ann_lsh) and coarse
+    clustering (sim_ann_ivf): every corpus vector compresses to _PQ_M
+    4-bit codes — ONE packed 32-bit word — so the scan side of the search
+    touches |corpus| ints instead of |corpus|×dim floats (a 64x payload
+    compression at dim=64/float32). Queries never quantize: each builds an
+    (_PQ_M x _PQ_K) dot-product lookup table against the codebooks, the
+    ADC score is M table lookups per corpus code, and per-partition top-S
+    shortlists flow to a global shortlist that is re-ranked with the exact
+    quantized cosine — so returned scores are bit-identical to the
+    brute-force path (pinned in tests), only the candidate set is
+    approximate.
+
+    Scale: codebook training is one seeded Lloyd pass (map-side integer
+    partials, 1024-row driver gather); encoding is one narrow Arrow pass
+    emitting (vec_id, 1 long); the ADC scan broadcasts 8 tiny LUTs inside
+    the closure and shuffles only the per-partition shortlists
+    (queries x S rows per partition).
+    """
+    import numpy as np
+
+    C = _pq_codebooks(spark, sf_dir)  # (M, K, dsub)
+    dsub = C.shape[2]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            packed = np.zeros(len(V), dtype="int64")
+            for m in range(_PQ_M):
+                Vm = V[:, m * dsub : (m + 1) * dsub]
+                d2 = (
+                    np.einsum("ij,ij->i", Vm, Vm)[:, None]
+                    - 2.0 * (Vm @ C[m].T)
+                    + np.einsum("ij,ij->i", C[m], C[m])[None, :]
+                )
+                packed |= d2.argmin(axis=1).astype("int64") << (4 * m)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype="int64"), "code": packed}
+            )
+
+    emb = rebalanced(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    codes = emb.mapInPandas(encode, "vec_id long, code long")
+
+    # query LUTs: tiny (8 queries × M × K doubles), shipped in the closure
+    q_pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    QV = np.vstack(q_pdf["v"].to_numpy()).astype("float64")
+    q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
+    # lut[q, m, k] = dot(q_m, C[m, k])
+    lut = np.einsum("qmd,mkd->qmk", QV.reshape(len(QV), _PQ_M, dsub), C)
+
+    def adc_shortlist(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            packed = pdf["code"].to_numpy(dtype="int64")
+            vec_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            # unpack to (n, M) code matrix
+            codes_m = np.stack(
+                [(packed >> (4 * m)) & 0xF for m in range(_PQ_M)], axis=1
+            )
+            # scores[q, n] = sum_m lut[q, m, codes_m[n, m]]
+            scores = lut[:, np.arange(_PQ_M)[None, :], codes_m].sum(axis=2)
+            top = min(_PQ_SHORTLIST, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, top),
+                    "n_id": vec_ids[idx].reshape(-1),
+                    "adc": np.take_along_axis(scores, idx, axis=1).reshape(-1),
+                }
+            )
+
+    shortlist = codes.mapInPandas(
+        adc_shortlist, "q_id long, n_id long, adc double"
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    cand = (
+        shortlist.filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= _PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+    # exact re-rank: scores must be bit-identical to the brute-force path
+    qv = quantized(spark, sf_dir, "q").filter(F.col("q_id") < _N_QUERIES)
+    nv = quantized(spark, sf_dir, "n")
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

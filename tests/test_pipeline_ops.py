@@ -11,6 +11,7 @@ from redisgears_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jacc
 from redisgears_spark.operators.similarity import (
     sim_ann_ivf,
     sim_ann_lsh,
+    sim_ann_pq,
     sim_topk_bruteforce,
 )
 
@@ -24,7 +25,7 @@ def truth(spark, sf_dir):
     return _pairs(sim_topk_bruteforce(spark, sf_dir))
 
 
-@pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf])
+@pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf, sim_ann_pq])
 def test_ann_recall_beats_floor(ann, spark, sf_dir, truth):
     """Both ANN paths must recover most of the exact top-5 neighbor set
     (deterministic pipelines → recall is a fixed number per fixture;
@@ -34,7 +35,7 @@ def test_ann_recall_beats_floor(ann, spark, sf_dir, truth):
     assert recall >= 0.7, f"recall {recall:.3f} below floor"
 
 
-@pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf])
+@pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf, sim_ann_pq])
 def test_ann_scores_are_exact(ann, spark, sf_dir):
     """Candidates are approximate; their *scores* must not be — every
     returned cosine must equal the exact quantized cosine the brute-force
@@ -294,3 +295,21 @@ def test_distributed_cc_converges_on_long_chains(spark, monkeypatch):
     assert len(out) == 201
     assert all(r["cluster_id"] == 0 for r in out)
     assert sum(r["is_survivor"] for r in out) == 1
+
+
+def test_shuffle_pack_prefix_sum_invariant(spark, sf_dir):
+    """Same contract as pack_shards, over the shuffled order: sorting the
+    output by (md5(doc_id), doc_id) must reproduce the exclusive running
+    sum exactly."""
+    from redisgears_spark.operators.pipeline import _SHARD_BUDGET
+
+    pdf = QUERIES["pipeline_shuffle_pack"](spark, sf_dir).toPandas()
+    import hashlib
+
+    pdf["h"] = [
+        hashlib.md5(str(d).encode()).hexdigest() for d in pdf["doc_id"]
+    ]
+    pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    running = pdf["n_tokens"].cumsum().shift(1, fill_value=0)
+    assert (pdf["token_offset"] == running).all()
+    assert (pdf["shard_id"] == pdf["token_offset"] // _SHARD_BUDGET).all()
