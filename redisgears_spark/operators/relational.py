@@ -748,3 +748,44 @@ def pivot_nation_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in seg
         ],
     )
+
+
+_LOOKBACK_US = 3_600 * 1_000_000  # 1-hour sliding lookback
+
+
+@query(
+    "events_lookback_count",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_LOOKBACK_US} PRECEDING AND 1 PRECEDING
+           ) AS BIGINT) AS n_prior_1h
+    FROM events
+    """,
+)
+def events_lookback_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time lookback: for every event, how many events the
+    same user produced in the preceding hour (exclusive of the event's own
+    instant) — the per-record activity feature behind rate limiting and
+    burst detection.
+
+    Spark-first formulation of a self-interval-join: a RANGE frame over
+    epoch micros — one hash shuffle on user_id, per-key sorted scan with
+    a sliding two-pointer frame (Catalyst's range-frame executor), state
+    bounded by the 1-hour window. The naive formulation is a self-join on
+    user with an inequality on ts — a per-key quadratic blowup the range
+    frame avoids; same trick as asof_join_latest_order's union-window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(micros("ts"))
+        .rangeBetween(-_LOOKBACK_US, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior_1h"),
+    )
