@@ -81,18 +81,28 @@ def bench_streaming(
 
         def run_trigger(it: int) -> tuple[float, float | None, int]:
             engine = GearsEngine(spark, sf_dir)
-            lib = engine.load_library(
-                lambda l: l.register_stream_trigger(
-                    "bench",
-                    prefix="user:",
-                    fn=lambda d: {
-                        "etype": d["fields"].get("event_type", "").upper()
-                    },
-                    window=10**9,
-                    mode=mode,
-                ),
-                name="benchlib",
-            )
+            if mode == "declarative":
+                # same semantic callback, expressed as a Catalyst
+                # expression — the JVM-side fast path
+                def setup(l):
+                    l.register_stream_trigger(
+                        "bench",
+                        prefix="user:",
+                        expr="upper(fields['event_type'])",
+                        window=10**9,
+                    )
+            else:
+                def setup(l):
+                    l.register_stream_trigger(
+                        "bench",
+                        prefix="user:",
+                        fn=lambda d: {
+                            "etype": d["fields"].get("event_type", "").upper()
+                        },
+                        window=10**9,
+                        mode=mode,
+                    )
+            lib = engine.load_library(setup, name="benchlib")
             rt = StreamTriggerRuntime(
                 engine, spool, os.path.join(base, f"work{it}"),
                 source_adapter=events_to_stream,
@@ -285,6 +295,7 @@ def main() -> None:
 
     streaming = bench_streaming(spark, sf_dir)
     streaming_async = bench_streaming(spark, sf_dir, mode="async")
+    streaming_declarative = bench_streaming(spark, sf_dir, mode="declarative")
     keyspace = bench_keyspace(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -295,6 +306,7 @@ def main() -> None:
         "queries": timings,
         "streaming": streaming,
         "streaming_async": streaming_async,
+        "streaming_declarative": streaming_declarative,
         "keyspace": keyspace,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -101,6 +101,11 @@ def _setup_ref(setup: Callable) -> str | None:
     return f"{mod}:{qual}"
 
 
+# windows at or above this are treated as unbounded (the admission gate and
+# respool machinery are skipped — see streaming.triggers, which imports this)
+UNBOUNDED_WINDOW = 10**9
+
+
 class Background:
     """Marker returned by a function body to continue in the background —
     the analog of the reference's ``executeAsync`` promise
@@ -210,11 +215,12 @@ class Library:
         self,
         name: str,
         prefix: str,
-        fn: Callable[..., Any],
+        fn: Callable[..., Any] | None = None,
         window: int = 1,
         trim_stream: bool = False,
         description: str | None = None,
         mode: str = "sync",
+        expr: str | None = None,
     ) -> None:
         """Spec only — execution wiring lives in streaming.triggers.
 
@@ -223,15 +229,36 @@ class Library:
         is atomic with the event); 'async' decouples it behind a queue, so
         callback failures/slowness never block the ingest frontier (the
         reference's coroutine consumers: queued to background, no
-        ordering/atomicity guarantee — v8_stream_ctx.rs async path)."""
+        ordering/atomicity guarantee — v8_stream_ctx.rs async path).
+
+        expr: DECLARATIVE alternative to `fn` — a Catalyst SQL expression
+        over the canonical record (columns `stream_key`, `id`, `id_ts`,
+        `fields` map) evaluating to the STRING result payload. The whole
+        callback pipeline then stays JVM-side (whole-stage codegen, no
+        Python worker roundtrip, no per-key sort — a stateless row
+        expression needs no ordering), which benchmarks at near-baseline
+        throughput. The reference has no analog (every V8 callback pays
+        the engine→V8 boundary per record); this is the Spark-native
+        fast path for the common enrich/reshape trigger."""
         if window < 1:
             raise GearsError("window must be >= 1")  # v8_native_functions.rs:1148
         if mode not in ("sync", "async"):
             raise GearsError("mode must be 'sync' or 'async'")
+        if (fn is None) == (expr is None):
+            raise GearsError("exactly one of fn/expr is required")
+        if expr is not None and window < UNBOUNDED_WINDOW:
+            # the admission gate orders per key; a declarative trigger is
+            # stateless by construction, so a bounded window would silently
+            # change semantics — require the unbounded sentinel
+            raise GearsError(
+                "declarative (expr) triggers require an unbounded window "
+                f"(window >= {UNBOUNDED_WINDOW})"
+            )
         self._check_name(name, self.stream_triggers)
         self.stream_triggers[name] = {
             "prefix": prefix,
             "fn": fn,
+            "expr": expr,
             "window": window,
             "trim_stream": trim_stream,
             "description": description,

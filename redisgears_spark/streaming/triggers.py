@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from redisgears_spark.engine import GearsEngine, Library
+from redisgears_spark.engine import UNBOUNDED_WINDOW, GearsEngine, Library
 
 # canonical stream-record schema (the Spark shape of the reference's
 # GearsStreamRecord — stream_run_ctx.rs:73-100: (ms,seq) id + field pairs).
@@ -74,11 +74,10 @@ _RESULT_SCHEMA = (
     "status string, result string, error string"
 )
 
-# windows at or above this are treated as unbounded: the admission gate and
-# respool machinery are skipped entirely (the common fast path — the
-# reference's default window is small, but most Spark consumers want
-# micro-batch-sized admission)
-UNBOUNDED_WINDOW = 10**9
+# windows at or above UNBOUNDED_WINDOW are treated as unbounded: the
+# admission gate and respool machinery are skipped entirely (the common
+# fast path — the reference's default window is small, but most Spark
+# consumers want micro-batch-sized admission)
 
 
 def events_to_stream(df: DataFrame) -> DataFrame:
@@ -323,8 +322,13 @@ class StreamTriggerRuntime:
         prefix: str = spec["prefix"]
         window: int = spec["window"]
         mode: str = spec.get("mode", "sync")
+        expr: str | None = spec.get("expr")
         bounded = window < UNBOUNDED_WINDOW
-        processor = _make_partition_processor(spec["fn"], window)
+        processor = (
+            _make_partition_processor(spec["fn"], window)
+            if expr is None
+            else None
+        )
         queue_dir: str | None = None
 
         if mode == "async":
@@ -382,7 +386,7 @@ class StreamTriggerRuntime:
                 # by stream_key and sorted by (stream_key, id) — exactly the
                 # layout the partition processor needs; no extra shuffle
                 admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
-            else:
+            elif expr is None:
                 # explicit partition count: AQE's byte-based coalescing sees
                 # a few MB and folds the shuffle to ONE task, serializing
                 # the CPU-bound Python callback stage behind a single
@@ -390,8 +394,40 @@ class StreamTriggerRuntime:
                 admitted = matched.repartition(
                     self.spark.sparkContext.defaultParallelism, "stream_key"
                 ).sortWithinPartitions("stream_key", "id")
+            else:
+                # declarative trigger: a stateless Catalyst row expression
+                # needs no per-key ordering — no shuffle at all
+                admitted = matched
 
-            results = admitted.mapInPandas(processor, _RESULT_SCHEMA)
+            if expr is not None:
+                # DECLARATIVE fast path: the callback is a Catalyst
+                # expression, so the whole pipeline stays JVM-side
+                # (whole-stage codegen, no Python worker roundtrip). The
+                # per-key frontier rows the Python processor would emit are
+                # a map-side-partial groupBy instead — unioned into the
+                # same result stream so the observe() accounting below is
+                # identical for both paths.
+                row_results = admitted.select(
+                    "stream_key",
+                    "id",
+                    "id_ts",
+                    F.lit("ok").alias("status"),
+                    F.expr(expr).cast("string").alias("result"),
+                    F.lit(None).cast("string").alias("error"),
+                )
+                frontier_rows = admitted.groupBy("stream_key").agg(
+                    F.max("id").alias("id"), F.min("id_ts").alias("id_ts")
+                ).select(
+                    "stream_key",
+                    "id",
+                    "id_ts",
+                    F.lit("frontier").alias("status"),
+                    F.lit(None).cast("string").alias("result"),
+                    F.lit(None).cast("string").alias("error"),
+                )
+                results = row_results.unionByName(frontier_rows)
+            else:
+                results = admitted.mapInPandas(processor, _RESULT_SCHEMA)
             # ONE job per micro-batch: the sink write. All accounting rides
             # on it as observe() metrics — the processor already emitted one
             # status='frontier' row per key, so per-key frontiers arrive as

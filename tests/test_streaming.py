@@ -9,7 +9,7 @@ import os
 import pandas as pd
 import pytest
 
-from redisgears_spark.engine import GearsEngine
+from redisgears_spark.engine import GearsEngine, GearsError
 from redisgears_spark.sources.keyspace import load_table
 from redisgears_spark.streaming import (
     STREAM_SCHEMA,
@@ -914,3 +914,65 @@ class TestDedupIngest:
             assert {r["doc_id"] for r in rt.admitted().collect()} == {2}
         finally:
             rt.stop()
+
+
+class TestDeclarativeTrigger:
+    """expr-registered stream triggers: the whole callback pipeline stays
+    JVM-side; results, stats, and frontiers must match the Python-callback
+    contract exactly."""
+
+    def test_expr_trigger_end_to_end(self, spark, sf_dir, spool, work):
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "up",
+                prefix="s:",
+                expr="upper(fields['event_type'])",
+                window=10**9,
+            ),
+            name="dlib",
+        )
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(
+            spark, spool,
+            [("s:1", 1, {"event_type": "click"}),
+             ("s:1", 2, {"event_type": "buy"}),
+             ("s:2", 7, {"event_type": "view"}),
+             ("t:9", 1, {"event_type": "ignored"})],  # prefix-filtered
+        )
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            st = rt.stats["dlib.up"]
+            assert st.n_success == 3
+            assert st.n_failed == 0
+            assert st.frontier == {"s:1": 2, "s:2": 7}
+            sink = {
+                (r["stream_key"], r["id"]): r["result"]
+                for r in rt.read_sink("dlib", "up").collect()
+            }
+            assert sink == {
+                ("s:1", 1): "CLICK", ("s:1", 2): "BUY", ("s:2", 7): "VIEW"
+            }
+        finally:
+            rt.stop_all()
+
+    def test_expr_requires_unbounded_window(self, spark, sf_dir):
+        engine = GearsEngine(spark, sf_dir)
+        with pytest.raises(GearsError, match="unbounded"):
+            engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "w", prefix="s:", expr="fields['x']", window=5
+                ),
+                name="badlib",
+            )
+
+    def test_fn_and_expr_mutually_exclusive(self, spark, sf_dir):
+        engine = GearsEngine(spark, sf_dir)
+        with pytest.raises(GearsError, match="exactly one"):
+            engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "b", prefix="s:", fn=lambda d: 1, expr="1", window=10**9
+                ),
+                name="badlib2",
+            )
