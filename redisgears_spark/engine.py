@@ -269,14 +269,30 @@ class Library:
         self,
         name: str,
         prefix: str,
-        fn: Callable[..., Any],
+        fn: Callable[..., Any] | None = None,
         on_trigger_fired: Callable[..., Any] | None = None,
         description: str | None = None,
+        expr: str | None = None,
     ) -> None:
+        """`expr` is the declarative alternative to `fn` (see
+        register_stream_trigger): a Catalyst SQL expression over the
+        change record (columns `seq`, `key`, `event`, `ts`, `snapshot`
+        map) evaluating to the STRING result — the callback pipeline then
+        stays JVM-side. Incompatible with `on_trigger_fired` (the
+        snapshot-view stage is a Python-callback concept; a declarative
+        trigger reads `snapshot` directly in the expression)."""
+        if (fn is None) == (expr is None):
+            raise GearsError("exactly one of fn/expr is required")
+        if expr is not None and on_trigger_fired is not None:
+            raise GearsError(
+                "on_trigger_fired is not supported with expr — read the "
+                "snapshot map directly in the expression"
+            )
         self._check_name(name, self.keyspace_triggers)
         self.keyspace_triggers[name] = {
             "prefix": prefix,
             "fn": fn,
+            "expr": expr,
             "on_trigger_fired": on_trigger_fired,
             "description": description,
         }

@@ -663,6 +663,7 @@ class KeyspaceTriggerRuntime:
 
         prefix = spec["prefix"]
         fn = spec["fn"]
+        expr = spec.get("expr")
         on_fired = spec["on_trigger_fired"]
         runtime = self
 
@@ -716,7 +717,21 @@ class KeyspaceTriggerRuntime:
                 # re-entrancy suppression: engine-origin writes excluded
                 & (F.col("origin") != F.lit("trigger"))
             )
-            results = matched.mapInPandas(process_partition, _CDC_RESULT_SCHEMA)
+            if expr is not None:
+                # declarative fast path (see StreamTriggerRuntime): the
+                # callback is a Catalyst expression over the change record
+                results = matched.select(
+                    "seq",
+                    "key",
+                    "event",
+                    F.lit("ok").alias("status"),
+                    F.expr(expr).cast("string").alias("result"),
+                    F.lit(None).cast("string").alias("error"),
+                )
+            else:
+                results = matched.mapInPandas(
+                    process_partition, _CDC_RESULT_SCHEMA
+                )
             # ONE job per micro-batch: the sink write carries the counters
             # as observe() metrics (the CDC sink keeps all statuses, so no
             # second write is ever needed)

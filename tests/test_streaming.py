@@ -976,3 +976,46 @@ class TestDeclarativeTrigger:
                 ),
                 name="badlib2",
             )
+
+    def test_expr_keyspace_trigger(self, spark, sf_dir, tmp_path):
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "kx", prefix="user:", expr="upper(snapshot['event_type'])"
+            ),
+            name="kdlib",
+        )
+        changes = str(tmp_path / "changes")
+        rt = KeyspaceTriggerRuntime(engine, changes, str(tmp_path / "work"))
+        rt.append_changes(
+            [
+                {"seq": 1, "event": "set", "key": "user:1",
+                 "snapshot": {"event_type": "click"}},
+                {"seq": 2, "event": "set", "key": "other:9",
+                 "snapshot": {"event_type": "nope"}},
+            ]
+        )
+        rt.start_trigger(lib, "kx")
+        try:
+            rt.process_available()
+            st = rt.stats["kdlib.kx"]
+            assert st.n_success == 1
+            sink = spark.read.parquet(
+                str(tmp_path / "work" / "cdc_sink" / "kdlib" / "kx")
+            ).collect()
+            assert [(r["key"], r["result"]) for r in sink] == [
+                ("user:1", "CLICK")
+            ]
+        finally:
+            rt.stop_all()
+
+    def test_keyspace_expr_rejects_on_fired(self, spark, sf_dir):
+        engine = GearsEngine(spark, sf_dir)
+        with pytest.raises(GearsError, match="on_trigger_fired"):
+            engine.load_library(
+                lambda l: l.register_keyspace_trigger(
+                    "bad", prefix="u:", expr="1",
+                    on_trigger_fired=lambda d: d,
+                ),
+                name="kbad",
+            )
