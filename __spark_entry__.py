@@ -10,6 +10,7 @@ oracle_sql()   — matching DuckDB SQL for every SQL-expressible query.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,16 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness harness verifies the first 50 entries of queries() in dict
 # order (CORRECTNESS_r01..r03 each contain exactly the first 50 registered
-# names).  With 73 registered queries, coverage therefore rotates across
-# rounds: r01-r03 verified the dedup/inventory/multimodal/text/pipeline
-# families (all hash-green in r03); _PRIORITY puts the 21 queries with no
-# driver row yet (relational windowing/grouping, similarity, skew) first,
-# followed by the 29 most load-bearing of the already-green set — including
-# every query whose implementation changed this round.  Rotated out below
-# the cap: trivial point/filter lookups and rows-only sketch ops (all
-# driver-green in CORRECTNESS_r03.json) and the two round-4 additions
-# (pipeline_gopher_filters, pipeline_shuffle_pack — local parity green,
-# rotate into the top 50 next round).
+# names).  With more queries than the cap, coverage rotates: _ordered()
+# derives the order from the CORRECTNESS_r*.json history on disk —
+# never-driver-checked queries first, then stalest green round — so each
+# round's check lands on the queries that need verification most, and the
+# rotation self-maintains as new result files appear.  _PRIORITY below is
+# the within-group tiebreak: it ranks the load-bearing queries (complex
+# plans, recently-edited implementations) ahead of trivial lookups and
+# rows-only sketch ops so they stay under the cap longest.
 _PRIORITY = [
     # never driver-verified (r01-r03): relational widening
     "asof_join_latest_order",
@@ -81,6 +80,7 @@ _PRIORITY = [
     "pipeline_stratified_sample",
     "pipeline_decontaminate",
     "pipeline_pack_shards",
+    "text_top_bigrams",
     "q02_merge_upsert",
     "q06_agg_stats",
     "q06b_percentiles",
@@ -101,15 +101,58 @@ _PRIORITY = [
     "text_repetition",
     "text_regex_tokens",
     "text_fingerprint",
-    "text_top_bigrams",
     "multimodal_features",
 ]
 
 
+def _coverage_history() -> dict[str, int]:
+    """name → latest round with a driver row (hash-green, or recorded
+    rows-only for the no-oracle sketch ops), from the CORRECTNESS_r*.json
+    files beside this module. Queries absent from every file are the ones
+    the 50-entry cap has never reached."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                latest[name] = max(latest.get(name, -1), rnd)
+    return latest
+
+
 def _ordered(mapping: dict) -> dict:
-    out = {name: mapping[name] for name in _PRIORITY if name in mapping}
-    out.update((name, fn) for name, fn in mapping.items() if name not in out)
-    return out
+    """Order queries so the 50-entry correctness cap lands on the queries
+    that need driver verification most: never-checked first, then stalest
+    green round, with the hand-ranked _PRIORITY as the tiebreak. Derived
+    from the CORRECTNESS history on disk, so the rotation self-maintains
+    across rounds; falls back to _PRIORITY order when no history exists."""
+    history = _coverage_history()
+    prio_index = {n: i for i, n in enumerate(_PRIORITY)}
+
+    def key(name: str):
+        return (
+            history.get(name, -1),  # never-checked (-1) first, then stalest
+            prio_index.get(name, len(_PRIORITY)),
+            name,
+        )
+
+    return {name: mapping[name] for name in sorted(mapping, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
