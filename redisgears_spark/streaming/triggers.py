@@ -37,8 +37,10 @@ use a transactional sink for end-to-end exactly-once).
 
 Scale: the canonical stream schema hash-partitions on stream_key, so per-key
 ordering costs one shuffle per micro-batch and state is bounded per key.
-User callbacks run executor-side via Arrow-batched applyInPandas — the
-driver never sees records, only per-batch counters.
+Python callbacks run executor-side via Arrow-batched mapInPandas — the
+driver never sees records, only per-batch counters. Declarative callbacks
+(`register_stream_trigger(expr=...)`) skip Python entirely: the expression
+compiles into the micro-batch job (whole-stage codegen, no per-key sort).
 """
 
 from __future__ import annotations
