@@ -426,15 +426,21 @@ class GearsEngine:
                 stop(name)
 
     def list_libraries(
-        self, verbose: int = 0, with_code: bool = False
+        self, verbose: int = 0, with_code: bool = False,
+        library: str | None = None,
     ) -> list[dict[str, Any]]:
         """Library listing (TFUNCTION LIST analog). `with_code=True` is the
         WITHCODE option (function_list_command.rs:302-333): includes the
         library's setup source where Python can recover it (None for
-        lambdas/builtins — the registry stores callables, not text)."""
+        lambdas/builtins — the registry stores callables, not text).
+        `library=name` is the LIBRARY filter (function_list_command.rs
+        LIBRARY arg): restrict the listing to one library; unknown names
+        list empty, like the reference."""
         with self._lock:
             out = []
             for lib in self._libraries.values():
+                if library is not None and lib.name != library:
+                    continue
                 entry: dict[str, Any] = {
                     "name": lib.name,
                     "api_version": lib.api_version,

@@ -514,3 +514,14 @@ class TestLibraryUnloadStopsTriggers:
         with pytest.raises(GearsError, match="aborted"):
             kill_engine.call("klib2", "slow", timeout=0.5)
         assert rt.stopped == ["klib2"]
+
+
+def test_list_libraries_library_filter(spark, sf_dir):
+    """TFUNCTION LIST LIBRARY <name> parity: restrict to one library;
+    unknown names list empty."""
+    engine = GearsEngine(spark, sf_dir)
+    engine.load_library(_basic_setup, name="liba")
+    engine.load_library(_basic_setup, name="libb")
+    assert [e["name"] for e in engine.list_libraries()] == ["liba", "libb"]
+    assert [e["name"] for e in engine.list_libraries(library="libb")] == ["libb"]
+    assert engine.list_libraries(library="nope") == []
