@@ -163,3 +163,31 @@ class TestUnionFindProperties:
         shuffled = list(edges)
         rnd.shuffle(shuffled)
         assert union_find_labels(edges) == union_find_labels(shuffled)
+
+
+class TestPartitioningInvariance:
+    """Bit-exactness under different physical partitioning — the claim
+    behind every 'order-independent integer accumulation' docstring: the
+    same query at a different shuffle-partition count must produce the
+    IDENTICAL result set."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize(
+        "name",
+        ["pipeline_pack_shards", "pipeline_shuffle_pack", "dedup_clusters"],
+    )
+    def test_shuffle_partition_count_invariant(self, name, spark, sf_dir):
+        from redisgears_spark.operators import QUERIES
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        base = rows(QUERIES[name](spark, sf_dir))
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            alt = rows(QUERIES[name](spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == alt
