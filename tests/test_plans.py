@@ -346,3 +346,30 @@ def test_shuffle_pack_window_never_single_partition(spark, sf_dir):
     assert "Window" in plan
     assert "SinglePartition" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    """Q6's whole point: every predicate reaches the parquet scan."""
+    df = QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir)
+    assert_pushed_filters(
+        df, "LessThan(l_quantity,24.0)", "GreaterThanOrEqual(l_shipdate,"
+    )
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    plan = formatted_plan(QUERIES["tpch_q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q19_disjunction_splits_per_table(spark, sf_dir):
+    """The OR of (brand,size,qty) bands must yield single-table residues
+    pushed to BOTH scans — a planner that can't split the disjunction
+    reads both tables whole."""
+    df = QUERIES["tpch_q19_discounted_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_pushed = [l for l in scan_lines if "l_quantity" in l]
+    part_pushed = [l for l in scan_lines if "p_brand" in l]
+    assert li_pushed, plan   # quantity-band union pruned lineitem
+    assert part_pushed, plan  # brand/size union pruned part
+    assert "BroadcastExchange" in plan, plan
