@@ -42,16 +42,27 @@ def windowed_stream_agg(
 ) -> DataFrame:
     """Per-key event-time windowed aggregate (count + exact cents sum).
 
-    Tumbling when `slide` is None, hopping otherwise. Works on a streaming
-    OR batch DataFrame of the canonical stream shape (batch evaluation
-    ignores the watermark — Spark semantics — which is what makes the
-    plan unit-testable without a running query).
+    Tumbling when `slide` is None, hopping otherwise; pass
+    `window="session:<gap>"` for gap-based session windows (the streaming
+    twin of the batch sessionization in operators/relational.py). Works on
+    a streaming OR batch DataFrame of the canonical stream shape (batch
+    evaluation ignores the watermark — Spark semantics — which is what
+    makes the plan unit-testable without a running query).
     """
     ts = F.col("id_ts")
     value_cents = F.round(
         F.col("fields").getItem("value").cast("double") * 100
     ).cast("long")
-    win = F.window(ts, window, slide) if slide else F.window(ts, window)
+    if window.startswith("session:"):
+        # session windows: gap-based, per-key — windows merge as records
+        # arrive inside the inactivity gap and finalize when the watermark
+        # passes (gap after the last record). The streaming twin of the
+        # batch sessionization in operators/relational.py.
+        win = F.session_window(ts, window.removeprefix("session:"))
+    elif slide:
+        win = F.window(ts, window, slide)
+    else:
+        win = F.window(ts, window)
     return (
         src.withWatermark("id_ts", watermark)
         .groupBy(win.alias("win"), F.col("stream_key"))

@@ -1019,3 +1019,55 @@ class TestDeclarativeTrigger:
                 ),
                 name="kbad",
             )
+
+
+class TestSessionWindowStream:
+    def test_session_windows_merge_and_finalize(self, spark, sf_dir, spool, work):
+        """Gap-based session windows over the stream: records within the
+        gap merge into one session; a quiet period + watermark advance
+        finalizes it (append mode emits each session exactly once)."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = WindowedAggRuntime(engine, spool, work)
+        base = pd.Timestamp("2024-01-01 00:00:00")
+
+        def write(rows):
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "stream_key": k,
+                        "id": i,
+                        "id_ts": base + pd.Timedelta(seconds=sec),
+                        "fields": {"value": "1.0"},
+                        "record": None,
+                    }
+                    for k, i, sec in rows
+                ]
+            )
+            from redisgears_spark.streaming import STREAM_SCHEMA
+
+            spark.createDataFrame(pdf, STREAM_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(spool)
+
+        # one burst of 3 records within the 10s gap, then silence
+        write([("s:1", 1, 0), ("s:1", 2, 5), ("s:1", 3, 9)])
+        q = rt.start(
+            prefix="s:", window="session:10 seconds", watermark="5 seconds"
+        )
+        try:
+            q.processAllAvailable()
+            # advance the watermark past the session end (9s + 10s gap)
+            write([("s:1", 4, 60)])
+            q.processAllAvailable()
+            done = rt.finalized().collect()
+            assert len(done) == 1
+            (row,) = done
+            assert row["n_records"] == 3
+            assert row["value_cents"] == 300
+            assert row["win_start"] == base.to_pydatetime()
+            # session end = last record + gap
+            assert row["win_end"] == (
+                base + pd.Timedelta(seconds=19)
+            ).to_pydatetime()
+        finally:
+            rt.stop()
