@@ -123,8 +123,8 @@ def bench_streaming(
 
         passthrough_s = min(run_passthrough(i) for i in range(iters))
         runs = [run_trigger(i) for i in range(iters)]
-        trigger_s = min(r[0] for r in runs)
-        n = runs[-1][2]
+        # events/sec must divide one run's count by the SAME run's time
+        trigger_s, _, n = min(runs, key=lambda r: r[0])
         out = {
             "events": n,
             "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
@@ -234,8 +234,8 @@ def bench_keyspace(
 
         passthrough_s = min(run_passthrough(i) for i in range(iters))
         runs = [run_trigger(i) for i in range(iters)]
-        trigger_s = min(r[0] for r in runs)
-        n = runs[-1][1]
+        # events/sec must divide one run's count by the SAME run's time
+        trigger_s, n = min(runs, key=lambda r: r[0])
         return {
             "events": n,
             "passthrough_events_per_sec": round(n_events / passthrough_s, 1),

@@ -383,6 +383,14 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         labels.unpersist()
         labels = new_labels
+        # localCheckpoint blocks are freed by the ContextCleaner only once
+        # the JVM RDD is unreferenced; dropping the Python refs (relaxed,
+        # previous labels) and collecting promptly bounds live storage to
+        # ~2 label sets instead of 2 per round
+        del relaxed, parents, msgs
+        import gc
+
+        gc.collect()
         if changed == 0:
             break
     return labels.withColumn(

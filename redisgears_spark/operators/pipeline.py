@@ -277,10 +277,10 @@ _G_STOPWORDS = ("the", "a", "and", "of", "to", "in")
                        OR symbol_ratio > {_G_MAX_SYMBOL_RATIO} THEN 8 ELSE 0 END
            + CASE WHEN NOT has_stopword THEN 16 ELSE 0 END
            AS BIGINT) AS reasons,
-           (  n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
+           COALESCE(  n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
           AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
           AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO} AND has_stopword
-           ) AS keep
+           , FALSE) AS keep
     FROM s
     """,
 )

@@ -105,6 +105,22 @@ def events_to_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def _stop_owned(runtime: Any, lib_name: str) -> None:
+    """Stop every query owned by one library AND drop its stats — shared
+    by both runtimes. Dropping the stats matters as much as the stop: a
+    removed consumer must not pin the retention min-frontier (the
+    reference removes the consumer from trim accounting on unload,
+    stream_reader.rs:60-110 trims to the slowest LIVE consumer)."""
+    owned = [k for k in runtime.queries if k.startswith(f"{lib_name}.")]
+    for k in owned:
+        try:
+            runtime.queries.pop(k).stop()
+        except Exception:
+            pass
+    for k in [k for k in runtime.stats if k.startswith(f"{lib_name}.")]:
+        runtime.stats.pop(k, None)
+
+
 @dataclass
 class TriggerStats:
     """Observability parity with TFUNCTION LIST vvv per-trigger fields
@@ -159,11 +175,14 @@ def _make_partition_processor(
             if not n:
                 continue
             # column-wise extraction: to_dict('records') costs ~3x the
-            # callback itself at steady state; the hot loop touches plain
-            # numpy object arrays instead
+            # callback itself at steady state. tolist() (not to_numpy) for
+            # id/id_ts keeps the callback API stable: callbacks receive
+            # native int and pd.Timestamp, never np.int64/np.datetime64
+            # (a datetime64 has no .hour, and np.int64 results would
+            # JSON-serialize as strings via default=str)
             keys = pdf["stream_key"].to_numpy()
-            ids = pdf["id"].to_numpy()
-            idts = pdf["id_ts"].to_numpy()
+            ids = pdf["id"].tolist()
+            idts = pdf["id_ts"].tolist()
             fmaps = pdf["fields"].to_numpy()
             precs = pdf["record"].to_numpy()
             status = ["ok"] * n
@@ -532,15 +551,10 @@ class StreamTriggerRuntime:
         self.queries.clear()
 
     def stop_library(self, lib_name: str) -> None:
-        """Stop every query owned by one library (TFUNCTION DELETE / fatal
-        Kill unload the whole library, triggers included — the reference
-        drops its stream consumers with the GearsLibraryCtx)."""
-        owned = [k for k in self.queries if k.startswith(f"{lib_name}.")]
-        for k in owned:
-            try:
-                self.queries.pop(k).stop()
-            except Exception:
-                pass
+        """Stop every query owned by one library and drop its stats
+        (TFUNCTION DELETE / fatal Kill unload the whole library, triggers
+        included — see _stop_owned)."""
+        _stop_owned(self, lib_name)
 
     def process_available(self) -> None:
         """Drain everything currently in the spool (test/batch-drive mode)."""
@@ -675,10 +689,13 @@ class KeyspaceTriggerRuntime:
                 if not n:
                     continue
                 pdf = pdf.sort_values("seq")
-                seqs = pdf["seq"].to_numpy()
+                # tolist() for seq/ts: callbacks receive native int and
+                # pd.Timestamp, never numpy scalars (API stability — see
+                # the stream processor above)
+                seqs = pdf["seq"].tolist()
                 keys = pdf["key"].to_numpy()
                 events = pdf["event"].to_numpy()
-                tss = pdf["ts"].to_numpy()
+                tss = pdf["ts"].tolist()
                 snaps = pdf["snapshot"].to_numpy()
                 status = ["ok"] * n
                 result: list = [None] * n
@@ -782,11 +799,6 @@ class KeyspaceTriggerRuntime:
         self.queries.clear()
 
     def stop_library(self, lib_name: str) -> None:
-        """Stop every query owned by one library (see
-        StreamTriggerRuntime.stop_library)."""
-        owned = [k for k in self.queries if k.startswith(f"{lib_name}.")]
-        for k in owned:
-            try:
-                self.queries.pop(k).stop()
-            except Exception:
-                pass
+        """Stop every query owned by one library and drop its stats (see
+        _stop_owned)."""
+        _stop_owned(self, lib_name)

@@ -54,6 +54,10 @@ def windowed_stream_agg(
         F.col("fields").getItem("value").cast("double") * 100
     ).cast("long")
     if window.startswith("session:"):
+        if slide is not None:
+            raise ValueError(
+                "session windows are gap-based; `slide` does not apply"
+            )
         # session windows: gap-based, per-key — windows merge as records
         # arrive inside the inactivity gap and finalize when the watermark
         # passes (gap after the last record). The streaming twin of the

@@ -1071,3 +1071,80 @@ class TestSessionWindowStream:
             ).to_pydatetime()
         finally:
             rt.stop()
+
+
+class TestCallbackApiStability:
+    def test_callback_receives_native_types(self, spark, sf_dir, spool, work):
+        """Callbacks must receive native int ids and pd.Timestamp times —
+        never numpy scalars (np.datetime64 has no .hour; np.int64 results
+        would JSON-serialize as strings via default=str)."""
+        import json as _json
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "types",
+                prefix="s:",
+                fn=lambda d: {
+                    "hour": d["id_ts"].hour,  # needs Timestamp API
+                    "id": d["id"],            # must serialize as a number
+                },
+                window=10**9,
+            ),
+            name="typelib",
+        )
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s:1", 5, {"x": "1"})])
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            st = rt.stats["typelib.types"]
+            assert st.n_failed == 0, st.last_error
+            (row,) = rt.read_sink("typelib", "types").collect()
+            assert _json.loads(row["result"]) == {"hour": 0, "id": 5}
+        finally:
+            rt.stop_all()
+
+    def test_stop_library_drops_frontier_stats(self, spark, sf_dir, spool, work):
+        """A deleted library's consumer must not pin the retention
+        min-frontier: stop_library removes its stats, so trimming follows
+        the slowest LIVE consumer (stream_reader.rs:60-110)."""
+        engine = GearsEngine(spark, sf_dir)
+
+        def mklib(n):
+            return engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "t", prefix="s:", fn=lambda d: None, window=10**9
+                ),
+                name=n,
+            )
+
+        liba, libb = mklib("fra"), mklib("frb")
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s:1", 10, {"x": "1"})])
+        rt.start_library(liba)
+        rt.start_library(libb)
+        try:
+            rt.process_available()
+            assert rt.min_frontier() == {"s:1": 10}
+            rt.stop_library("fra")
+            assert "fra.t" not in rt.stats
+            # libb alone now defines the frontier
+            _write_canonical(spark, spool, [("s:1", 99, {"x": "2"})])
+            rt.process_available()
+            assert rt.min_frontier() == {"s:1": 99}
+        finally:
+            rt.stop_all()
+
+    def test_session_window_rejects_slide(self, spark):
+        from redisgears_spark.streaming import windowed_stream_agg
+
+        with pytest.raises(ValueError, match="gap-based"):
+            windowed_stream_agg(
+                spark.range(1).selectExpr(
+                    "'s:1' stream_key", "id", "current_timestamp() id_ts",
+                    "map('value','1') fields",
+                ),
+                window="session:10 seconds",
+                slide="5 seconds",
+            )
