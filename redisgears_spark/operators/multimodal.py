@@ -337,3 +337,61 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+_EMBED_DIM = 16
+
+
+def _embed_payload(payload: bytes) -> list:
+    """Embedding step — STUBBED. A real implementation would run a CLIP-ish
+    encoder (torch/onnxruntime absent in this container); the fallback is a
+    deterministic fake — unit-normalized values derived from a blake2b
+    digest of the payload — so the pipeline shape (binary → array<float>,
+    batch iteration, downstream dedup/ANN joins) is exercised end-to-end
+    and identical payloads land on identical vectors."""
+    try:  # pragma: no cover - encoders absent in this container
+        raise ImportError  # no public model runtime available here
+    except ImportError:
+        from hashlib import blake2b
+
+        import numpy as np
+
+        raw = blake2b(payload, digest_size=_EMBED_DIM * 2).digest()
+        v = np.frombuffer(raw, dtype="<u2").astype("float64")
+        v = (v / 65535.0) * 2.0 - 1.0  # [-1, 1)
+        v /= np.linalg.norm(v) or 1.0
+        return [float(x) for x in v]
+
+
+def embed_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched (doc_id, payload) → (doc_id, embedding, model)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": [_embed_payload(p) for p in pdf["payload"]],
+                    "model": "fake-blake2b-16",
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id long, embedding array<double>, model string"
+    )
+
+
+@query("multimodal_embed")  # stubbed encoder — rows-only check
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding extraction over binary media payloads — the bridge from
+    the multimodal plumbing to the similarity/dedup stack: its output
+    schema is exactly the `embeddings` table shape, so sim_topk /
+    sim_ann_* / dedup_embedding_* consume it unchanged.
+
+    Scale: one Arrow-batched pass; the payload column is pruned until
+    this stage so no exchange ever carries blobs, and the output is a
+    narrow (id, dim-{dim}) projection. The encoder itself is stubbed
+    (deterministic blake2b fake — no model runtime in this container)
+    with the same import-try discipline as the decode step.
+    """
+    return embed_payloads(media_table(spark, sf_dir))

@@ -313,3 +313,27 @@ def test_shuffle_pack_prefix_sum_invariant(spark, sf_dir):
     running = pdf["n_tokens"].cumsum().shift(1, fill_value=0)
     assert (pdf["token_offset"] == running).all()
     assert (pdf["shard_id"] == pdf["token_offset"] // _SHARD_BUDGET).all()
+
+
+def test_multimodal_embed_deterministic_and_dedup_ready(spark, sf_dir):
+    """The stubbed encoder must be deterministic (same payload → same
+    vector, across runs and partitionings), unit-normalized, and exact-dup
+    payloads must land on identical vectors — what makes the output
+    consumable by the embedding-dedup stack."""
+    import math
+
+    out = QUERIES["multimodal_embed"](spark, sf_dir)
+    rows = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in QUERIES["multimodal_embed"](spark, sf_dir).collect()
+    }
+    assert rows == again  # deterministic
+    v = next(iter(rows.values()))
+    assert len(v) == 16
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+    # identical payloads map to identical vectors; distinct ones diverge
+    from redisgears_spark.operators.multimodal import _embed_payload
+
+    assert _embed_payload(b"same bytes") == _embed_payload(b"same bytes")
+    assert _embed_payload(b"same bytes") != _embed_payload(b"other bytes")
