@@ -870,3 +870,31 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query("q06d_approx_percentiles")  # mergeable sketch — rows-only check
+def q06d_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's mergeable quantile sketch
+    (approx_percentile) — the 100 TB path beside q06b's exact
+    percentiles: exact quantiles need a full sort per group, the sketch
+    is a bounded-size map-side partial merged like any aggregate.
+
+    Accuracy 10000 → worst-case rank error 1/10000; the behavioral test
+    pins the sketch within that bound of q06b's exact answers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99),"
+                " 10000)"
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p95"),
+            F.col("p")[2].alias("p99"),
+        )
+    )

@@ -337,3 +337,33 @@ def test_multimodal_embed_deterministic_and_dedup_ready(spark, sf_dir):
 
     assert _embed_payload(b"same bytes") == _embed_payload(b"same bytes")
     assert _embed_payload(b"same bytes") != _embed_payload(b"other bytes")
+
+
+def test_approx_percentiles_within_sketch_bound(spark, sf_dir):
+    """The quantile sketch must land within its documented rank-error
+    bound of the exact per-group percentiles (q06b's exact formulation
+    recomputed here at matching quantiles)."""
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in QUERIES["q06d_approx_percentiles"](spark, sf_dir).collect()
+    }
+    from redisgears_spark.sources.keyspace import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["ps"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("ps")
+        )
+        .collect()
+    }
+    # rank error 1/10000 on ~20k rows/group ≈ a couple of neighbors; a
+    # loose relative value-tolerance is the stable cross-SF assertion
+    for flag, (a50, a95, a99) in approx.items():
+        e50, e95, e99 = exact[flag]
+        for a, e in ((a50, e50), (a95, e95), (a99, e99)):
+            assert abs(a - e) / e < 0.05, (flag, a, e)
