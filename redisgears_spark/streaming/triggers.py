@@ -138,8 +138,29 @@ class TriggerStats:
     frontier: dict[str, int] = field(default_factory=dict)
 
 
+def _write_parquet_part(pdf: pd.DataFrame, out_dir: str) -> None:
+    """Executor-side parquet append: one uniquely-named part file per task
+    (Spark's documented custom-sink/foreach pattern). Timestamps are cast
+    to UTC microseconds so Spark reads them back as TIMESTAMP, matching
+    the schema a JVM-side parquet write would produce."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    fields = [
+        pa.field(f.name, pa.timestamp("us", tz="UTC"))
+        if pa.types.is_timestamp(f.type)
+        else f
+        for f in tbl.schema
+    ]
+    tbl = tbl.cast(pa.schema(fields))
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet"))
+
+
 def _make_partition_processor(
-    fn: Callable[[dict], Any], window: int
+    fn: Callable[[dict], Any], sink_dir: str, err_dir: str
 ) -> Callable[[Any], Any]:
     """Build the executor-side processor: strictly ordered by id per
     stream_key (the reference's per-stream read order). Only records
@@ -159,17 +180,26 @@ def _make_partition_processor(
     and the frontier still advances (stream_reader.rs:368-371 — Nack sets
     last_error but does not halt progress).
 
-    Besides one result row per record, the processor emits a single
-    status='frontier' row per key (id = max processed id). Per-key
-    accounting therefore happens executor-side, inside the same pass that
-    runs the callback — the driver picks the frontier rows up via observe()
-    metrics on the sink write, so a micro-batch costs ONE job.
+    The SINK WRITE IS FUSED into this stage: each task appends its ok
+    rows to `sink_dir` (and error rows to `err_dir`) as uniquely-named
+    parquet part files — the foreach/custom-sink pattern. The stage's
+    only OUTPUT rows are metadata: one status='frontier' row per key
+    (id = max processed id) and one status='stats' row per task carrying
+    the counters as JSON. A micro-batch is therefore ONE job whose
+    collected result is |keys| + |tasks| tiny rows — no second write job,
+    no CollectMetrics node, no post-stage filter. Delivery is
+    at-least-once at task granularity (a retried task re-appends its
+    file); read_sink(exactly_once=True) collapses replays by
+    (stream_key, id), same as before.
     """
-    _ = window  # admission happens upstream; kept for spec parity
 
     def process(batches: Any) -> Any:
         frontier: dict[str, int] = {}
         first_ts: dict[str, Any] = {}
+        n_ok = n_err = 0
+        an_error: str | None = None
+        oldest = None
+        out_frames: list[pd.DataFrame] = []
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -215,37 +245,74 @@ def _make_partition_processor(
                     )
                     if res is not None:
                         result[i] = json.dumps(res, default=str)
+                    n_ok += 1
                 except Exception as e:  # record error, keep going
                     status[i] = "error"
                     error[i] = f"{type(e).__name__}: {e}"
+                    an_error = error[i]
+                    n_err += 1
                 # input arrives sorted by (stream_key, id): a plain
                 # last-write is the running max per key
                 frontier[keys[i]] = ids[i]
                 first_ts.setdefault(keys[i], idts[i])
-            yield pd.DataFrame(
-                {
-                    "stream_key": keys,
-                    "id": ids,
-                    "id_ts": idts,
-                    "status": status,
-                    "result": result,
-                    "error": error,
-                }
-            )
-        if frontier:
-            yield pd.DataFrame(
-                [
+            ts_vals = [t for t in idts if t is not None]
+            if ts_vals:
+                lo = min(ts_vals)
+                oldest = lo if oldest is None else min(oldest, lo)
+            out_frames.append(
+                pd.DataFrame(
                     {
-                        "stream_key": k,
-                        "id": v,
-                        "id_ts": first_ts[k],
-                        "status": "frontier",
-                        "result": None,
-                        "error": None,
+                        "stream_key": keys,
+                        "id": ids,
+                        "id_ts": idts,
+                        "status": status,
+                        "result": result,
+                        "error": error,
                     }
-                    for k, v in frontier.items()
-                ]
+                )
             )
+        if out_frames:
+            allpdf = (
+                pd.concat(out_frames) if len(out_frames) > 1 else out_frames[0]
+            )
+            ok_mask = allpdf["status"] == "ok"
+            if ok_mask.any():
+                _write_parquet_part(allpdf[ok_mask], sink_dir)
+            if n_err:
+                _write_parquet_part(allpdf[~ok_mask], err_dir)
+        meta = [
+            {
+                "stream_key": k,
+                "id": v,
+                "id_ts": first_ts[k],
+                "status": "frontier",
+                "result": None,
+                "error": None,
+            }
+            for k, v in frontier.items()
+        ]
+        meta.append(
+            {
+                "stream_key": "",
+                "id": 0,
+                "id_ts": None,
+                "status": "stats",
+                "result": json.dumps(
+                    {
+                        "ok": n_ok,
+                        "err": n_err,
+                        "an_error": an_error,
+                        "oldest_us": (
+                            int(oldest.value // 1000)
+                            if oldest is not None
+                            else None
+                        ),
+                    }
+                ),
+                "error": None,
+            }
+        )
+        yield pd.DataFrame(meta)
 
     return process
 
@@ -271,6 +338,37 @@ class StreamTriggerRuntime:
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
         engine.register_trigger_runtime(self)
+
+    # target rows per Python-callback task: small enough to parallelize a
+    # modest micro-batch, large enough that Arrow/task overhead amortizes
+    _ROWS_PER_PYTHON_TASK = 2048
+    # parquet bytes/row prior for the canonical stream shape; refined from
+    # nothing here — it only seeds the first-batch estimate and errors of
+    # 2-3x land in the flat region of the task-count/throughput curve
+    _BYTES_PER_ROW_HINT = 40
+
+    def _python_stage_partitions(self, qkey: str, batch_df: DataFrame) -> int:
+        """Shuffle-partition count for the Python callback stage, sized to
+        THIS micro-batch: estimate batch rows from its input-file bytes
+        (a listing, not a job) and target _ROWS_PER_PYTHON_TASK rows/task,
+        capped at defaultParallelism so backfill-scale batches always get
+        full parallelism. Falls back to defaultParallelism when the batch
+        does not expose its files (non-file sources)."""
+        default = self.spark.sparkContext.defaultParallelism
+        try:
+            files = batch_df.inputFiles()
+            if not files:
+                return default
+            from urllib.parse import urlparse
+
+            total = 0
+            for f in files:
+                p = urlparse(f).path or f
+                total += os.path.getsize(p)
+            est_rows = max(1, total // self._BYTES_PER_ROW_HINT)
+            return max(1, min(default, -(-est_rows // self._ROWS_PER_PYTHON_TASK)))
+        except Exception:
+            return default
 
     # -- source --------------------------------------------------------------
 
@@ -346,7 +444,7 @@ class StreamTriggerRuntime:
         expr: str | None = spec.get("expr")
         bounded = window < UNBOUNDED_WINDOW
         processor = (
-            _make_partition_processor(spec["fn"], window)
+            _make_partition_processor(spec["fn"], sink_dir, err_dir)
             if expr is None
             else None
         )
@@ -408,12 +506,18 @@ class StreamTriggerRuntime:
                 # layout the partition processor needs; no extra shuffle
                 admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
             elif expr is None:
-                # explicit partition count: AQE's byte-based coalescing sees
-                # a few MB and folds the shuffle to ONE task, serializing
-                # the CPU-bound Python callback stage behind a single
-                # worker; the callback cost is per-row, not per-byte
+                # explicit partition count, sized to the batch: AQE's
+                # byte-based coalescing sees a few MB and folds the shuffle
+                # to ONE task (serializing the CPU-bound Python callback),
+                # while a fixed defaultParallelism over-fans small batches
+                # into per-task overhead. _python_stage_partitions estimates
+                # batch rows from the batch's input-file bytes (no extra
+                # job) and targets _ROWS_PER_PYTHON_TASK rows per task,
+                # capped at defaultParallelism — huge backfill batches
+                # still get full parallelism
                 admitted = matched.repartition(
-                    self.spark.sparkContext.defaultParallelism, "stream_key"
+                    self._python_stage_partitions(qkey, batch_df),
+                    "stream_key",
                 ).sortWithinPartitions("stream_key", "id")
             else:
                 # declarative trigger: a stateless Catalyst row expression
@@ -447,40 +551,74 @@ class StreamTriggerRuntime:
                     F.lit(None).cast("string").alias("error"),
                 )
                 results = row_results.unionByName(frontier_rows)
+                # ONE job per micro-batch: the sink write. Counters/lag/
+                # error-sample ride on it as observe() metrics, and per-key
+                # frontiers arrive as a collect_list metric (|keys| tiny
+                # structs). The ok-filter sits ABOVE the CollectMetrics
+                # node, so the metrics see every row while only ok records
+                # land in the sink.
+                obs = Observation()
+                observed = results.observe(
+                    obs,
+                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                    F.count(F.when(F.col("status") == "error", 1)).alias(
+                        "err"
+                    ),
+                    F.max(
+                        F.when(F.col("status") == "error", F.col("error"))
+                    ).alias("an_error"),
+                    F.min(
+                        F.when(
+                            F.col("status") != "frontier",
+                            F.unix_micros("id_ts"),
+                        )
+                    ).alias("oldest_us"),
+                    F.collect_list(
+                        F.when(
+                            F.col("status") == "frontier",
+                            F.struct("stream_key", "id"),
+                        )
+                    ).alias("frontiers"),
+                )
+                observed.filter(F.col("status") == "ok").write.mode(
+                    "append"
+                ).parquet(sink_dir)
+                m = obs.get
+                n_ok, n_err = m["ok"], m["err"]
+                an_error = m["an_error"]
+                oldest_us = m["oldest_us"]
+                frontiers = [
+                    (r["stream_key"], r["id"]) for r in m["frontiers"]
+                ]
             else:
-                results = admitted.mapInPandas(processor, _RESULT_SCHEMA)
-            # ONE job per micro-batch: the sink write. All accounting rides
-            # on it as observe() metrics — the processor already emitted one
-            # status='frontier' row per key, so per-key frontiers arrive as
-            # a collect_list metric (|keys| tiny structs), and counts/lag/
-            # error-sample are plain aggregates. The ok-filter sits ABOVE
-            # the CollectMetrics node, so the metrics see every row while
-            # only ok records land in the sink.
-            obs = Observation()
-            observed = results.observe(
-                obs,
-                F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                F.count(F.when(F.col("status") == "error", 1)).alias("err"),
-                F.max(F.when(F.col("status") == "error", F.col("error"))).alias(
-                    "an_error"
-                ),
-                F.min(
-                    F.when(
-                        F.col("status") != "frontier", F.unix_micros("id_ts")
-                    )
-                ).alias("oldest_us"),
-                F.collect_list(
-                    F.when(
-                        F.col("status") == "frontier",
-                        F.struct("stream_key", "id"),
-                    )
-                ).alias("frontiers"),
-            )
-            observed.filter(F.col("status") == "ok").write.mode("append").parquet(
-                sink_dir
-            )
-            m = obs.get
-            n_ok, n_err = m["ok"], m["err"]
+                # PYTHON path, ONE job per micro-batch: the processor runs
+                # the callback AND appends its partition's ok/error rows to
+                # the sink/error dirs executor-side (see
+                # _make_partition_processor — the foreach/custom-sink
+                # pattern). The job's collected result is only metadata:
+                # |keys| frontier rows + one stats row per task — no second
+                # write job, no CollectMetrics, no post-stage filter.
+                meta = admitted.mapInPandas(
+                    processor, _RESULT_SCHEMA
+                ).collect()
+                n_ok = n_err = 0
+                an_error = None
+                oldest_us = None
+                frontiers = []
+                for r in meta:
+                    if r["status"] == "stats":
+                        d = json.loads(r["result"])
+                        n_ok += d["ok"]
+                        n_err += d["err"]
+                        an_error = d["an_error"] or an_error
+                        if d["oldest_us"] is not None:
+                            oldest_us = (
+                                d["oldest_us"]
+                                if oldest_us is None
+                                else min(oldest_us, d["oldest_us"])
+                            )
+                    else:  # frontier
+                        frontiers.append((r["stream_key"], r["id"]))
             n_deferred = int(obs_gate.get["deferred"]) if obs_gate else 0
             if n_deferred:
                 # overflow is exceptional — recompute the gate (fn never ran
@@ -494,22 +632,13 @@ class StreamTriggerRuntime:
                     .write.mode("append")
                     .parquet(respool_dir)
                 )
-            if n_err:
-                # error batches are exceptional — re-running the pass for
-                # the error log keeps the hot path at one job (fn is
-                # deterministic; reference semantics only require the error
-                # to be recorded, stream_reader.rs:368-371)
-                results.filter(F.col("status") == "error").write.mode(
-                    "append"
-                ).parquet(err_dir)
             # consumer lag = now − record event time (the reference tracks
             # lag per record, stream_reader.rs:127-135; the batch analog is
             # the oldest record processed this batch)
             import time as _time
 
             now_us = int(_time.time() * 1_000_000)
-            oldest = m["oldest_us"]
-            batch_lag_us = (now_us - oldest) if oldest is not None else 0
+            batch_lag_us = (now_us - oldest_us) if oldest_us is not None else 0
             with self._lock:
                 stats.n_batches += 1
                 stats.n_records += n_ok + n_err
@@ -517,11 +646,11 @@ class StreamTriggerRuntime:
                 stats.n_failed += n_err
                 stats.n_deferred += n_deferred
                 stats.max_lag_us = max(stats.max_lag_us, batch_lag_us)
-                if n_err and m["an_error"]:
-                    stats.last_error = m["an_error"]
-                for r in m["frontiers"]:
-                    cur = stats.frontier.get(r["stream_key"], -1)
-                    stats.frontier[r["stream_key"]] = max(cur, r["id"])
+                if n_err and an_error:
+                    stats.last_error = an_error
+                for key, fid in frontiers:
+                    cur = stats.frontier.get(key, -1)
+                    stats.frontier[key] = max(cur, fid)
 
         # the respool source only exists for bounded windows — the overflow
         # re-spool is the only writer, so an unbounded trigger would poll a
@@ -684,6 +813,14 @@ class KeyspaceTriggerRuntime:
         runtime = self
 
         def process_partition(pdf_iter):
+            # fused custom sink (see _make_partition_processor): each task
+            # appends ALL its result rows (the CDC sink keeps every status)
+            # to sink_dir executor-side and yields one status='stats'
+            # metadata row, so a micro-batch is ONE job collecting |tasks|
+            # tiny rows
+            n_ok = n_err = 0
+            an_error = None
+            frames = []
             for pdf in pdf_iter:
                 n = len(pdf)
                 if not n:
@@ -716,19 +853,41 @@ class KeyspaceTriggerRuntime:
                         res = fn(data)
                         if res is not None:
                             result[i] = json.dumps(res, default=str)
+                        n_ok += 1
                     except Exception as e:
                         status[i] = "error"
                         error[i] = f"{type(e).__name__}: {e}"
-                yield pd.DataFrame(
-                    {
-                        "seq": seqs,
-                        "key": keys,
-                        "event": events,
-                        "status": status,
-                        "result": result,
-                        "error": error,
-                    }
+                        an_error = error[i]
+                        n_err += 1
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "seq": seqs,
+                            "key": keys,
+                            "event": events,
+                            "status": status,
+                            "result": result,
+                            "error": error,
+                        }
+                    )
                 )
+            if frames:
+                allpdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+                _write_parquet_part(allpdf, sink_dir)
+            yield pd.DataFrame(
+                [
+                    {
+                        "seq": 0,
+                        "key": "",
+                        "event": "",
+                        "status": "stats",
+                        "result": json.dumps(
+                            {"ok": n_ok, "err": n_err, "an_error": an_error}
+                        ),
+                        "error": None,
+                    }
+                ]
+            )
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             matched = batch_df.filter(
@@ -738,7 +897,10 @@ class KeyspaceTriggerRuntime:
             )
             if expr is not None:
                 # declarative fast path (see StreamTriggerRuntime): the
-                # callback is a Catalyst expression over the change record
+                # callback is a Catalyst expression over the change record.
+                # ONE job: the sink write, counters riding as observe()
+                # metrics (the CDC sink keeps all statuses, so no second
+                # write is ever needed)
                 results = matched.select(
                     "seq",
                     "key",
@@ -747,31 +909,42 @@ class KeyspaceTriggerRuntime:
                     F.expr(expr).cast("string").alias("result"),
                     F.lit(None).cast("string").alias("error"),
                 )
-            else:
-                results = matched.mapInPandas(
-                    process_partition, _CDC_RESULT_SCHEMA
-                )
-            # ONE job per micro-batch: the sink write carries the counters
-            # as observe() metrics (the CDC sink keeps all statuses, so no
-            # second write is ever needed)
-            from pyspark.sql import Observation
+                from pyspark.sql import Observation
 
-            obs = Observation()
-            observed = results.observe(
-                obs,
-                F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                F.count(F.when(F.col("status") == "error", 1)).alias("err"),
-                F.max("error").alias("an_error"),
-            )
-            observed.write.mode("append").parquet(sink_dir)
-            m = obs.get
+                obs = Observation()
+                observed = results.observe(
+                    obs,
+                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                    F.count(F.when(F.col("status") == "error", 1)).alias(
+                        "err"
+                    ),
+                    F.max("error").alias("an_error"),
+                )
+                observed.write.mode("append").parquet(sink_dir)
+                m = obs.get
+                n_ok, n_err = m["ok"] or 0, m["err"] or 0
+                an_error = m["an_error"]
+            else:
+                # python path: fused executor-side sink write (see
+                # process_partition) — the collected result is |tasks|
+                # stats rows only
+                meta = matched.mapInPandas(
+                    process_partition, _CDC_RESULT_SCHEMA
+                ).collect()
+                n_ok = n_err = 0
+                an_error = None
+                for r in meta:
+                    d = json.loads(r["result"])
+                    n_ok += d["ok"]
+                    n_err += d["err"]
+                    an_error = d["an_error"] or an_error
             with self._lock:
                 stats.n_batches += 1
-                stats.n_records += (m["ok"] or 0) + (m["err"] or 0)
-                stats.n_success += m["ok"] or 0
-                stats.n_failed += m["err"] or 0
-                if m["err"]:
-                    stats.last_error = m["an_error"]
+                stats.n_records += n_ok + n_err
+                stats.n_success += n_ok
+                stats.n_failed += n_err
+                if n_err:
+                    stats.last_error = an_error
             _ = runtime  # actions that write back must use append_changes(origin='trigger')
 
         query = (
