@@ -741,3 +741,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_K)
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_ORACLE_PAIRS_CTE}
+    SELECT a_id, b_id, inter,
+           CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM pairs
+    JOIN sizes sa ON pairs.a_id = sa.doc_id
+    JOIN sizes sb ON pairs.b_id = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: shingle containment
+    |A∩B| / min(|A|, |B|) ≥ 0.5 — catches quote/subset duplication
+    (a short document embedded in a longer one) that symmetric Jaccard
+    misses, the second dedup pass web-corpus pipelines run after MinHash.
+
+    Determinism: a ratio of exact integers with one IEEE division —
+    bit-identical across engines. Scale: same candidate economics as
+    dedup_ngram_jaccard (and the same caveat: the exhaustive shingle
+    self-join is the VERIFIER — at 100 TB feed it LSH candidate pairs);
+    the shingle pass is shared with the Jaccard query via the plan cache.
+    """
+    docs = shingled_docs(spark, sf_dir).cache()
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, (a.s_a == b.s_b) & (a.a_id < b.b_id))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    containment = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select("a_id", "b_id", "inter", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )

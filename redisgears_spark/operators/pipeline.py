@@ -419,3 +419,60 @@ def pipeline_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(token_offset DIV {_SHARD_BUDGET} AS BIGINT)"),
         )
     )
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM g) AS token_share,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS sampling_weight
+    FROM g
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per (source, lang) document and token
+    counts, each domain's share of the corpus token budget, and a
+    square-root sampling weight (the published temperature-style
+    upweighting of small domains) — the table a training run consults to
+    draw its data mixture.
+
+    Determinism: counts and token sums are exact integers; token_share is
+    ONE IEEE division by the exact global total; sampling_weight is one
+    IEEE sqrt — bit-identical across engines (no normalization by a
+    float sum, which would be order-dependent).
+
+    Scale: one map-side-partial aggregate over the scan (token counting is
+    a Catalyst projection), then the |domains|-row result broadcast-joins
+    the 1-row global total — the corpus itself shuffles only the
+    (source, lang, n) triple, never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "lang",
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n"),
+    )
+    g = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens")
+    )
+    total = g.agg(F.sum("n_tokens").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+            "token_share"
+        ),
+        F.sqrt(F.col("n_tokens").cast("double")).alias("sampling_weight"),
+    )

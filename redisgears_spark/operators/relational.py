@@ -941,3 +941,306 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 / Q7 / Q13 / Q16 / Q17 shapes — the remaining classic join
+# patterns (existence semi-join, nation-pair multi-join, outer-join
+# distribution, distinct-count grouping, correlated-average filter), each
+# adapted to the fixture's reduced columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of one quarter's orders that
+    have at least one late-shipped line (shipped >30 days after the order
+    — the fixture's stand-in for Q4's commitdate<receiptdate predicate).
+    The reference pattern this replaces: a JS callback scanning order keys
+    and issuing per-key lookups (v8_native_functions.rs:513-624).
+
+    Scale: the date filter prunes orders at the scan (PushedFilters), the
+    EXISTS compiles to a LEFT SEMI shuffle join on orderkey (no row
+    multiplication however many lines match), and the priority agg is
+    map-side partial over ~5 groups. At 100 TB bucket both tables on
+    orderkey to make the semi join co-located.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the multi-join with a symmetric nation-pair predicate.
+
+    Scale: supplier/customer/nation broadcast; the only shuffle join is
+    lineitem⋈orders on orderkey. The nation-pair disjunction is applied
+    AFTER the cheap broadcast joins attach both nation names, so Catalyst
+    keeps one pass over lineitem; the 3-column agg partial-aggregates
+    map-side (|nations|² × |years| groups — tiny).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    rev = cents("l_extendedprice") * (100 - basis_points("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts (how many
+    customers placed 0, 1, 2, … non-urgent orders) — the outer-join +
+    double-aggregation histogram, customers with no orders included.
+
+    Scale: COUNT(o_orderkey) over the left join counts only matched rows
+    (null-skipping), so zero-order customers survive as c_count=0. First
+    agg shuffles on custkey — same key as the join, so Catalyst reuses the
+    exchange; the histogram re-agg shuffles |customers| pre-shrunk rows on
+    the tiny c_count domain.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2' AND p.p_size IN (1, 4, 9, 16, 25)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, size) part family — distinct-count grouping behind a dimension
+    anti-filter (the fixture has no partsupp, so lineitem is the
+    part↔supplier bridge).
+
+    Scale: the brand/size predicates prune on the broadcast part side
+    before the fact join; COUNT(DISTINCT) expands to a two-phase agg
+    (partial distinct on (group, suppkey), then count) — both map-side
+    partial, no row explosion.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & F.col("p_size").isin(1, 4, 9, 16, 25)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#19'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * pa.cnt < pa.sum_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders — lines of
+    one brand whose quantity is below 20% of that part's average quantity.
+    The correlated scalar subquery becomes a per-part aggregate joined
+    back to the fact table.
+
+    Determinism: the threshold `qty < 0.2 * avg(qty)` is evaluated as
+    `qty * 5 * cnt < sum_qty` — pure 64-bit integer arithmetic (fixture
+    quantities are integer-valued), so the predicate is bit-identical
+    across engines with no float division at all.
+
+    Scale: both the per-part agg and the fact join shuffle on partkey —
+    one exchange, reused; the brand filter rides the broadcast part
+    dimension. At 100 TB the per-part aggregate is |parts| rows, still
+    shuffle-joined (not broadcast) — correctly sized for a fact-scale dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#19")
+        .select("p_partkey")
+    )
+    qty = F.round("l_quantity").cast("long")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
+           COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+             AS n_full_funnel
+    FROM stage
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis over the event stream: per user, the first time each
+    stage (view → click → purchase) occurred, then how many users advanced
+    through each ordered step — the conversion query every event pipeline
+    runs, and a per-key ordered-dataflow pattern the reference would
+    hand-roll in a stream-trigger callback (SURVEY §2.C).
+
+    Scale: ONE shuffle on user_id with map-side partial MIN per stage (a
+    pivoted conditional aggregate, no window, no self-join); the ordered
+    funnel conditions are then row-local null-safe comparisons, and the
+    final count is a single global partial-agg. Timestamp comparisons on
+    NULL (stage never reached) are NULL → not counted, in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    click_after = F.col("t_click") > F.col("t_view")
+    full = click_after & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(click_after, 1)).alias("n_click_after_view"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+    )

@@ -797,3 +797,69 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH {{QUANT}},
+    pairs AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(a.nq AS BIGINT) AS q_nq, CAST(b.nq AS BIGINT) AS n_nq,
+             CAST(list_sum([a.v[i] * b.v[i]
+                  for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot
+      FROM n a JOIN n b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(q_nq AS DOUBLE)) * sqrt(CAST(n_nq AS DOUBLE)))
+               AS cosine
+      FROM pairs
+    ),
+    topk AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        FROM scored
+      ) WHERE rank <= {_TOP_K}
+    ),
+    votes AS (
+      SELECT t.q_id, e.label, COUNT(*) AS votes
+      FROM topk t JOIN embeddings e ON t.n_id = e.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, label AS knn_label, votes FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY votes DESC, label) AS r
+      FROM votes
+    ) WHERE r = 1
+    """.replace("{QUANT}", _ORACLE_QUANT_CTE),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: each query vector (vec_id < 8) takes the
+    majority label of its 5 exact-cosine nearest neighbors (ties broken
+    toward the smaller label) — the labeling/routing primitive a training
+    pipeline runs on top of similarity search (e.g. quality-tier or domain
+    assignment by nearest labeled exemplars).
+
+    Scale: reuses sim_topk_bruteforce's one-pass broadcast-queries kernel
+    (corpus never shuffles, executor-side per-batch top-k pre-reduction);
+    the vote is a |queries|×k → |queries|×|labels| aggregate — trivially
+    small. Swap the candidate stage for sim_ann_lsh at larger query sets.
+    """
+    topk = sim_topk_bruteforce(spark, sf_dir).select("q_id", "n_id")
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("n_id"), "label"
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "n_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("q_id", F.col("label").alias("knn_label"), "votes")
+    )

@@ -373,3 +373,41 @@ def test_q19_disjunction_splits_per_table(spark, sf_dir):
     assert li_pushed, plan   # quantity-band union pruned lineitem
     assert part_pushed, plan  # brand/size union pruned part
     assert "BroadcastExchange" in plan, plan
+
+
+def test_tpch_q4_semi_join_and_pushdown(spark, sf_dir):
+    """Q4's EXISTS must plan a semi join (no row multiplication) with the
+    quarter filter pushed to the orders scan."""
+    df = QUERIES["tpch_q4_order_priority"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filters(df, "IsNotNull(o_orderdate)")
+
+
+def test_tpch_q16_broadcasts_part_dim(spark, sf_dir):
+    """Q16's filtered part dimension must broadcast to the lineitem scan."""
+    df = QUERIES["tpch_q16_supplier_variety"](spark, sf_dir)
+    assert_broadcast_join(df, 1)
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The funnel is one user_id exchange + the 4-counter final gather — no
+    window, no self-join, no per-stage re-scan of events."""
+    df = QUERIES["events_funnel_conversion"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") <= 2, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert count_nodes(df, "Scan parquet") == 1, plan
+
+
+def test_q17_integer_threshold_no_cartesian(spark, sf_dir):
+    """Q17's brand dimension broadcasts; the correlated-average threshold
+    is evaluated as a pure integer join condition (qty*5*cnt < sum_qty —
+    no float division anywhere); no cartesian product. The per-part
+    aggregate joins by strategy of AQE's choosing: broadcast at test
+    scale, sort-merge on the shared partkey exchange at fact scale."""
+    df = QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "* 5" in plan or "5)" in plan, plan  # integer predicate survived
