@@ -20,7 +20,7 @@ import time
 
 def bench_streaming(
     spark, sf_dir: str, n_events: int = 20000, mode: str = "sync",
-    iters: int = 4,
+    iters: int = 5,
 ) -> dict:
     """Stream-trigger overhead, mirroring the reference's benchmark shape
     (BASELINE.md: trigger throughput vs no-trigger baseline on identical
@@ -31,7 +31,7 @@ def bench_streaming(
         XADD-no-consumer analog (rg_stream_baseline.yml). Like XADD, the
         baseline pays for materializing the stream record shape; the
         consumer callback pipeline is what the trigger adds on top.
-      * both paths run `iters` times (4: micro-sections are fixed-cost
+      * both paths run `iters` times (5: micro-sections are fixed-cost
         dominated, so the GC/scheduler tail is long) and the BEST time is kept —
         micro-benchmark discipline: the sections measure ~1-2 s of work
         where JVM/codegen warm-up and GC noise would otherwise dominate
@@ -150,7 +150,7 @@ def bench_streaming(
 
 
 def bench_keyspace(
-    spark, sf_dir: str, n_events: int = 20000, iters: int = 4
+    spark, sf_dir: str, n_events: int = 20000, iters: int = 5
 ) -> dict:
     """Keyspace(CDC)-trigger overhead, mirroring the reference's
     rg_keyspace_sync_simple harness shape (BASELINE.md: SET-with-trigger

@@ -1244,3 +1244,201 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(click_after, 1)).alias("n_click_after_view"),
         F.count(F.when(full, 1)).alias("n_full_funnel"),
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_e4,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = (
+        SELECT MIN(p_type) FROM part
+      )
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_e4
+                         ELSE 0 END) AS BIGINT) AS nation_volume_e4,
+           CAST(SUM(volume_e4) AS BIGINT) AS total_volume_e4,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_e4
+                         ELSE 0 END) AS DOUBLE)
+             / SUM(volume_e4) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's market share, by order year,
+    of a region's demand for one part type — the conditional-share pattern
+    over an 8-way star join (the widest join in the inventory).
+
+    Determinism: both the nation volume and the total accumulate in exact
+    integer 1e-4-cents; the share is ONE IEEE division of exact integers —
+    bit-identical across engines despite being a float ratio. The part
+    type is anchored to MIN(p_type) so the query is self-contained at
+    every SF.
+
+    Scale: all six dimensions broadcast (part is filtered to one type
+    first); lineitem⋈orders on orderkey is the only shuffle join; the
+    per-year conditional sums partial-aggregate map-side. Same bucketing
+    advice as Q5 at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part_all = load_table(spark, sf_dir, "part")
+    min_type = part_all.agg(F.min("p_type").alias("t"))
+    part = (
+        part_all.join(F.broadcast(min_type), part_all.p_type == F.col("t"))
+        .select("p_partkey")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = cents("l_extendedprice") * (100 - basis_points("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).alias("nation_volume_e4"),
+            F.sum(vol).alias("total_volume_e4"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.col("nation_volume_e4").cast("double") / F.col("total_volume_e4"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS total_revenue_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top supplier(s) by revenue — the
+    view-plus-scalar-max pattern (ties all surface, per spec).
+
+    Determinism: revenue is an exact integer sum, so the MAX equality
+    never hits float-compare ambiguity. Scale: the date filter prunes at
+    the scan; one shuffle on suppkey for the revenue view; the 1-row MAX
+    broadcast-joins back (Catalyst turns the scalar subquery into exactly
+    that), and the supplier dimension broadcasts.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            cents("l_extendedprice") * (100 - basis_points("l_discount"))
+        ).alias("total_revenue_e4")
+    )
+    top = rev.agg(F.max("total_revenue_e4").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue_e4 == F.col("max_rev"))
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT epoch_us(cohort_week) AS cohort_week_us, week_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    WHERE week_offset <= 8
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    as active in each subsequent week offset (0..8) — the standard
+    product-analytics retention triangle, all exact integer counts.
+
+    Scale: first-seen is one user_id shuffle with map-side partial MIN;
+    the activity join shuffles on the SAME key, so Catalyst reuses the
+    exchange; DISTINCT pre-shrinks (user, week) pairs before the final
+    small-domain aggregate. Week arithmetic is done on truncated
+    timestamps in both engines (Monday-anchored in Spark and DuckDB
+    alike), so offsets are integer-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(wk(F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy(
+            F.unix_micros(F.col("cohort_week").cast("timestamp")).alias(
+                "cohort_week_us"
+            ),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
