@@ -1,0 +1,85 @@
+"""Bucketed table layout — the shuffle-free co-located join, made concrete.
+
+Half the operator docstrings in this repo end with "at 100 TB, bucket both
+sides on the join key". This module is that advice as executable code: write
+fixture tables as Spark bucketed tables (`bucketBy` + `sortBy` into the
+session catalog), and the orderkey joins the TPC-H-shape queries run
+(orders⋈lineitem in Q3/Q4/Q5/Q7/Q8/Q18/Q21) compile WITHOUT an Exchange on
+either side — the scan itself reports the hash-partitioning, so the join is
+co-located and the sort is pre-satisfied per bucket.
+
+Why this matters at scale: orders⋈lineitem is the one join in the star
+schemas that cannot broadcast (both sides are fact-sized). Unbucketed, every
+query pays a full shuffle of both tables; bucketed, the shuffle is paid ONCE
+at layout time and amortized over every subsequent query — the standard
+warehouse trade, expressed in Spark's native layout primitive. The same
+mechanism carries to 1000-executor clusters unchanged: bucket count bounds
+per-task input, and `spark.sql.sources.bucketing.autoBucketedScan.enabled`
+lets Catalyst fall back to a plain scan when bucketing doesn't help.
+
+Reference parity note: the reference co-locates by hash-slot ownership
+(keys live on the shard that owns their slot — redisgears_core cluster
+routing); SURVEY §2.D maps that concept onto Spark partitioning, and this
+module is the batch-layout face of it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from redisgears_spark.sources.keyspace import load_table
+
+
+def bucketize(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    name: str | None = None,
+) -> str:
+    """Write one fixture table as a bucketed+sorted catalog table keyed on
+    `key`; returns the catalog table name (default `<table>_bkt`).
+
+    Idempotent per session AND across sessions: an existing table of the
+    same name is dropped, and a stale warehouse location left behind by a
+    previous session (whose in-memory catalog died without dropping) is
+    removed — otherwise CREATE fails with LOCATION_ALREADY_EXISTS.
+    """
+    name = name or f"{table}_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = os.path.join(urlparse(warehouse).path, name.lower())
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, table)
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return name
+
+
+def colocated_order_lineitem(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """orders⋈lineitem on orderkey over bucketed layouts — the co-located
+    join every orderkey query shares. Both scans expose the same
+    hash-partitioning, so the join plans with NO Exchange on either side
+    (pinned by tests/test_plans.py::test_bucketed_join_no_shuffle)."""
+    o = bucketize(spark, sf_dir, "orders", "o_orderkey", n_buckets)
+    l = bucketize(spark, sf_dir, "lineitem", "l_orderkey", n_buckets)
+    orders = spark.table(o)
+    lineitem = spark.table(l)
+    return orders.join(
+        lineitem.hint("merge"),
+        orders.o_orderkey == lineitem.l_orderkey,
+    )

@@ -112,37 +112,21 @@ def test_tfidf_df_side_broadcasts(spark, sf_dir):
     assert_broadcast_join(df, 1)
 
 
-def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """The 100 TB claim made in the join docstrings ('bucket both tables on
-    orderkey and the exchange disappears'), executed: orders ⋈ lineitem on
-    bucketed tables plans ZERO exchanges — SortMergeJoin straight over
-    bucketed scans."""
-    from pyspark.sql import functions as F
-
+    orderkey and the exchange disappears'), executed through the
+    first-class layout utility: orders ⋈ lineitem over sources.bucketed
+    tables plans ZERO exchanges — SortMergeJoin straight over bucketed
+    scans, per-bucket sort pre-satisfied."""
+    from redisgears_spark.sources.bucketed import colocated_order_lineitem
     from redisgears_spark.sources.keyspace import load_table
 
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
-        for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-            load_table(spark, sf_dir, t).write.mode("overwrite").bucketBy(
-                8, key
-            ).sortBy(key).saveAsTable(f"buckets.{t}_b")
-        joined = spark.table("buckets.orders_b").join(
-            spark.table("buckets.lineitem_b"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        assert count_nodes(joined, "Exchange") == 0, formatted_plan(joined)
-        assert "SortMergeJoin" in formatted_plan(joined)
-        # sanity: the bucketed join returns the same row count
-        plain = load_table(spark, sf_dir, "orders").join(
-            load_table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        assert joined.count() == plain.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
-        spark.sql("DROP DATABASE IF EXISTS buckets CASCADE")
+    joined = colocated_order_lineitem(spark, sf_dir)
+    plan = formatted_plan(joined)
+    assert count_nodes(joined, "Exchange") == 0, plan
+    assert "SortMergeJoin" in plan
+    # sanity: the bucketed join returns the full lineitem row count
+    assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
 
 
 def test_windows_partial_aggregate(spark, sf_dir):
@@ -411,3 +395,4 @@ def test_q17_integer_threshold_no_cartesian(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "* 5" in plan or "5)" in plan, plan  # integer predicate survived
+
