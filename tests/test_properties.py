@@ -191,3 +191,67 @@ class TestPartitioningInvariance:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert base == alt
+
+
+class TestOperatorInvariants:
+    """Cross-operator semantic invariants — relationships that must hold by
+    construction, checked on the fixtures (cheap, catches formula drift)."""
+
+    def test_containment_dominates_jaccard(self, spark, sf_dir):
+        """For every pair, containment = inter/min(|A|,|B|) >= jaccard =
+        inter/union; so every Jaccard>=0.5 pair must appear in the
+        containment>=0.5 result."""
+        from redisgears_spark.operators import QUERIES
+
+        jac = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        }
+        cont = {
+            (r["a_id"], r["b_id"]): r["containment"]
+            for r in QUERIES["dedup_containment"](spark, sf_dir).collect()
+        }
+        for pair, j in jac.items():
+            if j >= 0.5:
+                assert pair in cont, pair
+            if pair in cont:
+                assert cont[pair] >= j - 1e-12, (pair, cont[pair], j)
+
+    def test_funnel_monotone(self, spark, sf_dir):
+        """Funnel stages can only shrink: users >= viewers >=
+        click-after-view >= full-funnel."""
+        from redisgears_spark.operators import QUERIES
+
+        (row,) = QUERIES["events_funnel_conversion"](spark, sf_dir).collect()
+        assert (
+            row["n_users"]
+            >= row["n_view"]
+            >= row["n_click_after_view"]
+            >= row["n_full_funnel"]
+            >= 0
+        )
+
+    def test_domain_mix_shares_sum_to_one(self, spark, sf_dir):
+        """token_share is each domain's fraction of one exact global total,
+        so the shares sum to 1 up to float addition error and every weight
+        is sqrt(n_tokens) exactly."""
+        import math
+
+        from redisgears_spark.operators import QUERIES
+
+        rows = QUERIES["pipeline_domain_mix"](spark, sf_dir).collect()
+        assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+        for r in rows:
+            assert r["sampling_weight"] == math.sqrt(float(r["n_tokens"]))
+
+    def test_knn_vote_bounds(self, spark, sf_dir):
+        """Each query's winning label got between 1 and k votes, and every
+        query vector is classified exactly once."""
+        from redisgears_spark.operators import QUERIES
+        from redisgears_spark.operators.similarity import _N_QUERIES, _TOP_K
+
+        rows = QUERIES["sim_knn_classify"](spark, sf_dir).collect()
+        assert len(rows) == _N_QUERIES
+        assert len({r["q_id"] for r in rows}) == _N_QUERIES
+        for r in rows:
+            assert 1 <= r["votes"] <= _TOP_K
