@@ -149,6 +149,61 @@ def bench_streaming(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_fcall(spark, sf_dir: str, n_calls: int = 20000) -> dict:
+    """Function-call dispatch throughput — the reference's rg_fcall_simple /
+    rg_fcall_async / executeAsync harness shapes (BASELINE.md workload
+    matrix: `TFCALL lib.foo 0` where foo returns 1, its TFCALLASYNC twin,
+    and the hybrid executeAsync fast path). These measure the REGISTRY
+    path — admission guards, arg decode, stats, reply shaping — not Spark
+    jobs (the no-op body never launches one), exactly like the reference's
+    no-op measures command dispatch + V8 entry, not Redis data ops.
+
+    Reported as absolute calls/sec (the reference publishes no absolute
+    numbers either — its CI compares against its own master branch)."""
+    from redisgears_spark.engine import GearsEngine
+
+    engine = GearsEngine(spark, sf_dir)
+
+    def setup(lib):
+        lib.register_function("noop", lambda client: 1)
+        lib.register_function("echo", lambda client, x: x)
+        lib.register_function("anoop", lambda client: 1, is_async=True)
+        lib.register_function(
+            "bg", lambda client: client.execute_async(lambda c: 1)
+        )
+
+    engine.load_library(setup, name="fbench")
+
+    out = {"calls": n_calls}
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        engine.call("fbench", "noop")
+    out["sync_calls_per_sec"] = round(n_calls / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        engine.call("fbench", "echo", b"payload")
+    out["sync_arg_decode_calls_per_sec"] = round(
+        n_calls / (time.perf_counter() - t0), 1
+    )
+    # async: submit in waves so the pool queue stays bounded
+    n_async = n_calls // 4
+    t0 = time.perf_counter()
+    futs = [engine.call_async("fbench", "anoop") for _ in range(n_async)]
+    for f in futs:
+        f.result()
+    out["async_calls_per_sec"] = round(n_async / (time.perf_counter() - t0), 1)
+    # executeAsync hybrid: the body hands back a continuation; the engine
+    # resolves it on the pool (reference coroutine path)
+    t0 = time.perf_counter()
+    futs = [engine.execute_async("fbench", "bg") for _ in range(n_async)]
+    for f in futs:
+        f.result()
+    out["execute_async_calls_per_sec"] = round(
+        n_async / (time.perf_counter() - t0), 1
+    )
+    return out
+
+
 def bench_keyspace(
     spark, sf_dir: str, n_events: int = 20000, iters: int = 5
 ) -> dict:
@@ -298,6 +353,7 @@ def main() -> None:
     streaming_async = bench_streaming(spark, sf_dir, mode="async")
     streaming_declarative = bench_streaming(spark, sf_dir, mode="declarative")
     keyspace = bench_keyspace(spark, sf_dir)
+    fcall = bench_fcall(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -309,6 +365,7 @@ def main() -> None:
         "streaming_async": streaming_async,
         "streaming_declarative": streaming_declarative,
         "keyspace": keyspace,
+        "fcall": fcall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
