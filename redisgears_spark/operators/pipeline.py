@@ -246,10 +246,10 @@ _G_MAX_SYMBOL_RATIO = 0.1
 _G_STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 
-@query(
-    "pipeline_gopher_filters",
-    oracle=f"""
-    WITH t AS (
+# the gopher signal CTEs, shared between the per-doc filter report and the
+# end-to-end funnel below (same text → identical signals in both oracles)
+_G_SIGNALS_SQL = f"""
+    t AS (
       SELECT doc_id,
              {_TOKENS_SQL} AS w,
              len(text) AS nc,
@@ -267,6 +267,18 @@ _G_STOPWORDS = ("the", "a", "and", "of", "to", "in")
              len(list_filter(w, x -> x IN {_G_STOPWORDS})) > 0 AS has_stopword
       FROM t
     )
+"""
+
+_G_KEEP_SQL = f"""COALESCE(
+      n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
+      AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
+      AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO} AND has_stopword, FALSE)"""
+
+
+@query(
+    "pipeline_gopher_filters",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL}
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, has_stopword,
            CAST(
              CASE WHEN n_words < {_G_MIN_WORDS} THEN 1 ELSE 0 END
@@ -476,3 +488,104 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sqrt(F.col("n_tokens").cast("double")).alias("sampling_weight"),
     )
+
+
+@query(
+    "pipeline_funnel_report",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL},
+    q AS (SELECT doc_id, n_words FROM s WHERE {_G_KEEP_SQL}),
+    fp AS (SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+           FROM documents),
+    surv AS (
+      SELECT doc_id, n_words FROM (
+        SELECT q.doc_id, q.n_words,
+               MIN(q.doc_id) OVER (PARTITION BY fp.f) AS keeper
+        FROM q JOIN fp ON q.doc_id = fp.doc_id
+      ) WHERE doc_id = keeper
+    ),
+    {_DECON_GRAMS_CTE},
+    eg AS (SELECT DISTINCT md5(g) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN eg ON md5(g.g) = eg.gh
+              WHERE g.doc_id % {_DECON_EVAL_MOD} <> 0),
+    clean AS (
+      SELECT doc_id, n_words FROM surv
+      WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    )
+    SELECT 'raw' AS stage, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS n_tokens FROM s
+    UNION ALL
+    SELECT 'quality', COUNT(*), CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+    FROM q
+    UNION ALL
+    SELECT 'dedup', COUNT(*), CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+    FROM surv
+    UNION ALL
+    SELECT 'decontaminated', COUNT(*),
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+    FROM clean
+    """,
+)
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE declarative plan, reported
+    as a funnel: raw corpus → Gopher quality gate → exact-dedup survivor
+    pick (within the quality-kept set) → benchmark decontamination, with
+    surviving document and token counts per stage — the curation report a
+    data team publishes with every corpus release.
+
+    Built by composing the registered stages (`pipeline_gopher_filters`,
+    the dedup_exact fingerprint, `pipeline_decontaminate`) rather than
+    re-implementing them, so the funnel is exactly the product of its
+    parts — each already oracle-checked in isolation; this query checks
+    their COMPOSITION end-to-end.
+
+    Scale: each stage is the same plan shape it has standalone (column
+    predicates → 16-byte fingerprint window → md5-gram anti-join); the
+    four stage summaries are partial aggregates unioned, so the corpus is
+    scanned a bounded number of times and text never shuffles anywhere.
+    """
+    from pyspark.sql.window import Window as W
+
+    signals = pipeline_gopher_filters(spark, sf_dir)
+    raw = signals.agg(
+        F.lit("raw").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    q = signals.filter(F.col("keep")).select("doc_id", "n_words")
+    quality = q.agg(
+        F.lit("quality").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("f"),
+    )
+    keeper = F.min("doc_id").over(W.partitionBy("f"))
+    surv = (
+        q.join(fp, "doc_id")
+        .withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "n_words")
+    )
+    dedup = surv.agg(
+        F.lit("dedup").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    clean_ids = (
+        pipeline_decontaminate(spark, sf_dir)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = surv.join(clean_ids, "doc_id")
+    decon = clean.agg(
+        F.lit("decontaminated").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return raw.unionByName(quality).unionByName(dedup).unionByName(decon)
