@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from redisgears_spark.operators.registry import query
+from redisgears_spark.operators.text import _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table, rebalanced
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -862,4 +863,92 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("q_id", F.col("label").alias("knn_label"), "votes")
+    )
+
+
+@query(
+    "hybrid_search_quality_topk",
+    oracle=f"""
+    WITH {{QUANT}},
+    gt AS (
+      SELECT doc_id,
+             {{TOKENS}} AS w,
+             len(text) AS nc,
+             len(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS sym
+      FROM documents
+    ),
+    gs AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+                            AS DOUBLE) / len(w)
+             END AS mean_word_len,
+             CASE WHEN nc > 0 THEN CAST(sym AS DOUBLE) / nc END AS symbol_ratio,
+             len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in')))
+               > 0 AS has_stopword
+      FROM gt
+    ),
+    keep AS (
+      SELECT doc_id FROM gs
+      WHERE COALESCE(n_words >= 30 AND n_words <= 90
+        AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND has_stopword, FALSE)
+    ),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+             CAST(CAST(list_sum([a.v[i] * b.v[i]
+                    for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+               AS cosine
+      FROM n a
+      JOIN n b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+      JOIN keep k ON b.vec_id = k.doc_id
+    )
+    SELECT q_id, doc_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """.replace("{QUANT}", _ORACLE_QUANT_CTE).replace("{TOKENS}", _TOKENS_SQL),
+)
+def hybrid_search_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: exact cosine top-k per query vector, restricted to
+    documents that pass the Gopher quality gate — the filtered vector
+    search a RAG/training pipeline actually runs (never raw nearest
+    neighbors; always nearest GOOD neighbors). Ties the text-quality and
+    vector stacks together through the doc_id = vec_id alignment of the
+    fixtures.
+
+    Unlike sim_topk_bruteforce's numpy kernel, the scoring here is pure
+    Catalyst (zip_with/aggregate over the broadcast 8-query side) —
+    demonstrating the JVM-native vector-math path; the quality predicate
+    prunes the corpus BEFORE any scoring work, which at 100 TB is the
+    difference between scoring everything and scoring the kept fraction.
+    """
+    from redisgears_spark.operators.pipeline import pipeline_gopher_filters
+
+    keep = (
+        pipeline_gopher_filters(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select(F.col("doc_id").alias("c_id"))
+    )
+    corpus = quantized(spark, sf_dir, "c").join(keep, "c_id")
+    queries_df = quantized(spark, sf_dir, "q").filter(
+        F.col("q_id") < _N_QUERIES
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            F.col("c_id").alias("doc_id"),
+            _cosine(_dot("q_q", "c_q"), "q_nq", "c_nq").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "doc_id", "cosine", "rank")
     )
