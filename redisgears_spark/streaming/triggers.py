@@ -718,6 +718,57 @@ class StreamTriggerRuntime:
             .drop("_rn")
         )
 
+    def compact_sink(
+        self, lib_name: str, trigger: str, target_partitions: int | None = None
+    ) -> int:
+        """Compact a trigger's sink: rewrite the accumulated per-task part
+        files (one per task per micro-batch — the price of the fused
+        executor-side append) into `target_partitions` files. Returns the
+        resulting file count.
+
+        The maintenance twin of retention's XTRIM analog: retention trims
+        the SOURCE by the acked frontier; compaction keeps the SINK's file
+        count bounded. Run it while the trigger is stopped (or accept that
+        a batch committed mid-compaction is preserved but not compacted —
+        the swap below only replaces files that existed at read time).
+
+        Atomicity on a local/posix fs: the rewrite lands in a hidden temp
+        dir inside the sink, then the old part files are unlinked and the
+        new ones renamed in; a crash mid-swap leaves either extra old
+        files (duplicates — collapsed by read_sink(exactly_once=True)) or
+        a clean state, never data loss.
+        """
+        import glob as _glob
+        import shutil
+
+        sink = os.path.join(self.work_dir, "sink", lib_name, trigger)
+        old_files = sorted(_glob.glob(os.path.join(sink, "part-*.parquet")))
+        if not old_files:
+            return 0
+        if target_partitions is None:
+            target_partitions = max(
+                1, self.spark.sparkContext.defaultParallelism // 4
+            )
+        tmp = os.path.join(sink, ".compact-tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.spark.read.parquet(*old_files)
+            .repartition(target_partitions)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for f in old_files:
+            os.unlink(f)
+        n = 0
+        for f in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
+            if f.endswith(".parquet") or ".snappy" in f or f.endswith(".gz"):
+                os.rename(
+                    f, os.path.join(sink, f"part-compact-{n:05d}.parquet")
+                )
+                n += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n
+
     # -- retention frontier (XTRIM MINID analog) ----------------------------
 
     def min_frontier(self) -> dict[str, int]:

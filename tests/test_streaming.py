@@ -1148,3 +1148,51 @@ class TestCallbackApiStability:
                 window="session:10 seconds",
                 slide="5 seconds",
             )
+
+
+class TestSinkCompaction:
+    def test_compact_preserves_rows_and_bounds_files(
+        self, spark, sf_dir, spool, work
+    ):
+        """The fused executor-side sink appends one part file per task per
+        batch; compact_sink must rewrite them into a bounded file count
+        with the exact same rows."""
+        import glob
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "cmp", prefix="user:", fn=upper_type, window=10**9
+            ),
+            name="clib",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        # several slices → several micro-batches → many part files
+        write_slice(spark, sf_dir, spool, 0, 100)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            write_slice(spark, sf_dir, spool, 100, 200)
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        sink = os.path.join(work, "sink", "clib", "cmp")
+        before = spark.read.parquet(sink).sort("id").collect()
+        n_before = len(glob.glob(os.path.join(sink, "part-*.parquet")))
+        assert n_before > 2
+        n_files = rt.compact_sink("clib", "cmp", target_partitions=2)
+        assert n_files <= 2
+        assert (
+            len(glob.glob(os.path.join(sink, "part-*.parquet"))) == n_files
+        )
+        after = spark.read.parquet(sink).sort("id").collect()
+        assert after == before
