@@ -221,6 +221,7 @@ class Library:
         description: str | None = None,
         mode: str = "sync",
         expr: str | None = None,
+        agg_expr: dict[str, str] | None = None,
     ) -> None:
         """Spec only — execution wiring lives in streaming.triggers.
 
@@ -239,13 +240,30 @@ class Library:
         expression needs no ordering), which benchmarks at near-baseline
         throughput. The reference has no analog (every V8 callback pays
         the engine→V8 boundary per record); this is the Spark-native
-        fast path for the common enrich/reshape trigger."""
+        fast path for the common enrich/reshape trigger.
+
+        agg_expr: DECLARATIVE AGGREGATING trigger — a dict of
+        output_column → Catalyst aggregate SQL over each stream_key's
+        records WITHIN a micro-batch (e.g. ``{"n": "count(1)", "total":
+        "sum(cast(fields['value'] as double))"}``). One sink row per key
+        per batch carries the aggregates as a JSON payload; n_success
+        counts emitted aggregate rows, and the per-key frontier still
+        advances to max(id). This is the common counter/rollup consumer
+        the reference hand-rolls in a callback with client.call writes —
+        here it is a JVM-side partial/final hash aggregate, zero Python.
+        Per-BATCH scope by design; a RUNNING per-key aggregate across
+        batches is the stateful operator (streaming/stateful.py)."""
         if window < 1:
             raise GearsError("window must be >= 1")  # v8_native_functions.rs:1148
         if mode not in ("sync", "async"):
             raise GearsError("mode must be 'sync' or 'async'")
-        if (fn is None) == (expr is None):
-            raise GearsError("exactly one of fn/expr is required")
+        if sum(x is not None for x in (fn, expr, agg_expr)) != 1:
+            raise GearsError("exactly one of fn/expr/agg_expr is required")
+        if agg_expr is not None and window < UNBOUNDED_WINDOW:
+            raise GearsError(
+                "declarative (agg_expr) triggers require an unbounded "
+                f"window (window >= {UNBOUNDED_WINDOW})"
+            )
         if expr is not None and window < UNBOUNDED_WINDOW:
             # the admission gate orders per key; a declarative trigger is
             # stateless by construction, so a bounded window would silently
@@ -259,6 +277,7 @@ class Library:
             "prefix": prefix,
             "fn": fn,
             "expr": expr,
+            "agg_expr": agg_expr,
             "window": window,
             "trim_stream": trim_stream,
             "description": description,

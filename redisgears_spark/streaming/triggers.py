@@ -442,10 +442,12 @@ class StreamTriggerRuntime:
         window: int = spec["window"]
         mode: str = spec.get("mode", "sync")
         expr: str | None = spec.get("expr")
+        agg_expr: dict[str, str] | None = spec.get("agg_expr")
+        declarative = expr is not None or agg_expr is not None
         bounded = window < UNBOUNDED_WINDOW
         processor = (
             _make_partition_processor(spec["fn"], sink_dir, err_dir)
-            if expr is None
+            if not declarative
             else None
         )
         queue_dir: str | None = None
@@ -505,7 +507,7 @@ class StreamTriggerRuntime:
                 # by stream_key and sorted by (stream_key, id) — exactly the
                 # layout the partition processor needs; no extra shuffle
                 admitted = ranked.filter(F.col("_rn") <= window).drop("_rn")
-            elif expr is None:
+            elif not declarative:
                 # explicit partition count, sized to the batch: AQE's
                 # byte-based coalescing sees a few MB and folds the shuffle
                 # to ONE task (serializing the CPU-bound Python callback),
@@ -524,25 +526,50 @@ class StreamTriggerRuntime:
                 # needs no per-key ordering — no shuffle at all
                 admitted = matched
 
-            if expr is not None:
+            if declarative:
                 # DECLARATIVE fast path: the callback is a Catalyst
-                # expression, so the whole pipeline stays JVM-side
-                # (whole-stage codegen, no Python worker roundtrip). The
-                # per-key frontier rows the Python processor would emit are
-                # a map-side-partial groupBy instead — unioned into the
-                # same result stream so the observe() accounting below is
-                # identical for both paths.
-                row_results = admitted.select(
-                    "stream_key",
-                    "id",
-                    "id_ts",
-                    F.lit("ok").alias("status"),
-                    F.expr(expr).cast("string").alias("result"),
-                    F.lit(None).cast("string").alias("error"),
-                )
-                frontier_rows = admitted.groupBy("stream_key").agg(
-                    F.max("id").alias("id"), F.min("id_ts").alias("id_ts")
-                ).select(
+                # expression (per-row `expr`) or per-key micro-batch
+                # aggregate (`agg_expr`), so the whole pipeline stays
+                # JVM-side (whole-stage codegen, no Python worker
+                # roundtrip). The per-key frontier rows the Python
+                # processor would emit are a map-side-partial groupBy
+                # instead — unioned into the same result stream so the
+                # observe() accounting below is identical for both paths.
+                if agg_expr is not None:
+                    aggs = [
+                        F.expr(sql).alias(col)
+                        for col, sql in agg_expr.items()
+                    ]
+                    grouped = matched.groupBy("stream_key").agg(
+                        F.max("id").alias("id"),
+                        F.min("id_ts").alias("id_ts"),
+                        *aggs,
+                    )
+                    row_results = grouped.select(
+                        "stream_key",
+                        "id",
+                        "id_ts",
+                        F.lit("ok").alias("status"),
+                        F.to_json(
+                            F.struct(*[F.col(c) for c in agg_expr])
+                        ).alias("result"),
+                        F.lit(None).cast("string").alias("error"),
+                    )
+                    frontier_src = grouped
+                else:
+                    row_results = admitted.select(
+                        "stream_key",
+                        "id",
+                        "id_ts",
+                        F.lit("ok").alias("status"),
+                        F.expr(expr).cast("string").alias("result"),
+                        F.lit(None).cast("string").alias("error"),
+                    )
+                    frontier_src = admitted.groupBy("stream_key").agg(
+                        F.max("id").alias("id"),
+                        F.min("id_ts").alias("id_ts"),
+                    )
+                frontier_rows = frontier_src.select(
                     "stream_key",
                     "id",
                     "id_ts",

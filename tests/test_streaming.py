@@ -1196,3 +1196,86 @@ class TestSinkCompaction:
         )
         after = spark.read.parquet(sink).sort("id").collect()
         assert after == before
+
+
+class TestDeclarativeAggTrigger:
+    def test_per_key_batch_aggregates(self, spark, sf_dir, spool, work):
+        """agg_expr triggers emit one JVM-aggregated row per key per
+        micro-batch (JSON payload), count emitted rows in stats, and keep
+        the frontier at max(id) per key."""
+        import json
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "rollup",
+                prefix="user:",
+                agg_expr={
+                    "n": "count(1)",
+                    "total": "sum(cast(fields['value'] as double))",
+                    "max_id": "max(id)",
+                },
+                window=10**9,
+            ),
+            name="aglib",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 200)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            stats = rt.stats["aglib.rollup"]
+            sink = spark.read.parquet(
+                os.path.join(work, "sink", "aglib", "rollup")
+            )
+            rows = sink.collect()
+            # one aggregate row per (key, batch); single batch here
+            keys = {r["stream_key"] for r in rows}
+            assert stats.n_success == len(rows)
+            payload = {r["stream_key"]: json.loads(r["result"]) for r in rows}
+            # cross-check against a batch computation over the same slice
+            from pyspark.sql import functions as F
+
+            from redisgears_spark.sources.keyspace import load_table
+
+            expected = {
+                f"user:{r['user_id']}": (r["n"], r["mx"])
+                for r in load_table(spark, sf_dir, "events")
+                .filter(F.col("event_id") < 200)
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("event_id").alias("mx"),
+                )
+                .collect()
+            }
+            assert set(expected) == keys
+            for k, (n, mx) in expected.items():
+                assert payload[k]["n"] == n
+                assert payload[k]["max_id"] == mx
+                assert stats.frontier[k] == mx
+        finally:
+            rt.stop_all()
+
+    def test_agg_requires_unbounded_window(self, spark, sf_dir):
+        import pytest
+
+        from redisgears_spark.engine import GearsEngine, GearsError
+
+        engine = GearsEngine(spark, sf_dir)
+        with pytest.raises(GearsError, match="unbounded"):
+            engine.load_library(
+                lambda l: l.register_stream_trigger(
+                    "bad", prefix="u:", agg_expr={"n": "count(1)"}, window=2
+                ),
+                name="badlib",
+            )
