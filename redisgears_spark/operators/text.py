@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from redisgears_spark.operators.registry import query
-from redisgears_spark.sources.keyspace import load_table
+from redisgears_spark.sources.keyspace import load_table, rebalanced
 
 _TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 _TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -374,3 +374,75 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(20)
     w = W.orderBy(F.col("n").desc(), F.col("bigram"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# vocabulary cap for the rarity scorer: top-K tokens by frequency get exact
+# ranks; everything rarer scores as OOV_RANK (the standard capped-vocab LM
+# treatment). The fixture vocab is far below the cap, so at test scale the
+# score is exact over the full vocabulary.
+_RARITY_VOCAB_K = 50_000
+_RARITY_OOV_RANK = _RARITY_VOCAB_K + 1
+
+
+@query(
+    "text_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT {_RARITY_VOCAB_K})
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(v.rank, {_RARITY_OOV_RANK})) AS BIGINT)
+             AS rank_sum,
+           CAST(SUM(COALESCE(v.rank, {_RARITY_OOV_RANK})) AS DOUBLE)
+             / COUNT(*) AS mean_rarity
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring plumbing with an integer-exact surrogate: build
+    a capped frequency-ranked vocabulary, score each document as the mean
+    frequency rank of its tokens (OOV → cap+1) — the shape of perplexity
+    filtering (common tokens → low rank → "predictable"), without the
+    cross-engine float hazard of log(): libm and Math.log may differ in
+    the last ulp, but ranks are integers and the mean is one IEEE
+    division, so the score hash-matches the oracle exactly.
+
+    Scale: the vocabulary is a capped TakeOrderedAndProject over the
+    token counts (never a corpus-wide sort), the rank window runs over
+    ≤{_RARITY_VOCAB_K} rows, and the vocab broadcast-joins the exploded
+    token stream — per-token payload is one long. Exactly the plumbing a
+    real KenLM-style scorer needs; swap the rank map for per-token
+    log-prob costs computed ONCE driver-side and shipped in the same
+    broadcast to keep engine-exactness.
+    """
+    toks = rebalanced(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
+        )
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(
+        _RARITY_VOCAB_K
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("tok"))
+    vocab = top.withColumn("rank", F.row_number().over(w)).select("tok", "rank")
+    rank = F.coalesce("rank", F.lit(_RARITY_OOV_RANK))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rank).alias("rank_sum"),
+        )
+        .withColumn(
+            "mean_rarity",
+            F.col("rank_sum").cast("double") / F.col("n_tokens"),
+        )
+    )
