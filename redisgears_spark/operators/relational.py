@@ -1442,3 +1442,86 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, epoch_us(day) AS day_us, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS trail_sum,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS trail_sumsq,
+             CAST(COUNT(n) OVER w AS BIGINT) AS trail_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_us, n, trail_n,
+           CAST(trail_sum AS DOUBLE) / trail_n AS trail_mean,
+           CASE WHEN trail_n * trail_sumsq - trail_sum * trail_sum > 0 THEN
+             (CAST(n AS DOUBLE) - CAST(trail_sum AS DOUBLE) / trail_n)
+             / (sqrt(CAST(trail_n * trail_sumsq - trail_sum * trail_sum
+                          AS DOUBLE)) / trail_n)
+           END AS zscore
+    FROM stats WHERE trail_n >= 3
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each (event_type, day) count
+    scored against the mean/σ of its previous 7 days — the monitoring
+    query behind every "traffic looks weird today" alert, as a bounded
+    ROWS frame.
+
+    Determinism: Spark's and DuckDB's built-in stddev use different
+    accumulation schemes (Welford vs naive) and would differ in last
+    ulps, so σ is computed EXPLICITLY from exact integer window sums:
+    σ = sqrt(n·Σx² − (Σx)²)/n — integers up to the one sqrt and two
+    divisions, the same IEEE op sequence in both engines → hash-exact.
+
+    Scale: one shuffle for the daily rollup (map-side partial), one for
+    the per-type window; the frame is ROWS-bounded so window state is 8
+    rows per type regardless of history length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trail_sum = F.sum("n").over(w).cast("long")
+    trail_sumsq = F.sum(F.col("n") * F.col("n")).over(w).cast("long")
+    trail_n = F.count("n").over(w).cast("long")
+    stats = daily.select(
+        "event_type",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.col("n").cast("long").alias("n"),
+        trail_sum.alias("trail_sum"),
+        trail_sumsq.alias("trail_sumsq"),
+        trail_n.alias("trail_n"),
+    )
+    disc = F.col("trail_n") * F.col("trail_sumsq") - F.col("trail_sum") * F.col(
+        "trail_sum"
+    )
+    mean = F.col("trail_sum").cast("double") / F.col("trail_n")
+    sigma = F.sqrt(disc.cast("double")) / F.col("trail_n")
+    return (
+        stats.filter(F.col("trail_n") >= 3)
+        .select(
+            "event_type",
+            "day_us",
+            "n",
+            "trail_n",
+            mean.alias("trail_mean"),
+            F.when(disc > 0, (F.col("n").cast("double") - mean) / sigma).alias(
+                "zscore"
+            ),
+        )
+    )
