@@ -342,29 +342,44 @@ class StreamTriggerRuntime:
     # target rows per Python-callback task: small enough to parallelize a
     # modest micro-batch, large enough that Arrow/task overhead amortizes
     _ROWS_PER_PYTHON_TASK = 2048
-    # parquet bytes/row prior for the canonical stream shape; refined from
-    # nothing here — it only seeds the first-batch estimate and errors of
-    # 2-3x land in the flat region of the task-count/throughput curve
-    _BYTES_PER_ROW_HINT = 40
+    # compressed-parquet bytes/row prior for the canonical stream shape
+    # (measured ~25 B/row on the fixture events); errors of 2-3x land in
+    # the flat region of the task-count/throughput curve
+    _BYTES_PER_ROW_HINT = 24
 
-    def _python_stage_partitions(self, qkey: str, batch_df: DataFrame) -> int:
+    def _python_stage_partitions(
+        self, ckpt_dir: str, epoch_id: int
+    ) -> int:
         """Shuffle-partition count for the Python callback stage, sized to
         THIS micro-batch: estimate batch rows from its input-file bytes
-        (a listing, not a job) and target _ROWS_PER_PYTHON_TASK rows/task,
-        capped at defaultParallelism so backfill-scale batches always get
-        full parallelism. Falls back to defaultParallelism when the batch
-        does not expose its files (non-file sources)."""
+        and target _ROWS_PER_PYTHON_TASK rows/task, capped at
+        defaultParallelism so backfill-scale batches always get full
+        parallelism.
+
+        The batch's file list comes from the checkpoint's file-source log
+        (`<ckpt>/sources/0/<batchId>` — one JSON entry per file), because
+        the DataFrame handed to foreachBatch is a logical-RDD wrapper
+        whose inputFiles() is empty. Reading the log is a driver-side
+        file read, not a Spark job. Falls back to defaultParallelism when
+        the log or the files are missing (non-file sources, remote FS)."""
         default = self.spark.sparkContext.defaultParallelism
         try:
-            files = batch_df.inputFiles()
-            if not files:
-                return default
             from urllib.parse import urlparse
 
+            log = os.path.join(ckpt_dir, "sources", "0", str(epoch_id))
             total = 0
-            for f in files:
-                p = urlparse(f).path or f
-                total += os.path.getsize(p)
+            with open(log) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line.startswith("{") and not line.startswith("["):
+                        continue  # version header
+                    for entry in json.loads(line) if line.startswith(
+                        "["
+                    ) else [json.loads(line)]:
+                        p = urlparse(entry["path"]).path or entry["path"]
+                        total += os.path.getsize(p)
+            if total <= 0:
+                return default
             est_rows = max(1, total // self._BYTES_PER_ROW_HINT)
             return max(1, min(default, -(-est_rows // self._ROWS_PER_PYTHON_TASK)))
         except Exception:
@@ -513,12 +528,13 @@ class StreamTriggerRuntime:
                 # to ONE task (serializing the CPU-bound Python callback),
                 # while a fixed defaultParallelism over-fans small batches
                 # into per-task overhead. _python_stage_partitions estimates
-                # batch rows from the batch's input-file bytes (no extra
-                # job) and targets _ROWS_PER_PYTHON_TASK rows per task,
-                # capped at defaultParallelism — huge backfill batches
-                # still get full parallelism
+                # batch rows from the batch's input-file bytes via the
+                # checkpoint's file-source log (no extra job) and targets
+                # _ROWS_PER_PYTHON_TASK rows per task, capped at
+                # defaultParallelism — huge backfill batches still get
+                # full parallelism
                 admitted = matched.repartition(
-                    self._python_stage_partitions(qkey, batch_df),
+                    self._python_stage_partitions(ckpt_dir, epoch_id),
                     "stream_key",
                 ).sortWithinPartitions("stream_key", "id")
             else:

@@ -1188,9 +1188,9 @@ class TestSinkCompaction:
         sink = os.path.join(work, "sink", "clib", "cmp")
         before = spark.read.parquet(sink).sort("id").collect()
         n_before = len(glob.glob(os.path.join(sink, "part-*.parquet")))
-        assert n_before > 2
-        n_files = rt.compact_sink("clib", "cmp", target_partitions=2)
-        assert n_files <= 2
+        assert n_before >= 2  # at least one part file per micro-batch
+        n_files = rt.compact_sink("clib", "cmp", target_partitions=1)
+        assert n_files == 1
         assert (
             len(glob.glob(os.path.join(sink, "part-*.parquet"))) == n_files
         )
