@@ -39,16 +39,22 @@ def bucketize(
     key: str,
     n_buckets: int = 8,
     name: str | None = None,
+    overwrite: bool = False,
 ) -> str:
     """Write one fixture table as a bucketed+sorted catalog table keyed on
     `key`; returns the catalog table name (default `<table>_bkt`).
 
-    Idempotent per session AND across sessions: an existing table of the
-    same name is dropped, and a stale warehouse location left behind by a
-    previous session (whose in-memory catalog died without dropping) is
-    removed — otherwise CREATE fails with LOCATION_ALREADY_EXISTS.
+    The layout cost is paid ONCE per session: if the catalog table already
+    exists it is reused as-is (the fixture is immutable) — pass
+    `overwrite=True` to force a rebuild (e.g. a different key or bucket
+    count under the same name). Across sessions, a stale warehouse
+    location left behind by a dead session (whose in-memory catalog never
+    dropped the table) is removed before CREATE — otherwise it fails with
+    LOCATION_ALREADY_EXISTS.
     """
     name = name or f"{table}_bkt"
+    if not overwrite and spark.catalog.tableExists(name):
+        return name
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):

@@ -138,25 +138,62 @@ class TriggerStats:
     frontier: dict[str, int] = field(default_factory=dict)
 
 
-def _write_parquet_part(pdf: pd.DataFrame, out_dir: str) -> None:
-    """Executor-side parquet append: one uniquely-named part file per task
-    (Spark's documented custom-sink/foreach pattern). Timestamps are cast
-    to UTC microseconds so Spark reads them back as TIMESTAMP, matching
-    the schema a JVM-side parquet write would produce."""
+def _arrow_result_schema():
+    """Arrow twin of _RESULT_SCHEMA. The schema is passed EXPLICITLY to
+    every executor-side write: letting from_pandas infer types turns an
+    all-None result/error column into Arrow's null type, and a directory
+    mixing null-typed and string-typed part files fails Spark's parquet
+    reader with a column-type mismatch."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("stream_key", pa.string()),
+            pa.field("id", pa.int64()),
+            pa.field("id_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("status", pa.string()),
+            pa.field("result", pa.string()),
+            pa.field("error", pa.string()),
+        ]
+    )
+
+
+def _arrow_cdc_schema():
+    """Arrow twin of _CDC_RESULT_SCHEMA (see _arrow_result_schema)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("seq", pa.int64()),
+            pa.field("key", pa.string()),
+            pa.field("event", pa.string()),
+            pa.field("status", pa.string()),
+            pa.field("result", pa.string()),
+            pa.field("error", pa.string()),
+        ]
+    )
+
+
+def _write_parquet_part(pdf: pd.DataFrame, out_dir: str, schema) -> None:
+    """Executor-side parquet append: one uniquely-named part file per call
+    (Spark's documented custom-sink/foreach pattern).
+
+    The explicit arrow `schema` pins column types (all-None columns stay
+    string, timestamps are UTC microseconds — what a JVM-side write would
+    produce). The file is written under a dot-prefixed temp name — which
+    Spark's file listing ignores — and renamed into place, so a task
+    killed mid-write leaves only an invisible partial file, never a
+    truncated parquet in the readable namespace."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    fields = [
-        pa.field(f.name, pa.timestamp("us", tz="UTC"))
-        if pa.types.is_timestamp(f.type)
-        else f
-        for f in tbl.schema
-    ]
-    tbl = tbl.cast(pa.schema(fields))
-    pq.write_table(tbl, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet"))
+    tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(out_dir, f".{name}.tmp")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(out_dir, name))
 
 
 def _make_partition_processor(
@@ -194,12 +231,12 @@ def _make_partition_processor(
     """
 
     def process(batches: Any) -> Any:
+        schema = _arrow_result_schema()
         frontier: dict[str, int] = {}
         first_ts: dict[str, Any] = {}
         n_ok = n_err = 0
         an_error: str | None = None
         oldest = None
-        out_frames: list[pd.DataFrame] = []
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -259,27 +296,26 @@ def _make_partition_processor(
             if ts_vals:
                 lo = min(ts_vals)
                 oldest = lo if oldest is None else min(oldest, lo)
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        "stream_key": keys,
-                        "id": ids,
-                        "id_ts": idts,
-                        "status": status,
-                        "result": result,
-                        "error": error,
-                    }
-                )
+            # write PER ARROW CHUNK (not per partition): peak worker
+            # memory stays one chunk no matter how large the partition —
+            # backfill-scale micro-batches must not buffer in Python.
+            # uuid part names make multiple files per task harmless;
+            # compact_sink() bounds the file count later.
+            chunk = pd.DataFrame(
+                {
+                    "stream_key": keys,
+                    "id": ids,
+                    "id_ts": idts,
+                    "status": status,
+                    "result": result,
+                    "error": error,
+                }
             )
-        if out_frames:
-            allpdf = (
-                pd.concat(out_frames) if len(out_frames) > 1 else out_frames[0]
-            )
-            ok_mask = allpdf["status"] == "ok"
+            ok_mask = chunk["status"] == "ok"
             if ok_mask.any():
-                _write_parquet_part(allpdf[ok_mask], sink_dir)
-            if n_err:
-                _write_parquet_part(allpdf[~ok_mask], err_dir)
+                _write_parquet_part(chunk[ok_mask], sink_dir, schema)
+            if not ok_mask.all():
+                _write_parquet_part(chunk[~ok_mask], err_dir, schema)
         meta = [
             {
                 "stream_key": k,
@@ -776,10 +812,11 @@ class StreamTriggerRuntime:
         the swap below only replaces files that existed at read time).
 
         Atomicity on a local/posix fs: the rewrite lands in a hidden temp
-        dir inside the sink, then the old part files are unlinked and the
-        new ones renamed in; a crash mid-swap leaves either extra old
-        files (duplicates — collapsed by read_sink(exactly_once=True)) or
-        a clean state, never data loss.
+        dir inside the sink, the compacted files are renamed IN first,
+        and only then are the old part files unlinked. A crash mid-swap
+        therefore leaves either the old files alone, or old + compacted
+        together (duplicates — collapsed by read_sink(exactly_once=True))
+        — never a window where the data exists only in the hidden dir.
         """
         import glob as _glob
         import shutil
@@ -800,8 +837,6 @@ class StreamTriggerRuntime:
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        for f in old_files:
-            os.unlink(f)
         n = 0
         for f in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
             if f.endswith(".parquet") or ".snappy" in f or f.endswith(".gz"):
@@ -809,6 +844,8 @@ class StreamTriggerRuntime:
                     f, os.path.join(sink, f"part-compact-{n:05d}.parquet")
                 )
                 n += 1
+        for f in old_files:
+            os.unlink(f)
         shutil.rmtree(tmp, ignore_errors=True)
         return n
 
@@ -909,12 +946,12 @@ class KeyspaceTriggerRuntime:
         def process_partition(pdf_iter):
             # fused custom sink (see _make_partition_processor): each task
             # appends ALL its result rows (the CDC sink keeps every status)
-            # to sink_dir executor-side and yields one status='stats'
-            # metadata row, so a micro-batch is ONE job collecting |tasks|
-            # tiny rows
+            # to sink_dir executor-side — one part file per Arrow chunk,
+            # bounded memory — and yields one status='stats' metadata row,
+            # so a micro-batch is ONE job collecting |tasks| tiny rows
+            schema = _arrow_cdc_schema()
             n_ok = n_err = 0
             an_error = None
-            frames = []
             for pdf in pdf_iter:
                 n = len(pdf)
                 if not n:
@@ -953,7 +990,7 @@ class KeyspaceTriggerRuntime:
                         error[i] = f"{type(e).__name__}: {e}"
                         an_error = error[i]
                         n_err += 1
-                frames.append(
+                _write_parquet_part(
                     pd.DataFrame(
                         {
                             "seq": seqs,
@@ -963,11 +1000,10 @@ class KeyspaceTriggerRuntime:
                             "result": result,
                             "error": error,
                         }
-                    )
+                    ),
+                    sink_dir,
+                    schema,
                 )
-            if frames:
-                allpdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-                _write_parquet_part(allpdf, sink_dir)
             yield pd.DataFrame(
                 [
                     {
@@ -1056,6 +1092,28 @@ class KeyspaceTriggerRuntime:
     def process_available(self) -> None:
         for q in self.queries.values():
             q.processAllAvailable()
+
+    def read_sink(
+        self, lib_name: str, trigger: str, exactly_once: bool = True
+    ) -> DataFrame:
+        """Read a CDC trigger's sink. The fused executor-side append is
+        at-least-once at task granularity (a retried task re-appends its
+        part file — same contract as the stream runtime's sink);
+        `exactly_once=True` collapses replays by `seq`, the change feed's
+        idempotency key."""
+        from pyspark.sql.window import Window as W
+
+        df = self.spark.read.parquet(
+            os.path.join(self.work_dir, "cdc_sink", lib_name, trigger)
+        )
+        if not exactly_once:
+            return df
+        w = W.partitionBy("seq").orderBy("status")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def stop_all(self) -> None:
         for q in self.queries.values():

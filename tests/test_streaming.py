@@ -1279,3 +1279,52 @@ class TestDeclarativeAggTrigger:
                 ),
                 name="badlib",
             )
+
+
+class TestFusedSinkSchemaStability:
+    def test_all_none_results_then_values(self, spark, sf_dir, spool, work):
+        """A side-effect-only callback (returns None for every record)
+        must not poison the sink schema: a later batch whose callback
+        returns values lands in the same directory, and both read back as
+        string-typed result columns (regression: from_pandas inferred an
+        Arrow null type for all-None columns, and the mixed directory
+        failed Spark's parquet reader)."""
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        state = {"silent": True}
+
+        def sometimes(d):
+            return None if state["silent"] else {"e": d["fields"]["event_type"]}
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "mix", prefix="user:", fn=sometimes, window=10**9
+            ),
+            name="mxlib",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 50)
+        rt.start_library(lib)
+        try:
+            rt.process_available()  # batch 1: result is None for every row
+            state["silent"] = False
+            write_slice(spark, sf_dir, spool, 50, 100)
+            rt.process_available()  # batch 2: string results
+        finally:
+            rt.stop_all()
+        sink = spark.read.parquet(os.path.join(work, "sink", "mxlib", "mix"))
+        assert dict(sink.dtypes)["result"] == "string"
+        rows = sink.collect()
+        assert len(rows) == 100
+        assert sum(r["result"] is None for r in rows) == 50
+        # the exactly-once reader works over the mixed files too
+        assert rt.read_sink("mxlib", "mix").count() == 100
