@@ -92,6 +92,19 @@ def bench_streaming(
                         expr="upper(fields['event_type'])",
                         window=10**9,
                     )
+            elif mode == "agg":
+                # declarative AGGREGATING consumer: per-key rollup per
+                # micro-batch, JVM hash aggregate, |keys| sink rows
+                def setup(l):
+                    l.register_stream_trigger(
+                        "bench",
+                        prefix="user:",
+                        agg_expr={
+                            "n": "count(1)",
+                            "total": "sum(cast(fields['value'] as double))",
+                        },
+                        window=10**9,
+                    )
             else:
                 def setup(l):
                     l.register_stream_trigger(
@@ -126,11 +139,25 @@ def bench_streaming(
         runs = [run_trigger(i) for i in range(iters)]
         # events/sec must divide one run's count by the SAME run's time
         trigger_s, _, n = min(runs, key=lambda r: r[0])
-        out = {
-            "events": n,
-            "passthrough_events_per_sec": round(n_events / passthrough_s, 1),
-            "trigger_events_per_sec": round(n / trigger_s, 1),
-        }
+        if mode == "agg":
+            # n_success counts EMITTED aggregate rows (one per key per
+            # batch), not input events — report both, rate over inputs
+            out = {
+                "events": n_events,
+                "agg_rows": n,
+                "passthrough_events_per_sec": round(
+                    n_events / passthrough_s, 1
+                ),
+                "trigger_events_per_sec": round(n_events / trigger_s, 1),
+            }
+        else:
+            out = {
+                "events": n,
+                "passthrough_events_per_sec": round(
+                    n_events / passthrough_s, 1
+                ),
+                "trigger_events_per_sec": round(n / trigger_s, 1),
+            }
         if mode == "async":
             # Async contract, apples-to-apples with the reference's
             # rg_stream_process_async harness: memtier grades XADD (ingest)
@@ -352,6 +379,7 @@ def main() -> None:
     streaming = bench_streaming(spark, sf_dir)
     streaming_async = bench_streaming(spark, sf_dir, mode="async")
     streaming_declarative = bench_streaming(spark, sf_dir, mode="declarative")
+    streaming_agg = bench_streaming(spark, sf_dir, mode="agg")
     keyspace = bench_keyspace(spark, sf_dir)
     fcall = bench_fcall(spark, sf_dir)
 
@@ -364,6 +392,7 @@ def main() -> None:
         "streaming": streaming,
         "streaming_async": streaming_async,
         "streaming_declarative": streaming_declarative,
+        "streaming_agg": streaming_agg,
         "keyspace": keyspace,
         "fcall": fcall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
