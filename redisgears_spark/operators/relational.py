@@ -1525,3 +1525,72 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM pairs
+      GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n, t.row_total,
+           CAST(p.n AS DOUBLE) / t.row_total AS p_transition
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: for each user's time-ordered
+    event sequence, count (current → next) event-type pairs and the
+    conditional transition probability — the Markov-chain view of user
+    behavior that complements the funnel (funnel asks "did they advance";
+    this asks "where do they go from each state").
+
+    Determinism: ties in `ts` are broken by event_id so LEAD sees one
+    canonical order in both engines; counts are exact integers and each
+    probability is ONE IEEE division by the exact row total.
+
+    Scale: one shuffle on user_id for the LEAD window (per-key sequence,
+    linear state), then the pair counts collapse to |event_types|² rows
+    before the tiny totals join — the broadcast side is the squared type
+    cardinality, not data-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total")).alias(
+                "p_transition"
+            ),
+        )
+    )
