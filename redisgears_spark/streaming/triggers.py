@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -402,18 +403,29 @@ class StreamTriggerRuntime:
         try:
             from urllib.parse import urlparse
 
-            log = os.path.join(ckpt_dir, "sources", "0", str(epoch_id))
+            # bounded-window triggers union a respool file source, which
+            # logs under sources/1 — sum every source's log for the batch
+            # so respool-heavy batches are sized by their true volume
+            src_root = os.path.join(ckpt_dir, "sources")
+            logs = [
+                os.path.join(src_root, i, str(epoch_id))
+                for i in sorted(os.listdir(src_root))
+            ]
+            logs = [p for p in logs if os.path.isfile(p)]
             total = 0
-            with open(log) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line.startswith("{") and not line.startswith("["):
-                        continue  # version header
-                    for entry in json.loads(line) if line.startswith(
-                        "["
-                    ) else [json.loads(line)]:
-                        p = urlparse(entry["path"]).path or entry["path"]
-                        total += os.path.getsize(p)
+            for log in logs:
+                with open(log) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line.startswith("{") and not line.startswith(
+                            "["
+                        ):
+                            continue  # version header
+                        for entry in json.loads(line) if line.startswith(
+                            "["
+                        ) else [json.loads(line)]:
+                            p = urlparse(entry["path"]).path or entry["path"]
+                            total += os.path.getsize(p)
             if total <= 0:
                 return default
             est_rows = max(1, total // self._BYTES_PER_ROW_HINT)
@@ -837,15 +849,24 @@ class StreamTriggerRuntime:
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        # Output names must be unique PER RUN: a re-compaction's old_files
+        # glob matches part-compact-* files from a prior run, so reusing
+        # deterministic names would rename the new file onto an old path
+        # and then unlink it in the cleanup loop below — emptying the sink.
+        run_tag = uuid.uuid4().hex[:12]
         n = 0
+        renamed: set[str] = set()
         for f in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
             if f.endswith(".parquet") or ".snappy" in f or f.endswith(".gz"):
-                os.rename(
-                    f, os.path.join(sink, f"part-compact-{n:05d}.parquet")
+                dst = os.path.join(
+                    sink, f"part-compact-{run_tag}-{n:05d}.parquet"
                 )
+                os.rename(f, dst)
+                renamed.add(dst)
                 n += 1
         for f in old_files:
-            os.unlink(f)
+            if f not in renamed:  # belt-and-braces: never unlink a target
+                os.unlink(f)
         shutil.rmtree(tmp, ignore_errors=True)
         return n
 
@@ -1100,7 +1121,10 @@ class KeyspaceTriggerRuntime:
         at-least-once at task granularity (a retried task re-appends its
         part file — same contract as the stream runtime's sink);
         `exactly_once=True` collapses replays by `seq`, the change feed's
-        idempotency key."""
+        idempotency key. Ties prefer the successful row: a record that
+        errored once and succeeded on a task retry must resolve to 'ok'
+        (status desc — 'ok' > 'error' lexicographically — matches the
+        stream runtime's keep-latest-write semantics)."""
         from pyspark.sql.window import Window as W
 
         df = self.spark.read.parquet(
@@ -1108,7 +1132,7 @@ class KeyspaceTriggerRuntime:
         )
         if not exactly_once:
             return df
-        w = W.partitionBy("seq").orderBy("status")
+        w = W.partitionBy("seq").orderBy(F.col("status").desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

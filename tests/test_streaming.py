@@ -1197,6 +1197,92 @@ class TestSinkCompaction:
         after = spark.read.parquet(sink).sort("id").collect()
         assert after == before
 
+    def test_recompaction_preserves_rows(self, spark, sf_dir, spool, work):
+        """Compacting a sink that already contains part-compact-* files
+        from a prior run must not lose rows: compacted output names are
+        unique per run, so a re-run never renames onto (and then unlinks)
+        a prior run's file."""
+        import glob
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "cmp2", prefix="user:", fn=upper_type, window=10**9
+            ),
+            name="clib2",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 100)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            assert rt.compact_sink("clib2", "cmp2", target_partitions=1) == 1
+            # a batch lands between compactions, then compact again —
+            # old_files now includes the prior run's part-compact-* file
+            write_slice(spark, sf_dir, spool, 100, 200)
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        sink = os.path.join(work, "sink", "clib2", "cmp2")
+        before = spark.read.parquet(sink).sort("id").collect()
+        assert rt.compact_sink("clib2", "cmp2", target_partitions=1) == 1
+        assert len(glob.glob(os.path.join(sink, "part-*.parquet"))) == 1
+        after = spark.read.parquet(sink).sort("id").collect()
+        assert after == before
+        # third run straight away (no new data): still lossless
+        assert rt.compact_sink("clib2", "cmp2", target_partitions=1) == 1
+        assert spark.read.parquet(sink).sort("id").collect() == before
+
+
+class TestCdcExactlyOnceTieBreak:
+    def test_retry_then_succeed_resolves_to_ok(self, spark, sf_dir, work):
+        """A CDC record that errored on a first task attempt and succeeded
+        on the retry appends BOTH status rows to the at-least-once sink;
+        read_sink(exactly_once=True) must resolve the tie to the 'ok' row,
+        not the lexicographically-smaller 'error' one."""
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming.triggers import (
+            _CDC_RESULT_SCHEMA,
+            KeyspaceTriggerRuntime,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        changes = os.path.join(work, "changes")
+        rt = KeyspaceTriggerRuntime(engine, changes, work)
+        sink = os.path.join(work, "cdc_sink", "lib", "trig")
+        os.makedirs(sink, exist_ok=True)
+        rows = [
+            # seq 1: failed attempt then successful retry (duplicate)
+            (1, "user:1", "set", "error", None, "boom"),
+            (1, "user:1", "set", "ok", "r1", None),
+            # seq 2: clean single delivery
+            (2, "user:2", "set", "ok", "r2", None),
+            # seq 3: genuinely failed on every attempt
+            (3, "user:3", "set", "error", None, "fatal"),
+        ]
+        spark.createDataFrame(rows, _CDC_RESULT_SCHEMA).write.mode(
+            "append"
+        ).parquet(sink)
+        out = {
+            r["seq"]: r
+            for r in rt.read_sink("lib", "trig", exactly_once=True).collect()
+        }
+        assert len(out) == 3
+        assert out[1]["status"] == "ok" and out[1]["result"] == "r1"
+        assert out[2]["status"] == "ok"
+        assert out[3]["status"] == "error"
+
 
 class TestDeclarativeAggTrigger:
     def test_per_key_batch_aggregates(self, spark, sf_dir, spool, work):
