@@ -384,14 +384,36 @@ def embed_payloads(df: DataFrame) -> DataFrame:
 @query("multimodal_embed")  # stubbed encoder — rows-only check
 def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding extraction over binary media payloads — the bridge from
-    the multimodal plumbing to the similarity/dedup stack: its output
-    schema is exactly the `embeddings` table shape, so sim_topk /
-    sim_ann_* / dedup_embedding_* consume it unchanged.
+    the multimodal plumbing to the similarity/dedup stack:
+    `embed_payloads()` (the internal API the similarity stack consumes
+    unchanged) yields exactly the `embeddings` table shape.
+
+    The REGISTERED query projects the array down to scalar columns —
+    `(doc_id, model, dim, emb_md5, norm_sq_q6)` — because the driver's
+    rows-only canonicalizer sorts every column through pandas and an
+    `array<double>` cell is unhashable there. emb_md5 commits to the
+    full vector (md5 of its JSON rendering), norm_sq_q6 is the squared
+    L2 norm in micro units (integer — exact, no float-sum ambiguity),
+    so the check still pins the embedding VALUES, not just row counts.
 
     Scale: one Arrow-batched pass; the payload column is pruned until
     this stage so no exchange ever carries blobs, and the output is a
-    narrow (id, dim-{dim}) projection. The encoder itself is stubbed
+    narrow scalar projection. The encoder itself is stubbed
     (deterministic blake2b fake — no model runtime in this container)
     with the same import-try discipline as the decode step.
     """
-    return embed_payloads(media_table(spark, sf_dir))
+    emb = embed_payloads(media_table(spark, sf_dir))
+    return emb.select(
+        "doc_id",
+        "model",
+        F.size("embedding").alias("dim"),
+        F.md5(F.to_json(F.col("embedding"))).alias("emb_md5"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("norm_sq_q6"),
+    )

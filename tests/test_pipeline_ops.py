@@ -319,19 +319,32 @@ def test_multimodal_embed_deterministic_and_dedup_ready(spark, sf_dir):
     """The stubbed encoder must be deterministic (same payload → same
     vector, across runs and partitionings), unit-normalized, and exact-dup
     payloads must land on identical vectors — what makes the output
-    consumable by the embedding-dedup stack."""
-    import math
+    consumable by the embedding-dedup stack. The REGISTERED query is a
+    scalar projection (driver-canonicalizable: no array columns), so the
+    array shape is checked on `embed_payloads` directly."""
+    from redisgears_spark.operators.multimodal import (
+        embed_payloads,
+        media_table,
+    )
 
     out = QUERIES["multimodal_embed"](spark, sf_dir)
-    rows = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    # registered projection: scalar-only columns, values pin the vector
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "model", "dim", "emb_md5", "norm_sq_q6",
+    ]
+    assert not any("array" in f.dataType.simpleString() for f in out.schema)
+    rows = {r["doc_id"]: (r["emb_md5"], r["norm_sq_q6"]) for r in out.collect()}
     again = {
-        r["doc_id"]: r["embedding"]
+        r["doc_id"]: (r["emb_md5"], r["norm_sq_q6"])
         for r in QUERIES["multimodal_embed"](spark, sf_dir).collect()
     }
     assert rows == again  # deterministic
-    v = next(iter(rows.values()))
+    # unit-normalized: squared norm in micro units == 1_000_000 exactly
+    assert all(n == 1_000_000 for _, n in rows.values())
+    # internal API keeps the embeddings-table array shape
+    emb = embed_payloads(media_table(spark, sf_dir))
+    v = emb.limit(1).collect()[0]["embedding"]
     assert len(v) == 16
-    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
     # identical payloads map to identical vectors; distinct ones diverge
     from redisgears_spark.operators.multimodal import _embed_payload
 
