@@ -360,15 +360,24 @@ def main() -> None:
         .mapInPandas(_noop_pandas, "doc_id long")
     )
 
+    # best-of-2 per query: single-shot numbers conflate cold-cache/GC
+    # noise with real regressions (the streaming sections learned the
+    # same lesson with best-of-5); min-of-2 makes a slowdown a signal
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        try:
-            run(queries[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one broken query must not kill the bench
-            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                run(queries[name](spark, sf_dir))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            except Exception as e:  # one broken query must not kill the bench
+                errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+                break
+        if best is not None:
+            timings[name] = round(best, 3)
 
     # streaming warm-up (unmeasured): pay the one-time streaming-engine
     # costs — query planner, state/commit-log paths, Python worker spin-up

@@ -220,14 +220,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redisgears_spark.sources.keyspace import rebalanced
 
     docs = rebalanced(load_table(spark, sf_dir, "documents"))
-    w = F.expr(_TOKENS)
+    # Tokenize ONCE: `bg` is derived from the `w` COLUMN, not by
+    # re-inlining the tokenizer expression (which multiplied the
+    # O(distinct x tokens) cost when codegen stopped CSE-ing the copies).
+    # CollapseProject keeps the two projections separate because `w` is
+    # referenced several times below and the tokenizer is non-cheap.
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("w"))
     bg = F.expr(
-        f"CASE WHEN size({_TOKENS}) >= 2 THEN "
-        f"transform(sequence(0, size({_TOKENS}) - 2), "
-        f"i -> concat({_TOKENS}[i], ' ', {_TOKENS}[i+1])) "
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), "
+        "i -> concat(w[i], ' ', w[i+1])) "
         "ELSE array() END"
     )
-    d = docs.select("doc_id", w.alias("w"), bg.alias("bg"))
+    d = toks.select("doc_id", "w", bg.alias("bg"))
     n = F.size("w").cast("long")
     n_dup = (F.size("w") - F.size(F.array_distinct("w"))).cast("long")
     top_n = F.expr(

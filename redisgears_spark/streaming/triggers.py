@@ -595,10 +595,21 @@ class StreamTriggerRuntime:
                 # expression (per-row `expr`) or per-key micro-batch
                 # aggregate (`agg_expr`), so the whole pipeline stays
                 # JVM-side (whole-stage codegen, no Python worker
-                # roundtrip). The per-key frontier rows the Python
-                # processor would emit are a map-side-partial groupBy
-                # instead — unioned into the same result stream so the
-                # observe() accounting below is identical for both paths.
+                # roundtrip). The earlier union-with-frontier-rows +
+                # batch-sized collect_list observe() broke whole-stage
+                # fusion and recorded SLOWER than the Python path it
+                # exists to beat; now:
+                #   * agg_expr — ONE job: the hash agg reduces the batch
+                #     to |keys| rows, so frontiers/count/lag ride the
+                #     sink write as observe() metrics over those rows;
+                #   * expr — the sink write is a pure scan→project→write
+                #     pass, plus a tiny per-key metadata agg pruned to
+                #     (stream_key, id, id_ts): the expression is never
+                #     evaluated there, the scan is 3 narrow columns with
+                #     a map-side partial agg.
+                # Declarative expressions don't produce per-record errors
+                # (a throwing expr fails the task, same as a malformed
+                # query): n_err is structurally 0.
                 if agg_expr is not None:
                     aggs = [
                         F.expr(sql).alias(col)
@@ -619,8 +630,28 @@ class StreamTriggerRuntime:
                         ).alias("result"),
                         F.lit(None).cast("string").alias("error"),
                     )
-                    frontier_src = grouped
-                else:
+                    # the agg already reduced the batch to |keys| rows, so
+                    # the metadata rides the ONE write job as observe()
+                    # metrics over those rows (collect_list here is |keys|
+                    # structs, not batch-sized — grouped.id_ts is already
+                    # min per key, so its global min is the batch oldest)
+                    obs = Observation()
+                    observed = row_results.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n_keys"),
+                        F.min(F.unix_micros("id_ts")).alias("oldest_us"),
+                        F.collect_list(
+                            F.struct("stream_key", "id")
+                        ).alias("frontiers"),
+                    )
+                    observed.write.mode("append").parquet(sink_dir)
+                    m = obs.get
+                    n_ok = m["n_keys"]
+                    oldest_us = m["oldest_us"]
+                    frontiers = [
+                        (r["stream_key"], r["id"]) for r in m["frontiers"]
+                    ]
+                if agg_expr is None:
                     row_results = admitted.select(
                         "stream_key",
                         "id",
@@ -629,58 +660,27 @@ class StreamTriggerRuntime:
                         F.expr(expr).cast("string").alias("result"),
                         F.lit(None).cast("string").alias("error"),
                     )
-                    frontier_src = admitted.groupBy("stream_key").agg(
-                        F.max("id").alias("id"),
-                        F.min("id_ts").alias("id_ts"),
+                    row_results.write.mode("append").parquet(sink_dir)
+                    meta_rows = (
+                        matched.groupBy("stream_key")
+                        .agg(
+                            F.max("id").alias("id"),
+                            F.count(F.lit(1)).alias("n"),
+                            F.min(F.unix_micros("id_ts")).alias("oldest_us"),
+                        )
+                        .collect()
                     )
-                frontier_rows = frontier_src.select(
-                    "stream_key",
-                    "id",
-                    "id_ts",
-                    F.lit("frontier").alias("status"),
-                    F.lit(None).cast("string").alias("result"),
-                    F.lit(None).cast("string").alias("error"),
-                )
-                results = row_results.unionByName(frontier_rows)
-                # ONE job per micro-batch: the sink write. Counters/lag/
-                # error-sample ride on it as observe() metrics, and per-key
-                # frontiers arrive as a collect_list metric (|keys| tiny
-                # structs). The ok-filter sits ABOVE the CollectMetrics
-                # node, so the metrics see every row while only ok records
-                # land in the sink.
-                obs = Observation()
-                observed = results.observe(
-                    obs,
-                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                    F.count(F.when(F.col("status") == "error", 1)).alias(
-                        "err"
-                    ),
-                    F.max(
-                        F.when(F.col("status") == "error", F.col("error"))
-                    ).alias("an_error"),
-                    F.min(
-                        F.when(
-                            F.col("status") != "frontier",
-                            F.unix_micros("id_ts"),
-                        )
-                    ).alias("oldest_us"),
-                    F.collect_list(
-                        F.when(
-                            F.col("status") == "frontier",
-                            F.struct("stream_key", "id"),
-                        )
-                    ).alias("frontiers"),
-                )
-                observed.filter(F.col("status") == "ok").write.mode(
-                    "append"
-                ).parquet(sink_dir)
-                m = obs.get
-                n_ok, n_err = m["ok"], m["err"]
-                an_error = m["an_error"]
-                oldest_us = m["oldest_us"]
-                frontiers = [
-                    (r["stream_key"], r["id"]) for r in m["frontiers"]
-                ]
+                    frontiers = [
+                        (r["stream_key"], r["id"]) for r in meta_rows
+                    ]
+                    n_ok = sum(r["n"] for r in meta_rows)
+                    oldest_us = (
+                        min(r["oldest_us"] for r in meta_rows)
+                        if meta_rows
+                        else None
+                    )
+                n_err = 0
+                an_error = None
             else:
                 # PYTHON path, ONE job per micro-batch: the processor runs
                 # the callback AND appends its partition's ok/error rows to
