@@ -10,4 +10,5 @@ from redisgears_spark.operators import (  # noqa: F401,E402
     similarity,
     skew,
     text,
+    tpch_full,
 )

@@ -380,3 +380,36 @@ def test_approx_percentiles_within_sketch_bound(spark, sf_dir):
         e50, e95, e99 = exact[flag]
         for a, e in ((a50, e50), (a95, e95), (a99, e99)):
             assert abs(a - e) / e < 0.05, (flag, a, e)
+
+
+def test_synthetic_partsupp_well_formed(spark, sf_dir):
+    """The synthetic partsupp must behave like the real relation: exactly
+    4 DISTINCT suppliers per part (the offset rule must not collide mod
+    |supplier|), every ps_suppkey resolvable against supplier, and
+    cost/qty in their documented ranges — all deterministic."""
+    from redisgears_spark.operators.tpch_full import synthetic_partsupp
+    from redisgears_spark.sources.keyspace import load_table
+    import pyspark.sql.functions as F
+
+    ps = synthetic_partsupp(spark, sf_dir)
+    n_part = load_table(spark, sf_dir, "part").count()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert ps.count() == 4 * n_part
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("d")
+    )
+    assert per_part.filter(F.col("d") != 4).count() == 0
+    rng = ps.agg(
+        F.min("ps_suppkey"), F.max("ps_suppkey"),
+        F.min("ps_availqty"), F.max("ps_availqty"),
+        F.min("ps_supplycost_cents"), F.max("ps_supplycost_cents"),
+    ).collect()[0]
+    assert rng[0] >= 0 and rng[1] < n_supp
+    assert rng[2] >= 1 and rng[3] <= 9999
+    assert rng[4] >= 100 and rng[5] <= 100000
+    # dangling-key check: anti-join against supplier is empty
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    dangling = ps.join(
+        supp, ps.ps_suppkey == supp.s_suppkey, "left_anti"
+    )
+    assert dangling.count() == 0
