@@ -176,6 +176,67 @@ def bench_streaming(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_bucketed_layout(spark, sf_dir: str, iters: int = 3) -> dict:
+    """Co-located-layout payoff, timed (the zero-exchange claim is
+    plan-pinned in tests/test_plans.py — this section prices it): the
+    same orders⋈lineitem revenue rollup over (a) plain parquet (both
+    fact sides shuffle on orderkey) and (b) Spark bucketed tables (the
+    shuffle was paid once at layout time; the join is exchange-free).
+    Reports the one-time layout cost alongside so the amortization trade
+    is explicit — at 100 TB the layout is written once and every
+    orderkey query afterwards skips both fact shuffles."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.sources.bucketed import bucketize
+    from redisgears_spark.sources.keyspace import load_table
+
+    def rollup(orders, lineitem) -> None:
+        (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(
+                    (F.round(F.col("l_extendedprice") * 100)).cast("long")
+                ).alias("rev_c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    o_plain = load_table(spark, sf_dir, "orders")
+    l_plain = load_table(spark, sf_dir, "lineitem")
+
+    plain = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        rollup(o_plain, l_plain)
+        plain.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    o_bkt = spark.table(
+        bucketize(spark, sf_dir, "orders", "o_orderkey", overwrite=True)
+    )
+    l_bkt = spark.table(
+        bucketize(spark, sf_dir, "lineitem", "l_orderkey", overwrite=True)
+    )
+    layout_s = time.perf_counter() - t0
+
+    bucketed = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        rollup(o_bkt, l_bkt)
+        bucketed.append(time.perf_counter() - t0)
+
+    return {
+        "plain_join_sec": round(min(plain), 3),
+        "bucketed_join_sec": round(min(bucketed), 3),
+        "speedup": round(min(plain) / min(bucketed), 2),
+        "layout_once_sec": round(layout_s, 3),
+    }
+
+
 def bench_fcall(spark, sf_dir: str, n_calls: int = 20000) -> dict:
     """Function-call dispatch throughput — the reference's rg_fcall_simple /
     rg_fcall_async / executeAsync harness shapes (BASELINE.md workload
@@ -385,6 +446,8 @@ def main() -> None:
     # steady-state (best-of-iters then absorbs residual noise)
     bench_streaming(spark, sf_dir, n_events=2000, iters=1)
 
+    bucketed = bench_bucketed_layout(spark, sf_dir)
+
     streaming = bench_streaming(spark, sf_dir)
     streaming_async = bench_streaming(spark, sf_dir, mode="async")
     streaming_declarative = bench_streaming(spark, sf_dir, mode="declarative")
@@ -404,6 +467,7 @@ def main() -> None:
         "streaming_agg": streaming_agg,
         "keyspace": keyspace,
         "fcall": fcall,
+        "bucketed_join": bucketed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
