@@ -786,3 +786,113 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "inter", containment.alias("containment"))
         .filter(F.col("containment") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document segment dedup (the C4 / RefinedWeb span-dedup step)
+# ---------------------------------------------------------------------------
+
+_SEG_TOKENS = 8  # non-overlapping 8-token segments ("three-sentence" analog)
+
+
+@query(
+    "dedup_segments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, s.i AS seg_idx,
+             array_to_string(w[(s.i * 8 + 1):(s.i * 8 + 8)], ' ') AS seg
+      FROM t, (SELECT unnest(range(0, 1024)) AS i) s
+      WHERE s.i * 8 < len(w)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (
+               PARTITION BY seg ORDER BY doc_id, seg_idx
+             ) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segs,
+           COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                        ORDER BY seg_idx),
+             '') AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SEGMENT dedup — the C4/RefinedWeb span-removal step
+    (C4 drops any three-sentence span seen before; RefinedWeb's exact
+    substring dedup): the corpus is cut into non-overlapping 8-token
+    segments, every repeat of a segment already seen earlier (corpus
+    order = (doc_id, seg_idx)) is removed, and each document is
+    reassembled from its surviving segments.
+
+    Scale shape (and why it is NOT a window over the text): the
+    keep/drop decision needs only `min(struct(doc_id, seg_idx))` per
+    segment FINGERPRINT — a groupBy md5 with map-side partial
+    aggregation over (16-byte fp, 12-byte position) rows; the segment
+    text itself never enters that shuffle. The text moves exactly twice,
+    both unavoidable: once hash-joined against the |distinct-segments|
+    first-occurrence relation (fp-keyed equi-join), once regrouped by
+    doc_id for reassembly. A row_number window over `seg` — the naive
+    formulation, and what the oracle runs — would instead sort
+    corpus-scale text per segment group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+        ).alias("w"),
+    ).filter(F.size("w") > 0)
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(w) - 1) div {_SEG_TOKENS}), "
+                f"i -> array_join(slice(w, i * {_SEG_TOKENS} + 1, "
+                f"{_SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("fp", F.md5("seg"))
+    first = segs.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first")
+    )
+    marked = segs.join(first, "fp").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("seg_idx") == F.col("first.seg_idx"))
+        ).alias("keep"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"), F.struct("seg_idx", "seg")
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

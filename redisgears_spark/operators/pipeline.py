@@ -589,3 +589,65 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
     )
     return raw.unionByName(quality).unionByName(dedup).unionByName(decon)
+
+
+# ---------------------------------------------------------------------------
+# language rebalance (downsample-to-min target mix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_lang_rebalance",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(min(cnt) AS BIGINT) AS k
+      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+    FROM ranked, k
+    WHERE rk <= k.k
+    """,
+)
+def pipeline_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a uniform language mix by downsampling
+    every language to the size of the SMALLEST one — the data-dependent
+    cousin of `pipeline_stratified_sample` (whose rates are static): here
+    the per-group quota comes from the observed counts, the way training
+    mixes are actually rebalanced when a target share is mandated.
+
+    The sample is deterministic and engine-independent: rank docs inside
+    each language by md5(doc_id) (a uniform permutation, tie-broken by
+    doc_id) and keep the first K. Same-rows-on-any-engine is what makes
+    a sampling operator oracle-checkable.
+
+    Scale: the quota is a two-level aggregate (per-lang counts — map-side
+    partial — then a global min over |langs| rows, broadcast back as a
+    literal-free cross join of ONE row). The per-lang rank is one hash
+    shuffle on lang; with |langs| small and docs/lang huge, rank-by-md5
+    is the skew risk — at 100 TB swap the row_number for the two-phase
+    quantile trick (sample the md5 space, cut at the K-th quantile, keep
+    rows below the cut) to avoid single-reducer-per-lang sorts; at
+    fixture scale the direct window is the honest measured shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    k = counts.agg(F.min("cnt").alias("k"))
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.withColumn("sample_rank", rk.cast("long"))
+        .join(F.broadcast(k))
+        .filter(F.col("sample_rank") <= F.col("k"))
+        .select("doc_id", "lang", "sample_rank")
+    )

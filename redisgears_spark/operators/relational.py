@@ -1594,3 +1594,85 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join via time binning
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3_600 * 1_000_000  # views attribute purchases within 1 h
+
+
+@query(
+    "events_attribution_window",
+    oracle=f"""
+    SELECT v.event_id, v.user_id,
+           CAST(COUNT(CASE WHEN p.event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchases_1h
+    FROM events v
+    LEFT JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) < epoch_us(v.ts) + {_ATTR_WINDOW_US}
+    WHERE v.event_type = 'view'
+    GROUP BY v.event_id, v.user_id
+    """,
+)
+def events_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward attribution interval join: for every 'view', how many
+    'purchase' events the same user made within the following hour — the
+    two-relation interval join (Flink's interval join / kdb wj) that
+    Spark has no built-in for.
+
+    Spark-first formulation: BIN both sides to window-width buckets and
+    equi-join on (user_id, bin). A purchase at bin b can only attribute
+    to views in bins {{b-1, b}}, so each purchase is replicated into
+    exactly those two join bins (explode of a 2-element array — a narrow
+    2x map-side expansion, not a shuffle multiplier) and the exact
+    [ts_v, ts_v + 1h) predicate filters the candidates after the join.
+    Each (view, purchase) pair meets at most once: of a purchase's two
+    copies, exactly one lands in the view's bin.
+
+    Scale: the naive inequality join is a per-user quadratic nested loop
+    (Spark would plan a broadcast-nested-loop or a cartesian per key);
+    binning turns it into ONE hash equi-join whose candidate count is
+    bounded by events-per-(user,2-bins) — at 100 TB the bin width tunes
+    candidate fan-in, exactly the Flink interval-join bucketing. The
+    left join keeps zero-purchase views (count of the match column, not
+    count(*)).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        micros("ts").alias("v_us"),
+        (micros("ts") / F.lit(_ATTR_WINDOW_US)).cast("long").alias("bin"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            micros("ts").alias("p_us"),
+            (micros("ts") / F.lit(_ATTR_WINDOW_US)).cast("long").alias(
+                "p_bin"
+            ),
+        )
+        .select(
+            "p_user",
+            "p_us",
+            F.explode(
+                F.array(F.col("p_bin"), F.col("p_bin") - 1)
+            ).alias("bin"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user) & (views.bin == purchases.bin),
+        "left",
+    )
+    hit = (F.col("p_us") >= F.col("v_us")) & (
+        F.col("p_us") < F.col("v_us") + F.lit(_ATTR_WINDOW_US)
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.when(hit, 1)).cast("long").alias("n_purchases_1h")
+    )

@@ -396,3 +396,17 @@ def test_q17_integer_threshold_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "* 5" in plan or "5)" in plan, plan  # integer predicate survived
 
+
+
+def test_attribution_window_is_equi_join(spark, sf_dir):
+    """The binned interval join's whole point: the time-range predicate
+    must NOT surface as a BroadcastNestedLoopJoin or CartesianProduct —
+    binning turns it into one hash-partitioned equi-join on (user, bin),
+    with the range check as a post-join filter."""
+    df = QUERIES["events_attribution_window"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
