@@ -2,6 +2,10 @@ from redisgears_spark.streaming.ingest import (  # noqa: F401
     DOC_STREAM_SCHEMA,
     DedupIngestRuntime,
 )
+from redisgears_spark.streaming.joins import (  # noqa: F401
+    StreamJoinRuntime,
+    stream_interval_join,
+)
 from redisgears_spark.streaming.retention import apply_retention  # noqa: F401
 from redisgears_spark.streaming.windows import (  # noqa: F401
     WindowedAggRuntime,

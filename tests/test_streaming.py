@@ -1414,3 +1414,73 @@ class TestFusedSinkSchemaStability:
         assert sum(r["result"] is None for r in rows) == 50
         # the exactly-once reader works over the mixed files too
         assert rt.read_sink("mxlib", "mix").count() == 100
+
+
+class TestStreamIntervalJoin:
+    def test_matches_batch_interval_join(self, spark, sf_dir, spool, work):
+        """The watermarked stream-stream interval join must emit exactly
+        the pairs the equivalent batch join computes — across micro-batch
+        boundaries (two slices), each pair exactly once."""
+        from pyspark.sql import functions as F
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.functions.exact import micros
+        from redisgears_spark.sources.keyspace import load_table
+        from redisgears_spark.streaming import (
+            StreamJoinRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamJoinRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 400)
+        rt.start(window="1 hour", watermark="10 seconds")
+        try:
+            rt.query.processAllAvailable()
+            write_slice(spark, sf_dir, spool, 400, 800)
+            rt.query.processAllAvailable()
+        finally:
+            rt.stop()
+        got = {
+            (r["stream_key"], r["l_id"], r["r_id"], r["lag_us"])
+            for r in rt.pairs().collect()
+        }
+        # batch ground truth over the same slice of events
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") < 800
+        )
+        v = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        want = {
+            (
+                f"user:{r['u']}",
+                r["l_id"],
+                r["r_id"],
+                r["lag_us"],
+            )
+            for r in v.join(
+                p,
+                (v.u == p.pu)
+                & (p.r_ts >= v.l_ts)
+                & (p.r_ts < v.l_ts + F.expr("INTERVAL 1 hour")),
+            )
+            .select(
+                "u",
+                "l_id",
+                "r_id",
+                (micros("r_ts") - micros("l_ts")).alias("lag_us"),
+            )
+            .collect()
+        }
+        assert want, "fixture slice has no view→purchase pairs"
+        assert got == want
