@@ -651,3 +651,70 @@ def pipeline_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.col("k"))
         .select("doc_id", "lang", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (data versioning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    new AS (
+      SELECT doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT COALESCE(new.doc_id, old.doc_id) AS doc_id,
+           CASE
+             WHEN old.doc_id IS NULL THEN 'added'
+             WHEN new.doc_id IS NULL THEN 'removed'
+             WHEN old.fp <> new.fp THEN 'changed'
+             ELSE 'unchanged'
+           END AS status
+    FROM new FULL OUTER JOIN old ON new.doc_id = old.doc_id
+    """,
+)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning primitive behind
+    incremental re-training: classify every document as added / removed /
+    changed / unchanged between two corpus versions by comparing content
+    fingerprints, never text. The two "versions" are derived
+    deterministically from the one fixture corpus (old = ids not
+    divisible by 11, with ids divisible by 7 carrying perturbed text;
+    new = ids not divisible by 13), so both engines diff identical
+    snapshots.
+
+    Scale: each side reduces to (doc_id, 16-byte md5) map-side — the
+    full-outer join (the one shuffle, on doc_id) carries fixed-width
+    rows regardless of document size; at 100 TB this is the cheapest
+    possible diff of two multi-TB corpora. The CASE classification is a
+    post-join projection.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("o_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" [v1]"))
+            ).otherwise(F.col("text"))
+        ).alias("o_fp"),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("n_id"), F.md5("text").alias("n_fp")
+    )
+    j = new.join(old, new.n_id == old.o_id, "full_outer")
+    return j.select(
+        F.coalesce("n_id", "o_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
