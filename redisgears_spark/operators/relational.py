@@ -1676,3 +1676,90 @@ def events_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count(F.when(hit, 1)).cast("long").alias("n_purchases_1h")
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured (JSON) extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload and
+    aggregate a typed field per event type — the schema-on-read pattern
+    every event pipeline needs (the reference's records are JS objects;
+    arbitrary nested payloads are its native currency, SURVEY §1.2).
+
+    Scale: `get_json_object` is a JVM-side SIMD-friendly path over the
+    string column — no Python, no UDF; the parse rides the scan inside
+    whole-stage codegen and only (event_type, k) reaches the map-side
+    partial agg. At 100 TB prefer `from_json` with an explicit schema
+    once fields stabilize (single parse, columnar struct) — same plan
+    shape, pinned here with the single-field extractor.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic-window breadth: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type
+      ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+    )
+    """,
+)
+def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per event type: quartile bucket, percentile
+    rank, and cumulative distribution of each event's value — the
+    ranking-frame family (ntile / percent_rank / cume_dist) in one pass.
+
+    Determinism: the order key is exact integer cents tie-broken by
+    event_id, so every rank function sees a total order — identical
+    across engines and partitionings (percent_rank/cume_dist emit
+    IEEE-exact (rank-1)/(n-1) and rank/n ratios of integers).
+
+    Scale: one hash shuffle on event_type, one per-key sort, all three
+    functions share the single window — Catalyst evaluates them in one
+    Window operator, no extra passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(cents("value"), "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

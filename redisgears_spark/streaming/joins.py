@@ -167,3 +167,30 @@ class StreamJoinRuntime:
         if self.query is not None:
             self.query.stop()
             self.query = None
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, key_expr: str = "stream_key"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch left-joins the
+    (small, broadcast) static dimension — the lookup-enrichment pattern
+    the reference expresses as a per-record client.call('HGET', ...)
+    inside the callback (Q11's shape, per SURVEY §2.E), here ONE
+    broadcast hash join per micro-batch instead of one point read per
+    record.
+
+    The static side is re-resolved per micro-batch (Spark semantics), so
+    a dimension backed by a refreshable view picks up updates between
+    batches — the broadcast-state analog. Left join keeps records whose
+    key has no dimension row (enrichment columns null), matching the
+    callback's miss-is-null behavior.
+
+    Scale: the stream side never shuffles — the dimension broadcasts to
+    wherever the micro-batch partitions already are. At 100 TB the only
+    constraint is the dimension fitting executor memory; past that,
+    pre-bucket both sides (sources/bucketed.py) instead.
+    """
+    joined = stream.withColumn("_k", F.expr(key_expr)).join(
+        F.broadcast(dim), F.col("_k") == dim[dim.columns[0]], "left"
+    )
+    return joined.drop("_k")

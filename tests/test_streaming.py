@@ -1484,3 +1484,57 @@ class TestStreamIntervalJoin:
         }
         assert want, "fixture slice has no view→purchase pairs"
         assert got == want
+
+    def test_stream_static_enrichment(self, spark, sf_dir, spool, work):
+        """Stream-static broadcast enrichment: every streamed record picks
+        up its user's segment from the static customer dimension; users
+        without a dimension row enrich to null (left-join contract)."""
+        from pyspark.sql import functions as F
+
+        from redisgears_spark.streaming.joins import stream_static_enrich
+        from redisgears_spark.streaming import events_to_stream
+
+        dim = (
+            load_table(spark, sf_dir, "customer")
+            .select(
+                F.concat(F.lit("user:"), F.col("c_custkey").cast("string"))
+                .alias("dim_key"),
+                "c_mktsegment",
+            )
+        )
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        write_slice(spark, sf_dir, spool, 0, 300)
+        src = events_to_stream(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(spool)
+        )
+        enriched = stream_static_enrich(src, dim)
+        sink = os.path.join(work, "enrich_sink")
+        q = (
+            enriched.select("stream_key", "id", "c_mktsegment")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option(
+                "checkpointLocation", os.path.join(work, "enrich_ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink)
+        assert out.count() == 300
+        # ground truth from the batch join
+        want = {
+            (f"user:{r['c_custkey']}"): r["c_mktsegment"]
+            for r in load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .collect()
+        }
+        for r in out.collect():
+            assert r["c_mktsegment"] == want.get(r["stream_key"])
