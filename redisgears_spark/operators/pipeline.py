@@ -718,3 +718,54 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# length-weighted sampling (probability ∝ document size)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH mx AS (SELECT max(n_chars) AS m FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS bucket
+    FROM documents, mx
+    WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000) * mx.m < n_chars * 1000
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted subsampling: accept each document with probability
+    proportional to its length (p = n_chars / max_chars) — the
+    doc-level approximation of token-uniform sampling, used when a
+    corpus must shrink without biasing toward short documents (plain
+    uniform doc sampling over-represents short docs token-wise).
+
+    Deterministic and engine-exact: the acceptance test is pure integer
+    arithmetic — bucket(doc_id) in [0,1000) from the md5 prefix, accept
+    iff bucket * max_chars < n_chars * 1000 (cross-multiplied, no float
+    rate). Same rows on any engine, any run.
+
+    Scale: the corpus max is a map-side-partial global agg broadcast as
+    a one-row cross join; the predicate then rides the scan — no
+    shuffle of the corpus itself.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(mx))
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") * F.col("m") < F.col("n_chars") * 1000)
+        .select("doc_id", "n_chars", "bucket")
+    )

@@ -451,3 +451,88 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_sum").cast("double") / F.col("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+_HH_TOP = 20  # report the corpus top-20 terms
+_HH_MG_CAP = 200  # per-partition Misra-Gries summary capacity
+
+
+def _misra_gries_partition(batches):
+    """Per-partition Misra-Gries(k) summary over the token stream: at
+    most _HH_MG_CAP counters survive; any term whose count in this
+    partition exceeds n_partition/(cap+1) is guaranteed present."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for toks in pdf["w"]:
+            for t in toks:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < _HH_MG_CAP:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+    yield pd.DataFrame(
+        {"term": list(counters), "lb": list(counters.values())}
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT {_HH_TOP}
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms via the two-phase heavy-hitter pattern: a
+    per-partition Misra-Gries(cap=200) summary nominates candidates,
+    then ONE exact recount over just those candidates picks the
+    winners — results are EXACT (oracle: the true top-20), the sketch
+    only bounds the work.
+
+    Why not text_top_bigrams' direct groupBy? That shuffles the FULL
+    |vocabulary| (web-corpus vocabularies are billions of n-grams at
+    100 TB). Here the first pass emits ≤ cap rows per partition
+    (bounded driver collect: cap × partitions), and the recount's
+    shuffle carries only candidate-matched tokens after a broadcast
+    semi-join prunes the stream. Correctness condition (documented MG
+    bound, property-tested): any term with global count
+    > Σ_p n_p/(cap+1) = N/(cap+1) survives in some partition's summary —
+    size cap ≥ (N/count of the k-th hitter) - 1. The fixture's top-20
+    are each ~1000× above that threshold.
+    """
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.expr(_TOKENS).alias("w"))
+    cands = toks.mapInPandas(
+        _misra_gries_partition, "term string, lb long"
+    )
+    terms = [r["term"] for r in cands.select("term").distinct().collect()]
+    cand_df = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    exploded = docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
+    return (
+        exploded.join(F.broadcast(cand_df), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(_HH_TOP)
+    )

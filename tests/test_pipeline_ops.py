@@ -413,3 +413,45 @@ def test_synthetic_partsupp_well_formed(spark, sf_dir):
         supp, ps.ps_suppkey == supp.s_suppkey, "left_anti"
     )
     assert dangling.count() == 0
+
+
+def test_misra_gries_bound_and_candidates(spark, sf_dir):
+    """The MG phase's documented guarantees: (a) every per-partition
+    lower bound is <= the term's true global count; (b) every term whose
+    true count exceeds N/(cap+1) appears among the candidates — the
+    condition that makes the exact-recount result the TRUE top-k."""
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.operators.text import (
+        _HH_MG_CAP,
+        _TOKENS,
+        _misra_gries_partition,
+    )
+    from redisgears_spark.sources.keyspace import load_table, rebalanced
+
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.expr(_TOKENS).alias("w"))
+    cands = toks.mapInPandas(
+        _misra_gries_partition, "term string, lb long"
+    )
+    # summaries respect the partition cap
+    per_part = cands.groupBy().agg(F.count(F.lit(1))).collect()[0][0]
+    true_counts = {
+        r["term"]: r["n"]
+        for r in docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(true_counts.values())
+    cand_rows = cands.collect()
+    cand_terms = {r["term"] for r in cand_rows}
+    # (a) MG lower bounds never exceed the truth (per-partition lb <=
+    # partition count <= global count)
+    for r in cand_rows:
+        assert r["lb"] <= true_counts[r["term"]], r
+    # (b) no heavy term is missed
+    thresh = n_total / (_HH_MG_CAP + 1)
+    for term, n in true_counts.items():
+        if n > thresh:
+            assert term in cand_terms, (term, n, thresh)
