@@ -1538,3 +1538,78 @@ class TestStreamIntervalJoin:
         }
         for r in out.collect():
             assert r["c_mktsegment"] == want.get(r["stream_key"])
+
+    def test_join_state_survives_restart(self, spark, sf_dir, spool, work):
+        """A view buffered in the join state store before a stop must
+        still pair with a purchase arriving after the restart — state
+        recovery from the checkpoint — and nothing is emitted twice.
+        The spanning pair is injected: a synthetic purchase lands AFTER
+        the restart, 10 minutes after a view consumed BEFORE it."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.sources.keyspace import load_table
+        from redisgears_spark.streaming import (
+            StreamJoinRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+
+        def make_rt():
+            return StreamJoinRuntime(
+                engine, spool, work, source_adapter=events_to_stream
+            )
+
+        # slice 1: first 300 events
+        rt = make_rt()
+        write_slice(spark, sf_dir, spool, 0, 300)
+        rt.start(window="1 hour", watermark="10 seconds")
+        try:
+            rt.query.processAllAvailable()
+        finally:
+            rt.stop()
+
+        # pick a view from slice 1 and craft its post-restart purchase
+        ev = load_table(spark, sf_dir, "events")
+        view = (
+            ev.filter(
+                (F.col("event_type") == "view") & (F.col("event_id") < 300)
+            )
+            .orderBy(F.col("event_id").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        synth_ts = view["ts"] + datetime.timedelta(minutes=10)
+        spark.createDataFrame(
+            [
+                (
+                    10**6,
+                    synth_ts,
+                    view["user_id"],
+                    "purchase",
+                    1.0,
+                    "{}",
+                )
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(spool)
+
+        # restart: fresh runtime over the same checkpoint
+        rt = make_rt()
+        rt.start(window="1 hour", watermark="10 seconds")
+        try:
+            rt.query.processAllAvailable()
+        finally:
+            rt.stop()
+
+        got = sorted(
+            (r["l_id"], r["r_id"]) for r in rt.pairs().collect()
+        )
+        assert len(got) == len(set(got)), "duplicate pairs after restart"
+        # the spanning pair: pre-restart view ⋈ post-restart purchase —
+        # only recoverable if the view survived in the state store
+        assert (view["event_id"], 10**6) in got
