@@ -455,3 +455,37 @@ def test_misra_gries_bound_and_candidates(spark, sf_dir):
     for term, n in true_counts.items():
         if n > thresh:
             assert term in cand_terms, (term, n, thresh)
+
+
+def test_dedup_segments_reconstruction_invariant(spark, sf_dir):
+    """Self-check independent of the oracle: a document that lost no
+    segments must reconstruct to exactly its whitespace-normalized
+    original text (the engines could only agree AND be wrong together if
+    reassembly itself were broken)."""
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.sources.keyspace import load_table
+
+    out = {r["doc_id"]: r for r in QUERIES["dedup_segments"](spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["norm"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"),
+                " ",
+            ).alias("norm"),
+        )
+        .collect()
+    }
+    intact = [d for d, r in out.items() if r["n_dup_segs"] == 0]
+    assert intact, "every fixture doc lost a segment?!"
+    for d in intact:
+        assert out[d]["clean_text"] == docs[d], d
+    # and a doc that DID lose segments is shorter than its original
+    lossy = [d for d, r in out.items() if r["n_dup_segs"] > 0]
+    assert lossy
+    for d in lossy[:20]:
+        assert len(out[d]["clean_text"]) < len(docs[d])
