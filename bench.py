@@ -428,6 +428,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in sorted(queries):
         best = None
+        err = None
         for _ in range(2):
             t0 = time.perf_counter()
             try:
@@ -435,10 +436,15 @@ def main() -> None:
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
             except Exception as e:  # one broken query must not kill the bench
-                errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+                err = f"{type(e).__name__}: {str(e)[:300]}"
                 break
+        # a query lands in timings XOR errors: a flaky second run keeps
+        # its good timing, a query with no successful run reports only
+        # the error — the two dicts never disagree about one query
         if best is not None:
             timings[name] = round(best, 3)
+        elif err is not None:
+            errors[name] = err
 
     # streaming warm-up (unmeasured): pay the one-time streaming-engine
     # costs — query planner, state/commit-log paths, Python worker spin-up

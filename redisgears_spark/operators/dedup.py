@@ -804,11 +804,18 @@ _SEG_TOKENS = 8  # non-overlapping 8-token segments ("three-sentence" analog)
                          x -> x <> '') AS w
       FROM documents
     ),
+    seg0 AS (
+      -- per-row segment indices (no fixed cap: the Spark side is
+      -- unbounded, so a capped oracle would silently diverge on
+      -- documents longer than the cap)
+      SELECT doc_id, w, unnest(range(0, (len(w) + 7) // 8)) AS seg_idx
+      FROM t
+    ),
     seg AS (
-      SELECT doc_id, s.i AS seg_idx,
-             array_to_string(w[(s.i * 8 + 1):(s.i * 8 + 8)], ' ') AS seg
-      FROM t, (SELECT unnest(range(0, 1024)) AS i) s
-      WHERE s.i * 8 < len(w)
+      SELECT doc_id, seg_idx,
+             array_to_string(
+               w[(seg_idx * 8 + 1):(seg_idx * 8 + 8)], ' ') AS seg
+      FROM seg0
     ),
     ranked AS (
       SELECT doc_id, seg_idx, seg,

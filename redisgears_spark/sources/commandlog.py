@@ -24,8 +24,18 @@ Line grammar (one command per line, fields RESP-unescaped upstream):
 
     XADD <stream_key> <ms>-<seq> <field> <value> [<field> <value> ...]
 
-Unknown verbs are skipped (forward compatibility with mixed logs, the
-way an AOF replayer ignores non-stream commands it does not track).
+Unknown verbs, unparseable ids, and ids with seq >= 2^20 are skipped
+(forward compatibility with mixed logs, the way an AOF replayer ignores
+commands it does not track; the seq bound keeps the packed
+`id = ms * 2^20 + seq` collision-free and order-preserving — a real
+Redis seq is unbounded per millisecond, but 2^20 entries/ms is beyond
+any actual producer, and a silent collision would corrupt per-stream
+ordering and exactly-once dedup downstream).
+
+Grammar limits: keys and values must not contain spaces or newlines —
+`write_command_log` validates and rejects rather than emit a line the
+reader would mis-parse (a real AOF uses RESP length-prefixed framing;
+this text twin keeps the fixture grammar honest instead).
 """
 
 from __future__ import annotations
@@ -52,6 +62,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# seq bits in the packed id: id = ms * 2^20 + seq (order-preserving;
+# ms up to ~year 2248 stays under 2^63)
+_SEQ_SPACE = 1 << 20
+
 COMMANDLOG_SCHEMA = StructType(
     [
         StructField("stream_key", StringType()),
@@ -72,17 +86,19 @@ class CommandLogReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("gears_commandlog requires a `path` option")
-        self._key_eq: str | None = None
-        self._key_prefix: str | None = None
+        # conjunctive pushed predicates — EVERY accepted filter applies
+        # (a consumed-but-dropped filter would silently widen results)
+        self._key_eqs: list[str] = []
+        self._key_prefixes: list[str] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("stream_key",):
-                self._key_eq = f.value
+                self._key_eqs.append(f.value)
             elif isinstance(f, StringStartsWith) and f.attribute == (
                 "stream_key",
             ):
-                self._key_prefix = f.value
+                self._key_prefixes.append(f.value)
             else:
                 yield f  # unsupported — Spark evaluates it post-scan
 
@@ -91,25 +107,30 @@ class CommandLogReader(DataSourceReader):
         return [_SegmentPartition(p) for p in files]
 
     def read(self, partition: _SegmentPartition):
-        key_eq, key_prefix = self._key_eq, self._key_prefix
+        key_eqs, key_prefixes = self._key_eqs, self._key_prefixes
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 parts = line.rstrip("\n").split(" ")
                 if len(parts) < 5 or parts[0] != "XADD":
                     continue  # unknown verb / malformed — skip, AOF-style
                 stream_key = parts[1]
-                if key_eq is not None and stream_key != key_eq:
+                if any(stream_key != k for k in key_eqs):
                     continue
-                if key_prefix is not None and not stream_key.startswith(
-                    key_prefix
+                if any(
+                    not stream_key.startswith(p) for p in key_prefixes
                 ):
                     continue
                 ms_s, _, seq_s = parts[2].partition("-")
-                ms, seq = int(ms_s), int(seq_s)
+                try:
+                    ms, seq = int(ms_s), int(seq_s)
+                except ValueError:
+                    continue  # unparseable id — skip, same as bad verbs
+                if not (0 <= seq < _SEQ_SPACE) or ms < 0:
+                    continue  # outside the packable space (documented)
                 fields = dict(zip(parts[3::2], parts[4::2]))
                 yield (
                     stream_key,
-                    ms * 1000 + seq,  # the engine's (ms,seq) packed id
+                    ms * _SEQ_SPACE + seq,  # order-preserving packed id
                     datetime.datetime.fromtimestamp(
                         ms / 1000.0, tz=datetime.timezone.utc
                     ).replace(tzinfo=None),
@@ -141,11 +162,22 @@ def register_commandlog_source(spark) -> None:
 
 def write_command_log(rows: list[dict], path: str) -> str:
     """Test/producer helper: render canonical stream records as one AOF
-    segment (the inverse of the reader's grammar)."""
+    segment (the inverse of the reader's grammar). Rejects keys/values
+    the space-delimited grammar cannot carry — silent mis-parsing on
+    read-back would corrupt records without any error."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
         for r in rows:
-            ms, seq = divmod(r["id"], 1000)
+            ms, seq = divmod(r["id"], _SEQ_SPACE)
+            tokens = [r["stream_key"]]
+            for k, v in r["fields"].items():
+                tokens += [str(k), str(v)]
+            for t in tokens:
+                if " " in t or "\n" in t or not t:
+                    raise ValueError(
+                        f"token {t!r} not representable in the "
+                        "space-delimited command-log grammar"
+                    )
             kv = " ".join(
                 f"{k} {v}" for k, v in r["fields"].items()
             )

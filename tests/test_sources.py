@@ -7,9 +7,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from redisgears_spark.sources.commandlog import (
+    _SEQ_SPACE,
     register_commandlog_source,
     write_command_log,
 )
+
+_MS = 1700000000123
+
+
+def _pack(ms: int, seq: int) -> int:
+    return ms * _SEQ_SPACE + seq
 
 
 @pytest.fixture()
@@ -20,12 +27,12 @@ def log_dir(spark, tmp_path):
         [
             {
                 "stream_key": "user:1",
-                "id": 1700000000123001,
+                "id": _pack(_MS, 1),
                 "fields": {"event_type": "view", "value": "3.5"},
             },
             {
                 "stream_key": "user:2",
-                "id": 1700000000124002,
+                "id": _pack(_MS + 1, 2),
                 "fields": {"event_type": "purchase", "value": "9.0"},
             },
         ],
@@ -35,12 +42,12 @@ def log_dir(spark, tmp_path):
         [
             {
                 "stream_key": "other:9",
-                "id": 1700000000125000,
+                "id": _pack(_MS + 2, 0),
                 "fields": {"event_type": "click", "value": "1.0"},
             },
             {
                 "stream_key": "user:1",
-                "id": 1700000000126001,
+                "id": _pack(_MS + 3, 1),
                 "fields": {"event_type": "click", "value": "2.0"},
             },
         ],
@@ -56,12 +63,16 @@ def _read(spark, d):
 def test_roundtrip_canonical_shape(spark, log_dir):
     rows = {r["id"]: r for r in _read(spark, log_dir).collect()}
     assert len(rows) == 4
-    r = rows[1700000000123001]
+    r = rows[_pack(_MS, 1)]
     assert r["stream_key"] == "user:1"
     assert r["fields"]["event_type"] == "view"
     # packed (ms,seq) id: ms field drives the timestamp
     assert r["id_ts"].isoformat().startswith("2023-11-14")
-    assert r["id"] % 1000 == 1  # seq survives the packing
+    assert r["id"] % _SEQ_SPACE == 1  # seq survives the packing
+    # packing preserves (ms, seq) order
+    ids = sorted(rows)
+    assert ids == sorted(ids)
+    assert _pack(_MS, 2) < _pack(_MS + 1, 0)  # ms dominates seq
 
 
 def test_one_partition_per_segment(spark, log_dir):
@@ -92,20 +103,54 @@ def test_prefix_filter_pushed_into_source(spark, log_dir):
     assert df2.count() == 2
 
 
-def test_unknown_verbs_skipped(spark, tmp_path):
+def test_conjunctive_pushed_filters_all_apply(spark, log_dir):
+    """Two pushed predicates on stream_key must BOTH hold — a reader
+    that keeps only the last consumed filter silently widens results."""
+    df = (
+        _read(spark, log_dir)
+        .filter(F.col("stream_key").startswith("user:"))
+        .filter(F.col("stream_key").startswith("other:"))
+    )
+    assert df.count() == 0  # disjoint prefixes → empty conjunction
+    df2 = (
+        _read(spark, log_dir)
+        .filter(F.col("stream_key").startswith("user:"))
+        .filter(F.col("stream_key") == "user:2")
+    )
+    assert {r["stream_key"] for r in df2.collect()} == {"user:2"}
+
+
+def test_unknown_verbs_and_bad_ids_skipped(spark, tmp_path):
     register_commandlog_source(spark)
     d = tmp_path / "aof2"
     d.mkdir()
     (d / "seg-000.aof").write_text(
         "SET somekey somevalue\n"
         "XADD user:5 1700000000130-0 event_type view value 1.0\n"
+        "XADD user:6 1700000000131- event_type view value 1.0\n"  # bad seq
+        "XADD user:7 garbage-0 event_type view value 1.0\n"  # bad ms
+        f"XADD user:8 1700000000132-{1 << 20} event_type view value 1\n"
         "DEL otherkey\n"
         "garbage\n"
     )
     df = _read(spark, str(d))
     rows = df.collect()
-    assert len(rows) == 1
+    assert len(rows) == 1  # only the well-formed, packable record
     assert rows[0]["stream_key"] == "user:5"
+
+
+def test_writer_rejects_unrepresentable_tokens(tmp_path):
+    with pytest.raises(ValueError, match="not representable"):
+        write_command_log(
+            [
+                {
+                    "stream_key": "s",
+                    "id": _pack(1, 0),
+                    "fields": {"msg": "hello world"},
+                }
+            ],
+            str(tmp_path / "x.aof"),
+        )
 
 
 def test_feeds_the_trigger_source_shape(spark, log_dir):
