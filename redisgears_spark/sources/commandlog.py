@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
 )
 from pyspark.sql.types import (
@@ -138,6 +139,58 @@ class CommandLogReader(DataSourceReader):
                 )
 
 
+class CommandLogStreamReader(SimpleDataSourceStreamReader):
+    """Tail the command log as a STREAM: each micro-batch consumes the
+    segment files that appeared since the last offset.
+
+    Offset = how many segments (in sorted-name order) are consumed —
+    valid because AOF segments are append-only and monotonically named
+    (the writer's contract; a closed segment never changes). Replay for
+    recovery (`readBetweenOffsets`) re-parses exactly the files between
+    two offsets, so a restarted query re-emits precisely the in-flight
+    batch — the same exactly-once-from-replayable-source contract the
+    parquet spool sources rely on.
+
+    The simple stream reader parses on the driver — right for a
+    tailing/control-plane feed (segments arrive one at a time); a
+    replayed multi-TB AOF should go through the batch reader's
+    per-segment partitions instead (one job, full cluster).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("gears_commandlog requires a `path` option")
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.aof")))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _parse(self, paths: list[str]) -> list:
+        # materialized (not a generator): the runtime pickles the batch
+        # to ship it — fine for the tailing use (one segment at a time)
+        reader = CommandLogReader({"path": self.path})
+        out: list = []
+        for p in paths:
+            out.extend(reader.read(_SegmentPartition(p)))
+        return out
+
+    def read(self, start: dict):
+        files = self._files()
+        pos = start["pos"]
+        # the runtime wants a true iterator over picklable rows
+        return iter(self._parse(files[pos:])), {"pos": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return iter(self._parse(files[start["pos"]:end["pos"]]))
+
+    def commit(self, end: dict) -> None:
+        pass  # segments are retained; retention is the engine's job
+
+
 class CommandLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -148,6 +201,9 @@ class CommandLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return CommandLogReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return CommandLogStreamReader(self.options)
 
 
 def register_commandlog_source(spark) -> None:

@@ -255,3 +255,59 @@ class TestOperatorInvariants:
         assert len({r["q_id"] for r in rows}) == _N_QUERIES
         for r in rows:
             assert 1 <= r["votes"] <= _TOP_K
+
+
+class TestCommandLogRoundTrip:
+    """The AOF command-log grammar: writer→reader is the identity on
+    every representable record (pure-Python property — the reader's
+    parse loop is exercised directly, no Spark job per example)."""
+
+    token = st.text(
+        alphabet=st.characters(
+            blacklist_characters=" \n",
+            blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(
+        st.lists(
+            st.tuples(
+                token,  # stream_key
+                st.integers(min_value=0, max_value=2**40),  # ms
+                st.integers(min_value=0, max_value=(1 << 20) - 1),  # seq
+                st.dictionaries(token, token, min_size=1, max_size=4),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_write_read_identity(self, recs):
+        import tempfile
+
+        from redisgears_spark.sources.commandlog import (
+            _SEQ_SPACE,
+            CommandLogReader,
+            _SegmentPartition,
+            write_command_log,
+        )
+
+        rows = [
+            {
+                "stream_key": k,
+                "id": ms * _SEQ_SPACE + seq,
+                "fields": fields,
+            }
+            for k, ms, seq, fields in recs
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            path = write_command_log(rows, f"{d}/seg.aof")
+            reader = CommandLogReader({"path": d})
+            got = list(reader.read(_SegmentPartition(path)))
+        assert len(got) == len(rows)
+        for want, (key, rid, _ts, fields) in zip(rows, got):
+            assert key == want["stream_key"]
+            assert rid == want["id"]
+            assert fields == want["fields"]

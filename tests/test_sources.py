@@ -166,3 +166,57 @@ def test_feeds_the_trigger_source_shape(spark, log_dir):
 
     want = _parse_datatype_string(STREAM_SCHEMA)
     assert df.schema == want
+
+
+def test_streaming_tail(spark, tmp_path):
+    """The stream reader tails the segment directory: records written
+    before the query start arrive in the first batch, a segment appended
+    while the query runs arrives in the next — each exactly once."""
+    import os
+
+    register_commandlog_source(spark)
+    d = str(tmp_path / "aof_stream")
+    write_command_log(
+        [
+            {
+                "stream_key": "user:1",
+                "id": _pack(_MS, 0),
+                "fields": {"event_type": "view"},
+            }
+        ],
+        f"{d}/seg-000.aof",
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("gears_commandlog")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(sink).count() == 1
+        write_command_log(
+            [
+                {
+                    "stream_key": "user:2",
+                    "id": _pack(_MS + 1, 0),
+                    "fields": {"event_type": "purchase"},
+                },
+                {
+                    "stream_key": "user:3",
+                    "id": _pack(_MS + 2, 0),
+                    "fields": {"event_type": "click"},
+                },
+            ],
+            f"{d}/seg-001.aof",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 3
+    assert {r["stream_key"] for r in rows} == {"user:1", "user:2", "user:3"}
