@@ -365,12 +365,25 @@ class StreamTriggerRuntime:
         spool_dir: str,
         work_dir: str,
         source_adapter: Callable[[DataFrame], DataFrame] | None = None,
+        source_format: str = "parquet",
     ):
+        """`source_format="commandlog"` consumes an AOF command-log spool
+        (directory of XADD segments) through sources/commandlog.py's
+        streaming tail instead of a parquet spool — the reference's own
+        persistence format as a live trigger source. The adapter is not
+        used there (the source already emits the canonical shape)."""
         self.engine = engine
         self.spark: SparkSession = engine.spark
         self.spool_dir = spool_dir
         self.work_dir = work_dir
         self.source_adapter = source_adapter
+        self.source_format = source_format
+        if source_format == "commandlog":
+            from redisgears_spark.sources.commandlog import (
+                register_commandlog_source,
+            )
+
+            register_commandlog_source(self.spark)
         self.stats: dict[str, TriggerStats] = {}
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
@@ -463,6 +476,19 @@ class StreamTriggerRuntime:
             base = (
                 self.spark.readStream.schema(STREAM_SCHEMA)
                 .parquet(base_override)
+            )
+        elif self.source_format == "commandlog":
+            # AOF tail: already canonical except the null `record` pairs
+            base = (
+                self.spark.readStream.format("gears_commandlog")
+                .option("path", self.spool_dir)
+                .load()
+                .withColumn(
+                    "record",
+                    F.lit(None).cast(
+                        "array<struct<field:string,value:string>>"
+                    ),
+                )
             )
         elif self.source_adapter is not None:
             raw = (

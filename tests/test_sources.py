@@ -220,3 +220,76 @@ def test_streaming_tail(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 3
     assert {r["stream_key"] for r in rows} == {"user:1", "user:2", "user:3"}
+
+
+def test_trigger_consumes_command_log(spark, sf_dir, tmp_path):
+    """End-to-end: a stream trigger registered over an AOF command-log
+    spool — the reference's own persistence format drives the consumer
+    machinery (callback, stats, frontier) unchanged."""
+    import os
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.streaming import StreamTriggerRuntime
+
+    engine = GearsEngine(spark, sf_dir)
+    lib = engine.load_library(
+        lambda l: l.register_stream_trigger(
+            "aof",
+            prefix="user:",
+            fn=lambda r: {
+                "etype": r["fields"].get("event_type", "").upper()
+            },
+            window=10**9,
+        ),
+        name="aoflib",
+    )
+    spool = str(tmp_path / "aof_spool")
+    work = str(tmp_path / "work")
+    write_command_log(
+        [
+            {
+                "stream_key": f"user:{i % 3}",
+                "id": _pack(_MS + i, 0),
+                "fields": {"event_type": "view", "value": str(i)},
+            }
+            for i in range(20)
+        ]
+        + [
+            {
+                "stream_key": "other:9",
+                "id": _pack(_MS + 50, 0),
+                "fields": {"event_type": "click"},
+            }
+        ],
+        f"{spool}/seg-000.aof",
+    )
+    rt = StreamTriggerRuntime(engine, spool, work, source_format="commandlog")
+    rt.start_library(lib)
+    try:
+        rt.process_available()
+        stats = rt.stats["aoflib.aof"]
+        assert stats.n_success == 20  # prefix filtered other:9 out
+        sink = spark.read.parquet(
+            os.path.join(work, "sink", "aoflib", "aof")
+        )
+        assert sink.count() == 20
+        assert {r["stream_key"] for r in sink.collect()} == {
+            "user:0",
+            "user:1",
+            "user:2",
+        }
+        # incremental: a new segment arrives, the tail picks it up
+        write_command_log(
+            [
+                {
+                    "stream_key": "user:1",
+                    "id": _pack(_MS + 100, 0),
+                    "fields": {"event_type": "purchase"},
+                }
+            ],
+            f"{spool}/seg-001.aof",
+        )
+        rt.process_available()
+        assert rt.stats["aoflib.aof"].n_success == 21
+    finally:
+        rt.stop_all()
