@@ -1763,3 +1763,73 @@ def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group standardization (feature engineering)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS s,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS q
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, v_c,
+           CASE WHEN n * q - s * s > 0 THEN
+             CAST(v_c * n - s AS DOUBLE) / sqrt(CAST(n * q - s * s
+                                                     AS DOUBLE))
+           ELSE 0.0 END AS z
+    FROM s
+    """,
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score standardization of event values — the
+    feature-engineering staple (normalize each user's activity against
+    their own distribution before anomaly scoring / model input).
+
+    Exactness recipe: the naive (x-μ)/σ chains several float ops whose
+    rounding differs with evaluation order across engines. Algebraically
+    z = (x·n − S) / √(n·Q − S²) with S=Σx, Q=Σx² — NUMERATOR AND
+    RADICAND ARE EXACT INTEGERS (cents domain), so the only float ops
+    are one sqrt and one division, in the same order in both engines →
+    bit-identical. Degenerate groups (zero variance) pin z=0.
+
+    Scale: one hash shuffle on user_id; the three window aggregates
+    share a single Window operator (unordered frame = whole partition,
+    no sort needed beyond the hash cluster); per-row math rides codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v_c = cents("value")
+    w = W.partitionBy("user_id")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        v_c.alias("v_c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v_c).over(w).alias("s"),
+        F.sum(v_c * v_c).over(w).alias("q"),
+    )
+    radicand = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return s.select(
+        "event_id",
+        "user_id",
+        "v_c",
+        F.when(
+            radicand > 0,
+            (F.col("v_c") * F.col("n") - F.col("s")).cast("double")
+            / F.sqrt(radicand.cast("double")),
+        )
+        .otherwise(0.0)
+        .alias("z"),
+    )

@@ -179,11 +179,14 @@ def stream_static_enrich(
     broadcast hash join per micro-batch instead of one point read per
     record.
 
-    The static side is re-resolved per micro-batch (Spark semantics), so
-    a dimension backed by a refreshable view picks up updates between
-    batches — the broadcast-state analog. Left join keeps records whose
-    key has no dimension row (enrichment columns null), matching the
-    callback's miss-is-null behavior.
+    Dimension freshness (measured, not assumed): the static side's FILE
+    LISTING is pinned when the query starts — overwriting a parquet-path
+    dimension mid-query fails the stream with FILE_NOT_EXIST, it does
+    NOT refresh. To serve a changing dimension, either restart the query
+    (listing re-pins), read the dimension inside foreachBatch (re-listed
+    per batch), or back it by a catalog table and REFRESH TABLE. Left
+    join keeps records whose key has no dimension row (enrichment
+    columns null), matching the callback's miss-is-null behavior.
 
     Scale: the stream side never shuffles — the dimension broadcasts to
     wherever the micro-batch partitions already are. At 100 TB the only
