@@ -237,6 +237,74 @@ def bench_bucketed_layout(spark, sf_dir: str, iters: int = 3) -> dict:
     }
 
 
+def bench_commandlog(spark, sf_dir: str, n_rows: int = 100000) -> dict:
+    """Command-log (AOF) ingestion throughput — pricing the Python
+    DataSource path honestly against the native parquet scan of the
+    same records. The Python source pays Arrow serialization + Python
+    parse per row; per-segment partitions keep it parallel. Expect
+    parquet to win by a wide margin — the command log exists for
+    FORMAT parity (replaying the reference's persistence), not speed;
+    the measured ratio is the documented cost of that fidelity."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.sources.commandlog import (
+        _SEQ_SPACE,
+        register_commandlog_source,
+        write_command_log,
+    )
+    from redisgears_spark.sources.keyspace import load_table
+
+    register_commandlog_source(spark)
+    base = tempfile.mkdtemp(prefix="rg-bench-aof-")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < n_rows)
+            .select("event_id", "user_id", "event_type", "value")
+            .collect()
+        )
+        seg_size = max(1, len(ev) // 8)
+        for i in range(0, len(ev), seg_size):
+            write_command_log(
+                [
+                    {
+                        "stream_key": f"user:{r['user_id']}",
+                        "id": (1700000000000 + r["event_id"]) * _SEQ_SPACE,
+                        "fields": {
+                            "event_type": r["event_type"],
+                            "value": str(r["value"]),
+                        },
+                    }
+                    for r in ev[i : i + seg_size]
+                ],
+                os.path.join(base, "aof", f"seg-{i:09d}.aof"),
+            )
+        aof_dir = os.path.join(base, "aof")
+        pq_dir = os.path.join(base, "pq")
+        df = spark.read.format("gears_commandlog").option("path", aof_dir)
+        n = df.load().count()  # warm
+        t0 = time.perf_counter()
+        assert df.load().count() == n
+        aof_s = time.perf_counter() - t0
+        # same records as parquet, same partition count
+        df.load().repartition(8).write.mode("overwrite").parquet(pq_dir)
+        spark.read.parquet(pq_dir).count()  # warm
+        t0 = time.perf_counter()
+        spark.read.parquet(pq_dir).count()
+        pq_s = time.perf_counter() - t0
+        return {
+            "rows": n,
+            "aof_rows_per_sec": round(n / aof_s, 1),
+            "parquet_rows_per_sec": round(n / pq_s, 1),
+            "python_source_cost_ratio": round(aof_s / pq_s, 2),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def bench_fcall(spark, sf_dir: str, n_calls: int = 20000) -> dict:
     """Function-call dispatch throughput — the reference's rg_fcall_simple /
     rg_fcall_async / executeAsync harness shapes (BASELINE.md workload
@@ -460,6 +528,7 @@ def main() -> None:
     streaming_agg = bench_streaming(spark, sf_dir, mode="agg")
     keyspace = bench_keyspace(spark, sf_dir)
     fcall = bench_fcall(spark, sf_dir)
+    commandlog = bench_commandlog(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -473,6 +542,7 @@ def main() -> None:
         "streaming_agg": streaming_agg,
         "keyspace": keyspace,
         "fcall": fcall,
+        "commandlog": commandlog,
         "bucketed_join": bucketed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

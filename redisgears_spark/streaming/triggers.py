@@ -896,6 +896,44 @@ class StreamTriggerRuntime:
         shutil.rmtree(tmp, ignore_errors=True)
         return n
 
+    def maintain(
+        self, target_partitions: int | None = None
+    ) -> dict[str, int]:
+        """One-call periodic maintenance, the scheduled-job pairing of
+        the two storage bounds this runtime owns: trim the SOURCE spool
+        by the acked min-frontier (XTRIM MINID analog) and compact every
+        trigger's SINK file count. Run while triggers are stopped, or
+        accept the documented mid-run semantics of each half (retention
+        keeps un-acked records; compaction leaves a concurrent batch's
+        files uncompacted). Returns
+        {"evicted_rows": ..., "sink_files": ...}.
+
+        Trim applies only to canonical-shape parquet spools: with a
+        source_adapter (raw schema) or the commandlog format, spool rows
+        aren't keyed the way apply_retention filters — trimming is the
+        producer's job there and this reports evicted_rows=0."""
+        from redisgears_spark.streaming.retention import apply_retention
+
+        evicted = 0
+        if self.source_adapter is None and self.source_format == "parquet":
+            evicted = apply_retention(
+                self.spark,
+                self.spool_dir,
+                self.min_frontier(),
+                STREAM_SCHEMA,
+            )
+        sink_files = 0
+        for qkey in self.stats:
+            lib_name, _, trig = qkey.partition(".")
+            sink = os.path.join(self.work_dir, "sink", lib_name, trig)
+            if os.path.isdir(sink) and any(
+                f.endswith(".parquet") for f in os.listdir(sink)
+            ):
+                sink_files += self.compact_sink(
+                    lib_name, trig, target_partitions
+                )
+        return {"evicted_rows": evicted, "sink_files": sink_files}
+
     # -- retention frontier (XTRIM MINID analog) ----------------------------
 
     def min_frontier(self) -> dict[str, int]:

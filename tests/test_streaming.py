@@ -1613,3 +1613,54 @@ class TestStreamIntervalJoin:
         # the spanning pair: pre-restart view ⋈ post-restart purchase —
         # only recoverable if the view survived in the state store
         assert (view["event_id"], 10**6) in got
+
+
+class TestMaintain:
+    def test_maintain_trims_and_compacts(self, spark, sf_dir, spool, work):
+        """maintain() = retention trim + sink compaction in one call:
+        acked records leave the spool, sink file count drops to the
+        target, and all sink rows survive."""
+        import glob
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            STREAM_SCHEMA,
+            StreamTriggerRuntime,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "m", prefix="user:", fn=upper_type, window=10**9
+            ),
+            name="mlib",
+        )
+        # canonical-shape spool (no adapter) so retention applies
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(
+            spark,
+            spool,
+            [(f"user:{i % 3}", i, {"event_type": "view"}) for i in range(40)],
+        )
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            _write_canonical(
+                spark,
+                spool,
+                [("user:0", 100 + i, {"event_type": "click"}) for i in range(10)],
+            )
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        sink = os.path.join(work, "sink", "mlib", "m")
+        before = spark.read.parquet(sink).sort("id").collect()
+        assert len(glob.glob(os.path.join(sink, "part-*.parquet"))) > 1
+        out = rt.maintain(target_partitions=1)
+        assert out["evicted_rows"] == 50  # everything acked → all trimmed
+        assert out["sink_files"] == 1
+        assert (
+            spark.read.schema(STREAM_SCHEMA).parquet(spool).count() == 0
+        )
+        assert spark.read.parquet(sink).sort("id").collect() == before
