@@ -361,13 +361,16 @@ def bench_fcall(spark, sf_dir: str, n_calls: int = 20000) -> dict:
 
 
 def bench_keyspace(
-    spark, sf_dir: str, n_events: int = 20000, iters: int = 5
+    spark, sf_dir: str, n_events: int = 20000, iters: int = 5,
+    mode: str = "python",
 ) -> dict:
     """Keyspace(CDC)-trigger overhead, mirroring the reference's
     rg_keyspace_sync_simple harness shape (BASELINE.md: SET-with-trigger
     throughput vs SET-without): the same change feed is driven through
     (a) a pass-through Structured Streaming query and (b) a keyspace
     trigger (prefix+origin filter → snapshot stage → callback → sink).
+    mode="expr" swaps the Python callback for the declarative Catalyst
+    expression over the snapshot map (the JVM-only CDC fast path).
     Best-of-`iters` per path, like bench_streaming."""
     import shutil
     import tempfile
@@ -423,16 +426,25 @@ def bench_keyspace(
             # sync, with a snapshot read — the reference's onTriggerFired +
             # callback shape
             engine = GearsEngine(spark, sf_dir)
-            lib = engine.load_library(
-                lambda l: l.register_keyspace_trigger(
-                    "bench",
-                    prefix="user:",
-                    fn=lambda d: {
-                        "etype": d["snapshot"].get("event_type", "").upper()
-                    },
-                ),
-                name="kbenchlib",
-            )
+            if mode == "expr":
+                def setup(l):
+                    l.register_keyspace_trigger(
+                        "bench",
+                        prefix="user:",
+                        expr="upper(snapshot['event_type'])",
+                    )
+            else:
+                def setup(l):
+                    l.register_keyspace_trigger(
+                        "bench",
+                        prefix="user:",
+                        fn=lambda d: {
+                            "etype": d["snapshot"].get(
+                                "event_type", ""
+                            ).upper()
+                        },
+                    )
+            lib = engine.load_library(setup, name="kbenchlib")
             rt = KeyspaceTriggerRuntime(
                 engine, changes_dir, os.path.join(base, f"work{it}")
             )
@@ -527,6 +539,7 @@ def main() -> None:
     streaming_declarative = bench_streaming(spark, sf_dir, mode="declarative")
     streaming_agg = bench_streaming(spark, sf_dir, mode="agg")
     keyspace = bench_keyspace(spark, sf_dir)
+    keyspace_expr = bench_keyspace(spark, sf_dir, mode="expr")
     fcall = bench_fcall(spark, sf_dir)
     commandlog = bench_commandlog(spark, sf_dir)
 
@@ -541,6 +554,7 @@ def main() -> None:
         "streaming_declarative": streaming_declarative,
         "streaming_agg": streaming_agg,
         "keyspace": keyspace,
+        "keyspace_expr": keyspace_expr,
         "fcall": fcall,
         "commandlog": commandlog,
         "bucketed_join": bucketed,
