@@ -1833,3 +1833,59 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history from a change feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_scd2_history",
+    oracle="""
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           epoch_us(ts) AS valid_from_us,
+           COALESCE(
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ),
+             CAST(9223372036854775807 AS BIGINT)
+           ) AS valid_to_us,
+           CASE WHEN lead(event_id) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change feed: each
+    state-changing event opens a validity interval that the key's NEXT
+    change closes — the standard warehouse history table (valid_from /
+    valid_to / is_current) that point-in-time (as-of) joins consume.
+    The reference's keyspace-notification stream is exactly such a feed;
+    its users rebuild current-state by replay — here the FULL history
+    becomes a queryable table in one pass.
+
+    Scale: one hash shuffle on the key, one per-key sort shared by both
+    lead() calls (same window spec → one Window operator). Intervals in
+    exact epoch micros; the open interval pins valid_to to int64 max so
+    as-of probes are pure integer range checks. Deterministic total
+    order via (ts, event_id) tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy(micros("ts"), "event_id")
+    return ev.select(
+        "user_id",
+        cents("value").alias("value_cents"),
+        micros("ts").alias("valid_from_us"),
+        F.coalesce(
+            F.lead(micros("ts")).over(w), F.lit(2**63 - 1)
+        ).alias("valid_to_us"),
+        F.when(F.lead("event_id").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )
