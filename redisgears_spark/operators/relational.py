@@ -1786,9 +1786,11 @@ def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id)
     )
     SELECT event_id, user_id, v_c,
-           CASE WHEN n * q - s * s > 0 THEN
-             CAST(v_c * n - s AS DOUBLE) / sqrt(CAST(n * q - s * s
-                                                     AS DOUBLE))
+           CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+           THEN
+             CAST(CAST(v_c AS HUGEINT) * n - s AS DOUBLE)
+               / sqrt(CAST(CAST(n AS HUGEINT) * q
+                           - CAST(s AS HUGEINT) * s AS DOUBLE))
            ELSE 0.0 END AS z
     FROM s
     """,
@@ -1803,7 +1805,9 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (x·n − S) / √(n·Q − S²) with S=Σx, Q=Σx² — NUMERATOR AND
     RADICAND ARE EXACT INTEGERS (cents domain), so the only float ops
     are one sqrt and one division, in the same order in both engines →
-    bit-identical. Degenerate groups (zero variance) pin z=0.
+    bit-identical. The products run in decimal(38,0) / HUGEINT (int64
+    would wrap silently once a key holds ~3e5+ events — exactly the
+    100 TB regime); degenerate groups (zero variance) pin z=0.
 
     Scale: one hash shuffle on user_id; the three window aggregates
     share a single Window operator (unordered frame = whole partition,
@@ -1820,14 +1824,22 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v_c).over(w).alias("s"),
         F.sum(v_c * v_c).over(w).alias("q"),
     )
-    radicand = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    # the integer products (n·Q, S², x·n) overflow int64 once a key has
+    # ~3e5+ events — the products run in decimal(38,0) (Spark) /
+    # HUGEINT (DuckDB): still exact integers, same double conversion,
+    # still bit-identical; int64 would wrap SILENTLY under non-ANSI
+    dec = "decimal(19,0)"
+    n_d = F.col("n").cast(dec)
+    s_d = F.col("s").cast(dec)
+    q_d = F.col("q").cast(dec)
+    radicand = n_d * q_d - s_d * s_d
     return s.select(
         "event_id",
         "user_id",
         "v_c",
         F.when(
             radicand > 0,
-            (F.col("v_c") * F.col("n") - F.col("s")).cast("double")
+            (F.col("v_c").cast(dec) * n_d - s_d).cast("double")
             / F.sqrt(radicand.cast("double")),
         )
         .otherwise(0.0)

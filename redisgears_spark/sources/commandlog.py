@@ -12,30 +12,37 @@ Scale design:
   * one InputPartition PER SEGMENT FILE — a replayed AOF is thousands of
     closed segments, and they parse in parallel across executors, the
     same parallelism contract as parquet's file splits;
-  * `pushFilters` accepts EqualTo / StringStartsWith on `stream_key`, so
-    a prefix-subscribed consumer (the engine's trigger match) skips
-    non-matching records AT PARSE TIME — rows for other streams never
-    leave the source (the Python-source twin of parquet predicate
-    pushdown; plan shows the residual filter list shrink);
-  * parsing is line-at-a-time with zero per-row Python object overhead
-    beyond the row tuple itself — no pandas needed for a text protocol.
+  * `pushFilters` accepts EqualTo / StringStartsWith on `stream_key`
+    (conjunctive — every accepted filter applies), so a prefix-subscribed
+    consumer skips non-matching records AT PARSE TIME — rows for other
+    streams never leave the source (the Python-source twin of parquet
+    predicate pushdown); the filter checks are hoisted out of the parse
+    hot loop when no filters are pushed;
+  * parsing is line-at-a-time with minimal per-row Python overhead —
+    no pandas needed for a text protocol.
 
 Line grammar (one command per line, fields RESP-unescaped upstream):
 
     XADD <stream_key> <ms>-<seq> <field> <value> [<field> <value> ...]
 
-Unknown verbs, unparseable ids, and ids with seq >= 2^20 are skipped
-(forward compatibility with mixed logs, the way an AOF replayer ignores
-commands it does not track; the seq bound keeps the packed
-`id = ms * 2^20 + seq` collision-free and order-preserving — a real
-Redis seq is unbounded per millisecond, but 2^20 entries/ms is beyond
-any actual producer, and a silent collision would corrupt per-stream
-ordering and exactly-once dedup downstream).
+Skipped AOF-style (forward compatibility with mixed/corrupt logs, the
+way a replayer ignores what it does not track): unknown verbs,
+unparseable ids, unpaired field/value tokens, seq >= 2^20, and
+ms >= 2^43 (the packed `id = ms * 2^20 + seq` must stay inside int64 —
+2^43 ms is year ~2248; a silent overflow or collision would corrupt
+per-stream ordering and exactly-once dedup downstream). Duplicate field
+names are FAITHFULLY carried: `fields` is the last-wins map view and
+`record` holds the full ordered pair list (non-null only when
+duplicates occur) — the same contract as the engine's STREAM_SCHEMA.
 
-Grammar limits: keys and values must not contain spaces or newlines —
-`write_command_log` validates and rejects rather than emit a line the
-reader would mis-parse (a real AOF uses RESP length-prefixed framing;
-this text twin keeps the fixture grammar honest instead).
+Grammar limits: keys and values must not contain spaces or newlines,
+and a record needs at least one field — `write_command_log` validates
+and rejects rather than emit a line the reader would skip or mis-parse
+(a real AOF uses RESP length-prefixed framing; this text twin keeps the
+fixture grammar honest instead). Segments are written ATOMICALLY (tmp
+name + rename): the streaming tail lists `*.aof` at batch-plan time,
+and a half-written visible segment would be consumed partially and
+then skipped forever.
 """
 
 from __future__ import annotations
@@ -55,6 +62,7 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     MapType,
     StringType,
@@ -63,9 +71,19 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# seq bits in the packed id: id = ms * 2^20 + seq (order-preserving;
-# ms up to ~year 2248 stays under 2^63)
+# seq bits in the packed id: id = ms * 2^20 + seq (order-preserving);
+# ms capped so the product stays inside int64 (and fromtimestamp range)
 _SEQ_SPACE = 1 << 20
+_MS_MAX = (1 << 63) // _SEQ_SPACE  # 2^43 ms ≈ year 2248
+
+_RECORD_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("field", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+)
 
 COMMANDLOG_SCHEMA = StructType(
     [
@@ -73,6 +91,7 @@ COMMANDLOG_SCHEMA = StructType(
         StructField("id", LongType()),
         StructField("id_ts", TimestampType()),
         StructField("fields", MapType(StringType(), StringType())),
+        StructField("record", _RECORD_TYPE),
     ]
 )
 
@@ -108,17 +127,22 @@ class CommandLogReader(DataSourceReader):
         return [_SegmentPartition(p) for p in files]
 
     def read(self, partition: _SegmentPartition):
-        key_eqs, key_prefixes = self._key_eqs, self._key_prefixes
+        # hoisted out of the hot loop: tuple-ize once; the common
+        # no-pushed-filter case pays two falsy checks per line, not
+        # generator allocations
+        eqs = tuple(self._key_eqs)
+        prefixes = tuple(self._key_prefixes)
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 parts = line.rstrip("\n").split(" ")
-                if len(parts) < 5 or parts[0] != "XADD":
+                n = len(parts)
+                if n < 5 or (n - 3) % 2 != 0 or parts[0] != "XADD":
                     continue  # unknown verb / malformed — skip, AOF-style
                 stream_key = parts[1]
-                if any(stream_key != k for k in key_eqs):
+                if eqs and any(stream_key != k for k in eqs):
                     continue
-                if any(
-                    not stream_key.startswith(p) for p in key_prefixes
+                if prefixes and any(
+                    not stream_key.startswith(p) for p in prefixes
                 ):
                     continue
                 ms_s, _, seq_s = parts[2].partition("-")
@@ -126,9 +150,16 @@ class CommandLogReader(DataSourceReader):
                     ms, seq = int(ms_s), int(seq_s)
                 except ValueError:
                     continue  # unparseable id — skip, same as bad verbs
-                if not (0 <= seq < _SEQ_SPACE) or ms < 0:
+                if not (0 <= seq < _SEQ_SPACE) or not (0 <= ms < _MS_MAX):
                     continue  # outside the packable space (documented)
-                fields = dict(zip(parts[3::2], parts[4::2]))
+                names = parts[3::2]
+                values = parts[4::2]
+                fields = dict(zip(names, values))
+                record = (
+                    list(zip(names, values))
+                    if len(fields) != len(names)  # duplicates present
+                    else None
+                )
                 yield (
                     stream_key,
                     ms * _SEQ_SPACE + seq,  # order-preserving packed id
@@ -136,6 +167,7 @@ class CommandLogReader(DataSourceReader):
                         ms / 1000.0, tz=datetime.timezone.utc
                     ).replace(tzinfo=None),
                     fields,
+                    record,
                 )
 
 
@@ -143,13 +175,17 @@ class CommandLogStreamReader(SimpleDataSourceStreamReader):
     """Tail the command log as a STREAM: each micro-batch consumes the
     segment files that appeared since the last offset.
 
-    Offset = how many segments (in sorted-name order) are consumed —
-    valid because AOF segments are append-only and monotonically named
-    (the writer's contract; a closed segment never changes). Replay for
-    recovery (`readBetweenOffsets`) re-parses exactly the files between
-    two offsets, so a restarted query re-emits precisely the in-flight
-    batch — the same exactly-once-from-replayable-source contract the
-    parquet spool sources rely on.
+    Offset = the LAST CONSUMED SEGMENT NAME (not an index): a new batch
+    reads every `*.aof` whose basename sorts after it. That stays
+    correct when already-consumed segments are deleted by retention
+    (an index would shift and skip or re-read files silently). The
+    writer's contract remains: segment names must be lexicographically
+    monotonic (zero-padded counters) and a closed segment never
+    changes. Replay for recovery (`readBetweenOffsets`) re-parses
+    exactly the names in (start, end], so a restarted query re-emits
+    precisely the in-flight batch — the same
+    exactly-once-from-replayable-source contract the parquet spool
+    sources rely on.
 
     The simple stream reader parses on the driver — right for a
     tailing/control-plane feed (segments arrive one at a time); a
@@ -166,7 +202,7 @@ class CommandLogStreamReader(SimpleDataSourceStreamReader):
         return sorted(glob.glob(os.path.join(self.path, "*.aof")))
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"last": ""}
 
     def _parse(self, paths: list[str]) -> list:
         # materialized (not a generator): the runtime pickles the batch
@@ -179,13 +215,20 @@ class CommandLogStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = self._files()
-        pos = start["pos"]
+        new = [f for f in files if os.path.basename(f) > start["last"]]
+        end = (
+            {"last": os.path.basename(new[-1])} if new else dict(start)
+        )
         # the runtime wants a true iterator over picklable rows
-        return iter(self._parse(files[pos:])), {"pos": len(files)}
+        return iter(self._parse(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return iter(self._parse(files[start["pos"]:end["pos"]]))
+        files = [
+            f
+            for f in self._files()
+            if start["last"] < os.path.basename(f) <= end["last"]
+        ]
+        return iter(self._parse(files))
 
     def commit(self, end: dict) -> None:
         pass  # segments are retained; retention is the engine's job
@@ -218,12 +261,20 @@ def register_commandlog_source(spark) -> None:
 
 def write_command_log(rows: list[dict], path: str) -> str:
     """Test/producer helper: render canonical stream records as one AOF
-    segment (the inverse of the reader's grammar). Rejects keys/values
-    the space-delimited grammar cannot carry — silent mis-parsing on
-    read-back would corrupt records without any error."""
+    segment (the inverse of the reader's grammar). Rejects what the
+    grammar cannot carry (space/newline in tokens, empty tokens, empty
+    field sets — the reader would skip the line) and lands ATOMICALLY:
+    the bytes go to a non-`*.aof` temp name, fsync'd, then rename into
+    place, so the streaming tail never lists a half-written segment."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w", encoding="utf-8") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         for r in rows:
+            if not r["fields"]:
+                raise ValueError(
+                    "a command-log record needs at least one field "
+                    "(a 4-token XADD line is skipped as malformed)"
+                )
             ms, seq = divmod(r["id"], _SEQ_SPACE)
             tokens = [r["stream_key"]]
             for k, v in r["fields"].items():
@@ -238,4 +289,7 @@ def write_command_log(rows: list[dict], path: str) -> str:
                 f"{k} {v}" for k, v in r["fields"].items()
             )
             fh.write(f"XADD {r['stream_key']} {ms}-{seq} {kv}\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
     return path

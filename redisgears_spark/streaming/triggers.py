@@ -478,17 +478,13 @@ class StreamTriggerRuntime:
                 .parquet(base_override)
             )
         elif self.source_format == "commandlog":
-            # AOF tail: already canonical except the null `record` pairs
+            # AOF tail — emits the canonical shape directly, including
+            # the ordered `record` pairs when a line carries duplicate
+            # field names (STREAM_SCHEMA fidelity contract)
             base = (
                 self.spark.readStream.format("gears_commandlog")
                 .option("path", self.spool_dir)
                 .load()
-                .withColumn(
-                    "record",
-                    F.lit(None).cast(
-                        "array<struct<field:string,value:string>>"
-                    ),
-                )
             )
         elif self.source_adapter is not None:
             raw = (

@@ -307,7 +307,8 @@ class TestCommandLogRoundTrip:
             reader = CommandLogReader({"path": d})
             got = list(reader.read(_SegmentPartition(path)))
         assert len(got) == len(rows)
-        for want, (key, rid, _ts, fields) in zip(rows, got):
+        for want, (key, rid, _ts, fields, record) in zip(rows, got):
             assert key == want["stream_key"]
             assert rid == want["id"]
             assert fields == want["fields"]
+            assert record is None  # dict input can't carry duplicates

@@ -130,6 +130,7 @@ def test_unknown_verbs_and_bad_ids_skipped(spark, tmp_path):
         "XADD user:6 1700000000131- event_type view value 1.0\n"  # bad seq
         "XADD user:7 garbage-0 event_type view value 1.0\n"  # bad ms
         f"XADD user:8 1700000000132-{1 << 20} event_type view value 1\n"
+        f"XADD user:9 {1 << 43}-0 event_type view value 1\n"  # ms too big
         "DEL otherkey\n"
         "garbage\n"
     )
@@ -154,18 +155,84 @@ def test_writer_rejects_unrepresentable_tokens(tmp_path):
 
 
 def test_feeds_the_trigger_source_shape(spark, log_dir):
-    """The source's output slots straight into the canonical stream
-    schema the trigger runtimes consume (fields map + packed id)."""
+    """The source's output IS the canonical stream schema the trigger
+    runtimes consume (fields map + packed id + ordered record pairs)."""
     from redisgears_spark.streaming.triggers import STREAM_SCHEMA
 
-    df = _read(spark, log_dir).withColumn(
-        "record",
-        F.lit(None).cast("array<struct<field:string,value:string>>"),
-    )
+    df = _read(spark, log_dir)
     from pyspark.sql.types import _parse_datatype_string
 
     want = _parse_datatype_string(STREAM_SCHEMA)
     assert df.schema == want
+
+
+def test_duplicate_fields_carried_in_record(spark, tmp_path):
+    """A line with duplicate field names keeps FULL fidelity: the map
+    view is last-wins, the ordered pair list survives in `record` —
+    the STREAM_SCHEMA contract (duplicates are legal in Redis streams);
+    unpaired trailing tokens make the line malformed (skipped)."""
+    register_commandlog_source(spark)
+    d = tmp_path / "aofdup"
+    d.mkdir()
+    (d / "seg-000.aof").write_text(
+        "XADD user:1 1700000000100-0 f 1 f 2\n"
+        "XADD user:2 1700000000101-0 a 1 b\n"  # unpaired -> skipped
+        "XADD user:3 1700000000102-0 a 1 b 2\n"
+    )
+    rows = {r["stream_key"]: r for r in _read(spark, str(d)).collect()}
+    assert set(rows) == {"user:1", "user:3"}
+    dup = rows["user:1"]
+    assert dup["fields"] == {"f": "2"}  # last-wins map view
+    assert [(p["field"], p["value"]) for p in dup["record"]] == [
+        ("f", "1"),
+        ("f", "2"),
+    ]
+    assert rows["user:3"]["record"] is None  # no duplicates -> null
+
+
+def test_writer_rejects_empty_fields(tmp_path):
+    with pytest.raises(ValueError, match="at least one field"):
+        write_command_log(
+            [{"stream_key": "s", "id": _pack(1, 0), "fields": {}}],
+            str(tmp_path / "y.aof"),
+        )
+
+
+def test_stream_offsets_survive_segment_deletion(spark, tmp_path):
+    """Filename-based offsets: deleting an already-consumed segment
+    (retention) must not skip or re-read anything."""
+    import os
+
+    register_commandlog_source(spark)
+    d = str(tmp_path / "aofdel")
+    write_command_log(
+        [{"stream_key": "user:1", "id": _pack(_MS, 0),
+          "fields": {"v": "1"}}],
+        f"{d}/seg-000.aof",
+    )
+    sink = str(tmp_path / "delsink")
+    q = (
+        spark.readStream.format("gears_commandlog")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "delckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        os.unlink(f"{d}/seg-000.aof")  # retention trims the consumed one
+        write_command_log(
+            [{"stream_key": "user:2", "id": _pack(_MS + 1, 0),
+              "fields": {"v": "2"}}],
+            f"{d}/seg-001.aof",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["stream_key"] for r in rows) == ["user:1", "user:2"]
 
 
 def test_streaming_tail(spark, tmp_path):
