@@ -1901,3 +1901,57 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window frames: first/last/nth bookends per key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_bookends",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_event,
+           nth_value(event_id, 2) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_event,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def events_user_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey bookends — first, second, and last event via
+    analytic window FRAMES (first_value / nth_value / last_value over an
+    explicit unbounded frame): the default running frame would make
+    last_value return the CURRENT row, the classic frame pitfall this
+    query pins correctly on both engines.
+
+    Scale: one hash shuffle on user_id, one per-key sort shared by every
+    frame function (identical window spec → one Window operator);
+    DISTINCT then collapses to |users| rows — at scale, replace with a
+    groupBy(min_by/max_by) if the journey table isn't needed row-wise.
+    Deterministic total order via the (ts, event_id) tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(micros("ts"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events"),
+    ).distinct()

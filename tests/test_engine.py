@@ -525,3 +525,37 @@ def test_list_libraries_library_filter(spark, sf_dir):
     assert [e["name"] for e in engine.list_libraries()] == ["liba", "libb"]
     assert [e["name"] for e in engine.list_libraries(library="libb")] == ["libb"]
     assert engine.list_libraries(library="nope") == []
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """The raw-SQL entry path a migrating user expects: register the
+    fixture tables as views, run Spark SQL directly, and get the same
+    rows as the DataFrame-form inventory query (q06's aggregate)."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.sources.keyspace import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["sum_qty_c"])
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS sum_qty_c
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            """
+        ).collect()
+    }
+    df_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["sum_qty_c"])
+        for r in QUERIES["q06_agg_stats"](spark, sf_dir)
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty_c")
+        .collect()
+    }
+    assert set(sql_rows) == set(df_rows)
+    for flag, (n, s) in sql_rows.items():
+        assert df_rows[flag][0] == n
+        assert df_rows[flag][1] == s
