@@ -1776,21 +1776,18 @@ def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_id, user_id,
              CAST(round(value * 100) AS BIGINT) AS v_c,
-             CAST(COUNT(*) OVER w AS BIGINT) AS n,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
-                  AS BIGINT) AS s,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) OVER w
-                  AS BIGINT) AS q
+             CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+               OVER w AS s,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)) OVER w AS q
       FROM events
       WINDOW w AS (PARTITION BY user_id)
     )
     SELECT event_id, user_id, v_c,
-           CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
-           THEN
+           CASE WHEN n * q - s * s > 0 THEN
              CAST(CAST(v_c AS HUGEINT) * n - s AS DOUBLE)
-               / sqrt(CAST(CAST(n AS HUGEINT) * q
-                           - CAST(s AS HUGEINT) * s AS DOUBLE))
+               / sqrt(CAST(n * q - s * s AS DOUBLE))
            ELSE 0.0 END AS z
     FROM s
     """,
@@ -1815,31 +1812,33 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     v_c = cents("value")
+    # the integer sums AND products (Q=Σx², n·Q, S², x·n) overflow
+    # int64 once a key is big enough (Q alone wraps at ~1e9 events of
+    # $1000 values) — the whole exact-integer domain runs in decimal
+    # (Spark) / HUGEINT (DuckDB): same exact values, same one
+    # integer→double conversion, still bit-identical; int64 would wrap
+    # SILENTLY under non-ANSI while the oracle raised
+    dec = "decimal(19,0)"
+    v_d = v_c.cast(dec)
     w = W.partitionBy("user_id")
     s = ev.select(
         "event_id",
         "user_id",
         v_c.alias("v_c"),
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(v_c).over(w).alias("s"),
-        F.sum(v_c * v_c).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).cast(dec).alias("n"),
+        F.sum(v_d).over(w).alias("s"),
+        F.sum(v_d * v_d).over(w).alias("q"),
     )
-    # the integer products (n·Q, S², x·n) overflow int64 once a key has
-    # ~3e5+ events — the products run in decimal(38,0) (Spark) /
-    # HUGEINT (DuckDB): still exact integers, same double conversion,
-    # still bit-identical; int64 would wrap SILENTLY under non-ANSI
-    dec = "decimal(19,0)"
-    n_d = F.col("n").cast(dec)
-    s_d = F.col("s").cast(dec)
-    q_d = F.col("q").cast(dec)
-    radicand = n_d * q_d - s_d * s_d
+    radicand = F.col("n") * F.col("q") - F.col("s") * F.col("s")
     return s.select(
         "event_id",
         "user_id",
         "v_c",
         F.when(
             radicand > 0,
-            (F.col("v_c").cast(dec) * n_d - s_d).cast("double")
+            (F.col("v_c").cast(dec) * F.col("n") - F.col("s")).cast(
+                "double"
+            )
             / F.sqrt(radicand.cast("double")),
         )
         .otherwise(0.0)

@@ -146,10 +146,17 @@ class CommandLogReader(DataSourceReader):
                 ):
                     continue
                 ms_s, _, seq_s = parts[2].partition("-")
-                try:
-                    ms, seq = int(ms_s), int(seq_s)
-                except ValueError:
+                # strict ASCII decimals: int() would also accept
+                # '1_7' / '+100' / Unicode digits, fabricating an id
+                # for a line the grammar calls unparseable
+                if not (
+                    ms_s.isascii()
+                    and ms_s.isdecimal()
+                    and seq_s.isascii()
+                    and seq_s.isdecimal()
+                ):
                     continue  # unparseable id — skip, same as bad verbs
+                ms, seq = int(ms_s), int(seq_s)
                 if not (0 <= seq < _SEQ_SPACE) or not (0 <= ms < _MS_MAX):
                     continue  # outside the packable space (documented)
                 names = parts[3::2]
@@ -204,6 +211,20 @@ class CommandLogStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"last": ""}
 
+    def _last_of(self, offset: dict) -> str:
+        """Offset → last-consumed basename, with a best-effort shim for
+        the legacy index form ({'pos': N}, pre-filename offsets): map N
+        to the N-th sorted name — correct as long as no consumed
+        segment was deleted before the first post-upgrade batch."""
+        if "last" in offset:
+            return offset["last"]
+        pos = int(offset.get("pos", 0))
+        if pos <= 0:
+            return ""
+        files = self._files()
+        idx = min(pos, len(files)) - 1
+        return os.path.basename(files[idx]) if idx >= 0 else ""
+
     def _parse(self, paths: list[str]) -> list:
         # materialized (not a generator): the runtime pickles the batch
         # to ship it — fine for the tailing use (one segment at a time)
@@ -214,19 +235,19 @@ class CommandLogStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
+        last = self._last_of(start)
         files = self._files()
-        new = [f for f in files if os.path.basename(f) > start["last"]]
+        new = [f for f in files if os.path.basename(f) > last]
         end = (
-            {"last": os.path.basename(new[-1])} if new else dict(start)
+            {"last": os.path.basename(new[-1])} if new else {"last": last}
         )
         # the runtime wants a true iterator over picklable rows
         return iter(self._parse(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = self._last_of(start), self._last_of(end)
         files = [
-            f
-            for f in self._files()
-            if start["last"] < os.path.basename(f) <= end["last"]
+            f for f in self._files() if lo < os.path.basename(f) <= hi
         ]
         return iter(self._parse(files))
 
@@ -268,28 +289,40 @@ def write_command_log(rows: list[dict], path: str) -> str:
     place, so the streaming tail never lists a half-written segment."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for r in rows:
-            if not r["fields"]:
-                raise ValueError(
-                    "a command-log record needs at least one field "
-                    "(a 4-token XADD line is skipped as malformed)"
-                )
-            ms, seq = divmod(r["id"], _SEQ_SPACE)
-            tokens = [r["stream_key"]]
-            for k, v in r["fields"].items():
-                tokens += [str(k), str(v)]
-            for t in tokens:
-                if " " in t or "\n" in t or not t:
+    try:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for r in rows:
+                if not r["fields"]:
                     raise ValueError(
-                        f"token {t!r} not representable in the "
-                        "space-delimited command-log grammar"
+                        "a command-log record needs at least one field "
+                        "(a 4-token XADD line is skipped as malformed)"
                     )
-            kv = " ".join(
-                f"{k} {v}" for k, v in r["fields"].items()
-            )
-            fh.write(f"XADD {r['stream_key']} {ms}-{seq} {kv}\n")
-        fh.flush()
-        os.fsync(fh.fileno())
+                if not (0 <= r["id"] < (1 << 63)):
+                    raise ValueError(
+                        f"id {r['id']} outside the packable int64 space "
+                        "(the reader would skip the line on read-back)"
+                    )
+                ms, seq = divmod(r["id"], _SEQ_SPACE)
+                tokens = [r["stream_key"]]
+                for k, v in r["fields"].items():
+                    tokens += [str(k), str(v)]
+                for t in tokens:
+                    if " " in t or "\n" in t or not t:
+                        raise ValueError(
+                            f"token {t!r} not representable in the "
+                            "space-delimited command-log grammar"
+                        )
+                kv = " ".join(
+                    f"{k} {v}" for k, v in r["fields"].items()
+                )
+                fh.write(f"XADD {r['stream_key']} {ms}-{seq} {kv}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:
+        try:
+            os.unlink(tmp)  # no half-written litter on the error path
+        except OSError:
+            pass
+        raise
     os.replace(tmp, path)
     return path

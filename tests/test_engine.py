@@ -555,7 +555,4 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         .select("l_returnflag", "l_linestatus", "n", "sum_qty_c")
         .collect()
     }
-    assert set(sql_rows) == set(df_rows)
-    for flag, (n, s) in sql_rows.items():
-        assert df_rows[flag][0] == n
-        assert df_rows[flag][1] == s
+    assert sql_rows == df_rows

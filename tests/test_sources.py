@@ -360,3 +360,50 @@ def test_trigger_consumes_command_log(spark, sf_dir, tmp_path):
         assert rt.stats["aoflib.aof"].n_success == 21
     finally:
         rt.stop_all()
+
+
+def test_reader_rejects_noncanonical_numerals(spark, tmp_path):
+    """int() would accept '1_7' / '+100' / unicode digits — the grammar
+    calls those unparseable, so they must be skipped, not fabricated."""
+    register_commandlog_source(spark)
+    d = tmp_path / "aofnum"
+    d.mkdir()
+    (d / "seg-000.aof").write_text(
+        "XADD user:1 1_7-0 f v\n"
+        "XADD user:2 +100-0 f v\n"
+        "XADD user:3 100-+1 f v\n"
+        "XADD user:4 170-0 f v\n"
+    )
+    rows = _read(spark, str(d)).collect()
+    assert [r["stream_key"] for r in rows] == ["user:4"]
+
+
+def test_writer_rejects_unpackable_id_and_cleans_tmp(tmp_path):
+    import os
+
+    with pytest.raises(ValueError, match="packable"):
+        write_command_log(
+            [{"stream_key": "s", "id": 1 << 63, "fields": {"f": "v"}}],
+            str(tmp_path / "z.aof"),
+        )
+    assert not os.path.exists(str(tmp_path / "z.aof.tmp"))  # no litter
+
+
+def test_stream_offset_legacy_pos_shim(spark, tmp_path):
+    """A checkpoint written by the old index-based offset format must
+    keep working: {'pos': N} maps to the N-th sorted segment name."""
+    from redisgears_spark.sources.commandlog import CommandLogStreamReader
+
+    d = str(tmp_path / "aoflegacy")
+    for i in range(3):
+        write_command_log(
+            [{"stream_key": f"user:{i}", "id": _pack(_MS + i, 0),
+              "fields": {"v": str(i)}}],
+            f"{d}/seg-{i:03d}.aof",
+        )
+    r = CommandLogStreamReader({"path": d})
+    rows, end = r.read({"pos": 2})  # legacy: 2 segments consumed
+    assert [row[0] for row in rows] == ["user:2"]
+    assert end == {"last": "seg-002.aof"}
+    replay = list(r.readBetweenOffsets({"pos": 2}, {"last": "seg-002.aof"}))
+    assert [row[0] for row in replay] == ["user:2"]
