@@ -831,6 +831,21 @@ class StreamTriggerRuntime:
             .drop("_rn")
         )
 
+    def read_errors(self, lib_name: str, trigger: str) -> DataFrame:
+        """Read a trigger's dead-letter records — every input row whose
+        callback raised, with the error string (the reference surfaces
+        only last_error + counters in TFUNCTION LIST; the full DLQ is
+        what its users actually need for replay/triage). Rows keep the
+        original (stream_key, id, id_ts) so a fixed callback can re-run
+        exactly the failed set. Empty sink → empty DataFrame, not an
+        error."""
+        err_dir = os.path.join(self.work_dir, "errors", lib_name, trigger)
+        if not os.path.isdir(err_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(err_dir)
+        ):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        return self.spark.read.schema(_RESULT_SCHEMA).parquet(err_dir)
+
     def compact_sink(
         self, lib_name: str, trigger: str, target_partitions: int | None = None
     ) -> int:

@@ -1664,3 +1664,65 @@ class TestMaintain:
             spark.read.schema(STREAM_SCHEMA).parquet(spool).count() == 0
         )
         assert spark.read.parquet(sink).sort("id").collect() == before
+
+
+class TestDeadLetterQueue:
+    def test_read_errors_returns_replayable_rows(
+        self, spark, sf_dir, spool, work
+    ):
+        """read_errors() exposes the full DLQ: one row per failed record
+        with original identity (stream_key, id, id_ts) + the error —
+        replayable by a fixed callback. Empty for a clean trigger."""
+        from pyspark.sql import functions as F
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: (
+                l.register_stream_trigger(
+                    "flaky", prefix="user:", fn=fails_on_errors,
+                    window=10**9,
+                ),
+                l.register_stream_trigger(
+                    "clean", prefix="user:", fn=upper_type, window=10**9
+                ),
+            ),
+            name="dlq",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 300)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        errs = rt.read_errors("dlq", "flaky")
+        n_failed = rt.stats["dlq.flaky"].n_failed
+        assert n_failed > 0
+        assert errs.count() == n_failed
+        rows = errs.collect()
+        assert all(r["status"] == "error" for r in rows)
+        assert all("bad record" in r["error"] for r in rows)
+        assert all(r["stream_key"].startswith("user:") for r in rows)
+        # ids identify exactly the 'error'-type events in the slice
+        want_ids = {
+            r["event_id"]
+            for r in load_table(spark, sf_dir, "events")
+            .filter(
+                (F.col("event_id") < 300)
+                & (F.col("event_type") == "error")
+            )
+            .collect()
+        }
+        assert {r["id"] for r in rows} == want_ids
+        # clean trigger → empty DLQ, same schema
+        clean = rt.read_errors("dlq", "clean")
+        assert clean.count() == 0
+        assert clean.schema == errs.schema
