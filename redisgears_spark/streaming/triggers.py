@@ -846,6 +846,104 @@ class StreamTriggerRuntime:
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
         return self.spark.read.schema(_RESULT_SCHEMA).parquet(err_dir)
 
+    def replay_errors(
+        self,
+        lib_name: str,
+        trigger: str,
+        fn: Callable[[dict], Any] | None = None,
+    ) -> dict[str, int]:
+        """Re-run the dead-letter queue: re-read exactly the failed
+        records from the SOURCE spool (the DLQ rows carry identity, not
+        payloads — and the source is the replayable system of record),
+        push them through `fn` (default: the trigger's current callback,
+        i.e. whatever a library upgrade fixed it to), append the now-ok
+        results to the sink, and REPLACE the DLQ with only the
+        still-failing rows. Returns {"replayed", "ok",
+        "still_failing"}.
+
+        Run while the trigger is stopped. Requires the failed records to
+        still be in the spool — retention trims by the acked frontier,
+        and failed ids ARE acked (error-does-not-halt), so replay before
+        trimming past them. Stats shift accordingly: replayed successes
+        move n_failed → n_success.
+        """
+        import shutil
+
+        lib = self.engine._libraries[lib_name]
+        spec = lib.stream_triggers[trigger]
+        fn = fn or spec["fn"]
+        if fn is None:
+            raise ValueError(
+                "replay needs a callback (declarative triggers do not "
+                "produce per-record errors)"
+            )
+        sink_dir = os.path.join(self.work_dir, "sink", lib_name, trigger)
+        err_dir = os.path.join(self.work_dir, "errors", lib_name, trigger)
+        failed = (
+            self.read_errors(lib_name, trigger)
+            .select("stream_key", "id")
+            .distinct()
+        )
+        n_replayed = failed.count()
+        if n_replayed == 0:
+            return {"replayed": 0, "ok": 0, "still_failing": 0}
+        src = self._source_batch().join(
+            F.broadcast(failed), ["stream_key", "id"], "left_semi"
+        )
+        tmp_err = err_dir + ".replay"
+        shutil.rmtree(tmp_err, ignore_errors=True)
+        os.makedirs(tmp_err, exist_ok=True)
+        processor = _make_partition_processor(fn, sink_dir, tmp_err)
+        n_ok = n_err = 0
+        for r in (
+            src.repartition(
+                self.spark.sparkContext.defaultParallelism, "stream_key"
+            )
+            .sortWithinPartitions("stream_key", "id")
+            .mapInPandas(processor, _RESULT_SCHEMA)
+            .collect()
+        ):
+            if r["status"] == "stats":
+                d = json.loads(r["result"])
+                n_ok += d["ok"]
+                n_err += d["err"]
+        # swap: the DLQ now holds only the still-failing rows
+        shutil.rmtree(err_dir, ignore_errors=True)
+        os.replace(tmp_err, err_dir)
+        qkey = f"{lib_name}.{trigger}"
+        with self._lock:
+            if qkey in self.stats:
+                self.stats[qkey].n_success += n_ok
+                self.stats[qkey].n_failed = max(
+                    0, self.stats[qkey].n_failed - n_ok
+                )
+        return {
+            "replayed": n_replayed,
+            "ok": n_ok,
+            "still_failing": n_err,
+        }
+
+    def _source_batch(self) -> DataFrame:
+        """Batch view of the spool in canonical shape (the replay path's
+        system-of-record read; mirrors _source minus streaming)."""
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        if self.source_format == "commandlog":
+            return (
+                self.spark.read.format("gears_commandlog")
+                .option("path", self.spool_dir)
+                .load()
+            )
+        if self.source_adapter is not None:
+            return self.source_adapter(
+                self.spark.read.schema(raw_schema).parquet(self.spool_dir)
+            )
+        return self.spark.read.schema(STREAM_SCHEMA).parquet(
+            self.spool_dir
+        )
+
     def compact_sink(
         self, lib_name: str, trigger: str, target_partitions: int | None = None
     ) -> int:

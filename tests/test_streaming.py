@@ -1726,3 +1726,60 @@ class TestDeadLetterQueue:
         clean = rt.read_errors("dlq", "clean")
         assert clean.count() == 0
         assert clean.schema == errs.schema
+
+    def test_replay_errors_with_fixed_callback(
+        self, spark, sf_dir, spool, work
+    ):
+        """The recovery workflow: a buggy callback fills the DLQ; replay
+        with the fixed callback moves the recovered records into the
+        sink, shrinks the DLQ to the still-failing set (none here), and
+        shifts the stats."""
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "r", prefix="user:", fn=fails_on_errors, window=10**9
+            ),
+            name="rlib",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 300)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        stats = rt.stats["rlib.r"]
+        n_failed = stats.n_failed
+        n_success = stats.n_success
+        assert n_failed > 0
+        sink = os.path.join(work, "sink", "rlib", "r")
+        sink_before = spark.read.parquet(sink).count()
+
+        out = rt.replay_errors("rlib", "r", fn=upper_type)  # the fix
+        assert out == {
+            "replayed": n_failed,
+            "ok": n_failed,
+            "still_failing": 0,
+        }
+        assert rt.read_errors("rlib", "r").count() == 0
+        assert (
+            spark.read.parquet(sink).count() == sink_before + n_failed
+        )
+        assert rt.stats["rlib.r"].n_success == n_success + n_failed
+        assert rt.stats["rlib.r"].n_failed == 0
+        # idempotent on an empty DLQ
+        assert rt.replay_errors("rlib", "r", fn=upper_type) == {
+            "replayed": 0,
+            "ok": 0,
+            "still_failing": 0,
+        }
