@@ -1954,3 +1954,64 @@ def events_user_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_id", 2).over(w).alias("second_event"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_events"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# fulfillment lag histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderkey,
+             MIN(epoch_us(l.l_shipdate)) - epoch_us(o.o_orderdate)
+               AS lag_us
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT CAST(floor(CAST(lag_us AS DOUBLE) / 86400000000.0) AS BIGINT)
+             AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM lag
+    GROUP BY lag_days
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency histogram — the operational SLA
+    view (how many orders shipped within N days). Two-level aggregate:
+    min ship time per order, then a day-bucket histogram.
+
+    Scale: lineitem pre-aggregates to |orders| rows keyed on orderkey
+    (map-side partial min over just two columns) BEFORE meeting orders —
+    the join carries one row per order, not per line; the histogram is a
+    second tiny aggregate. Bucketing uses floor(double-division) rather
+    than integer DIV: the engines disagree on negative integer division
+    (Spark DIV truncates toward zero, DuckDB // floors) and the fixture
+    contains negative lags — the double path floors identically in both
+    (quotients here are exact or strictly between integers; micros fit
+    in 2^53).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(micros("l_shipdate")).alias("ship_us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lag = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        (F.col("ship_us") - micros("o_orderdate")).alias("lag_us")
+    )
+    bucket = F.floor(
+        F.col("lag_us").cast("double") / F.lit(86400000000.0)
+    ).cast("long")
+    return (
+        lag.select(bucket.alias("lag_days"))
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
