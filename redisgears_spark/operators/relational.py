@@ -2015,3 +2015,98 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag_days")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill (resample + forward fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_fill_daily",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY user_id,
+                            CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    daily AS (SELECT user_id, day, v_c FROM obs WHERE rn = 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      FROM daily GROUP BY user_id
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.v_c IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_v_c,
+           CAST(CASE WHEN d.v_c IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_observed
+    FROM grid g
+    LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream to
+    a daily grid and forward-fill gaps with the last observed value —
+    the feature-store step (training wants fixed-frequency series, logs
+    arrive irregularly) that Spark has no built-in for.
+
+    Construction: last observation per (user, day) — deterministic
+    (ts, event_id) tie-break — then a per-user `sequence(min_day,
+    max_day)` generates the dense grid (explode of an in-row array; no
+    cross join against a calendar table), and `last(v, ignorenulls)`
+    over an unbounded-preceding frame carries values forward. Day
+    buckets use integer floor-division of NON-NEGATIVE micros (both
+    engines agree there; negative epochs would not).
+
+    Scale: one shuffle keys everything on user_id and is shared by the
+    dedup window, the grid aggregate, and the fill window; grid size is
+    bounded by the observation span, not the event count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (micros("ts") / F.lit(86_400_000_000)).cast("long")
+    w_rn = W.partitionBy("user_id", "day").orderBy(
+        micros("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            cents("value").alias("v_c"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "v_c")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w_fill = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("v_c", ignorenulls=True).over(w_fill).alias("filled_v_c"),
+        F.when(F.col("v_c").isNull(), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("is_observed"),
+    )
