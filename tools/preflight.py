@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Pre-flight the external driver's correctness gate locally.
+
+Mirrors exactly what the driver does per round: take the first N entries
+of `__spark_entry__.queries()` (the self-rotating order), run each
+query's DataFrame AND its DuckDB oracle at the gate scale, compare
+row-count + column names + exact values; rows-only queries (no oracle)
+get the driver's canonicalization step (pandas sort over all columns —
+the step that crashes on unhashable array cells).
+
+Usage:
+    python tools/preflight.py                 # first 50 at sf0.01
+    python tools/preflight.py --all           # every query
+    python tools/preflight.py --sf /root/testdata/sf0.1 --all
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--limit", type=int, default=50)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from redisgears_spark.session import get_spark
+    from tests.oracle import duckdb_conn, compare
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("preflight", cpus=args.cpus)
+    con = duckdb_conn(args.sf)
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    names = list(queries) if args.all else list(queries)[: args.limit]
+    t0 = time.time()
+    fails: list[tuple[str, str]] = []
+    n_exact = n_rows = 0
+    for name in names:
+        try:
+            if name in oracles:
+                compare(queries[name](spark, args.sf), con, oracles[name], name)
+                n_exact += 1
+            else:
+                pdf = queries[name](spark, args.sf).toPandas()
+                pdf.sort_values(list(pdf.columns))  # driver canon step
+                n_rows += 1
+        except Exception as e:  # report every failure, keep going
+            fails.append((name, f"{type(e).__name__}: {str(e)[:200]}"))
+    wall = round(time.time() - t0, 1)
+    print(
+        f"preflight: {len(names)} checked ({n_exact} exact, {n_rows} "
+        f"rows-only) in {wall}s at {args.sf}"
+    )
+    if fails:
+        for name, err in fails:
+            print(f"FAIL {name}: {err}")
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
