@@ -898,3 +898,47 @@ def q06d_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p")[2].alias("p99"),
         )
     )
+
+
+@query(
+    "q12b_latest_per_key_maxby",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1048576 + event_id)
+             AS event_id,
+           arg_max(event_type,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1048576 + event_id)
+             AS event_type,
+           arg_max(CAST(round(value * 100) AS BIGINT),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1048576 + event_id)
+             AS value_cents,
+           max(epoch_us(ts)) AS ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q12b_latest_per_key_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key, the AGGREGATE formulation — q12's
+    better-at-scale twin: `max_by(col, (ts, id))` is a plain hash
+    aggregate with MAP-SIDE PARTIALS (each task keeps one candidate per
+    key before the shuffle), where q12's row_number window must shuffle
+    EVERY row and sort each key group. Same result, deterministic
+    (ts, event_id) ordering struct breaks ties identically in both
+    engines (Spark max_by over a (ts, id) struct; DuckDB arg_max over
+    the equivalent HUGEINT composite ts·2^20 + id — identical order for
+    id < 2^20, which the fixture ids satisfy).
+
+    At 100 TB: the exchange carries |keys| candidate rows per task
+    instead of the full fact table — this is the formulation the latest
+    stateful.latest() view uses too.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = micros("ts")
+    order = F.struct(ts_us.alias("t"), F.col("event_id").alias("i"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", order).alias("event_id"),
+        F.max_by("event_type", order).alias("event_type"),
+        F.max_by(cents("value"), order).alias("value_cents"),
+        F.max(ts_us).alias("ts_us"),
+    )

@@ -536,3 +536,55 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "term")
         .limit(_HH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: langid confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS lang_label,
+             {_langid_case(sql=True)} AS predicted_lang
+      FROM documents
+    )
+    SELECT lang_label, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang_label) AS row_share
+    FROM pred
+    GROUP BY lang_label, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the langid heuristic:
+    (true label, predicted) cell counts plus the per-true-label share —
+    the model-eval step every filtering classifier in a training
+    pipeline needs before its predictions gate data.
+
+    Scale: the prediction rides the scan (pure Catalyst CASE over token
+    counts — no shuffle until the cell group-by); the matrix is
+    |labels|×|classes| rows, and the row-share window runs over that
+    tiny aggregate, not the corpus. Shares are one IEEE division of
+    exact integer counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_label"),
+        F.expr(_langid_case(sql=False)).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("lang_label", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("lang_label")
+    return cells.select(
+        "lang_label",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias(
+            "row_share"
+        ),
+    )
