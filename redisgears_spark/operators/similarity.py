@@ -952,3 +952,63 @@ def hybrid_search_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "doc_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (quantized-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embeddings_label_centroids",
+    oracle="""
+    SELECT e.label, s.i AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE)
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_q6,
+           CAST(SUM(CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE)
+                               * 1000000) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid
+    FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    GROUP BY e.label, s.i
+    """,
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding space, one row per
+    (label, dimension) — the class-prototype computation behind
+    nearest-centroid classification, cluster drift monitoring, and the
+    IVF coarse quantizer's supervised cousin.
+
+    Exactness: float summation is order-dependent, so components are
+    quantized to exact integer micro-units first (the same
+    quantized-cosine discipline as the ANN stack) — integer sums are
+    associative, the centroid is one IEEE division of exact integers,
+    bit-identical across engines and partitionings. Output is scalar
+    rows (label, dim), not array columns — driver-canonicalizable.
+
+    Scale: posexplode emits fixed-width (label, dim, q6) rows; the
+    group-by is map-side partial (|labels|·|dims| cells); no vector
+    ever reaches the driver.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        # cast float32 → double BEFORE the multiply: float*int stays
+        # single-precision in Spark (silent digit loss vs the oracle)
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q6"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("q6").alias("sum_q6"),
+        (
+            F.sum("q6").cast("double")
+            / (F.count(F.lit(1)) * 1_000_000).cast("double")
+        ).alias("centroid"),
+    )
