@@ -2110,3 +2110,66 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue cohorts (acquisition month x order month)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_revenue_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT epoch_us(f.cohort_month) AS cohort_month_us,
+           CAST(datediff('month', f.cohort_month,
+                         date_trunc('month', o.o_orderdate)) AS BIGINT)
+             AS cohort_age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY cohort_month_us, cohort_age_months
+    """,
+)
+def orders_revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort table: customers grouped by acquisition month
+    (their first order), revenue tracked by cohort age — the LTV-curve
+    input every subscription/commerce analytics stack builds (the
+    events-based `events_retention_cohorts` counts activity; this one
+    follows MONEY, in exact cents).
+
+    Scale: first-order month is a map-side-partial min per customer; the
+    join back is keyed on custkey (one shuffle each side, or zero for a
+    custkey-bucketed layout); the cohort cell grid is |months|² rows.
+    Month arithmetic uses calendar month-diff in both engines (identical
+    integer semantics), not day division.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    j = orders.join(firsts, "o_custkey")
+    age = F.months_between(
+        F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+    ).cast("long")
+    return (
+        j.groupBy(
+            F.unix_micros(F.col("cohort_month").cast("timestamp")).alias(
+                "cohort_month_us"
+            ),
+            age.alias("cohort_age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+        )
+    )
