@@ -1012,3 +1012,92 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 1_000_000).cast("double")
         ).alias("centroid"),
     )
+
+
+@query(
+    "sim_nearest_centroid_classify",
+    oracle="""
+    WITH comp AS (
+      SELECT e.vec_id, e.label, s.i AS dim,
+             CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q6
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(round(CAST(SUM(q6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS c_q6
+      FROM comp GROUP BY label, dim
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label AS true_label, c.label AS cand_label,
+             CAST(SUM((v.q6 - c.c_q6) * (v.q6 - c.c_q6)) AS BIGINT) AS d2
+      FROM comp v JOIN cent c ON c.dim = v.dim
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, true_label,
+           arg_min(cand_label, d2 * 16 + cand_label) AS pred_label,
+           CAST(min(d2) AS BIGINT) AS best_d2_q12
+    FROM dists
+    GROUP BY vec_id, true_label
+    """,
+)
+def sim_nearest_centroid_classify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification — the model-based twin
+    of `sim_knn_classify`: assign each vector to the class whose
+    centroid is closest in squared L2. Classifier training = one
+    aggregate; inference = |labels| distance evaluations per vector
+    (vs kNN's |corpus|).
+
+    Exactness: components AND centroids live in integer micro-units
+    (the centroid is round(sum/n) — one correctly-rounded IEEE division
+    of exact integers, then round: identical in both engines), so the
+    squared distance is an exact integer (unit-norm vectors: |q6| ≤ 1e6
+    → d2 ≤ 64·4e12, well inside int64) and argmin with a label
+    tie-break is engine-exact (DuckDB: arg_min over the composite
+    d2·16+label, identical order for labels in [0,16)).
+
+    Scale: centroids are a |labels|·|dims| aggregate (map-side partial).
+    This formulation joins exploded components against the centroid
+    table on dim (shuffle carries (vec, dim, q6) fixed-width rows); at
+    100 TB broadcast the |labels|·|dims| centroid table instead and
+    fold the distance per row with zip_with/aggregate — no explode, no
+    shuffle (the IVF assign step in this module is exactly that shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q6"),
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(
+            F.sum("q6").cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("c_q6")
+    )
+    diff = F.col("q6") - F.col("c_q6")
+    dists = (
+        comp.join(F.broadcast(cent), "dim")
+        .groupBy(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("cand_label"),
+        )
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    order = F.struct(F.col("d2").alias("d"), F.col("cand_label").alias("l"))
+    return dists.groupBy("vec_id", "true_label").agg(
+        F.min_by("cand_label", order).alias("pred_label"),
+        F.min("d2").cast("long").alias("best_d2_q12"),
+    )
