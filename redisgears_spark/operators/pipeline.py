@@ -769,3 +769,135 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") * F.col("m") < F.col("n_chars") * 1000)
         .select("doc_id", "n_chars", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative tokenizer learning)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE's training input: the word-frequency table (classic BPE
+    trains on distinct words weighted by count, not the raw corpus —
+    Sennrich et al. 2016), each word as its character-symbol sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(_TOKENS)).alias("word")
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return words.select(
+        "word", "freq", F.split("word", "").alias("symbols")
+    )
+
+
+def _merge_symbols_factory(left: str, right: str):
+    """Arrow-batched merge of one (left, right) pair, left-to-right
+    non-overlapping — the per-round BPE apply step."""
+    import pandas as pd
+
+    merged = left + right
+
+    def apply(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["symbols"]:
+                res = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "symbols": out,
+                }
+            )
+
+    return apply
+
+
+@query("pipeline_bpe_train")  # iterative — rows-only check
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges over the corpus — the iterative
+    tokenizer-training algorithm (Sennrich et al.; the GPT-2 tokenizer's
+    training loop), distributed: each round counts adjacent symbol
+    pairs across the word-frequency table (weighted by word count),
+    merges the most frequent pair everywhere, and repeats. Output: the
+    merge table (round, left, right, pair_count) — the artifact a
+    tokenizer ships.
+
+    Non-SQL-expressible (a data-dependent fixpoint loop), so rows-only
+    at the driver; tests/test_pipeline_ops.py pins the FULL merge
+    sequence against an independent pure-Python BPE reference — exact,
+    just not via DuckDB.
+
+    Scale: the state lives in the |distinct words| frequency table
+    (tiny vs corpus — built with one map-side-partial groupBy over the
+    token stream; at 100 TB it is millions of rows, not trillions).
+    Per round: pair counting is posexplode → groupBy(pair) with partial
+    aggregation; the argmax is a 1-row TakeOrdered (count desc, then
+    lexicographic pair — fully deterministic); the merge apply is one
+    Arrow-batched pass. Driver holds ONE pair per round, never the
+    table. Rounds are checkpoint-cached like the CC loop to keep the
+    lineage bounded.
+    """
+    wf = bpe_word_freq(spark, sf_dir).cache()
+    merges = []
+    cur = wf
+    for rnd in range(_BPE_MERGES):
+        # adjacent pairs WITHIN a word: zip the symbol list against its
+        # own tail (array ops — no window machinery, no cross-row state)
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.zip_with(
+                        F.slice(
+                            "symbols", 1, F.size("symbols") - F.lit(1)
+                        ),
+                        F.slice("symbols", 2, F.size("symbols")),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] <= 0:
+            break
+        b = best[0]
+        merges.append((rnd, b["l"], b["r"], int(b["n"])))
+        nxt = cur.mapInPandas(
+            _merge_symbols_factory(b["l"], b["r"]),
+            "word string, freq long, symbols array<string>",
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # bound the lineage
+        if cur is not wf:
+            cur.unpersist()
+        cur = nxt
+    wf.unpersist()
+    return spark.createDataFrame(
+        merges, "round long, left string, right string, pair_count long"
+    )

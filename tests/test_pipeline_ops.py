@@ -489,3 +489,61 @@ def test_dedup_segments_reconstruction_invariant(spark, sf_dir):
     assert lossy
     for d in lossy[:20]:
         assert len(out[d]["clean_text"]) < len(docs[d])
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """The distributed BPE loop must learn EXACTLY the merge sequence a
+    straightforward single-machine BPE (Sennrich-style, on the same
+    word-frequency table with the same count-desc/lexicographic
+    tie-break) learns — an independent-implementation oracle for an
+    iterative algorithm DuckDB cannot express."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.operators.pipeline import _BPE_MERGES
+    from redisgears_spark.operators.text import _TOKENS
+    from redisgears_spark.sources.keyspace import load_table
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in QUERIES["pipeline_bpe_train"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert len(got) == _BPE_MERGES
+
+    # independent reference on the collected word-frequency dict
+    wf = Counter()
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS)).alias("w"))
+        .collect()
+    ):
+        wf[r["w"]] += 1
+    words = {w: list(w) for w in wf}
+    want = []
+    for rnd in range(_BPE_MERGES):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want.append((rnd, l, r, n))
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    assert got == want
