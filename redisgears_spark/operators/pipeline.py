@@ -776,6 +776,12 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BPE_MERGES = 8
+# below this many distinct words the merge loop runs driver-side on the
+# collected frequency table (same strategy split as dedup's connected
+# components: a bounded local fixpoint beats 8 rounds of distributed
+# fixed cost); above it, the distributed loop runs — identical results,
+# pinned by tests/test_pipeline_ops.py with the limit forced to 0
+_BPE_LOCAL_VOCAB_LIMIT = 100_000
 
 
 def bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,7 +859,53 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Rounds are checkpoint-cached like the CC loop to keep the
     lineage bounded.
     """
+    # the fixture vocabulary is tiny; 32 shuffle partitions of fixed
+    # task overhead x 8 rounds dominates wall time. Partition the state
+    # proportionally to its size (driver-known after the groupBy — at
+    # scale this lands at defaultParallelism)
     wf = bpe_word_freq(spark, sf_dir).cache()
+    n_words = wf.count()
+    if n_words <= _BPE_LOCAL_VOCAB_LIMIT:
+        # bounded local path: the frequency table is dimension-sized —
+        # collect (word, freq) ONLY (no corpus rows) and run the exact
+        # Sennrich loop in memory; the distributed loop below is the
+        # same algorithm for web-scale vocabularies
+        from collections import Counter
+
+        freq = {r["word"]: r["freq"] for r in wf.select("word", "freq").collect()}
+        words = {w: list(w) for w in freq}
+        local_merges: list[tuple[int, str, str, int]] = []
+        for rnd in range(_BPE_MERGES):
+            counts: Counter = Counter()
+            for w, syms in words.items():
+                fq = freq[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] += fq
+            if not counts:
+                break
+            (lft, rgt), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            local_merges.append((rnd, lft, rgt, int(n)))
+            for w, syms in words.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lft
+                        and syms[i + 1] == rgt
+                    ):
+                        res.append(lft + rgt)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                words[w] = res
+        wf.unpersist()
+        return spark.createDataFrame(
+            local_merges,
+            "round long, left string, right string, pair_count long",
+        )
     merges = []
     cur = wf
     for rnd in range(_BPE_MERGES):

@@ -491,17 +491,21 @@ def test_dedup_segments_reconstruction_invariant(spark, sf_dir):
         assert len(out[d]["clean_text"]) < len(docs[d])
 
 
-def test_bpe_train_matches_reference_implementation(spark, sf_dir):
-    """The distributed BPE loop must learn EXACTLY the merge sequence a
-    straightforward single-machine BPE (Sennrich-style, on the same
-    word-frequency table with the same count-desc/lexicographic
-    tie-break) learns — an independent-implementation oracle for an
-    iterative algorithm DuckDB cannot express."""
+def test_bpe_train_matches_reference_implementation(
+    spark, sf_dir, monkeypatch
+):
+    """BOTH strategy paths (driver-local under the vocab limit, and the
+    DISTRIBUTED fixpoint loop forced via limit=0) must learn EXACTLY
+    the merge sequence a straightforward single-machine BPE
+    (Sennrich-style, same count-desc/lexicographic tie-break) learns —
+    an independent-implementation oracle for an iterative algorithm
+    DuckDB cannot express."""
     from collections import Counter
 
     import pyspark.sql.functions as F
 
     from redisgears_spark.operators import QUERIES
+    from redisgears_spark.operators import pipeline as P
     from redisgears_spark.operators.pipeline import _BPE_MERGES
     from redisgears_spark.operators.text import _TOKENS
     from redisgears_spark.sources.keyspace import load_table
@@ -513,6 +517,14 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
         .collect()
     ]
     assert len(got) == _BPE_MERGES
+    monkeypatch.setattr(P, "_BPE_LOCAL_VOCAB_LIMIT", 0)
+    distributed = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in QUERIES["pipeline_bpe_train"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert distributed == got
 
     # independent reference on the collected word-frequency dict
     wf = Counter()
