@@ -440,3 +440,65 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
     # and the rows really are the 3 days (partition col infers as DATE)
     days = {str(r["dt"]) for r in df.select("dt").distinct().collect()}
     assert days == {"2024-01-05", "2024-01-06", "2024-01-07"}
+
+
+def test_q12b_latest_is_pure_partial_aggregate(spark, sf_dir):
+    """q12b's better-at-scale claim vs the window-based q12: max_by
+    compiles to a hash aggregate with a partial (map-side) phase and NO
+    Window operator — the exchange carries per-task candidates, not the
+    full fact table."""
+    df = QUERIES["q12b_latest_per_key_maxby"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    # struct-keyed max_by plans as SortAggregate; the scale property is
+    # the same: a PARTIAL phase before the exchange, a final after
+    n_agg = count_nodes(df, "HashAggregate") + count_nodes(
+        df, "SortAggregate"
+    )
+    assert n_agg >= 2, plan  # partial + final
+    assert count_nodes(df, "Exchange") == 1, plan
+
+
+def test_gap_fill_grid_is_dense_and_filled(spark, sf_dir):
+    """Gap-fill invariants beyond the oracle: per user the day grid is
+    CONTIGUOUS from first to last observation, filled values are never
+    null, and observed-day count matches the raw data."""
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.functions.exact import micros
+    from redisgears_spark.sources.keyspace import load_table
+
+    out = QUERIES["events_gap_fill_daily"](spark, sf_dir)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+            F.count(F.when(F.col("filled_v_c").isNull(), 1)).alias(
+                "nulls"
+            ),
+            F.sum("is_observed").alias("observed"),
+        )
+        .collect()
+    )
+    assert per_user
+    for r in per_user:
+        assert r["n"] == r["hi"] - r["lo"] + 1, r  # dense grid
+        assert r["nulls"] == 0, r  # forward fill total after first obs
+    want_obs = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (micros("ts") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    got_obs = {r["user_id"]: r["observed"] for r in per_user}
+    for r in want_obs:
+        assert got_obs[r["user_id"]] == r["d"], r
