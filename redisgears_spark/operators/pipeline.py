@@ -953,3 +953,77 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round long, left string, right string, pair_count long"
     )
+
+
+@query("pipeline_bpe_apply")  # depends on learned merges — rows-only
+def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus WITH the learned BPE merges — the apply half
+    of the train→apply tokenizer pair: per document, the BPE token
+    count, the whitespace token count, and the compression the merges
+    bought. This is the "token counting" a budget-driven pipeline runs
+    with its real tokenizer instead of the whitespace proxy.
+
+    Scale: merges are a driver-side list (8 pairs — the trained
+    artifact, broadcast by closure); the apply is ONE Arrow-batched
+    pass per document over its per-word symbol sequences (merge order
+    must follow training order — BPE's greedy apply); nothing but
+    (doc_id, two counts) leaves the stage.
+    """
+    merges = [
+        (r["left"], r["right"])
+        for r in pipeline_bpe_train(spark, sf_dir).orderBy("round").collect()
+    ]
+
+    def apply_merges(batches):
+        import pandas as pd
+
+        def encode(word: str) -> int:
+            syms = list(word)
+            for lft, rgt in merges:
+                res, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == lft and syms[i + 1] == rgt:
+                        res.append(lft + rgt)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return len(syms)
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_bpe = []
+            n_ws = []
+            for toks in pdf["w"]:
+                n_ws.append(len(toks))
+                total = 0
+                for t in toks:
+                    if t not in cache:
+                        cache[t] = encode(t)
+                    total += cache[t]
+                n_bpe.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_ws_tokens": n_ws,
+                    "n_bpe_tokens": n_bpe,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("w")
+    )
+    out = docs.mapInPandas(
+        apply_merges, "doc_id long, n_ws_tokens long, n_bpe_tokens long"
+    )
+    return out.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.greatest(F.col("n_ws_tokens"), F.lit(1))
+        ).alias("bpe_tokens_per_word"),
+    )

@@ -559,3 +559,54 @@ def test_bpe_train_matches_reference_implementation(
                     i += 1
             words[w] = res
     assert got == want
+
+
+def test_bpe_apply_token_bounds(spark, sf_dir):
+    """Apply-side invariants: per document, the BPE token count lies
+    between the word count (every word ≥1 token) and the non-space
+    character count (8 merges can only compress char-level), and the
+    encoding matches a direct reference application of the same
+    merges."""
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.operators.text import _TOKENS
+    from redisgears_spark.sources.keyspace import load_table
+
+    out = {r["doc_id"]: r for r in QUERIES["pipeline_bpe_apply"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_TOKENS).alias("w"),
+        F.expr(f"aggregate({_TOKENS}, 0, (a, x) -> a + length(x))").alias(
+            "n_chars"
+        ),
+    ).collect()
+    merges = [
+        (r["left"], r["right"])
+        for r in QUERIES["pipeline_bpe_train"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for lft, rgt in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    res.append(lft + rgt)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    for d in docs:
+        r = out[d["doc_id"]]
+        assert len(d["w"]) == r["n_ws_tokens"]
+        assert r["n_ws_tokens"] <= r["n_bpe_tokens"] <= d["n_chars"], r
+    # exact per-doc re-encode on a sample
+    for d in docs[:20]:
+        want = sum(encode(t) for t in d["w"])
+        assert out[d["doc_id"]]["n_bpe_tokens"] == want
