@@ -797,32 +797,35 @@ def bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merge_symbols_factory(left: str, right: str):
-    """Arrow-batched merge of one (left, right) pair, left-to-right
-    non-overlapping — the per-round BPE apply step."""
-    import pandas as pd
 
+
+def _apply_merge(syms: list, left: str, right: str) -> list:
+    """One BPE merge applied left-to-right, non-overlapping — the ONE
+    definition train (both strategies) and apply share; divergence here
+    would silently split the tokenizer from its own training."""
     merged = left + right
+    res, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+def _merge_symbols_factory(left: str, right: str):
+    """Arrow-batched merge of one (left, right) pair (the per-round BPE
+    apply step, delegating to the shared _apply_merge)."""
+    import pandas as pd
 
     def apply(batches):
         for pdf in batches:
-            out = []
-            for syms in pdf["symbols"]:
-                res = []
-                i = 0
-                n = len(syms)
-                while i < n:
-                    if (
-                        i + 1 < n
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
+            out = [
+                _apply_merge(list(syms), left, right)
+                for syms in pdf["symbols"]
+            ]
             yield pd.DataFrame(
                 {
                     "word": pdf["word"],
@@ -888,19 +891,7 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             local_merges.append((rnd, lft, rgt, int(n)))
             for w, syms in words.items():
-                res, i = [], 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == lft
-                        and syms[i + 1] == rgt
-                    ):
-                        res.append(lft + rgt)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                words[w] = res
+                words[w] = _apply_merge(syms, lft, rgt)
         wf.unpersist()
         return spark.createDataFrame(
             local_merges,
@@ -955,6 +946,23 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# training is deterministic per corpus — memoize the tiny merge list so
+# apply (and repeated invocations in one session) do not re-run the
+# 8-round training job
+_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _MERGE_CACHE:
+        _MERGE_CACHE[sf_dir] = [
+            (r["left"], r["right"])
+            for r in pipeline_bpe_train(spark, sf_dir)
+            .orderBy("round")
+            .collect()
+        ]
+    return _MERGE_CACHE[sf_dir]
+
+
 @query("pipeline_bpe_apply")  # depends on learned merges — rows-only
 def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus WITH the learned BPE merges — the apply half
@@ -969,10 +977,7 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     must follow training order — BPE's greedy apply); nothing but
     (doc_id, two counts) leaves the stage.
     """
-    merges = [
-        (r["left"], r["right"])
-        for r in pipeline_bpe_train(spark, sf_dir).orderBy("round").collect()
-    ]
+    merges = _learned_merges(spark, sf_dir)
 
     def apply_merges(batches):
         import pandas as pd
@@ -980,16 +985,7 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         def encode(word: str) -> int:
             syms = list(word)
             for lft, rgt in merges:
-                res, i = [], 0
-                n = len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == lft and syms[i + 1] == rgt:
-                        res.append(lft + rgt)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                syms = res
+                syms = _apply_merge(syms, lft, rgt)
             return len(syms)
 
         cache: dict[str, int] = {}

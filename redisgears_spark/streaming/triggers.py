@@ -857,15 +857,16 @@ class StreamTriggerRuntime:
         payloads — and the source is the replayable system of record),
         push them through `fn` (default: the trigger's current callback,
         i.e. whatever a library upgrade fixed it to), append the now-ok
-        results to the sink, and REPLACE the DLQ with only the
-        still-failing rows. Returns {"replayed", "ok",
-        "still_failing"}.
+        results to the sink, and REPLACE the DLQ with the still-failing
+        rows PLUS any entries whose source records are gone (retention
+        trimmed past them — those are RETAINED in the DLQ and reported
+        as "unreplayable", never silently dropped). Returns
+        {"replayed", "ok", "still_failing", "unreplayable"}.
 
-        Run while the trigger is stopped. Requires the failed records to
-        still be in the spool — retention trims by the acked frontier,
-        and failed ids ARE acked (error-does-not-halt), so replay before
-        trimming past them. Stats shift accordingly: replayed successes
-        move n_failed → n_success.
+        Run while the trigger is stopped. Failed ids ARE acked
+        (error-does-not-halt), so retention can trim their source rows;
+        replay before trimming to keep unreplayable at 0. Stats shift
+        accordingly: replayed successes move n_failed → n_success.
         """
         import shutil
 
@@ -879,20 +880,32 @@ class StreamTriggerRuntime:
             )
         sink_dir = os.path.join(self.work_dir, "sink", lib_name, trigger)
         err_dir = os.path.join(self.work_dir, "errors", lib_name, trigger)
-        failed = (
-            self.read_errors(lib_name, trigger)
-            .select("stream_key", "id")
-            .distinct()
-        )
-        n_replayed = failed.count()
-        if n_replayed == 0:
-            return {"replayed": 0, "ok": 0, "still_failing": 0}
+        errs = self.read_errors(lib_name, trigger)
+        failed = errs.select("stream_key", "id").distinct()
+        n_failed = failed.count()
+        if n_failed == 0:
+            return {
+                "replayed": 0,
+                "ok": 0,
+                "still_failing": 0,
+                "unreplayable": 0,
+            }
         src = self._source_batch().join(
             F.broadcast(failed), ["stream_key", "id"], "left_semi"
         )
         tmp_err = err_dir + ".replay"
         shutil.rmtree(tmp_err, ignore_errors=True)
         os.makedirs(tmp_err, exist_ok=True)
+        # DLQ entries whose source rows no longer exist must SURVIVE the
+        # swap — carry them into the new DLQ before processing
+        matched = src.select("stream_key", "id").distinct()
+        unreplayable = errs.join(
+            F.broadcast(matched), ["stream_key", "id"], "left_anti"
+        )
+        n_unreplayable = unreplayable.count()
+        if n_unreplayable:
+            unreplayable.write.mode("append").parquet(tmp_err)
+        n_replayed = n_failed - n_unreplayable
         processor = _make_partition_processor(fn, sink_dir, tmp_err)
         n_ok = n_err = 0
         for r in (
@@ -907,7 +920,7 @@ class StreamTriggerRuntime:
                 d = json.loads(r["result"])
                 n_ok += d["ok"]
                 n_err += d["err"]
-        # swap: the DLQ now holds only the still-failing rows
+        # swap: the DLQ now holds still-failing + unreplayable rows
         shutil.rmtree(err_dir, ignore_errors=True)
         os.replace(tmp_err, err_dir)
         qkey = f"{lib_name}.{trigger}"
@@ -921,6 +934,7 @@ class StreamTriggerRuntime:
             "replayed": n_replayed,
             "ok": n_ok,
             "still_failing": n_err,
+            "unreplayable": n_unreplayable,
         }
 
     def _source_batch(self) -> DataFrame:

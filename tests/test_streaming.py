@@ -1770,6 +1770,7 @@ class TestDeadLetterQueue:
             "replayed": n_failed,
             "ok": n_failed,
             "still_failing": 0,
+            "unreplayable": 0,
         }
         assert rt.read_errors("rlib", "r").count() == 0
         assert (
@@ -1782,4 +1783,51 @@ class TestDeadLetterQueue:
             "replayed": 0,
             "ok": 0,
             "still_failing": 0,
+            "unreplayable": 0,
         }
+
+    def test_replay_after_retention_retains_dlq(
+        self, spark, sf_dir, spool, work
+    ):
+        """A DLQ entry whose source record was trimmed by retention must
+        SURVIVE a replay (reported as unreplayable), never be silently
+        dropped by the DLQ swap."""
+        import shutil as _shutil
+        import os
+
+        from redisgears_spark.engine import GearsEngine
+        from redisgears_spark.streaming import (
+            StreamTriggerRuntime,
+            events_to_stream,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "rr", prefix="user:", fn=fails_on_errors, window=10**9
+            ),
+            name="rrlib",
+        )
+        rt = StreamTriggerRuntime(
+            engine, spool, work, source_adapter=events_to_stream
+        )
+        write_slice(spark, sf_dir, spool, 0, 300)
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        n_failed = rt.stats["rrlib.rr"].n_failed
+        assert n_failed > 0
+        # retention trims the WHOLE spool (all ids are acked)
+        _shutil.rmtree(spool, ignore_errors=True)
+        os.makedirs(spool, exist_ok=True)
+        out = rt.replay_errors("rrlib", "rr", fn=upper_type)
+        assert out == {
+            "replayed": 0,
+            "ok": 0,
+            "still_failing": 0,
+            "unreplayable": n_failed,
+        }
+        # the DLQ still holds every entry, untouched
+        assert rt.read_errors("rrlib", "rr").count() == n_failed
