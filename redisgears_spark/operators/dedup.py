@@ -393,6 +393,17 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         gc.collect()
         if changed == 0:
             break
+    else:
+        # pointer jumping halves chains every round, so 25 rounds cover any
+        # component of diameter < 2^25 — exhausting the cap means labels may
+        # not be the component minimum yet. Possibly-wrong clusters must be
+        # loud, not silent.
+        raise RuntimeError(
+            f"connected-components did not converge within {_CC_MAX_ITERS} "
+            f"iterations ({changed} labels still changing); raise "
+            "_CC_MAX_ITERS or inspect the edge graph for pathological "
+            "structure"
+        )
     return labels.withColumn(
         "is_survivor", F.col("doc_id") == F.col("cluster_id")
     )

@@ -948,19 +948,40 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # training is deterministic per corpus — memoize the tiny merge list so
 # apply (and repeated invocations in one session) do not re-run the
-# 8-round training job
-_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+# 8-round training job. Keyed on the fixture's mtime as well as its path,
+# so regenerating the directory (or monkeypatching the training strategy,
+# which touches nothing — clear the cache in that case) does not serve
+# stale merges within one process.
+_MERGE_CACHE: dict[tuple, list[tuple[str, str]]] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(path, latest mtime_ns over the documents fixture) — cheap stat-only
+    staleness signal; parquet writers always bump mtime on rewrite."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            stamps = [os.stat(path).st_mtime_ns] + [
+                e.stat().st_mtime_ns for e in os.scandir(path)
+            ]
+            return (sf_dir, max(stamps))
+        return (sf_dir, os.stat(path).st_mtime_ns)
+    except OSError:
+        return (sf_dir, None)
 
 
 def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
-    if sf_dir not in _MERGE_CACHE:
-        _MERGE_CACHE[sf_dir] = [
+    key = _corpus_fingerprint(sf_dir)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = [
             (r["left"], r["right"])
             for r in pipeline_bpe_train(spark, sf_dir)
             .orderBy("round")
             .collect()
         ]
-    return _MERGE_CACHE[sf_dir]
+    return _MERGE_CACHE[key]
 
 
 @query("pipeline_bpe_apply")  # depends on learned merges — rows-only

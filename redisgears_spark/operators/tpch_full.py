@@ -51,6 +51,20 @@ def synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost_cents). Pure per-row projection over part × 4 — no
     shuffle, no driver data besides the |supplier| scalar."""
     n_supp = load_table(spark, sf_dir, "supplier").count()
+    # the 4-distinct-suppliers-per-part property requires the offsets
+    # {0, 1499, 2998, 4497} to be distinct mod |supplier|; a degenerate
+    # fixture (e.g. 2, 3, or 1499 suppliers) would silently produce
+    # duplicate (partkey, suppkey) rows — fail loudly instead (the static
+    # oracle CTE uses the same rule, so a Python-side fallback would
+    # diverge from it)
+    offsets = {(i * _OFFSET) % n_supp for i in range(_SUPP_PER_PART)}
+    if len(offsets) != _SUPP_PER_PART:
+        raise ValueError(
+            f"synthetic_partsupp: |supplier|={n_supp} collapses the "
+            f"modular offsets to {sorted(offsets)}; partsupp would hold "
+            "duplicate (partkey, suppkey) rows. Use a fixture with "
+            "|supplier| not dividing i*1499 for i=1..3."
+        )
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     ps = part.select(
         F.col("p_partkey").alias("ps_partkey"),

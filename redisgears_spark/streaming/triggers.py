@@ -683,8 +683,13 @@ class StreamTriggerRuntime:
                         F.lit(None).cast("string").alias("error"),
                     )
                     row_results.write.mode("append").parquet(sink_dir)
+                    # metadata from `admitted`, the exact set written above —
+                    # identical to `matched` today (engine forbids bounded
+                    # declarative triggers), but if that validation is ever
+                    # relaxed, deferred rows must not be acked/counted
+                    # without being written
                     meta_rows = (
-                        matched.groupBy("stream_key")
+                        admitted.groupBy("stream_key")
                         .agg(
                             F.max("id").alias("id"),
                             F.count(F.lit(1)).alias("n"),
@@ -1046,7 +1051,11 @@ class StreamTriggerRuntime:
                 STREAM_SCHEMA,
             )
         sink_files = 0
-        for qkey in self.stats:
+        # snapshot under the lock: a trigger starting concurrently inserts
+        # into stats, and a dict-size change mid-iteration raises
+        with self._lock:
+            qkeys = list(self.stats)
+        for qkey in qkeys:
             lib_name, _, trig = qkey.partition(".")
             sink = os.path.join(self.work_dir, "sink", lib_name, trig)
             if os.path.isdir(sink) and any(

@@ -297,6 +297,23 @@ def test_distributed_cc_converges_on_long_chains(spark, monkeypatch):
     assert sum(r["is_survivor"] for r in out) == 1
 
 
+def test_distributed_cc_raises_on_nonconvergence(spark, monkeypatch):
+    """Exhausting the iteration cap with labels still changing must raise,
+    not ship possibly-wrong clusters downstream: a 64-node chain cannot
+    converge in 1 round even with pointer jumping."""
+    import pytest
+
+    from redisgears_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_CC_LOCAL_EDGE_LIMIT", 0)  # force distributed
+    monkeypatch.setattr(dedup, "_CC_MAX_ITERS", 1)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs)
+
+
 def test_shuffle_pack_prefix_sum_invariant(spark, sf_dir):
     """Same contract as pack_shards, over the shuffled order: sorting the
     output by (md5(doc_id), doc_id) must reproduce the exclusive running
