@@ -1097,6 +1097,88 @@ _CDC_RESULT_SCHEMA = (
 )
 
 
+def _make_cdc_partition_processor(fn, on_fired, sink_dir):
+    """Fused executor-side CDC processor (the keyspace twin of
+    _make_partition_processor): each task appends ALL its result rows (the
+    CDC sink keeps every status) to sink_dir — one part file per Arrow
+    chunk, bounded memory — and yields one status='stats' metadata row, so
+    a micro-batch (or a replay) is ONE job collecting |tasks| tiny rows.
+    Shared by the live trigger loop and replay_errors."""
+
+    def process_partition(pdf_iter):
+        schema = _arrow_cdc_schema()
+        n_ok = n_err = 0
+        an_error = None
+        for pdf in pdf_iter:
+            n = len(pdf)
+            if not n:
+                continue
+            pdf = pdf.sort_values("seq")
+            # tolist() for seq/ts: callbacks receive native int and
+            # pd.Timestamp, never numpy scalars (API stability — see
+            # the stream processor above)
+            seqs = pdf["seq"].tolist()
+            keys = pdf["key"].to_numpy()
+            events = pdf["event"].to_numpy()
+            tss = pdf["ts"].tolist()
+            snaps = pdf["snapshot"].to_numpy()
+            status = ["ok"] * n
+            result: list = [None] * n
+            error: list = [None] * n
+            for i in range(n):
+                try:
+                    snap = snaps[i]
+                    data = {
+                        "event": events[i],
+                        "key": keys[i],
+                        "ts": tss[i],
+                        # event-time snapshot (onTriggerFired stage):
+                        # values captured when the event was produced
+                        "snapshot": dict(snap) if snap is not None else {},
+                    }
+                    if on_fired is not None:
+                        data["snapshot_view"] = on_fired(data)
+                    res = fn(data)
+                    if res is not None:
+                        result[i] = json.dumps(res, default=str)
+                    n_ok += 1
+                except Exception as e:
+                    status[i] = "error"
+                    error[i] = f"{type(e).__name__}: {e}"
+                    an_error = error[i]
+                    n_err += 1
+            _write_parquet_part(
+                pd.DataFrame(
+                    {
+                        "seq": seqs,
+                        "key": keys,
+                        "event": events,
+                        "status": status,
+                        "result": result,
+                        "error": error,
+                    }
+                ),
+                sink_dir,
+                schema,
+            )
+        yield pd.DataFrame(
+            [
+                {
+                    "seq": 0,
+                    "key": "",
+                    "event": "",
+                    "status": "stats",
+                    "result": json.dumps(
+                        {"ok": n_ok, "err": n_err, "an_error": an_error}
+                    ),
+                    "error": None,
+                }
+            ]
+        )
+
+    return process_partition
+
+
 class KeyspaceTriggerRuntime:
     """CDC-trigger runtime over a `changes` feed.
 
@@ -1160,81 +1242,9 @@ class KeyspaceTriggerRuntime:
         on_fired = spec["on_trigger_fired"]
         runtime = self
 
-        def process_partition(pdf_iter):
-            # fused custom sink (see _make_partition_processor): each task
-            # appends ALL its result rows (the CDC sink keeps every status)
-            # to sink_dir executor-side — one part file per Arrow chunk,
-            # bounded memory — and yields one status='stats' metadata row,
-            # so a micro-batch is ONE job collecting |tasks| tiny rows
-            schema = _arrow_cdc_schema()
-            n_ok = n_err = 0
-            an_error = None
-            for pdf in pdf_iter:
-                n = len(pdf)
-                if not n:
-                    continue
-                pdf = pdf.sort_values("seq")
-                # tolist() for seq/ts: callbacks receive native int and
-                # pd.Timestamp, never numpy scalars (API stability — see
-                # the stream processor above)
-                seqs = pdf["seq"].tolist()
-                keys = pdf["key"].to_numpy()
-                events = pdf["event"].to_numpy()
-                tss = pdf["ts"].tolist()
-                snaps = pdf["snapshot"].to_numpy()
-                status = ["ok"] * n
-                result: list = [None] * n
-                error: list = [None] * n
-                for i in range(n):
-                    try:
-                        snap = snaps[i]
-                        data = {
-                            "event": events[i],
-                            "key": keys[i],
-                            "ts": tss[i],
-                            # event-time snapshot (onTriggerFired stage):
-                            # values captured when the event was produced
-                            "snapshot": dict(snap) if snap is not None else {},
-                        }
-                        if on_fired is not None:
-                            data["snapshot_view"] = on_fired(data)
-                        res = fn(data)
-                        if res is not None:
-                            result[i] = json.dumps(res, default=str)
-                        n_ok += 1
-                    except Exception as e:
-                        status[i] = "error"
-                        error[i] = f"{type(e).__name__}: {e}"
-                        an_error = error[i]
-                        n_err += 1
-                _write_parquet_part(
-                    pd.DataFrame(
-                        {
-                            "seq": seqs,
-                            "key": keys,
-                            "event": events,
-                            "status": status,
-                            "result": result,
-                            "error": error,
-                        }
-                    ),
-                    sink_dir,
-                    schema,
-                )
-            yield pd.DataFrame(
-                [
-                    {
-                        "seq": 0,
-                        "key": "",
-                        "event": "",
-                        "status": "stats",
-                        "result": json.dumps(
-                            {"ok": n_ok, "err": n_err, "an_error": an_error}
-                        ),
-                        "error": None,
-                    }
-                ]
-            )
+        process_partition = _make_cdc_partition_processor(
+            fn, on_fired, sink_dir
+        )
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             matched = batch_df.filter(
@@ -1334,6 +1344,99 @@ class KeyspaceTriggerRuntime:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def read_errors(self, lib_name: str, trigger: str) -> DataFrame:
+        """CDC dead-letter view — parity with the stream runtime's
+        read_errors (the reference surfaces last_error + counters
+        identically for keyspace and stream triggers,
+        keys_notifications.rs:113-208, so the recovery surface matches
+        too). The CDC sink keeps every status, so the DLQ is the set of
+        change records whose LATEST resolution is still 'error' after the
+        exactly-once collapse (a record that errored once and succeeded on
+        a task retry is not dead). Rows keep (seq, key, event) — seq is
+        the change feed's idempotency key, so a fixed callback can re-run
+        exactly the failed set. Empty/missing sink → empty DataFrame."""
+        sink_dir = os.path.join(self.work_dir, "cdc_sink", lib_name, trigger)
+        if not os.path.isdir(sink_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(sink_dir)
+        ):
+            return self.spark.createDataFrame([], _CDC_RESULT_SCHEMA)
+        return self.read_sink(lib_name, trigger, exactly_once=True).filter(
+            F.col("status") == "error"
+        )
+
+    def replay_errors(
+        self,
+        lib_name: str,
+        trigger: str,
+        fn: Callable[[dict], Any] | None = None,
+    ) -> dict[str, int]:
+        """Re-run the CDC dead-letter queue: re-read exactly the failed
+        change records from the FEED (the replayable system of record —
+        DLQ rows carry identity, not payloads, and the event-time snapshot
+        lives in the feed row), push them through `fn` (default: the
+        trigger's current callback, i.e. whatever a library upgrade fixed
+        it to), and append the results to the sink. No explicit DLQ swap
+        is needed: the sink keeps every status and the exactly-once
+        collapse prefers 'ok', so a replayed success retires its error row
+        while a still-failing record stays dead. Feed rows trimmed away
+        since the failure are reported as "unreplayable" and REMAIN in the
+        DLQ view. Returns {"replayed", "ok", "still_failing",
+        "unreplayable"}. Run while the trigger is stopped; stats shift
+        replayed successes n_failed → n_success."""
+        lib = self.engine._libraries[lib_name]
+        spec = lib.keyspace_triggers[trigger]
+        fn = fn or spec["fn"]
+        if fn is None:
+            raise ValueError(
+                "replay needs a callback (declarative triggers do not "
+                "produce per-record errors)"
+            )
+        sink_dir = os.path.join(self.work_dir, "cdc_sink", lib_name, trigger)
+        failed = self.read_errors(lib_name, trigger).select("seq").distinct()
+        n_failed = failed.count()
+        if n_failed == 0:
+            return {
+                "replayed": 0,
+                "ok": 0,
+                "still_failing": 0,
+                "unreplayable": 0,
+            }
+        feed = self.spark.read.schema(CHANGES_SCHEMA).parquet(
+            self.changes_dir
+        )
+        src = feed.join(F.broadcast(failed), ["seq"], "left_semi")
+        n_replayed = src.select("seq").distinct().count()
+        n_unreplayable = n_failed - n_replayed
+        processor = _make_cdc_partition_processor(
+            fn, spec["on_trigger_fired"], sink_dir
+        )
+        n_ok = n_err = 0
+        for r in (
+            src.repartition(
+                self.spark.sparkContext.defaultParallelism, "key"
+            )
+            .sortWithinPartitions("key", "seq")
+            .mapInPandas(processor, _CDC_RESULT_SCHEMA)
+            .collect()
+        ):
+            if r["status"] == "stats":
+                d = json.loads(r["result"])
+                n_ok += d["ok"]
+                n_err += d["err"]
+        qkey = f"{lib_name}.{trigger}"
+        with self._lock:
+            if qkey in self.stats:
+                self.stats[qkey].n_success += n_ok
+                self.stats[qkey].n_failed = max(
+                    0, self.stats[qkey].n_failed - n_ok
+                )
+        return {
+            "replayed": n_replayed,
+            "ok": n_ok,
+            "still_failing": n_err,
+            "unreplayable": n_unreplayable,
+        }
 
     def stop_all(self) -> None:
         for q in self.queries.values():

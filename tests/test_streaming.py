@@ -52,6 +52,16 @@ def fails_on_errors(record: dict) -> dict:
     return {"ok": record["id"]}
 
 
+def cdc_fails_on_del(data: dict) -> dict:
+    if data["event"] == "del":
+        raise ValueError(f"bad change {data['key']}")
+    return {"key": data["key"], "event": data["event"]}
+
+
+def cdc_any_event(data: dict) -> dict:
+    return {"key": data["key"], "event": data["event"]}
+
+
 class TestStreamTriggers:
     def test_basic_consume_and_stats(self, spark, sf_dir, spool, work):
         engine = GearsEngine(spark, sf_dir)
@@ -1785,6 +1795,121 @@ class TestDeadLetterQueue:
             "still_failing": 0,
             "unreplayable": 0,
         }
+
+
+class TestCdcDeadLetterQueue:
+    """DLQ parity for keyspace (CDC) triggers: the reference surfaces
+    last_error/counters identically for stream and keyspace triggers
+    (keys_notifications.rs:113-208), so the recovery surface matches the
+    stream runtime's read_errors/replay_errors."""
+
+    def _setup(self, spark, sf_dir, tmp_path, fn=cdc_fails_on_del):
+        changes = str(tmp_path / "changes")
+        work = str(tmp_path / "work")
+        engine = GearsEngine(spark, sf_dir)
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger("k", prefix="user:", fn=fn),
+            name="cdclib",
+        )
+        rt = KeyspaceTriggerRuntime(engine, changes, work)
+        rt.append_changes(
+            [
+                {"seq": 1, "event": "set", "key": "user:1",
+                 "snapshot": {"v": "a"}},
+                {"seq": 2, "event": "del", "key": "user:2"},
+                {"seq": 3, "event": "set", "key": "user:3",
+                 "snapshot": {"v": "b"}},
+                {"seq": 4, "event": "del", "key": "user:4"},
+                {"seq": 5, "event": "set", "key": "other:9"},  # prefix-filtered
+            ]
+        )
+        rt.start_trigger(lib, "k")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        return rt
+
+    def test_read_errors_exposes_failed_changes(self, spark, sf_dir, tmp_path):
+        rt = self._setup(spark, sf_dir, tmp_path)
+        st = rt.stats["cdclib.k"]
+        assert st.n_success == 2 and st.n_failed == 2
+        errs = rt.read_errors("cdclib", "k").collect()
+        assert {r["seq"] for r in errs} == {2, 4}
+        assert all(r["status"] == "error" for r in errs)
+        assert all("bad change" in r["error"] for r in errs)
+        # clean trigger on an empty sink dir → empty frame, same schema
+        empty = rt.read_errors("cdclib", "nope")
+        assert empty.count() == 0
+
+    def test_replay_errors_with_fixed_callback(self, spark, sf_dir, tmp_path):
+        import os
+
+        rt = self._setup(spark, sf_dir, tmp_path)
+        sink = str(tmp_path / "work" / "cdc_sink" / "cdclib" / "k")
+        out = rt.replay_errors("cdclib", "k", fn=cdc_any_event)  # the fix
+        assert out == {
+            "replayed": 2,
+            "ok": 2,
+            "still_failing": 0,
+            "unreplayable": 0,
+        }
+        # the DLQ view retires replayed successes via the exactly-once
+        # collapse — no rows left dead
+        assert rt.read_errors("cdclib", "k").count() == 0
+        resolved = {
+            (r["seq"], r["status"])
+            for r in rt.read_sink("cdclib", "k").collect()
+        }
+        assert resolved == {(1, "ok"), (2, "ok"), (3, "ok"), (4, "ok")}
+        assert rt.stats["cdclib.k"].n_success == 4
+        assert rt.stats["cdclib.k"].n_failed == 0
+        assert os.path.isdir(sink)
+
+    def test_replay_still_failing_and_idempotent_on_empty(
+        self, spark, sf_dir, tmp_path
+    ):
+        rt = self._setup(spark, sf_dir, tmp_path)
+        # replay with the SAME broken callback: everything still fails
+        out = rt.replay_errors("cdclib", "k")
+        assert out == {
+            "replayed": 2,
+            "ok": 0,
+            "still_failing": 2,
+            "unreplayable": 0,
+        }
+        assert rt.read_errors("cdclib", "k").count() == 2
+        # now fix it; then an empty-DLQ replay is a no-op
+        out = rt.replay_errors("cdclib", "k", fn=cdc_any_event)
+        assert out["ok"] == 2
+        out = rt.replay_errors("cdclib", "k", fn=cdc_any_event)
+        assert out == {
+            "replayed": 0,
+            "ok": 0,
+            "still_failing": 0,
+            "unreplayable": 0,
+        }
+
+    def test_replay_after_feed_truncation_retains_dlq(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A DLQ entry whose change record is gone from the feed is
+        reported as unreplayable and REMAINS dead — never silently
+        resolved or dropped."""
+        import glob as _glob
+        import os
+
+        rt = self._setup(spark, sf_dir, tmp_path)
+        for f in _glob.glob(str(tmp_path / "changes" / "*.parquet")):
+            os.remove(f)
+        out = rt.replay_errors("cdclib", "k", fn=cdc_any_event)
+        assert out == {
+            "replayed": 0,
+            "ok": 0,
+            "still_failing": 0,
+            "unreplayable": 2,
+        }
+        assert rt.read_errors("cdclib", "k").count() == 2
 
     def test_replay_after_retention_retains_dlq(
         self, spark, sf_dir, spool, work
