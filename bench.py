@@ -470,6 +470,37 @@ def bench_keyspace(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_ann_recall(spark, sf_dir: str) -> dict:
+    """recall@k of each ANN path vs the exact brute-force top-k, on the
+    bench corpus — the speed numbers in `queries` are meaningless without
+    the quality they buy, so the tradeoff is a tracked artifact. All
+    pipelines are deterministic, so recall is a fixed number per fixture
+    (floors pinned in tests/test_pipeline_ops.py; this records the exact
+    values at the bench scale factor)."""
+    from redisgears_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_ann_lsh,
+        sim_ann_pq,
+        sim_topk_bruteforce,
+    )
+
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    out = {}
+    for name, fn in (
+        ("sim_ann_lsh", sim_ann_lsh),
+        ("sim_ann_ivf", sim_ann_ivf),
+        ("sim_ann_pq", sim_ann_pq),
+    ):
+        got = {(r["q_id"], r["n_id"]) for r in fn(spark, sf_dir).collect()}
+        out[name] = (
+            round(len(truth & got) / len(truth), 4) if truth else None
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -542,6 +573,7 @@ def main() -> None:
     keyspace_expr = bench_keyspace(spark, sf_dir, mode="expr")
     fcall = bench_fcall(spark, sf_dir)
     commandlog = bench_commandlog(spark, sf_dir)
+    ann_recall = bench_ann_recall(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -557,6 +589,7 @@ def main() -> None:
         "keyspace_expr": keyspace_expr,
         "fcall": fcall,
         "commandlog": commandlog,
+        "ann_recall": ann_recall,
         "bucketed_join": bucketed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

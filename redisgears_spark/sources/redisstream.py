@@ -1,0 +1,435 @@
+"""Live Redis stream source — `spark.read/readStream.format("gears_redis")`.
+
+The reference's whole identity is "triggers on Redis streams": its stream
+reader iterates a stream from `last_read_id` exclusive, one batch at a
+time (stream_reader.rs:278-297 `read_next_data`), discovers pre-existing
+streams by scanning the keyspace for keys matching the registered prefix
+(lib.rs:1546-1574 `scan_key_space_for_streams`), and trims consumed
+entries to the slowest consumer (stream_reader.rs:60-110). This module is
+that contract as a Spark DataSource over a live Redis server:
+
+  * **batch** (`spark.read`): one InputPartition PER STREAM KEY — keys
+    are discovered driver-side with `SCAN MATCH <prefix>* TYPE stream`
+    (the reference's bootstrap scan), then each partition `XRANGE`s its
+    key on an executor. Thousands of streams parallelize across the
+    cluster; a single huge stream is one partition by design (Redis
+    itself serves a stream from one node).
+  * **streaming tail** (`spark.readStream`): a
+    `SimpleDataSourceStreamReader` whose offset is the LAST CONSUMED ID
+    PER KEY — `{"last": {stream_key: "ms-seq"}}` — exactly the
+    reference's `last_read_id` map. Each micro-batch re-scans for
+    matching keys (new streams are picked up like the reference's
+    notification path) and `XRANGE (last +` per key. Replay for recovery
+    (`readBetweenOffsets`) re-reads precisely `(start, end]` per key, so
+    a restarted query re-emits the in-flight batch — exactly-once from a
+    replayable source, PROVIDED `XTRIM` has not trimmed past the
+    uncommitted window (trim via the engine's `maintain()`, which uses
+    the min-frontier = slowest consumer, and this holds by
+    construction).
+
+Rows land in the engine's canonical stream shape (COMMANDLOG_SCHEMA ==
+STREAM_SCHEMA): `stream_key, id (= ms*2^20 + seq, order-preserving),
+id_ts, fields, record`. Entries outside the packable id space
+(seq >= 2^20, ms >= 2^43) are skipped, same documented rule as the
+command-log reader. `record` (the ordered duplicate-field pair list) is
+always null here: redis-py returns entry fields as a dict, which
+collapses duplicate field names last-wins — the map view is exact, the
+ordered-pair fidelity is only available from the command-log source.
+
+**No Redis server in CI**: the client is built by `_make_client`, which
+imports `redis` (redis-py, public API) unless the options carry
+`fake_path` — then it returns `FakeRedis`, a file-backed in-memory
+stand-in implementing exactly the public Redis semantics this module
+uses (SCAN TYPE filter, XADD explicit ids, XRANGE with `(`-exclusive
+min, XTRIM MINID). File-backed because Spark runs Python data sources in
+separate worker processes: a monkeypatched in-process mock would not
+cross that boundary, a shared JSONL spool does. The contract tests drive
+both the batch and streaming paths end-to-end over the fake; pointing at
+a real server is the same code with host/port options.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+from redisgears_spark.sources.commandlog import (
+    COMMANDLOG_SCHEMA,
+    _MS_MAX,
+    _SEQ_SPACE,
+)
+
+REDIS_STREAM_SCHEMA = COMMANDLOG_SCHEMA  # one canonical stream shape
+
+
+def pack_id(id_str: str) -> int | None:
+    """'ms-seq' → ms * 2^20 + seq, or None when outside the packable
+    space (same skip rule as the command-log grammar)."""
+    ms_s, _, seq_s = id_str.partition("-")
+    if not (
+        ms_s.isascii()
+        and ms_s.isdecimal()
+        and seq_s.isascii()
+        and seq_s.isdecimal()
+    ):
+        return None
+    ms, seq = int(ms_s), int(seq_s)
+    if not (0 <= seq < _SEQ_SPACE) or not (0 <= ms < _MS_MAX):
+        return None
+    return ms * _SEQ_SPACE + seq
+
+
+def unpack_id(packed: int) -> str:
+    """Inverse of pack_id — packed int64 → 'ms-seq' (for XTRIM MINID)."""
+    return f"{packed // _SEQ_SPACE}-{packed % _SEQ_SPACE}"
+
+
+def _entry_rows(stream_key: str, entries):
+    """redis-py XRANGE result → canonical rows (skips unpackable ids)."""
+    for id_str, fields in entries:
+        if isinstance(id_str, bytes):
+            id_str = id_str.decode()
+        packed = pack_id(id_str)
+        if packed is None:
+            continue
+        fields = {
+            (k.decode() if isinstance(k, bytes) else k): (
+                v.decode() if isinstance(v, bytes) else v
+            )
+            for k, v in fields.items()
+        }
+        ms = packed // _SEQ_SPACE
+        yield (
+            stream_key,
+            packed,
+            datetime.datetime.fromtimestamp(
+                ms / 1000.0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None),
+            fields,
+            None,  # ordered duplicate pairs unavailable via redis-py
+        )
+
+
+# ---------------------------------------------------------------------------
+# client construction
+# ---------------------------------------------------------------------------
+
+
+def _make_client(options: dict):
+    """Build the Redis client from data-source options.
+
+    `fake_path` (test/offline transport) → `FakeRedis` over that spool
+    file. Otherwise redis-py over host/port/db/password —
+    `decode_responses=True` so keys/fields arrive as str (the row
+    converter also tolerates bytes for injected clients)."""
+    fake = options.get("fake_path")
+    if fake:
+        return FakeRedis(fake)
+    try:
+        import redis  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - no redis-py in sandbox
+        raise ImportError(
+            "gears_redis needs the `redis` package (pip install redis) "
+            "unless a `fake_path` option is given"
+        ) from e
+    return redis.Redis(  # pragma: no cover - needs a live server
+        host=options.get("host", "localhost"),
+        port=int(options.get("port", "6379")),
+        db=int(options.get("db", "0")),
+        password=options.get("password") or None,
+        decode_responses=True,
+    )
+
+
+def _scan_stream_keys(client, eqs: tuple, prefixes: tuple) -> list[str]:
+    """Discover matching stream keys (the reference's bootstrap scan,
+    lib.rs:1546-1574). Pushed equalities short-circuit to direct
+    existence probes; otherwise SCAN with the narrowest prefix MATCH."""
+    if eqs:
+        keys = [k for k in eqs if client.type(k) == "stream"]
+    else:
+        match = prefixes[0] + "*" if len(prefixes) == 1 else "*"
+        keys = [
+            k.decode() if isinstance(k, bytes) else k
+            for k in client.scan_iter(match=match, _type="STREAM")
+        ]
+    keys = [
+        k
+        for k in keys
+        if all(k.startswith(p) for p in prefixes)
+        and all(k == e for e in eqs)
+    ]
+    return sorted(set(keys))
+
+
+# ---------------------------------------------------------------------------
+# batch reader
+# ---------------------------------------------------------------------------
+
+
+class _KeyPartition(InputPartition):
+    def __init__(self, key: str, options: dict):
+        self.key = key
+        # options only (strings + picklable FakeRedis path) — a live
+        # redis-py connection is not picklable; each task reconnects
+        self.options = options
+
+
+class RedisBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self._key_eqs: list[str] = []
+        self._key_prefixes: list[str] = []
+        if options.get("match", "").endswith("*"):
+            self._key_prefixes.append(options["match"][:-1])
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # conjunctive — every accepted filter narrows key discovery
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("stream_key",):
+                self._key_eqs.append(f.value)
+            elif isinstance(f, StringStartsWith) and f.attribute == (
+                "stream_key",
+            ):
+                self._key_prefixes.append(f.value)
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        client = _make_client(self.options)
+        keys = _scan_stream_keys(
+            client, tuple(self._key_eqs), tuple(self._key_prefixes)
+        )
+        return [_KeyPartition(k, self.options) for k in keys]
+
+    def read(self, partition: _KeyPartition):
+        client = _make_client(partition.options)
+        yield from _entry_rows(
+            partition.key, client.xrange(partition.key, "-", "+")
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming tail
+# ---------------------------------------------------------------------------
+
+
+class RedisStreamTailReader(SimpleDataSourceStreamReader):
+    """Offset = {"last": {stream_key: "ms-seq"}} — the reference's
+    per-stream `last_read_id` map. First batch backfills every matching
+    stream from the beginning (scan_key_space_for_streams semantics);
+    keys created later are discovered on their first batch.
+
+    Driver-side parsing, like the command-log tail: right for a live
+    trigger feed (micro-batches are small); a multi-GB historical
+    backfill should go through the batch reader's per-key partitions.
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        prefixes: list[str] = []
+        if options.get("match", "").endswith("*"):
+            prefixes.append(options["match"][:-1])
+        self._prefixes = tuple(prefixes)
+        self._count = int(options.get("batch_limit", "10000"))
+        self._client = None
+
+    def _c(self):
+        if self._client is None:
+            self._client = _make_client(self.options)
+        return self._client
+
+    def initialOffset(self) -> dict:
+        return {"last": {}}
+
+    def read(self, start: dict):
+        last: dict = dict(start.get("last", {}))
+        client = self._c()
+        rows: list = []
+        for key in _scan_stream_keys(client, (), self._prefixes):
+            lo = "(" + last[key] if key in last else "-"
+            entries = client.xrange(key, lo, "+", count=self._count)
+            if entries:
+                new_rows = list(_entry_rows(key, entries))
+                rows.extend(new_rows)
+                eid = entries[-1][0]
+                last[key] = eid.decode() if isinstance(eid, bytes) else eid
+        return iter(rows), {"last": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = start.get("last", {}), end.get("last", {})
+        client = self._c()
+        rows: list = []
+        for key, hi in e.items():
+            lo = "(" + s[key] if key in s else "-"
+            if key in s and s[key] == hi:
+                continue  # no new entries for this key in (start, end]
+            rows.extend(_entry_rows(key, client.xrange(key, lo, hi)))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # trimming is the engine's job (maintain() → XTRIM MINID)
+
+
+class RedisStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gears_redis"
+
+    def schema(self) -> StructType:
+        return REDIS_STREAM_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RedisBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return RedisStreamTailReader(self.options)
+
+
+def register_redis_source(spark) -> None:
+    """Register for this session:
+    `spark.read.format("gears_redis").option("match", "user:*")` plus
+    host/port/db/password (or `fake_path`). Enables Python-source filter
+    pushdown (the batch reader narrows key discovery with pushed
+    stream_key predicates)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RedisStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# file-backed fake client (no server in the sandbox)
+# ---------------------------------------------------------------------------
+
+
+class FakeRedis:
+    """In-memory-semantics, file-backed stand-in for the redis-py subset
+    this module uses. State is one JSONL spool: each line
+    `{"key": ..., "id": "ms-seq", "fields": {...}}` appended by `xadd`
+    (or `{"trim": ...}` markers) — append-only, so concurrent readers in
+    other processes (Spark's Python source runners) always see a
+    consistent prefix. Explicit ids only: `xadd(..., id="*")` raises,
+    auto-id needs a server clock and would make tests nondeterministic.
+
+    Semantics mirrored from public Redis docs: XADD enforces strictly
+    increasing ids per key; XRANGE is inclusive with `(`-exclusive
+    bounds and COUNT; SCAN TYPE filters to streams; XTRIM MINID drops
+    entries with id < minid and returns the evicted count.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if not os.path.exists(path):
+            with open(path, "a", encoding="utf-8"):
+                pass
+
+    # -- state ------------------------------------------------------------
+
+    def _streams(self) -> dict[str, list[tuple[int, str, dict]]]:
+        streams: dict[str, list] = {}
+        with open(self.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                if "trim" in d:
+                    minid = pack_id(d["minid"])
+                    streams[d["trim"]] = [
+                        e
+                        for e in streams.get(d["trim"], [])
+                        if e[0] >= minid
+                    ]
+                elif "del" in d:
+                    streams.pop(d["del"], None)
+                else:
+                    packed = pack_id(d["id"])
+                    if packed is None:
+                        raise ValueError(f"unrepresentable id {d['id']!r}")
+                    streams.setdefault(d["key"], []).append(
+                        (packed, d["id"], d["fields"])
+                    )
+        return streams
+
+    def _append(self, obj: dict) -> None:
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(obj) + "\n")
+
+    # -- redis-py subset ---------------------------------------------------
+
+    def xadd(self, name: str, fields: dict, id: str = "*") -> str:
+        if id == "*":
+            raise ValueError(
+                "FakeRedis needs explicit 'ms-seq' ids (deterministic "
+                "tests); auto-id needs a server clock"
+            )
+        packed = pack_id(id)
+        if packed is None:
+            raise ValueError(f"id {id!r} outside the packable space")
+        entries = self._streams().get(name, [])
+        if entries and packed <= entries[-1][0]:
+            raise ValueError(
+                "XADD: The ID specified in XADD is equal or smaller than "
+                "the target stream top item"
+            )
+        self._append(
+            {"key": name, "id": id, "fields": {str(k): str(v) for k, v in fields.items()}}
+        )
+        return id
+
+    def xrange(self, name: str, min: str = "-", max: str = "+", count=None):
+        lo_excl = False
+        if isinstance(min, str) and min.startswith("("):
+            lo_excl, min = True, min[1:]
+        lo = 0 if min == "-" else pack_id(min if "-" in min else min + "-0")
+        hi = (
+            (1 << 63) - 1
+            if max == "+"
+            else pack_id(max if "-" in max else max + f"-{_SEQ_SPACE - 1}")
+        )
+        out = [
+            (id_str, dict(fields))
+            for packed, id_str, fields in self._streams().get(name, [])
+            if (packed > lo if lo_excl else packed >= lo) and packed <= hi
+        ]
+        return out[:count] if count else out
+
+    def scan_iter(self, match: str = "*", _type: str | None = None):
+        if _type is not None and _type.upper() != "STREAM":
+            return
+        prefix = match[:-1] if match.endswith("*") else None
+        for key in sorted(self._streams()):
+            if prefix is None:
+                if key == match:
+                    yield key
+            elif key.startswith(prefix):
+                yield key
+
+    def type(self, name: str) -> str:
+        return "stream" if name in self._streams() else "none"
+
+    def xtrim(self, name: str, minid: str | int | None = None, **kw) -> int:
+        if minid is None:
+            raise ValueError("FakeRedis supports XTRIM MINID only")
+        minid_s = unpack_id(minid) if isinstance(minid, int) else minid
+        before = len(self._streams().get(name, []))
+        self._append({"trim": name, "minid": minid_s})
+        return before - len(self._streams().get(name, []))
+
+    def delete(self, name: str) -> int:
+        existed = int(name in self._streams())
+        self._append({"del": name})
+        return existed

@@ -366,24 +366,41 @@ class StreamTriggerRuntime:
         work_dir: str,
         source_adapter: Callable[[DataFrame], DataFrame] | None = None,
         source_format: str = "parquet",
+        source_options: dict | None = None,
     ):
         """`source_format="commandlog"` consumes an AOF command-log spool
         (directory of XADD segments) through sources/commandlog.py's
         streaming tail instead of a parquet spool — the reference's own
         persistence format as a live trigger source. The adapter is not
-        used there (the source already emits the canonical shape)."""
+        used there (the source already emits the canonical shape).
+
+        `source_format="redis"` consumes a live Redis server through
+        sources/redisstream.py — "point this at my Redis", the
+        reference's native deployment shape. `source_options` carries the
+        gears_redis options (host/port/db/password or fake_path, plus
+        match="prefix*"); spool_dir is unused. maintain() then trims
+        consumed entries with XTRIM MINID at the min-frontier — the
+        reference's trim-to-slowest-consumer (stream_reader.rs:60-110)
+        against the real server."""
         self.engine = engine
         self.spark: SparkSession = engine.spark
         self.spool_dir = spool_dir
         self.work_dir = work_dir
         self.source_adapter = source_adapter
         self.source_format = source_format
+        self.source_options = dict(source_options or {})
         if source_format == "commandlog":
             from redisgears_spark.sources.commandlog import (
                 register_commandlog_source,
             )
 
             register_commandlog_source(self.spark)
+        elif source_format == "redis":
+            from redisgears_spark.sources.redisstream import (
+                register_redis_source,
+            )
+
+            register_redis_source(self.spark)
         self.stats: dict[str, TriggerStats] = {}
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
@@ -484,6 +501,13 @@ class StreamTriggerRuntime:
             base = (
                 self.spark.readStream.format("gears_commandlog")
                 .option("path", self.spool_dir)
+                .load()
+            )
+        elif self.source_format == "redis":
+            # live-server tail — canonical shape, per-key last-id offsets
+            base = (
+                self.spark.readStream.format("gears_redis")
+                .options(**self.source_options)
                 .load()
             )
         elif self.source_adapter is not None:
@@ -955,6 +979,12 @@ class StreamTriggerRuntime:
                 .option("path", self.spool_dir)
                 .load()
             )
+        if self.source_format == "redis":
+            return (
+                self.spark.read.format("gears_redis")
+                .options(**self.source_options)
+                .load()
+            )
         if self.source_adapter is not None:
             return self.source_adapter(
                 self.spark.read.schema(raw_schema).parquet(self.spool_dir)
@@ -1050,6 +1080,19 @@ class StreamTriggerRuntime:
                 self.min_frontier(),
                 STREAM_SCHEMA,
             )
+        elif self.source_format == "redis":
+            # the reference's trim-to-slowest-consumer against the real
+            # server: XTRIM MINID frontier+1 drops entries every consumer
+            # has acked (frontier is inclusive). Driver-side loop over
+            # |streams| keys — trim is a control-plane call, not a scan.
+            from redisgears_spark.sources.redisstream import (
+                _make_client,
+                unpack_id,
+            )
+
+            client = _make_client(self.source_options)
+            for key, fid in self.min_frontier().items():
+                evicted += int(client.xtrim(key, minid=unpack_id(fid + 1)))
         sink_files = 0
         # snapshot under the lock: a trigger starting concurrently inserts
         # into stats, and a dict-size change mid-iteration raises

@@ -1,0 +1,243 @@
+"""Live-Redis stream source (gears_redis): the reference's native
+deployment shape — triggers on Redis streams (stream_reader.rs:278-297,
+lib.rs:1546-1574) — driven end-to-end over the file-backed FakeRedis
+client (no server in the sandbox; redis-py path is the same code behind
+host/port options)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redisgears_spark.sources.redisstream import (
+    FakeRedis,
+    pack_id,
+    register_redis_source,
+    unpack_id,
+)
+
+_MS = 1700000000123
+
+
+def _id(ms: int, seq: int = 0) -> str:
+    return f"{ms}-{seq}"
+
+
+@pytest.fixture()
+def fake(tmp_path):
+    c = FakeRedis(str(tmp_path / "redis.jsonl"))
+    c.xadd("user:1", {"event_type": "view", "value": "3.5"}, id=_id(_MS, 1))
+    c.xadd("user:2", {"event_type": "purchase", "value": "9.0"}, id=_id(_MS + 1, 2))
+    c.xadd("other:9", {"event_type": "click", "value": "1.0"}, id=_id(_MS + 2))
+    c.xadd("user:1", {"event_type": "click", "value": "2.0"}, id=_id(_MS + 3, 1))
+    return c
+
+
+def _read(spark, fake, **opts):
+    register_redis_source(spark)
+    r = spark.read.format("gears_redis").option("fake_path", fake.path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+class TestFakeRedis:
+    """The stand-in must honor the public Redis semantics the source
+    relies on — otherwise the contract tests prove nothing."""
+
+    def test_xadd_enforces_monotonic_ids(self, fake):
+        with pytest.raises(ValueError, match="equal or smaller"):
+            fake.xadd("user:1", {"a": "1"}, id=_id(_MS, 1))
+        with pytest.raises(ValueError, match="explicit"):
+            fake.xadd("user:1", {"a": "1"})  # auto-id
+
+    def test_xrange_bounds_and_count(self, fake):
+        assert len(fake.xrange("user:1", "-", "+")) == 2
+        # (-exclusive lower bound: the tail's resume contract
+        assert [
+            i for i, _ in fake.xrange("user:1", "(" + _id(_MS, 1), "+")
+        ] == [_id(_MS + 3, 1)]
+        assert len(fake.xrange("user:1", "-", "+", count=1)) == 1
+        # ms-only bounds round to full-second range like real XRANGE
+        assert len(fake.xrange("user:1", str(_MS), str(_MS))) == 1
+
+    def test_scan_and_type_and_trim(self, fake):
+        assert list(fake.scan_iter(match="user:*", _type="STREAM")) == [
+            "user:1",
+            "user:2",
+        ]
+        assert fake.type("user:1") == "stream"
+        assert fake.type("nope") == "none"
+        assert fake.xtrim("user:1", minid=_id(_MS + 3, 1)) == 1
+        assert [i for i, _ in fake.xrange("user:1", "-", "+")] == [
+            _id(_MS + 3, 1)
+        ]
+
+    def test_state_shared_across_instances(self, fake):
+        """Two clients over one spool see the same streams — the proxy
+        for Spark's separate Python source-runner processes."""
+        other = FakeRedis(fake.path)
+        assert other.type("user:2") == "stream"
+        other.xadd("user:3", {"a": "1"}, id=_id(_MS + 9))
+        assert fake.type("user:3") == "stream"
+
+
+def test_pack_unpack_roundtrip():
+    assert unpack_id(pack_id("1700000000123-5")) == "1700000000123-5"
+    assert pack_id("bad") is None
+    assert pack_id(f"{_MS}-{1 << 20}") is None  # seq outside packed space
+    assert pack_id(f"{1 << 43}-0") is None  # ms outside packed space
+
+
+def test_batch_read_canonical_shape(spark, fake):
+    rows = {r["id"]: r for r in _read(spark, fake).collect()}
+    assert len(rows) == 4
+    r = rows[pack_id(_id(_MS, 1))]
+    assert r["stream_key"] == "user:1"
+    assert r["fields"]["event_type"] == "view"
+    assert r["id_ts"].isoformat().startswith("2023-11-14")
+    assert r["record"] is None  # redis-py collapses duplicate fields
+
+
+def test_one_partition_per_stream_key(spark, fake):
+    df = _read(spark, fake)
+    assert df.rdd.getNumPartitions() == 3  # user:1, user:2, other:9
+
+
+def test_match_option_and_filter_pushdown(spark, fake):
+    # match option narrows discovery source-side
+    df = _read(spark, fake, match="user:*")
+    assert {r["stream_key"] for r in df.collect()} == {"user:1", "user:2"}
+    # pushed stream_key predicates narrow it further (conjunctive)
+    df2 = _read(spark, fake).filter(F.col("stream_key") == "user:1")
+    plan = df2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [EqualTo(stream_key,user:1)" in plan, plan
+    assert df2.rdd.getNumPartitions() == 1  # discovery, not post-filter
+    assert df2.count() == 2
+    df3 = _read(spark, fake).filter(F.col("stream_key").startswith("user:"))
+    assert {r["stream_key"] for r in df3.collect()} == {"user:1", "user:2"}
+
+
+def test_unpackable_entries_skipped(spark, fake):
+    """Entries outside the packable id space are skipped at read, the
+    command-log rule (injected past xadd's validation — a real server
+    accepts seqs up to 2^64)."""
+    fake._append(
+        {"key": "user:1", "id": f"{_MS + 9}-{1 << 20}", "fields": {"a": "1"}}
+    )
+    # FakeRedis itself refuses to materialize it; read via a fresh spool
+    # holding only the bad line plus one good one
+    import json
+
+    bad = FakeRedis(fake.path + ".bad")
+    bad.xadd("user:1", {"a": "1"}, id=_id(_MS))
+    with open(bad.path, "a", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {"key": "user:1", "id": f"{_MS}-99", "fields": {"b": "2"}}
+            )
+            + "\n"
+        )
+    rows = (
+        spark.read.format("gears_redis")
+        .option("fake_path", bad.path)
+        .load()
+        .collect()
+    )
+    assert {r["id"] % (1 << 20) for r in rows} == {0, 99}
+
+
+def test_streaming_tail_incremental(spark, fake, tmp_path):
+    """Pre-existing entries arrive in the first batch (backfill-on-
+    first-listing, the reference's keyspace bootstrap scan); entries and
+    NEW STREAMS appended while the query runs arrive next — exactly
+    once each."""
+    register_redis_source(spark)
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("gears_redis")
+        .option("fake_path", fake.path)
+        .option("match", "user:*")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(sink).count() == 3  # user:* backfill
+        fake.xadd("user:1", {"event_type": "buy"}, id=_id(_MS + 10))
+        fake.xadd("user:7", {"event_type": "view"}, id=_id(_MS + 11))
+        q.processAllAvailable()
+        rows = spark.read.parquet(sink).collect()
+        assert len(rows) == 5
+        assert {r["stream_key"] for r in rows} == {"user:1", "user:2", "user:7"}
+        assert sorted(r["id"] for r in rows if r["stream_key"] == "user:1") == [
+            pack_id(_id(_MS, 1)),
+            pack_id(_id(_MS + 3, 1)),
+            pack_id(_id(_MS + 10)),
+        ]
+    finally:
+        q.stop()
+
+
+def test_trigger_consumes_live_redis(spark, sf_dir, tmp_path):
+    """End-to-end "point this at my Redis": a stream trigger registered
+    over the gears_redis source — callback, stats, frontier, sink — and
+    maintain() trims acked entries on the server with XTRIM MINID at the
+    min-frontier (trim-to-slowest-consumer, stream_reader.rs:60-110)."""
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.streaming import StreamTriggerRuntime
+
+    fake = FakeRedis(str(tmp_path / "live.jsonl"))
+    for i in range(6):
+        fake.xadd(
+            f"user:{i % 2}", {"event_type": f"e{i}"}, id=_id(_MS + i, 0)
+        )
+    fake.xadd("other:9", {"event_type": "skip"}, id=_id(_MS + 9, 0))
+
+    engine = GearsEngine(spark, sf_dir)
+    lib = engine.load_library(
+        lambda l: l.register_stream_trigger(
+            "live",
+            prefix="user:",
+            expr="upper(fields['event_type'])",
+            window=10**9,
+        ),
+        name="redislib",
+    )
+    rt = StreamTriggerRuntime(
+        engine,
+        spool_dir=str(tmp_path / "unused"),
+        work_dir=str(tmp_path / "work"),
+        source_format="redis",
+        source_options={"fake_path": fake.path, "match": "user:*"},
+    )
+    rt.start_library(lib)
+    try:
+        rt.process_available()
+        st = rt.stats["redislib.live"]
+        assert st.n_success == 6
+        assert st.frontier == {
+            "user:0": pack_id(_id(_MS + 4, 0)),
+            "user:1": pack_id(_id(_MS + 5, 0)),
+        }
+        sink = {
+            (r["stream_key"], r["result"])
+            for r in rt.read_sink("redislib", "live").collect()
+        }
+        assert ("user:0", "E0") in sink and ("user:1", "E5") in sink
+        # trim-to-slowest-consumer against the server
+        out = rt.maintain()
+        assert out["evicted_rows"] == 6
+        assert fake.xrange("user:0", "-", "+") == []
+        assert fake.xrange("user:1", "-", "+") == []
+        # untracked stream untouched
+        assert len(fake.xrange("other:9", "-", "+")) == 1
+    finally:
+        rt.stop_all()
