@@ -120,21 +120,77 @@ class Background:
         self.fn = fn
 
 
+NO_PERMISSIONS_MSG = "No permissions to access a key"
+
+
+class AclUser:
+    """One ACL user: enabled flag + key glob patterns (the `~pattern`
+    rules of `ACL SETUSER alice on ~cached:*`). Command rules have no
+    Spark analog (the engine's whole surface is function dispatch) and
+    are not modeled — declared in SURVEY §2.F."""
+
+    __slots__ = ("name", "enabled", "key_patterns")
+
+    def __init__(
+        self, name: str, enabled: bool = True, key_patterns: tuple = ()
+    ):
+        self.name = name
+        self.enabled = enabled
+        self.key_patterns: tuple[str, ...] = tuple(key_patterns)
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """Redis ACL key glob → regex source (``*`` any run, ``?`` one char;
+    everything else literal). Hand-rolled instead of fnmatch.translate so
+    the SAME source is valid for Python `re` and the JVM (rlike) — the
+    trigger runtimes evaluate it Python-side today, but the source is
+    part of the contract."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
 class GearsClient:
     """What a callback receives as its first argument — the analog of the
     reference's ``client`` with its ``call(...)`` data-access surface
     (v8_native_functions.rs:513-624). Read path exposes fixture tables and
-    SQL; write path (sink registration) is gated by NO_WRITES."""
+    SQL; write path (sink registration) is gated by NO_WRITES. Keyed
+    access (`lookup`) is gated by the acting user's ACL key patterns —
+    the reference authenticates every in-callback redis call as the
+    calling user (lib.rs:700-712 `call_redis_command` →
+    `authenticate_user`)."""
 
-    def __init__(self, engine: "GearsEngine", read_only: bool):
+    def __init__(
+        self, engine: "GearsEngine", read_only: bool, user: str = "default"
+    ):
         self._engine = engine
         self._read_only = read_only
         self.spark = engine.spark
+        self.user = user
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise GearsError(f"unknown table '{name}'")
         return load_table(self.spark, self._engine.sf_dir, name)
+
+    def lookup(self, table: str, key: Any) -> DataFrame:
+        """Keyed point read — the `client.call('get', key)` analog. The
+        engine's keyspace names the row `<table>:<pk>`, and the acting
+        user's ACL patterns are checked against that name BEFORE the
+        pruned scan (the reference authenticates, then calls —
+        lib.rs:700-712)."""
+        if table not in PRIMARY_KEYS:
+            raise GearsError(f"table '{table}' has no primary key mapping")
+        self._engine.acl_check_key(self.user, f"{table}:{key}")
+        return self.table(table).filter(
+            F.col(PRIMARY_KEYS[table]) == F.lit(key)
+        )
 
     def sql(self, statement: str) -> DataFrame:
         lowered = statement.lstrip().lower()
@@ -351,6 +407,83 @@ class GearsEngine:
         self.fatal_failure_policy = fatal_failure_policy
         # trigger runtimes that feed TFUNCTION LIST-style stats
         self._runtimes: list[Any] = []
+        # ACL registry (reference: per-user key patterns checked on every
+        # in-function key access, lib.rs:700-712; libraries are owned by
+        # the loading user and their triggers act as that user,
+        # stream_run_ctx.rs:144-153). The default user is unrestricted.
+        self._acl_users: dict[str, AclUser] = {
+            "default": AclUser("default", True, ("*",))
+        }
+        self._current_user = "default"
+
+    # -- ACL (§2.F) ----------------------------------------------------------
+
+    def acl_setuser(
+        self,
+        name: str,
+        *,
+        enabled: bool = True,
+        key_patterns: tuple | list = (),
+        reset: bool = False,
+    ) -> None:
+        """`ACL SETUSER` analog: create/update a user. Like the Redis
+        command, key patterns are ADDITIVE across calls; `reset=True`
+        clears the existing rule set first (`ACL SETUSER u reset`)."""
+        with self._lock:
+            old = self._acl_users.get(name)
+            patterns = () if reset or old is None else old.key_patterns
+            self._acl_users[name] = AclUser(
+                name, enabled, patterns + tuple(key_patterns)
+            )
+
+    def acl_deluser(self, name: str) -> None:
+        """`ACL DELUSER`: the user's next key access fails (the reference
+        authenticates at ACCESS time, so deleting a user mid-function
+        fails its next call — pytests/test_acl.py
+        testAclUserDeletedWhileFunctionIsRunning)."""
+        if name == "default":
+            raise GearsError("the default user cannot be deleted")
+        with self._lock:
+            self._acl_users.pop(name, None)
+            if self._current_user == name:
+                self._current_user = "default"
+
+    def auth(self, name: str) -> None:
+        """`AUTH` analog: subsequent calls (and libraries loaded) act as
+        this user."""
+        with self._lock:
+            u = self._acl_users.get(name)
+            if u is None or not u.enabled:
+                raise GearsError(f"unknown or disabled user '{name}'")
+            self._current_user = name
+
+    @property
+    def current_user(self) -> str:
+        return self._current_user
+
+    def acl_read_regex(self, user: str) -> str | None:
+        """The user's key permissions as ONE regex source, resolved at
+        call time (event-time semantics: deleting/disabling the user
+        changes the next resolution). None = unrestricted (the zero-cost
+        fast path); a never-matching regex = deny-all (user gone or
+        disabled or no patterns)."""
+        with self._lock:
+            u = self._acl_users.get(user)
+            if u is None or not u.enabled or not u.key_patterns:
+                return "(?!x)x"  # matches nothing (valid in re AND Java)
+            if "*" in u.key_patterns:
+                return None
+            return (
+                "(?:" + "|".join(_glob_to_regex(p) for p in u.key_patterns) + ")"
+            )
+
+    def acl_allows(self, user: str, key: str) -> bool:
+        rx = self.acl_read_regex(user)
+        return rx is None or re.fullmatch(rx, key) is not None
+
+    def acl_check_key(self, user: str, key: str) -> None:
+        if not self.acl_allows(user, key):
+            raise GearsError(f"{NO_PERMISSIONS_MSG} ('{key}')")
 
     # -- admission control (§2.F) -------------------------------------------
 
@@ -408,6 +541,11 @@ class GearsEngine:
                 raise
             lib._setup_ref = _setup_ref(setup)
             lib._setup = setup  # retained for the WITHCODE listing
+            # the loading user OWNS the library: its triggers act as this
+            # user (reference stores the user with the library and
+            # authenticates trigger key reads as it,
+            # stream_run_ctx.rs:144-153)
+            lib.user = self._current_user
             self._libraries[name] = lib
             return lib
 
@@ -463,6 +601,9 @@ class GearsEngine:
                 entry: dict[str, Any] = {
                     "name": lib.name,
                     "api_version": lib.api_version,
+                    # the owning (loading) user — TFUNCTION LIST's `user`
+                    # field (pytests/test_acl.py asserts it)
+                    "user": getattr(lib, "user", "default"),
                 }
                 if with_code:
                     import inspect
@@ -582,7 +723,11 @@ class GearsEngine:
                         ) from e
                 decoded.append(a)
             args = tuple(decoded)
-        client = GearsClient(self, read_only=NO_WRITES in rf.flags)
+        # the acting user is the CALLER (the reference authenticates
+        # in-function redis calls as the user issuing TFCALL/TFCALLASYNC)
+        client = GearsClient(
+            self, read_only=NO_WRITES in rf.flags, user=self._current_user
+        )
         started = time.perf_counter()
         rf.stats.n_calls += 1
         try:
@@ -692,7 +837,9 @@ class GearsEngine:
         # sync portion, caller thread; Background resolves below
         result = self._invoke(lib, rf, args, allow_background=True)
         if isinstance(result, Background):
-            client = GearsClient(self, read_only=NO_WRITES in rf.flags)
+            client = GearsClient(
+                self, read_only=NO_WRITES in rf.flags, user=self._current_user
+            )
 
             def continuation():
                 started = time.perf_counter()
@@ -833,6 +980,9 @@ class GearsEngine:
                 raise GearsError(f"unknown cluster function '{fn_name}'")
         if table not in PRIMARY_KEYS:
             raise GearsError(f"table '{table}' has no primary key mapping")
+        # keyed dispatch authenticates the calling user against the target
+        # key, like every keyed access (lib.rs:700-712)
+        self.acl_check_key(self._current_user, f"{table}:{key}")
 
         payload = json.dumps(list(args))
         pruned = load_table(self.spark, self.sf_dir, table).filter(

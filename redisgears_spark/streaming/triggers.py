@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import uuid
 from dataclasses import dataclass, field
@@ -57,7 +58,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from redisgears_spark.engine import UNBOUNDED_WINDOW, GearsEngine, Library
+from redisgears_spark.engine import (
+    NO_PERMISSIONS_MSG,
+    UNBOUNDED_WINDOW,
+    GearsEngine,
+    GearsError,
+    Library,
+)
 
 # canonical stream-record schema (the Spark shape of the reference's
 # GearsStreamRecord — stream_run_ctx.rs:73-100: (ms,seq) id + field pairs).
@@ -198,7 +205,10 @@ def _write_parquet_part(pdf: pd.DataFrame, out_dir: str, schema) -> None:
 
 
 def _make_partition_processor(
-    fn: Callable[[dict], Any], sink_dir: str, err_dir: str
+    fn: Callable[[dict], Any],
+    sink_dir: str,
+    err_dir: str,
+    acl_regex: str | None = None,
 ) -> Callable[[Any], Any]:
     """Build the executor-side processor: strictly ordered by id per
     stream_key (the reference's per-stream read order). Only records
@@ -231,6 +241,14 @@ def _make_partition_processor(
     (stream_key, id), same as before.
     """
 
+    # ACL: the library owner's key permissions, resolved at batch-plan
+    # time (see start_trigger). A record on a stream the owner may not
+    # read errors through the NORMAL per-record error path — counted
+    # failed, DLQ'd, frontier still advances — exactly how the reference
+    # surfaces trigger ACL denials (stream_run_ctx.rs:144-153 →
+    # last_error + num_failed, processing continues)
+    acl_re = re.compile(acl_regex) if acl_regex is not None else None
+
     def process(batches: Any) -> Any:
         schema = _arrow_result_schema()
         frontier: dict[str, int] = {}
@@ -258,6 +276,10 @@ def _make_partition_processor(
             error: list = [None] * n
             for i in range(n):
                 try:
+                    if acl_re is not None and acl_re.fullmatch(keys[i]) is None:
+                        raise GearsError(
+                            f"{NO_PERMISSIONS_MSG} ('{keys[i]}')"
+                        )
                     # `record`: ordered (field, value) pairs, duplicates
                     # legal (Stream_Triggers.md:78); `fields`: last-wins
                     # map view
@@ -554,11 +576,32 @@ class StreamTriggerRuntime:
         agg_expr: dict[str, str] | None = spec.get("agg_expr")
         declarative = expr is not None or agg_expr is not None
         bounded = window < UNBOUNDED_WINDOW
-        processor = (
-            _make_partition_processor(spec["fn"], sink_dir, err_dir)
-            if not declarative
-            else None
-        )
+        owner = getattr(lib, "user", "default")
+        if declarative and self.engine.acl_read_regex(owner) is not None:
+            # declarative pipelines write every matched row as 'ok' in one
+            # JVM pass — there is no per-record error path to surface ACL
+            # denials through. Refuse loudly instead of silently widening
+            # the owner's permissions; a callback consumer gets per-record
+            # ACL semantics. (Checked at registration; like the reference,
+            # later ACL changes apply from the next read — here the next
+            # trigger start.)
+            raise GearsError(
+                f"declarative trigger '{qkey}': library owner '{owner}' "
+                "has restricted key permissions; declarative pipelines "
+                "need an unrestricted owner — use a callback consumer"
+            )
+
+        def make_processor():
+            # rebuilt per micro-batch so the owner's ACL patterns resolve
+            # at batch time (event-time semantics: deleting/disabling the
+            # owner fails the NEXT batch's records, testAclUserDeleted...)
+            return _make_partition_processor(
+                spec["fn"],
+                sink_dir,
+                err_dir,
+                acl_regex=self.engine.acl_read_regex(owner),
+            )
+
         queue_dir: str | None = None
 
         if mode == "async":
@@ -741,7 +784,7 @@ class StreamTriggerRuntime:
                 # |keys| frontier rows + one stats row per task — no second
                 # write job, no CollectMetrics, no post-stage filter.
                 meta = admitted.mapInPandas(
-                    processor, _RESULT_SCHEMA
+                    make_processor(), _RESULT_SCHEMA
                 ).collect()
                 n_ok = n_err = 0
                 an_error = None
@@ -935,7 +978,14 @@ class StreamTriggerRuntime:
         if n_unreplayable:
             unreplayable.write.mode("append").parquet(tmp_err)
         n_replayed = n_failed - n_unreplayable
-        processor = _make_partition_processor(fn, sink_dir, tmp_err)
+        processor = _make_partition_processor(
+            fn,
+            sink_dir,
+            tmp_err,
+            acl_regex=self.engine.acl_read_regex(
+                getattr(lib, "user", "default")
+            ),
+        )
         n_ok = n_err = 0
         for r in (
             src.repartition(
@@ -1140,13 +1190,18 @@ _CDC_RESULT_SCHEMA = (
 )
 
 
-def _make_cdc_partition_processor(fn, on_fired, sink_dir):
+def _make_cdc_partition_processor(fn, on_fired, sink_dir, acl_regex=None):
     """Fused executor-side CDC processor (the keyspace twin of
     _make_partition_processor): each task appends ALL its result rows (the
     CDC sink keeps every status) to sink_dir — one part file per Arrow
     chunk, bounded memory — and yields one status='stats' metadata row, so
     a micro-batch (or a replay) is ONE job collecting |tasks| tiny rows.
     Shared by the live trigger loop and replay_errors."""
+
+    # owner-ACL check, per record — same error-path accounting as the
+    # stream processor (the reference authenticates the notification
+    # consumer's key access as the library owner)
+    acl_re = re.compile(acl_regex) if acl_regex is not None else None
 
     def process_partition(pdf_iter):
         schema = _arrow_cdc_schema()
@@ -1170,6 +1225,10 @@ def _make_cdc_partition_processor(fn, on_fired, sink_dir):
             error: list = [None] * n
             for i in range(n):
                 try:
+                    if acl_re is not None and acl_re.fullmatch(keys[i]) is None:
+                        raise GearsError(
+                            f"{NO_PERMISSIONS_MSG} ('{keys[i]}')"
+                        )
                     snap = snaps[i]
                     data = {
                         "event": events[i],
@@ -1285,9 +1344,24 @@ class KeyspaceTriggerRuntime:
         on_fired = spec["on_trigger_fired"]
         runtime = self
 
-        process_partition = _make_cdc_partition_processor(
-            fn, on_fired, sink_dir
-        )
+        owner = getattr(lib, "user", "default")
+        if expr is not None and self.engine.acl_read_regex(owner) is not None:
+            # same rule as the stream runtime: the declarative path has no
+            # per-record error path to carry ACL denials
+            raise GearsError(
+                f"declarative keyspace trigger '{qkey}': library owner "
+                f"'{owner}' has restricted key permissions; use a "
+                "callback consumer"
+            )
+
+        def make_processor():
+            # per-batch rebuild: owner ACL resolves at batch time
+            return _make_cdc_partition_processor(
+                fn,
+                on_fired,
+                sink_dir,
+                acl_regex=runtime.engine.acl_read_regex(owner),
+            )
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             matched = batch_df.filter(
@@ -1329,7 +1403,7 @@ class KeyspaceTriggerRuntime:
                 # process_partition) — the collected result is |tasks|
                 # stats rows only
                 meta = matched.mapInPandas(
-                    process_partition, _CDC_RESULT_SCHEMA
+                    make_processor(), _CDC_RESULT_SCHEMA
                 ).collect()
                 n_ok = n_err = 0
                 an_error = None
@@ -1452,7 +1526,12 @@ class KeyspaceTriggerRuntime:
         n_replayed = src.select("seq").distinct().count()
         n_unreplayable = n_failed - n_replayed
         processor = _make_cdc_partition_processor(
-            fn, spec["on_trigger_fired"], sink_dir
+            fn,
+            spec["on_trigger_fired"],
+            sink_dir,
+            acl_regex=self.engine.acl_read_regex(
+                getattr(lib, "user", "default")
+            ),
         )
         n_ok = n_err = 0
         for r in (

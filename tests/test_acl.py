@@ -1,0 +1,339 @@
+"""ACL / per-user key permissions — the repo analog of the reference's
+pytests/test_acl.py (8 tests): users own key glob patterns
+(`ACL SETUSER alice on ~cached:*`), every keyed access authenticates as
+the acting user (lib.rs:700-712 call_redis_command → authenticate_user),
+libraries are owned by their loading user, and trigger consumers act as
+the owner (stream_run_ctx.rs:144-153) — denials surface as per-record
+errors (last_error / num_failed), never silent."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from redisgears_spark.engine import (
+    NO_PERMISSIONS_MSG,
+    GearsEngine,
+    GearsError,
+)
+from redisgears_spark.streaming import (
+    KeyspaceTriggerRuntime,
+    StreamTriggerRuntime,
+)
+from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+
+@pytest.fixture()
+def spool(tmp_path):
+    return str(tmp_path / "spool")
+
+
+@pytest.fixture()
+def work(tmp_path):
+    return str(tmp_path / "work")
+
+
+def _write_canonical(spark, spool_dir, rows):
+    pdf = pd.DataFrame(
+        [
+            {
+                "stream_key": k,
+                "id": i,
+                "id_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                "fields": f,
+                "record": None,
+            }
+            for (k, i, f) in rows
+        ]
+    )
+    spark.createDataFrame(pdf, STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(spool_dir)
+
+
+def lookup_customer(client, key):
+    return client.lookup("customer", key).count()
+
+
+def lookup_customer_async(client, key):
+    return client.execute_async(
+        lambda c: c.lookup("customer", key).count()
+    )
+
+
+def echo_type(record: dict) -> dict:
+    return {"etype": record["fields"].get("event_type")}
+
+
+def cdc_echo(data: dict) -> dict:
+    return {"key": data["key"]}
+
+
+def _engine_with_alice(spark, sf_dir, patterns=("customer:*",)):
+    engine = GearsEngine(spark, sf_dir)
+    engine.acl_setuser("alice", key_patterns=patterns)
+    return engine
+
+
+class TestAclCore:
+    def test_setuser_additive_and_reset(self, spark, sf_dir):
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("u", key_patterns=["a:*"])
+        engine.acl_setuser("u", key_patterns=["b:?"])  # additive, like Redis
+        assert engine.acl_allows("u", "a:anything")
+        assert engine.acl_allows("u", "b:x")
+        assert not engine.acl_allows("u", "b:xy")  # ? is one char
+        assert not engine.acl_allows("u", "c")
+        engine.acl_setuser("u", key_patterns=["c"], reset=True)
+        assert engine.acl_allows("u", "c")
+        assert not engine.acl_allows("u", "a:anything")
+
+    def test_unknown_or_disabled_user_denied(self, spark, sf_dir):
+        engine = GearsEngine(spark, sf_dir)
+        assert not engine.acl_allows("ghost", "anything")
+        engine.acl_setuser("u", key_patterns=["*"], enabled=False)
+        assert not engine.acl_allows("u", "anything")
+        with pytest.raises(GearsError, match="unknown or disabled"):
+            engine.auth("u")
+        # the default user is unrestricted and cannot be deleted
+        assert engine.acl_allows("default", "anything")
+        with pytest.raises(GearsError, match="cannot be deleted"):
+            engine.acl_deluser("default")
+
+    def test_glob_is_literal_outside_wildcards(self, spark, sf_dir):
+        """Regex metacharacters in patterns must not widen the match."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("u", key_patterns=["a.b:*"])
+        assert engine.acl_allows("u", "a.b:1")
+        assert not engine.acl_allows("u", "aXb:1")  # '.' is literal
+
+
+class TestAclOnFunctions:
+    def test_sync_function(self, spark, sf_dir):
+        """testAclOnSyncFunction analog: the acting user is the CALLER;
+        in-callback keyed reads authenticate against it."""
+        engine = _engine_with_alice(spark, sf_dir)  # alice: ~customer:*
+        engine.acl_setuser("bob", key_patterns=["orders:*"])
+        engine.load_library(
+            lambda l: l.register_function("get", lookup_customer),
+            name="lib",
+        )
+        assert engine.call("lib", "get", 1) >= 0  # default user: allowed
+        engine.auth("alice")
+        assert engine.call("lib", "get", 1) >= 0  # customer:1 ~ customer:*
+        engine.auth("bob")
+        with pytest.raises(GearsError, match=NO_PERMISSIONS_MSG):
+            engine.call("lib", "get", 1)  # customer:1 vs ~orders:*
+
+    def test_async_function_and_execute_async(self, spark, sf_dir):
+        """testAclOnAsyncFunction/-Complex analogs: the same check holds
+        through call_async and through an executeAsync continuation."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("bob", key_patterns=["orders:*"])
+        engine.load_library(
+            lambda l: (
+                l.register_async_function("aget", lookup_customer),
+                l.register_function("xget", lookup_customer_async),
+            ),
+            name="lib",
+        )
+        assert engine.call_async("lib", "aget", 1).result(60) >= 0
+        assert engine.execute_async("lib", "xget", 1).result(60) >= 0
+        engine.auth("bob")
+        with pytest.raises(GearsError, match=NO_PERMISSIONS_MSG):
+            engine.call_async("lib", "aget", 1).result(60)
+        with pytest.raises(GearsError, match=NO_PERMISSIONS_MSG):
+            engine.execute_async("lib", "xget", 1).result(60)
+
+    def test_run_on_key_checks_caller(self, spark, sf_dir):
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("bob", key_patterns=["orders:*"])
+        engine.load_library(
+            lambda l: l.register_cluster_function(
+                "count", lambda it: len(list(it))
+            ),
+            name="clib",
+        )
+        assert engine.run_on_key("clib", "count", "customer", 1) in (None, 1)
+        engine.auth("bob")
+        with pytest.raises(GearsError, match=NO_PERMISSIONS_MSG):
+            engine.run_on_key("clib", "count", "customer", 1)
+
+    def test_library_owned_by_loading_user(self, spark, sf_dir):
+        """The reference stamps the loading user on the library and shows
+        it in TFUNCTION LIST (test_acl.py asserts user == 'alice')."""
+        engine = _engine_with_alice(spark, sf_dir)
+        engine.auth("alice")
+        engine.load_library(lambda l: None, name="alib")
+        engine.auth("default")
+        engine.load_library(lambda l: None, name="dlib")
+        users = {e["name"]: e["user"] for e in engine.list_libraries()}
+        assert users == {"alib": "alice", "dlib": "default"}
+
+
+class TestAclOnStreamConsumer:
+    def _run(self, spark, sf_dir, spool, work, patterns):
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=patterns)
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "c", prefix="", fn=echo_type, window=10**9
+            ),
+            name="slib",
+        )
+        engine.auth("default")
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(
+            spark,
+            spool,
+            [
+                ("s", 1, {"event_type": "a"}),
+                ("cached:x", 2, {"event_type": "b"}),
+            ],
+        )
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        return engine, rt
+
+    def test_stream_consumer_denied_key_errors(
+        self, spark, sf_dir, spool, work
+    ):
+        """testAclOnStreamConsumer analog: the owner may read cached:*
+        only — a record on another stream errors (DLQ + last_error +
+        num_failed), the allowed stream processes, and the frontier
+        advances for BOTH (error-does-not-halt)."""
+        engine, rt = self._run(
+            spark, sf_dir, spool, work, patterns=("cached:*",)
+        )
+        st = rt.stats["slib.c"]
+        assert st.n_success == 1
+        assert st.n_failed == 1
+        assert NO_PERMISSIONS_MSG in st.last_error
+        assert st.frontier == {"s": 1, "cached:x": 2}
+        errs = rt.read_errors("slib", "c").collect()
+        assert [(r["stream_key"], r["status"]) for r in errs] == [
+            ("s", "error")
+        ]
+        ok = rt.read_sink("slib", "c").collect()
+        assert [(r["stream_key"], r["status"]) for r in ok] == [
+            ("cached:x", "ok")
+        ]
+        # and TFUNCTION LIST vvv surfaces it
+        entry = engine.list_libraries(verbose=2)[0]
+        assert entry["user"] == "alice"
+        assert NO_PERMISSIONS_MSG in (
+            entry["stream_triggers"][0]["stats"]["last_error"]
+        )
+
+    def test_unrestricted_owner_pays_no_acl_path(
+        self, spark, sf_dir, spool, work
+    ):
+        engine, rt = self._run(spark, sf_dir, spool, work, patterns=("*",))
+        st = rt.stats["slib.c"]
+        assert st.n_success == 2 and st.n_failed == 0
+
+    def test_owner_deleted_fails_next_batch(
+        self, spark, sf_dir, spool, work
+    ):
+        """testAclUserDeletedWhileFunctionIsRunning analog: ACL resolves
+        at batch time, so deleting the owner fails every subsequent
+        record."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["*"])
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "c", prefix="", fn=echo_type, window=10**9
+            ),
+            name="slib",
+        )
+        engine.auth("default")
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s", 1, {"event_type": "a"})])
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            assert rt.stats["slib.c"].n_success == 1
+            engine.acl_deluser("alice")
+            _write_canonical(spark, spool, [("s", 2, {"event_type": "b"})])
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        st = rt.stats["slib.c"]
+        assert st.n_success == 1
+        assert st.n_failed == 1
+        assert NO_PERMISSIONS_MSG in st.last_error
+
+    def test_declarative_with_restricted_owner_rejected(
+        self, spark, sf_dir, spool, work
+    ):
+        """The declarative path has no per-record error channel to carry
+        denials — a restricted owner is refused loudly at start."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["cached:*"])
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "d", prefix="", expr="fields['event_type']", window=10**9
+            ),
+            name="dlib",
+        )
+        engine.auth("default")
+        rt = StreamTriggerRuntime(engine, spool, work)
+        with pytest.raises(GearsError, match="restricted key permissions"):
+            rt.start_library(lib)
+
+
+class TestAclOnNotificationConsumer:
+    def test_cdc_consumer_denied_key_errors(self, spark, sf_dir, tmp_path):
+        """testAclOnNotificationConsumer analog over the CDC runtime."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["cached:*"])
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger("k", prefix="", fn=cdc_echo),
+            name="klib",
+        )
+        engine.auth("default")
+        rt = KeyspaceTriggerRuntime(
+            engine, str(tmp_path / "changes"), str(tmp_path / "work")
+        )
+        rt.append_changes(
+            [
+                {"seq": 1, "event": "set", "key": "x"},
+                {"seq": 2, "event": "set", "key": "cached:x"},
+            ]
+        )
+        rt.start_trigger(lib, "k")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop_all()
+        st = rt.stats["klib.k"]
+        assert st.n_success == 1 and st.n_failed == 1
+        assert NO_PERMISSIONS_MSG in st.last_error
+        errs = rt.read_errors("klib", "k").collect()
+        assert [(r["key"], r["status"]) for r in errs] == [("x", "error")]
+
+    def test_cdc_declarative_restricted_owner_rejected(
+        self, spark, sf_dir, tmp_path
+    ):
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["cached:*"])
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "kx", prefix="", expr="upper(event)"
+            ),
+            name="klib2",
+        )
+        engine.auth("default")
+        rt = KeyspaceTriggerRuntime(
+            engine, str(tmp_path / "ch2"), str(tmp_path / "w2")
+        )
+        with pytest.raises(GearsError, match="restricted key permissions"):
+            rt.start_trigger(lib, "kx")
