@@ -653,6 +653,101 @@ def pipeline_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_temperature_mix",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS w
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw,
+             CAST(sum(n_docs) AS BIGINT) AS n FROM stats
+    ),
+    quota AS (
+      SELECT lang, n_docs, w,
+             LEAST(n_docs, ((n // 2) * w) // tw) AS quota
+      FROM stats, tot
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS sample_rank,
+           CAST(q.quota AS BIGINT) AS lang_quota
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language sampling (the mC4 §3.1 / multilingual
+    pretraining mix): sample language l in proportion to n_l^alpha with
+    alpha = 0.5, flattening the head languages without collapsing to the
+    uniform mix (`pipeline_lang_rebalance`) or the natural one. The whole
+    recipe is engine-exact: alpha = 1/2 makes the weight a SQRT — the one
+    libm-free power, correctly rounded by IEEE in both engines — scaled
+    to an integer (`floor(sqrt(n)*1000)`), so quotas come out of pure
+    int64 arithmetic (`budget * w_l / total_w`, floored, capped at n_l)
+    with a budget of half the corpus. Selection is the md5-rank
+    permutation, same as lang_rebalance.
+
+    Scale: per-lang counts are a map-side partial agg; weights/quotas are
+    |langs| rows broadcast back; one hash shuffle on lang for the rank
+    window (same skew note as lang_rebalance — quantile-cut at 100 TB).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000.0))
+        .cast("long")
+        .alias("w"),
+    )
+    tot = stats.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.sum("n_docs").cast("long").alias("n"),
+    )
+    quota = (
+        stats.join(F.broadcast(tot))
+        # integer division end-to-end (Spark DIV == DuckDB // on
+        # positives): a double division here would diverge from the
+        # oracle once budget*w exceeds 2^53
+        .select(
+            "lang",
+            F.least(
+                F.col("n_docs"),
+                F.expr("((n DIV 2) * w) DIV tw"),
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.withColumn("sample_rank", rk.cast("long"))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "lang",
+            "sample_rank",
+            F.col("quota").alias("lang_quota"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus snapshot diff (data versioning)
 # ---------------------------------------------------------------------------

@@ -1101,3 +1101,87 @@ def sim_nearest_centroid_classify(
         F.min_by("cand_label", order).alias("pred_label"),
         F.min("d2").cast("long").alias("best_d2_q12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (embedding compression)
+# ---------------------------------------------------------------------------
+
+_SQ_FORMULA_OK = (
+    "LEAST(254, CAST(FLOOR((x - lo) * 254.0 / (hi - lo)) AS BIGINT))"
+)
+_SQ_RECON = "lo + (CAST(code AS DOUBLE) * (hi - lo)) / 254.0"
+
+
+@query(
+    "embeddings_int8_quantize",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dim
+    ),
+    coded AS (
+      SELECT vec_id, dim, x, lo, hi,
+             CASE WHEN hi > lo THEN {_SQ_FORMULA_OK}
+                  ELSE CAST(0 AS BIGINT) END AS code
+      FROM flat JOIN stats USING (dim)
+    )
+    SELECT vec_id, dim, x, code,
+           abs(x - ({_SQ_RECON})) AS abs_err
+    FROM coded
+    """,
+)
+def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — THE practical
+    embedding compression (4x over float32) that vector stores apply
+    before ANN: per-dimension [min, max] range, 255 levels, code =
+    floor((x - lo) * 254 / (hi - lo)), plus the per-value reconstruction
+    error so the quality cost is part of the result. Registered in LONG
+    form (vec_id, dim, ...) so every code and error is value-checked
+    against the oracle; the production shape re-assembles the codes into
+    an array<tinyint> executor-side (broadcast the 64 lo/hi pairs into a
+    `transform(embedding, ...)` — no explode, no shuffle).
+
+    Engine-exact floats: float32 → double casts are exact; min/max are
+    order-independent; both engines evaluate the IDENTICAL expression
+    text, so every intermediate IEEE op matches bit-for-bit.
+
+    Scale: the explode is x64 rows but feeds a map-side partial agg onto
+    |dims| groups; the stats join back is a broadcast of 64 rows. Cited
+    shape: sim_ann_pq's codebooks (similarity.py) — same
+    dimension-sized-driver-state contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    coded = flat.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        "x",
+        "lo",
+        "hi",
+        F.expr(
+            f"CASE WHEN hi > lo THEN {_SQ_FORMULA_OK} "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("code"),
+    )
+    return coded.select(
+        "vec_id",
+        "dim",
+        "x",
+        "code",
+        F.expr(f"abs(x - ({_SQ_RECON}))").alias("abs_err"),
+    )

@@ -588,3 +588,91 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# character-distribution quality (Gini impurity)
+# ---------------------------------------------------------------------------
+
+# fixed scoring alphabet: per-character counts come from length-difference
+# arithmetic (no explode — char-level explode is the classic 100 TB
+# anti-pattern: it multiplies the shuffle by average document length)
+_GINI_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _gini_exprs() -> tuple[str, str]:
+    """(covered_expr, sum_sq_expr) — identical SQL text for Spark and
+    DuckDB. c_i = length(text) - length(replace(text, ch, '')); characters
+    outside the alphabet form one residual bucket so the masses sum to
+    length(text)."""
+    counts = [
+        f"(length(text) - length(replace(text, '{ch}', '')))"
+        for ch in _GINI_ALPHABET
+    ]
+    covered = " + ".join(counts)
+    sq = " + ".join(f"{c} * {c}" for c in counts)
+    return covered, sq
+
+
+_GINI_COVERED, _GINI_SQ = _gini_exprs()
+
+_GINI_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({_GINI_COVERED} AS BIGINT) AS n_alphabet,
+           CAST(
+             {_GINI_SQ}
+             + (length(text) - ({_GINI_COVERED}))
+               * (length(text) - ({_GINI_COVERED}))
+             AS BIGINT
+           ) AS sum_sq,
+           CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(
+                       CAST(length(text) AS BIGINT) * length(text)
+                       - ({_GINI_SQ}
+                          + (length(text) - ({_GINI_COVERED}))
+                            * (length(text) - ({_GINI_COVERED})))
+                       AS DOUBLE
+                     ) / (CAST(length(text) AS BIGINT) * length(text))
+           END AS char_gini
+    FROM documents
+"""
+
+
+@query("text_char_gini", oracle=_GINI_SQL)
+def text_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality signal: per-document Gini impurity
+    of the character histogram, `1 - sum(c_i^2)/L^2` — low-impurity docs
+    are repeated-character junk (keyboard mashing, padding, binary
+    spillage), one of the standard cheap quality gates next to
+    `text_quality_score`'s ratios. Gini instead of Shannon entropy
+    BECAUSE it is oracle-exact: entropy needs libm `ln` (engines differ
+    in the last ulp), while Gini is pure integer arithmetic (counts and
+    squares) with ONE IEEE division at the end.
+
+    Per-character counts are `length(text) - length(replace(text, ch))`
+    over a fixed 37-symbol alphabet plus a residual bucket — 38 fused
+    column expressions in one whole-stage-codegen projection, zero
+    shuffle, zero Python; the same SQL text is the DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        f"CAST({_GINI_COVERED} AS BIGINT) AS n_alphabet",
+        f"""CAST(
+             {_GINI_SQ}
+             + (length(text) - ({_GINI_COVERED}))
+               * (length(text) - ({_GINI_COVERED}))
+             AS BIGINT
+           ) AS sum_sq""",
+        f"""CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(
+                       CAST(length(text) AS BIGINT) * length(text)
+                       - ({_GINI_SQ}
+                          + (length(text) - ({_GINI_COVERED}))
+                            * (length(text) - ({_GINI_COVERED})))
+                       AS DOUBLE
+                     ) / (CAST(length(text) AS BIGINT) * length(text))
+           END AS char_gini""",
+    )

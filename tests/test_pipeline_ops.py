@@ -627,3 +627,53 @@ def test_bpe_apply_token_bounds(spark, sf_dir):
     for d in docs[:20]:
         want = sum(encode(t) for t in d["w"])
         assert out[d["doc_id"]]["n_bpe_tokens"] == want
+
+
+def test_temperature_mix_flattens_between_natural_and_uniform(spark, sf_dir):
+    """alpha=0.5 sampling must sit between the natural mix and the
+    uniform one: each language's sampled SHARE is closer to uniform than
+    its natural share (head languages shrink, tail languages grow), and
+    quotas never exceed availability."""
+    from redisgears_spark.sources.keyspace import load_table
+
+    out = QUERIES["pipeline_temperature_mix"](spark, sf_dir).toPandas()
+    natural = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    sampled = out.groupby("lang").size()
+    assert (sampled <= natural[sampled.index]).all()
+    n_langs = len(natural)
+    nat_share = natural / natural.sum()
+    smp_share = sampled / sampled.sum()
+    uniform = 1.0 / n_langs
+    for lang in sampled.index:
+        # strictly-between check with float slack for quota flooring
+        lo = min(nat_share[lang], uniform) - 0.02
+        hi = max(nat_share[lang], uniform) + 0.02
+        assert lo <= smp_share[lang] <= hi, (lang, smp_share[lang])
+
+
+def test_char_gini_bounds_and_masses(spark, sf_dir):
+    out = QUERIES["text_char_gini"](spark, sf_dir).toPandas()
+    assert ((out["char_gini"] >= 0) & (out["char_gini"] < 1)).all()
+    # histogram masses must be consistent: sum_sq <= n_chars^2 and
+    # alphabet coverage can't exceed the text length
+    assert (out["n_alphabet"] <= out["n_chars"]).all()
+    assert (out["sum_sq"] <= out["n_chars"] ** 2).all()
+    # the fixture corpus is word text, not mash — impurity should be high
+    assert out["char_gini"].median() > 0.5
+
+
+def test_int8_quantize_error_bound(spark, sf_dir):
+    """Reconstruction error of 255-level scalar quantization is bounded
+    by one quantization step per dimension: (hi - lo) / 254."""
+    out = QUERIES["embeddings_int8_quantize"](spark, sf_dir).toPandas()
+    assert out["code"].between(0, 254).all()
+    span = out.groupby("dim")["x"].agg(["min", "max"])
+    step = ((span["max"] - span["min"]) / 254.0).rename("step")
+    merged = out.merge(step, left_on="dim", right_index=True)
+    assert (merged["abs_err"] <= merged["step"] + 1e-12).all()
