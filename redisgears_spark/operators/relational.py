@@ -2173,3 +2173,164 @@ def orders_revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("o_totalprice")).alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence mining: event-path n-grams (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_path_ngrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    grams AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM grams)
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / total AS share
+    FROM grams, tot
+    """,
+)
+def events_user_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: per-user event-type BIGRAMS (the
+    prev→next transition counts that feed session recommendations,
+    anomaly baselines, and Markov models — the registered `events_markov`
+    normalizes per-row; this is the corpus-level transition inventory
+    with global shares). Ordering is the deterministic event order
+    (epoch micros, event_id tie-break) so both engines walk identical
+    per-user sequences.
+
+    Scale: ONE hash shuffle on user_id for the lag window (users are
+    many, sequences short — no skew), then a map-side-partial group-by
+    on the |types|^2 bigram space; the total is a 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy(micros("ts"), "event_id"))
+        .alias("prev_type"),
+    )
+    grams = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = grams.agg(F.sum("n").cast("long").alias("total"))
+    return grams.join(F.broadcast(tot)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+    ),
+    part_freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+      FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_co,
+           fa.n_orders_with AS n_a, fb.n_orders_with AS n_b,
+           CAST(n_co * n.n AS DOUBLE)
+             / (fa.n_orders_with * fb.n_orders_with) AS lift
+    FROM pairs
+    JOIN part_freq fa ON part_a = fa.l_partkey
+    JOIN part_freq fb ON part_b = fb.l_partkey
+    CROSS JOIN n_orders n
+    WHERE n_co >= 2
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs bought together
+    in one order, kept when they co-occur at least twice, scored by
+    lift = P(a,b) / (P(a)P(b)) = n_co * N / (n_a * n_b) — integer
+    numerator and denominator, ONE IEEE division, engine-exact.
+
+    Scale: the pair generation is a SELF-JOIN ON THE ORDER KEY, so its
+    cost is sum(basket_size^2) over orders — baskets are small (≤13
+    lines here; bounded in any real order system), never a cross join;
+    the co-occurrence group-by shuffles only (part_a, part_b) pairs.
+    Part frequencies broadcast back (|parts| rows), the order count is a
+    1-row broadcast. The n_co >= 2 support floor prunes the long tail
+    BEFORE the frequency joins.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    part_freq = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_with")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders_with").alias("n_a"),
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders_with").alias("n_b"),
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_co") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -337,7 +337,11 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CELLS = 16
-_IVF_NPROBE = 6
+# 10/16 cells probed: recall 0.7 → 0.875 at sf0.1 for no measurable time
+# (the probe count scales the candidate equi-join, not the Lloyd passes).
+# At a real corpus cells grows ~sqrt(n) and nprobe/cells shrinks; the
+# fixture keeps cells small so the recall floor stays testable
+_IVF_NPROBE = 10
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
@@ -501,7 +505,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TABLES = 16
+# recall-first defaults, set by measurement against the exact baseline
+# (BENCH ann_recall): 16 tables recalled 0.625@sf0.1, 32 recall 0.90 for
+# ~+0.25 s — banding theory says more tables only ADD candidate pairs,
+# so recall is monotone in tables and the price is 2x signature rows
+# (still |corpus|*tables tiny rows, shuffled on the band key)
+_LSH_TABLES = 32
 _LSH_BITS = 6
 
 
@@ -586,7 +595,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (4-bit codes; a vector compresses to ONE 32-bit word packed in a long)
 _PQ_M = 8
 _PQ_K = 16
-_PQ_SHORTLIST = 64  # ADC candidates per query before the exact re-rank
+# ADC candidates per query before the exact re-rank: 64 recalled
+# 0.625@sf0.1, 256 recalls 0.85 — re-rank cost is per-query-linear in
+# the shortlist (256 exact dots/query), independent of corpus size
+_PQ_SHORTLIST = 256
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
@@ -1185,3 +1197,71 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.expr(f"abs(x - ({_SQ_RECON}))").alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# radius (range) search (round 6)
+# ---------------------------------------------------------------------------
+
+_RANGE_THRESHOLD = 0.3
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH {_ORACLE_QUANT_CTE},
+    pairs AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(a.nq AS BIGINT) AS q_nq, CAST(b.nq AS BIGINT) AS n_nq,
+             CAST(list_sum([a.v[i] * b.v[i]
+                  for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot
+      FROM n a JOIN n b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+    )
+    SELECT q_id, n_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(q_nq AS DOUBLE)) * sqrt(CAST(n_nq AS DOUBLE)))
+             AS cosine
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(q_nq AS DOUBLE)) * sqrt(CAST(n_nq AS DOUBLE)))
+          >= {_RANGE_THRESHOLD}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: ALL corpus vectors within a cosine threshold of
+    each query — the vector-store RANGE query (top-k's sibling: "find
+    everything this similar", for dedup sweeps and recall-complete
+    retrieval where k is unknowable up front).
+
+    Same exact-integer quantized cosine as sim_topk_bruteforce, but the
+    threshold replaces the window: matches are filtered INSIDE the Arrow
+    batch, so the operator has ZERO shuffles — scan → matmul → filter →
+    result (top-k needs its per-query window; range search doesn't).
+    Result size is data-dependent by nature; the threshold bounds it.
+    """
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(
+        _corpus_numpy(spark, sf_dir, predicate=F.col("vec_id") < _N_QUERIES)
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, Q = bc.value
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            B = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            cos = _block_cosine(Q, B)
+            qq, nn = np.broadcast_arrays(q_ids[:, None], n_ids[None, :])
+            keep = (qq != nn) & (cos >= _RANGE_THRESHOLD)
+            yield pd.DataFrame(
+                {"q_id": qq[keep], "n_id": nn[keep], "cosine": cos[keep]}
+            )
+
+    corpus = rebalanced(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(_QUANT).alias("v")
+        )
+    )
+    return corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
