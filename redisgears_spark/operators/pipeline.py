@@ -1139,3 +1139,120 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_ws_tokens"), F.lit(1))
         ).alias("bpe_tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNIMAX budget allocation (round 6)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCHS = 1  # max epochs (repeats) of any language's data
+
+
+def unimax_quotas(counts: list[tuple[str, int]], budget: int, epochs: int):
+    """The UNIMAX greedy (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling"): walk languages from SCARCEST to most
+    plentiful; each gets min(n_l * epochs, fair share of the remaining
+    budget), where the fair share is remaining // languages_left. Pure
+    integer arithmetic — the same sequence the oracle's recursive CTE
+    performs, so quotas match across engines. Driver-side over |langs|
+    rows (dimension-sized, like ANN codebooks — never the corpus)."""
+    ordered = sorted(counts, key=lambda t: (t[1], t[0]))
+    remaining = budget
+    out = {}
+    for idx, (lang, n) in enumerate(ordered):
+        share = remaining // (len(ordered) - idx)
+        q = min(n * epochs, share)
+        out[lang] = q
+        remaining -= q
+    return out
+
+
+@query(
+    "pipeline_unimax_budget",
+    oracle=f"""
+    WITH RECURSIVE stats AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*), lang) AS i
+      FROM documents GROUP BY lang
+    ),
+    k AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM stats
+    ),
+    alloc(i, quota, remaining) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             (SELECT (total * 4) // 5 FROM k)
+      UNION ALL
+      SELECT s.i,
+             LEAST(s.n * {_UNIMAX_EPOCHS},
+                   a.remaining // ((SELECT k FROM k) - a.i)),
+             a.remaining
+               - LEAST(s.n * {_UNIMAX_EPOCHS},
+                       a.remaining // ((SELECT k FROM k) - a.i))
+      FROM alloc a JOIN stats s ON s.i = a.i + 1
+    ),
+    quota AS (
+      SELECT s.lang, a.quota FROM alloc a JOIN stats s USING (i)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS sample_rank,
+           CAST(q.quota AS BIGINT) AS lang_quota
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    """,
+)
+def pipeline_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX language sampling: given a token/document budget (4/5 of
+    the corpus here) and an epoch cap (1 — no language repeats), the
+    greedy allocator gives every language from scarcest to most
+    plentiful min(its whole data x epochs, a fair share of what's left).
+    The modern alternative to temperature sampling
+    (`pipeline_temperature_mix`): tail languages are never starved AND
+    never over-repeated; only head languages are downsampled.
+
+    Cross-engine exactness for an ITERATIVE allocation: Spark has no
+    recursive CTE, so the greedy runs driver-side over the COLLECTED
+    per-language counts (|langs| rows — dimension-sized), while the
+    oracle expresses the identical integer recurrence as a DuckDB
+    recursive CTE; both walk the same (count, lang) order, so the
+    quotas agree exactly. Selection is the md5-rank permutation.
+
+    Scale: counts are a map-side partial agg; the collect is |langs|;
+    quotas broadcast back; one lang-hash shuffle for the rank window.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = [
+        (r["lang"], r["n"])
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    ]
+    total = sum(n for _, n in counts)
+    quotas = unimax_quotas(counts, (total * 4) // 5, _UNIMAX_EPOCHS)
+    quota_df = spark.createDataFrame(
+        [(lang, q) for lang, q in quotas.items()], "lang string, quota long"
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.withColumn("sample_rank", rk.cast("long"))
+        .join(F.broadcast(quota_df), "lang")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "lang",
+            "sample_rank",
+            F.col("quota").alias("lang_quota"),
+        )
+    )

@@ -2334,3 +2334,81 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto analysis (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM rev),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (
+               ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_rev,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk
+      FROM rev
+    )
+    SELECT l_partkey, rev AS revenue_microcents,
+           CAST(rnk AS BIGINT) AS revenue_rank,
+           CASE WHEN cum_rev * 100 <= total * 70 THEN 'A'
+                WHEN cum_rev * 100 <= total * 90 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked, tot
+    """,
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue:
+    cumulative-share classes A (top 70% of revenue), B (to 90%), C
+    (tail) — the inventory-analytics classic. All arithmetic is exact:
+    per-row revenue in integer micro-cents (cents x discount basis
+    points), class cuts as INTEGER cross-multiplications
+    (`cum*100 <= total*70`), no float thresholds anywhere.
+
+    Scale: the revenue rollup is a map-side-partial group-by onto
+    |parts| rows — a DIMENSION-sized relation — so the global
+    cumulative-sum window's single-partition stage sorts |parts| rows,
+    not lineitems (the classic bounded-output shape: rollup first,
+    window after). The 1-row total is a broadcast.
+    """
+    rev_row = cents("l_extendedprice") * (
+        F.lit(10000) - basis_points("l_discount", 10000)
+    )
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_row).cast("long").alias("rev"))
+    )
+    tot = rev.agg(F.sum("rev").cast("long").alias("total"))
+    order = W.orderBy(F.col("rev").desc(), "l_partkey")
+    ranked = rev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_rev"),
+        F.row_number().over(order).cast("long").alias("rnk"),
+    )
+    return ranked.join(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("rev").alias("revenue_microcents"),
+        F.col("rnk").alias("revenue_rank"),
+        F.when(
+            F.col("cum_rev") * 100 <= F.col("total") * 70, F.lit("A")
+        )
+        .when(F.col("cum_rev") * 100 <= F.col("total") * 90, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -677,3 +677,53 @@ def test_int8_quantize_error_bound(spark, sf_dir):
     step = ((span["max"] - span["min"]) / 254.0).rename("step")
     merged = out.merge(step, left_on="dim", right_index=True)
     assert (merged["abs_err"] <= merged["step"] + 1e-12).all()
+
+
+def test_unimax_budget_allocation_properties(spark, sf_dir):
+    """UNIMAX invariants: every language quota respects the epoch cap
+    (here 1 epoch = its full size); the scarcest languages are taken
+    whole; the budget is spent exactly when the corpus can fill it; and
+    the Python greedy equals an independent re-derivation."""
+    from redisgears_spark.operators.pipeline import (
+        _UNIMAX_EPOCHS,
+        unimax_quotas,
+    )
+    from redisgears_spark.sources.keyspace import load_table
+
+    natural = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+        .to_dict()
+    )
+    out = QUERIES["pipeline_unimax_budget"](spark, sf_dir).toPandas()
+    sampled = out.groupby("lang").size().to_dict()
+    budget = (sum(natural.values()) * 4) // 5
+    assert sum(sampled.values()) == budget  # corpus can fill the budget
+    for lang, q in sampled.items():
+        assert q <= natural[lang] * _UNIMAX_EPOCHS
+    # languages below the final fair share are taken whole
+    quotas = unimax_quotas(list(natural.items()), budget, _UNIMAX_EPOCHS)
+    assert quotas == sampled
+    smallest = min(natural, key=lambda k: natural[k])
+    assert sampled[smallest] == natural[smallest]
+
+
+def test_abc_classes_partition_by_cumulative_share(spark, sf_dir):
+    out = QUERIES["orders_abc_analysis"](spark, sf_dir).toPandas()
+    out = out.sort_values("revenue_rank").reset_index(drop=True)
+    # classes are contiguous A..B..C in rank order
+    classes = "".join(out["abc_class"])
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
+    total = out["revenue_microcents"].sum()
+    a_share = out.loc[out["abc_class"] == "A", "revenue_microcents"].sum() / total
+    assert a_share <= 0.70 + 0.01
+    ab = out.loc[out["abc_class"] != "C", "revenue_microcents"].sum() / total
+    assert ab <= 0.90 + 0.01
+    # all three classes are populated (the fixture revenue is near-uniform,
+    # so A holds ~70% of parts; the cuts, not the skew, are the contract)
+    assert set(out["abc_class"]) == {"A", "B", "C"}
