@@ -878,13 +878,28 @@ class GearsEngine:
                     "api_version": lib.api_version,
                     "config": lib.config,
                     "setup": lib._setup_ref,
+                    "user": getattr(lib, "user", "default"),
                 }
                 for lib in self._libraries.values()
                 if lib._setup_ref is not None
             ]
+            # ACL users persist with the catalog (the reference keeps the
+            # owning user with each serialized library; without the user
+            # registry a restored owner would silently deny everything)
+            acl = [
+                {
+                    "name": u.name,
+                    "enabled": u.enabled,
+                    "key_patterns": list(u.key_patterns),
+                }
+                for u in self._acl_users.values()
+            ]
         tmp = f"{path}.tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": 1, "libraries": catalog}, fh, indent=1)
+            json.dump(
+                {"version": 1, "libraries": catalog, "acl_users": acl}, fh,
+                indent=1,
+            )
         import os
 
         os.replace(tmp, path)
@@ -895,19 +910,28 @@ class GearsEngine:
         Returns loaded library names."""
         with open(path) as fh:
             catalog = json.load(fh)
+        for u in catalog.get("acl_users", []):
+            self.acl_setuser(
+                u["name"],
+                enabled=u["enabled"],
+                key_patterns=tuple(u["key_patterns"]),
+                reset=True,
+            )
         loaded = []
         for entry in catalog["libraries"]:
             mod_name, _, qual = entry["setup"].partition(":")
             fn: Any = importlib.import_module(mod_name)
             for part in qual.split("."):
                 fn = getattr(fn, part)
-            self.load_library(
+            lib = self.load_library(
                 fn,
                 name=entry["name"],
                 api_version=entry["api_version"],
                 replace=True,
                 config=entry["config"],
             )
+            # restore ownership (load stamps the restoring session's user)
+            lib.user = entry.get("user", "default")
             loaded.append(entry["name"])
         return loaded
 

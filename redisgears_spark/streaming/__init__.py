@@ -11,7 +11,10 @@ from redisgears_spark.streaming.windows import (  # noqa: F401
     WindowedAggRuntime,
     windowed_stream_agg,
 )
-from redisgears_spark.streaming.stateful import StatefulStatsRuntime  # noqa: F401
+from redisgears_spark.streaming.stateful import (  # noqa: F401
+    StatefulStatsRuntime,
+    StreamingHeavyHittersRuntime,
+)
 from redisgears_spark.streaming.triggers import (  # noqa: F401
     CHANGES_SCHEMA,
     STREAM_SCHEMA,

@@ -268,3 +268,155 @@ class StatefulStatsRuntime:
         self.stop()
         for d in (self._ckpt_dir, self.sink_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (round 6)
+# ---------------------------------------------------------------------------
+
+# the streaming twin of operators/text.py's batch two-phase Misra-Gries
+# (text_heavy_hitters): same summary structure, but the counters LIVE in
+# the state store and survive micro-batches and restarts via the
+# checkpoint. MG guarantee carries over: after N records on a key, any
+# item with true count > N/(cap+1) is present, and every estimate is
+# within N/(cap+1) of truth.
+_HH_OUTPUT_SCHEMA = (
+    "stream_key string, item string, est_count bigint, "
+    "n_records bigint, rank bigint"
+)
+# counters as a JSON object column — MG state is a bounded dict
+# (≤ cap entries), far below any state-store row limit
+_HH_STATE_SCHEMA = "mg string, n_records bigint"
+
+
+def _make_hh_reducer(field: str, cap: int, topk: int):
+    import json as _json
+
+    def reducer(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream_key,) = key
+        if state.exists:
+            mg_json, n_records = state.get
+            counters: dict[str, int] = _json.loads(mg_json)
+        else:
+            counters, n_records = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id", kind="mergesort")
+            for fields in pdf["fields"]:
+                item = None if fields is None else dict(fields).get(field)
+                if item is None:
+                    continue
+                n_records += 1
+                if item in counters or len(counters) < cap:
+                    counters[item] = counters.get(item, 0) + 1
+                else:
+                    # MG decrement step: charge one to every counter
+                    counters = {
+                        k: v - 1 for k, v in counters.items() if v > 1
+                    }
+        state.update((_json.dumps(counters), n_records))
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+        yield pd.DataFrame(
+            [
+                {
+                    "stream_key": stream_key,
+                    "item": item,
+                    "est_count": est,
+                    "n_records": n_records,
+                    "rank": i + 1,
+                }
+                for i, (item, est) in enumerate(top)
+            ]
+        )
+
+    return reducer
+
+
+class StreamingHeavyHittersRuntime(StatefulStatsRuntime):
+    """Per-stream-key streaming heavy hitters: a Misra-Gries summary per
+    key in the state store, the current top-k emitted every micro-batch.
+    The batch two-phase MG (text_heavy_hitters) answers "top items ever";
+    this answers "top items NOW, continuously, with bounded state" — the
+    trending-values query RedisGears users build with per-key hashes and
+    periodic sweeps, here with exactly-once state via the checkpoint.
+
+    State per key is ≤ `cap` counters; total state O(|keys| * cap).
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        field: str = "event_type",
+        cap: int = 50,
+        topk: int = 10,
+    ):
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.field = field
+        self.cap = cap
+        self.topk = topk
+
+    @property
+    def _ckpt_dir(self) -> str:  # separate checkpoint from the stats query
+        return os.path.join(self.work_dir, "hh_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "hh_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        src = self._source()
+        if prefix:
+            src = src.filter(F.col("stream_key").startswith(prefix))
+        hh = src.groupBy("stream_key").applyInPandasWithState(
+            _make_hh_reducer(self.field, self.cap, self.topk),
+            _HH_OUTPUT_SCHEMA,
+            _HH_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        os.makedirs(self.sink_dir, exist_ok=True)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.sink_dir)
+
+        self.query = (
+            hh.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt_dir)
+            .outputMode("update")
+            .queryName("streaming_heavy_hitters")
+            .start()
+        )
+        return self.query
+
+    def top(self) -> dict[str, list[tuple[str, int]]]:
+        """Latest top-k per stream_key: rows from each key's highest
+        epoch, reduced JVM-side (max_by struct on epoch per rank)."""
+        import glob
+
+        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+            return {}
+        df = self.spark.read.parquet(self.sink_dir)
+        latest = df.groupBy("stream_key", "rank").agg(
+            F.max_by(
+                F.struct("item", "est_count", "epoch"), F.col("epoch")
+            ).alias("s")
+        )
+        mx = df.groupBy("stream_key").agg(F.max("epoch").alias("mx"))
+        rows = (
+            latest.join(mx, "stream_key")
+            .filter(F.col("s.epoch") == F.col("mx"))
+            .select("stream_key", "rank", "s.item", "s.est_count")
+            .collect()
+        )
+        out: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["stream_key"], r["rank"])):
+            out.setdefault(r["stream_key"], []).append(
+                (r["item"], r["est_count"])
+            )
+        return out

@@ -337,3 +337,32 @@ class TestAclOnNotificationConsumer:
         )
         with pytest.raises(GearsError, match="restricted key permissions"):
             rt.start_trigger(lib, "kx")
+
+
+def module_level_setup(lib):
+    lib.register_function("noop", lambda client: "ok")
+
+
+class TestAclPersistence:
+    def test_registry_roundtrip_keeps_users_and_owners(
+        self, spark, sf_dir, tmp_path
+    ):
+        """save_registry/restore_registry must carry the ACL user set and
+        each library's owner — a restored owner losing its patterns would
+        silently deny (or worse, allow) everything."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["cached:*", "user:?"])
+        engine.auth("alice")
+        engine.load_library(module_level_setup, name="plib")
+        engine.auth("default")
+        path = str(tmp_path / "registry.json")
+        engine.save_registry(path)
+
+        fresh = GearsEngine(spark, sf_dir)
+        assert fresh.restore_registry(path) == ["plib"]
+        assert fresh.list_libraries()[0]["user"] == "alice"
+        assert fresh.acl_allows("alice", "cached:x")
+        assert fresh.acl_allows("alice", "user:1")
+        assert not fresh.acl_allows("alice", "user:12")
+        assert not fresh.acl_allows("alice", "orders:1")
+        assert fresh.acl_allows("default", "anything")

@@ -1956,3 +1956,86 @@ class TestCdcDeadLetterQueue:
         }
         # the DLQ still holds every entry, untouched
         assert rt.read_errors("rrlib", "rr").count() == n_failed
+
+
+class TestStreamingHeavyHitters:
+    """Streaming Misra-Gries per stream_key: state survives micro-batches
+    via the state store; MG bound holds against exact counts."""
+
+    def _feed(self, spark, spool, lo, hi):
+        # skewed distribution: item f"i{j}" where j = value % 7, with
+        # item 'i0' boosted (every third record repeats it)
+        rows = []
+        for i in range(lo, hi):
+            item = "i0" if i % 3 == 0 else f"i{i % 7}"
+            rows.append(("k:1" if i % 2 == 0 else "k:2", i, {"item": item}))
+        _write_canonical(spark, spool, rows)
+
+    def test_top_items_with_mg_bound(self, spark, sf_dir, spool, work):
+        from collections import Counter
+
+        from redisgears_spark.streaming import StreamingHeavyHittersRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingHeavyHittersRuntime(
+            engine, spool, work, field="item", cap=5, topk=3
+        )
+        self._feed(spark, spool, 0, 120)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            # second batch: state must carry over, not reset
+            self._feed(spark, spool, 120, 240)
+            rt.process_available()
+        finally:
+            rt.stop()
+        top = rt.top()
+        assert set(top) == {"k:1", "k:2"}
+        # exact truth per key
+        truth: dict[str, Counter] = {"k:1": Counter(), "k:2": Counter()}
+        for i in range(240):
+            item = "i0" if i % 3 == 0 else f"i{i % 7}"
+            truth["k:1" if i % 2 == 0 else "k:2"][item] += 1
+        for key, entries in top.items():
+            n = sum(truth[key].values())
+            bound = n / (5 + 1)
+            ranked = dict(entries)
+            # the dominant item must surface and estimates respect the
+            # MG undercount bound est <= true <= est + N/(cap+1)
+            best_item, best_n = truth[key].most_common(1)[0]
+            assert best_item in ranked
+            for item, est in entries:
+                assert est <= truth[key][item] <= est + bound + 1
+            # ranks ordered by estimate desc
+            ests = [e for _, e in entries]
+            assert ests == sorted(ests, reverse=True)
+
+    def test_restart_resumes_state(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingHeavyHittersRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingHeavyHittersRuntime(
+            engine, spool, work, field="item", cap=5, topk=3
+        )
+        self._feed(spark, spool, 0, 60)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        n_before = {
+            k: v[0][1] for k, v in rt.top().items()
+        }
+        # NEW runtime over the same checkpoint: counters continue
+        rt2 = StreamingHeavyHittersRuntime(
+            engine, spool, work, field="item", cap=5, topk=3
+        )
+        self._feed(spark, spool, 60, 120)
+        rt2.start(prefix="k:")
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        top2 = rt2.top()
+        for k, entries in top2.items():
+            assert entries[0][1] > n_before[k]
