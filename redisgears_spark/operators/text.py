@@ -676,3 +676,94 @@ def text_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ) / (CAST(length(text) AS BIGINT) * length(text))
            END AS char_gini""",
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (round 6)
+# ---------------------------------------------------------------------------
+
+_STOP_IN_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents) t
+    ),
+    marked AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ({_STOP_IN_SQL}) THEN 1 ELSE 0 END AS is_stop,
+             SUM(CASE WHEN word IN ({_STOP_IN_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM tok
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS phrase_len
+      FROM marked WHERE is_stop = 0 GROUP BY doc_id, phrase_id
+    ),
+    words AS (
+      SELECT m.word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+      FROM marked m JOIN phrases p USING (doc_id, phrase_id)
+      WHERE m.is_stop = 0
+      GROUP BY m.word
+    )
+    SELECT word, freq, degree,
+           CAST(degree AS DOUBLE) / freq AS rake_score
+    FROM words
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; a word's score is
+    degree/frequency, where degree sums the lengths of every phrase the
+    word appears in — words that live in long content phrases outrank
+    equally-frequent words that appear alone. The standard cheap
+    keyword extractor (no model, no corpus statistics beyond one pass).
+
+    Phrase segmentation WITHOUT string surgery: phrase_id is the
+    RUNNING STOPWORD COUNT at each position (a per-doc window sum), so
+    consecutive non-stop tokens share an id — the array-native
+    formulation both engines express identically (no regex dialect in
+    sight). Exact integers end-to-end, one IEEE division for the score.
+
+    Scale: one posexplode pass, one doc-hash window, two map-side
+    partial aggs; phrase lengths join back ON (doc, phrase) — all keys
+    narrow. Output is |vocabulary| rows (bounded).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "word")
+    )
+    is_stop = F.col("word").isin(*_STOPWORDS).cast("int")
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "word",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop)
+        .over(W.partitionBy("doc_id").orderBy("pos"))
+        .alias("phrase_id"),
+    )
+    content = marked.filter(F.col("is_stop") == 0)
+    phrases = content.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_len")
+    )
+    return (
+        content.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("phrase_len").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            (F.col("degree").cast("double") / F.col("freq")).alias(
+                "rake_score"
+            ),
+        )
+    )

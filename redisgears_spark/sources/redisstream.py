@@ -433,3 +433,67 @@ class FakeRedis:
         existed = int(name in self._streams())
         self._append({"del": name})
         return existed
+
+
+# ---------------------------------------------------------------------------
+# migration bridge: command log (AOF) <-> live server
+# ---------------------------------------------------------------------------
+
+
+def replay_commandlog_to_redis(log_dir: str, client) -> int:
+    """Replay an AOF command-log spool into a live server — the
+    migration on-ramp (restore a reference deployment's persisted
+    streams into Redis, then point the trigger runtime at it with
+    `source_format="redis"`). Segments replay in name order (the
+    writer's append order), so per-key ids arrive monotonic, as XADD
+    requires. Returns the number of entries written.
+
+    Duplicate field names collapse to the last-wins map (redis-py xadd
+    takes a dict); the ordered pair list only survives in the log
+    itself — same documented fidelity boundary as the reader."""
+    from redisgears_spark.sources.commandlog import (
+        CommandLogReader,
+        _SegmentPartition,
+    )
+
+    reader = CommandLogReader({"path": log_dir})
+    n = 0
+    for part in reader.partitions():
+        for stream_key, packed, _ts, fields, _rec in reader.read(part):
+            client.xadd(stream_key, fields, id=unpack_id(packed))
+            n += 1
+    return n
+
+
+def dump_redis_to_commandlog(client, match: str, out_path: str) -> int:
+    """The reverse bridge: snapshot a live server's matching streams
+    into ONE atomic AOF segment (write_command_log's tmp+rename), so a
+    Redis deployment becomes a replayable/queryable spool
+    (`gears_commandlog` batch scan, archive, or trigger backfill).
+    Returns the number of entries dumped."""
+    from redisgears_spark.sources.commandlog import write_command_log
+
+    prefixes = (match[:-1],) if match.endswith("*") else ()
+    eqs = () if match.endswith("*") else (match,)
+    rows = []
+    for key in _scan_stream_keys(client, eqs, prefixes):
+        for id_str, fields in client.xrange(key, "-", "+"):
+            if isinstance(id_str, bytes):
+                id_str = id_str.decode()
+            packed = pack_id(id_str)
+            if packed is None:
+                continue
+            rows.append(
+                {
+                    "stream_key": key,
+                    "id": packed,
+                    "fields": {
+                        (k.decode() if isinstance(k, bytes) else k): (
+                            v.decode() if isinstance(v, bytes) else v
+                        )
+                        for k, v in fields.items()
+                    },
+                }
+            )
+    write_command_log(rows, out_path)
+    return len(rows)

@@ -241,3 +241,57 @@ def test_trigger_consumes_live_redis(spark, sf_dir, tmp_path):
         assert len(fake.xrange("other:9", "-", "+")) == 1
     finally:
         rt.stop_all()
+
+
+class TestMigrationBridge:
+    def test_commandlog_roundtrip_through_redis(self, spark, tmp_path):
+        """AOF -> live server -> AOF: replay a command log into the
+        (fake) server, read it back through gears_redis, and dump it to
+        a fresh segment — every leg preserves keys, ids, and fields."""
+        from redisgears_spark.sources.commandlog import write_command_log
+        from redisgears_spark.sources.redisstream import (
+            dump_redis_to_commandlog,
+            replay_commandlog_to_redis,
+        )
+
+        d = str(tmp_path / "aof")
+        rows = [
+            {"stream_key": "user:1", "id": pack_id(_id(_MS, 1)),
+             "fields": {"event_type": "view", "value": "3.5"}},
+            {"stream_key": "user:2", "id": pack_id(_id(_MS + 1)),
+             "fields": {"event_type": "buy"}},
+            {"stream_key": "user:1", "id": pack_id(_id(_MS + 2)),
+             "fields": {"event_type": "click"}},
+        ]
+        write_command_log(rows[:2], f"{d}/seg-000.aof")
+        write_command_log(rows[2:], f"{d}/seg-001.aof")
+
+        client = FakeRedis(str(tmp_path / "server.jsonl"))
+        assert replay_commandlog_to_redis(d, client) == 3
+        got = {
+            (r["stream_key"], r["id"], r["fields"]["event_type"])
+            for r in _read(spark, client).collect()
+        }
+        assert got == {
+            (r["stream_key"], r["id"], r["fields"]["event_type"])
+            for r in rows
+        }
+        # reverse: server -> one atomic segment, parseable by the batch
+        # commandlog reader with identical content
+        out = str(tmp_path / "dump" / "seg-000.aof")
+        assert dump_redis_to_commandlog(client, "user:*", out) == 3
+        from redisgears_spark.sources.commandlog import (
+            register_commandlog_source,
+        )
+
+        register_commandlog_source(spark)
+        back = (
+            spark.read.format("gears_commandlog")
+            .option("path", str(tmp_path / "dump"))
+            .load()
+            .collect()
+        )
+        assert {
+            (r["stream_key"], r["id"], r["fields"]["event_type"])
+            for r in back
+        } == got
