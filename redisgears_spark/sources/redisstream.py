@@ -459,7 +459,9 @@ def replay_commandlog_to_redis(log_dir: str, client) -> int:
     reader = CommandLogReader({"path": log_dir})
     n = 0
     for part in reader.partitions():
-        for stream_key, packed, _ts, fields, _rec in reader.read(part):
+        for stream_key, packed, _ts, fields, _rec in reader.read_tuples(
+            part
+        ):
             client.xadd(stream_key, fields, id=unpack_id(packed))
             n += 1
     return n

@@ -305,7 +305,7 @@ class TestCommandLogRoundTrip:
         with tempfile.TemporaryDirectory() as d:
             path = write_command_log(rows, f"{d}/seg.aof")
             reader = CommandLogReader({"path": d})
-            got = list(reader.read(_SegmentPartition(path)))
+            got = list(reader.read_tuples(_SegmentPartition(path)))
         assert len(got) == len(rows)
         for want, (key, rid, _ts, fields, record) in zip(rows, got):
             assert key == want["stream_key"]
