@@ -422,16 +422,22 @@ class GearsEngine:
         self,
         name: str,
         *,
-        enabled: bool = True,
+        enabled: bool | None = None,
         key_patterns: tuple | list = (),
         reset: bool = False,
     ) -> None:
         """`ACL SETUSER` analog: create/update a user. Like the Redis
         command, key patterns are ADDITIVE across calls; `reset=True`
-        clears the existing rule set first (`ACL SETUSER u reset`)."""
+        clears the existing rule set first (`ACL SETUSER u reset`), and
+        on/off is UNCHANGED when not specified — a later pattern-only
+        update must not re-enable a suspended user. New users default to
+        enabled (matching the repo's pre-existing callers; Redis proper
+        defaults new users to off)."""
         with self._lock:
             old = self._acl_users.get(name)
             patterns = () if reset or old is None else old.key_patterns
+            if enabled is None:
+                enabled = True if old is None else old.enabled
             self._acl_users[name] = AclUser(
                 name, enabled, patterns + tuple(key_patterns)
             )
@@ -445,8 +451,11 @@ class GearsEngine:
             raise GearsError("the default user cannot be deleted")
         with self._lock:
             self._acl_users.pop(name, None)
-            if self._current_user == name:
-                self._current_user = "default"
+            # The session stays authed as the (now nonexistent) user:
+            # acl_read_regex resolves at ACCESS time, so every subsequent
+            # keyed access denies — matching the reference, which fails the
+            # running function's next call rather than silently escalating
+            # the session back to the unrestricted default user.
 
     def auth(self, name: str) -> None:
         """`AUTH` analog: subsequent calls (and libraries loaded) act as
@@ -707,6 +716,7 @@ class GearsEngine:
         rf: RegisteredFunction,
         args: tuple,
         allow_background: bool = False,
+        acting_user: str | None = None,
     ) -> Any:
         self._admit(rf)
         # RAW_ARGUMENTS: pass bytes through untouched; default decodes
@@ -724,9 +734,13 @@ class GearsEngine:
                 decoded.append(a)
             args = tuple(decoded)
         # the acting user is the CALLER (the reference authenticates
-        # in-function redis calls as the user issuing TFCALL/TFCALLASYNC)
+        # in-function redis calls as the user issuing TFCALL/TFCALLASYNC).
+        # Async paths pass acting_user captured at SUBMISSION time — by the
+        # time a pool worker runs this, the session may have re-authed.
         client = GearsClient(
-            self, read_only=NO_WRITES in rf.flags, user=self._current_user
+            self,
+            read_only=NO_WRITES in rf.flags,
+            user=self._current_user if acting_user is None else acting_user,
         )
         started = time.perf_counter()
         rf.stats.n_calls += 1
@@ -784,11 +798,12 @@ class GearsEngine:
         self, lib: Library, rf: RegisteredFunction, args: tuple, timeout: float
     ) -> Any:
         tag = f"rg-call-{uuid.uuid4().hex}"
+        user = self._current_user  # caller's identity, captured at submission
 
         def run():
             self.spark.addTag(tag)
             try:
-                return self._invoke(lib, rf, args)
+                return self._invoke(lib, rf, args, acting_user=user)
             finally:
                 self.spark.removeTag(tag)
 
@@ -820,7 +835,9 @@ class GearsEngine:
         thread pool; Spark jobs launched inside run concurrently under the
         scheduler. Returns a Future."""
         lib, rf = self._resolve(lib_name, fn_name)
-        return self._pool.submit(self._invoke, lib, rf, args)
+        return self._pool.submit(
+            self._invoke, lib, rf, args, acting_user=self._current_user
+        )
 
     def execute_async(self, lib_name: str, fn_name: str, *args: Any) -> Future:
         """Hybrid invocation — the reference's ``executeAsync`` contract
@@ -833,7 +850,9 @@ class GearsEngine:
         lib, rf = self._resolve(lib_name, fn_name)
         if rf.is_async:
             # async-registered functions never had a sync fast path
-            return self._pool.submit(self._invoke, lib, rf, args)
+            return self._pool.submit(
+                self._invoke, lib, rf, args, acting_user=self._current_user
+            )
         # sync portion, caller thread; Background resolves below
         result = self._invoke(lib, rf, args, allow_background=True)
         if isinstance(result, Background):

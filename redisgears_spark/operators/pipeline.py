@@ -596,6 +596,42 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _take_lang_quota(
+    docs: DataFrame,
+    quota: DataFrame,
+    quota_col: str = "quota",
+    emit_quota: bool = False,
+) -> DataFrame:
+    """Deterministic per-language downsampling, shared by every mix
+    sampler (lang_rebalance / temperature_mix / unimax_budget): rank
+    docs inside each lang by the md5(doc_id) permutation (doc_id
+    tie-break — same rows on any engine) and keep ranks up to the
+    language's quota. `quota` is dimension-sized (one row per lang, or
+    one keyless global row) and broadcast.
+
+    Scale: one hash shuffle on lang for the rank window; with |langs|
+    small and docs/lang huge the per-lang sort is the skew risk — at
+    100 TB swap the row_number for the two-phase quantile cut (sample
+    the md5 space, cut at the K-th quantile, keep rows below it). One
+    place to change, for all three samplers.
+    """
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = docs.withColumn("sample_rank", rk.cast("long"))
+    if "lang" in quota.columns:
+        joined = ranked.join(F.broadcast(quota), "lang")
+    else:  # single global-quota row, keyless broadcast cross join
+        joined = ranked.join(F.broadcast(quota))
+    out = joined.filter(F.col("sample_rank") <= F.col(quota_col))
+    cols: list = ["doc_id", "lang", "sample_rank"]
+    if emit_quota:
+        cols.append(F.col(quota_col).alias("lang_quota"))
+    return out.select(*cols)
+
+
 @query(
     "pipeline_lang_rebalance",
     oracle="""
@@ -640,17 +676,7 @@ def pipeline_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     k = counts.agg(F.min("cnt").alias("k"))
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(
-            F.md5(F.col("doc_id").cast("string")), "doc_id"
-        )
-    )
-    return (
-        docs.withColumn("sample_rank", rk.cast("long"))
-        .join(F.broadcast(k))
-        .filter(F.col("sample_rank") <= F.col("k"))
-        .select("doc_id", "lang", "sample_rank")
-    )
+    return _take_lang_quota(docs, k, quota_col="k")
 
 
 @query(
@@ -730,22 +756,7 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quota"),
         )
     )
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(
-            F.md5(F.col("doc_id").cast("string")), "doc_id"
-        )
-    )
-    return (
-        docs.withColumn("sample_rank", rk.cast("long"))
-        .join(F.broadcast(quota), "lang")
-        .filter(F.col("sample_rank") <= F.col("quota"))
-        .select(
-            "doc_id",
-            "lang",
-            "sample_rank",
-            F.col("quota").alias("lang_quota"),
-        )
-    )
+    return _take_lang_quota(docs, quota, emit_quota=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1240,19 +1251,4 @@ def pipeline_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota_df = spark.createDataFrame(
         [(lang, q) for lang, q in quotas.items()], "lang string, quota long"
     )
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(
-            F.md5(F.col("doc_id").cast("string")), "doc_id"
-        )
-    )
-    return (
-        docs.withColumn("sample_rank", rk.cast("long"))
-        .join(F.broadcast(quota_df), "lang")
-        .filter(F.col("sample_rank") <= F.col("quota"))
-        .select(
-            "doc_id",
-            "lang",
-            "sample_rank",
-            F.col("quota").alias("lang_quota"),
-        )
-    )
+    return _take_lang_quota(docs, quota_df, emit_quota=True)

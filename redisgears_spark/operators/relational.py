@@ -2363,8 +2363,10 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, rev AS revenue_microcents,
            CAST(rnk AS BIGINT) AS revenue_rank,
-           CASE WHEN cum_rev * 100 <= total * 70 THEN 'A'
-                WHEN cum_rev * 100 <= total * 90 THEN 'B'
+           CASE WHEN CAST(cum_rev AS HUGEINT) * 100
+                     <= CAST(total AS HUGEINT) * 70 THEN 'A'
+                WHEN CAST(cum_rev AS HUGEINT) * 100
+                     <= CAST(total AS HUGEINT) * 90 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM ranked, tot
     """,
@@ -2401,14 +2403,17 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum_rev"),
         F.row_number().over(order).cast("long").alias("rnk"),
     )
+    # class cuts compare in decimal(38,0): cum_rev*100 on int64 wraps (or
+    # ANSI-errors) once total micro-cent revenue passes ~9.2e16 — around
+    # sf1, two orders of magnitude under the target scale
+    cum = F.col("cum_rev").cast("decimal(38,0)")
+    tot_d = F.col("total").cast("decimal(38,0)")
     return ranked.join(F.broadcast(tot)).select(
         "l_partkey",
         F.col("rev").alias("revenue_microcents"),
         F.col("rnk").alias("revenue_rank"),
-        F.when(
-            F.col("cum_rev") * 100 <= F.col("total") * 70, F.lit("A")
-        )
-        .when(F.col("cum_rev") * 100 <= F.col("total") * 90, F.lit("B"))
+        F.when(cum * 100 <= tot_d * 70, F.lit("A"))
+        .when(cum * 100 <= tot_d * 90, F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )

@@ -51,6 +51,7 @@ a real server is the same code with host/port options.
 from __future__ import annotations
 
 import datetime
+import fnmatch
 import json
 import os
 from typing import Iterator, Sequence
@@ -154,14 +155,37 @@ def _make_client(options: dict):
     )
 
 
-def _scan_stream_keys(client, eqs: tuple, prefixes: tuple) -> list[str]:
+def _parse_match(options: dict) -> tuple[tuple, tuple, str | None]:
+    """`match` option → (eqs, prefixes, glob). A trailing-`*` pattern with
+    no other metacharacters is a prefix (the fast common case); a pattern
+    with no metacharacters at all is an exact key name; anything else is
+    a full Redis glob, passed to SCAN MATCH verbatim and re-checked
+    client-side. Nothing is ever silently dropped — an exact `orders`
+    or a `user:?` glob must narrow discovery, not widen it to `*`."""
+    m = options.get("match", "")
+    if not m:
+        return (), (), None
+    meta = set("*?[")
+    if m.endswith("*") and not (meta & set(m[:-1])):
+        return (), (m[:-1],), None
+    if not (meta & set(m)):
+        return (m,), (), None
+    return (), (), m
+
+
+def _scan_stream_keys(
+    client, eqs: tuple, prefixes: tuple, glob: str | None = None
+) -> list[str]:
     """Discover matching stream keys (the reference's bootstrap scan,
     lib.rs:1546-1574). Pushed equalities short-circuit to direct
-    existence probes; otherwise SCAN with the narrowest prefix MATCH."""
+    existence probes; otherwise SCAN with the narrowest MATCH pattern."""
     if eqs:
         keys = [k for k in eqs if client.type(k) == "stream"]
     else:
-        match = prefixes[0] + "*" if len(prefixes) == 1 else "*"
+        if glob is not None:
+            match = glob
+        else:
+            match = prefixes[0] + "*" if len(prefixes) == 1 else "*"
         keys = [
             k.decode() if isinstance(k, bytes) else k
             for k in client.scan_iter(match=match, _type="STREAM")
@@ -171,6 +195,7 @@ def _scan_stream_keys(client, eqs: tuple, prefixes: tuple) -> list[str]:
         for k in keys
         if all(k.startswith(p) for p in prefixes)
         and all(k == e for e in eqs)
+        and (glob is None or fnmatch.fnmatchcase(k, glob))
     ]
     return sorted(set(keys))
 
@@ -191,10 +216,9 @@ class _KeyPartition(InputPartition):
 class RedisBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
-        self._key_eqs: list[str] = []
-        self._key_prefixes: list[str] = []
-        if options.get("match", "").endswith("*"):
-            self._key_prefixes.append(options["match"][:-1])
+        eqs, prefixes, self._glob = _parse_match(options)
+        self._key_eqs: list[str] = list(eqs)
+        self._key_prefixes: list[str] = list(prefixes)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         # conjunctive — every accepted filter narrows key discovery
@@ -211,11 +235,21 @@ class RedisBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         client = _make_client(self.options)
         keys = _scan_stream_keys(
-            client, tuple(self._key_eqs), tuple(self._key_prefixes)
+            client,
+            tuple(self._key_eqs),
+            tuple(self._key_prefixes),
+            self._glob,
         )
-        return [_KeyPartition(k, self.options) for k in keys]
+        # Never return an empty list: the Python data source runner
+        # substitutes [None] for it and read(None) would crash — a scan
+        # with zero matching streams is an empty DataFrame, not an error.
+        return [_KeyPartition(k, self.options) for k in keys] or [
+            _KeyPartition(None, self.options)
+        ]
 
     def read(self, partition: _KeyPartition):
+        if partition is None or partition.key is None:
+            return  # zero matching streams — empty scan
         client = _make_client(partition.options)
         yield from _entry_rows(
             partition.key, client.xrange(partition.key, "-", "+")
@@ -240,10 +274,7 @@ class RedisStreamTailReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.options = dict(options)
-        prefixes: list[str] = []
-        if options.get("match", "").endswith("*"):
-            prefixes.append(options["match"][:-1])
-        self._prefixes = tuple(prefixes)
+        self._eqs, self._prefixes, self._glob = _parse_match(options)
         self._count = int(options.get("batch_limit", "10000"))
         self._client = None
 
@@ -259,7 +290,9 @@ class RedisStreamTailReader(SimpleDataSourceStreamReader):
         last: dict = dict(start.get("last", {}))
         client = self._c()
         rows: list = []
-        for key in _scan_stream_keys(client, (), self._prefixes):
+        for key in _scan_stream_keys(
+            client, self._eqs, self._prefixes, self._glob
+        ):
             lo = "(" + last[key] if key in last else "-"
             entries = client.xrange(key, lo, "+", count=self._count)
             if entries:
@@ -335,33 +368,49 @@ class FakeRedis:
         if not os.path.exists(path):
             with open(path, "a", encoding="utf-8"):
                 pass
+        # incremental parse state: the spool is append-only, so each call
+        # folds in only the lines written since the last one (a full
+        # re-parse per op made replay_commandlog_to_redis O(n^2))
+        self._state: dict[str, list[tuple[int, str, dict]]] = {}
+        self._pos = 0
 
     # -- state ------------------------------------------------------------
 
     def _streams(self) -> dict[str, list[tuple[int, str, dict]]]:
-        streams: dict[str, list] = {}
-        with open(self.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                d = json.loads(line)
-                if "trim" in d:
-                    minid = pack_id(d["minid"])
-                    streams[d["trim"]] = [
-                        e
-                        for e in streams.get(d["trim"], [])
-                        if e[0] >= minid
-                    ]
-                elif "del" in d:
-                    streams.pop(d["del"], None)
-                else:
-                    packed = pack_id(d["id"])
-                    if packed is None:
-                        raise ValueError(f"unrepresentable id {d['id']!r}")
-                    streams.setdefault(d["key"], []).append(
-                        (packed, d["id"], d["fields"])
-                    )
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            size = 0
+        if size < self._pos:
+            # spool replaced/truncated under us — rebuild from scratch
+            self._state, self._pos = {}, 0
+        if size == self._pos:
+            return self._state
+        with open(self.path, "rb") as fh:
+            fh.seek(self._pos)
+            data = fh.read()
+        cut = data.rfind(b"\n") + 1  # complete lines only (mid-append safe)
+        streams = self._state
+        for raw in data[:cut].splitlines():
+            line = raw.decode("utf-8").strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if "trim" in d:
+                minid = pack_id(d["minid"])
+                streams[d["trim"]] = [
+                    e for e in streams.get(d["trim"], []) if e[0] >= minid
+                ]
+            elif "del" in d:
+                streams.pop(d["del"], None)
+            else:
+                packed = pack_id(d["id"])
+                if packed is None:
+                    raise ValueError(f"unrepresentable id {d['id']!r}")
+                streams.setdefault(d["key"], []).append(
+                    (packed, d["id"], d["fields"])
+                )
+        self._pos += cut
         return streams
 
     def _append(self, obj: dict) -> None:
@@ -410,12 +459,8 @@ class FakeRedis:
     def scan_iter(self, match: str = "*", _type: str | None = None):
         if _type is not None and _type.upper() != "STREAM":
             return
-        prefix = match[:-1] if match.endswith("*") else None
         for key in sorted(self._streams()):
-            if prefix is None:
-                if key == match:
-                    yield key
-            elif key.startswith(prefix):
+            if fnmatch.fnmatchcase(key, match):
                 yield key
 
     def type(self, name: str) -> str:
@@ -475,10 +520,9 @@ def dump_redis_to_commandlog(client, match: str, out_path: str) -> int:
     Returns the number of entries dumped."""
     from redisgears_spark.sources.commandlog import write_command_log
 
-    prefixes = (match[:-1],) if match.endswith("*") else ()
-    eqs = () if match.endswith("*") else (match,)
+    eqs, prefixes, glob = _parse_match({"match": match})
     rows = []
-    for key in _scan_stream_keys(client, eqs, prefixes):
+    for key in _scan_stream_keys(client, eqs, prefixes, glob):
         for id_str, fields in client.xrange(key, "-", "+"):
             if isinstance(id_str, bytes):
                 id_str = id_str.decode()

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from redisgears_spark.engine import GearsEngine
+from redisgears_spark.engine import GearsEngine, GearsError
 
 # canonical stream shape (triggers.STREAM_SCHEMA) in, running stats out
 _OUTPUT_SCHEMA = (
@@ -420,3 +420,21 @@ class StreamingHeavyHittersRuntime(StatefulStatsRuntime):
                 (r["item"], r["est_count"])
             )
         return out
+
+    # The inherited stats surface does not apply here: the hh sink rows
+    # (stream_key, item, est_count, n_records, rank, epoch) carry no
+    # `deleted`/`last_id` columns, so the base latest()/expire_idle()
+    # would crash mid-iteration. Fail loudly with the right API instead.
+
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingHeavyHittersRuntime has no per-key stats snapshot — "
+            "use top() for the current top-k per stream_key"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the heavy-hitters runtime "
+            "(its state is bounded Misra-Gries counters, not per-key "
+            "stats with tombstones); stop()/flush() clear state"
+        )

@@ -366,3 +366,59 @@ class TestAclPersistence:
         assert not fresh.acl_allows("alice", "user:12")
         assert not fresh.acl_allows("alice", "orders:1")
         assert fresh.acl_allows("default", "anything")
+
+
+class TestAclSessionSemantics:
+    def test_deluser_denies_instead_of_escalating(self, spark, sf_dir):
+        """Deleting the currently-authed user must deny the session's
+        next keyed access (access-time resolution) — NOT silently
+        re-auth the session as the unrestricted default user."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("bob", key_patterns=["orders:*"])
+        engine.load_library(
+            lambda l: l.register_function("get", lookup_customer),
+            name="lib",
+        )
+        engine.auth("bob")
+        engine.acl_deluser("bob")
+        assert engine.current_user == "bob"  # still bob, now nonexistent
+        with pytest.raises(GearsError, match=NO_PERMISSIONS_MSG):
+            engine.call("lib", "get", 1)
+        engine.auth("default")  # explicit re-auth restores access
+        assert engine.call("lib", "get", 1) >= 0
+
+    def test_pattern_update_keeps_user_disabled(self, spark, sf_dir):
+        """ACL SETUSER semantics: on/off is unchanged when unspecified —
+        a pattern-only update must not re-enable a suspended user."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("u", key_patterns=["a:*"])
+        engine.acl_setuser("u", enabled=False)
+        engine.acl_setuser("u", key_patterns=["b:*"])  # rules only
+        assert not engine.acl_allows("u", "a:1")
+        with pytest.raises(GearsError, match="unknown or disabled"):
+            engine.auth("u")
+        engine.acl_setuser("u", enabled=True)
+        assert engine.acl_allows("u", "b:1")
+
+    def test_async_user_captured_at_submission(self, spark, sf_dir):
+        """A queued call_async runs as the user who SUBMITTED it (the
+        reference authenticates as the TFCALLASYNC issuer), even when
+        the session re-auths before a pool worker picks it up."""
+        import threading
+
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("bob", key_patterns=["orders:*"])
+        engine.load_library(
+            lambda l: l.register_async_function("aget", lookup_customer),
+            name="lib",
+        )
+        gate = threading.Event()
+        blockers = [engine._pool.submit(gate.wait, 30) for _ in range(8)]
+        engine.auth("bob")
+        fut = engine.call_async("lib", "aget", 1)  # queued behind blockers
+        engine.auth("default")  # re-auth BEFORE the worker can run
+        gate.set()
+        with pytest.raises(GearsError, match=NO_PERMISSIONS_MSG):
+            fut.result(60)
+        for b in blockers:
+            b.result(30)

@@ -295,3 +295,28 @@ class TestMigrationBridge:
             (r["stream_key"], r["id"], r["fields"]["event_type"])
             for r in back
         } == got
+
+
+def test_no_matching_streams_is_empty_scan(spark, fake):
+    """Zero matching streams must read as an empty DataFrame, not
+    crash: the Python source runner substitutes [None] for an empty
+    partition list, so the reader emits one sentinel empty partition."""
+    assert _read(spark, fake, match="missing:*").count() == 0
+    # pushed equality on an absent key takes the same path
+    df = _read(spark, fake).filter(F.col("stream_key") == "missing")
+    assert df.count() == 0
+
+
+def test_exact_and_glob_match_narrow_discovery(spark, fake):
+    """A match with no trailing '*' (exact key name) or with inner
+    metacharacters (Redis glob) must NARROW discovery — never silently
+    widen it to every stream on the server."""
+    assert {
+        r["stream_key"]
+        for r in _read(spark, fake, match="other:9").collect()
+    } == {"other:9"}
+    assert {
+        r["stream_key"]
+        for r in _read(spark, fake, match="user:?").collect()
+    } == {"user:1", "user:2"}
+    assert _read(spark, fake, match="user").count() == 0  # exact, absent

@@ -2039,3 +2039,18 @@ class TestStreamingHeavyHitters:
         top2 = rt2.top()
         for k, entries in top2.items():
             assert entries[0][1] > n_before[k]
+
+
+class TestHeavyHittersApiSurface:
+    def test_inherited_stats_api_fails_loudly(self, spark, sf_dir, spool, work):
+        """The hh sink has no deleted/last_id columns, so the base
+        class's latest()/expire_idle() cannot apply — they must raise a
+        clear GearsError, not crash mid-iteration with a KeyError."""
+        from redisgears_spark.streaming import StreamingHeavyHittersRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingHeavyHittersRuntime(engine, spool, work, field="item")
+        with pytest.raises(GearsError, match="use top\\(\\)"):
+            rt.latest()
+        with pytest.raises(GearsError, match="not supported"):
+            rt.expire_idle(60)
