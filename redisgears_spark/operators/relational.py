@@ -2417,3 +2417,156 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern matching (CEP, round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS ch
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts_us, event_id) AS s
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'v[ce]*p')) AS BIGINT)
+             AS n_funnels,
+           md5(s) AS seq_md5
+    FROM seq
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing sequence detection — the
+    MATCH_RECOGNIZE workload RedisGears users hand-roll with per-key
+    state: encode each user's event history as a character sequence
+    (one char per type, ordered by (ts, event_id)) and count
+    non-overlapping `view (click|error)* purchase` funnel completions
+    with a regex scan. The full sequence is pinned by md5, so the
+    oracle checks the ORDERING, not just the counts.
+
+    Dialect portability: the pattern `v[ce]*p` matches iff the first
+    non-[ce] character after a `v` is `p` — a property backtracking
+    (Java) and DFA (RE2) engines decide identically, and both scanners
+    resume after the previous match (same non-overlap semantics).
+
+    Scale: one hash shuffle on user_id; the per-user sequence is
+    bounded by the retention window (the same bound every per-key
+    RedisGears trigger lives under). For unbounded histories, segment
+    by (user, month) and carry one char of boundary state — the regex
+    has no unbounded lookbehind.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                micros("ts").alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                ch.alias("ch"),
+            ).alias("o"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("o")), lambda x: x["ch"]
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all("s", F.lit("v[ce]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_funnels"),
+        F.md5("s").alias("seq_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP, round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(v_c AS HUGEINT) * (nxt - ts_us)) AS numer,
+             CAST(MAX(ts_us) - MIN(ts_us) AS HUGEINT) AS span_us
+      FROM t GROUP BY user_id
+    )
+    SELECT user_id, CAST(span_us AS BIGINT) AS span_us,
+           CAST(CASE WHEN span_us > 0 THEN numer // span_us
+                     ELSE NULL END AS BIGINT) AS twap_cents
+    FROM agg
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the metering /
+    billing / monitoring primitive: each observation holds until the
+    next one, so irregular sampling doesn't bias the mean the way a
+    row-average does).
+
+    Exactness: numerator Σ value_cents·Δt_us and span both stay in the
+    integer domain — products in decimal(38,0)/HUGEINT (a cent value
+    times a month of microseconds is ~1e17 per ROW; the int64 sum
+    wraps) — and the single division is integral (`div` truncates,
+    `//` floors; identical on the all-positive domain). Single-event
+    users pin NULL (zero span).
+
+    Scale: one hash shuffle on user_id shared by the lead() window and
+    the aggregate (same key, Catalyst reuses the exchange); everything
+    else is codegen row math.
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = ev.select(
+        "user_id",
+        micros("ts").alias("ts_us"),
+        cents("value").alias("v_c"),
+        "event_id",
+    ).withColumn("nxt", F.lead("ts_us").over(w))
+    agg = t.groupBy("user_id").agg(
+        F.sum(
+            F.col("v_c").cast(dec) * (F.col("nxt") - F.col("ts_us")).cast(dec)
+        ).alias("numer"),
+        (F.max("ts_us") - F.min("ts_us")).cast(dec).alias("span_us"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("span_us").cast("long").alias("span_us"),
+        F.when(
+            F.col("span_us") > 0, F.expr("numer div span_us")
+        ).alias("twap_cents"),
+    )

@@ -767,3 +767,98 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (round 6)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): plain character classes and bounded quantifiers only — no
+# lookaround (RE2 has none), no backtracking-sensitive constructs.
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"555-[0-9]{4}"
+
+# The fixture corpus is synthetic word salad with no PII, so the query
+# derives a deterministic PII-bearing twin of each text IN BOTH ENGINES
+# (the pipeline_corpus_diff precedent): docs with doc_id%5==0 gain an
+# email, doc_id%7==0 a phone extension — giving the detector real
+# positives AND true negatives to prove on.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the mandatory pre-training compliance pass: count and
+    redact email addresses and phone extensions per document, emitting
+    the redacted text's fingerprint (the driver canonicalizer hashes
+    fixed-width md5, not full text). Patterns are the dialect-portable
+    subset (character classes + bounded quantifiers) so Java regex and
+    RE2 scan byte-identically; DuckDB's regexp_replace needs the
+    explicit 'g' flag to match Spark's replace-all default.
+
+    Scale: a single narrow scan, zero shuffles, zero Python — three
+    regex passes per row inside one WholeStageCodegen projection. At
+    100 TB this is the shape you want: embarrassingly parallel,
+    pushdown-friendly, output fixed-width per input row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", _PII_EMAIL_RE, "<EMAIL>"),
+                _PII_PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )

@@ -438,3 +438,183 @@ class StreamingHeavyHittersRuntime(StatefulStatsRuntime):
             "(its state is bounded Misra-Gries counters, not per-key "
             "stats with tombstones); stop()/flush() clear state"
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (round 6)
+# ---------------------------------------------------------------------------
+
+# closed sessions out; the open session lives only in the state store
+_SESS_OUTPUT_SCHEMA = (
+    "stream_key string, session_start_id bigint, session_end_id bigint, "
+    "n_events bigint, close_reason string"
+)
+_SESS_STATE_SCHEMA = "session_start_id bigint, last_id bigint, n_events bigint"
+
+
+def _make_sessionizer(gap: int):
+    def sessionize(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-key gap sessionizer: a record more than `gap` id-units
+        after the previous one closes the open session. Closed sessions
+        are emitted exactly once (the open one stays in state, so
+        results are append-final — no retraction). A `del` control
+        record closes and emits the open session (`close_reason='del'`)
+        and drops state — stream-deletion semantics, same control path
+        as the stats reducer."""
+        (stream_key,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[dict] = []
+
+        def close(reason: str) -> None:
+            nonlocal start, last, n
+            if n:
+                closed.append(
+                    {
+                        "stream_key": stream_key,
+                        "session_start_id": start,
+                        "session_end_id": last,
+                        "n_events": n,
+                        "close_reason": reason,
+                    }
+                )
+            start, last, n = None, None, 0
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id", kind="mergesort")
+            for rec in pdf.to_dict("records"):
+                fields = (
+                    dict(rec["fields"]) if rec["fields"] is not None else {}
+                )
+                if fields.get(_CTL_FIELD) == _CTL_DELETE:
+                    close("del")
+                    continue
+                rid = rec["id"]
+                if last is not None and rid - last > gap:
+                    close("gap")
+                if start is None:
+                    start = rid
+                last, n = rid, n + 1
+
+        if n:
+            state.update((start, last, n))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "stream_key",
+                "session_start_id",
+                "session_end_id",
+                "n_events",
+                "close_reason",
+            ],
+        )
+
+    return sessionize
+
+
+class StreamingSessionizeRuntime(StatefulStatsRuntime):
+    """Streaming gap sessionization — the batch `session_windows` query's
+    continuous twin: per stream_key, group consecutive records whose id
+    gap stays within `gap`, emitting each session exactly once when it
+    closes. State per key is three integers; total state O(|live keys|),
+    checkpointed — a restart resumes with open sessions intact.
+
+    Ids are the session clock (the stream id IS the reference's time
+    axis: ms*2^20+seq); pass `gap` in the same packed units.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        gap: int = 10,
+    ):
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.gap = gap
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "sess_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "sess_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        src = self._source()
+        if prefix:
+            src = src.filter(F.col("stream_key").startswith(prefix))
+        sessions = src.groupBy("stream_key").applyInPandasWithState(
+            _make_sessionizer(self.gap),
+            _SESS_OUTPUT_SCHEMA,
+            _SESS_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        os.makedirs(self.sink_dir, exist_ok=True)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.sink_dir)
+
+        self.query = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt_dir)
+            .outputMode("update")
+            .queryName("streaming_sessionize")
+            .start()
+        )
+        return self.query
+
+    def close_key(self, stream_key: str, at_id: int) -> None:
+        """Force-close a key's open session by emitting the `del`
+        control record into the spool (the deferred-job pattern the
+        stats runtime uses for expiry); drain the query to apply."""
+        from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+        row = {
+            "stream_key": stream_key,
+            "id": at_id,
+            "id_ts": pd.Timestamp("2024-01-01"),
+            "fields": {_CTL_FIELD: _CTL_DELETE},
+            "record": None,
+        }
+        self.spark.createDataFrame(
+            pd.DataFrame([row]), STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(self.spool_dir)
+
+    def sessions(self) -> list[dict]:
+        """All closed sessions, ordered (each was emitted exactly once)."""
+        import glob
+
+        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+            return []
+        rows = self.spark.read.parquet(self.sink_dir).collect()
+        out = [r.asDict() for r in rows]
+        out.sort(
+            key=lambda r: (r["stream_key"], r["session_start_id"])
+        )
+        return out
+
+    # closed-session sinks have no deleted/last_id columns; the base
+    # stats surface would crash — fail loudly with the right API
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingSessionizeRuntime has no stats snapshot — use "
+            "sessions() for the closed-session log"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the sessionize runtime — "
+            "close_key() force-closes an open session"
+        )

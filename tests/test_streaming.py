@@ -2054,3 +2054,93 @@ class TestHeavyHittersApiSurface:
             rt.latest()
         with pytest.raises(GearsError, match="not supported"):
             rt.expire_idle(60)
+
+
+class TestStreamingSessionize:
+    """Gap sessionization with state-store-resident open sessions."""
+
+    def test_sessions_close_on_gap_and_survive_batches(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingSessionizeRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingSessionizeRuntime(engine, spool, work, gap=10)
+        # k:1 — ids 1,2,3 then a gap to 50,51; k:2 — one long session
+        _write_canonical(
+            spark,
+            spool,
+            [("k:1", i, {"x": "1"}) for i in (1, 2, 3)]
+            + [("k:2", i, {"x": "1"}) for i in (5, 6)],
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            # the open sessions must NOT have been emitted yet
+            assert rt.sessions() == []
+            # second batch: k:1 jumps the gap (closes 1-3), k:2 stays in
+            _write_canonical(
+                spark,
+                spool,
+                [("k:1", 50, {"x": "1"}), ("k:1", 51, {"x": "1"}),
+                 ("k:2", 12, {"x": "1"})],
+            )
+            rt.process_available()
+            got = rt.sessions()
+            assert [
+                (s["stream_key"], s["session_start_id"],
+                 s["session_end_id"], s["n_events"], s["close_reason"])
+                for s in got
+            ] == [("k:1", 1, 3, 3, "gap")]
+            # force-close both open sessions via the control path
+            rt.close_key("k:1", at_id=60)
+            rt.close_key("k:2", at_id=60)
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = rt.sessions()
+        assert [
+            (s["stream_key"], s["session_start_id"], s["session_end_id"],
+             s["n_events"], s["close_reason"])
+            for s in got
+        ] == [
+            ("k:1", 1, 3, 3, "gap"),
+            ("k:1", 50, 51, 2, "del"),
+            ("k:2", 5, 12, 3, "del"),
+        ]
+
+    def test_open_sessions_survive_restart(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingSessionizeRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingSessionizeRuntime(engine, spool, work, gap=10)
+        _write_canonical(spark, spool, [("k:1", i, {"x": "1"}) for i in (1, 2)])
+        rt.start()
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        # new runtime over the same checkpoint: the open session (1-2)
+        # must resume from state, then close on the gap record
+        rt2 = StreamingSessionizeRuntime(engine, spool, work, gap=10)
+        _write_canonical(spark, spool, [("k:1", 40, {"x": "1"})])
+        rt2.start()
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        got = rt2.sessions()
+        assert [
+            (s["session_start_id"], s["session_end_id"], s["n_events"])
+            for s in got
+        ] == [(1, 2, 2)]
+
+    def test_stats_api_fails_loudly(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingSessionizeRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingSessionizeRuntime(engine, spool, work)
+        with pytest.raises(GearsError, match="sessions\\(\\)"):
+            rt.latest()
+        with pytest.raises(GearsError, match="close_key"):
+            rt.expire_idle(60)
