@@ -1252,3 +1252,70 @@ def pipeline_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(lang, q) for lang, q in quotas.items()], "lang string, quota long"
     )
     return _take_lang_quota(docs, quota_df, emit_quota=True)
+
+
+# ---------------------------------------------------------------------------
+# document chunking for retrieval (round 6)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # => 8-token overlap between neighbors
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+             w[s + 1 : s + {_CHUNK_SIZE}] AS c
+      FROM tok, unnest(range(0, len(w), {_CHUNK_STRIDE})) AS t(s)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_start,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding-prep
+    step: split each document into {_CHUNK_SIZE}-token chunks with a
+    {_CHUNK_STRIDE}-token stride (8-token overlap so no boundary
+    context is lost). Each chunk is pinned by the md5 of its joined
+    text, so the oracle checks content, not just counts.
+
+    Both engines tokenize once and explode chunk STARTS (an integer
+    sequence), then slice the token array per start — the text column
+    itself is never duplicated per chunk in the exchange (chunks are
+    derived in the same projection that hashes them).
+
+    Scale: embarrassingly parallel — tokenize + explode + slice in one
+    narrow stage, no shuffle at all. Output rows ~ corpus_tokens /
+    stride, each fixed-width.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.expr(_TOKENS).alias("w")
+    ).filter(F.size("w") > 0)
+    chunks = tok.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("w") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("chunk_start"),
+    )
+    c = F.slice("w", F.col("chunk_start") + 1, _CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(c).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(c, " ")).alias("chunk_md5"),
+    )

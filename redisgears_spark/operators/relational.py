@@ -2570,3 +2570,61 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_us") > 0, F.expr("numer div span_us")
         ).alias("twap_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window rate limiting (round 6)
+# ---------------------------------------------------------------------------
+
+_RATE_WINDOW_US = 24 * 3600 * 1_000_000  # rolling day
+_RATE_LIMIT = 5  # max events per user inside the window
+
+
+@query(
+    "events_rate_limit",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_in_window
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us, n_in_window,
+           n_in_window > {_RATE_LIMIT} AS throttled
+    FROM t
+    """,
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting — THE canonical RedisGears recipe
+    (the reference docs' rate-limiter is a keyspace trigger bumping a
+    windowed per-key counter): for every event, how many events its
+    user produced in the trailing 24 h INCLUDING it, and whether that
+    breaches the quota. A RANGE frame over epoch-microseconds — ties
+    are frame peers, counted together, so both engines agree without a
+    tie-break column.
+
+    Scale: one hash shuffle on user_id; the RANGE frame is a running
+    two-pointer over each key's sorted run (O(n) per key, constant
+    state) — no self-join, no explode-per-window. The streaming twin
+    is a declarative trigger with the same window spec.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_RATE_WINDOW_US, 0)
+    )
+    t = ev.select(
+        "event_id", "user_id", micros("ts").alias("ts_us")
+    ).withColumn(
+        "n_in_window", F.count(F.lit(1)).over(w).cast("long")
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "n_in_window",
+        (F.col("n_in_window") > _RATE_LIMIT).alias("throttled"),
+    )
