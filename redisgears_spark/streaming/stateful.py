@@ -618,3 +618,137 @@ class StreamingSessionizeRuntime(StatefulStatsRuntime):
             "TTL expiry is not supported for the sessionize runtime — "
             "close_key() force-closes an open session"
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming rate limiter (round 6)
+# ---------------------------------------------------------------------------
+
+_RL_OUTPUT_SCHEMA = (
+    "stream_key string, id bigint, admitted boolean, n_in_window bigint"
+)
+# sliding log of ADMITTED ids — bounded by the quota itself
+_RL_STATE_SCHEMA = "recent array<bigint>"
+
+
+def _make_rate_limiter(window: int, limit: int):
+    def rate_limit(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Sliding-log rate limiter per stream_key: a record is admitted
+        iff fewer than `limit` ADMITTED records lie within the trailing
+        `window` id-units (throttled records consume no quota — the
+        sliding-log policy of the classic RedisGears recipe). State is
+        the admitted-id log, bounded at `limit` entries by construction:
+        older entries can never matter again."""
+        (stream_key,) = key
+        recent: list[int] = list(state.get[0]) if state.exists else []
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id", kind="mergesort")
+            for rid in pdf["id"]:
+                rid = int(rid)
+                recent = [t for t in recent if rid - t < window]
+                ok = len(recent) < limit
+                if ok:
+                    recent.append(rid)
+                    recent = recent[-limit:]
+                out.append(
+                    {
+                        "stream_key": stream_key,
+                        "id": rid,
+                        "admitted": ok,
+                        "n_in_window": len(recent),
+                    }
+                )
+        state.update((recent,))
+        yield pd.DataFrame(
+            out, columns=["stream_key", "id", "admitted", "n_in_window"]
+        )
+
+    return rate_limit
+
+
+class StreamingRateLimitRuntime(StatefulStatsRuntime):
+    """Continuous sliding-window rate limiting — THE canonical RedisGears
+    recipe (a keyspace trigger bumping a windowed per-key counter), here
+    as a stateful streaming operator: per stream_key, admit a record iff
+    fewer than `limit` admitted records fall in the trailing `window`
+    id-units. The batch `events_rate_limit` query is the offline twin.
+
+    State per key is the admitted-id log, capped at `limit` entries
+    (older ids can never block again) — O(|keys| * limit) total,
+    checkpointed, so quota survives restarts.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        window: int = 100,
+        limit: int = 3,
+    ):
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.window = window
+        self.limit = limit
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "rl_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "rl_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        src = self._source()
+        if prefix:
+            src = src.filter(F.col("stream_key").startswith(prefix))
+        decisions = src.groupBy("stream_key").applyInPandasWithState(
+            _make_rate_limiter(self.window, self.limit),
+            _RL_OUTPUT_SCHEMA,
+            _RL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        os.makedirs(self.sink_dir, exist_ok=True)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.sink_dir)
+
+        self.query = (
+            decisions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt_dir)
+            .outputMode("update")
+            .queryName("streaming_rate_limit")
+            .start()
+        )
+        return self.query
+
+    def decisions(self) -> list[dict]:
+        """All admit/throttle decisions, (stream_key, id)-ordered."""
+        import glob
+
+        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+            return []
+        rows = self.spark.read.parquet(self.sink_dir).collect()
+        out = [r.asDict() for r in rows]
+        out.sort(key=lambda r: (r["stream_key"], r["id"]))
+        return out
+
+    # decision sinks have no deleted/last_id columns; fail loudly
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingRateLimitRuntime has no stats snapshot — use "
+            "decisions() for the admit/throttle log"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the rate-limit runtime — "
+            "state is already bounded at `limit` ids per key"
+        )

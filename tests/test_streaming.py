@@ -2144,3 +2144,85 @@ class TestStreamingSessionize:
             rt.latest()
         with pytest.raises(GearsError, match="close_key"):
             rt.expire_idle(60)
+
+
+class TestStreamingRateLimit:
+    """Sliding-log rate limiter: admitted-only quota, bounded state."""
+
+    def test_burst_throttled_quota_recovers(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingRateLimitRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingRateLimitRuntime(
+            engine, spool, work, window=100, limit=3
+        )
+        # burst of 5 inside one window, then a far-later record
+        _write_canonical(
+            spark,
+            spool,
+            [("k:1", i, {"x": "1"}) for i in (1, 2, 3, 4, 5)],
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            # ids 1-3 admitted, 4-5 throttled (3 admitted in window)
+            got = {d["id"]: d["admitted"] for d in rt.decisions()}
+            assert got == {1: True, 2: True, 3: True, 4: False, 5: False}
+            # window slides: at id 150 the old admissions expired —
+            # quota must recover ACROSS micro-batches (state carried)
+            _write_canonical(spark, spool, [("k:1", 150, {"x": "1"})])
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = {d["id"]: d["admitted"] for d in rt.decisions()}
+        assert got[150] is True
+
+    def test_throttled_consume_no_quota(self, spark, sf_dir, spool, work):
+        """Sliding-log policy: a throttled record must not extend the
+        throttle window (only ADMITTED ids occupy quota)."""
+        from redisgears_spark.streaming import StreamingRateLimitRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingRateLimitRuntime(
+            engine, spool, work, window=100, limit=1
+        )
+        # 1 admitted; 50, 90 throttled; 110 is 109 units after the
+        # ADMITTED id 1 -> admitted (throttled 50/90 left no trace)
+        _write_canonical(
+            spark,
+            spool,
+            [("k:1", i, {"x": "1"}) for i in (1, 50, 90, 110)],
+        )
+        rt.start()
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = {d["id"]: d["admitted"] for d in rt.decisions()}
+        assert got == {1: True, 50: False, 90: False, 110: True}
+
+    def test_quota_survives_restart(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingRateLimitRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingRateLimitRuntime(
+            engine, spool, work, window=100, limit=2
+        )
+        _write_canonical(spark, spool, [("k:1", i, {"x": "1"}) for i in (1, 2)])
+        rt.start()
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        # restart: the admitted log (1,2) must still block id 30
+        rt2 = StreamingRateLimitRuntime(
+            engine, spool, work, window=100, limit=2
+        )
+        _write_canonical(spark, spool, [("k:1", 30, {"x": "1"})])
+        rt2.start()
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        got = {d["id"]: d["admitted"] for d in rt2.decisions()}
+        assert got == {1: True, 2: True, 30: False}
