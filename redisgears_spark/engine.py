@@ -543,6 +543,18 @@ class GearsEngine:
             lib = Library(name, api_version, config)
             try:
                 setup(lib)
+                if not (
+                    lib.functions
+                    or lib.stream_triggers
+                    or lib.keyspace_triggers
+                    or lib.cluster_functions
+                ):
+                    # reference: 'No function nor registrations was
+                    # registered' (pytests/test_errors.py testNoRegistrations)
+                    raise GearsError(
+                        f"library '{name}' registered no functions nor "
+                        "triggers"
+                    )
                 if old is not None:
                     self._check_upgrade(old, lib)
             except Exception:

@@ -164,9 +164,13 @@ class TestAclOnFunctions:
         it in TFUNCTION LIST (test_acl.py asserts user == 'alice')."""
         engine = _engine_with_alice(spark, sf_dir)
         engine.auth("alice")
-        engine.load_library(lambda l: None, name="alib")
+        engine.load_library(
+            lambda l: l.register_function("f", lambda c: 1), name="alib"
+        )
         engine.auth("default")
-        engine.load_library(lambda l: None, name="dlib")
+        engine.load_library(
+            lambda l: l.register_function("f", lambda c: 1), name="dlib"
+        )
         users = {e["name"]: e["user"] for e in engine.list_libraries()}
         assert users == {"alib": "alice", "dlib": "default"}
 
