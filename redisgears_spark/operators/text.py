@@ -862,3 +862,58 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixed-language / code-switch detection (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_mixed_language",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_count_in(_TOKENS_SQL, _MARKERS["en"], True)} AS en_hits,
+             {_count_in(_TOKENS_SQL, _MARKERS["db"], True)} AS db_hits,
+             {_count_in(_TOKENS_SQL, _MARKERS["ops"], True)} AS ops_hits
+      FROM documents
+    )
+    SELECT doc_id, en_hits, db_hits, ops_hits,
+           CAST((en_hits >= 2) AS INT) + CAST((db_hits >= 2) AS INT)
+             + CAST((ops_hits >= 2) AS INT) >= 2 AS is_mixed
+    FROM m
+    """,
+)
+def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch / mixed-language detection — the filtering companion
+    to `text_lang_id` (which argmaxes one label per doc and hides the
+    blend): emit each language's marker-hit count and flag documents
+    where two or more languages clear the evidence floor (>= 2 marker
+    hits) — the docs a per-doc language router mislabels and a
+    train-mix auditor wants surfaced.
+
+    Same zero-Python shape as the rest of the text family: one
+    tokenize, three higher-order-function filters in one codegen
+    projection, no shuffle. Exact integers; the flag is pure boolean
+    arithmetic, identical in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hit_cols = {
+        lang: F.expr(_count_in(_TOKENS, words, False)).alias(f"{lang}_hits")
+        for lang, words in _MARKERS.items()
+    }
+    m = docs.select("doc_id", *hit_cols.values())
+    floor = [
+        (F.col(f"{lang}_hits") >= 2).cast("int") for lang in _MARKERS
+    ]
+    mixed = floor[0]
+    for f_ in floor[1:]:
+        mixed = mixed + f_
+    return m.select(
+        "doc_id",
+        "en_hits",
+        "db_hits",
+        "ops_hits",
+        (mixed >= 2).alias("is_mixed"),
+    )

@@ -2226,3 +2226,66 @@ class TestStreamingRateLimit:
             rt2.stop()
         got = {d["id"]: d["admitted"] for d in rt2.decisions()}
         assert got == {1: True, 2: True, 30: False}
+
+
+class TestIncrementalViewMaintenance:
+    def test_incremental_equals_batch_recompute(
+        self, spark, sf_dir, spool, work
+    ):
+        """The IVM contract: after N arbitrary micro-batches, the
+        incrementally maintained per-key totals must equal a from-scratch
+        batch aggregation over the full spool — the materialized view and
+        its defining query never diverge. (The interval join has the same
+        pin; this covers the stateful-agg family.)"""
+        import random
+
+        from pyspark.sql import functions as F
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StatefulStatsRuntime(engine, spool, work)
+        rng = random.Random(1234)
+        next_id = {f"s:{k}": 0 for k in range(4)}
+
+        def feed():
+            rows = []
+            for _ in range(rng.randint(5, 20)):
+                key = f"s:{rng.randint(0, 3)}"
+                next_id[key] += 1
+                rows.append(
+                    (key, next_id[key],
+                     {"value": str(rng.randint(1, 999) / 100)})
+                )
+            _write_canonical(spark, spool, rows)
+
+        feed()  # the file-stream source needs the dir present at start
+        rt.start(prefix="s:")
+        try:
+            rt.process_available()
+            for _ in range(2):  # further irregular micro-batches
+                feed()
+                rt.process_available()
+        finally:
+            rt.stop()
+        incremental = {
+            k: (v["n_records"], v["value_cents_total"], v["last_id"])
+            for k, v in rt.latest().items()
+        }
+        batch = {
+            r["stream_key"]: (
+                r["n"], r["cents"], r["last_id"]
+            )
+            for r in (
+                spark.read.parquet(spool)
+                .groupBy("stream_key")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(
+                        F.round(F.col("fields")["value"].cast("double") * 100)
+                        .cast("long")
+                    ).cast("long").alias("cents"),
+                    F.max("id").alias("last_id"),
+                )
+                .collect()
+            )
+        }
+        assert incremental == batch
