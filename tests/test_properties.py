@@ -312,3 +312,133 @@ class TestCommandLogRoundTrip:
             assert rid == want["id"]
             assert fields == want["fields"]
             assert record is None  # dict input can't carry duplicates
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in to drive stateful reducers directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+class TestRateLimiterProperties:
+    """The sliding-log reducer must agree with the O(n^2) definitional
+    reference on ANY id sequence and ANY batch split — admitted iff
+    fewer than `limit` ADMITTED ids in the trailing `window`."""
+
+    @given(
+        gaps=st.lists(st.integers(min_value=1, max_value=30), max_size=40),
+        window=st.integers(min_value=1, max_value=50),
+        limit=st.integers(min_value=1, max_value=5),
+        n_batches=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_matches_bruteforce_reference(
+        self, gaps, window, limit, n_batches
+    ):
+        import pandas as pd
+
+        from redisgears_spark.streaming.stateful import _make_rate_limiter
+
+        ids = []
+        cur = 0
+        for g in gaps:
+            cur += g
+            ids.append(cur)
+
+        # definitional reference: scan the full sequence, keep every
+        # admitted id, decide each new id against ALL prior admissions
+        admitted_ref: dict[int, bool] = {}
+        log: list[int] = []
+        for rid in ids:
+            n_in = sum(1 for t in log if rid - t < window)
+            ok = n_in < limit
+            if ok:
+                log.append(rid)
+            admitted_ref[rid] = ok
+
+        # reducer under test, driven across an arbitrary batch split
+        reducer = _make_rate_limiter(window, limit)
+        state = _FakeGroupState()
+        got: dict[int, bool] = {}
+        k = max(1, len(ids) // n_batches) if ids else 1
+        for i in range(0, len(ids), k):
+            chunk = ids[i : i + k]
+            out = list(
+                reducer(
+                    ("k",),
+                    iter([pd.DataFrame({"id": chunk})]),
+                    state,
+                )
+            )
+            for pdf in out:
+                for rid, ok in zip(pdf["id"], pdf["admitted"]):
+                    got[int(rid)] = bool(ok)
+        assert got == admitted_ref
+
+
+class TestSessionizerProperties:
+    """Gap sessionization must be split-invariant: any batch split of
+    the same id sequence yields the same closed sessions as a single
+    full-sequence pass."""
+
+    @given(
+        gaps=st.lists(st.integers(min_value=1, max_value=30), max_size=40),
+        window=st.integers(min_value=1, max_value=25),
+        n_batches=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_split_invariant(self, gaps, window, n_batches):
+        import pandas as pd
+
+        from redisgears_spark.streaming.stateful import _make_sessionizer
+
+        ids = []
+        cur = 0
+        for g in gaps:
+            cur += g
+            ids.append(cur)
+
+        def run(batches):
+            reducer = _make_sessionizer(window)
+            state = _FakeGroupState()
+            closed = []
+            for chunk in batches:
+                for pdf in reducer(
+                    ("k",),
+                    iter(
+                        [pd.DataFrame({"id": chunk, "fields": [None] * len(chunk)})]
+                    ),
+                    state,
+                ):
+                    closed.extend(
+                        (int(a), int(b), int(n))
+                        for a, b, n in zip(
+                            pdf["session_start_id"],
+                            pdf["session_end_id"],
+                            pdf["n_events"],
+                        )
+                    )
+            return closed, state._v
+
+        ref_closed, ref_open = run([ids] if ids else [])
+        k = max(1, len(ids) // n_batches) if ids else 1
+        got_closed, got_open = run(
+            [ids[i : i + k] for i in range(0, len(ids), k)]
+        )
+        assert got_closed == ref_closed
+        assert got_open == ref_open  # identical open-session state too
