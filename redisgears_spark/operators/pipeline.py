@@ -1319,3 +1319,80 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(c).cast("long").alias("n_tokens"),
         F.md5(F.array_join(c, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG ingestion composite: gate -> chunk -> chunk-dedup (round 6)
+# ---------------------------------------------------------------------------
+
+_G_KEEP_SQL = f"""COALESCE(
+      n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
+      AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
+      AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO} AND has_stopword, FALSE)"""
+
+
+@query(
+    "pipeline_rag_prep",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL},
+    keep AS (SELECT doc_id FROM s WHERE {_G_KEEP_SQL}),
+    ktok AS (
+      SELECT t.doc_id, t.w FROM t JOIN keep USING (doc_id)
+      WHERE len(t.w) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+             md5(array_to_string(w[cs + 1 : cs + {_CHUNK_SIZE}], ' '))
+               AS chunk_md5
+      FROM ktok, unnest(range(0, len(w), {_CHUNK_STRIDE})) AS u(cs)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_start, chunk_md5,
+             row_number() OVER (
+               PARTITION BY chunk_md5 ORDER BY doc_id, chunk_start
+             ) AS rk,
+             CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT)
+               AS n_copies
+      FROM chunks
+    )
+    SELECT doc_id, chunk_start, chunk_md5, n_copies
+    FROM ranked WHERE rk = 1
+    """,
+)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingestion prep, composition oracle-checked like
+    pipeline_funnel_report: Gopher-gate the documents (only quality
+    docs are worth indexing), chunk the survivors
+    (pipeline_chunk_documents' 32/24 overlapping windows), then
+    EXACT-DEDUP the chunks on their md5 — overlapping strides and
+    boilerplate make chunk-level duplicates common, and a retrieval
+    index must embed each distinct chunk once. Survivors are the first
+    occurrence in (doc_id, chunk_start) order; `n_copies` records how
+    many duplicates each canonical chunk absorbed (the embedding-cost
+    saving, auditable).
+
+    Scale: gate + chunk ride the scan (zero shuffles, zero Python);
+    the dedup is ONE hash shuffle on chunk_md5 — 32-byte keys, text
+    never shuffles (the md5 is computed in the same projection that
+    slices the chunk). Same fingerprint-only discipline as dedup.py.
+    """
+    gate = (
+        pipeline_gopher_filters(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    chunks = pipeline_chunk_documents(spark, sf_dir).join(gate, "doc_id")
+    w = W.partitionBy("chunk_md5").orderBy("doc_id", "chunk_start")
+    ranked = chunks.select(
+        "doc_id",
+        "chunk_start",
+        "chunk_md5",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("chunk_md5"))
+        .cast("long")
+        .alias("n_copies"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "chunk_start", "chunk_md5", "n_copies"
+    )

@@ -2637,3 +2637,63 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_window",
         (F.col("n_in_window") > _RATE_LIMIT).alias("throttled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion lag (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_conversion_lag",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_view_us
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(ts_us - prev_view_us AS BIGINT) AS lag_us
+    FROM t
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase conversion lag: microseconds since the user's most
+    recent PRECEDING view (NULL when the purchase had no prior view) —
+    the attribution-lag primitive behind time-to-convert funnels,
+    expressed as last_value(... IGNORE NULLS) over a 1-PRECEDING frame
+    rather than an as-of self-join: one window pass, no join, and the
+    frame excludes the current row so a purchase can never attribute
+    to itself. Pure integer microsecond arithmetic.
+
+    Scale: one hash shuffle on user_id; per-key sorted scan with O(1)
+    carried state (the last seen view timestamp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        micros("ts").alias("ts_us"),
+    ).withColumn(
+        "prev_view_us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts_us")), True
+        ).over(w),
+    )
+    return t.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.col("ts_us") - F.col("prev_view_us")).cast("long").alias("lag_us"),
+    )
