@@ -2697,3 +2697,76 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         (F.col("ts_us") - F.col("prev_view_us")).cast("long").alias("lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# order backlog over time (interval stabbing, round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_daily",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS ship_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    span AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d0, s.ship_d AS d1
+      FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+    ),
+    deltas AS (
+      SELECT d0 AS d, 1 AS delta FROM span
+      UNION ALL
+      SELECT d1 + 1 AS d, -1 AS delta FROM span
+    ),
+    agg AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS delta
+      FROM deltas GROUP BY d
+    )
+    SELECT epoch_us(CAST(d AS TIMESTAMP)) AS day_us,
+           CAST(SUM(delta) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_orders
+    FROM agg
+    """,
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day — how many orders were placed but not
+    yet fully shipped on each date an order opened or closed. The
+    INTERVAL-STABBING formulation: each order contributes +1 at its
+    order date and -1 the day after its last line ships; per-day deltas
+    aggregate map-side, and ONE running sum over the |days| rows yields
+    the backlog curve. The naive alternative (explode each order into
+    its per-day rows) is O(orders x duration) — this is O(orders) with
+    a dimension-sized window, the only shape that survives 100 TB.
+
+    Exact integers; dates compare as dates (ship_d + 1 day via integer
+    date arithmetic in both engines).
+    """
+    ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship_d"))
+    )
+    span = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("d0"),
+        )
+        .join(ship, "l_orderkey")
+    )
+    deltas = span.select(
+        F.col("d0").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.select(
+            F.date_add("ship_d", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    agg = deltas.groupBy("d").agg(F.sum("delta").cast("long").alias("delta"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return agg.select(
+        F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )
