@@ -1285,8 +1285,8 @@ _CHUNK_STRIDE = 24  # => 8-token overlap between neighbors
 )
 def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window document chunking — the RAG/embedding-prep
-    step: split each document into {_CHUNK_SIZE}-token chunks with a
-    {_CHUNK_STRIDE}-token stride (8-token overlap so no boundary
+    step: split each document into 32-token chunks with a 24-token
+    stride (8-token overlap so no boundary
     context is lost). Each chunk is pinned by the md5 of its joined
     text, so the oracle checks content, not just counts.
 
@@ -1324,12 +1324,6 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # RAG ingestion composite: gate -> chunk -> chunk-dedup (round 6)
 # ---------------------------------------------------------------------------
-
-_G_KEEP_SQL = f"""COALESCE(
-      n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
-      AND mean_word_len >= {_G_MIN_MWL} AND mean_word_len <= {_G_MAX_MWL}
-      AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO} AND has_stopword, FALSE)"""
-
 
 @query(
     "pipeline_rag_prep",

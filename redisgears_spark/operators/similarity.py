@@ -37,13 +37,16 @@ import os as _os
 _TRAINED_CACHE: dict = {}
 
 
-def _emb_fingerprint(sf_dir: str) -> tuple:
+def _emb_fingerprint(sf_dir: str) -> tuple | None:
+    """None when the corpus file cannot be stat'ed from the driver (a
+    remote URI or executor-only path) — callers then skip the cache and
+    retrain every call, rather than serving a never-invalidated entry."""
     p = _os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = _os.stat(p)
         return (p, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (p, None, None)
+        return None
 
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -386,8 +389,9 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """
     import numpy as np
 
-    ck = ("ivf", _emb_fingerprint(sf_dir))
-    cached = _TRAINED_CACHE.get(ck)
+    fp = _emb_fingerprint(sf_dir)
+    ck = None if fp is None else ("ivf", fp)
+    cached = _TRAINED_CACHE.get(ck) if ck is not None else None
     if cached is not None:
         return cached
 
@@ -450,7 +454,8 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     for r in stats:
         refined[r["cell"], r["pos"]] = (r["s"] / r["n"]) / 1e6
     out = refined / np.linalg.norm(refined, axis=1, keepdims=True)
-    _TRAINED_CACHE[ck] = out
+    if ck is not None:
+        _TRAINED_CACHE[ck] = out
     return out
 
 
@@ -645,8 +650,9 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     """
     import numpy as np
 
-    ck = ("pq", _emb_fingerprint(sf_dir))
-    cached = _TRAINED_CACHE.get(ck)
+    fp = _emb_fingerprint(sf_dir)
+    ck = None if fp is None else ("pq", fp)
+    cached = _TRAINED_CACHE.get(ck) if ck is not None else None
     if cached is not None:
         return cached
 
@@ -723,7 +729,8 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     refined = np.array(C)
     for r in stats:
         refined[r["m"], r["k"], r["pos"]] = (r["s"] / r["n"]) / 1e6
-    _TRAINED_CACHE[ck] = refined
+    if ck is not None:
+        _TRAINED_CACHE[ck] = refined
     return refined
 
 

@@ -52,6 +52,26 @@ _CTL_FIELD = "__ctl__"
 _CTL_DELETE = "del"
 
 
+
+def _ordered_frame(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    """Concatenate a group's Arrow chunks and sort ONCE by id.
+
+    applyInPandasWithState guarantees nothing about the relative order
+    of the chunks it hands a reducer (a key spanning multiple Arrow
+    batches, or spool part-files with interleaved id ranges, arrive in
+    file/batch order) — sorting each chunk individually, as an earlier
+    version did, processed records out of id order across chunks and
+    corrupted order-sensitive state (reproduced: a sessionizer fed
+    [50,51] then [1,2,3] persisted start=50 > end=3 and missed the gap
+    close). Every reducer below funnels through this."""
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return pd.DataFrame(columns=["id"])
+    return pd.concat(frames, ignore_index=True).sort_values(
+        "id", kind="mergesort"
+    )
+
+
 def _running_stats(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -77,24 +97,22 @@ def _running_stats(
         n, cents, last_id = 0, 0, -1
 
     deleted = False
-    for pdf in pdfs:
-        pdf = pdf.sort_values("id", kind="mergesort")
-        for rec in pdf.to_dict("records"):
-            fields = dict(rec["fields"]) if rec["fields"] is not None else {}
-            pairs = rec.get("record")
-            if not fields and pairs is not None and len(pairs):
-                fields = {p["field"]: p["value"] for p in pairs}
-            if fields.get(_CTL_FIELD) == _CTL_DELETE:
-                n, cents, last_id = 0, 0, -1
-                deleted = True
-                continue
-            deleted = False
-            n += 1
-            # exact integer accumulation (same discipline as functions.exact)
-            v = fields.get("value")
-            if v is not None:
-                cents += int(round(float(v) * 100))
-            last_id = max(last_id, rec["id"])
+    for rec in _ordered_frame(pdfs).to_dict("records"):
+        fields = dict(rec["fields"]) if rec["fields"] is not None else {}
+        pairs = rec.get("record")
+        if not fields and pairs is not None and len(pairs):
+            fields = {p["field"]: p["value"] for p in pairs}
+        if fields.get(_CTL_FIELD) == _CTL_DELETE:
+            n, cents, last_id = 0, 0, -1
+            deleted = True
+            continue
+        deleted = False
+        n += 1
+        # exact integer accumulation (same discipline as functions.exact)
+        v = fields.get("value")
+        if v is not None:
+            cents += int(round(float(v) * 100))
+        last_id = max(last_id, rec["id"])
 
     if deleted and n == 0:
         state.remove()
@@ -155,37 +173,68 @@ class StatefulStatsRuntime:
             .parquet(self.spool_dir)
         )
 
-    def start(self, prefix: str = "") -> StreamingQuery:
-        from pyspark.sql import functions as F
-
+    def _start_stateful(
+        self,
+        reducer,
+        out_schema: str,
+        state_schema: str,
+        name: str,
+        prefix: str = "",
+        track_epochs: bool = False,
+    ) -> StreamingQuery:
+        """Shared start shape for every stateful runtime in this module
+        (stats / heavy-hitters / sessionize / rate-limit): prefix filter,
+        applyInPandasWithState in update mode, epoch-stamped parquet
+        sink, checkpoint. One place for the query wiring — the four
+        runtimes differ only in reducer, schemas, and query name."""
         src = self._source()
         if prefix:
             src = src.filter(F.col("stream_key").startswith(prefix))
-        stats = src.groupBy("stream_key").applyInPandasWithState(
-            _running_stats,
-            _OUTPUT_SCHEMA,
-            _STATE_SCHEMA,
+        out = src.groupBy("stream_key").applyInPandasWithState(
+            reducer,
+            out_schema,
+            state_schema,
             "update",
             GroupStateTimeout.NoTimeout,
         )
         os.makedirs(self.sink_dir, exist_ok=True)
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            import time as _time
-
             batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
                 "append"
             ).parquet(self.sink_dir)
-            self._epoch_seen[epoch_id] = _time.time()
+            if track_epochs:
+                import time as _time
+
+                self._epoch_seen[epoch_id] = _time.time()
 
         self.query = (
-            stats.writeStream.foreachBatch(sink)
+            out.writeStream.foreachBatch(sink)
             .option("checkpointLocation", self._ckpt_dir)
             .outputMode("update")
-            .queryName("stateful_stats")
+            .queryName(name)
             .start()
         )
         return self.query
+
+    def _sink_df(self) -> DataFrame | None:
+        """The epoch-stamped sink as a DataFrame, or None before the
+        first committed batch."""
+        import glob
+
+        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+            return None
+        return self.spark.read.parquet(self.sink_dir)
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        return self._start_stateful(
+            _running_stats,
+            _OUTPUT_SCHEMA,
+            _STATE_SCHEMA,
+            "stateful_stats",
+            prefix,
+            track_epochs=True,
+        )
 
     def latest(self) -> dict[str, dict]:
         """Most recent state snapshot per stream_key from the sink.
@@ -195,11 +244,9 @@ class StatefulStatsRuntime:
         JVM-side — max_by over a struct keyed by epoch — so only one row
         per distinct key reaches the driver; the sink grows with epochs,
         the result does not."""
-        import glob
-
-        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+        df = self._sink_df()
+        if df is None:
             return {}
-        df = self.spark.read.parquet(self.sink_dir)
         cols = [c for c in df.columns if c != "stream_key"]
         latest = df.groupBy("stream_key").agg(
             F.max_by(F.struct(*cols), F.col("epoch")).alias("s")
@@ -301,20 +348,19 @@ def _make_hh_reducer(field: str, cap: int, topk: int):
             counters: dict[str, int] = _json.loads(mg_json)
         else:
             counters, n_records = {}, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", kind="mergesort")
-            for fields in pdf["fields"]:
-                item = None if fields is None else dict(fields).get(field)
-                if item is None:
-                    continue
-                n_records += 1
-                if item in counters or len(counters) < cap:
-                    counters[item] = counters.get(item, 0) + 1
-                else:
-                    # MG decrement step: charge one to every counter
-                    counters = {
-                        k: v - 1 for k, v in counters.items() if v > 1
-                    }
+        frame = _ordered_frame(pdfs)
+        for fields in (frame["fields"] if len(frame) else ()):
+            item = None if fields is None else dict(fields).get(field)
+            if item is None:
+                continue
+            n_records += 1
+            if item in counters or len(counters) < cap:
+                counters[item] = counters.get(item, 0) + 1
+            else:
+                # MG decrement step: charge one to every counter
+                counters = {
+                    k: v - 1 for k, v in counters.items() if v > 1
+                }
         state.update((_json.dumps(counters), n_records))
         top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
         yield pd.DataFrame(
@@ -368,40 +414,20 @@ class StreamingHeavyHittersRuntime(StatefulStatsRuntime):
         return os.path.join(self.work_dir, "hh_sink")
 
     def start(self, prefix: str = "") -> StreamingQuery:
-        src = self._source()
-        if prefix:
-            src = src.filter(F.col("stream_key").startswith(prefix))
-        hh = src.groupBy("stream_key").applyInPandasWithState(
+        return self._start_stateful(
             _make_hh_reducer(self.field, self.cap, self.topk),
             _HH_OUTPUT_SCHEMA,
             _HH_STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
+            "streaming_heavy_hitters",
+            prefix,
         )
-        os.makedirs(self.sink_dir, exist_ok=True)
-
-        def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(self.sink_dir)
-
-        self.query = (
-            hh.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName("streaming_heavy_hitters")
-            .start()
-        )
-        return self.query
 
     def top(self) -> dict[str, list[tuple[str, int]]]:
         """Latest top-k per stream_key: rows from each key's highest
         epoch, reduced JVM-side (max_by struct on epoch per rank)."""
-        import glob
-
-        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+        df = self._sink_df()
+        if df is None:
             return {}
-        df = self.spark.read.parquet(self.sink_dir)
         latest = df.groupBy("stream_key", "rank").agg(
             F.max_by(
                 F.struct("item", "est_count", "epoch"), F.col("epoch")
@@ -484,21 +510,19 @@ def _make_sessionizer(gap: int):
                 )
             start, last, n = None, None, 0
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", kind="mergesort")
-            for rec in pdf.to_dict("records"):
-                fields = (
-                    dict(rec["fields"]) if rec["fields"] is not None else {}
-                )
-                if fields.get(_CTL_FIELD) == _CTL_DELETE:
-                    close("del")
-                    continue
-                rid = rec["id"]
-                if last is not None and rid - last > gap:
-                    close("gap")
-                if start is None:
-                    start = rid
-                last, n = rid, n + 1
+        for rec in _ordered_frame(pdfs).to_dict("records"):
+            fields = (
+                dict(rec["fields"]) if rec["fields"] is not None else {}
+            )
+            if fields.get(_CTL_FIELD) == _CTL_DELETE:
+                close("del")
+                continue
+            rid = rec["id"]
+            if last is not None and rid - last > gap:
+                close("gap")
+            if start is None:
+                start = rid
+            last, n = rid, n + 1
 
         if n:
             state.update((start, last, n))
@@ -549,31 +573,13 @@ class StreamingSessionizeRuntime(StatefulStatsRuntime):
         return os.path.join(self.work_dir, "sess_sink")
 
     def start(self, prefix: str = "") -> StreamingQuery:
-        src = self._source()
-        if prefix:
-            src = src.filter(F.col("stream_key").startswith(prefix))
-        sessions = src.groupBy("stream_key").applyInPandasWithState(
+        return self._start_stateful(
             _make_sessionizer(self.gap),
             _SESS_OUTPUT_SCHEMA,
             _SESS_STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
+            "streaming_sessionize",
+            prefix,
         )
-        os.makedirs(self.sink_dir, exist_ok=True)
-
-        def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(self.sink_dir)
-
-        self.query = (
-            sessions.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName("streaming_sessionize")
-            .start()
-        )
-        return self.query
 
     def close_key(self, stream_key: str, at_id: int) -> None:
         """Force-close a key's open session by emitting the `del`
@@ -594,12 +600,10 @@ class StreamingSessionizeRuntime(StatefulStatsRuntime):
 
     def sessions(self) -> list[dict]:
         """All closed sessions, ordered (each was emitted exactly once)."""
-        import glob
-
-        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+        df = self._sink_df()
+        if df is None:
             return []
-        rows = self.spark.read.parquet(self.sink_dir).collect()
-        out = [r.asDict() for r in rows]
+        out = [r.asDict() for r in df.collect()]
         out.sort(
             key=lambda r: (r["stream_key"], r["session_start_id"])
         )
@@ -644,23 +648,22 @@ def _make_rate_limiter(window: int, limit: int):
         (stream_key,) = key
         recent: list[int] = list(state.get[0]) if state.exists else []
         out: list[dict] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", kind="mergesort")
-            for rid in pdf["id"]:
-                rid = int(rid)
-                recent = [t for t in recent if rid - t < window]
-                ok = len(recent) < limit
-                if ok:
-                    recent.append(rid)
-                    recent = recent[-limit:]
-                out.append(
-                    {
-                        "stream_key": stream_key,
-                        "id": rid,
-                        "admitted": ok,
-                        "n_in_window": len(recent),
-                    }
-                )
+        frame = _ordered_frame(pdfs)
+        for rid in (frame["id"] if len(frame) else ()):
+            rid = int(rid)
+            recent = [t for t in recent if rid - t < window]
+            ok = len(recent) < limit
+            if ok:
+                recent.append(rid)
+                recent = recent[-limit:]
+            out.append(
+                {
+                    "stream_key": stream_key,
+                    "id": rid,
+                    "admitted": ok,
+                    "n_in_window": len(recent),
+                }
+            )
         state.update((recent,))
         yield pd.DataFrame(
             out, columns=["stream_key", "id", "admitted", "n_in_window"]
@@ -703,40 +706,20 @@ class StreamingRateLimitRuntime(StatefulStatsRuntime):
         return os.path.join(self.work_dir, "rl_sink")
 
     def start(self, prefix: str = "") -> StreamingQuery:
-        src = self._source()
-        if prefix:
-            src = src.filter(F.col("stream_key").startswith(prefix))
-        decisions = src.groupBy("stream_key").applyInPandasWithState(
+        return self._start_stateful(
             _make_rate_limiter(self.window, self.limit),
             _RL_OUTPUT_SCHEMA,
             _RL_STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
+            "streaming_rate_limit",
+            prefix,
         )
-        os.makedirs(self.sink_dir, exist_ok=True)
-
-        def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(self.sink_dir)
-
-        self.query = (
-            decisions.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName("streaming_rate_limit")
-            .start()
-        )
-        return self.query
 
     def decisions(self) -> list[dict]:
         """All admit/throttle decisions, (stream_key, id)-ordered."""
-        import glob
-
-        if not glob.glob(os.path.join(self.sink_dir, "*.parquet")):
+        df = self._sink_df()
+        if df is None:
             return []
-        rows = self.spark.read.parquet(self.sink_dir).collect()
-        out = [r.asDict() for r in rows]
+        out = [r.asDict() for r in df.collect()]
         out.sort(key=lambda r: (r["stream_key"], r["id"]))
         return out
 

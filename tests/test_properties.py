@@ -442,3 +442,108 @@ class TestSessionizerProperties:
         )
         assert got_closed == ref_closed
         assert got_open == ref_open  # identical open-session state too
+
+
+class TestReducerChunkOrder:
+    """applyInPandasWithState guarantees nothing about the relative
+    order of the Arrow chunks handed to one reducer call — results must
+    be invariant to chunk permutation WITHIN a call (regression: chunks
+    were sorted individually, so [50,51] before [1,2,3] corrupted
+    state)."""
+
+    def test_sessionizer_chunks_out_of_order(self):
+        import pandas as pd
+
+        from redisgears_spark.streaming.stateful import _make_sessionizer
+
+        reducer = _make_sessionizer(10)
+        state = _FakeGroupState()
+        out = list(
+            reducer(
+                ("k",),
+                iter(
+                    [
+                        pd.DataFrame({"id": [50, 51], "fields": [None, None]}),
+                        pd.DataFrame({"id": [1, 2, 3], "fields": [None] * 3}),
+                    ]
+                ),
+                state,
+            )
+        )
+        closed = [
+            (int(a), int(b), int(n))
+            for pdf in out
+            for a, b, n in zip(
+                pdf["session_start_id"], pdf["session_end_id"], pdf["n_events"]
+            )
+        ]
+        assert closed == [(1, 3, 3)]  # the 3 -> 50 gap closes
+        assert state._v == (50, 51, 2)  # open session is 50-51
+
+    def test_rate_limiter_chunks_out_of_order(self):
+        import pandas as pd
+
+        from redisgears_spark.streaming.stateful import _make_rate_limiter
+
+        reducer = _make_rate_limiter(100, 3)
+        state = _FakeGroupState()
+        out = list(
+            reducer(
+                ("k",),
+                iter(
+                    [
+                        pd.DataFrame({"id": [200, 210]}),
+                        pd.DataFrame({"id": [1, 2, 3, 4]}),
+                    ]
+                ),
+                state,
+            )
+        )
+        got = {
+            int(r): bool(ok)
+            for pdf in out
+            for r, ok in zip(pdf["id"], pdf["admitted"])
+        }
+        # global id order: 1,2,3 admitted; 4 throttled; 200,210 admitted
+        # (1,2,3 expired from the 100-unit window by then)
+        assert got == {1: True, 2: True, 3: True, 4: False,
+                       200: True, 210: True}
+
+    def test_stats_ctl_delete_respects_global_order(self):
+        import pandas as pd
+
+        from redisgears_spark.streaming.stateful import (
+            _CTL_DELETE,
+            _CTL_FIELD,
+            _running_stats,
+        )
+
+        state = _FakeGroupState()
+        # the tombstone (id 5) arrives in an EARLIER chunk than ids 1-2;
+        # in global order it comes last, so it must wipe everything
+        out = list(
+            _running_stats(
+                ("k",),
+                iter(
+                    [
+                        pd.DataFrame(
+                            {
+                                "id": [5],
+                                "fields": [{_CTL_FIELD: _CTL_DELETE}],
+                                "record": [None],
+                            }
+                        ),
+                        pd.DataFrame(
+                            {
+                                "id": [1, 2],
+                                "fields": [{"value": "1.0"}, {"value": "2.0"}],
+                                "record": [None, None],
+                            }
+                        ),
+                    ]
+                ),
+                state,
+            )
+        )
+        assert state._v is None  # deleted
+        assert bool(out[0]["deleted"][0]) is True
