@@ -2,7 +2,9 @@ from redisgears_spark.operators.registry import ORACLES, QUERIES, query  # noqa:
 
 # importing these modules populates the registry
 from redisgears_spark.operators import (  # noqa: F401,E402
+    analytics,
     dedup,
+    graph,
     inventory,
     multimodal,
     pipeline,

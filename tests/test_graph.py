@@ -1,0 +1,131 @@
+"""Independent-implementation pins for the graph/analytics operators.
+
+The oracle-parity gate already proves Spark == DuckDB, but both engines
+execute the SAME recurrence/SQL we wrote — these tests re-derive the
+expected results from a pure-Python implementation built directly on
+the parquet fixtures, so a bug in the recurrence itself (not just its
+translation) is caught.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from redisgears_spark.operators.analytics import (
+    events_user_trend,
+    orders_gini_concentration,
+)
+from redisgears_spark.operators.graph import (
+    _BASE,
+    _ITERS,
+    _SCALE,
+    part_copurchase_pagerank,
+)
+
+
+def _pure_python_pagerank(sf_dir: str) -> dict[int, int]:
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{sf_dir}/lineitem.parquet' a
+        JOIN '{sf_dir}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    nodes = [
+        r[0]
+        for r in con.execute(
+            f"SELECT p_partkey FROM '{sf_dir}/part.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    adj: dict[int, list[int]] = {n: [] for n in nodes}
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    rank = {n: _SCALE for n in nodes}
+    for _ in range(_ITERS):
+        nxt = {n: _BASE for n in nodes}
+        for u, neigh in adj.items():
+            if not neigh:
+                continue
+            c = (rank[u] * 85) // (100 * len(neigh))
+            for v in neigh:
+                nxt[v] += c
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_pure_python(spark, sf_dir):
+    got = {
+        r["part_key"]: (r["degree"], r["pagerank_scaled"])
+        for r in part_copurchase_pagerank(spark, sf_dir).collect()
+    }
+    want = _pure_python_pagerank(sf_dir)
+    assert set(got) == set(want)
+    for node, expect_rank in want.items():
+        assert got[node][1] == expect_rank, node
+
+
+def test_pagerank_isolated_nodes_hold_base_rank(spark, sf_dir):
+    rows = part_copurchase_pagerank(spark, sf_dir).collect()
+    isolated = [r for r in rows if r["degree"] == 0]
+    connected = [r for r in rows if r["degree"] > 0]
+    assert connected, "fixture should have a connected co-purchase core"
+    for r in isolated:
+        assert r["pagerank_scaled"] == _BASE
+
+
+def test_trend_close_to_numpy_polyfit(spark, sf_dir):
+    """The exact-integer OLS must agree with numpy's float lstsq to
+    float precision (validates the algebra, not the exactness)."""
+    rows = events_user_trend(spark, sf_dir).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""SELECT user_id,
+                   epoch_us(ts) AS us,
+                   CAST(round(value*100) AS BIGINT) AS cents
+            FROM '{sf_dir}/events.parquet'"""
+    ).df()
+    con.close()
+    by_user = {
+        int(u): g for u, g in ev.groupby("user_id") if len(g) >= 3
+    }
+    checked = 0
+    for r in rows[:25]:
+        g = by_user[int(r["user_id"])]
+        x = (g["us"].to_numpy() - 1_704_067_200_000_000) // 1_000_000
+        y = g["cents"].to_numpy()
+        if np.ptp(x) == 0:
+            continue
+        slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+        assert r["slope_cents_per_sec"] == pytest.approx(slope, rel=1e-6)
+        assert r["intercept_cents"] == pytest.approx(intercept, rel=1e-6)
+        checked += 1
+    assert checked >= 10
+
+
+def test_gini_bounds_and_reference(spark, sf_dir):
+    row = orders_gini_concentration(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    rev = (
+        con.execute(
+            f"""SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS r
+                FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey"""
+        )
+        .df()["r"]
+        .to_numpy()
+    )
+    con.close()
+    rev = np.sort(rev)
+    n = len(rev)
+    i = np.arange(1, n + 1, dtype=object)
+    want = float(2 * int((i * rev).sum()) - (n + 1) * int(rev.sum())) / float(
+        n * int(rev.sum())
+    )
+    assert row["n_customers"] == n
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["gini"] == pytest.approx(want, rel=1e-12)
