@@ -246,3 +246,223 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sr").cast("long").alias("total_cents"),
         gini.alias("gini"),
     )
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, epoch_us(e.ts) AS ts_us,
+             CAST(CAST(round(e.value * 100) AS BIGINT) AS HUGEINT)
+               - (b.s // b.n) AS y
+      FROM events e JOIN base b ON e.event_type = b.event_type
+    ),
+    prefix AS (
+      SELECT event_type, event_id, ts_us,
+             SUM(y) OVER (
+               PARTITION BY event_type ORDER BY ts_us, event_id
+             ) AS p
+      FROM dev
+    ),
+    pre AS (
+      SELECT event_type, event_id, ts_us, p,
+             MIN(p) OVER (
+               PARTITION BY event_type ORDER BY ts_us, event_id
+             ) AS run_min
+      FROM prefix
+    )
+    SELECT event_type, event_id, ts_us,
+           CAST(p - LEAST(run_min, CAST(0 AS HUGEINT)) AS BIGINT)
+             AS cusum_cents,
+           p - LEAST(run_min, CAST(0 AS HUGEINT)) > 500000 AS drift_alarm
+    FROM pre
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per event type — "has this
+    metric's level shifted upward", the sequential change-point monitor
+    behind data-quality alerting on ingest pipelines.
+
+    The textbook recurrence S_i = max(0, S_{i-1} + (x_i − k)) is not
+    window-expressible directly, but it has a prefix closed form:
+    with y_i = x_i − k and P_i = Σ_{j≤i} y_j,
+        S_i = P_i − min(0, min_{j≤i} P_j)
+    — a running sum and a running min, both unbounded-preceding window
+    aggregates over EXACT integer cents (k = the per-type integer mean,
+    floor(Σx/n), so the detector self-calibrates without floats).
+    Alarm when S exceeds a fixed 5,000-dollar drift budget.
+
+    Scale: one aggregate shuffle for the per-type means (broadcast back
+    — |event types| rows), one window shuffle on event_type; both
+    window functions share one sort. The closed form is what makes
+    CUSUM distributable at all — the recurrence form would serialize
+    the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.sum(cents("value")).cast(_DEC).alias("s"),
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+    )
+    k = F.expr("s DIV n").cast(_DEC)
+    dev = ev.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (cents("value").cast(_DEC) - k).alias("y"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = F.sum("y").over(w)
+    run_min = F.min(p).over(w)
+    s = p - F.least(run_min, F.lit(0).cast(_DEC))
+    return dev.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        s.cast("long").alias("cusum_cents"),
+        (s > 500_000).alias("drift_alarm"),
+    )
+
+
+@query(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS band,
+             CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT) AS wt
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT l_returnflag, band, SUM(wt) AS wband
+      FROM b GROUP BY l_returnflag, band
+    ),
+    cum AS (
+      SELECT l_returnflag, band, wband,
+             SUM(wband) OVER (
+               PARTITION BY l_returnflag ORDER BY band
+             ) AS cumb,
+             SUM(wband) OVER (PARTITION BY l_returnflag) AS totw
+      FROM hist
+    ),
+    tgt AS (
+      SELECT l_returnflag, MIN(band) AS tband,
+             arg_min(cumb - wband, band) AS prev_cum,
+             MIN(totw) AS totw
+      FROM cum WHERE 2 * cumb >= totw GROUP BY l_returnflag
+    ),
+    fine AS (
+      SELECT x.l_returnflag, x.price_c, t.totw,
+             t.prev_cum + SUM(x.wt) OVER (
+               PARTITION BY x.l_returnflag
+               ORDER BY x.price_c, x.l_orderkey, x.l_linenumber
+             ) AS cumw
+      FROM b x JOIN tgt t
+        ON x.l_returnflag = t.l_returnflag AND x.band = t.tband
+    )
+    SELECT l_returnflag,
+           CAST(MIN(totw) AS BIGINT) AS total_weight,
+           CAST(MIN(price_c) AS BIGINT) AS weighted_median_cents
+    FROM fine
+    WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the robust
+    "typical unit price" statistic (an unweighted median over-counts
+    small orders; built-in percentile functions cannot take weights).
+
+    Two-phase exact algorithm, because the naive form — a running
+    weight sum ordered by price within each flag — is a per-group
+    TOTAL-ORDER sort, and with 3 flags that is 3 serial partitions no
+    matter how big the cluster (measured: it was this module's slowest
+    query at sf0.1). Instead:
+      1. histogram: bucket prices into $1,000 bands and sum integer
+         weights per (flag, band) — fully map-side combinable;
+      2. locate: one tiny window over |bands| rows per flag finds the
+         band containing the weighted median and the cumulative weight
+         BEFORE it;
+      3. refine: re-scan ONLY that band's rows (a pushed-down
+         band-equality filter), sort them, and take the first price
+         where 2·(prev_cum + cumw_in_band) ≥ totw.
+    The heavy data is touched by aggregation only; the only ordered
+    window runs over one band (~1/|bands| of a group). All integers —
+    no float appears anywhere. Price ties keep the answer invariant
+    (the crossing lands inside the tie run either way).
+
+    This is the standard exact-quantile-at-scale shape (histogram +
+    selective refinement), the same reason approx_percentile exists —
+    except this one is exact and weighted.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    wt = F.round(F.col("l_quantity")).cast("long").cast(_DEC)
+    b = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        price_c.alias("price_c"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100000"
+        ).alias("band"),
+        wt.alias("wt"),
+    )
+    hist = b.groupBy("l_returnflag", "band").agg(F.sum("wt").alias("wband"))
+    wb = (
+        W.partitionBy("l_returnflag")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "band",
+        "wband",
+        F.sum("wband").over(wb).alias("cumb"),
+        F.sum("wband").over(W.partitionBy("l_returnflag")).alias("totw"),
+    )
+    tgt = (
+        cum.filter(F.lit(2).cast(_DEC) * F.col("cumb") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("band").alias("tband"),
+            F.min_by(F.col("cumb") - F.col("wband"), F.col("band")).alias(
+                "prev_cum"
+            ),
+            F.min("totw").alias("totw"),
+        )
+    )
+    wf = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fine = (
+        b.join(
+            F.broadcast(tgt.withColumnRenamed("l_returnflag", "tflag")),
+            (F.col("l_returnflag") == F.col("tflag"))
+            & (F.col("band") == F.col("tband")),
+        )
+        .select(
+            "l_returnflag",
+            "price_c",
+            "totw",
+            (F.col("prev_cum") + F.sum("wt").over(wf)).alias("cumw"),
+        )
+    )
+    return (
+        fine.filter(F.lit(2).cast(_DEC) * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("totw").cast("long").alias("total_weight"),
+            F.min("price_c").cast("long").alias("weighted_median_cents"),
+        )
+    )

@@ -129,3 +129,57 @@ def test_gini_bounds_and_reference(spark, sf_dir):
     assert row["n_customers"] == n
     assert 0.0 <= row["gini"] < 1.0
     assert row["gini"] == pytest.approx(want, rel=1e-12)
+
+
+def test_cusum_closed_form_equals_recurrence(spark, sf_dir):
+    """The window closed form S_i = P_i − min(0, min_{j≤i} P_j) must
+    equal the textbook recurrence S_i = max(0, S_{i-1} + y_i)."""
+    from redisgears_spark.operators.analytics import events_cusum_drift
+
+    got = events_cusum_drift(spark, sf_dir).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""SELECT event_type, event_id, epoch_us(ts) AS us,
+                   CAST(round(value*100) AS BIGINT) AS cents
+            FROM '{sf_dir}/events.parquet'
+            ORDER BY event_type, us, event_id"""
+    ).df()
+    con.close()
+    want = {}
+    for etype, g in ev.groupby("event_type"):
+        k = int(g["cents"].sum()) // len(g)
+        s = 0
+        for _, r in g.iterrows():
+            s = max(0, s + int(r["cents"]) - k)
+            want[(etype, int(r["event_id"]))] = s
+    assert len(got) == len(want)
+    for r in got:
+        assert r["cusum_cents"] == want[(r["event_type"], r["event_id"])]
+
+
+def test_weighted_median_reference(spark, sf_dir):
+    from redisgears_spark.operators.analytics import lineitem_weighted_median
+
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["weighted_median_cents"])
+        for r in lineitem_weighted_median(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    li = con.execute(
+        f"""SELECT l_returnflag,
+                   CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                   CAST(round(l_quantity) AS BIGINT) AS wt
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).df()
+    con.close()
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("price_c")
+        totw = int(g["wt"].sum())
+        cum = 0
+        med = None
+        for _, r in g.iterrows():
+            cum += int(r["wt"])
+            if 2 * cum >= totw:
+                med = int(r["price_c"])
+                break
+        assert got[flag] == (totw, med), flag
