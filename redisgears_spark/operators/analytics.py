@@ -466,3 +466,182 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price_c").cast("long").alias("weighted_median_cents"),
         )
     )
+
+
+@query(
+    "docs_length_ks_drift",
+    oracle="""
+    WITH pts AS (
+      SELECT source, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    gpts AS (
+      SELECT n_chars, SUM(c) AS gc FROM pts GROUP BY n_chars
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS ns FROM pts GROUP BY source
+    ),
+    n AS (SELECT SUM(c) AS n FROM pts),
+    grid AS (
+      SELECT t.source, g.n_chars, t.ns,
+             COALESCE(p.c, 0) AS c, g.gc
+      FROM tot t CROSS JOIN gpts g
+      LEFT JOIN pts p ON p.source = t.source AND p.n_chars = g.n_chars
+    ),
+    cums AS (
+      SELECT source, n_chars, ns,
+             CAST(SUM(c) OVER (
+               PARTITION BY source ORDER BY n_chars
+             ) AS HUGEINT) AS cum_s,
+             CAST(SUM(gc) OVER (
+               PARTITION BY source ORDER BY n_chars
+             ) AS HUGEINT) AS cum_g
+      FROM grid
+    )
+    SELECT c.source,
+           CAST(c.ns AS BIGINT) AS n_source,
+           CAST((SELECT n FROM n) - c.ns AS BIGINT) AS n_rest,
+           CAST(MAX(abs(
+             cum_s * CAST((SELECT n FROM n) - c.ns AS HUGEINT)
+             - (cum_g - cum_s) * CAST(c.ns AS HUGEINT)
+           )) AS DOUBLE)
+             / (CAST(c.ns AS DOUBLE)
+                * CAST((SELECT n FROM n) - c.ns AS DOUBLE)) AS ks_stat
+    FROM cums c
+    GROUP BY c.source, c.ns
+    """,
+)
+def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift score per corpus source: how far each
+    source's document-length distribution sits from the REST of the
+    corpus — the distribution-shift monitor run before mixing a new
+    crawl into training data (a high-KS source needs its own quality
+    review, not silent blending).
+
+    Exactness: KS is sup |F₁−F₂|, and with empirical CDFs that is
+        max over x of |cum_s·n_rest − cum_rest·n_s| / (n_s·n_rest)
+    — the numerator is an exact integer at every grid point (cross-
+    multiplied counts; no per-point float CDFs), MAX of integers is
+    exact, and one division lands the statistic. Works on any engine
+    bit-identically, unlike float-CDF subtraction.
+
+    Scale: lengths compress to a (source × distinct-length) grid via
+    one aggregate (map-side combinable); the window CDF runs over grid
+    rows (|sources|·|distinct lengths|), not documents. At 100 TB the
+    grid is the only shuffled object; raw text is never touched.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    gpts = pts.groupBy("n_chars").agg(F.sum("c").alias("gc"))
+    tot = pts.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_total = pts.agg(F.sum("c").alias("n"))
+    grid = (
+        tot.crossJoin(F.broadcast(gpts))
+        .join(pts, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            "ns",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "gc",
+        )
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = grid.select(
+        "source",
+        "ns",
+        F.sum("c").over(wc).cast(_DEC).alias("cum_s"),
+        F.sum("gc").over(wc).cast(_DEC).alias("cum_g"),
+    ).crossJoin(F.broadcast(n_total))
+    n_rest = (F.col("n") - F.col("ns")).cast(_DEC)
+    dev = F.abs(
+        F.col("cum_s") * n_rest
+        - (F.col("cum_g") - F.col("cum_s")) * F.col("ns").cast(_DEC)
+    )
+    return (
+        cums.groupBy("source", "ns", "n")
+        .agg(F.max(dev).alias("max_dev"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_source"),
+            (F.col("n") - F.col("ns")).cast("long").alias("n_rest"),
+            (
+                F.col("max_dev").cast("double")
+                / (
+                    F.col("ns").cast("double")
+                    * (F.col("n") - F.col("ns")).cast("double")
+                )
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "events_dow_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS HUGEINT) AS o
+      FROM events GROUP BY event_type, dayofweek(ts)
+      -- DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 — shift
+    ),
+    margins AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r,
+             SUM(o) OVER (PARTITION BY dow) AS c,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT event_type, dow,
+           CAST(o AS BIGINT) AS observed,
+           CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+             / CAST(r * c * n AS DOUBLE) AS chi2_term
+    FROM margins
+    """,
+)
+def events_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence decomposition of event type × day of
+    week — "is traffic mix stable across the week", reported as the
+    full per-cell contingency breakdown rather than one opaque
+    statistic, so the anomalous cell is visible directly.
+
+    Exactness: each cell's χ² term (o−e)²/e is algebraically
+    (o·n − r·c)² / (r·c·n) — numerator and denominator are exact
+    integers, one division per cell. The global χ² is deliberately NOT
+    summed here: a float sum across cells would be order-dependent
+    across engines; consumers sum the (few) cells in any fixed order
+    they choose.
+
+    Scale: one aggregate shuffle to the contingency cells; the margins
+    are windows over |types|·|days| rows. Classic cube-then-analyze.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast(_DEC).alias("o"))
+    margins = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(W.partitionBy("dow")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    return margins.select(
+        "event_type",
+        "dow",
+        F.col("o").cast("long").alias("observed"),
+        (
+            (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+        ).alias("expected"),
+        (
+            (dev * dev).cast("double")
+            / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+        ).alias("chi2_term"),
+    )

@@ -183,3 +183,47 @@ def test_weighted_median_reference(spark, sf_dir):
                 med = int(r["price_c"])
                 break
         assert got[flag] == (totw, med), flag
+
+
+def test_ks_drift_matches_numpy(spark, sf_dir):
+    from redisgears_spark.operators.analytics import docs_length_ks_drift
+
+    got = {
+        r["source"]: (r["n_source"], r["n_rest"], r["ks_stat"])
+        for r in docs_length_ks_drift(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT source, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    con.close()
+    lengths = df["n_chars"].to_numpy()
+    for src, g in df.groupby("source"):
+        a = np.sort(g["n_chars"].to_numpy())
+        b = np.sort(lengths[df["source"].to_numpy() != src])
+        grid = np.unique(lengths)
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        want = float(np.max(np.abs(fa - fb)))
+        ns, nr, ks = got[src]
+        assert (ns, nr) == (len(a), len(b))
+        assert ks == pytest.approx(want, rel=1e-12)
+
+
+def test_chi2_terms_match_scipy_free_reference(spark, sf_dir):
+    from redisgears_spark.operators.analytics import events_dow_independence
+
+    rows = events_dow_independence(spark, sf_dir).collect()
+    obs = {(r["event_type"], r["dow"]): r["observed"] for r in rows}
+    n = sum(obs.values())
+    r_m = {}
+    c_m = {}
+    for (et, dow), o in obs.items():
+        r_m[et] = r_m.get(et, 0) + o
+        c_m[dow] = c_m.get(dow, 0) + o
+    for r in rows:
+        e = r_m[r["event_type"]] * c_m[r["dow"]] / n
+        assert r["expected"] == pytest.approx(e, rel=1e-12)
+        assert r["chi2_term"] == pytest.approx(
+            (r["observed"] - e) ** 2 / e, rel=1e-9
+        )
