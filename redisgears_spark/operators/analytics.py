@@ -645,3 +645,164 @@ def events_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("r") * F.col("c") * F.col("n")).cast("double")
         ).alias("chi2_term"),
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), pre-scaled to 1e9 and
+# HARDCODED as integers in both engines: computing log10 at query time
+# would hang bit-exactness on two libm implementations agreeing.
+_BENFORD_E9 = (
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+)
+_BENFORD_SQL = "[" + ", ".join(str(p) for p in _BENFORD_E9) + "]"
+_BENFORD_SPARK = "array(" + ", ".join(str(p) for p in _BENFORD_E9) + ")"
+
+
+@query(
+    "orders_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE round(o_totalprice * 100) >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS HUGEINT) AS observed,
+             SUM(CAST(COUNT(*) AS HUGEINT)) OVER () AS n
+      FROM d GROUP BY digit
+    )
+    SELECT digit,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(n * CAST({_BENFORD_SQL}[digit] AS HUGEINT) AS BIGINT)
+             AS expected_e9,
+           CAST(observed * 1000000000 - n * CAST({_BENFORD_SQL}[digit]
+                AS HUGEINT) AS DOUBLE)
+             / CAST(n * CAST({_BENFORD_SQL}[digit] AS HUGEINT) AS DOUBLE)
+             AS rel_deviation
+    FROM c
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / fraud screen: real transaction amounts follow
+    P(d) = log10(1+1/d); a synthetic or tampered feed doesn't.
+
+    Exactness: the leading digit comes from a STRING cast of integer
+    cents (no float log10 to disagree on), the Benford weights are
+    pre-scaled integer constants shared by both engines, and the
+    deviation (observed·1e9 − n·p) / (n·p) is exact integers with one
+    division. The relative deviation sign tells which digits are over-
+    or under-represented.
+
+    Scale: one aggregate to 9 rows; the total rides a window over
+    those 9. Nothing else shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = cents("o_totalprice")
+    d = orders.filter(v >= 1).select(
+        F.substring(v.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast(_DEC).alias("observed"))
+    c = c.withColumn("n", F.sum("observed").over(W.partitionBy()))
+    p = F.expr(f"{_BENFORD_SPARK}[CAST(digit AS INT) - 1]").cast(_DEC)
+    expected = F.col("n") * p
+    return c.select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        expected.cast("long").alias("expected_e9"),
+        (
+            (F.col("observed") * F.lit(1_000_000_000).cast(_DEC) - expected)
+            .cast("double")
+            / expected.cast("double")
+        ).alias("rel_deviation"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate)) AS last_order_us,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order_us, n_orders, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY last_order_us, o_custkey)
+               AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey)
+               AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+               AS BIGINT) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, last_order_us, n_orders, monetary_cents,
+           r_score, f_score, m_score,
+           CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+             WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+               THEN 'hibernating'
+             ELSE 'core'
+           END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    customers — the standard CRM scoring: each dimension scored 1–5 by
+    ntile, then bucketed into actionable segments (champion / at-risk /
+    new / hibernating / core).
+
+    Determinism: ntile's bucket-size rule (first n%5 buckets get the
+    extra row) is identical SQL semantics in both engines, and every
+    ORDER BY carries the custkey tie-break so equal metrics rank
+    identically. All metrics are exact integers (epoch µs, counts,
+    cents).
+
+    Scale: the fact table shuffles once into the per-customer rollup;
+    the three ntile windows then run over |customers| aggregate rows
+    (dimension cardinality, same reduction argument as the Gini
+    operator). A 1e9-customer rollup would swap ntile for a
+    percentile-bound join, but the rollup-first shape is the point.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_order_us"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("monetary_cents"),
+    )
+    r = F.ntile(5).over(W.orderBy("last_order_us", "o_custkey")).cast("long")
+    f_ = F.ntile(5).over(W.orderBy("n_orders", "o_custkey")).cast("long")
+    m = F.ntile(5).over(W.orderBy("monetary_cents", "o_custkey")).cast("long")
+    scored = base.select(
+        "o_custkey",
+        "last_order_us",
+        "n_orders",
+        "monetary_cents",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "hibernating",
+        )
+        .otherwise("core")
+    )
+    return scored.withColumn("segment", seg)
