@@ -556,3 +556,26 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         .collect()
     }
     assert sql_rows == df_rows
+
+
+def test_readme_counts_match_registry():
+    """README's contract section quotes the registry size; this pin keeps
+    the doc from drifting (it has gone stale twice — ADVICE r5/r6)."""
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    text = open(os.path.join(here, "README.md")).read()
+    m = re.search(r"`queries\(\)` \((\d+) operators\)", text)
+    m2 = re.search(r"\((\d+) DuckDB-exact oracles", text)
+    assert m and m2, "README contract section reworded — update this pin"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"README says {m.group(1)} queries, registry has "
+        f"{len(entrymod.queries())}"
+    )
+    assert int(m2.group(1)) == len(entrymod.oracle_sql()), (
+        f"README says {m2.group(1)} oracles, registry has "
+        f"{len(entrymod.oracle_sql())}"
+    )
