@@ -806,3 +806,170 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("core")
     )
     return scored.withColumn("segment", seg)
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate)
+               - lag(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                 ) AS gap_us
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE) / COUNT(*)
+             AS mean_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase cadence: min / max / mean time between
+    consecutive orders — the recency-rhythm feature behind churn
+    prediction ("their usual gap is 9 days; it has been 40").
+
+    Exact: gaps are integer µs from a lag window ordered by
+    (orderdate, orderkey); mean is an exact integer sum with one IEEE
+    division. Customers with a single order have no gaps and are
+    excluded (NULL-gap filter), not divided by zero.
+
+    Scale: one window shuffle on o_custkey, then the same-keyed
+    aggregate reuses the clustering (no second exchange).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wlag = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    g = orders.select(
+        "o_custkey", (us - F.lag(us).over(wlag)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_orders"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        (F.sum(F.col("gap_us").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_us"
+        ),
+    )
+
+
+@query(
+    "dedup_savings_report",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(text) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MIN(n_chars) AS BIGINT) AS chars_each
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(k - 1) AS BIGINT) AS docs_removed,
+           CAST(SUM((k - 1) * chars_each) AS BIGINT) AS chars_removed
+    FROM clusters
+    GROUP BY k
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROI report for exact dedup: cluster-size histogram with how
+    many documents and characters first-occurrence dedup removes — the
+    number a pipeline owner quotes before paying for the dedup pass
+    (complements dedup_exact, which emits the survivors themselves).
+
+    Members of an exact cluster share identical text, so chars_each is
+    any member's length (MIN for determinism). All integers.
+
+    Scale: the only shuffled object is (md5, count, min_chars) — 16-byte
+    fingerprints with map-side partials; the histogram then reduces
+    |clusters| rows to |distinct sizes|. Text never moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("n_chars").cast("long").alias("chars_each"),
+    )
+    return clusters.groupBy(F.col("k").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("k") - 1).cast("long").alias("docs_removed"),
+        F.sum((F.col("k") - 1) * F.col("chars_each"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+# Wilson z for 95% two-sided, hardcoded as the same double literal in
+# both engines (no inverse-normal call to disagree on).
+_WILSON_Z = "1.96"
+
+
+@query(
+    "part_return_wilson",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS k
+      FROM lineitem GROUP BY l_partkey
+    ),
+    scored AS (
+      SELECT l_partkey, n, k,
+             ((CAST(k AS DOUBLE) / n)
+              + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n)
+              - {_WILSON_Z} * sqrt(
+                  ((CAST(k AS DOUBLE) / n) * (1.0 - (CAST(k AS DOUBLE) / n))
+                   + ({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n)) / n))
+             / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n) AS wilson_low
+      FROM s WHERE n >= 20
+    )
+    SELECT l_partkey, n, k, wilson_low
+    FROM scored
+    ORDER BY wilson_low DESC, l_partkey
+    LIMIT 100
+    """,
+)
+def part_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts ranked by the Wilson-score LOWER bound of their return
+    rate — the statistically honest "worst offenders" list (a raw rate
+    ranks a 1-of-2 part above a 40-of-100 part; the lower confidence
+    bound does not).
+
+    Determinism: counts are exact integers and the Wilson formula is
+    ONE fixed parse tree of IEEE double ops — every division, multiply
+    and the correctly-rounded sqrt is applied to identical inputs in
+    the identical order in both engines, so the scores (and therefore
+    the ranking and the top-100 cut, tie-broken by part key) are
+    bit-identical. The z constant is a hardcoded literal, not an
+    inverse-normal call.
+
+    Scale: one aggregate shuffle to per-part counts; ranking is
+    TakeOrderedAndProject (per-partition top-100 + driver merge), not
+    a global sort. The n >= 20 support floor keeps noise parts out and
+    is part of the operator contract.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("k"),
+    )
+    z = _WILSON_Z
+    wilson = F.expr(
+        f"((CAST(k AS DOUBLE) / n)"
+        f" + ({z} * {z}) / (2.0D * n)"
+        f" - {z} * sqrt("
+        f"    ((CAST(k AS DOUBLE) / n) * (1.0D - (CAST(k AS DOUBLE) / n))"
+        f"     + ({z} * {z}) / (4.0D * n)) / n))"
+        f" / (1.0D + ({z} * {z}) / n)"
+    )
+    return (
+        s.filter(F.col("n") >= 20)
+        .select("l_partkey", "n", "k", wilson.alias("wilson_low"))
+        .orderBy(F.col("wilson_low").desc(), "l_partkey")
+        .limit(100)
+    )
