@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from redisgears_spark.functions.exact import cents
+from redisgears_spark.functions.exact import cents, micros
 from redisgears_spark.operators.registry import query
 from redisgears_spark.sources.keyspace import load_table
 
@@ -309,11 +309,14 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("value")).cast(_DEC).alias("s"),
         F.count(F.lit(1)).cast(_DEC).alias("n"),
     )
+    # Spark DIV and DuckDB // BOTH truncate toward zero (pinned by
+    # test_div_truncation_matches_duckdb), so k agrees even for an
+    # event type with a net-negative cents sum
     k = F.expr("s DIV n").cast(_DEC)
     dev = ev.join(F.broadcast(base), "event_type").select(
         "event_type",
         "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        micros("ts").alias("ts_us"),
         (cents("value").cast(_DEC) - k).alias("y"),
     )
     w = W.partitionBy("event_type").orderBy("ts_us", "event_id").rowsBetween(
@@ -599,7 +602,7 @@ def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, dow,
            CAST(o AS BIGINT) AS observed,
            CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
-           CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+           CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
              / CAST(r * c * n AS DOUBLE) AS chi2_term
     FROM margins
     """,
@@ -632,7 +635,10 @@ def events_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(W.partitionBy("dow")).alias("c"),
         F.sum("o").over(W.partitionBy()).alias("n"),
     )
-    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    # dev = o·n − r·c is bounded by n² (38-digit safe at any scale), but
+    # dev² is not — square AFTER the one exact→double conversion; the
+    # denominator r·c·n ≤ n³ stays inside decimal(38,0)/HUGEINT
+    dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
     return margins.select(
         "event_type",
         "dow",
@@ -641,7 +647,7 @@ def events_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
         ).alias("expected"),
         (
-            (dev * dev).cast("double")
+            dev * dev
             / (F.col("r") * F.col("c") * F.col("n")).cast("double")
         ).alias("chi2_term"),
     )
@@ -674,8 +680,8 @@ _BENFORD_SPARK = "array(" + ", ".join(str(p) for p in _BENFORD_E9) + ")"
     )
     SELECT digit,
            CAST(observed AS BIGINT) AS observed,
-           CAST(n * CAST({_BENFORD_SQL}[digit] AS HUGEINT) AS BIGINT)
-             AS expected_e9,
+           CAST(n * CAST({_BENFORD_SQL}[digit] AS HUGEINT) AS DOUBLE)
+             / 1000000000.0 AS expected_count,
            CAST(observed * 1000000000 - n * CAST({_BENFORD_SQL}[digit]
                 AS HUGEINT) AS DOUBLE)
              / CAST(n * CAST({_BENFORD_SQL}[digit] AS HUGEINT) AS DOUBLE)
@@ -707,10 +713,15 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = c.withColumn("n", F.sum("observed").over(W.partitionBy()))
     p = F.expr(f"{_BENFORD_SPARK}[CAST(digit AS INT) - 1]").cast(_DEC)
     expected = F.col("n") * p
+    # expected stays in the exact decimal domain until ONE double
+    # conversion + one division by the literal scale (a long cast of
+    # n·p would wrap at ~3e10 orders)
     return c.select(
         "digit",
         F.col("observed").cast("long").alias("observed"),
-        expected.cast("long").alias("expected_e9"),
+        (expected.cast("double") / F.lit(1_000_000_000.0)).alias(
+            "expected_count"
+        ),
         (
             (F.col("observed") * F.lit(1_000_000_000).cast(_DEC) - expected)
             .cast("double")
@@ -774,9 +785,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
-        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
-            "last_order_us"
-        ),
+        F.max(micros("o_orderdate")).alias("last_order_us"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(cents("o_totalprice")).cast("long").alias("monetary_cents"),
     )
@@ -846,7 +855,7 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     wlag = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    us = micros("o_orderdate")
     g = orders.select(
         "o_custkey", (us - F.lag(us).over(wlag)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())

@@ -227,3 +227,101 @@ def test_chi2_terms_match_scipy_free_reference(spark, sf_dir):
         assert r["chi2_term"] == pytest.approx(
             (r["observed"] - e) ** 2 / e, rel=1e-9
         )
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    from redisgears_spark.operators.analytics import lineitem_price_qty_corr
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_rows"], r["corr_qty_price"])
+        for r in lineitem_price_qty_corr(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    li = con.execute(
+        f"""SELECT l_returnflag, l_linestatus,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_extendedprice*100) AS BIGINT) AS y
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).df()
+    con.close()
+    for (flag, status), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        n, corr = got[(flag, status)]
+        assert n == len(g)
+        want = np.corrcoef(g["x"].to_numpy(float), g["y"].to_numpy(float))[0, 1]
+        assert corr == pytest.approx(want, rel=1e-9), (flag, status)
+
+
+def test_benford_matches_pure_python(spark, sf_dir):
+    import math
+
+    from redisgears_spark.operators.analytics import (
+        _BENFORD_E9,
+        orders_benford_digits,
+    )
+
+    # the hardcoded weights ARE log10(1+1/d) at 1e9 scale
+    for d in range(1, 10):
+        assert _BENFORD_E9[d - 1] == round(math.log10(1 + 1 / d) * 1e9)
+
+    rows = orders_benford_digits(spark, sf_dir).collect()
+    con = duckdb.connect()
+    cents_vals = [
+        r[0]
+        for r in con.execute(
+            f"SELECT CAST(round(o_totalprice*100) AS BIGINT) "
+            f"FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+        if r[0] >= 1
+    ]
+    con.close()
+    want = {}
+    for v in cents_vals:
+        d = int(str(v)[0])
+        want[d] = want.get(d, 0) + 1
+    n = len(cents_vals)
+    assert {r["digit"]: r["observed"] for r in rows} == want
+    for r in rows:
+        p = math.log10(1 + 1 / r["digit"])
+        assert r["expected_count"] == pytest.approx(n * p, rel=1e-6)
+        assert r["rel_deviation"] == pytest.approx(
+            (r["observed"] - n * p) / (n * p), rel=1e-5
+        )
+
+
+def _pure_python_ntile(values, n=5):
+    """SQL ntile semantics: the first (len % n) buckets get the extra
+    row; `values` must already be in ORDER BY order. Returns 1-based
+    bucket per position."""
+    total = len(values)
+    base, extra = divmod(total, n)
+    out = []
+    pos = 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= extra else 0)
+        out.extend([b] * size)
+        pos += size
+    return out
+
+
+def test_rfm_matches_pure_python_ntile(spark, sf_dir):
+    from redisgears_spark.operators.analytics import customer_rfm_segments
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    by_cust = {r["o_custkey"]: r for r in rows}
+    for metric, score_col in [
+        ("last_order_us", "r_score"),
+        ("n_orders", "f_score"),
+        ("monetary_cents", "m_score"),
+    ]:
+        ordered = sorted(rows, key=lambda r: (r[metric], r["o_custkey"]))
+        buckets = _pure_python_ntile([r["o_custkey"] for r in ordered])
+        for r, b in zip(ordered, buckets):
+            assert by_cust[r["o_custkey"]][score_col] == b, (
+                metric,
+                r["o_custkey"],
+            )
+    for r in rows:
+        if r["r_score"] >= 4 and r["f_score"] >= 4 and r["m_score"] >= 4:
+            assert r["segment"] == "champion"
+        elif r["r_score"] <= 2 and r["f_score"] >= 4:
+            assert r["segment"] == "at_risk"

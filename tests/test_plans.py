@@ -524,17 +524,22 @@ def test_ks_drift_never_shuffles_text(spark, sf_dir):
         assert "text" not in line, line
 
 
-def test_pagerank_edge_list_built_once(spark, sf_dir):
-    """The cached co-purchase edge list must appear as in-memory scans
-    in the iteration joins, not as 5 recomputed lineitem self-joins."""
+def test_pagerank_result_truncated_and_caches_freed(spark, sf_dir):
+    """part_copurchase_pagerank caches the edge list for its 5
+    iterations, then localCheckpoints the dimension-sized result and
+    unpersists — the returned plan must be lineage-free (no recomputes
+    of the fact self-join on collect) and NO cached relation may leak
+    into the session's storage after the call."""
+    spark.catalog.clearCache()
     df = QUERIES["part_copurchase_pagerank"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "InMemoryTableScan" in plan, plan
-    # every iteration reads the cached edges; the raw fact appears only
-    # inside the cached relation's definition (the a/b self-join sides),
-    # not once per iteration (5 iterations x 2 sides would be 10+)
-    assert plan.count("lineitem.parquet") <= 6, (
-        f"edge list appears recomputed:\n{plan}"
+    assert "ExistingRDD" in plan, plan
+    assert "lineitem.parquet" not in plan, plan
+    # the checkpoint RDD's own storage is context-cleaned on GC; what
+    # must NOT remain is a CacheManager entry (DataFrame persist), which
+    # is never GC-cleaned
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "pagerank leaked a cached relation"
     )
 
 
@@ -559,3 +564,45 @@ def test_cusum_windows_share_one_sort(spark, sf_dir):
     ride a single Sort/Window pair — same partition, same order."""
     df = QUERIES["events_cusum_drift"](spark, sf_dir)
     assert count_nodes(df, "Sort") <= 2, formatted_plan(df)
+
+
+def test_corr_is_pure_partial_aggregate(spark, sf_dir):
+    """Six accumulators shuffle once; rows never do."""
+    df = QUERIES["lineitem_price_qty_corr"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_gini_windows_run_on_rollup_not_facts(spark, sf_dir):
+    """The global rank must sort |customers| aggregate rows — the
+    orders fact reduces through a partial aggregate BEFORE any Sort."""
+    df = QUERIES["orders_gini_concentration"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partial first
+    scan_cols = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for line in scan_cols:  # only the two rollup columns leave the scan
+        assert "o_orderdate" not in line, line
+
+
+def test_chi2_single_fact_exchange(spark, sf_dir):
+    """events_dow_independence reduces to the contingency cells in one
+    fact-table exchange; margin windows run over |cells| rows."""
+    df = QUERIES["events_dow_independence"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for line in scan_lines:  # cells need only event_type + ts
+        assert "props" not in line and "value" not in line, line
+
+
+def test_rfm_ntile_runs_on_rollup(spark, sf_dir):
+    """RFM's three ntile windows sort the per-customer rollup, so the
+    orders scan must read only the rollup's four columns."""
+    df = QUERIES["customer_rfm_segments"](spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for line in scan_lines:
+        assert "o_orderstatus" not in line and "o_orderpriority" not in line, line
+    assert plan.count("HashAggregate") >= 2, plan
