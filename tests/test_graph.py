@@ -325,3 +325,26 @@ def test_rfm_matches_pure_python_ntile(spark, sf_dir):
             assert r["segment"] == "champion"
         elif r["r_score"] <= 2 and r["f_score"] >= 4:
             assert r["segment"] == "at_risk"
+
+
+def test_div_truncation_matches_duckdb(spark):
+    """events_cusum_drift's self-calibrating mean uses Spark `s DIV n`
+    against DuckDB `s // n`. Both truncate toward zero — including for
+    NEGATIVE sums (a refunds-only event type) — pinned here because the
+    fixtures' non-negative values would mask a divergence."""
+    cases = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (-6, 3)]
+    got_spark = [
+        spark.sql(
+            f"SELECT CAST({a} AS DECIMAL(38,0)) DIV CAST({b} AS DECIMAL(38,0))"
+        ).collect()[0][0]
+        for a, b in cases
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)"
+        ).fetchone()[0]
+        for a, b in cases
+    ]
+    con.close()
+    assert got_spark == got_duck == [-3, 3, 3, -3, 0, -2]
