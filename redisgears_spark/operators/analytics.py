@@ -982,3 +982,115 @@ def part_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wilson_low").desc(), "l_partkey")
         .limit(100)
     )
+
+
+@query(
+    "docs_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS BIGINT)
+             AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM grams gr JOIN firsts f ON gr.g = f.g
+    GROUP BY gr.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-diversity contribution: the fraction of a
+    document's distinct word trigrams that IT introduced to the corpus
+    (first occurrence in doc_id order) — the complement of dedup's
+    view: dedup asks "how much of this doc is elsewhere", novelty asks
+    "how much of the corpus exists only because of this doc". Low-
+    novelty docs are the safe removals when trimming a corpus to a
+    token budget.
+
+    Deterministic: first-occurrence is MIN(doc_id) per trigram (no
+    hash, no float until the one share division).
+
+    Scale: trigrams shuffle as md5-size strings twice (first-occurrence
+    aggregate with map-side partials, then the doc rollup); text itself
+    never moves, and the DISTINCT inside each doc bounds a repetitive
+    doc's contribution at its vocabulary, not its length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        novel.cast("long").alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
+
+
+@query(
+    "events_user_concentration_hhi",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE)
+             * CAST(SUM(c) AS DOUBLE)) AS hhi
+    FROM per_user
+    GROUP BY event_type
+    """,
+)
+def events_user_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each event type across
+    users: HHI = Σ shareᵢ² = Σ cᵢ² / (Σ cᵢ)² — "is this event type
+    driven by everyone or by three power users", the abuse/robot
+    screen next to the CUSUM level monitor.
+
+    Exact: integer counts, Σc² in the decimal domain, the square of
+    the total taken as double·double AFTER one exact conversion (the
+    same fixed two-multiply one-divide tail in both engines).
+
+    Scale: two aggregates — (type,user) rollup then type rollup — both
+    map-side combinable; nothing else moves.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("c")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("hhi"),
+    )
