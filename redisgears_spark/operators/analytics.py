@@ -28,6 +28,7 @@ from pyspark.sql.window import Window as W
 
 from redisgears_spark.functions.exact import cents, micros
 from redisgears_spark.operators.registry import query
+from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table
 
 _DEC = "decimal(38,0)"
@@ -603,7 +604,7 @@ def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o AS BIGINT) AS observed,
            CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
            CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
-             / CAST(r * c * n AS DOUBLE) AS chi2_term
+             / (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE)) AS chi2_term
     FROM margins
     """,
 )
@@ -635,9 +636,10 @@ def events_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(W.partitionBy("dow")).alias("c"),
         F.sum("o").over(W.partitionBy()).alias("n"),
     )
-    # dev = o·n − r·c is bounded by n² (38-digit safe at any scale), but
-    # dev² is not — square AFTER the one exact→double conversion; the
-    # denominator r·c·n ≤ n³ stays inside decimal(38,0)/HUGEINT
+    # dev = o·n − r·c and r·c are bounded by n² (38-digit safe at any
+    # scale) but dev² and r·c·n are not — square and take the third
+    # factor AFTER the exact→double conversions, in the same fixed
+    # sequence as the oracle
     dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
     return margins.select(
         "event_type",
@@ -648,7 +650,10 @@ def events_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("expected"),
         (
             dev * dev
-            / (F.col("r") * F.col("c") * F.col("n")).cast("double")
+            / (
+                (F.col("r") * F.col("c")).cast("double")
+                * F.col("n").cast("double")
+            )
         ).alias("chi2_term"),
     )
 
@@ -988,9 +993,7 @@ def part_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_ngram_novelty",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                         x -> x <> '') AS t
+      SELECT doc_id, {_TOKENS_SQL} AS t
       FROM documents
     ),
     grams AS (
@@ -1030,10 +1033,11 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's contribution at its vocabulary, not its length.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
-    ).filter(F.size("t") >= 3)
+    # the corpus-wide tokenizer definition (text.py) — novelty must
+    # tokenize identically to every other text operator
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
+        F.size("t") >= 3
+    )
     grams = toks.select(
         "doc_id",
         F.explode(

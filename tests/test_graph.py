@@ -295,11 +295,8 @@ def _pure_python_ntile(values, n=5):
     total = len(values)
     base, extra = divmod(total, n)
     out = []
-    pos = 0
     for b in range(1, n + 1):
-        size = base + (1 if b <= extra else 0)
-        out.extend([b] * size)
-        pos += size
+        out.extend([b] * (base + (1 if b <= extra else 0)))
     return out
 
 
