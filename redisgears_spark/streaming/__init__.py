@@ -14,6 +14,7 @@ from redisgears_spark.streaming.windows import (  # noqa: F401
 from redisgears_spark.streaming.stateful import (  # noqa: F401
     StatefulStatsRuntime,
     StreamingHeavyHittersRuntime,
+    StreamingCusumRuntime,
     StreamingRateLimitRuntime,
     StreamingSessionizeRuntime,
 )

@@ -735,3 +735,111 @@ class StreamingRateLimitRuntime(StatefulStatsRuntime):
             "TTL expiry is not supported for the rate-limit runtime — "
             "state is already bounded at `limit` ids per key"
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM drift detector (round 6)
+# ---------------------------------------------------------------------------
+
+_CUSUM_OUTPUT_SCHEMA = (
+    "stream_key string, id bigint, cusum_cents bigint, drift_alarm boolean"
+)
+# the whole detector state is ONE integer per key — CUSUM's recurrence
+# S = max(0, S + x - k) is already incremental, which is why the batch
+# operator needs the prefix closed form and this runtime does not
+_CUSUM_STATE_SCHEMA = "s bigint"
+
+
+def _make_cusum(allowance_cents: int, threshold_cents: int):
+    def cusum(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """One-sided CUSUM per stream_key: S = max(0, S + (x − k)) over
+        exact integer cents, alarm when S exceeds the threshold. The
+        textbook sequential form — one state integer, one update per
+        record — the streaming twin of the batch closed form
+        (operators/analytics.events_cusum_drift), pinned equal by test.
+        `del` control records reset the detector."""
+        (stream_key,) = key
+        s = int(state.get[0]) if state.exists else 0
+        out: list[dict] = []
+        for rec in _ordered_frame(pdfs).to_dict("records"):
+            fields = dict(rec["fields"]) if rec["fields"] is not None else {}
+            pairs = rec.get("record")
+            if not fields and pairs is not None and len(pairs):
+                fields = {p["field"]: p["value"] for p in pairs}
+            if fields.get(_CTL_FIELD) == _CTL_DELETE:
+                s = 0
+                continue
+            v = fields.get("value")
+            x = int(round(float(v) * 100)) if v is not None else 0
+            s = max(0, s + x - allowance_cents)
+            out.append(
+                {
+                    "stream_key": stream_key,
+                    "id": int(rec["id"]),
+                    "cusum_cents": s,
+                    "drift_alarm": s > threshold_cents,
+                }
+            )
+        state.update((s,))
+        yield pd.DataFrame(
+            out,
+            columns=["stream_key", "id", "cusum_cents", "drift_alarm"],
+        )
+
+    return cusum
+
+
+class StreamingCusumRuntime(StatefulStatsRuntime):
+    """Continuous CUSUM drift detection per stream key — the online form
+    of `events_cusum_drift`: the batch operator must distribute the
+    recurrence through its prefix closed form, while the stream keeps
+    ONE integer of state per key and applies the recurrence directly.
+    The two are pinned equal on identical input (tests/test_streaming).
+
+    Unlike the batch operator (which self-calibrates k to the per-type
+    mean over the whole corpus), a streaming detector cannot know the
+    corpus mean — `allowance_cents` is an explicit parameter, exactly
+    as in production CUSUM deployments (k is chosen from the in-control
+    level being monitored).
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        allowance_cents: int = 5_000,
+        threshold_cents: int = 500_000,
+    ):
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.allowance_cents = allowance_cents
+        self.threshold_cents = threshold_cents
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "cusum_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "cusum_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        return self._start_stateful(
+            _make_cusum(self.allowance_cents, self.threshold_cents),
+            _CUSUM_OUTPUT_SCHEMA,
+            _CUSUM_STATE_SCHEMA,
+            "streaming_cusum",
+            prefix,
+        )
+
+    def scores(self) -> list[dict]:
+        """All per-record CUSUM scores, (stream_key, id)-ordered."""
+        df = self._sink_df()
+        if df is None:
+            return []
+        out = [r.asDict() for r in df.collect()]
+        out.sort(key=lambda r: (r["stream_key"], r["id"]))
+        return out

@@ -345,3 +345,20 @@ def test_div_truncation_matches_duckdb(spark):
     ]
     con.close()
     assert got_spark == got_duck == [-3, 3, 3, -3, 0, -2]
+
+
+def test_pagerank_inline_fallback_matches_index_path(spark, sf_dir, monkeypatch):
+    """When the corpus can't be fingerprinted (remote URI), the edge
+    index falls back to the inline plan — results must be identical."""
+    import redisgears_spark.operators.graph as G
+
+    indexed = {
+        r["part_key"]: r["pagerank_scaled"]
+        for r in part_copurchase_pagerank(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(G, "_graph_fingerprint", lambda _: None)
+    inline = {
+        r["part_key"]: r["pagerank_scaled"]
+        for r in part_copurchase_pagerank(spark, sf_dir).collect()
+    }
+    assert indexed == inline

@@ -2289,3 +2289,91 @@ class TestIncrementalViewMaintenance:
             )
         }
         assert incremental == batch
+
+
+class TestStreamingCusum:
+    """Online CUSUM: one state integer per key, recurrence applied
+    directly — must equal the batch closed form on identical input."""
+
+    def test_matches_recurrence_across_microbatches(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingCusumRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        k, h = 1_000, 5_000  # allowance 10.00, threshold 50.00
+        rt = StreamingCusumRuntime(
+            engine, spool, work, allowance_cents=k, threshold_cents=h
+        )
+        vals1 = [("k:1", i, {"value": str(v)}) for i, v in
+                 [(1, 30.0), (2, 5.0), (3, 40.0)]]
+        vals2 = [("k:1", i, {"value": str(v)}) for i, v in
+                 [(4, 50.0), (5, 2.0)]]
+        _write_canonical(spark, spool, vals1)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            _write_canonical(spark, spool, vals2)  # state must carry over
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = {r["id"]: (r["cusum_cents"], r["drift_alarm"])
+               for r in rt.scores()}
+        # pure-python recurrence over the SAME value sequence
+        s, want = 0, {}
+        for i, v in [(1, 30.0), (2, 5.0), (3, 40.0), (4, 50.0), (5, 2.0)]:
+            s = max(0, s + int(round(v * 100)) - k)
+            want[i] = (s, s > h)
+        assert got == want
+        # sanity on the scenario itself: the drift crosses the alarm
+        assert any(a for _, a in got.values())
+
+    def test_del_resets_detector(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingCusumRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingCusumRuntime(
+            engine, spool, work, allowance_cents=100, threshold_cents=10_000
+        )
+        _write_canonical(
+            spark,
+            spool,
+            [
+                ("k:1", 1, {"value": "50.0"}),
+                ("k:1", 2, {"__ctl__": "del"}),
+                ("k:1", 3, {"value": "2.0"}),
+            ],
+        )
+        rt.start()
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = {r["id"]: r["cusum_cents"] for r in rt.scores()}
+        # id 1: 5000-100=4900; del resets; id 3: max(0, 200-100)=100
+        assert got == {1: 4900, 3: 100}
+
+    def test_state_survives_restart(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingCusumRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        mk = lambda: StreamingCusumRuntime(  # noqa: E731
+            engine, spool, work, allowance_cents=100, threshold_cents=10_000
+        )
+        rt = mk()
+        _write_canonical(spark, spool, [("k:1", 1, {"value": "50.0"})])
+        rt.start()
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        rt2 = mk()
+        _write_canonical(spark, spool, [("k:1", 2, {"value": "1.0"})])
+        rt2.start()
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        got = {r["id"]: r["cusum_cents"] for r in rt2.scores()}
+        # 4900 carried through the checkpoint: 4900 + 100 - 100 = 4900
+        assert got == {1: 4900, 2: 4900}
