@@ -1098,3 +1098,93 @@ def events_user_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.sum("c").cast("double") * F.sum("c").cast("double"))
         ).alias("hhi"),
     )
+
+
+@query(
+    "events_ab_test_zscore",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id % 2 AS arm,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                           AND value > 100
+                                      THEN user_id END) AS BIGINT)
+               AS n_converted
+      FROM events GROUP BY user_id % 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN n_converted END) AS k_a,
+        MAX(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN n_converted END) AS k_b
+      FROM arms
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           CAST(k_a AS DOUBLE) / n_a AS rate_a,
+           CAST(k_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+             (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+               / sqrt(
+                   (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)
+                 )
+           END AS zscore
+    FROM wide
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms — the A/B-test
+    readout: arms assigned by user-id parity (the deterministic stand-in
+    for an assignment column), conversion = "user purchased at least
+    once", z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) under the
+    pooled null.
+
+    Determinism: the four inputs are exact integer counts and the
+    statistic is ONE fixed parse tree of IEEE ops (divisions, one
+    correctly-rounded sqrt) — same recipe as the Wilson bound, so the
+    z-score is bit-identical across engines.
+
+    Scale: COUNT(DISTINCT user_id) per arm is the only expensive step —
+    Spark expands it to a two-level aggregate (distinct-on-key partial
+    then count), all map-side combinable; everything after runs on a
+    2-row table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 100),
+                F.col("user_id"),
+            )
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("k_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("k_b"),
+    )
+    # degenerate experiments (nobody or everybody converted) have zero
+    # pooled variance — NULL, not a divide-by-zero (ANSI raises)
+    z = F.expr(
+        "CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN"
+        " (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)"
+        " / sqrt("
+        "   (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
+        "   * (1.0D - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
+        "   * (1.0D / n_a + 1.0D / n_b)) END"
+    )
+    return wide.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.expr("CAST(k_a AS DOUBLE) / n_a").alias("rate_a"),
+        F.expr("CAST(k_b AS DOUBLE) / n_b").alias("rate_b"),
+        z.alias("zscore"),
+    )
