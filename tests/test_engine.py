@@ -579,3 +579,27 @@ def test_readme_counts_match_registry():
         f"README says {m2.group(1)} oracles, registry has "
         f"{len(entrymod.oracle_sql())}"
     )
+
+
+def test_registry_operators_callable_via_tfcall(spark, sf_dir):
+    """The migration story end-to-end: a library function (the TFCALL
+    surface) can invoke any registered analytics operator and return a
+    bounded reply — a reference user's `TFCALL mylib.top_risky_parts 5`
+    maps 1:1 onto the operator inventory."""
+    from redisgears_spark.operators import QUERIES
+
+    engine = GearsEngine(spark, sf_dir)
+
+    def setup(lib):
+        def top_risky_parts(client, n):
+            df = QUERIES["part_return_wilson"](client.spark, sf_dir)
+            return [r.asDict() for r in df.limit(int(n)).collect()]
+
+        lib.register_function("top_risky_parts", top_risky_parts)
+
+    engine.load_library(setup, name="analytics_lib")
+    got = engine.call("analytics_lib", "top_risky_parts", 3)
+    assert len(got) == 3
+    assert set(got[0]) == {"l_partkey", "n", "k", "wilson_low"}
+    # ranked by the Wilson lower bound, descending
+    assert got[0]["wilson_low"] >= got[1]["wilson_low"] >= got[2]["wilson_low"]
