@@ -6,6 +6,7 @@ from redisgears_spark.operators import (  # noqa: F401,E402
     dedup,
     graph,
     inventory,
+    linkage,
     multimodal,
     pipeline,
     relational,

@@ -914,3 +914,83 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+_SPAN_TOKENS = 8  # sliding-window span width (tokens)
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             md5(array_to_string(w[i:i + {_SPAN_TOKENS - 1}], ' ')) AS fp
+      FROM toks JOIN generate_series(1, 1000000) AS t(i)
+        ON i <= len(w) - {_SPAN_TOKENS - 1}
+    ),
+    docs_per AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY fp
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_fraction
+    FROM sh JOIN docs_per USING (fp)
+    GROUP BY sh.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window span coverage: for every document, the fraction of
+    its 8-token sliding windows that also occur in ANOTHER document —
+    the "how much of this doc is copied text" contamination metric from
+    the dedup literature (Lee et al., "Deduplicating Training Data",
+    uses sliding 50-token spans; dedup_segments above is the
+    non-overlapping removal variant, this is the overlapping
+    measurement variant).
+
+    Scale shape: the only corpus-scale shuffle carries (16-byte md5,
+    doc_id) pairs — the span text is hashed in the projection and never
+    moves. docs-per-fingerprint is a two-key aggregate; the join back to
+    positions is fp-keyed. Documents shorter than the window emit no
+    spans and are absent from the result (same convention as the
+    oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("w"),
+    ).filter(F.size("w") >= _SPAN_TOKENS)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_SPAN_TOKENS - 1}),"
+                f" i -> md5(array_join(slice(w, i, {_SPAN_TOKENS}), ' ')))"
+            )
+        ).alias("fp"),
+    )
+    docs_per = spans.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        spans.join(docs_per, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_fraction"),
+        )
+    )

@@ -917,3 +917,84 @@ def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ops_hits",
         (mixed >= 2).alias("is_mixed"),
     )
+
+
+_PRED_SCALE = 1_000_000_000  # fixed-point scale for transition probabilities
+
+
+@query(
+    "text_bigram_predictability",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bigram
+      FROM toks JOIN generate_series(1, 1000000) AS t(i)
+        ON i <= len(w) - 1
+    ),
+    bgc AS (SELECT bigram, CAST(COUNT(*) AS HUGEINT) AS c2 FROM bg GROUP BY bigram),
+    w1c AS (SELECT w1, CAST(COUNT(*) AS HUGEINT) AS c1 FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(({_PRED_SCALE} * c2) // c1) AS BIGINT) AS pred_sum_scaled,
+           CAST(SUM(({_PRED_SCALE} * c2) // c1) AS DOUBLE)
+             / (COUNT(*) * {_PRED_SCALE}) AS mean_predictability
+    FROM bg JOIN bgc USING (bigram) JOIN w1c USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-1 LM predictability: score each document by the mean
+    corpus transition probability P(w2|w1) over its bigram positions —
+    the bigram step up from text_rarity_score's unigram ranks, and the
+    integer-exact stand-in for perplexity filtering (predictable text →
+    high mean transition probability).
+
+    Exactness: each position contributes floor(SCALE·c(w1 w2)/c(w1 ·)) —
+    integer division (Spark DIV ≡ DuckDB // on positives, parity pinned
+    in test_graph.py), summed in decimal, with ONE final IEEE division
+    producing the float. No log(), no float accumulation.
+
+    Scale shape: two vocabulary-sized aggregates (bigram counts,
+    first-token counts) with map-side partials; the position stream
+    then equi-joins both count relations on short string keys and
+    reduces per doc_id. The document text is tokenized once; only
+    (doc_id, w1, bigram) rows shuffle. At web scale the count relations
+    are the LM — they can be bucketed or broadcast when the vocabulary
+    is capped, exactly how distributed KenLM count passes are laid out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            "doc_id", F.expr(_TOKENS).alias("w")
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1,"
+                    " concat(w[i - 1], ' ', w[i]) AS bigram))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+    )
+    bgc = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c2")
+    )
+    w1c = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c1")
+    )
+    scored = bg.join(bgc, "bigram").join(w1c, "w1")
+    term = F.expr(f"CAST(({_PRED_SCALE} * c2) DIV c1 AS DECIMAL(38,0))")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(term).cast("long").alias("pred_sum_scaled"),
+        (
+            F.sum(term).cast("double")
+            / (F.count(F.lit(1)) * F.lit(_PRED_SCALE)).cast("double")
+        ).alias("mean_predictability"),
+    )

@@ -618,3 +618,46 @@ def test_rfm_ntile_runs_on_rollup(spark, sf_dir):
     for line in scan_lines:
         assert "o_orderstatus" not in line and "o_orderpriority" not in line, line
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_fuzzy_link_no_cartesian(spark, sf_dir):
+    """customer_fuzzy_link's SymSpell candidate join must be a hash
+    equi-join on the deletion-variant string — an all-pairs levenshtein
+    would appear as a nested-loop/cartesian."""
+    df = QUERIES["customer_fuzzy_link"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_span_coverage_shuffles_fingerprints_only(spark, sf_dir):
+    """dedup_span_coverage hashes spans in the projection: no exchange
+    may carry the span text, only (md5-hex fp, doc_id)."""
+    df = QUERIES["dedup_span_coverage"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the text column is consumed by the scan-side projection; the join
+    # and aggregates run on fp/doc_id
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_bigram_predictability_two_count_relations(spark, sf_dir):
+    """text_bigram_predictability builds both LM count relations from
+    one tokenize pass and equi-joins them — no nested loops, and the
+    final per-doc reduce is a partial aggregate."""
+    df = QUERIES["text_bigram_predictability"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_triangles_oriented_edges_no_dedup_sort(spark, sf_dir):
+    """part_copurchase_triangles enumerates each triangle once via
+    oriented (pa<pb) edges: the closing step must be equi-joins (no
+    cartesian), and no post-hoc distinct over triangle rows may appear
+    (compact-forward generates each triangle exactly once)."""
+    df = QUERIES["part_copurchase_triangles"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
