@@ -1188,3 +1188,182 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(k_b AS DOUBLE) / n_b").alias("rate_b"),
         z.alias("zscore"),
     )
+
+
+@query(
+    "events_value_mad",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM events GROUP BY event_type, cents
+    ),
+    tot AS (SELECT event_type, SUM(cnt) AS n FROM h GROUP BY event_type),
+    cum AS (
+      SELECT h.event_type, cents,
+             SUM(cnt) OVER (PARTITION BY h.event_type ORDER BY cents) AS cum,
+             n
+      FROM h JOIN tot ON tot.event_type = h.event_type
+    ),
+    med AS (
+      SELECT event_type, MIN(cents) AS med
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, ABS(cents - med) AS d, SUM(cnt) AS cnt
+      FROM h JOIN med ON med.event_type = h.event_type
+      GROUP BY h.event_type, ABS(cents - med)
+    ),
+    dcum AS (
+      SELECT dev.event_type, d, cnt,
+             SUM(cnt) OVER (PARTITION BY dev.event_type ORDER BY d) AS cum, n
+      FROM dev JOIN tot ON tot.event_type = dev.event_type
+    ),
+    mad AS (
+      SELECT event_type, MIN(d) AS mad
+      FROM dcum WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ),
+    outl AS (
+      SELECT dev.event_type,
+             SUM(CASE WHEN d > 3 * mad THEN cnt ELSE 0 END) AS n_out
+      FROM dev JOIN mad ON mad.event_type = dev.event_type
+      GROUP BY dev.event_type
+    )
+    SELECT m.event_type,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(m.med AS BIGINT) AS median_cents,
+           CAST(a.mad AS BIGINT) AS mad_cents,
+           CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers
+    FROM med m
+    JOIN mad a ON a.event_type = m.event_type
+    JOIN tot t ON t.event_type = m.event_type
+    LEFT JOIN outl o ON o.event_type = m.event_type
+    """,
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: exact lower-median, MAD (median
+    absolute deviation), and the count of values beyond 3×MAD — the
+    median/MAD twin of events_user_zscore's mean/stddev screen, immune
+    to the very outliers it hunts.
+
+    Exact quantiles WITHOUT sorting the corpus: values are discretized
+    to cents anyway (the fixture's native resolution), so the corpus
+    reduces to a (type, cents, count) VALUE HISTOGRAM in one map-side-
+    partial aggregate; the median is located by a prefix sum over the
+    histogram, and — the trick that avoids a second corpus pass — the
+    deviation histogram is derived by re-keying the SAME histogram rows
+    to |cents − median|, never touching the facts again. Every stage
+    after the first aggregate is histogram-sized (|types|·|distinct
+    cents|), which is the bounded-domain exact-quantile layout that
+    survives 100 TB where per-group ordered windows over facts
+    serialize (lineitem_weighted_median's two-phase band variant covers
+    the unbounded-domain case).
+
+    Median convention: lower median (rank ⌈n/2⌉) — deterministic
+    integer selection in both engines, no float midpoint averaging.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", cents("value").alias("cents")
+    ).agg(F.count(F.lit(1)).cast(_DEC).alias("cnt"))
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    w = W.partitionBy("event_type").orderBy("cents")
+    cum = (
+        h.join(tot, "event_type")
+        .withColumn("cum", F.sum("cnt").over(w))
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("med"))
+    )
+    dev = (
+        h.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med")).alias("d"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wd = W.partitionBy("event_type").orderBy("d")
+    dcum = (
+        dev.join(tot, "event_type").withColumn("cum", F.sum("cnt").over(wd))
+    )
+    mad = (
+        dcum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("d").alias("mad"))
+    )
+    outl = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), F.col("cnt")).otherwise(
+                    F.lit(0).cast(_DEC)
+                )
+            ).alias("n_out")
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(tot, "event_type")
+        .join(outl, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("med").cast("long").alias("median_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            F.coalesce(F.col("n_out"), F.lit(0).cast(_DEC))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "events_user_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count) — the engagement metric behind habit/retention dashboards,
+    via the classic gaps-and-islands reshape: consecutive days share
+    `day − row_number()` (dates and ranks advance in lockstep inside a
+    run, so the difference is a stable island key).
+
+    Scale: the fact stream collapses to distinct (user, day) FIRST —
+    one aggregate bounded by |users|·|days|, which is what the window
+    then sorts (never raw events). Both the row_number window and the
+    island aggregate share the user_id partitioning; the result is two
+    narrow shuffles over day-granular rows. Deterministic: no
+    timestamps ties — days are distinct by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    g = d.withColumn(
+        "grp", F.expr("date_sub(day, CAST(row_number() OVER (PARTITION BY"
+                      " user_id ORDER BY day) AS INT))")
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )

@@ -362,3 +362,114 @@ def test_pagerank_inline_fallback_matches_index_path(spark, sf_dir, monkeypatch)
         for r in part_copurchase_pagerank(spark, sf_dir).collect()
     }
     assert indexed == inline
+
+
+def _support_edges(sf_dir: str, min_support: int) -> set[tuple[int, int]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT a.l_partkey, b.l_partkey, COUNT(DISTINCT a.l_orderkey)
+        FROM '{sf_dir}/lineitem.parquet' a
+        JOIN '{sf_dir}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    return {(a, b) for a, b, s in rows if s >= min_support}
+
+
+def test_triangles_match_pure_python(spark, sf_dir):
+    from collections import Counter
+
+    from redisgears_spark.operators.graph import (
+        _TRI_MIN_SUPPORT,
+        part_copurchase_triangles,
+    )
+
+    edges = _support_edges(sf_dir, _TRI_MIN_SUPPORT)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)  # oriented: a < b only
+    want: Counter = Counter()
+    for a, b in edges:
+        for c in nbrs.get(a, set()) & nbrs.get(b, set()):
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    got = {
+        r["part_key"]: r["n_triangles"]
+        for r in part_copurchase_triangles(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_triangles_support_floor_prunes(sf_dir):
+    """The support floor must strictly shrink the edge set at fixture
+    scale — otherwise the scale claim ("~50x reduction before any wedge
+    is built") is fiction."""
+    from redisgears_spark.operators.graph import _TRI_MIN_SUPPORT
+
+    all_edges = _support_edges(sf_dir, 1)
+    pruned = _support_edges(sf_dir, _TRI_MIN_SUPPORT)
+    # 3.8x at sf0.001; the ratio GROWS with scale (34x at sf0.01) because
+    # one-off co-occurrences dominate ever more as the catalog widens
+    assert len(pruned) < len(all_edges) / 2
+
+
+def test_value_mad_matches_numpy(spark, sf_dir):
+    from redisgears_spark.operators.analytics import events_value_mad
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"""SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+            FROM '{sf_dir}/events.parquet'"""
+    ).df()
+    con.close()
+
+    def lower_median(arr: np.ndarray) -> int:
+        s = np.sort(arr)
+        return int(s[(len(s) + 1) // 2 - 1])
+
+    rows = events_value_mad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        vals = df[df["event_type"] == r["event_type"]]["cents"].to_numpy()
+        med = lower_median(vals)
+        dev = np.abs(vals - med)
+        mad = lower_median(dev)
+        assert r["n_events"] == len(vals)
+        assert r["median_cents"] == med, r["event_type"]
+        assert r["mad_cents"] == mad, r["event_type"]
+        assert r["n_outliers"] == int((dev > 3 * mad).sum()), r["event_type"]
+
+
+def test_streaks_match_pure_python(spark, sf_dir):
+    from redisgears_spark.operators.analytics import events_user_streaks
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    con.close()
+    days: dict[int, list] = {}
+    for u, day in rows:
+        days.setdefault(u, []).append(day)
+    want = {}
+    for u, ds in days.items():
+        ds.sort()
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        want[u] = (max(streaks), len(streaks))
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"])
+        for r in events_user_streaks(spark, sf_dir).collect()
+    }
+    assert got == want

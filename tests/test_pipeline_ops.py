@@ -727,3 +727,130 @@ def test_abc_classes_partition_by_cumulative_share(spark, sf_dir):
     # all three classes are populated (the fixture revenue is near-uniform,
     # so A holds ~70% of parts; the cuts, not the skew, are the contract)
     assert set(out["abc_class"]) == {"A", "B", "C"}
+
+
+# --- independent pure-Python pins for the round-6 late batch ---------------
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Edit distance <= 1 without the DP table (length diff <= 1 cases)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion: first mismatch, skip one char of the longer side
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def test_fuzzy_link_matches_bruteforce(spark, sf_dir):
+    """SymSpell candidate generation must lose NOTHING against the
+    all-pairs edit-distance-1 ground truth (deletion neighborhoods are
+    complete for distance 1, not just precise)."""
+    import duckdb
+
+    from redisgears_spark.operators.linkage import customer_fuzzy_link
+
+    con = duckdb.connect()
+    names = dict(
+        con.execute(
+            f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    keys = sorted(names)
+    want: dict[int, list[int]] = {}
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            if _lev1(names[ka], names[kb]):
+                want.setdefault(ka, []).append(kb)
+                want.setdefault(kb, []).append(ka)
+    got = {
+        r["c_custkey"]: (r["n_neighbors"], r["nearest_neighbor"])
+        for r in customer_fuzzy_link(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, nbrs in want.items():
+        assert got[k] == (len(nbrs), min(nbrs)), k
+
+
+def test_span_coverage_matches_pure_python(spark, sf_dir):
+    import duckdb
+
+    from redisgears_spark.operators.dedup import (
+        _SPAN_TOKENS,
+        dedup_span_coverage,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    owners: dict[tuple, set[int]] = {}
+    spans: dict[int, list[tuple]] = {}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        row = [
+            tuple(toks[i: i + _SPAN_TOKENS])
+            for i in range(len(toks) - _SPAN_TOKENS + 1)
+        ]
+        spans[doc_id] = row
+        for sp in row:
+            owners.setdefault(sp, set()).add(doc_id)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_shared_spans"])
+        for r in dedup_span_coverage(spark, sf_dir).collect()
+    }
+    want = {
+        d: (len(row), sum(1 for sp in row if len(owners[sp]) >= 2))
+        for d, row in spans.items()
+        if row
+    }
+    assert got == want
+
+
+def test_bigram_predictability_matches_pure_python(spark, sf_dir):
+    import duckdb
+    from collections import Counter
+
+    from redisgears_spark.operators.text import (
+        _PRED_SCALE,
+        text_bigram_predictability,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    bigrams: dict[int, list[tuple]] = {}
+    bgc: Counter = Counter()
+    w1c: Counter = Counter()
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        row = list(zip(toks, toks[1:]))
+        bigrams[doc_id] = row
+        for w1, w2 in row:
+            bgc[(w1, w2)] += 1
+            w1c[w1] += 1
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["pred_sum_scaled"])
+        for r in text_bigram_predictability(spark, sf_dir).collect()
+    }
+    want = {
+        d: (
+            len(row),
+            sum(_PRED_SCALE * bgc[bg] // w1c[bg[0]] for bg in row),
+        )
+        for d, row in bigrams.items()
+        if row
+    }
+    assert got == want

@@ -661,3 +661,17 @@ def test_triangles_oriented_edges_no_dedup_sort(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_value_mad_windows_run_on_histogram(spark, sf_dir):
+    """events_value_mad reduces facts to a (type, cents, count)
+    histogram in its first aggregate; the scan must read only the two
+    needed columns, and the prefix-sum windows must sit above partial
+    aggregates (histogram-sized), never over raw facts."""
+    df = QUERIES["events_value_mad"](spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for line in scan_lines:
+        assert "props" not in line and "user_id" not in line, line
+    assert plan.count("HashAggregate") >= 2, plan
