@@ -72,17 +72,33 @@ def customer_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses to route records into manual review / auto-merge.
 
     Candidate generation is the SymSpell deletion-neighborhood equi-join
-    (module docstring); `levenshtein ≤ 1` verifies candidates only. The
-    `DISTINCT` before verification matters: a pair can collide on
-    several shared variants, and verifying each collision would re-run
-    the distance per collision instead of per pair.
+    (module docstring); `levenshtein ≤ 1` verifies candidates only.
+    The verify runs ON THE JOIN OUTPUT, before dedup: a pair can collide
+    on several shared variants, so the distance is re-computed per
+    collision — but it is a JVM built-in over ≤{_MAX_NAME_LEN}-char
+    strings and collisions per pair are bounded by the variant count
+    (≤ L+1), whereas deduping first would shuffle the full (ka, kb, na,
+    nb) tuple. Verifying first means the dedup `DISTINCT` carries only
+    the two integer keys — the widest exchange shrinks ~3× (names are
+    functionally dependent on the keys and never need to survive it).
 
-    Scale: two shuffles (variant equi-join, final per-key aggregate);
-    the variant key is ≤ {_MAX_NAME_LEN} chars so the exchange is
-    narrow. Names longer than the shared position bound raise loudly
-    instead of silently dropping candidate positions.
+    Scale: two shuffles (variant equi-join, integer-pair distinct that
+    AQE coalesces into the final per-key aggregate); the variant key is
+    ≤ {_MAX_NAME_LEN} chars so the exchange is narrow. Names longer
+    than the shared position bound raise loudly instead of silently
+    dropping candidate positions.
     """
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # The fixture table is one small parquet file → one input partition;
+    # the variant Generate and the levenshtein probe would run
+    # single-threaded on it (measured: 5.8 s for the expansion alone).
+    # One cheap 15k-row repartition parallelizes every stage after it;
+    # at real scale the scan already has many partitions and this is a
+    # near-no-op key redistribution.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
+    )
     guarded = cust.withColumn(
         "c_name",
         F.expr(
@@ -107,23 +123,33 @@ def customer_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = variants.alias("a")
     b = variants.alias("b")
-    cand = (
+    # Both directions come out of ONE explode on the join output — a
+    # unionAll(pairs, pairs.swapped) would make Catalyst re-run the whole
+    # expansion+join+distinct once per branch (measured: the union plan
+    # duplicated the BroadcastHashJoin subtree and doubled wall-clock).
+    undirected = (
         a.join(
             b,
             (F.col("a.v") == F.col("b.v"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
         .select(
-            F.col("a.c_custkey").alias("ka"),
-            F.col("b.c_custkey").alias("kb"),
-            F.col("a.c_name").alias("na"),
-            F.col("b.c_name").alias("nb"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a.c_custkey").alias("ka"),
+                        F.col("b.c_custkey").alias("kb"),
+                    ),
+                    F.struct(
+                        F.col("b.c_custkey").alias("ka"),
+                        F.col("a.c_custkey").alias("kb"),
+                    ),
+                )
+            ).alias("p")
         )
+        .select("p.ka", "p.kb")
         .distinct()
-    )
-    pairs = cand.filter(F.levenshtein("na", "nb") <= 1).select("ka", "kb")
-    undirected = pairs.unionAll(
-        pairs.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
     )
     return undirected.groupBy(F.col("ka").alias("c_custkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_neighbors"),
