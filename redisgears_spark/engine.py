@@ -140,19 +140,94 @@ class AclUser:
 
 
 def _glob_to_regex(pattern: str) -> str:
-    """Redis ACL key glob → regex source (``*`` any run, ``?`` one char;
-    everything else literal). Hand-rolled instead of fnmatch.translate so
-    the SAME source is valid for Python `re` and the JVM (rlike) — the
-    trigger runtimes evaluate it Python-side today, but the source is
-    part of the contract."""
+    """Redis ACL key glob → regex source, the full `stringmatchlen`
+    surface (util.c): ``*`` any run, ``?`` one char, ``[...]`` character
+    classes (leading ``^`` negates, ``a-b`` ranges with out-of-order
+    bounds swapped like Redis), ``\\x`` escapes x — everything else
+    literal. Hand-rolled instead of fnmatch.translate so the SAME source
+    is valid for Python `re` and the JVM (rlike) — the trigger runtimes
+    evaluate it Python-side today, but the source is part of the
+    contract (re.escape never emits alphabetic escapes, which Java
+    regex rejects).
+
+    Malformed patterns (unterminated ``[``, trailing ``\\``) raise
+    loudly instead of silently literalizing — a pattern that silently
+    matches nothing is fail-closed but diverges from what ACL SETUSER
+    accepted; acl_setuser validates at set time so the error surfaces
+    to the caller who wrote the pattern."""
     out = []
-    for ch in pattern:
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
         if ch == "*":
             out.append(".*")
+            i += 1
         elif ch == "?":
             out.append(".")
+            i += 1
+        elif ch == "\\":
+            if i + 1 >= n:
+                raise GearsError(
+                    f"ACL key pattern {pattern!r}: trailing backslash"
+                )
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+        elif ch == "[":
+            j = i + 1
+            negate = False
+            if j < n and pattern[j] == "^":
+                negate = True
+                j += 1
+            # parts hold RAW chars / (lo, hi) ranges; escaping happens at
+            # emission so the Redis out-of-order-range swap (util.c)
+            # compares real characters, not escape sequences
+            parts: list[str | tuple[str, str]] = []
+            closed = False
+            while j < n:
+                c = pattern[j]
+                if c == "\\" and j + 1 < n:
+                    parts.append(pattern[j + 1])
+                    j += 2
+                elif c == "]" and parts:
+                    # like stringmatchlen, a ']' first-in-class is literal
+                    closed = True
+                    j += 1
+                    break
+                elif (
+                    c == "-"
+                    and parts
+                    and isinstance(parts[-1], str)
+                    and j + 1 < n
+                    and pattern[j + 1] != "]"
+                ):
+                    lo = parts.pop()
+                    hi = pattern[j + 1]
+                    if hi == "\\" and j + 2 < n:
+                        hi = pattern[j + 2]
+                        j += 3
+                    else:
+                        j += 2
+                    if lo > hi:
+                        lo, hi = hi, lo
+                    parts.append((lo, hi))
+                else:
+                    parts.append(c)
+                    j += 1
+            if not closed:
+                raise GearsError(
+                    f"ACL key pattern {pattern!r}: unterminated '['"
+                )
+            body = "".join(
+                f"{re.escape(p[0])}-{re.escape(p[1])}"
+                if isinstance(p, tuple)
+                else re.escape(p)
+                for p in parts
+            )
+            out.append("[" + ("^" if negate else "") + body + "]")
+            i = j
         else:
             out.append(re.escape(ch))
+            i += 1
     return "".join(out)
 
 
@@ -433,6 +508,8 @@ class GearsEngine:
         update must not re-enable a suspended user. New users default to
         enabled (matching the repo's pre-existing callers; Redis proper
         defaults new users to off)."""
+        for p in key_patterns:
+            _glob_to_regex(p)  # malformed patterns fail HERE, loudly
         with self._lock:
             old = self._acl_users.get(name)
             patterns = () if reset or old is None else old.key_patterns
@@ -795,6 +872,10 @@ class GearsEngine:
         (v8_backend.rs:567-613, default policy Abort): the call runs under a
         Spark job tag; on expiry its in-flight jobs are cancelled and the
         call raises. Bounded worst-case blocking, same contract."""
+        # acting user captured at ENTRY (same submission-time capture the
+        # async paths use): a concurrent auth() on another thread must not
+        # silently re-identify a sync call already past its entry point
+        user = self._current_user
         lib, rf = self._resolve(lib_name, fn_name)
         if rf.is_async:
             # the reference rejects async functions via TFCALL when blocking
@@ -803,14 +884,22 @@ class GearsEngine:
                 f"'{lib_name}.{fn_name}' is async — invoke via call_async"
             )
         if timeout is None:
-            return self._invoke(lib, rf, args)
-        return self._invoke_with_timeout(lib, rf, args, timeout)
+            return self._invoke(lib, rf, args, acting_user=user)
+        return self._invoke_with_timeout(
+            lib, rf, args, timeout, acting_user=user
+        )
 
     def _invoke_with_timeout(
-        self, lib: Library, rf: RegisteredFunction, args: tuple, timeout: float
+        self,
+        lib: Library,
+        rf: RegisteredFunction,
+        args: tuple,
+        timeout: float,
+        acting_user: str | None = None,
     ) -> Any:
         tag = f"rg-call-{uuid.uuid4().hex}"
-        user = self._current_user  # caller's identity, captured at submission
+        # caller's identity, captured at submission
+        user = self._current_user if acting_user is None else acting_user
 
         def run():
             self.spark.addTag(tag)
@@ -859,17 +948,20 @@ class GearsEngine:
         Future is already resolved — zero thread-pool dispatch cost. Only
         when the body hands back ``client.execute_async(cont)`` does the
         continuation move to a background worker."""
+        user = self._current_user  # captured at entry, like call()
         lib, rf = self._resolve(lib_name, fn_name)
         if rf.is_async:
             # async-registered functions never had a sync fast path
             return self._pool.submit(
-                self._invoke, lib, rf, args, acting_user=self._current_user
+                self._invoke, lib, rf, args, acting_user=user
             )
         # sync portion, caller thread; Background resolves below
-        result = self._invoke(lib, rf, args, allow_background=True)
+        result = self._invoke(
+            lib, rf, args, allow_background=True, acting_user=user
+        )
         if isinstance(result, Background):
             client = GearsClient(
-                self, read_only=NO_WRITES in rf.flags, user=self._current_user
+                self, read_only=NO_WRITES in rf.flags, user=user
             )
 
             def continuation():

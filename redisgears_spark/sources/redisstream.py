@@ -428,15 +428,34 @@ class FakeRedis:
         packed = pack_id(id)
         if packed is None:
             raise ValueError(f"id {id!r} outside the packable space")
-        entries = self._streams().get(name, [])
-        if entries and packed <= entries[-1][0]:
-            raise ValueError(
-                "XADD: The ID specified in XADD is equal or smaller than "
-                "the target stream top item"
-            )
-        self._append(
-            {"key": name, "id": id, "fields": {str(k): str(v) for k, v in fields.items()}}
-        )
+        # the strictly-increasing-id check and the append must be ONE
+        # atomic step across processes (two writers could otherwise both
+        # pass the check and interleave out-of-order ids, corrupting
+        # ordering for every reader); an fcntl lock on a sidecar file
+        # serializes check-then-append exactly like the real server's
+        # single-threaded command loop serializes XADD
+        import fcntl
+
+        with open(self.path + ".lock", "a") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            try:
+                entries = self._streams().get(name, [])
+                if entries and packed <= entries[-1][0]:
+                    raise ValueError(
+                        "XADD: The ID specified in XADD is equal or "
+                        "smaller than the target stream top item"
+                    )
+                self._append(
+                    {
+                        "key": name,
+                        "id": id,
+                        "fields": {
+                            str(k): str(v) for k, v in fields.items()
+                        },
+                    }
+                )
+            finally:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)
         return id
 
     def xrange(self, name: str, min: str = "-", max: str = "+", count=None):

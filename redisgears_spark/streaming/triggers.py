@@ -629,6 +629,21 @@ class StreamTriggerRuntime:
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             from pyspark.sql.window import Window as W
 
+            if declarative and self.engine.acl_read_regex(owner) is not None:
+                # re-resolved EVERY epoch, mirroring the per-batch owner
+                # resolution the callback path does in make_processor: a
+                # restriction applied to the owner while the trigger runs
+                # must take effect at the next read (the reference applies
+                # ACL at access time), not at the next trigger restart.
+                # Declarative pipelines have no per-record error path, so
+                # the whole batch fails loudly instead of silently
+                # continuing to read keys the owner can no longer see.
+                raise GearsError(
+                    f"declarative trigger '{qkey}': library owner "
+                    f"'{owner}' lost unrestricted key permissions while "
+                    "the trigger was running; batch refused"
+                )
+
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
             matched = batch_df.filter(F.col("stream_key").startswith(prefix))
@@ -1364,6 +1379,18 @@ class KeyspaceTriggerRuntime:
             )
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if (
+                expr is not None
+                and self.engine.acl_read_regex(owner) is not None
+            ):
+                # per-epoch re-check, same rule as the stream runtime: a
+                # restriction applied to the owner mid-run takes effect at
+                # the next batch, not the next trigger restart
+                raise GearsError(
+                    f"declarative keyspace trigger '{qkey}': library "
+                    f"owner '{owner}' lost unrestricted key permissions "
+                    "while the trigger was running; batch refused"
+                )
             matched = batch_df.filter(
                 F.col("key").startswith(prefix)
                 # re-entrancy suppression: engine-origin writes excluded

@@ -107,6 +107,65 @@ class TestAclCore:
         assert engine.acl_allows("u", "a.b:1")
         assert not engine.acl_allows("u", "aXb:1")  # '.' is literal
 
+    def test_glob_character_classes_and_escapes(self, spark, sf_dir):
+        """Redis key globs support '[...]' classes (with '^' negation and
+        'a-b' ranges, out-of-order bounds swapped like stringmatchlen)
+        and backslash escapes — previously silently literalized."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("cls", key_patterns=["user:[ab]*"])
+        assert engine.acl_allows("cls", "user:a1")
+        assert engine.acl_allows("cls", "user:b")
+        assert not engine.acl_allows("cls", "user:c1")
+        assert not engine.acl_allows("cls", "user:[ab]x")  # not literal
+        engine.acl_setuser("rng", key_patterns=["k[0-9]", "k[9-0]x"])
+        assert engine.acl_allows("rng", "k7")
+        assert not engine.acl_allows("rng", "ka")
+        assert engine.acl_allows("rng", "k3x")  # swapped bounds still match
+        engine.acl_setuser("neg", key_patterns=["n[^ab]"])
+        assert engine.acl_allows("neg", "nc")
+        assert not engine.acl_allows("neg", "na")
+        engine.acl_setuser("esc", key_patterns=[r"lit\*tail*"])
+        assert engine.acl_allows("esc", "lit*tailanything")
+        assert not engine.acl_allows("esc", "litXtail")  # '\*' is literal *
+        engine.acl_setuser("clsesc", key_patterns=[r"c[\]x]"])
+        assert engine.acl_allows("clsesc", "c]")
+        assert engine.acl_allows("clsesc", "cx")
+        assert not engine.acl_allows("clsesc", "cy")
+
+    def test_malformed_glob_rejected_at_setuser(self, spark, sf_dir):
+        """Unterminated '[' / trailing '\\' raise at SETUSER time instead
+        of silently literalizing (fail-closed but divergent) — the caller
+        who wrote the pattern sees the error."""
+        engine = GearsEngine(spark, sf_dir)
+        with pytest.raises(GearsError, match="unterminated"):
+            engine.acl_setuser("bad", key_patterns=["user:[ab"])
+        with pytest.raises(GearsError, match="trailing backslash"):
+            engine.acl_setuser("bad", key_patterns=["user:\\"])
+        # a failed SETUSER must not half-install the user
+        assert not engine.acl_allows("bad", "user:a")
+
+    def test_sync_call_identity_captured_at_entry(self, spark, sf_dir):
+        """call()/execute_async capture the acting user at ENTRY (the
+        same submission-time capture the async paths use): an auth()
+        issued while a sync call is in flight — here, from the function
+        body itself, the deterministic stand-in for a concurrent
+        thread — must not re-identify the in-flight call."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["customer:*"])
+
+        def body(client):
+            engine.auth("default")  # concurrent re-auth mid-flight
+            return client.user
+
+        engine.load_library(
+            lambda l: l.register_function("who", body), name="idlib"
+        )
+        engine.auth("alice")
+        assert engine.call("idlib", "who") == "alice"
+        engine.auth("alice")
+        assert engine.execute_async("idlib", "who").result() == "alice"
+        engine.auth("default")
+
 
 class TestAclOnFunctions:
     def test_sync_function(self, spark, sf_dir):
@@ -291,6 +350,40 @@ class TestAclOnStreamConsumer:
         with pytest.raises(GearsError, match="restricted key permissions"):
             rt.start_library(lib)
 
+    def test_declarative_acl_enforced_mid_run(
+        self, spark, sf_dir, spool, work
+    ):
+        """A restriction applied to the owner WHILE a declarative trigger
+        is running takes effect at the next micro-batch (the reference
+        applies ACL at next read), not at the next trigger restart: the
+        handler re-resolves the owner's ACL every epoch and refuses the
+        batch loudly."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["*"])  # unrestricted
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_stream_trigger(
+                "d", prefix="", expr="fields['event_type']", window=10**9
+            ),
+            name="dmid",
+        )
+        engine.auth("default")
+        rt = StreamTriggerRuntime(engine, spool, work)
+        _write_canonical(spark, spool, [("s", 1, {"event_type": "a"})])
+        rt.start_library(lib)
+        try:
+            rt.process_available()
+            assert rt.read_sink("dmid", "d").count() == 1
+            # restrict the owner while the query is live
+            engine.acl_setuser("alice", key_patterns=["cached:*"], reset=True)
+            _write_canonical(spark, spool, [("s", 2, {"event_type": "b"})])
+            with pytest.raises(Exception, match="lost unrestricted"):
+                rt.process_available()
+        finally:
+            rt.stop_all()
+        # the refused batch wrote nothing
+        assert rt.read_sink("dmid", "d").count() == 1
+
 
 class TestAclOnNotificationConsumer:
     def test_cdc_consumer_denied_key_errors(self, spark, sf_dir, tmp_path):
@@ -341,6 +434,37 @@ class TestAclOnNotificationConsumer:
         )
         with pytest.raises(GearsError, match="restricted key permissions"):
             rt.start_trigger(lib, "kx")
+
+    def test_cdc_declarative_acl_enforced_mid_run(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Same per-epoch re-check as the stream runtime, on the CDC
+        declarative path."""
+        engine = GearsEngine(spark, sf_dir)
+        engine.acl_setuser("alice", key_patterns=["*"])
+        engine.auth("alice")
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "km", prefix="", expr="upper(event)"
+            ),
+            name="kmid",
+        )
+        engine.auth("default")
+        rt = KeyspaceTriggerRuntime(
+            engine, str(tmp_path / "chm"), str(tmp_path / "wm")
+        )
+        rt.append_changes([{"seq": 1, "event": "set", "key": "x"}])
+        rt.start_trigger(lib, "km")
+        try:
+            rt.process_available()
+            assert rt.read_sink("kmid", "km").count() == 1
+            engine.acl_setuser("alice", key_patterns=["cached:*"], reset=True)
+            rt.append_changes([{"seq": 2, "event": "set", "key": "y"}])
+            with pytest.raises(Exception, match="lost unrestricted"):
+                rt.process_available()
+        finally:
+            rt.stop_all()
+        assert rt.read_sink("kmid", "km").count() == 1
 
 
 def module_level_setup(lib):

@@ -81,6 +81,53 @@ class TestFakeRedis:
         other.xadd("user:3", {"a": "1"}, id=_id(_MS + 9))
         assert fake.type("user:3") == "stream"
 
+    def test_xadd_check_then_append_is_atomic_across_processes(
+        self, tmp_path
+    ):
+        """Two writer processes must serialize xadd's check-then-append:
+        without the spool lock both could pass the monotonicity check
+        and interleave out-of-order ids, silently corrupting ordering
+        for every reader. The parent holds the lock, appends a HIGHER id
+        while a child xadd is blocked on it, then releases — the child's
+        now-stale lower id must be REJECTED, not appended."""
+        import fcntl
+        import json as _json
+        import multiprocessing as mp
+
+        path = str(tmp_path / "locked.jsonl")
+        FakeRedis(path)  # create the spool
+
+        def child(q):
+            try:
+                FakeRedis(path).xadd("k", {"a": "1"}, id=_id(_MS + 3))
+                q.put("appended")
+            except ValueError:
+                q.put("rejected")
+
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        with open(path + ".lock", "a") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            p = ctx.Process(target=child, args=(q,))
+            p.start()
+            import time as _time
+
+            _time.sleep(0.4)  # child is now blocked on the lock
+            with open(path, "a", encoding="utf-8") as fh:
+                fh.write(
+                    _json.dumps(
+                        {"key": "k", "id": _id(_MS + 5), "fields": {}}
+                    )
+                    + "\n"
+                )
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        p.join(timeout=10)
+        assert q.get(timeout=5) == "rejected"
+        # ordering intact: the spool holds only the parent's entry
+        assert [i for i, _ in FakeRedis(path).xrange("k", "-", "+")] == [
+            _id(_MS + 5)
+        ]
+
 
 def test_pack_unpack_roundtrip():
     assert unpack_id(pack_id("1700000000123-5")) == "1700000000123-5"
