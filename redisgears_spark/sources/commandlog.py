@@ -381,7 +381,12 @@ def write_command_log(rows: list[dict], path: str) -> str:
     try:
         with open(tmp, "w", encoding="utf-8") as fh:
             for r in rows:
-                if not r["fields"]:
+                # `fields` may be a dict (common) or an ordered pair
+                # sequence — the duplicate-field-fidelity shape the log
+                # grammar has always been able to carry
+                f = r["fields"]
+                pairs = list(f.items()) if isinstance(f, dict) else list(f)
+                if not pairs:
                     raise ValueError(
                         "a command-log record needs at least one field "
                         "(a 4-token XADD line is skipped as malformed)"
@@ -393,7 +398,7 @@ def write_command_log(rows: list[dict], path: str) -> str:
                     )
                 ms, seq = divmod(r["id"], _SEQ_SPACE)
                 tokens = [r["stream_key"]]
-                for k, v in r["fields"].items():
+                for k, v in pairs:
                     tokens += [str(k), str(v)]
                 for t in tokens:
                     if " " in t or "\n" in t or not t:
@@ -401,9 +406,7 @@ def write_command_log(rows: list[dict], path: str) -> str:
                             f"token {t!r} not representable in the "
                             "space-delimited command-log grammar"
                         )
-                kv = " ".join(
-                    f"{k} {v}" for k, v in r["fields"].items()
-                )
+                kv = " ".join(f"{k} {v}" for k, v in pairs)
                 fh.write(f"XADD {r['stream_key']} {ms}-{seq} {kv}\n")
             fh.flush()
             os.fsync(fh.fileno())

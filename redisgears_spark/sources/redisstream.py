@@ -31,10 +31,13 @@ Rows land in the engine's canonical stream shape (COMMANDLOG_SCHEMA ==
 STREAM_SCHEMA): `stream_key, id (= ms*2^20 + seq, order-preserving),
 id_ts, fields, record`. Entries outside the packable id space
 (seq >= 2^20, ms >= 2^43) are skipped, same documented rule as the
-command-log reader. `record` (the ordered duplicate-field pair list) is
-always null here: redis-py returns entry fields as a dict, which
-collapses duplicate field names last-wins — the map view is exact, the
-ordered-pair fidelity is only available from the command-log source.
+command-log reader. `record` (the ordered duplicate-field pair list,
+stream_run_ctx.rs:73-100) carries FULL pair fidelity: the readers fetch
+entries via `_xrange_pairs`, which bypasses redis-py's pairs_to_dict
+response callback (a raw-protocol XRANGE on the connection) so
+duplicate field names and their order survive — same contract as the
+command-log source (`fields` is the last-wins map view, `record` is
+non-null exactly when an entry has duplicate field names).
 
 **No Redis server in CI**: the client is built by `_make_client`, which
 imports `redis` (redis-py, public API) unless the options carry
@@ -98,20 +101,29 @@ def unpack_id(packed: int) -> str:
     return f"{packed // _SEQ_SPACE}-{packed % _SEQ_SPACE}"
 
 
+def _s(x) -> str:
+    return x.decode() if isinstance(x, bytes) else x
+
+
 def _entry_rows(stream_key: str, entries):
-    """redis-py XRANGE result → canonical rows (skips unpackable ids)."""
-    for id_str, fields in entries:
-        if isinstance(id_str, bytes):
-            id_str = id_str.decode()
+    """XRANGE result → canonical rows (skips unpackable ids).
+
+    Accepts BOTH entry shapes: `(id, {field: value})` (redis-py's
+    decoded dict — duplicate names already collapsed) and
+    `(id, [(field, value), ...])` (the pair-fidelity shape from
+    `_xrange_pairs`). Mirrors the command-log grammar exactly: `fields`
+    is the last-wins map, `record` is the ordered pair list and
+    non-null only when duplicate field names are present."""
+    for id_str, fv in entries:
+        id_str = _s(id_str)
         packed = pack_id(id_str)
         if packed is None:
             continue
-        fields = {
-            (k.decode() if isinstance(k, bytes) else k): (
-                v.decode() if isinstance(v, bytes) else v
-            )
-            for k, v in fields.items()
-        }
+        pairs = [
+            (_s(k), _s(v))
+            for k, v in (fv.items() if isinstance(fv, dict) else fv)
+        ]
+        fields = dict(pairs)
         ms = packed // _SEQ_SPACE
         yield (
             stream_key,
@@ -120,8 +132,45 @@ def _entry_rows(stream_key: str, entries):
                 ms / 1000.0, tz=datetime.timezone.utc
             ).replace(tzinfo=None),
             fields,
-            None,  # ordered duplicate pairs unavailable via redis-py
+            pairs if len(fields) != len(pairs) else None,
         )
+
+
+def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
+    """XRANGE with ordered duplicate-field fidelity:
+    `[(id, [(field, value), ...]), ...]`.
+
+    redis-py's XRANGE response callback (pairs_to_dict) collapses
+    duplicate field names, so for a real client this goes to the
+    PROTOCOL level: check out a connection, send the command, read the
+    raw reply (`[[id, [f1, v1, f2, v2, ...]], ...]`) with no callback
+    applied. FakeRedis implements `xrange_pairs` natively. Clients with
+    neither surface (injected stand-ins) fall back to the dict view —
+    `record` degrades to null there, never wrong pairs."""
+    fn = getattr(client, "xrange_pairs", None)
+    if fn is not None:
+        return fn(key, lo, hi, count=count)
+    pool = getattr(client, "connection_pool", None)
+    if pool is None:
+        return client.xrange(key, lo, hi, count=count)
+    args = ["XRANGE", key, lo, hi]
+    if count is not None:
+        args += ["COUNT", count]
+    conn = pool.get_connection("XRANGE")
+    try:
+        conn.send_command(*args)
+        resp = conn.read_response()
+    finally:
+        pool.release(conn)
+    out = []
+    for entry_id, flat in resp or []:
+        out.append(
+            (
+                _s(entry_id),
+                list(zip(map(_s, flat[0::2]), map(_s, flat[1::2]))),
+            )
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +301,7 @@ class RedisBatchReader(DataSourceReader):
             return  # zero matching streams — empty scan
         client = _make_client(partition.options)
         yield from _entry_rows(
-            partition.key, client.xrange(partition.key, "-", "+")
+            partition.key, _xrange_pairs(client, partition.key, "-", "+")
         )
 
 
@@ -294,12 +343,11 @@ class RedisStreamTailReader(SimpleDataSourceStreamReader):
             client, self._eqs, self._prefixes, self._glob
         ):
             lo = "(" + last[key] if key in last else "-"
-            entries = client.xrange(key, lo, "+", count=self._count)
+            entries = _xrange_pairs(client, key, lo, "+", count=self._count)
             if entries:
                 new_rows = list(_entry_rows(key, entries))
                 rows.extend(new_rows)
-                eid = entries[-1][0]
-                last[key] = eid.decode() if isinstance(eid, bytes) else eid
+                last[key] = _s(entries[-1][0])
         return iter(rows), {"last": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -310,7 +358,7 @@ class RedisStreamTailReader(SimpleDataSourceStreamReader):
             lo = "(" + s[key] if key in s else "-"
             if key in s and s[key] == hi:
                 continue  # no new entries for this key in (start, end]
-            rows.extend(_entry_rows(key, client.xrange(key, lo, hi)))
+            rows.extend(_entry_rows(key, _xrange_pairs(client, key, lo, hi)))
         return iter(rows)
 
     def commit(self, end: dict) -> None:
@@ -407,8 +455,17 @@ class FakeRedis:
                 packed = pack_id(d["id"])
                 if packed is None:
                     raise ValueError(f"unrepresentable id {d['id']!r}")
+                # entries carry ORDERED pairs internally (real streams
+                # keep duplicate field names; the dict view is a client-
+                # side collapse) — "pairs" lines preserve duplicates,
+                # legacy "fields" dict lines can't have had any
+                pairs = (
+                    [(k, v) for k, v in d["pairs"]]
+                    if "pairs" in d
+                    else list(d["fields"].items())
+                )
                 streams.setdefault(d["key"], []).append(
-                    (packed, d["id"], d["fields"])
+                    (packed, d["id"], pairs)
                 )
         self._pos += cut
         return streams
@@ -445,15 +502,20 @@ class FakeRedis:
                         "XADD: The ID specified in XADD is equal or "
                         "smaller than the target stream top item"
                     )
-                self._append(
-                    {
-                        "key": name,
-                        "id": id,
-                        "fields": {
-                            str(k): str(v) for k, v in fields.items()
-                        },
-                    }
-                )
+                # dict input (the redis-py surface) or a pair sequence —
+                # the raw-protocol XADD shape, which real servers accept
+                # with duplicate field names; pairs preserve order
+                pairs = [
+                    (str(k), str(v))
+                    for k, v in (
+                        fields.items()
+                        if isinstance(fields, dict)
+                        else fields
+                    )
+                ]
+                if not pairs:
+                    raise ValueError("XADD needs at least one field")
+                self._append({"key": name, "id": id, "pairs": pairs})
             finally:
                 fcntl.flock(lock_fh, fcntl.LOCK_UN)
         return id
@@ -469,8 +531,32 @@ class FakeRedis:
             else pack_id(max if "-" in max else max + f"-{_SEQ_SPACE - 1}")
         )
         out = [
-            (id_str, dict(fields))
-            for packed, id_str, fields in self._streams().get(name, [])
+            # dict(pairs) = last-wins collapse, mirroring redis-py's
+            # pairs_to_dict response callback
+            (id_str, dict(pairs))
+            for packed, id_str, pairs in self._streams().get(name, [])
+            if (packed > lo if lo_excl else packed >= lo) and packed <= hi
+        ]
+        return out[:count] if count else out
+
+    def xrange_pairs(
+        self, name: str, min: str = "-", max: str = "+", count=None
+    ):
+        """Ordered duplicate-field-fidelity XRANGE — the raw-protocol
+        view `_xrange_pairs` gets from a real server by bypassing the
+        redis-py response callback."""
+        lo_excl = False
+        if isinstance(min, str) and min.startswith("("):
+            lo_excl, min = True, min[1:]
+        lo = 0 if min == "-" else pack_id(min if "-" in min else min + "-0")
+        hi = (
+            (1 << 63) - 1
+            if max == "+"
+            else pack_id(max if "-" in max else max + f"-{_SEQ_SPACE - 1}")
+        )
+        out = [
+            (id_str, list(pairs))
+            for packed, id_str, pairs in self._streams().get(name, [])
             if (packed > lo if lo_excl else packed >= lo) and packed <= hi
         ]
         return out[:count] if count else out
@@ -512,9 +598,10 @@ def replay_commandlog_to_redis(log_dir: str, client) -> int:
     writer's append order), so per-key ids arrive monotonic, as XADD
     requires. Returns the number of entries written.
 
-    Duplicate field names collapse to the last-wins map (redis-py xadd
-    takes a dict); the ordered pair list only survives in the log
-    itself — same documented fidelity boundary as the reader."""
+    Duplicate field names survive the replay: entries whose log line
+    carries an ordered `record` pair list are written with
+    `_xadd_pairs` (raw-protocol XADD — real servers accept duplicate
+    field names; redis-py's dict-taking xadd cannot express them)."""
     from redisgears_spark.sources.commandlog import (
         CommandLogReader,
         _SegmentPartition,
@@ -523,12 +610,26 @@ def replay_commandlog_to_redis(log_dir: str, client) -> int:
     reader = CommandLogReader({"path": log_dir})
     n = 0
     for part in reader.partitions():
-        for stream_key, packed, _ts, fields, _rec in reader.read_tuples(
+        for stream_key, packed, _ts, fields, rec in reader.read_tuples(
             part
         ):
-            client.xadd(stream_key, fields, id=unpack_id(packed))
+            if rec is not None:
+                _xadd_pairs(client, stream_key, unpack_id(packed), rec)
+            else:
+                client.xadd(stream_key, fields, id=unpack_id(packed))
             n += 1
     return n
+
+
+def _xadd_pairs(client, key: str, id_str: str, pairs) -> None:
+    """XADD that preserves duplicate field names: FakeRedis takes the
+    pair list directly; a real client goes through execute_command
+    (flat field/value tokens, the raw XADD argument shape)."""
+    if hasattr(client, "xrange_pairs"):  # FakeRedis surface
+        client.xadd(key, pairs, id=id_str)
+        return
+    flat = [tok for kv in pairs for tok in kv]
+    client.execute_command("XADD", key, id_str, *flat)
 
 
 def dump_redis_to_commandlog(client, match: str, out_path: str) -> int:
@@ -542,22 +643,19 @@ def dump_redis_to_commandlog(client, match: str, out_path: str) -> int:
     eqs, prefixes, glob = _parse_match({"match": match})
     rows = []
     for key in _scan_stream_keys(client, eqs, prefixes, glob):
-        for id_str, fields in client.xrange(key, "-", "+"):
-            if isinstance(id_str, bytes):
-                id_str = id_str.decode()
-            packed = pack_id(id_str)
+        # pair-fidelity read: duplicate field names survive into the log
+        # (write_command_log accepts a pair sequence as `fields`)
+        for id_str, pairs in _xrange_pairs(client, key, "-", "+"):
+            packed = pack_id(_s(id_str))
             if packed is None:
                 continue
             rows.append(
                 {
                     "stream_key": key,
                     "id": packed,
-                    "fields": {
-                        (k.decode() if isinstance(k, bytes) else k): (
-                            v.decode() if isinstance(v, bytes) else v
-                        )
-                        for k, v in fields.items()
-                    },
+                    "fields": [(_s(k), _s(v)) for k, v in (
+                        pairs.items() if isinstance(pairs, dict) else pairs
+                    )],
                 }
             )
     write_command_log(rows, out_path)

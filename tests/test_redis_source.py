@@ -143,7 +143,110 @@ def test_batch_read_canonical_shape(spark, fake):
     assert r["stream_key"] == "user:1"
     assert r["fields"]["event_type"] == "view"
     assert r["id_ts"].isoformat().startswith("2023-11-14")
-    assert r["record"] is None  # redis-py collapses duplicate fields
+    assert r["record"] is None  # no duplicate field names in this entry
+
+
+class TestOrderedPairFidelity:
+    """`record` carries the ordered duplicate-field pair list
+    (stream_run_ctx.rs:73-100) from the LIVE source too — the readers
+    bypass redis-py's dict collapse via `_xrange_pairs` (raw-protocol
+    XRANGE; FakeRedis implements the same surface natively)."""
+
+    def test_fake_xadd_pairs_and_views(self, tmp_path):
+        c = FakeRedis(str(tmp_path / "p.jsonl"))
+        c.xadd(
+            "k", [("a", "1"), ("b", "2"), ("a", "3")], id=_id(_MS)
+        )
+        # dict view mirrors redis-py pairs_to_dict: last-wins collapse
+        assert c.xrange("k", "-", "+") == [
+            (_id(_MS), {"a": "3", "b": "2"})
+        ]
+        # pair view keeps order AND duplicates
+        assert c.xrange_pairs("k", "-", "+") == [
+            (_id(_MS), [("a", "1"), ("b", "2"), ("a", "3")])
+        ]
+
+    def test_batch_read_populates_record(self, spark, tmp_path):
+        c = FakeRedis(str(tmp_path / "r.jsonl"))
+        c.xadd("user:1", [("f", "1"), ("g", "2"), ("f", "9")], id=_id(_MS))
+        c.xadd("user:1", {"h": "solo"}, id=_id(_MS + 1))
+        rows = {r["id"]: r for r in _read(spark, c).collect()}
+        dup = rows[pack_id(_id(_MS))]
+        assert dup["fields"] == {"f": "9", "g": "2"}  # last-wins map view
+        assert [(p["field"], p["value"]) for p in dup["record"]] == [
+            ("f", "1"),
+            ("g", "2"),
+            ("f", "9"),
+        ]
+        # record is null exactly when there are no duplicates
+        assert rows[pack_id(_id(_MS + 1))]["record"] is None
+
+    def test_streaming_tail_populates_record(self, spark, tmp_path):
+        c = FakeRedis(str(tmp_path / "t.jsonl"))
+        c.xadd("user:1", [("x", "1"), ("x", "2")], id=_id(_MS))
+        register_redis_source(spark)
+        sink = str(tmp_path / "sink")
+        q = (
+            spark.readStream.format("gears_redis")
+            .option("fake_path", c.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        [row] = spark.read.parquet(sink).collect()
+        assert [(p["field"], p["value"]) for p in row["record"]] == [
+            ("x", "1"),
+            ("x", "2"),
+        ]
+
+    def test_pairs_survive_both_bridges(self, spark, tmp_path):
+        """commandlog → live server → commandlog keeps duplicate-field
+        order end-to-end (replay uses raw-shape XADD, dump reads via
+        xrange_pairs, write_command_log accepts pair sequences)."""
+        from redisgears_spark.sources.commandlog import (
+            CommandLogReader,
+            write_command_log,
+        )
+        from redisgears_spark.sources.redisstream import (
+            dump_redis_to_commandlog,
+            replay_commandlog_to_redis,
+        )
+
+        src = str(tmp_path / "aof-in")
+        write_command_log(
+            [
+                {
+                    "stream_key": "user:1",
+                    "id": pack_id(_id(_MS)),
+                    "fields": [("d", "1"), ("d", "2"), ("e", "3")],
+                }
+            ],
+            src + "/seg-000.aof",
+        )
+        c = FakeRedis(str(tmp_path / "srv.jsonl"))
+        assert replay_commandlog_to_redis(src, c) == 1
+        assert c.xrange_pairs("user:1", "-", "+")[0][1] == [
+            ("d", "1"),
+            ("d", "2"),
+            ("e", "3"),
+        ]
+        out = str(tmp_path / "aof-out")
+        assert dump_redis_to_commandlog(c, "user:*", out + "/dump.aof") == 1
+        reader = CommandLogReader({"path": out})
+        [(key, packed, _ms, fields, record)] = [
+            t
+            for p in reader.partitions()
+            for t in reader.read_tuples(p)
+        ]
+        assert key == "user:1" and packed == pack_id(_id(_MS))
+        assert fields == {"d": "2", "e": "3"}
+        assert record == [("d", "1"), ("d", "2"), ("e", "3")]
 
 
 def test_one_partition_per_stream_key(spark, fake):
@@ -367,3 +470,110 @@ def test_exact_and_glob_match_narrow_discovery(spark, fake):
         for r in _read(spark, fake, match="user:?").collect()
     } == {"user:1", "user:2"}
     assert _read(spark, fake, match="user").count() == 0  # exact, absent
+
+
+# ---------------------------------------------------------------------------
+# opt-in real-server integration (VERDICT r6 #4): the FakeRedis contract
+# suite proves the source logic; this class re-proves the redis-py quirks
+# the fake cannot — decode_responses, large XRANGE paging, real XTRIM
+# MINID semantics, raw-protocol pair fidelity — against a live server.
+# Skips cleanly when no server is configured:  REDIS_URL=redis://host:port
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    "REDIS_URL" not in __import__("os").environ,
+    reason="set REDIS_URL=redis://host:port to run live-server tests",
+)
+class TestRealServer:
+    @pytest.fixture()
+    def live(self):
+        import os
+        import uuid
+
+        redis = pytest.importorskip("redis")
+        client = redis.Redis.from_url(
+            os.environ["REDIS_URL"], decode_responses=True
+        )
+        client.ping()
+        ns = f"rgtest:{uuid.uuid4().hex[:8]}"
+        yield client, ns
+        for k in client.scan_iter(match=ns + ":*"):
+            client.delete(k)
+
+    def test_xadd_xrange_contract(self, live):
+        client, ns = live
+        k = ns + ":s1"
+        client.xadd(k, {"a": "1"}, id=f"{_MS}-1")
+        client.xadd(k, {"a": "2"}, id=f"{_MS}-2")
+        with pytest.raises(Exception, match="equal or smaller"):
+            client.xadd(k, {"a": "x"}, id=f"{_MS}-1")
+        # decode_responses: str keys/fields, (-exclusive lower bound
+        out = client.xrange(k, f"({_MS}-1", "+")
+        assert out == [(f"{_MS}-2", {"a": "2"})]
+        assert client.type(k) == "stream"
+
+    def test_large_xrange_paging_through_tail(self, live):
+        """A stream larger than batch_limit must arrive complete across
+        micro-batches (the per-key last-id offset pages through it)."""
+        from redisgears_spark.sources.redisstream import (
+            RedisStreamTailReader,
+        )
+
+        client, ns = live
+        k = ns + ":big"
+        n = 2500
+        pipe = client.pipeline()
+        for i in range(n):
+            pipe.xadd(k, {"i": str(i)}, id=f"{_MS + i}-0")
+        pipe.execute()
+        import os
+
+        url = os.environ["REDIS_URL"].replace("redis://", "")
+        host, _, port = url.partition(":")
+        reader = RedisStreamTailReader(
+            {
+                "host": host,
+                "port": (port.split("/")[0] or "6379"),
+                "match": k,
+                "batch_limit": "1000",
+            }
+        )
+        seen: list = []
+        off = reader.initialOffset()
+        for _ in range(5):
+            rows, off = reader.read(off)
+            seen.extend(rows)
+        assert len(seen) == n
+        assert [r[3]["i"] for r in seen] == [str(i) for i in range(n)]
+
+    def test_xtrim_minid_and_maintain_shape(self, live):
+        client, ns = live
+        k = ns + ":trim"
+        for i in range(5):
+            client.xadd(k, {"i": str(i)}, id=f"{_MS + i}-0")
+        assert client.xtrim(k, minid=f"{_MS + 3}-0") == 3
+        assert [i for i, _ in client.xrange(k, "-", "+")] == [
+            f"{_MS + 3}-0",
+            f"{_MS + 4}-0",
+        ]
+
+    def test_raw_protocol_pair_fidelity(self, live):
+        """Duplicate field names written via raw XADD survive the
+        raw-protocol XRANGE (`_xrange_pairs`) in order, while the
+        redis-py dict view collapses them — the exact divergence the
+        `record` column exists to carry."""
+        from redisgears_spark.sources.redisstream import (
+            _xadd_pairs,
+            _xrange_pairs,
+        )
+
+        client, ns = live
+        k = ns + ":dup"
+        _xadd_pairs(
+            client, k, f"{_MS}-0", [("f", "1"), ("g", "2"), ("f", "9")]
+        )
+        assert _xrange_pairs(client, k, "-", "+") == [
+            (f"{_MS}-0", [("f", "1"), ("g", "2"), ("f", "9")])
+        ]
+        assert client.xrange(k, "-", "+")[0][1] == {"f": "9", "g": "2"}
