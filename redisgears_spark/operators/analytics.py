@@ -1367,3 +1367,166 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+@query(
+    "events_value_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS j,
+             LEAST(COUNT(*) OVER (PARTITION BY user_id), 30) AS m,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(v_c * CAST(POW(2, GREATEST(m - 1 - j, 0)) AS BIGINT))
+                AS DOUBLE) / POW(2, MAX(m) - 1) AS ewma,
+           CAST(MAX(n) AS BIGINT) AS n_events
+    FROM seq
+    WHERE j <= m
+    GROUP BY user_id
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 1/2) of
+    event values over the trailing 30 events — the classic streaming
+    smoother, computed EXACTLY in batch via its closed form instead of
+    the sequential recurrence S_t = (x_t + S_{t-1})/2 that Spark
+    cannot express without iteration.
+
+    Unrolling m = min(n, 30) trailing events (j = 1 newest) gives
+    S = Σ_j x_j · 2^{max(m-1-j, 0)} / 2^{m-1} — an INTEGER numerator
+    bounded by max-cents · 2^29 < 2^53, so the cast to double is EXACT
+    in both engines and the one division by a power of two is a pure
+    exponent shift: bit-identical results. (The first attempt kept the
+    full history; its decimal38 numerator exceeded 2^53 and the
+    decimal→double vs hugeint→double cast rounding diverged in last
+    ulps between Spark and DuckDB — the 30-lag cut is the standard
+    practice anyway, the dropped tail's weight is ≤ 2^-29 of the
+    mass.)
+
+    Scale: one hash shuffle on user_id shared by the row-number window
+    and the final aggregate; the window projection keeps only
+    (user_id, cents, j, m) and rows past lag 30 are dropped before the
+    aggregate — per-user state is bounded by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id")
+    w = wk.orderBy(micros("ts").desc(), F.col("event_id").desc())
+    seq = (
+        ev.select(
+            "user_id", cents("value").alias("v_c"), "ts", "event_id"
+        )
+        .withColumn("j", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wk))
+        .withColumn("m", F.least(F.col("n"), F.lit(30)))
+        .filter(F.col("j") <= F.col("m"))
+        .select("user_id", "v_c", "j", "m", "n")
+    )
+    weight = F.pow(
+        F.lit(2.0), F.greatest(F.col("m") - 1 - F.col("j"), F.lit(0))
+    ).cast("long")
+    return seq.groupBy("user_id").agg(
+        (
+            F.sum(F.col("v_c") * weight).cast("double")
+            / F.pow(F.lit(2.0), F.max("m") - 1)
+        ).alias("ewma"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "events_winsorized_mean",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v_c, cnt,
+             SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY v_c
+             ) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum_cnt * 20 >= n THEN v_c END) AS lo_c,
+             MIN(CASE WHEN cum_cnt * 20 >= n * 19 THEN v_c END) AS hi_c,
+             MAX(n) AS n
+      FROM cum GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(SUM(CAST(LEAST(GREATEST(c.v_c, b.lo_c), b.hi_c)
+                         AS HUGEINT) * c.cnt) AS DOUBLE) / MAX(b.n)
+             AS winsorized_mean_c,
+           CAST(MAX(b.lo_c) AS BIGINT) AS lo_c,
+           CAST(MAX(b.hi_c) AS BIGINT) AS hi_c,
+           CAST(MAX(b.n) AS BIGINT) AS n
+    FROM c JOIN bounds b ON b.event_type = c.event_type
+    GROUP BY c.event_type
+    """,
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the robust-mean companion to
+    the median/MAD outlier screen: clamp values at the exact discrete
+    p05/p95 (smallest value whose cumulative count reaches ceil(q·n),
+    expressed as the integer inequality 20·cum ≥ n / 20·cum ≥ 19·n),
+    then average the clamped values.
+
+    Exactness: percentile bounds are integer comparisons over exact
+    cumulative counts; the clamped sum accumulates cents·count products
+    in decimal/HUGEINT; ONE IEEE division emits the mean.
+
+    Scale: the raw stream collapses to (event_type, cents) → count
+    FIRST — one aggregate bounded by |types|·|distinct cents|; the
+    cumulative window sorts those counts, never raw rows; the bounds
+    frame is |types| rows and broadcast back. Same two-phase shape as
+    the weighted-median operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", cents("value").alias("v_c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "v_c",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum_cnt") * 20 >= F.col("n"), F.col("v_c"))
+        ).alias("lo_c"),
+        F.min(
+            F.when(F.col("cum_cnt") * 20 >= F.col("n") * 19, F.col("v_c"))
+        ).alias("hi_c"),
+        F.max("n").alias("n"),
+    )
+    j = c.join(F.broadcast(bounds), "event_type")
+    clamped = F.least(
+        F.greatest(F.col("v_c"), F.col("lo_c")), F.col("hi_c")
+    ).cast(_DEC)
+    return j.groupBy("event_type").agg(
+        (
+            F.sum(clamped * F.col("cnt").cast(_DEC)).cast("double")
+            / F.max("n")
+        ).alias("winsorized_mean_c"),
+        F.max("lo_c").cast("long").alias("lo_c"),
+        F.max("hi_c").cast("long").alias("hi_c"),
+        F.max("n").cast("long").alias("n"),
+    )

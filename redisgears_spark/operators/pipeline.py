@@ -1390,3 +1390,57 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") == 1).select(
         "doc_id", "chunk_start", "chunk_md5", "n_copies"
     )
+
+
+@query(
+    "pipeline_stratified_split",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rnk * 10 <= n * 8 THEN 'train'
+                WHEN rnk * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 train/val/test split, per
+    language — the dataset-freeze step every training pipeline needs:
+    reproducible across engines and re-runs (no RNG), stratified so
+    low-resource languages keep their proportions in every split.
+
+    Construction: rank docs inside each language by the md5(doc_id)
+    permutation (the same deterministic shuffle the mix samplers use —
+    md5 hex is identical in Spark and DuckDB), then cut at exact
+    integer quotas: rank·10 ≤ n·8 → train, ≤ n·9 → val, else test.
+    Integer cross-multiplication, no float thresholds.
+
+    Scale: one hash shuffle on lang for the rank window; same skew
+    note as _take_lang_quota — at 100 TB swap the row_number for the
+    two-phase quantile cut over the md5 space (sample, cut at the
+    quantile, assign by hash threshold), which drops the per-lang sort
+    entirely at the cost of ±sampling-error split sizes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rnk") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rnk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -2770,3 +2770,68 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "part_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT a.p_partkey, a.price_c, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    """,
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier (dominance filter): the parts no other
+    part beats on BOTH axes — cheaper-or-equal price AND
+    larger-or-equal size, strictly better on at least one. The classic
+    multi-criteria shortlist operator (candidate screening, offer
+    pruning) that SQL only knows as a quadratic NOT EXISTS.
+
+    Construction (linearithmic, not quadratic): sort by price and keep
+    a row iff its size exceeds the running max size over all STRICTLY
+    cheaper rows (RANGE frame ending 1 preceding) and no same-price row
+    has a strictly larger size (per-price max). Two window passes, no
+    self-join.
+
+    Scale: phase 1 runs the same two windows PER INPUT PARTITION
+    (spark_partition_id) — a local prune that only ever removes
+    dominated rows — so the exact global pass sorts only the local
+    survivors (expected O(frontier · partitions), tiny; for random data
+    the frontier is ~log n). Worst case (already-sorted adversarial
+    input) degrades to the full sort, same as any skyline algorithm.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+    def frontier(df: DataFrame, *part_cols: str) -> DataFrame:
+        w_lo = (
+            W.partitionBy(*part_cols)
+            .orderBy("price_c")
+            .rangeBetween(W.unboundedPreceding, -1)
+            if part_cols
+            else W.orderBy("price_c").rangeBetween(W.unboundedPreceding, -1)
+        )
+        w_eq = W.partitionBy(*part_cols, "price_c")
+        out = df.withColumn(
+            "m_lo", F.max("p_size").over(w_lo)
+        ).withColumn("m_eq", F.max("p_size").over(w_eq))
+        return out.filter(
+            (F.col("m_lo").isNull() | (F.col("m_lo") < F.col("p_size")))
+            & (F.col("m_eq") <= F.col("p_size"))
+        ).drop("m_lo", "m_eq")
+
+    local = frontier(p.withColumn("pid", F.spark_partition_id()), "pid")
+    return frontier(local.drop("pid"))

@@ -1309,3 +1309,108 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
+
+
+_MMR_POOL = 20  # relevance pool fed to the re-ranker
+_MMR_K = 5  # diverse results kept per query
+_MMR_LAMBDA = 0.7  # relevance / diversity trade-off
+
+
+@query("sim_mmr_rerank")  # greedy selection — not SQL-expressible;
+# pinned instead by an independent pure-numpy reference implementation
+# (tests/test_similarity_mmr.py) over the same fixture
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: from each query's top-20
+    relevance pool, greedily pick 5 results balancing relevance against
+    redundancy — score(d) = λ·cos(q,d) − (1−λ)·max_{s∈selected}
+    cos(d,s), λ=0.7 — the standard diversity pass a RAG retrieval
+    stack runs after ANN so the context window isn't five near-copies
+    of one document (Carbonell & Goldstein 1998).
+
+    Deterministic: exact-integer dot products, one fixed IEEE
+    normalization (same kernel as sim_topk), candidates walked in
+    n_id order with strict-> comparison so equal scores break to the
+    smallest id.
+
+    Scale: the pool stage is the brute-force kernel (swap in
+    sim_ann_lsh candidates past _BRUTEFORCE_MAX_ROWS); candidate
+    vectors re-attach via a BROADCAST of the |queries|·20-row pool
+    into the embeddings scan — the corpus is never shuffled; the
+    greedy loop runs executor-side per query over ≤20 candidates
+    (O(pool²·k) integer ops — trivial).
+    """
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(
+        _corpus_numpy(spark, sf_dir, predicate=F.col("vec_id") < _N_QUERIES)
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, Q = bc.value
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            B = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            cos = _block_cosine(Q, B)
+            qq, nn = np.broadcast_arrays(q_ids[:, None], n_ids[None, :])
+            keep = qq != nn
+            out = pd.DataFrame(
+                {"q_id": qq[keep], "n_id": nn[keep], "cosine": cos[keep]}
+            )
+            yield (
+                out.sort_values(["cosine", "n_id"], ascending=[False, True])
+                .groupby("q_id", group_keys=False)
+                .head(_MMR_POOL)
+            )
+
+    corpus = rebalanced(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(_QUANT).alias("v")
+        )
+    )
+    scored = corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    pool = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MMR_POOL)
+        .select("q_id", "n_id", "cosine")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("n_id"), F.expr(_QUANT).alias("v")
+    )
+    cand = emb.join(F.broadcast(pool), "n_id")
+
+    def mmr(key, pdf):
+        import pandas as pd
+
+        qid = key[0]
+        ids = pdf["n_id"].to_numpy(dtype="int64")
+        V = np.vstack(pdf["v"].to_numpy()).astype("int64")
+        rel = pdf["cosine"].to_numpy()
+        order = np.argsort(ids, kind="stable")  # ties → smallest n_id
+        ids, V, rel = ids[order], V[order], rel[order]
+        S = _block_cosine(V, V)
+        selected: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(selected) < _MMR_K:
+            best, best_score = None, None
+            for i in remaining:
+                div = max((S[i][j] for j in selected), default=0.0)
+                sc = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+                if best_score is None or sc > best_score:
+                    best, best_score = i, sc
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "q_id": np.full(len(selected), qid, dtype="int64"),
+                "n_id": ids[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int64"),
+                "relevance": rel[selected],
+            }
+        )
+
+    return cand.groupBy("q_id").applyInPandas(
+        mmr, "q_id long, n_id long, mmr_rank long, relevance double"
+    )

@@ -675,3 +675,46 @@ def test_value_mad_windows_run_on_histogram(spark, sf_dir):
     for line in scan_lines:
         assert "props" not in line and "user_id" not in line, line
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ewma_single_user_exchange(spark, sf_dir):
+    """events_value_ewma shares ONE hash exchange on user_id between the
+    row-number window and the final aggregate, and the scan reads only
+    the needed columns (never props)."""
+    df = QUERIES["events_value_ewma"](spark, sf_dir)
+    assert count_nodes(df, "Exchange") == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "props" not in line, line
+
+
+def test_winsorized_mean_bounds_are_broadcast(spark, sf_dir):
+    """events_winsorized_mean reduces facts to a (type, cents) histogram
+    first (two HashAggregates: histogram + final) and re-attaches the
+    |types|-row bounds frame via a broadcast join — the histogram is
+    never shuffled for the join."""
+    df = QUERIES["events_winsorized_mean"](spark, sf_dir)
+    assert_broadcast_join(df, 1)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pareto_frontier_no_self_join(spark, sf_dir):
+    """part_pareto_frontier is the two-window formulation — the
+    quadratic NOT EXISTS would appear as a join; none may exist."""
+    df = QUERIES["part_pareto_frontier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    for node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_mmr_corpus_never_shuffled_for_candidates(spark, sf_dir):
+    """sim_mmr_rerank re-attaches candidate vectors by broadcasting the
+    tiny pool into the embeddings scan: the join must be a
+    BroadcastHashJoin (corpus streams map-side, no corpus exchange)."""
+    df = QUERIES["sim_mmr_rerank"](spark, sf_dir)
+    assert_broadcast_join(df, 1)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
