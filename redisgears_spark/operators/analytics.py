@@ -1530,3 +1530,279 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi_c").cast("long").alias("hi_c"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "events_bollinger_bands",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, v_c,
+             COUNT(*) OVER fr AS n,
+             SUM(v_c) OVER fr AS s1,
+             SUM(v_c * v_c) OVER fr AS s2
+      FROM x
+      WINDOW fr AS (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+           CAST(s1 AS DOUBLE) / n AS mean_c,
+           CAST(s1 AS DOUBLE) / n
+             + 2.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n)
+             AS upper_c,
+           CAST(s1 AS DOUBLE) / n
+             - 2.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n)
+             AS lower_c
+    FROM w
+    """,
+)
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per user: trailing-10-event rolling mean ± 2
+    population standard deviations — the classic volatility envelope an
+    alerting/feature pipeline computes over metric streams.
+
+    Exactness: the frame accumulates integer Σx and Σx² (cents; both
+    exact in bigint), the variance numerator n·Σx² − (Σx)² is an exact
+    integer, and each band is the same fixed IEEE sequence in both
+    engines (sqrt is correctly rounded by IEEE-754, division and the
+    ±2σ combine are single ops). Built-in stddev() is deliberately not
+    used — Spark and DuckDB accumulate it in floating point with
+    different schemes.
+
+    Scale: one hash shuffle on user_id; the ROWS frame is bounded (10),
+    so window state is O(1) per row; the projection drops everything
+    but (user_id, event_id, cents) before the sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy(micros("ts"), "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    x = ev.select(
+        "user_id", "event_id", cents("value").alias("v_c"), "ts"
+    )
+    w = x.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("v_c").over(fr).alias("s1"),
+        (F.sum(F.col("v_c") * F.col("v_c")).over(fr)).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = (
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        )
+        / F.col("n")
+    )
+    return w.select(
+        "user_id",
+        "event_id",
+        F.col("n").cast("long").alias("n_window"),
+        mean.alias("mean_c"),
+        (mean + 2.0 * sd).alias("upper_c"),
+        (mean - 2.0 * sd).alias("lower_c"),
+    )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    span AS (
+      SELECT CAST(min(day) AS BIGINT) AS lo, CAST(max(day) AS BIGINT) AS hi
+      FROM d
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi)) AS day FROM span
+    )
+    SELECT g.day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM grid g
+    LEFT JOIN d a ON a.day BETWEEN g.day - 6 AND g.day
+    GROUP BY g.day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per calendar day (WAU) — the
+    engagement metric every product pipeline reports, and a rolling
+    COUNT DISTINCT, which no window frame can express directly.
+
+    Construction: dedup to (user, day) FIRST, then each active day
+    contributes its user to the 7 target days it covers via an explode
+    of `sequence(day, day+6)` — turning the rolling distinct into a
+    plain groupBy-distinct per target day (the oracle states the same
+    thing as a range join). A left join against the dense day grid
+    keeps zero-activity days.
+
+    Scale: the corpus collapses to |users|·|days| distinct pairs in one
+    aggregate; the explode is a fixed ×7 on that reduced set; the final
+    count-distinct shuffles (day, user_id) integers only. No range
+    join, no per-day rescan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (micros("ts") / F.lit(86_400_000_000)).cast("long")
+    d = ev.select("user_id", day.alias("day")).distinct()
+    span = d.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    contrib = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        grid.join(wau, "day", "left")
+        .select("day", F.coalesce("wau", F.lit(0)).cast("long").alias("wau"))
+    )
+
+
+# Deterministic HLL: the hash is the first 32 bits of md5 (identical
+# hex in both engines; a cheap multiplicative-mod hash was tried first
+# and mis-estimated sequential ids by −64% at n=15k — HLL's rho needs
+# real avalanche in the high bits), and the leading-zero rank is a
+# string op on bin() — no float logs, so the sketch is bit-identical
+# across engines and the oracle is EXACT even though the estimate
+# itself is approximate.
+_HLL_M = 64  # registers
+_HLL_W = 26  # bits left for the rho pattern (32 - log2(m))
+_HLL_ALPHA = 0.709  # alpha_64 from Flajolet et al. 2007
+
+# Small-range correction (linear counting, m·ln(m/V) for V empty
+# registers): ln() is the one non-portable float op (libm builds
+# differ), but V has only 64 possible values — so the correction is a
+# PRECOMPUTED literal table shared verbatim by both engines (repr()
+# round-trips doubles exactly; both SQL parsers bind the same bits).
+import math as _math
+
+_HLL_LC = [repr(_HLL_M * _math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
+_HLL_LC_SQL = "[" + ", ".join(_HLL_LC) + "]"
+_HLL_LC_SPARK = "array(" + ", ".join(_HLL_LC) + ")"
+
+
+@query(
+    "events_hll_user_estimate",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h2 AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM u
+    ),
+    rw AS (
+      SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h2
+    ),
+    rho AS (
+      SELECT bucket,
+             CASE WHEN w = 0 THEN {_HLL_W} + 1
+                  ELSE {_HLL_W} - length(ltrim(bin(w), '0')) + 1 END AS r
+      FROM rw
+    ),
+    regs AS (SELECT bucket, MAX(r) AS m_j FROM rho GROUP BY bucket),
+    s AS (
+      SELECT SUM(POW(2.0, -m_j)) + ({_HLL_M} - COUNT(*)) AS denom,
+             COUNT(*) AS used,
+             {_HLL_M} - COUNT(*) AS v
+      FROM regs
+    ),
+    est AS (
+      SELECT used, v,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / denom AS raw
+      FROM s
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST(used AS BIGINT) AS registers_used,
+           CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                THEN {_HLL_LC_SQL}[v] ELSE raw END AS estimate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_distinct
+    FROM est
+    """,
+)
+def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate with EXACT cross-engine
+    parity: every step — the 32-bit md5-prefix hash (same hex string in
+    both engines, parsed via conv()/'0x'-cast), the bucket split, the
+    leading-zero rank via `length(ltrim(bin(w),'0'))` (floor(log2)+1 as
+    a string op, no float log), the register max, and the harmonic
+    denominator (a sum of ≤64 exact powers of two, whose partial sums
+    all fit in 53 bits, so addition order cannot change the result) —
+    is deterministic and identical in Spark and DuckDB. The one
+    non-portable op, the small-range linear-counting ln(m/V), is a
+    64-entry PRECOMPUTED literal table (V is the count of empty
+    registers — discrete) shared verbatim by both SQL dialects, so the
+    Flajolet small-range correction applies with full parity. Accuracy
+    floor pinned in tests at both fixture scales.
+
+    Why it matters at 100 TB: the registers are a 64-byte mergeable
+    state — per-partition maxes combine associatively (this plan's
+    partial aggregate IS the merge), which is how a distinct count
+    survives a 1000-executor fan-in without shuffling user ids.
+
+    Reference parity: RedisGears users call PFADD/PFCOUNT through
+    client.call; this is the engine-native analog.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    h = F.expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    rw = u.select(
+        (h % _HLL_M).alias("bucket"), (h / _HLL_M).cast("long").alias("w")
+    )
+    rho = rw.select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(_HLL_W + 1))
+        .otherwise(
+            F.lit(_HLL_W)
+            - F.length(F.expr("TRIM(LEADING '0' FROM bin(w))"))
+            + 1
+        )
+        .alias("r"),
+    )
+    regs = rho.groupBy("bucket").agg(F.max("r").alias("m_j"))
+    s = regs.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (_HLL_M - F.count(F.lit(1)))
+        ).alias("denom"),
+        F.count(F.lit(1)).alias("used"),
+        (_HLL_M - F.count(F.lit(1))).alias("v"),
+    )
+    exact = u.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("denom")
+    return (
+        s.crossJoin(F.broadcast(exact))  # two 1-row frames
+        .select(
+            F.lit(_HLL_M).cast("long").alias("m"),
+            F.col("used").cast("long").alias("registers_used"),
+            F.when(
+                (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+                F.element_at(
+                    F.expr(_HLL_LC_SPARK), F.col("v").cast("int")
+                ),
+            )
+            .otherwise(raw)
+            .alias("estimate"),
+            "exact_distinct",
+        )
+    )

@@ -473,3 +473,76 @@ def test_streaks_match_pure_python(spark, sf_dir):
         for r in events_user_streaks(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_hll_estimate_accuracy_and_numpy_parity(spark, sf_dir):
+    """The HLL sketch is exact-deterministic (oracle-pinned); this pins
+    its QUALITY — raw-estimator error within the theoretical ballpark
+    (1.04/sqrt(64) ≈ 13% stderr; allow 3σ ≈ 40%) — and re-derives the
+    estimate with an independent numpy implementation of the same
+    hash/register math."""
+    import pandas as pd
+
+    from redisgears_spark.operators.analytics import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_W,
+        events_hll_user_estimate,
+    )
+
+    [row] = events_hll_user_estimate(spark, sf_dir).collect()
+    exact = row["exact_distinct"]
+    assert exact > 0
+    assert abs(row["estimate"] / exact - 1.0) < 0.40
+
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    uids = np.unique(ev["user_id"].to_numpy(dtype="int64"))
+    h = np.array(
+        [
+            int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+            for u in uids
+        ],
+        dtype="int64",
+    )
+    bucket, w = h % _HLL_M, h // _HLL_M
+    rho = np.where(
+        w == 0,
+        _HLL_W + 1,
+        _HLL_W - np.floor(np.log2(np.maximum(w, 1))).astype("int64"),
+    )
+    regs: dict[int, int] = {}
+    for b, r in zip(bucket, rho):
+        regs[int(b)] = max(regs.get(int(b), 0), int(r))
+    denom = sum(2.0 ** -m for m in regs.values()) + (_HLL_M - len(regs))
+    est = _HLL_ALPHA * _HLL_M * _HLL_M / denom
+    v = _HLL_M - len(regs)
+    if est <= 2.5 * _HLL_M and v > 0:  # linear-counting small range
+        import math
+
+        est = _HLL_M * math.log(_HLL_M / v)
+    assert row["registers_used"] == len(regs)
+    assert row["estimate"] == pytest.approx(est, rel=0, abs=1e-9)
+
+
+def test_rolling_wau_matches_pure_python(spark, sf_dir):
+    """Rolling 7-day distinct re-derived with a dict-of-sets sweep."""
+    import pandas as pd
+
+    from redisgears_spark.operators.analytics import events_rolling_wau
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # normalize to MICROSECONDS regardless of the unit pandas picked
+    days = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    pairs = set(zip(ev["user_id"].to_numpy(), days.to_numpy()))
+    lo, hi = min(d for _, d in pairs), max(d for _, d in pairs)
+    want = {
+        d: len({u for u, dd in pairs if d - 6 <= dd <= d})
+        for d in range(lo, hi + 1)
+    }
+    got = {
+        r["day"]: r["wau"]
+        for r in events_rolling_wau(spark, sf_dir).collect()
+    }
+    assert got == want
