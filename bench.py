@@ -653,7 +653,9 @@ def main() -> None:
     if os.path.isdir(ladder_dir) and os.path.abspath(
         ladder_dir
     ) != os.path.abspath(sf_dir):
-        for name in sorted(queries):
+        # only queries that succeeded at the primary SF — a query that
+        # already landed in `errors` would just fail twice more here
+        for name in sorted(timings):
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -663,7 +665,7 @@ def main() -> None:
                     break
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
-            if best is not None and best > 0 and name in timings:
+            if best is not None and best > 0:
                 r = timings[name] / best
                 scale_ratio[name] = round(r, 2)
                 if r > 12 and timings[name] > 1.0:

@@ -140,21 +140,29 @@ class AclUser:
 
 
 def _glob_to_regex(pattern: str) -> str:
-    """Redis ACL key glob → regex source, the full `stringmatchlen`
-    surface (util.c): ``*`` any run, ``?`` one char, ``[...]`` character
-    classes (leading ``^`` negates, ``a-b`` ranges with out-of-order
-    bounds swapped like Redis), ``\\x`` escapes x — everything else
-    literal. Hand-rolled instead of fnmatch.translate so the SAME source
-    is valid for Python `re` and the JVM (rlike) — the trigger runtimes
-    evaluate it Python-side today, but the source is part of the
-    contract (re.escape never emits alphabetic escapes, which Java
-    regex rejects).
+    """Redis ACL key glob → regex source, transpiled faithfully from
+    `stringmatchlen` (util.c): ``*`` any run, ``?`` one char, ``\\x``
+    escapes x (a TRAILING backslash is a literal backslash, like the C
+    loop's default case), ``[...]`` character classes with leading
+    ``^`` negation and ``a-b`` ranges. Class fidelity details that
+    matter (review-verified against the C source):
 
-    Malformed patterns (unterminated ``[``, trailing ``\\``) raise
-    loudly instead of silently literalizing — a pattern that silently
-    matches nothing is fail-closed but diverges from what ACL SETUSER
-    accepted; acl_setuser validates at set time so the error surfaces
-    to the caller who wrote the pattern."""
+      * ``]`` closes the class IMMEDIATELY, even as the first body
+        char — ``[]]`` is an EMPTY class (matches nothing; negated
+        ``[^]`` matches anything) followed by a literal ``]``.
+      * A range is any ``X-Y`` triple where Y is taken RAW — ``[a-]]``
+        is the range a..']'; out-of-order bounds swap (``[9-0]`` ==
+        ``[0-9]``); an escaped char cannot START a range (the escape
+        branch consumes it as a literal first).
+      * An unterminated class closes at end of pattern (NOT an error:
+        ``user:[ab`` is the class {a,b} — so every pattern ACL SETUSER
+        ever accepted stays loadable from persisted registries).
+
+    Hand-rolled instead of fnmatch.translate so the SAME source is
+    valid for Python `re` and the JVM (rlike): re.escape never emits
+    alphabetic escapes (Java rejects those), empty classes emit the
+    dual-engine-safe ``[^\\s\\S]`` / ``[\\s\\S]`` forms (a bare ``[]``
+    is invalid in Python re)."""
     out = []
     i, n = 0, len(pattern)
     while i < n:
@@ -166,64 +174,50 @@ def _glob_to_regex(pattern: str) -> str:
             out.append(".")
             i += 1
         elif ch == "\\":
-            if i + 1 >= n:
-                raise GearsError(
-                    f"ACL key pattern {pattern!r}: trailing backslash"
-                )
-            out.append(re.escape(pattern[i + 1]))
-            i += 2
+            if i + 1 < n:
+                out.append(re.escape(pattern[i + 1]))
+                i += 2
+            else:  # trailing backslash is a literal (C default case)
+                out.append(re.escape("\\"))
+                i += 1
         elif ch == "[":
             j = i + 1
-            negate = False
-            if j < n and pattern[j] == "^":
-                negate = True
+            negate = j < n and pattern[j] == "^"
+            if negate:
                 j += 1
-            # parts hold RAW chars / (lo, hi) ranges; escaping happens at
-            # emission so the Redis out-of-order-range swap (util.c)
-            # compares real characters, not escape sequences
-            parts: list[str | tuple[str, str]] = []
-            closed = False
+            # items hold RAW chars / (lo, hi) ranges; escaping happens
+            # at emission so the out-of-order-range swap compares real
+            # characters, not escape sequences
+            items: list = []
             while j < n:
                 c = pattern[j]
                 if c == "\\" and j + 1 < n:
-                    parts.append(pattern[j + 1])
+                    items.append(pattern[j + 1])
                     j += 2
-                elif c == "]" and parts:
-                    # like stringmatchlen, a ']' first-in-class is literal
-                    closed = True
+                elif c == "]":
                     j += 1
                     break
-                elif (
-                    c == "-"
-                    and parts
-                    and isinstance(parts[-1], str)
-                    and j + 1 < n
-                    and pattern[j + 1] != "]"
-                ):
-                    lo = parts.pop()
-                    hi = pattern[j + 1]
-                    if hi == "\\" and j + 2 < n:
-                        hi = pattern[j + 2]
-                        j += 3
-                    else:
-                        j += 2
+                elif j + 2 < n and pattern[j + 1] == "-":
+                    lo, hi = c, pattern[j + 2]
                     if lo > hi:
                         lo, hi = hi, lo
-                    parts.append((lo, hi))
+                    items.append((lo, hi))
+                    j += 3
                 else:
-                    parts.append(c)
+                    items.append(c)
                     j += 1
-            if not closed:
-                raise GearsError(
-                    f"ACL key pattern {pattern!r}: unterminated '['"
+            # loop falling off the end == unterminated class: closes
+            # at end of pattern, exactly like stringmatchlen
+            if not items:
+                out.append("[\\s\\S]" if negate else "[^\\s\\S]")
+            else:
+                body = "".join(
+                    f"{re.escape(p[0])}-{re.escape(p[1])}"
+                    if isinstance(p, tuple)
+                    else re.escape(p)
+                    for p in items
                 )
-            body = "".join(
-                f"{re.escape(p[0])}-{re.escape(p[1])}"
-                if isinstance(p, tuple)
-                else re.escape(p)
-                for p in parts
-            )
-            out.append("[" + ("^" if negate else "") + body + "]")
+                out.append("[" + ("^" if negate else "") + body + "]")
             i = j
         else:
             out.append(re.escape(ch))
@@ -509,7 +503,12 @@ class GearsEngine:
         enabled (matching the repo's pre-existing callers; Redis proper
         defaults new users to off)."""
         for p in key_patterns:
-            _glob_to_regex(p)  # malformed patterns fail HERE, loudly
+            # compile sanity: stringmatchlen accepts EVERY pattern
+            # (unterminated classes close at end, trailing backslash is
+            # literal), so this never raises for user input — it guards
+            # against translator bugs only, and keeps old persisted
+            # registries loadable.
+            re.compile(_glob_to_regex(p))
         with self._lock:
             old = self._acl_users.get(name)
             patterns = () if reset or old is None else old.key_patterns

@@ -1690,11 +1690,18 @@ _HLL_ALPHA = 0.709  # alpha_64 from Flajolet et al. 2007
 # Small-range correction (linear counting, m·ln(m/V) for V empty
 # registers): ln() is the one non-portable float op (libm builds
 # differ), but V has only 64 possible values — so the correction is a
-# PRECOMPUTED literal table shared verbatim by both engines (repr()
-# round-trips doubles exactly; both SQL parsers bind the same bits).
+# PRECOMPUTED literal table shared by both engines. Each entry is a
+# CAST('<repr>' AS DOUBLE) STRING literal, not a bare numeric literal:
+# DuckDB parses bare decimal literals as DECIMAL and its
+# decimal→double cast is not correctly rounded (measured: 9 of the 64
+# bare-literal entries bound 1 ulp off Spark's value), while
+# string→double parsing is correctly rounded in both engines.
 import math as _math
 
-_HLL_LC = [repr(_HLL_M * _math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
+_HLL_LC = [
+    f"CAST('{_HLL_M * _math.log(_HLL_M / v)!r}' AS DOUBLE)"
+    for v in range(1, _HLL_M + 1)
+]
 _HLL_LC_SQL = "[" + ", ".join(_HLL_LC) + "]"
 _HLL_LC_SPARK = "array(" + ", ".join(_HLL_LC) + ")"
 

@@ -156,10 +156,24 @@ def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
     args = ["XRANGE", key, lo, hi]
     if count is not None:
         args += ["COUNT", count]
-    conn = pool.get_connection("XRANGE")
     try:
-        conn.send_command(*args)
-        resp = conn.read_response()
+        conn = pool.get_connection()  # redis-py >= 5.3 signature
+    except TypeError:  # older redis-py: command_name is required
+        conn = pool.get_connection("XRANGE")
+    try:
+        try:
+            conn.send_command(*args)
+            resp = conn.read_response()
+        except Exception:
+            # the raw path bypasses redis-py's call_with_retry, so a
+            # pooled connection that idled out (server `timeout`)
+            # between micro-batches would kill a long-lived streaming
+            # tail that client.xrange() used to survive — reconnect
+            # once and reissue, mirroring redis-py's own retry
+            conn.disconnect()
+            conn.connect()
+            conn.send_command(*args)
+            resp = conn.read_response()
     finally:
         pool.release(conn)
     out = []

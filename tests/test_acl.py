@@ -132,17 +132,24 @@ class TestAclCore:
         assert engine.acl_allows("clsesc", "cx")
         assert not engine.acl_allows("clsesc", "cy")
 
-    def test_malformed_glob_rejected_at_setuser(self, spark, sf_dir):
-        """Unterminated '[' / trailing '\\' raise at SETUSER time instead
-        of silently literalizing (fail-closed but divergent) — the caller
-        who wrote the pattern sees the error."""
+    def test_edge_globs_follow_stringmatchlen(self, spark, sf_dir):
+        """Redis accepts EVERY pattern — an unterminated '[' closes at
+        pattern end and a trailing '\\' is a literal backslash
+        (util.c). Matching that keeps old persisted registries loadable
+        and never over- or under-grants relative to a real server.
+        (Full fidelity fuzz: tests/test_glob_stringmatchlen.py.)"""
         engine = GearsEngine(spark, sf_dir)
-        with pytest.raises(GearsError, match="unterminated"):
-            engine.acl_setuser("bad", key_patterns=["user:[ab"])
-        with pytest.raises(GearsError, match="trailing backslash"):
-            engine.acl_setuser("bad", key_patterns=["user:\\"])
-        # a failed SETUSER must not half-install the user
-        assert not engine.acl_allows("bad", "user:a")
+        engine.acl_setuser("edge", key_patterns=["user:[ab"])
+        assert engine.acl_allows("edge", "user:a")
+        assert not engine.acl_allows("edge", "user:c")
+        engine.acl_setuser("bs", key_patterns=["user:\\"])
+        assert engine.acl_allows("bs", "user:\\")
+        assert not engine.acl_allows("bs", "user:x")
+        # ']' closes immediately: '[]]' is an empty class + literal ']'
+        engine.acl_setuser("emp", key_patterns=["[]]"])
+        assert not engine.acl_allows("emp", "]")
+        engine.acl_setuser("nemp", key_patterns=["[^]]"])
+        assert engine.acl_allows("nemp", "x]")
 
     def test_sync_call_identity_captured_at_entry(self, spark, sf_dir):
         """call()/execute_async capture the acting user at ENTRY (the
