@@ -1813,3 +1813,84 @@ def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+@query(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, event_type, us,
+             MIN(lpad(CAST(us AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                 || event_type) OVER fr AS first_key,
+             COUNT(*) OVER fr AS window_n
+      FROM x
+      WINDOW fr AS (
+        PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, user_id,
+           substr(first_key, 33) AS first_touch_type,
+           CAST(CAST(substr(first_key, 21, 12) AS BIGINT) AS BIGINT)
+             AS first_touch_event_id,
+           CAST(window_n AS BIGINT) AS window_n
+    FROM w
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: for every purchase, the FIRST event of
+    the same user in the trailing one-hour window (which event/channel
+     'started' the converting session) — the marketing-attribution
+    primitive.
+
+    Determinism trick: a RANGE frame can order by only ONE numeric
+    column, so peers at the same microsecond would make first_value()
+    nondeterministic. Instead the frame takes MIN over a zero-padded
+    sortable string key `lpad(us)||lpad(event_id)||event_type` — an
+    exact lexicographic (us, event_id) order with the payload riding
+    along, identical in both engines, and the attribution parses back
+    out of the winning key.
+
+    Scale: one hash shuffle on user_id; the RANGE frame holds at most
+    one hour of one user's events; purchases filter AFTER windowing
+    (the window needs all events) but the projection is 4 narrow
+    columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id", "event_id", "event_type", micros("ts").alias("us")
+    )
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    key = F.concat(
+        F.lpad(F.col("us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    w = x.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.min(key).over(fr).alias("first_key"),
+        F.count(F.lit(1)).over(fr).alias("window_n"),
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.substring("first_key", 33, 2_000_000).alias("first_touch_type"),
+        F.substring("first_key", 21, 12)
+        .cast("long")
+        .alias("first_touch_event_id"),
+        F.col("window_n").cast("long").alias("window_n"),
+    )

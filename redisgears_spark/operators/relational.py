@@ -2835,3 +2835,140 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     local = frontier(p.withColumn("pid", F.spark_partition_id()), "pid")
     return frontier(local.drop("pid"))
+
+
+@query(
+    "orders_rapid_reorders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day
+      FROM orders
+    )
+    SELECT a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           a.o_custkey AS o_custkey,
+           CAST(abs(a.price_c - b.price_c) AS BIGINT) AS price_gap_c,
+           CAST(abs(a.day - b.day) AS BIGINT) AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey AND abs(a.day - b.day) <= 1
+    """,
+)
+def orders_rapid_reorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-reorder screen: pairs of orders by the same customer
+    placed within one day of each other — the double-submission /
+    split-order audit pattern (a finance pipeline adds an
+    amount-equality predicate; the fixture's synthetic totals are
+    unique, so the time band alone keeps the fixture result
+    non-trivial). The naive SQL is an inequality self-join
+    (|Δday| ≤ 1), which Spark would execute as a nested loop per
+    customer group.
+
+    Construction: a banded equi-join — one side explodes each order
+    onto its 3 adjacent day buckets (`sequence(day-1, day+1)`), making
+    the time band part of the JOIN KEY (custkey, bucket). Every
+    qualifying unordered pair matches exactly once in each direction;
+    `okey_a < okey_b` keeps one. The generic time-band trick for
+    turning a range predicate into a hash join.
+
+    Scale: the exchange carries (custkey, cents, day, orderkey) — four
+    integers; the ×3 explode is on ONE side only; no nested-loop join
+    anywhere (plan-pinned).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        cents("o_totalprice").alias("price_c"),
+        (micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    )
+    a = o.alias("a")
+    b = o.select(
+        F.col("o_orderkey").alias("b_okey"),
+        "o_custkey",
+        F.col("price_c").alias("b_price_c"),
+        "day",
+        F.explode(
+            F.sequence(F.col("day") - 1, F.col("day") + 1)
+        ).alias("bucket"),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.day") == F.col("b.bucket"))
+            & (F.col("a.o_orderkey") < F.col("b.b_okey")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("okey_a"),
+            F.col("b.b_okey").alias("okey_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.abs(F.col("a.price_c") - F.col("b.b_price_c"))
+            .cast("long")
+            .alias("price_gap_c"),
+            F.abs(F.col("a.day") - F.col("b.day"))
+            .cast("long")
+            .alias("day_gap"),
+        )
+    )
+
+
+@query(
+    "orders_weekly_growth",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                  // 604800000000 AS BIGINT) AS week,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT week, rev_c, lag(rev_c) OVER (ORDER BY week) AS prev_rev_c
+      FROM w
+    )
+    SELECT week, CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(prev_rev_c AS BIGINT) AS prev_rev_c,
+           CAST(rev_c - prev_rev_c AS DOUBLE) / prev_rev_c AS wow_growth
+    FROM l
+    WHERE prev_rev_c IS NOT NULL
+    """,
+)
+def orders_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth — the lag/delta reporting pattern
+    every BI pipeline ships. Exact: weekly revenue accumulates integer
+    cents; growth is ONE IEEE division of exact integers (computed on
+    the lag OUTPUT, not via nested window calls, which DuckDB rejects).
+
+    Scale: the fact stream collapses to |weeks| rows in a partial
+    aggregate FIRST; the lag window's single global partition sorts
+    those few rows, never the facts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    week = (
+        micros(F.col("o_orderdate").cast("timestamp"))
+        / F.lit(604_800_000_000)
+    ).cast("long")
+    w = o.groupBy(week.alias("week")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    lagged = w.select(
+        "week",
+        "rev_c",
+        F.lag("rev_c").over(W.orderBy("week")).alias("prev_rev_c"),
+    )
+    # the first week has no predecessor — dropped rather than emitted
+    # with NULLs: growth is undefined there, and an all-non-null output
+    # keeps pandas/Arrow dtypes integral on both engines (a nullable
+    # BIGINT degrades to float64 in the driver's hash canonicalization)
+    return lagged.filter(F.col("prev_rev_c").isNotNull()).select(
+        "week",
+        F.col("rev_c").cast("long").alias("rev_c"),
+        F.col("prev_rev_c").cast("long").alias("prev_rev_c"),
+        (
+            (F.col("rev_c") - F.col("prev_rev_c")).cast("double")
+            / F.col("prev_rev_c")
+        ).alias("wow_growth"),
+    )

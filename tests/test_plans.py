@@ -718,3 +718,13 @@ def test_mmr_corpus_never_shuffled_for_candidates(spark, sf_dir):
     assert_broadcast_join(df, 1)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rapid_reorders_banded_equi_join(spark, sf_dir):
+    """orders_rapid_reorders turns the |Δday|<=1 range predicate into a
+    hash equi-join via the 3-bucket explode — the naive inequality
+    self-join would appear as a nested loop."""
+    df = QUERIES["orders_rapid_reorders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
