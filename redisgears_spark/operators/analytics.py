@@ -1894,3 +1894,234 @@ def events_first_touch_attribution(
         .alias("first_touch_event_id"),
         F.col("window_n").cast("long").alias("window_n"),
     )
+
+
+# Count-Min sketch: depth 4 × width 64, md5-derived row hashes — like
+# the HLL operator, fully deterministic in both engines, so the sketch
+# carries an EXACT oracle even though its estimates are approximate.
+_CMS_D = 4
+_CMS_W = 64
+
+
+@query(
+    "events_cms_type_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                  || event_type), 1, 8))::BIGINT
+                  % {_CMS_W} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, generate_series(1, {_CMS_D}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY 1
+    ),
+    probe AS (
+      SELECT event_type, exact_count, i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                  || event_type), 1, 8))::BIGINT
+                  % {_CMS_W} AS BIGINT) AS bucket
+      FROM truth, generate_series(1, {_CMS_D}) AS t(i)
+    )
+    SELECT p.event_type, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           MAX(p.exact_count) AS exact_count
+    FROM probe p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.event_type
+    """,
+)
+def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates per event type, with the
+    exact counts alongside — the second classic mergeable sketch after
+    [HLL] (`events_hll_user_estimate`): CMS answers "how often did X
+    occur" from a fixed 4×64 integer grid that merges by cell-wise
+    addition, the structure a 1000-executor fan-in needs when the key
+    space is too wide to count exactly.
+
+    Determinism: row hashes are md5('i:key') prefixes (same hex in
+    both engines); every cell count and the min-probe are integers —
+    the oracle is exact even though CMS itself only guarantees
+    estimate ≥ truth (equality unless another key collides in ALL 4
+    rows).
+
+    Scale: the ×4 explode feeds a (i, bucket) groupBy with map-side
+    partial aggregation down to ≤256 cells — the partial aggregate IS
+    the sketch merge; the probe side is |keys| rows joined against
+    those 256 cells by broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("i")
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat(cast(i as string), ':', event_type)),"
+        " 1, 8), 16, 10) as bigint)"
+    ) % _CMS_W
+    cells = rows.groupBy("i", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probe = truth.select(
+        "event_type",
+        "exact_count",
+        F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("i"),
+    ).withColumn("bucket", bucket)
+    return (
+        probe.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.min("cnt").cast("long").alias("cms_estimate"),
+            F.max("exact_count").alias("exact_count"),
+        )
+    )
+
+
+# Bloom filter: m=4096 bits, k=3 md5-derived positions. Width chosen so
+# the sf0.01 fixture produces a NONZERO false-positive count (a probe
+# that reports 0 fps exercises nothing); at sf0.1 the filter saturates
+# visibly — the report carries bits_set so the degradation is explicit.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@query(
+    "orders_bloom_customer_probe",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_totalprice > 450000
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                  % {_BLOOM_M} AS BIGINT) AS bit
+      FROM keys, generate_series(1, {_BLOOM_K}) AS t(i)
+    ),
+    probes AS (
+      SELECT c_custkey AS k,
+             CASE WHEN EXISTS (SELECT 1 FROM keys WHERE keys.k = c_custkey)
+                  THEN 1 ELSE 0 END AS is_member
+      FROM customer
+    ),
+    probe_bits AS (
+      SELECT p.k, p.is_member,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                  || CAST(p.k AS VARCHAR)), 1, 8))::BIGINT
+                  % {_BLOOM_M} AS BIGINT) AS bit
+      FROM probes p, generate_series(1, {_BLOOM_K}) AS t(i)
+    ),
+    verdict AS (
+      SELECT pb.k, MAX(pb.is_member) AS is_member,
+             CASE WHEN COUNT(b.bit) = {_BLOOM_K} THEN 1 ELSE 0 END AS maybe
+      FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+      GROUP BY pb.k
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM verdict
+    """,
+)
+def orders_bloom_customer_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter membership: build a 4096-bit / 3-hash filter over
+    the customers that placed orders, probe EVERY customer, and report
+    the confusion counts against the exact semi-join — the third
+    classic mergeable sketch (HLL counts distinct, CMS counts
+    frequency, Bloom answers membership). n_false_negatives is pinned
+    0 by construction — a Bloom filter never lies about absence.
+
+    Determinism: bit positions are md5('i:key') prefixes mod m; the
+    filter is the DISTINCT set of lit bits (the set-bit relation is the
+    relational form of the bitmask — merging filters is a union, which
+    is exactly what the distinct aggregate does map-side).
+
+    Scale: the filter state is ≤ m rows of one integer after the
+    distinct (broadcast back to the probe side); probes explode ×k and
+    semi-join the bit relation. At 10× keys the 4096-bit filter
+    saturates — bits_set says so in the artifact rather than hiding it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # member set = high-value customers (>$450k order) — every fixture
+    # customer has SOME order, so an unrestricted key set would leave
+    # zero negative probes and the confusion counts would be trivial
+    keys = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def bit_for(col: str):
+        return (
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(i as string), ':',"
+                f" cast({col} as string))), 1, 8), 16, 10) as bigint)"
+            )
+            % _BLOOM_M
+        )
+
+    ks = F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("i")
+    bits = keys.select("k", ks).select(bit_for("k").alias("bit")).distinct()
+    probes = cust.select(F.col("c_custkey").alias("k")).join(
+        keys.withColumn("is_member", F.lit(1)), "k", "left"
+    ).select("k", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    probe_bits = probes.select("k", "is_member", ks).select(
+        "k", "is_member", bit_for("k").alias("bit")
+    )
+    verdict = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("k")
+        .agg(
+            F.max("is_member").alias("is_member"),
+            F.when(F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K, 1)
+            .otherwise(0)
+            .alias("maybe"),
+        )
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        verdict.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("is_member").cast("long").alias("n_true_members"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum(
+                F.when((F.col("maybe") == 1) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_positives"),
+            F.sum(
+                F.when((F.col("maybe") == 0) & (F.col("is_member") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys",
+            "bits_set",
+            "n_probes",
+            "n_true_members",
+            "n_maybe",
+            "n_false_positives",
+            "n_false_negatives",
+        )
+    )

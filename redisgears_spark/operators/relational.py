@@ -2972,3 +2972,68 @@ def orders_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev_rev_c")
         ).alias("wow_growth"),
     )
+
+
+# Year-9999 sentinel for the open SCD interval (both engines render it
+# identically as an int64 microsecond count; NULL valid_to would
+# degrade the column to float64 in the driver's hash canonicalization)
+_SCD_OPEN_US = 253_402_300_800_000_000
+
+
+@query(
+    "events_scd2_intervals",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             epoch_us(ts) AS us
+      FROM events
+    )
+    SELECT user_id, event_id, value_c,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(COALESCE(
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+             {_SCD_OPEN_US}) AS BIGINT) AS valid_to_us,
+           CAST(CASE WHEN lead(us) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id
+                ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM x
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 construction: turn a per-key
+    change log into validity intervals — each observation is valid from
+    its own timestamp until the key's NEXT observation (year-9999
+    sentinel for the open current row, flagged is_current) — the
+    warehouse-modeling step that makes point-in-time joins (`AS OF`)
+    a plain BETWEEN predicate.
+
+    Exactness: pure integer microseconds and a deterministic
+    (us, event_id) ordering; the sentinel keeps every column
+    non-nullable (a NULL open end would degrade the int64 to float64
+    in the driver's hash canonicalization — same lesson as
+    orders_weekly_growth).
+
+    Scale: one hash shuffle on user_id for the lead() window; the
+    projection is 4 integers before the sort. Interval consumers then
+    partition-prune on valid_from/valid_to.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        cents("value").alias("value_c"),
+        micros("ts").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w)
+    return x.select(
+        "user_id",
+        "event_id",
+        "value_c",
+        F.col("us").cast("long").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(_SCD_OPEN_US))
+        .cast("long")
+        .alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
