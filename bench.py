@@ -35,6 +35,13 @@ def bench_canary(spark) -> dict:
       * spark_scan_agg_4m_sec — groupBy-agg over a pinned 4M-row
         generated parquet, best-of-3 after warmup. Tracks JVM/codegen/
         shuffle/scan speed (everything else).
+
+    Measured TWICE per round — right after warmup and at the very end —
+    because the drift is not only cross-round: round-7 measurements saw
+    the python canary move 0.85→1.43 s WITHIN one day on identical
+    code. The start/end pair bounds the box speed over the run, so a
+    section ratio read against the nearest canary is interpretable and
+    a large start/end gap marks the whole round's absolutes as noisy.
     """
     import hashlib
     import shutil
@@ -615,6 +622,8 @@ def main() -> None:
         .mapInPandas(_noop_pandas, "doc_id long")
     )
 
+    canary_start = bench_canary(spark)
+
     # best-of-2 per query: single-shot numbers conflate cold-cache/GC
     # noise with real regressions (the streaming sections learned the
     # same lesson with best-of-5); min-of-2 makes a slowdown a signal
@@ -692,15 +701,36 @@ def main() -> None:
     fcall = {k: max(r[k] for r in runs) for k in runs[0]}
     commandlog = bench_commandlog(spark, sf_dir)
     ann_recall = bench_ann_recall(spark, sf_dir)
-    canary = bench_canary(spark)
+    canary_end = bench_canary(spark)
+    canary = {
+        "start": canary_start,
+        "end": canary_end,
+        # a large start/end gap = the box drifted WITHIN this run and
+        # every absolute in the round carries that error bar
+        "drift_py": round(
+            canary_end["python_md5_2m_sec"]
+            / canary_start["python_md5_2m_sec"],
+            3,
+        ),
+        "drift_spark": round(
+            canary_end["spark_scan_agg_4m_sec"]
+            / canary_start["spark_scan_agg_4m_sec"],
+            3,
+        ),
+    }
 
     # Canary-normalized section heads: a throughput multiplied by the
     # matching canary's seconds is "work done per canary-unit" — a
     # box-speed-invariant number the judge can compare across rounds.
     # Python-driver sections normalize by the Python canary, Spark
-    # sections by the Spark canary.
-    py_s = canary["python_md5_2m_sec"]
-    sp_s = canary["spark_scan_agg_4m_sec"]
+    # sections by the Spark canary (mean of the start/end readings).
+    py_s = (
+        canary_start["python_md5_2m_sec"] + canary_end["python_md5_2m_sec"]
+    ) / 2
+    sp_s = (
+        canary_start["spark_scan_agg_4m_sec"]
+        + canary_end["spark_scan_agg_4m_sec"]
+    ) / 2
     canary_normalized = {
         "fcall_sync_calls_per_py_canary": round(
             fcall["sync_calls_per_sec"] * py_s, 1
