@@ -168,10 +168,13 @@ def _glob_to_regex(pattern: str) -> str:
     while i < n:
         ch = pattern[i]
         if ch == "*":
-            out.append(".*")
+            # [\s\S]* not .* — '.' skips newlines, stringmatchlen's '*'
+            # matches any byte (review-found: 131/40k fuzz divergences
+            # once '\n' joined the alphabet)
+            out.append("[\\s\\S]*")
             i += 1
         elif ch == "?":
-            out.append(".")
+            out.append("[\\s\\S]")
             i += 1
         elif ch == "\\":
             if i + 1 < n:

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from redisgears_spark.functions.exact import cents, micros
+from redisgears_spark.functions.hashing import (
+    md5_hash32_spark,
+    md5_hash32_sql,
+)
 from redisgears_spark.operators.registry import query
 from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table
@@ -1711,9 +1715,7 @@ _HLL_LC_SPARK = "array(" + ", ".join(_HLL_LC) + ")"
     oracle=f"""
     WITH u AS (SELECT DISTINCT user_id FROM events),
     h2 AS (
-      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
-               AS h
-      FROM u
+      SELECT {md5_hash32_sql("CAST(user_id AS VARCHAR)")} AS h FROM u
     ),
     rw AS (
       SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h2
@@ -1769,10 +1771,7 @@ def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     u = ev.select("user_id").distinct()
-    h = F.expr(
-        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
-        " as bigint)"
-    )
+    h = md5_hash32_spark("cast(user_id as string)")
     rw = u.select(
         (h % _HLL_M).alias("bucket"), (h / _HLL_M).cast("long").alias("w")
     )
@@ -1824,8 +1823,8 @@ def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT user_id, event_id, event_type, us,
-             MIN(lpad(CAST(us AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0')
+             MIN(lpad(CAST(us AS VARCHAR), 19, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 19, '0')
                  || event_type) OVER fr AS first_key,
              COUNT(*) OVER fr AS window_n
       FROM x
@@ -1835,8 +1834,8 @@ def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT event_id, user_id,
-           substr(first_key, 33) AS first_touch_type,
-           CAST(CAST(substr(first_key, 21, 12) AS BIGINT) AS BIGINT)
+           substr(first_key, 39) AS first_touch_type,
+           CAST(substr(first_key, 20, 19) AS BIGINT)
              AS first_touch_event_id,
            CAST(window_n AS BIGINT) AS window_n
     FROM w
@@ -1873,9 +1872,20 @@ def events_first_touch_attribution(
         .orderBy("us")
         .rangeBetween(-3_600_000_000, W.currentRow)
     )
+    # 19-digit pads hold ANY non-negative int64 (max = 9223372036854775807,
+    # 19 digits) — lpad TRUNCATES on overflow in both engines, which would
+    # silently corrupt the min-key tiebreak AND the parsed-back id while
+    # the oracle stayed green (review-found); negatives would also invert
+    # the string order, so they refuse loudly instead
+    guard = F.expr(
+        "CASE WHEN us < 0 OR event_id < 0 THEN"
+        " raise_error('events_first_touch_attribution: negative"
+        " timestamp/event_id cannot ride the zero-padded sort key')"
+        " ELSE us END"
+    )
     key = F.concat(
-        F.lpad(F.col("us").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(guard.cast("string"), 19, "0"),
+        F.lpad(F.col("event_id").cast("string"), 19, "0"),
         F.col("event_type"),
     )
     w = x.select(
@@ -1888,8 +1898,8 @@ def events_first_touch_attribution(
     return w.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
-        F.substring("first_key", 33, 2_000_000).alias("first_touch_type"),
-        F.substring("first_key", 21, 12)
+        F.substring("first_key", 39, 2_000_000).alias("first_touch_type"),
+        F.substring("first_key", 20, 19)
         .cast("long")
         .alias("first_touch_event_id"),
         F.col("window_n").cast("long").alias("window_n"),
@@ -1908,9 +1918,8 @@ _CMS_W = 64
     oracle=f"""
     WITH cells AS (
       SELECT i,
-             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-                                  || event_type), 1, 8))::BIGINT
-                  % {_CMS_W} AS BIGINT) AS bucket,
+             CAST({md5_hash32_sql("CAST(i AS VARCHAR) || ':' || event_type",
+                                  _CMS_W)} AS BIGINT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM events, generate_series(1, {_CMS_D}) AS t(i)
       GROUP BY 1, 2
@@ -1921,9 +1930,8 @@ _CMS_W = 64
     ),
     probe AS (
       SELECT event_type, exact_count, i,
-             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-                                  || event_type), 1, 8))::BIGINT
-                  % {_CMS_W} AS BIGINT) AS bucket
+             CAST({md5_hash32_sql("CAST(i AS VARCHAR) || ':' || event_type",
+                                  _CMS_W)} AS BIGINT) AS bucket
       FROM truth, generate_series(1, {_CMS_D}) AS t(i)
     )
     SELECT p.event_type, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
@@ -1955,10 +1963,9 @@ def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ev.select(
         "event_type", F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("i")
     )
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat(cast(i as string), ':', event_type)),"
-        " 1, 8), 16, 10) as bigint)"
-    ) % _CMS_W
+    bucket = md5_hash32_spark(
+        "concat(cast(i as string), ':', event_type)", _CMS_W
+    )
     cells = rows.groupBy("i", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -1997,9 +2004,9 @@ _BLOOM_K = 3
     ),
     bits AS (
       SELECT DISTINCT
-             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-                                  || CAST(k AS VARCHAR)), 1, 8))::BIGINT
-                  % {_BLOOM_M} AS BIGINT) AS bit
+             CAST({md5_hash32_sql(
+                 "CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)",
+                 _BLOOM_M)} AS BIGINT) AS bit
       FROM keys, generate_series(1, {_BLOOM_K}) AS t(i)
     ),
     probes AS (
@@ -2010,9 +2017,9 @@ _BLOOM_K = 3
     ),
     probe_bits AS (
       SELECT p.k, p.is_member,
-             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-                                  || CAST(p.k AS VARCHAR)), 1, 8))::BIGINT
-                  % {_BLOOM_M} AS BIGINT) AS bit
+             CAST({md5_hash32_sql(
+                 "CAST(i AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)",
+                 _BLOOM_M)} AS BIGINT) AS bit
       FROM probes p, generate_series(1, {_BLOOM_K}) AS t(i)
     ),
     verdict AS (
@@ -2065,12 +2072,9 @@ def orders_bloom_customer_probe(
     )
 
     def bit_for(col: str):
-        return (
-            F.expr(
-                "cast(conv(substr(md5(concat(cast(i as string), ':',"
-                f" cast({col} as string))), 1, 8), 16, 10) as bigint)"
-            )
-            % _BLOOM_M
+        return md5_hash32_spark(
+            f"concat(cast(i as string), ':', cast({col} as string))",
+            _BLOOM_M,
         )
 
     ks = F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("i")

@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redisgears_spark.functions.hashing import (
+    md5_hash32_spark,
+    md5_hash32_sql,
+)
 from redisgears_spark.operators.registry import query
 from redisgears_spark.sources.keyspace import load_table, rebalanced
 
@@ -608,13 +612,11 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_stratified_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang,
-           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-             % 100 AS bucket
+           {md5_hash32_sql("CAST(doc_id AS VARCHAR)", 100)} AS bucket
     FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-            % 100
+    WHERE {md5_hash32_sql("CAST(doc_id AS VARCHAR)", 100)}
           < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
     """,
 )
@@ -630,11 +632,7 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the predicate rides the scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_hash32_spark("cast(doc_id as string)", 100)
     rate = F.when(F.col("lang") == "en", 50).otherwise(20)
     return (
         docs.withColumn("bucket", bucket)

@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from redisgears_spark.functions.hashing import (
+    md5_hash32_spark,
+    md5_hash32_sql,
+)
 from redisgears_spark.operators.registry import query
 from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table, rebalanced
@@ -833,14 +837,13 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_weighted_sample",
-    oracle="""
+    oracle=f"""
     WITH mx AS (SELECT max(n_chars) AS m FROM documents)
     SELECT doc_id, n_chars,
-           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                AS BIGINT) % 1000 AS bucket
+           {md5_hash32_sql("CAST(doc_id AS VARCHAR)", 1000)} AS bucket
     FROM documents, mx
-    WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                AS BIGINT) % 1000) * mx.m < n_chars * 1000
+    WHERE {md5_hash32_sql("CAST(doc_id AS VARCHAR)", 1000)} * mx.m
+          < n_chars * 1000
     """,
 )
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,12 +866,7 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars"
     )
     mx = docs.agg(F.max("n_chars").alias("m"))
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 1000
-    )
+    bucket = md5_hash32_spark("cast(doc_id as string)", 1000)
     return (
         docs.join(F.broadcast(mx))
         .withColumn("bucket", bucket)

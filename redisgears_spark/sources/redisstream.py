@@ -160,11 +160,22 @@ def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
         conn = pool.get_connection()  # redis-py >= 5.3 signature
     except TypeError:  # older redis-py: command_name is required
         conn = pool.get_connection("XRANGE")
+    # only CONNECTION failures retry (redis-py's call_with_retry scope):
+    # a server-side ResponseError (WRONGTYPE, NOPERM) must propagate
+    # without tearing down a healthy connection and re-issuing the same
+    # failing command
+    try:
+        from redis.exceptions import ConnectionError as _RedisConnError
+        from redis.exceptions import TimeoutError as _RedisTimeoutError
+
+        retryable: tuple = (_RedisConnError, _RedisTimeoutError, OSError)
+    except ImportError:  # injected client without redis-py installed
+        retryable = (OSError,)
     try:
         try:
             conn.send_command(*args)
             resp = conn.read_response()
-        except Exception:
+        except retryable:
             # the raw path bypasses redis-py's call_with_retry, so a
             # pooled connection that idled out (server `timeout`)
             # between micro-batches would kill a long-lived streaming

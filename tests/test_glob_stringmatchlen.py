@@ -131,14 +131,14 @@ def test_corner_cases_match_redis(pattern, key, want):
 
 
 def test_fuzz_against_stringmatchlen_port():
-    alphabet = list("ab]-^\\*?[09z")
+    alphabet = list("ab]-^\\*?[09z\n")  # \n: '*'/'?' must match newline
     rng = random.Random(7)
     for _ in range(20000):
         pat = "".join(
             rng.choice(alphabet) for _ in range(rng.randint(0, 6))
         )
         key = "".join(
-            rng.choice("ab]-^\\09z") for _ in range(rng.randint(0, 4))
+            rng.choice("ab]-^\\09z\n") for _ in range(rng.randint(0, 4))
         )
         want = stringmatchlen(pat, key)
         got = _matches(pat, key)
