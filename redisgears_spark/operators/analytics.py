@@ -2129,3 +2129,105 @@ def orders_bloom_customer_probe(
             "n_false_negatives",
         )
     )
+
+
+@query(
+    "events_change_point",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v_c
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, v_c,
+             row_number() OVER w AS t,
+             SUM(v_c) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS s1,
+             SUM(v_c) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, day, t, n, s1, s,
+             CAST(s1 AS DOUBLE) * s1 / t
+               + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - t) AS f
+      FROM seq WHERE t < n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY f DESC, t
+             ) AS rk
+      FROM scored
+    )
+    SELECT event_type, day AS split_day,
+           CAST(t AS BIGINT) AS n_left, CAST(n - t AS BIGINT) AS n_right,
+           CAST(s1 AS DOUBLE) / t AS mean_left_c,
+           CAST(s - s1 AS DOUBLE) / (n - t) AS mean_right_c
+    FROM ranked WHERE rk = 1
+    """,
+)
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point LOCALIZATION per event type (binary segmentation,
+    one split): the day boundary that best explains the daily-revenue
+    series as two constant segments — the argmax over split positions t
+    of S1²/t + S2²/(n−t), the classic least-squares change-point
+    objective (minimizing within-segment variance). CUSUM
+    (events_cusum_drift) answers "did it drift?"; this answers WHERE.
+
+    Determinism: prefix sums are exact integers; each candidate's score
+    is the same fixed IEEE sequence in both engines, and the winner is
+    picked by a (score DESC, t ASC) row_number — ties break to the
+    earliest split identically everywhere.
+
+    Scale: the corpus collapses to |types|·|days| daily rows first; the
+    prefix-sum window and the argmax window both ride that rollup,
+    sharing its event_type hash partitioning. Candidates are evaluated
+    in ONE pass over the rollup — no per-split rescan (the naive
+    formulation recomputes two aggregates per candidate split).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (micros("ts") / F.lit(86_400_000_000)).cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(cents("value")).alias("v_c"))
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    w_all = W.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("v_c")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("s1"),
+        F.sum("v_c").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    scored = seq.filter(F.col("t") < F.col("n")).withColumn(
+        "f",
+        F.col("s1").cast("double") * F.col("s1") / F.col("t")
+        + (F.col("s") - F.col("s1")).cast("double")
+        * (F.col("s") - F.col("s1"))
+        / (F.col("n") - F.col("t")),
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("f").desc(), "t")
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("t").cast("long").alias("n_left"),
+        (F.col("n") - F.col("t")).cast("long").alias("n_right"),
+        (F.col("s1").cast("double") / F.col("t")).alias("mean_left_c"),
+        (
+            (F.col("s") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("t"))
+        ).alias("mean_right_c"),
+    )

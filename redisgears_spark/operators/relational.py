@@ -3037,3 +3037,179 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to_us"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+@query(
+    "orders_data_profile",
+    oracle="""
+    WITH vals AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    counts AS (
+      SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT col, v, cnt,
+             row_number() OVER (
+               PARTITION BY col ORDER BY cnt DESC, v
+             ) AS rk
+      FROM counts
+    )
+    SELECT c.col,
+           CAST(SUM(c.cnt) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM vals x
+                 WHERE x.col = c.col AND x.v IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MIN(c.v) AS min_value,
+           MAX(c.v) AS max_value,
+           MAX(CASE WHEN r.rk = 1 THEN r.v END) AS top_value,
+           MAX(CASE WHEN r.rk = 1 THEN r.cnt END) AS top_count
+    FROM counts c
+    LEFT JOIN ranked r ON r.col = c.col AND r.v = c.v
+    GROUP BY c.col
+    """,
+)
+def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the Deequ/data-quality pattern): per profiled
+    column, row/null/distinct counts, lexicographic min/max, and the
+    modal value with its frequency (ties break to the smallest value) —
+    the table-health report a pipeline runs before trusting an input.
+
+    Construction: unpivot the profiled columns to (col, value) rows (a
+    string-normalized long format so one pass profiles heterogeneous
+    types), reduce to per-(col, value) counts — everything after rides
+    that bounded histogram, never the facts: min/max/distinct are
+    aggregates of it, the mode is a row_number window over it.
+
+    Scale: one fact pass builds the histogram via map-side partial
+    aggregation (the explode is ×|profiled columns|); the histogram is
+    |distinct values| rows. High-cardinality columns make the histogram
+    big but it is still the canonical profile shape; at 100 TB swap
+    n_distinct for the HLL register path (events_hll_user_estimate)
+    and the exact mode for CMS heavy hitters.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("v"),
+                ),
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.v")
+    counts = (
+        vals.filter(F.col("v").isNotNull())
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    nulls = vals.groupBy("col").agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null")
+    )
+    w = W.partitionBy("col").orderBy(F.col("cnt").desc(), "v")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("col")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.max(F.when(F.col("rk") == 1, F.col("v"))).alias("top_value"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
+        )
+        .join(F.broadcast(nulls), "col")
+        .select(
+            "col",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_value",
+            "max_value",
+            "top_value",
+            "top_count",
+        )
+    )
+
+
+@query(
+    "part_brand_share_shift",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT yr, CAST(SUM(rev_c) AS BIGINT) AS total_c FROM rev GROUP BY 1
+    ),
+    share AS (
+      SELECT r.p_brand, r.yr, r.rev_c, t.total_c,
+             CAST(r.rev_c AS DOUBLE) / t.total_c AS share
+      FROM rev r JOIN tot t ON t.yr = r.yr
+    ),
+    lagged AS (
+      SELECT p_brand, yr, rev_c, share,
+             lag(share) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_share
+      FROM share
+    )
+    SELECT p_brand, yr, CAST(rev_c AS BIGINT) AS rev_c, share,
+           share - prev_share AS share_shift
+    FROM lagged WHERE prev_share IS NOT NULL
+    """,
+)
+def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year market-share shift per brand — the contribution /
+    share-of-wallet movement report (who gained share, not just who
+    grew: a brand can grow revenue and LOSE share in a faster market).
+
+    Exactness: per-(brand, year) revenue accumulates integer cents; the
+    share is one IEEE division against the year total, the shift one
+    subtraction of two such doubles — fixed sequences, identical in
+    both engines (same pattern as orders_weekly_growth, including the
+    drop of the first year instead of NULL-degrading the column).
+
+    Scale: the part dimension broadcasts into the lineitem scan; the
+    rollup reduces facts to |brands|·|years| rows and every later step
+    (year totals, lag window) rides that tiny frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    )
+    tot = rev.groupBy("yr").agg(F.sum("rev_c").alias("total_c"))
+    share = rev.join(F.broadcast(tot), "yr").withColumn(
+        "share", F.col("rev_c").cast("double") / F.col("total_c")
+    )
+    lagged = share.withColumn(
+        "prev_share",
+        F.lag("share").over(W.partitionBy("p_brand").orderBy("yr")),
+    )
+    return lagged.filter(F.col("prev_share").isNotNull()).select(
+        "p_brand",
+        "yr",
+        F.col("rev_c").cast("long").alias("rev_c"),
+        "share",
+        (F.col("share") - F.col("prev_share")).alias("share_shift"),
+    )
