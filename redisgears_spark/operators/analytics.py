@@ -2191,7 +2191,12 @@ def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation recomputes two aggregates per candidate split).
     """
     ev = load_table(spark, sf_dir, "events")
-    day = (micros("ts") / F.lit(86_400_000_000)).cast("long")
+    # floor, not truncate-toward-zero: matches DuckDB's // for negative
+    # epochs too (pre-1970 rows would otherwise land in different daily
+    # buckets across engines; the division is exact-enough — micros fit
+    # in double's 2^53 integer range and boundary quotients stay on the
+    # correct side of the integer)
+    day = F.floor(micros("ts") / F.lit(86_400_000_000)).cast("long")
     daily = ev.groupBy(
         "event_type", day.alias("day")
     ).agg(F.sum(cents("value")).alias("v_c"))

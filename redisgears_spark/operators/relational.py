@@ -3060,18 +3060,17 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rk
       FROM counts
     )
-    SELECT c.col,
-           CAST(SUM(c.cnt) AS BIGINT) AS n_rows,
-           CAST((SELECT COUNT(*) FROM vals x
-                 WHERE x.col = c.col AND x.v IS NULL) AS BIGINT) AS n_null,
+    SELECT r.col,
+           CAST(SUM(r.cnt) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders) - SUM(r.cnt) AS BIGINT)
+             AS n_null,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           MIN(c.v) AS min_value,
-           MAX(c.v) AS max_value,
+           MIN(r.v) AS min_value,
+           MAX(r.v) AS max_value,
            MAX(CASE WHEN r.rk = 1 THEN r.v END) AS top_value,
            MAX(CASE WHEN r.rk = 1 THEN r.cnt END) AS top_count
-    FROM counts c
-    LEFT JOIN ranked r ON r.col = c.col AND r.v = c.v
-    GROUP BY c.col
+    FROM ranked r
+    GROUP BY r.col
     """,
 )
 def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,9 +3085,11 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounded histogram, never the facts: min/max/distinct are
     aggregates of it, the mode is a row_number window over it.
 
-    Scale: one fact pass builds the histogram via map-side partial
-    aggregation (the explode is ×|profiled columns|); the histogram is
-    |distinct values| rows. High-cardinality columns make the histogram
+    Scale: ONE fact pass builds the histogram via map-side partial
+    aggregation (the explode is ×|profiled columns|); null counts come
+    from the identity n_null = |rows| − Σ non-null counts (each row
+    contributes exactly one entry per profiled column), so no second
+    scan; the histogram is |distinct values| rows. High-cardinality columns make the histogram
     big but it is still the canonical profile shape; at 100 TB swap
     n_distinct for the HLL register path (events_hll_user_estimate)
     and the exact mode for CMS heavy hitters.
@@ -3117,11 +3118,10 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    nulls = vals.groupBy("col").agg(
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_null")
-    )
+    # n_null without a second fact scan: every order contributes exactly
+    # one (col, value) entry per profiled column, so
+    # n_null = count(orders) − Σ non-null counts — a one-row broadcast
+    total = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     w = W.partitionBy("col").orderBy(F.col("cnt").desc(), "v")
     ranked = counts.withColumn("rk", F.row_number().over(w))
     return (
@@ -3134,11 +3134,13 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == 1, F.col("v"))).alias("top_value"),
             F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
         )
-        .join(F.broadcast(nulls), "col")
+        .crossJoin(F.broadcast(total))
         .select(
             "col",
             "n_rows",
-            "n_null",
+            (F.col("n_total") - F.col("n_rows"))
+            .cast("long")
+            .alias("n_null"),
             "n_distinct",
             "min_value",
             "max_value",
