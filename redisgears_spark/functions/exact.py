@@ -43,3 +43,16 @@ def micros(col: Column | str) -> Column:
 def exact_avg(sum_col: Column, count_col: Column) -> Column:
     """Deterministic average: exact integer sum, one IEEE division."""
     return sum_col.cast("double") / count_col
+
+
+def day_bucket(col: Column | str) -> Column:
+    """Timestamp → epoch-day bucket, FLOORED (matches DuckDB's
+    `epoch_us(ts) // 86400000000`, which floors). A plain
+    `(micros/86400000000).cast('long')` truncates toward zero, so
+    pre-1970 timestamps land one bucket HIGHER than the oracle's —
+    the cross-engine divergence events_change_point first hit. The
+    division is exact-enough: micros fit in double's 2^53 integer
+    range and boundary quotients stay on the correct side of the
+    integer. Every daily-bucketing operator must use this helper
+    rather than inlining the division."""
+    return F.floor(micros(col) / F.lit(86_400_000_000)).cast("long")

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from redisgears_spark.functions.exact import cents, micros
+from redisgears_spark.functions.exact import cents, day_bucket, micros
 from redisgears_spark.functions.hashing import (
     md5_hash32_spark,
     md5_hash32_sql,
@@ -1659,8 +1659,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no per-day rescan.
     """
     ev = load_table(spark, sf_dir, "events")
-    day = (micros("ts") / F.lit(86_400_000_000)).cast("long")
-    d = ev.select("user_id", day.alias("day")).distinct()
+    d = ev.select("user_id", day_bucket("ts").alias("day")).distinct()
     span = d.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
@@ -2191,14 +2190,8 @@ def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation recomputes two aggregates per candidate split).
     """
     ev = load_table(spark, sf_dir, "events")
-    # floor, not truncate-toward-zero: matches DuckDB's // for negative
-    # epochs too (pre-1970 rows would otherwise land in different daily
-    # buckets across engines; the division is exact-enough — micros fit
-    # in double's 2^53 integer range and boundary quotients stay on the
-    # correct side of the integer)
-    day = F.floor(micros("ts") / F.lit(86_400_000_000)).cast("long")
     daily = ev.groupBy(
-        "event_type", day.alias("day")
+        "event_type", day_bucket("ts").alias("day")
     ).agg(F.sum(cents("value")).alias("v_c"))
     w_ord = W.partitionBy("event_type").orderBy("day")
     w_all = W.partitionBy("event_type")

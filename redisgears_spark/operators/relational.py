@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from redisgears_spark.functions.exact import basis_points, cents, micros
+from redisgears_spark.functions.exact import (
+    basis_points,
+    cents,
+    day_bucket,
+    micros,
+)
 from redisgears_spark.operators.registry import query
 from redisgears_spark.sources.keyspace import load_table
 
@@ -2063,15 +2068,15 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_day)` generates the dense grid (explode of an in-row array; no
     cross join against a calendar table), and `last(v, ignorenulls)`
     over an unbounded-preceding frame carries values forward. Day
-    buckets use integer floor-division of NON-NEGATIVE micros (both
-    engines agree there; negative epochs would not).
+    buckets use the shared FLOORED day_bucket helper, matching the
+    oracle's `//` for negative epochs too.
 
     Scale: one shuffle keys everything on user_id and is shared by the
     dedup window, the grid aggregate, and the fill window; grid size is
     bounded by the observation span, not the event count.
     """
     ev = load_table(spark, sf_dir, "events")
-    day = (micros("ts") / F.lit(86_400_000_000)).cast("long")
+    day = day_bucket("ts")
     w_rn = W.partitionBy("user_id", "day").orderBy(
         micros("ts").desc(), F.col("event_id").desc()
     )
@@ -2881,9 +2886,7 @@ def orders_rapid_reorders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         cents("o_totalprice").alias("price_c"),
-        (micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("day"),
+        day_bucket(F.col("o_orderdate").cast("timestamp")).alias("day"),
     )
     a = o.alias("a")
     b = o.select(
@@ -3039,6 +3042,70 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profiler core (see orders_data_profile): per profiled
+    column, row/null/distinct counts, lexicographic min/max, and the
+    modal value with its frequency (ties break to the smallest value).
+
+    The output is SEEDED from the literal column list and left-joined
+    with the histogram aggregates, so a column that is entirely NULL
+    still reports a row (n_rows=0, n_distinct=0, n_null=total,
+    top_count=0, NULL min/max/top_value) — the unhealthiest column must
+    never silently vanish from the profile. top_count uses a 0 sentinel
+    rather than NULL (NULL in a long column degrades to float64 in
+    pandas-side canonicalization)."""
+    vals = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.v")
+    counts = (
+        vals.filter(F.col("v").isNotNull())
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # n_null without a second fact scan: every row contributes exactly
+    # one (col, value) entry per profiled column, so
+    # n_null = count(rows) − Σ non-null counts — a one-row broadcast
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w = W.partitionBy("col").orderBy(F.col("cnt").desc(), "v")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        F.max(F.when(F.col("rk") == 1, F.col("v"))).alias("top_value"),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
+    )
+    # one seeded row per profiled column (total is 1 row; the explode
+    # fans it to |cols| rows, each carrying n_total along)
+    seed = total.select(
+        F.explode(F.array(*[F.lit(c) for c in cols])).alias("col"),
+        "n_total",
+    )
+    return seed.join(F.broadcast(agg), "col", "left").select(
+        "col",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        (F.col("n_total") - F.coalesce("n_rows", F.lit(0)))
+        .cast("long")
+        .alias("n_null"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+        "top_value",
+        F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
+    )
+
+
 @query(
     "orders_data_profile",
     oracle="""
@@ -3059,18 +3126,24 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY col ORDER BY cnt DESC, v
              ) AS rk
       FROM counts
-    )
-    SELECT r.col,
-           CAST(SUM(r.cnt) AS BIGINT) AS n_rows,
-           CAST((SELECT COUNT(*) FROM orders) - SUM(r.cnt) AS BIGINT)
+    ),
+    cols AS (
+      SELECT unnest(['o_orderstatus', 'o_orderpriority', 'o_custkey'])
+        AS col
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders)
+    SELECT c.col,
+           CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS n_rows,
+           CAST(MAX(t.n_total) - COALESCE(SUM(r.cnt), 0) AS BIGINT)
              AS n_null,
-           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(r.v) AS BIGINT) AS n_distinct,
            MIN(r.v) AS min_value,
            MAX(r.v) AS max_value,
            MAX(CASE WHEN r.rk = 1 THEN r.v END) AS top_value,
-           MAX(CASE WHEN r.rk = 1 THEN r.cnt END) AS top_count
-    FROM ranked r
-    GROUP BY r.col
+           CAST(COALESCE(MAX(CASE WHEN r.rk = 1 THEN r.cnt END), 0)
+                AS BIGINT) AS top_count
+    FROM cols c CROSS JOIN tot t LEFT JOIN ranked r ON r.col = c.col
+    GROUP BY c.col
     """,
 )
 def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3083,7 +3156,10 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-normalized long format so one pass profiles heterogeneous
     types), reduce to per-(col, value) counts — everything after rides
     that bounded histogram, never the facts: min/max/distinct are
-    aggregates of it, the mode is a row_number window over it.
+    aggregates of it, the mode is a row_number window over it. The
+    profile is seeded from the literal column list (see
+    profile_columns), so an entirely-NULL column still reports its
+    n_rows=0 / n_null=total row instead of vanishing.
 
     Scale: ONE fact pass builds the histogram via map-side partial
     aggregation (the explode is ×|profiled columns|); null counts come
@@ -3095,58 +3171,8 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact mode for CMS heavy hitters.
     """
     o = load_table(spark, sf_dir, "orders")
-    vals = o.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("o_orderstatus").alias("col"),
-                    F.col("o_orderstatus").cast("string").alias("v"),
-                ),
-                F.struct(
-                    F.lit("o_orderpriority").alias("col"),
-                    F.col("o_orderpriority").cast("string").alias("v"),
-                ),
-                F.struct(
-                    F.lit("o_custkey").alias("col"),
-                    F.col("o_custkey").cast("string").alias("v"),
-                ),
-            )
-        ).alias("cv")
-    ).select("cv.col", "cv.v")
-    counts = (
-        vals.filter(F.col("v").isNotNull())
-        .groupBy("col", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    # n_null without a second fact scan: every order contributes exactly
-    # one (col, value) entry per profiled column, so
-    # n_null = count(orders) − Σ non-null counts — a one-row broadcast
-    total = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    w = W.partitionBy("col").orderBy(F.col("cnt").desc(), "v")
-    ranked = counts.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("col")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.min("v").alias("min_value"),
-            F.max("v").alias("max_value"),
-            F.max(F.when(F.col("rk") == 1, F.col("v"))).alias("top_value"),
-            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "col",
-            "n_rows",
-            (F.col("n_total") - F.col("n_rows"))
-            .cast("long")
-            .alias("n_null"),
-            "n_distinct",
-            "min_value",
-            "max_value",
-            "top_value",
-            "top_count",
-        )
+    return profile_columns(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey"]
     )
 
 

@@ -185,7 +185,18 @@ def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
             conn.connect()
             conn.send_command(*args)
             resp = conn.read_response()
-    finally:
+    except BaseException:
+        # final failure (incl. a retry that died MID-REPLY): the
+        # connection may hold an unconsumed partial reply, and a client
+        # whose read_response does not disconnect on error would hand
+        # that protocol-desynced connection to the next command — drop
+        # the socket before the pool gets the connection back
+        try:
+            conn.disconnect()
+        finally:
+            pool.release(conn)
+        raise
+    else:
         pool.release(conn)
     out = []
     for entry_id, flat in resp or []:

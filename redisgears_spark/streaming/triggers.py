@@ -638,11 +638,23 @@ class StreamTriggerRuntime:
                 # Declarative pipelines have no per-record error path, so
                 # the whole batch fails loudly instead of silently
                 # continuing to read keys the owner can no longer see.
-                raise GearsError(
+                # The raise TERMINATES this streaming query (a foreachBatch
+                # error is fatal to the query, not just the batch) — but
+                # the refused batch never commits, so after permissions
+                # are restored, start_trigger() resumes from the
+                # checkpoint with no records lost. The refusal is recorded
+                # in stats.last_error so TFUNCTION LIST surfaces why the
+                # trigger stopped.
+                msg = (
                     f"declarative trigger '{qkey}': library owner "
                     f"'{owner}' lost unrestricted key permissions while "
-                    "the trigger was running; batch refused"
+                    "the trigger was running; query stopped — restart "
+                    "the trigger after restoring permissions (resumes "
+                    "from the checkpoint, no records lost)"
                 )
+                with self._lock:
+                    stats.last_error = msg
+                raise GearsError(msg)
 
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
@@ -1385,12 +1397,21 @@ class KeyspaceTriggerRuntime:
             ):
                 # per-epoch re-check, same rule as the stream runtime: a
                 # restriction applied to the owner mid-run takes effect at
-                # the next batch, not the next trigger restart
-                raise GearsError(
+                # the next batch. The raise terminates this streaming
+                # query (foreachBatch errors are fatal to the query), but
+                # the refused batch never commits — a restart after
+                # permissions are restored resumes from the checkpoint
+                # with no records lost; last_error records why.
+                msg = (
                     f"declarative keyspace trigger '{qkey}': library "
                     f"owner '{owner}' lost unrestricted key permissions "
-                    "while the trigger was running; batch refused"
+                    "while the trigger was running; query stopped — "
+                    "restart the trigger after restoring permissions "
+                    "(resumes from the checkpoint, no records lost)"
                 )
+                with self._lock:
+                    stats.last_error = msg
+                raise GearsError(msg)
             matched = batch_df.filter(
                 F.col("key").startswith(prefix)
                 # re-entrancy suppression: engine-origin writes excluded

@@ -547,3 +547,34 @@ class TestReducerChunkOrder:
         )
         assert state._v is None  # deleted
         assert bool(out[0]["deleted"][0]) is True
+
+
+class TestProfileColumns:
+    def test_all_null_column_still_reports(self, spark):
+        """ADVICE r7: a profiled column that is entirely NULL must not
+        vanish from the profile — it reports n_rows=0, n_distinct=0,
+        n_null=total, top_count=0 (sentinel, not NULL)."""
+        from redisgears_spark.operators.relational import profile_columns
+
+        df = spark.createDataFrame(
+            [("a", None), ("b", None), ("a", None)],
+            "status string, dead string",
+        )
+        rows = {
+            r["col"]: r.asDict()
+            for r in profile_columns(df, ["status", "dead"]).collect()
+        }
+        assert set(rows) == {"status", "dead"}
+        dead = rows["dead"]
+        assert dead["n_rows"] == 0
+        assert dead["n_null"] == 3
+        assert dead["n_distinct"] == 0
+        assert dead["top_count"] == 0
+        assert dead["min_value"] is None
+        assert dead["top_value"] is None
+        ok = rows["status"]
+        assert ok["n_rows"] == 3
+        assert ok["n_null"] == 0
+        assert ok["n_distinct"] == 2
+        assert ok["top_value"] == "a"
+        assert ok["top_count"] == 2
