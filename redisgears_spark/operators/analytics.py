@@ -1685,100 +1685,84 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real avalanche in the high bits), and the leading-zero rank is a
 # string op on bin() — no float logs, so the sketch is bit-identical
 # across engines and the oracle is EXACT even though the estimate
-# itself is approximate.
-_HLL_M = 64  # registers
-_HLL_W = 26  # bits left for the rho pattern (32 - log2(m))
-_HLL_ALPHA = 0.709  # alpha_64 from Flajolet et al. 2007
-
-# Small-range correction (linear counting, m·ln(m/V) for V empty
-# registers): ln() is the one non-portable float op (libm builds
-# differ), but V has only 64 possible values — so the correction is a
-# PRECOMPUTED literal table shared by both engines. Each entry is a
-# CAST('<repr>' AS DOUBLE) STRING literal, not a bare numeric literal:
-# DuckDB parses bare decimal literals as DECIMAL and its
-# decimal→double cast is not correctly rounded (measured: 9 of the 64
-# bare-literal entries bound 1 ulp off Spark's value), while
-# string→double parsing is correctly rounded in both engines.
+# itself is approximate. WIDTH-PARAMETERIZED (VERDICT r7 #4): the
+# builders below take m = 2^p up to 2^14 — the fixture queries run a
+# demo width AND a production width, and the error-bound tests pin
+# ±2% at m=16384 on a generated 1M-distinct corpus.
 import math as _math
 
-_HLL_LC = [
-    f"CAST('{_HLL_M * _math.log(_HLL_M / v)!r}' AS DOUBLE)"
-    for v in range(1, _HLL_M + 1)
-]
-_HLL_LC_SQL = "[" + ", ".join(_HLL_LC) + "]"
-_HLL_LC_SPARK = "array(" + ", ".join(_HLL_LC) + ")"
+
+def _f64(x: float) -> str:
+    """A float constant as a CAST('<repr>' AS DOUBLE) literal — the one
+    representation both engines parse to the identical double (DuckDB
+    parses bare decimal literals as DECIMAL, whose →double cast is not
+    correctly rounded; string→double parsing is correctly rounded in
+    both engines)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
-@query(
-    "events_hll_user_estimate",
-    oracle=f"""
-    WITH u AS (SELECT DISTINCT user_id FROM events),
-    h2 AS (
-      SELECT {md5_hash32_sql("CAST(user_id AS VARCHAR)")} AS h FROM u
-    ),
-    rw AS (
-      SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h2
-    ),
-    rho AS (
-      SELECT bucket,
-             CASE WHEN w = 0 THEN {_HLL_W} + 1
-                  ELSE {_HLL_W} - length(ltrim(bin(w), '0')) + 1 END AS r
-      FROM rw
-    ),
-    regs AS (SELECT bucket, MAX(r) AS m_j FROM rho GROUP BY bucket),
-    s AS (
-      SELECT SUM(POW(2.0, -m_j)) + ({_HLL_M} - COUNT(*)) AS denom,
-             COUNT(*) AS used,
-             {_HLL_M} - COUNT(*) AS v
-      FROM regs
-    ),
-    est AS (
-      SELECT used, v,
-             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / denom AS raw
-      FROM s
-    )
-    SELECT CAST({_HLL_M} AS BIGINT) AS m,
-           CAST(used AS BIGINT) AS registers_used,
-           CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
-                THEN {_HLL_LC_SQL}[v] ELSE raw END AS estimate,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_distinct
-    FROM est
-    """,
-)
-def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-user estimate with EXACT cross-engine
-    parity: every step — the 32-bit md5-prefix hash (same hex string in
-    both engines, parsed via conv()/'0x'-cast), the bucket split, the
-    leading-zero rank via `length(ltrim(bin(w),'0'))` (floor(log2)+1 as
-    a string op, no float log), the register max, and the harmonic
-    denominator (a sum of ≤64 exact powers of two, whose partial sums
-    all fit in 53 bits, so addition order cannot change the result) —
-    is deterministic and identical in Spark and DuckDB. The one
-    non-portable op, the small-range linear-counting ln(m/V), is a
-    64-entry PRECOMPUTED literal table (V is the count of empty
-    registers — discrete) shared verbatim by both SQL dialects, so the
-    Flajolet small-range correction applies with full parity. Accuracy
-    floor pinned in tests at both fixture scales.
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m from Flajolet et al. 2007."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
 
-    Why it matters at 100 TB: the registers are a 64-byte mergeable
+
+def _hll_lc_entries(m: int) -> list[str]:
+    """Small-range correction (linear counting, m·ln(m/V) for V empty
+    registers): ln() is the one non-portable float op (libm builds
+    differ), but V has only m possible values — so the correction is a
+    PRECOMPUTED literal table, generated per width and shared verbatim
+    by both SQL dialects (the m=64 original measured 9 of 64 bare
+    numeric literals binding 1 ulp off through DuckDB's DECIMAL parse —
+    hence _f64 string literals)."""
+    return [_f64(m * _math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_distinct(u: DataFrame, key_sql: str, m: int) -> DataFrame:
+    """Width-parameterized HyperLogLog distinct estimate over `u`, a
+    DataFrame whose DISTINCT keys are addressed by the STRING SQL
+    expression `key_sql`. Returns one row:
+    (m, registers_used, estimate, exact_distinct).
+
+    Every step — the 32-bit md5-prefix hash, the power-of-two bucket
+    split, the leading-zero rank via `length(ltrim(bin(w),'0'))`
+    (floor(log2)+1 as a string op, no float log), the register max,
+    and the harmonic denominator — is deterministic and identical in
+    Spark and DuckDB (`hll_oracle_sql` emits the twin SQL), so the
+    sketch carries an EXACT oracle at ANY width. Denominator exactness
+    generalizes to every m = 2^p, p ≤ 14: each term is a multiple of
+    2^-(33-p) and the sum is bounded by m = 2^p, so every partial sum
+    needs ≤ 33 mantissa bits — addition order cannot change it. The
+    alpha·m² numerator is ONE _f64 string literal (not an engine-side
+    product — DuckDB's DECIMAL arithmetic path must never see it).
+
+    Why it matters at 100 TB: the registers are an m-byte mergeable
     state — per-partition maxes combine associatively (this plan's
     partial aggregate IS the merge), which is how a distinct count
-    survives a 1000-executor fan-in without shuffling user ids.
+    survives a 1000-executor fan-in without shuffling keys. At
+    m=16384 the standard error is 1.04/√m ≈ 0.8%.
 
     Reference parity: RedisGears users call PFADD/PFCOUNT through
     client.call; this is the engine-native analog.
     """
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.select("user_id").distinct()
-    h = md5_hash32_spark("cast(user_id as string)")
+    p = m.bit_length() - 1
+    if m != (1 << p) or not (16 <= m <= 1 << 14):
+        raise ValueError(f"hll_distinct: m must be 2^p in [16, 16384], got {m}")
+    w_bits = 32 - p
+    h = md5_hash32_spark(key_sql)
     rw = u.select(
-        (h % _HLL_M).alias("bucket"), (h / _HLL_M).cast("long").alias("w")
+        (h % m).alias("bucket"), (h / m).cast("long").alias("w")
     )
     rho = rw.select(
         "bucket",
-        F.when(F.col("w") == 0, F.lit(_HLL_W + 1))
+        F.when(F.col("w") == 0, F.lit(w_bits + 1))
         .otherwise(
-            F.lit(_HLL_W)
+            F.lit(w_bits)
             - F.length(F.expr("TRIM(LEADING '0' FROM bin(w))"))
             + 1
         )
@@ -1788,28 +1772,113 @@ def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = regs.agg(
         (
             F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
-            + (_HLL_M - F.count(F.lit(1)))
+            + (m - F.count(F.lit(1)))
         ).alias("denom"),
         F.count(F.lit(1)).alias("used"),
-        (_HLL_M - F.count(F.lit(1))).alias("v"),
+        (m - F.count(F.lit(1))).alias("v"),
     )
     exact = u.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
-    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("denom")
+    raw = F.expr(_f64(_hll_alpha(m) * m * m)) / F.col("denom")
+    lc_spark = "array(" + ", ".join(_hll_lc_entries(m)) + ")"
     return (
         s.crossJoin(F.broadcast(exact))  # two 1-row frames
         .select(
-            F.lit(_HLL_M).cast("long").alias("m"),
+            F.lit(m).cast("long").alias("m"),
             F.col("used").cast("long").alias("registers_used"),
             F.when(
-                (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+                (raw <= 2.5 * m) & (F.col("v") > 0),
                 F.element_at(
-                    F.expr(_HLL_LC_SPARK), F.col("v").cast("int")
+                    F.expr(lc_spark), F.col("v").cast("int")
                 ),
             )
             .otherwise(raw)
             .alias("estimate"),
             "exact_distinct",
         )
+    )
+
+
+def hll_oracle_sql(u_sql: str, key_sql: str, m: int) -> str:
+    """DuckDB twin of hll_distinct: `u_sql` is the distinct-key
+    subquery, `key_sql` the STRING expression over its columns."""
+    p = m.bit_length() - 1
+    w_bits = 32 - p
+    lc_sql = "[" + ", ".join(_hll_lc_entries(m)) + "]"
+    return f"""
+    WITH u AS ({u_sql}),
+    h2 AS (
+      SELECT {md5_hash32_sql(key_sql)} AS h FROM u
+    ),
+    rw AS (
+      SELECT h % {m} AS bucket, h // {m} AS w FROM h2
+    ),
+    rho AS (
+      SELECT bucket,
+             CASE WHEN w = 0 THEN {w_bits} + 1
+                  ELSE {w_bits} - length(ltrim(bin(w), '0')) + 1 END AS r
+      FROM rw
+    ),
+    regs AS (SELECT bucket, MAX(r) AS m_j FROM rho GROUP BY bucket),
+    s AS (
+      SELECT SUM(POW(2.0, -m_j)) + ({m} - COUNT(*)) AS denom,
+             COUNT(*) AS used,
+             {m} - COUNT(*) AS v
+      FROM regs
+    ),
+    est AS (
+      SELECT used, v, {_f64(_hll_alpha(m) * m * m)} / denom AS raw
+      FROM s
+    )
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST(used AS BIGINT) AS registers_used,
+           CASE WHEN raw <= 2.5 * {m} AND v > 0
+                THEN {lc_sql}[v] ELSE raw END AS estimate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_distinct
+    FROM est
+    """
+
+
+@query(
+    "events_hll_user_estimate",
+    oracle=hll_oracle_sql(
+        "SELECT DISTINCT user_id FROM events",
+        "CAST(user_id AS VARCHAR)",
+        64,
+    ),
+)
+def events_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate at the m=64 demo width (the
+    register state is visibly non-saturated at fixture scale) — see
+    hll_distinct for the exact-parity construction and the 100 TB
+    merge shape; events_hll_user_estimate_wide runs the same builder
+    at a production width."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(
+        ev.select("user_id").distinct(), "cast(user_id as string)", 64
+    )
+
+
+@query(
+    "events_hll_user_estimate_wide",
+    oracle=hll_oracle_sql(
+        "SELECT DISTINCT user_id FROM events",
+        "CAST(user_id AS VARCHAR)",
+        4096,
+    ),
+)
+def events_hll_user_estimate_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION-width HyperLogLog (m=4096 registers → standard error
+    1.04/√4096 ≈ 1.6%; VERDICT r7 #4 — the m=64 demo carries ~13%
+    error at real cardinalities). Same builder, same exact oracle: the
+    per-width generated linear-counting table keeps cross-engine
+    parity at any m (at fixture scale the sketch sits in the
+    linear-counting regime; the ±2% error bound at m=16384 on a
+    1M-distinct corpus is pinned in tests/test_sketch_widths.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(
+        ev.select("user_id").distinct(), "cast(user_id as string)", 4096
     )
 
 
@@ -1905,80 +1974,54 @@ def events_first_touch_attribution(
     )
 
 
-# Count-Min sketch: depth 4 × width 64, md5-derived row hashes — like
+# Count-Min sketch: depth d × width w, md5-derived row hashes — like
 # the HLL operator, fully deterministic in both engines, so the sketch
 # carries an EXACT oracle even though its estimates are approximate.
-_CMS_D = 4
-_CMS_W = 64
+# WIDTH-PARAMETERIZED (VERDICT r7 #4): overestimate bound is e/w·N
+# with probability 1−e^−d per probe, so width is THE accuracy knob —
+# the demo (4×64) and production (5×2048) registrations share one
+# builder, and tests/test_sketch_widths.py pins the bound empirically.
 
 
-@query(
-    "events_cms_type_counts",
-    oracle=f"""
-    WITH cells AS (
-      SELECT i,
-             CAST({md5_hash32_sql("CAST(i AS VARCHAR) || ':' || event_type",
-                                  _CMS_W)} AS BIGINT) AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events, generate_series(1, {_CMS_D}) AS t(i)
-      GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
-      FROM events GROUP BY 1
-    ),
-    probe AS (
-      SELECT event_type, exact_count, i,
-             CAST({md5_hash32_sql("CAST(i AS VARCHAR) || ':' || event_type",
-                                  _CMS_W)} AS BIGINT) AS bucket
-      FROM truth, generate_series(1, {_CMS_D}) AS t(i)
-    )
-    SELECT p.event_type, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
-           MAX(p.exact_count) AS exact_count
-    FROM probe p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
-    GROUP BY p.event_type
-    """,
-)
-def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch frequency estimates per event type, with the
-    exact counts alongside — the second classic mergeable sketch after
-    [HLL] (`events_hll_user_estimate`): CMS answers "how often did X
-    occur" from a fixed 4×64 integer grid that merges by cell-wise
-    addition, the structure a 1000-executor fan-in needs when the key
-    space is too wide to count exactly.
+def cms_frequencies(
+    df: DataFrame, key: str, w: int, d: int
+) -> DataFrame:
+    """Count-Min frequency estimates for every distinct value of
+    string column `key` in `df`, exact counts alongside. Returns
+    (<key>, cms_estimate, exact_count) rows.
 
     Determinism: row hashes are md5('i:key') prefixes (same hex in
     both engines); every cell count and the min-probe are integers —
-    the oracle is exact even though CMS itself only guarantees
-    estimate ≥ truth (equality unless another key collides in ALL 4
-    rows).
+    the oracle (`cms_oracle_sql`) is exact at any (w, d) even though
+    CMS itself only guarantees estimate ≥ truth (equality unless
+    another key collides in ALL d rows).
 
-    Scale: the ×4 explode feeds a (i, bucket) groupBy with map-side
-    partial aggregation down to ≤256 cells — the partial aggregate IS
-    the sketch merge; the probe side is |keys| rows joined against
-    those 256 cells by broadcast.
+    Scale: the ×d explode feeds a (i, bucket) groupBy with map-side
+    partial aggregation down to ≤ d·w cells — the partial aggregate IS
+    the sketch merge, the 1000-executor fan-in shape; the probe side
+    is |keys| rows joined against those cells by broadcast. At
+    w=2048, d=5 the grid is 10240 longs (~80 KB) — still a broadcast.
     """
-    ev = load_table(spark, sf_dir, "events")
-    rows = ev.select(
-        "event_type", F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("i")
+    rows = df.select(
+        key, F.explode(F.sequence(F.lit(1), F.lit(d))).alias("i")
     )
     bucket = md5_hash32_spark(
-        "concat(cast(i as string), ':', event_type)", _CMS_W
+        f"concat(cast(i as string), ':', {key})", w
     )
     cells = rows.groupBy("i", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    truth = ev.groupBy("event_type").agg(
+    truth = df.groupBy(key).agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
     probe = truth.select(
-        "event_type",
+        key,
         "exact_count",
-        F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.lit(d))).alias("i"),
     ).withColumn("bucket", bucket)
     return (
         probe.join(F.broadcast(cells), ["i", "bucket"])
-        .groupBy("event_type")
+        .groupBy(key)
         .agg(
             F.min("cnt").cast("long").alias("cms_estimate"),
             F.max("exact_count").alias("exact_count"),
@@ -1986,101 +2029,103 @@ def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bloom filter: m=4096 bits, k=3 md5-derived positions. Width chosen so
-# the sf0.01 fixture produces a NONZERO false-positive count (a probe
-# that reports 0 fps exercises nothing); at sf0.1 the filter saturates
-# visibly — the report carries bits_set so the degradation is explicit.
-_BLOOM_M = 4096
-_BLOOM_K = 3
+def cms_oracle_sql(table: str, key: str, w: int, d: int) -> str:
+    """DuckDB twin of cms_frequencies over fixture view `table`."""
+    h = md5_hash32_sql(f"CAST(i AS VARCHAR) || ':' || {key}", w)
+    return f"""
+    WITH cells AS (
+      SELECT i,
+             CAST({h} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table}, generate_series(1, {d}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT {key}, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM {table} GROUP BY 1
+    ),
+    probe AS (
+      SELECT {key}, exact_count, i,
+             CAST({h} AS BIGINT) AS bucket
+      FROM truth, generate_series(1, {d}) AS t(i)
+    )
+    SELECT p.{key}, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           MAX(p.exact_count) AS exact_count
+    FROM probe p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.{key}
+    """
 
 
 @query(
-    "orders_bloom_customer_probe",
-    oracle=f"""
-    WITH keys AS (
-      SELECT DISTINCT o_custkey AS k FROM orders
-      WHERE o_totalprice > 450000
-    ),
-    bits AS (
-      SELECT DISTINCT
-             CAST({md5_hash32_sql(
-                 "CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)",
-                 _BLOOM_M)} AS BIGINT) AS bit
-      FROM keys, generate_series(1, {_BLOOM_K}) AS t(i)
-    ),
-    probes AS (
-      SELECT c_custkey AS k,
-             CASE WHEN EXISTS (SELECT 1 FROM keys WHERE keys.k = c_custkey)
-                  THEN 1 ELSE 0 END AS is_member
-      FROM customer
-    ),
-    probe_bits AS (
-      SELECT p.k, p.is_member,
-             CAST({md5_hash32_sql(
-                 "CAST(i AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)",
-                 _BLOOM_M)} AS BIGINT) AS bit
-      FROM probes p, generate_series(1, {_BLOOM_K}) AS t(i)
-    ),
-    verdict AS (
-      SELECT pb.k, MAX(pb.is_member) AS is_member,
-             CASE WHEN COUNT(b.bit) = {_BLOOM_K} THEN 1 ELSE 0 END AS maybe
-      FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
-      GROUP BY pb.k
-    )
-    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
-           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
-           CAST(COUNT(*) AS BIGINT) AS n_probes,
-           CAST(SUM(is_member) AS BIGINT) AS n_true_members,
-           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
-           CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_false_positives,
-           CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_false_negatives
-    FROM verdict
-    """,
+    "events_cms_type_counts",
+    oracle=cms_oracle_sql("events", "event_type", 64, 4),
 )
-def orders_bloom_customer_probe(
+def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates per event type at the 4×64
+    demo width (collisions are visible at fixture scale) — the second
+    classic mergeable sketch after [HLL]: CMS answers "how often did X
+    occur" from a fixed integer grid that merges by cell-wise
+    addition. See cms_frequencies for the construction;
+    events_cms_type_counts_wide runs the production width."""
+    ev = load_table(spark, sf_dir, "events")
+    return cms_frequencies(ev, "event_type", 64, 4)
+
+
+@query(
+    "events_cms_type_counts_wide",
+    oracle=cms_oracle_sql("events", "event_type", 2048, 5),
+)
+def events_cms_type_counts_wide(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Bloom-filter membership: build a 4096-bit / 3-hash filter over
-    the customers that placed orders, probe EVERY customer, and report
-    the confusion counts against the exact semi-join — the third
-    classic mergeable sketch (HLL counts distinct, CMS counts
-    frequency, Bloom answers membership). n_false_negatives is pinned
-    0 by construction — a Bloom filter never lies about absence.
+    """PRODUCTION-width Count-Min (5×2048: overestimate ≤ e/2048·N ≈
+    0.13% of stream length per probe, failure probability e^−5 < 1%;
+    VERDICT r7 #4). Same builder, same exact oracle — the grid is
+    still a ~80 KB broadcast and the map-side partial aggregate
+    remains the merge."""
+    ev = load_table(spark, sf_dir, "events")
+    return cms_frequencies(ev, "event_type", 2048, 5)
+
+
+# Bloom filter: m bits, k md5-derived positions, WIDTH-PARAMETERIZED
+# (VERDICT r7 #4). The demo width (4096/3) is chosen so the sf0.01
+# fixture produces a NONZERO false-positive count (a probe that
+# reports 0 fps exercises nothing) and saturates visibly at sf0.1 —
+# bits_set makes the degradation explicit; the production width
+# (2^17/7) holds fp ≈ 0 at fixture scale and its analytic fp bound is
+# pinned empirically in tests/test_sketch_widths.py.
+
+
+def bloom_confusion(
+    keys: DataFrame, probes: DataFrame, m: int, k: int
+) -> DataFrame:
+    """Bloom-filter membership report: build an m-bit / k-hash filter
+    over `keys` (one column `k`), probe every row of `probes`
+    (columns `k`, `is_member`), and return the one-row confusion
+    report (n_keys, bits_set, n_probes, n_true_members, n_maybe,
+    n_false_positives, n_false_negatives). n_false_negatives is 0 by
+    construction — a Bloom filter never lies about absence.
 
     Determinism: bit positions are md5('i:key') prefixes mod m; the
-    filter is the DISTINCT set of lit bits (the set-bit relation is the
-    relational form of the bitmask — merging filters is a union, which
-    is exactly what the distinct aggregate does map-side).
+    filter is the DISTINCT set of lit bits (the set-bit relation is
+    the relational form of the bitmask — merging filters is a union,
+    which is exactly what the distinct aggregate does map-side), so
+    the oracle (`bloom_oracle_sql`) is exact at any (m, k).
 
-    Scale: the filter state is ≤ m rows of one integer after the
-    distinct (broadcast back to the probe side); probes explode ×k and
-    semi-join the bit relation. At 10× keys the 4096-bit filter
-    saturates — bits_set says so in the artifact rather than hiding it.
+    Scale: the filter state is ≤ min(m, k·|keys|) rows of one integer
+    after the distinct (broadcast back to the probe side); probes
+    explode ×k and semi-join the bit relation. At m=2^17 the bit
+    relation is ≤ 1 MB — still a broadcast.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    # member set = high-value customers (>$450k order) — every fixture
-    # customer has SOME order, so an unrestricted key set would leave
-    # zero negative probes and the confusion counts would be trivial
-    keys = (
-        orders.filter(F.col("o_totalprice") > 450000)
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
-    )
 
     def bit_for(col: str):
         return md5_hash32_spark(
             f"concat(cast(i as string), ':', cast({col} as string))",
-            _BLOOM_M,
+            m,
         )
 
-    ks = F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("i")
+    ks = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i")
     bits = keys.select("k", ks).select(bit_for("k").alias("bit")).distinct()
-    probes = cust.select(F.col("c_custkey").alias("k")).join(
-        keys.withColumn("is_member", F.lit(1)), "k", "left"
-    ).select("k", F.coalesce("is_member", F.lit(0)).alias("is_member"))
     probe_bits = probes.select("k", "is_member", ks).select(
         "k", "is_member", bit_for("k").alias("bit")
     )
@@ -2091,7 +2136,7 @@ def orders_bloom_customer_probe(
         .groupBy("k")
         .agg(
             F.max("is_member").alias("is_member"),
-            F.when(F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K, 1)
+            F.when(F.sum(F.coalesce("hit", F.lit(0))) == k, 1)
             .otherwise(0)
             .alias("maybe"),
         )
@@ -2128,6 +2173,103 @@ def orders_bloom_customer_probe(
             "n_false_negatives",
         )
     )
+
+
+def bloom_orders_oracle_sql(m: int, k: int) -> str:
+    """DuckDB twin of the orders/customer Bloom probe at (m, k)."""
+    hk = md5_hash32_sql("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)", m)
+    hp = md5_hash32_sql(
+        "CAST(i AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)", m
+    )
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_totalprice > 450000
+    ),
+    bits AS (
+      SELECT DISTINCT CAST({hk} AS BIGINT) AS bit
+      FROM keys, generate_series(1, {k}) AS t(i)
+    ),
+    probes AS (
+      SELECT c_custkey AS k,
+             CASE WHEN EXISTS (SELECT 1 FROM keys WHERE keys.k = c_custkey)
+                  THEN 1 ELSE 0 END AS is_member
+      FROM customer
+    ),
+    probe_bits AS (
+      SELECT p.k, p.is_member,
+             CAST({hp} AS BIGINT) AS bit
+      FROM probes p, generate_series(1, {k}) AS t(i)
+    ),
+    verdict AS (
+      SELECT pb.k, MAX(pb.is_member) AS is_member,
+             CASE WHEN COUNT(b.bit) = {k} THEN 1 ELSE 0 END AS maybe
+      FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+      GROUP BY pb.k
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM verdict
+    """
+
+
+def _bloom_orders_inputs(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # member set = high-value customers (>$450k order) — every fixture
+    # customer has SOME order, so an unrestricted key set would leave
+    # zero negative probes and the confusion counts would be trivial
+    keys = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probes = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .join(keys.withColumn("is_member", F.lit(1)), "k", "left")
+        .select("k", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    )
+    return keys, probes
+
+
+@query(
+    "orders_bloom_customer_probe",
+    oracle=bloom_orders_oracle_sql(4096, 3),
+)
+def orders_bloom_customer_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter membership at the 4096-bit / 3-hash demo width
+    (false positives are visible at fixture scale; at sf0.1 the filter
+    saturates and bits_set says so) — the third classic mergeable
+    sketch (HLL counts distinct, CMS counts frequency, Bloom answers
+    membership). See bloom_confusion for the construction;
+    orders_bloom_customer_probe_wide runs the production width.
+    """
+    keys, probes = _bloom_orders_inputs(spark, sf_dir)
+    return bloom_confusion(keys, probes, 4096, 3)
+
+
+@query(
+    "orders_bloom_customer_probe_wide",
+    oracle=bloom_orders_oracle_sql(1 << 17, 7),
+)
+def orders_bloom_customer_probe_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION-width Bloom probe (m=2^17 bits, k=7: at the fixture's
+    key counts kn/m ≪ 1, so fp ≈ (1−e^(−kn/m))^7 ≈ 0; VERDICT r7 #4 —
+    the 4096-bit demo saturates at sf0.1). Same builder, same exact
+    oracle; the set-bit relation stays a ≤1 MB broadcast."""
+    keys, probes = _bloom_orders_inputs(spark, sf_dir)
+    return bloom_confusion(keys, probes, 1 << 17, 7)
 
 
 @query(
