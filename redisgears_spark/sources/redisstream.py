@@ -39,6 +39,14 @@ duplicate field names and their order survive — same contract as the
 command-log source (`fields` is the last-wins map view, `record` is
 non-null exactly when an entry has duplicate field names).
 
+**Single-node scope**: the source is a single-endpoint client. A Redis
+CLUSTER deployment (the reference's production shape — hash-slot
+routing, MOVED/ASK redirects, background_run_ctx.rs:179-231) is OUT OF
+CONTRACT: discovery refuses loudly when the endpoint reports
+cluster_enabled:1 instead of silently reading one node's slice of the
+keyspace (see `_ensure_single_node`). Cluster users point one source at
+each master with non-overlapping `match` patterns.
+
 **No Redis server in CI**: the client is built by `_make_client`, which
 imports `redis` (redis-py, public API) unless the options carry
 `fake_path` — then it returns `FakeRedis`, a file-backed in-memory
@@ -214,16 +222,69 @@ def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
 # ---------------------------------------------------------------------------
 
 
+class GearsRedisClusterError(RuntimeError):
+    """The endpoint is a Redis CLUSTER node — out of this source's
+    contract (see _ensure_single_node)."""
+
+
+def _ensure_single_node(client) -> None:
+    """SINGLE-NODE CONTRACT (VERDICT r7 #5): this source discovers keys
+    with SCAN against ONE endpoint. Pointed at a cluster node, SCAN
+    returns only that node's hash slots — a silently PARTIAL keyspace,
+    the one way this source can lie to a user. The reference's cluster
+    deployment routes by hash slot with MOVED/ASK redirects
+    (redisgears_core/src/background_run_ctx.rs:179-231, rdb.rs:196-201
+    calc_slot); replicating that needs per-node SCAN fan-out, which is
+    explicitly not implemented. So: fail LOUDLY at discovery time when
+    `INFO cluster` reports cluster_enabled:1. Clients without an INFO
+    surface (injected stand-ins) are assumed single-node — they cannot
+    be cluster proxies. The verdict is cached on the client object so
+    a long-lived streaming tail pays one INFO round-trip, not one per
+    micro-batch."""
+    if getattr(client, "_gears_single_node_ok", False):
+        return
+    info = getattr(client, "info", None)
+    enabled = 0
+    if callable(info):
+        try:
+            enabled = int((info("cluster") or {}).get("cluster_enabled", 0))
+        except GearsRedisClusterError:
+            raise
+        except Exception:
+            # INFO unavailable (restricted ACL, stand-in client):
+            # proceed — the contract is documented, not enforceable here
+            enabled = 0
+    if enabled:
+        raise GearsRedisClusterError(
+            "gears_redis: endpoint reports cluster_enabled:1 — this "
+            "source SCANs a single node and would silently read a "
+            "PARTIAL keyspace on a cluster. Cluster-mode fan-out "
+            "(per-node SCAN + MOVED/ASK routing) is out of contract; "
+            "point the source at each master individually with "
+            "non-overlapping `match` patterns, or run a single-node "
+            "deployment."
+        )
+    try:
+        client._gears_single_node_ok = True
+    except Exception:
+        pass  # clients with __slots__: re-check next call, still correct
+
+
 def _make_client(options: dict):
     """Build the Redis client from data-source options.
 
     `fake_path` (test/offline transport) → `FakeRedis` over that spool
-    file. Otherwise redis-py over host/port/db/password —
+    file (`fake_cluster=1` makes it REPORT cluster mode, for contract
+    tests). Otherwise redis-py over host/port/db/password —
     `decode_responses=True` so keys/fields arrive as str (the row
     converter also tolerates bytes for injected clients)."""
     fake = options.get("fake_path")
     if fake:
-        return FakeRedis(fake)
+        return FakeRedis(
+            fake,
+            cluster_enabled=str(options.get("fake_cluster", "0"))
+            in ("1", "true"),
+        )
     try:
         import redis  # type: ignore[import-not-found]
     except ImportError as e:  # pragma: no cover - no redis-py in sandbox
@@ -263,7 +324,11 @@ def _scan_stream_keys(
 ) -> list[str]:
     """Discover matching stream keys (the reference's bootstrap scan,
     lib.rs:1546-1574). Pushed equalities short-circuit to direct
-    existence probes; otherwise SCAN with the narrowest MATCH pattern."""
+    existence probes; otherwise SCAN with the narrowest MATCH pattern.
+    Refuses cluster endpoints loudly (see _ensure_single_node) — even
+    the direct-probe path, because TYPE against a non-owning cluster
+    node answers MOVED, not the truth."""
+    _ensure_single_node(client)
     if eqs:
         keys = [k for k in eqs if client.type(k) == "stream"]
     else:
@@ -446,8 +511,9 @@ class FakeRedis:
     entries with id < minid and returns the evicted count.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, cluster_enabled: bool = False):
         self.path = path
+        self._cluster_enabled = cluster_enabled
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         if not os.path.exists(path):
             with open(path, "a", encoding="utf-8"):
@@ -606,6 +672,12 @@ class FakeRedis:
 
     def type(self, name: str) -> str:
         return "stream" if name in self._streams() else "none"
+
+    def info(self, section: str | None = None) -> dict:
+        """INFO subset: the cluster section _ensure_single_node reads.
+        `cluster_enabled=True` at construction (option `fake_cluster`)
+        simulates a cluster node for the contract test."""
+        return {"cluster_enabled": 1 if self._cluster_enabled else 0}
 
     def xtrim(self, name: str, minid: str | int | None = None, **kw) -> int:
         if minid is None:

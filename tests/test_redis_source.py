@@ -577,3 +577,70 @@ class TestRealServer:
             (f"{_MS}-0", [("f", "1"), ("g", "2"), ("f", "9")])
         ]
         assert client.xrange(k, "-", "+")[0][1] == {"f": "9", "g": "2"}
+
+
+class TestClusterContract:
+    """VERDICT r7 #5: a cluster endpoint must refuse LOUDLY at discovery
+    time — SCAN against one cluster node reads a silently partial
+    keyspace, the one way this source could lie to a user."""
+
+    def test_scan_refuses_cluster_endpoint(self, tmp_path):
+        from redisgears_spark.sources.redisstream import (
+            GearsRedisClusterError,
+            _scan_stream_keys,
+        )
+
+        c = FakeRedis(str(tmp_path / "c.jsonl"), cluster_enabled=True)
+        c.xadd("user:1", {"a": "1"}, id=_id(_MS))
+        with pytest.raises(GearsRedisClusterError, match="cluster"):
+            _scan_stream_keys(c, (), ("user:",))
+        # the direct-probe path (pushed equality) must refuse too:
+        # TYPE against a non-owning node answers MOVED, not the truth
+        with pytest.raises(GearsRedisClusterError, match="cluster"):
+            _scan_stream_keys(c, ("user:1",), ())
+
+    def test_batch_read_refuses_cluster_endpoint(self, spark, tmp_path):
+        c = FakeRedis(str(tmp_path / "c.jsonl"), cluster_enabled=True)
+        c.xadd("user:1", {"a": "1"}, id=_id(_MS))
+        register_redis_source(spark)
+        df = (
+            spark.read.format("gears_redis")
+            .option("fake_path", c.path)
+            .option("fake_cluster", "1")
+            .load()
+        )
+        with pytest.raises(Exception, match="cluster"):
+            df.count()
+
+    def test_single_node_verdict_is_cached(self, tmp_path):
+        from redisgears_spark.sources.redisstream import _scan_stream_keys
+
+        calls = []
+
+        class Counting(FakeRedis):
+            def info(self, section=None):
+                calls.append(section)
+                return super().info(section)
+
+        c = Counting(str(tmp_path / "s.jsonl"))
+        c.xadd("user:1", {"a": "1"}, id=_id(_MS))
+        _scan_stream_keys(c, (), ("user:",))
+        _scan_stream_keys(c, (), ("user:",))
+        assert len(calls) == 1  # one INFO round-trip per client, not per scan
+
+    def test_client_without_info_is_assumed_single_node(self, tmp_path):
+        from redisgears_spark.sources.redisstream import _scan_stream_keys
+
+        c = FakeRedis(str(tmp_path / "n.jsonl"))
+        c.xadd("user:1", {"a": "1"}, id=_id(_MS))
+        stand_in = type(
+            "NoInfo",
+            (),
+            {
+                "scan_iter": lambda self, match="*", _type=None: c.scan_iter(
+                    match=match, _type=_type
+                ),
+                "type": lambda self, name: c.type(name),
+            },
+        )()
+        assert _scan_stream_keys(stand_in, (), ("user:",)) == ["user:1"]
