@@ -411,6 +411,14 @@ class StreamTriggerRuntime:
         self.source_adapter = source_adapter
         self.source_format = source_format
         self.source_options = dict(source_options or {})
+        # parquet-spool micro-batch pacing: how many spool files one
+        # ingest micro-batch admits. The default (8) makes a 8-file
+        # bench spool ONE batch; 1 paces the same spool into 8 waves so
+        # an async trigger's worker pipelines with ingest (the
+        # continuous-load shape — see bench.py streaming_async_pipelined)
+        self._files_per_trigger = int(
+            self.source_options.pop("maxFilesPerTrigger", 8)
+        )
         if source_format == "commandlog":
             from redisgears_spark.sources.commandlog import (
                 register_commandlog_source,
@@ -535,14 +543,14 @@ class StreamTriggerRuntime:
         elif self.source_adapter is not None:
             raw = (
                 self.spark.readStream.schema(raw_schema)
-                .option("maxFilesPerTrigger", 8)
+                .option("maxFilesPerTrigger", self._files_per_trigger)
                 .parquet(self.spool_dir)
             )
             base = self.source_adapter(raw)
         else:
             base = (
                 self.spark.readStream.schema(STREAM_SCHEMA)
-                .option("maxFilesPerTrigger", 8)
+                .option("maxFilesPerTrigger", self._files_per_trigger)
                 .parquet(self.spool_dir)
             )
         if respool_dir is not None:
@@ -602,6 +610,45 @@ class StreamTriggerRuntime:
                 acl_regex=self.engine.acl_read_regex(owner),
             )
 
+        # Batch-invariant plan fragments, built ONCE per trigger (r8:
+        # profiling attributed the streaming_agg ratio creep to ~0.2 s
+        # of per-batch driver-side py4j DataFrame construction — a
+        # fixed Python cost measured against a JVM baseline that got
+        # faster across rounds). Column objects are immutable
+        # unresolved expressions, so reusing them across micro-batch
+        # DataFrames is safe; only the Observation must be fresh per
+        # batch.
+        prefix_pred = F.col("stream_key").startswith(prefix)
+        if agg_expr is not None:
+            agg_cols = [
+                F.expr(sql).alias(col) for col, sql in agg_expr.items()
+            ]
+            agg_result_cols = [
+                F.lit("ok").alias("status"),
+                F.to_json(
+                    F.struct(*[F.col(c) for c in agg_expr])
+                ).alias("result"),
+                F.lit(None).cast("string").alias("error"),
+            ]
+            agg_observe_cols = [
+                F.count(F.lit(1)).alias("n_keys"),
+                F.min(F.unix_micros("id_ts")).alias("oldest_us"),
+                F.collect_list(
+                    F.struct("stream_key", "id")
+                ).alias("frontiers"),
+            ]
+        elif expr is not None:
+            expr_result_cols = [
+                F.lit("ok").alias("status"),
+                F.expr(expr).cast("string").alias("result"),
+                F.lit(None).cast("string").alias("error"),
+            ]
+            expr_meta_cols = [
+                F.max("id").alias("id"),
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.unix_micros("id_ts")).alias("oldest_us"),
+            ]
+
         queue_dir: str | None = None
 
         if mode == "async":
@@ -658,7 +705,7 @@ class StreamTriggerRuntime:
 
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
-            matched = batch_df.filter(F.col("stream_key").startswith(prefix))
+            matched = batch_df.filter(prefix_pred)
             from pyspark.sql import Observation
 
             obs_gate: Observation | None = None
@@ -727,24 +774,13 @@ class StreamTriggerRuntime:
                 # (a throwing expr fails the task, same as a malformed
                 # query): n_err is structurally 0.
                 if agg_expr is not None:
-                    aggs = [
-                        F.expr(sql).alias(col)
-                        for col, sql in agg_expr.items()
-                    ]
                     grouped = matched.groupBy("stream_key").agg(
                         F.max("id").alias("id"),
                         F.min("id_ts").alias("id_ts"),
-                        *aggs,
+                        *agg_cols,
                     )
                     row_results = grouped.select(
-                        "stream_key",
-                        "id",
-                        "id_ts",
-                        F.lit("ok").alias("status"),
-                        F.to_json(
-                            F.struct(*[F.col(c) for c in agg_expr])
-                        ).alias("result"),
-                        F.lit(None).cast("string").alias("error"),
+                        "stream_key", "id", "id_ts", *agg_result_cols
                     )
                     # the agg already reduced the batch to |keys| rows, so
                     # the metadata rides the ONE write job as observe()
@@ -752,14 +788,7 @@ class StreamTriggerRuntime:
                     # structs, not batch-sized — grouped.id_ts is already
                     # min per key, so its global min is the batch oldest)
                     obs = Observation()
-                    observed = row_results.observe(
-                        obs,
-                        F.count(F.lit(1)).alias("n_keys"),
-                        F.min(F.unix_micros("id_ts")).alias("oldest_us"),
-                        F.collect_list(
-                            F.struct("stream_key", "id")
-                        ).alias("frontiers"),
-                    )
+                    observed = row_results.observe(obs, *agg_observe_cols)
                     observed.write.mode("append").parquet(sink_dir)
                     m = obs.get
                     n_ok = m["n_keys"]
@@ -769,12 +798,7 @@ class StreamTriggerRuntime:
                     ]
                 if agg_expr is None:
                     row_results = admitted.select(
-                        "stream_key",
-                        "id",
-                        "id_ts",
-                        F.lit("ok").alias("status"),
-                        F.expr(expr).cast("string").alias("result"),
-                        F.lit(None).cast("string").alias("error"),
+                        "stream_key", "id", "id_ts", *expr_result_cols
                     )
                     row_results.write.mode("append").parquet(sink_dir)
                     # metadata from `admitted`, the exact set written above —
@@ -784,11 +808,7 @@ class StreamTriggerRuntime:
                     # without being written
                     meta_rows = (
                         admitted.groupBy("stream_key")
-                        .agg(
-                            F.max("id").alias("id"),
-                            F.count(F.lit(1)).alias("n"),
-                            F.min(F.unix_micros("id_ts")).alias("oldest_us"),
-                        )
+                        .agg(*expr_meta_cols)
                         .collect()
                     )
                     frontiers = [
@@ -1390,6 +1410,24 @@ class KeyspaceTriggerRuntime:
                 acl_regex=runtime.engine.acl_read_regex(owner),
             )
 
+        # batch-invariant plan fragments, built once per trigger (see
+        # StreamTriggerRuntime.start_trigger — same per-batch py4j cost
+        # attribution)
+        match_pred = F.col("key").startswith(prefix) & (
+            F.col("origin") != F.lit("trigger")
+        )
+        if expr is not None:
+            expr_result_cols = [
+                F.lit("ok").alias("status"),
+                F.expr(expr).cast("string").alias("result"),
+                F.lit(None).cast("string").alias("error"),
+            ]
+            expr_observe_cols = [
+                F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                F.count(F.when(F.col("status") == "error", 1)).alias("err"),
+                F.max("error").alias("an_error"),
+            ]
+
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if (
                 expr is not None
@@ -1412,11 +1450,9 @@ class KeyspaceTriggerRuntime:
                 with self._lock:
                     stats.last_error = msg
                 raise GearsError(msg)
-            matched = batch_df.filter(
-                F.col("key").startswith(prefix)
-                # re-entrancy suppression: engine-origin writes excluded
-                & (F.col("origin") != F.lit("trigger"))
-            )
+            # re-entrancy suppression baked into the predicate:
+            # engine-origin writes excluded
+            matched = batch_df.filter(match_pred)
             if expr is not None:
                 # declarative fast path (see StreamTriggerRuntime): the
                 # callback is a Catalyst expression over the change record.
@@ -1424,24 +1460,12 @@ class KeyspaceTriggerRuntime:
                 # metrics (the CDC sink keeps all statuses, so no second
                 # write is ever needed)
                 results = matched.select(
-                    "seq",
-                    "key",
-                    "event",
-                    F.lit("ok").alias("status"),
-                    F.expr(expr).cast("string").alias("result"),
-                    F.lit(None).cast("string").alias("error"),
+                    "seq", "key", "event", *expr_result_cols
                 )
                 from pyspark.sql import Observation
 
                 obs = Observation()
-                observed = results.observe(
-                    obs,
-                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
-                    F.count(F.when(F.col("status") == "error", 1)).alias(
-                        "err"
-                    ),
-                    F.max("error").alias("an_error"),
-                )
+                observed = results.observe(obs, *expr_observe_cols)
                 observed.write.mode("append").parquet(sink_dir)
                 m = obs.get
                 n_ok, n_err = m["ok"] or 0, m["err"] or 0
