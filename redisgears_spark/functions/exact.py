@@ -45,6 +45,15 @@ def exact_avg(sum_col: Column, count_col: Column) -> Column:
     return sum_col.cast("double") / count_col
 
 
+def f64(x: float) -> str:
+    """A float constant as a CAST('<repr>' AS DOUBLE) SQL literal — the
+    one representation both engines parse to the identical double
+    (DuckDB parses bare decimal literals as DECIMAL, whose →double cast
+    is not correctly rounded; string→double parsing is correctly
+    rounded in both engines, and Python repr round-trips)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def day_bucket(col: Column | str) -> Column:
     """Timestamp → epoch-day bucket, FLOORED (matches DuckDB's
     `epoch_us(ts) // 86400000000`, which floors). A plain

@@ -1692,13 +1692,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 import math as _math
 
 
-def _f64(x: float) -> str:
-    """A float constant as a CAST('<repr>' AS DOUBLE) literal — the one
-    representation both engines parse to the identical double (DuckDB
-    parses bare decimal literals as DECIMAL, whose →double cast is not
-    correctly rounded; string→double parsing is correctly rounded in
-    both engines)."""
-    return f"CAST('{x!r}' AS DOUBLE)"
+from redisgears_spark.functions.exact import f64 as _f64  # noqa: E402
 
 
 def _hll_alpha(m: int) -> float:
@@ -2370,4 +2364,142 @@ def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("s1")).cast("double")
             / (F.col("n") - F.col("t"))
         ).alias("mean_right_c"),
+    )
+
+
+@query(
+    "events_revenue_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS v
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT i AS lag, a.v AS x, b.v AS y
+      FROM daily a
+      CROSS JOIN generate_series(1, 7) AS t(i)
+      JOIN daily b ON b.day = a.day + i
+    ),
+    s AS (
+      SELECT lag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS acf
+    FROM s
+    """,
+)
+def events_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 — the
+    seasonality detector (a weekly cycle shows as a lag-7 peak) every
+    forecasting pipeline computes before choosing a model.
+
+    Construction: the corpus collapses to |days| daily integer-cent
+    sums; each lag pairs day d with day d+k via an equi-join on the
+    computed key (day + lag = day') — present-day pairs only, the
+    standard SQL ACF contract. Each lag's correlation is the exact
+    Pearson pattern ([corr] lineitem_price_qty_corr): decimal integer
+    accumulators, one sqrt·sqrt·divide tail — bit-identical across
+    engines.
+
+    Scale: facts reduce to |days| rows FIRST (map-side partial); the
+    ×7 explode and the self-join ride that tiny frame. Nothing past
+    the first aggregate is corpus-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket("ts").alias("day")).agg(
+        F.sum(cents("value")).alias("v")
+    )
+    a = daily.select(
+        "day",
+        F.col("v").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("v").alias("y"))
+    pairs = a.join(b, a.day + a.lag == b.bday)
+    s = pairs.select(
+        "lag",
+        F.col("x").cast(_DEC).alias("x"),
+        F.col("y").cast(_DEC).alias("y"),
+    ).groupBy("lag").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    acf = num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when((dx > 0) & (dy > 0), acf).alias("acf"),
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    g AS (
+      SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(v_c) AS BIGINT) AS total_c
+      FROM h GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(total_c) AS BIGINT) AS grand_c FROM g)
+    SELECT hour, n_events, total_c,
+           CAST(total_c AS DOUBLE) / n_events AS avg_value_c,
+           CAST(total_c AS DOUBLE) / grand_c AS revenue_share
+    FROM g CROSS JOIN t
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile: per hour, event count, exact
+    integer-cent revenue, the average ticket, and the hour's share of
+    total revenue — the intra-day load curve behind capacity planning
+    and send-time optimization.
+
+    Exactness: counts and cent sums are exact integers; avg and share
+    are each ONE IEEE division against exact operands (the share
+    divides by the exact grand total, never a float running sum). The
+    session timezone is pinned UTC, so hour() agrees across engines.
+
+    Scale: one map-side-partial aggregate to ≤24 rows; the grand total
+    is a second aggregate OVER THOSE 24 rows broadcast back — the
+    corpus is scanned once and shuffles only (hour, count, cents).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents("value")).cast("long").alias("total_c"),
+    )
+    t = g.agg(F.sum("total_c").cast("long").alias("grand_c"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "hour",
+        "n_events",
+        "total_c",
+        (F.col("total_c").cast("double") / F.col("n_events")).alias(
+            "avg_value_c"
+        ),
+        (F.col("total_c").cast("double") / F.col("grand_c")).alias(
+            "revenue_share"
+        ),
     )

@@ -1497,3 +1497,112 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "pipeline_length_deciles",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL},
+    k AS (
+      SELECT doc_id, n_words,
+             CASE WHEN {_G_KEEP_SQL} THEN 1 ELSE 0 END AS keep,
+             ntile(10) OVER (ORDER BY n_words, doc_id) AS decile
+      FROM s
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_words) AS BIGINT) AS min_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_words,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate
+    FROM k GROUP BY decile
+    """,
+)
+def pipeline_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-decile report: documents cut into 10 equal-count
+    bands by word count, with per-band token totals, word-count range,
+    and the Gopher keep-rate — the "where does the quality gate bite"
+    diagnostic (short-doc deciles fail the min-words rule, long-tail
+    deciles fail symbol/length rules) a curation team reads before
+    tuning thresholds.
+
+    Determinism: ntile over the unique (n_words, doc_id) order is
+    identical in both engines (same extra-row-to-early-buckets rule);
+    counts and token sums are exact integers, keep_rate one IEEE
+    division.
+
+    Scale: signals are a Catalyst projection; the global ntile is the
+    single-partition window shape — at 100 TB swap it for quantile
+    cuts from a sampled CDF (the _take_lang_quota docstring's
+    two-phase recipe), which changes band edges, not the report shape.
+    """
+    sig = pipeline_gopher_filters(spark, sf_dir).select(
+        "doc_id", "n_words", F.col("keep").cast("int").alias("keep")
+    )
+    dec = F.ntile(10).over(W.orderBy("n_words", "doc_id"))
+    k = sig.withColumn("decile", dec.cast("long"))
+    return k.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        (F.sum("keep").cast("double") / F.count(F.lit(1))).alias(
+            "keep_rate"
+        ),
+    )
+
+
+@query(
+    "pipeline_contamination_by_source",
+    oracle=f"""
+    WITH {_DECON_GRAMS_CTE},
+    eg AS (SELECT DISTINCT md5(g) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    tg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+    dirty AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gh))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(dd.doc_id) AS DOUBLE) / COUNT(*)
+             AS contamination_rate
+    FROM documents d LEFT JOIN dirty dd ON dd.doc_id = d.doc_id
+    WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+    GROUP BY d.source
+    """,
+)
+def pipeline_contamination_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination rate per corpus source: which ingest feeds leak
+    benchmark 5-grams — the triage view on top of
+    `pipeline_decontaminate`'s per-document verdicts (a whole source
+    with a high rate gets dropped or re-scraped; a uniform low rate is
+    benign overlap).
+
+    Exactness: counts are exact integers; the rate is one IEEE
+    division. Composes the registered decontaminate operator rather
+    than re-implementing the gram join, so the verdicts here are
+    exactly the funnel's.
+
+    Scale: the gram join is pipeline_decontaminate's shape (32-byte
+    fingerprints, never text); this adds one |train docs|-row join to
+    the source column and a map-side rollup to |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    verdicts = pipeline_decontaminate(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").cast("int").alias("c")
+    )
+    return (
+        verdicts.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum("c").cast("long").alias("n_contaminated"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
+    )

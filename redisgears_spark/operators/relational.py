@@ -3241,3 +3241,234 @@ def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         (F.col("share") - F.col("prev_share")).alias("share_shift"),
     )
+
+
+# Benford expected leading-digit shares log10(1 + 1/d), emitted as
+# string-literal doubles (see functions/exact.f64 — DuckDB's DECIMAL
+# literal parse is not correctly rounded)
+import math as _math
+
+from redisgears_spark.functions.exact import f64 as _f64
+
+_BENFORD = [_f64(_math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+@query(
+    "orders_benford_leading_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    g AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM g),
+    e AS (
+      SELECT unnest(generate_series(1, 9)) AS digit,
+             unnest([{", ".join(_BENFORD)}]) AS expected_share
+    )
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           CAST(COALESCE(g.observed, 0) AS BIGINT) AS observed,
+           CAST(COALESCE(g.observed, 0) AS DOUBLE) / t.n AS observed_share,
+           e.expected_share,
+           CAST(COALESCE(g.observed, 0) AS DOUBLE) / t.n - e.expected_share
+             AS deviation
+    FROM e CROSS JOIN t LEFT JOIN g ON g.digit = e.digit
+    """,
+)
+def orders_benford_leading_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law audit of order totals: the observed leading-digit
+    distribution of integer cents against log10(1+1/d) — the classic
+    fraud/synthetic-data detector (fabricated amounts skew uniform;
+    organic ones follow Benford). All nine digits report even at zero
+    observations, seeded from the literal digit grid.
+
+    Exactness: digit counts are exact integers; observed_share and
+    deviation are fixed IEEE sequences on exact operands, and the
+    expected shares are string-literal doubles shared verbatim by both
+    dialects (no engine-side log10). No float is ever summed.
+
+    Scale: one map-side-partial aggregate to ≤9 rows; everything after
+    rides that digit histogram with a broadcast of the 1-row total.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        cents("o_totalprice").cast("string"), 1, 1
+    ).cast("long")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    t = g.agg(F.sum("observed").cast("long").alias("n"))
+    e = t.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("digit"),
+                        F.expr(_BENFORD[d - 1]).alias("expected_share"),
+                    )
+                    for d in range(1, 10)
+                ]
+            )
+        ).alias("de"),
+        "n",
+    ).select("de.digit", "de.expected_share", "n")
+    obs_share = F.col("observed").cast("double") / F.col("n")
+    return e.join(F.broadcast(g), "digit", "left").select(
+        "digit",
+        F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+        F.coalesce(obs_share, F.lit(0.0)).alias("observed_share"),
+        "expected_share",
+        (F.coalesce(obs_share, F.lit(0.0)) - F.col("expected_share")).alias(
+            "deviation"
+        ),
+    )
+
+
+@query(
+    "orders_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+               AS r
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             row_number() OVER (ORDER BY r DESC, o_custkey) AS i,
+             SUM(r) OVER () AS total,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN i END) AS BIGINT)
+             AS n_top80,
+           CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN i END) AS DOUBLE)
+             / MAX(n) AS top_fraction,
+           CAST(MAX(total) AS BIGINT) AS total_cents
+    FROM ranked
+    """,
+)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest number of customers whose
+    revenue covers 80% of the total — "is this an 80/20 business", the
+    companion number to the Gini score (orders_gini_concentration
+    measures inequality; this locates the knee).
+
+    Exactness: the 80% threshold is the INTEGER comparison cum·5 ≥
+    total·4 over exact cent sums — no float boundary; the only float
+    is the final fraction division. (r DESC, custkey) ordering makes
+    the cut deterministic under ties.
+
+    Scale: facts reduce to |customers| rows first; the global-order
+    cumulative window is the same single-partition shape the Gini
+    operator documents — at 100 TB swap it for the two-phase prefix
+    sum over md5 buckets (pipeline_shuffle_pack's construction).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("r")
+    )
+    w_ord = W.orderBy(F.col("r").desc(), "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.sum("r")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("r").over(W.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    hit = F.min(
+        F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("i"))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        hit.cast("long").alias("n_top80"),
+        (hit.cast("double") / F.max("n")).alias("top_fraction"),
+        F.max("total").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "orders_interarrival_log2",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ),
+    d AS (
+      SELECT CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap
+      FROM g WHERE prev IS NOT NULL
+    ),
+    b AS (
+      SELECT CASE WHEN gap <= 0 THEN 0
+                  ELSE length(ltrim(bin(gap), '0')) END AS bucket
+      FROM d
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                     ELSE 1 << (bucket - 1) END AS BIGINT) AS gap_days_lo,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                     ELSE (1 << bucket) - 1 END AS BIGINT) AS gap_days_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM b GROUP BY bucket
+    """,
+)
+def orders_interarrival_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of per-customer order inter-arrival
+    times (days between consecutive orders) — the purchase-cadence
+    shape behind churn models, on exponentially-spaced buckets so one
+    small table describes gaps from a day to a decade.
+
+    Exactness: the bucket is floor(log2(gap))+1 computed as the
+    bit-length of the integer day gap via the bin()-string trick the
+    [HLL] sketch uses — no float log anywhere; same-day reorders land
+    in bucket 0. Bucket bounds are integer shifts.
+
+    Scale: one hash shuffle on custkey for the lag window (orders per
+    customer are few); the histogram reduces map-side to ~15 buckets.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    gap = F.datediff("o_orderdate", "prev")
+    bucket = F.when(gap <= 0, F.lit(0)).otherwise(
+        F.length(F.expr("TRIM(LEADING '0' FROM bin(datediff(o_orderdate, prev)))"))
+    )
+    return (
+        g.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .select(
+            "bucket",
+            F.expr(
+                "CASE WHEN bucket = 0 THEN 0"
+                " ELSE shiftleft(1L, cast(bucket as int) - 1) END"
+            )
+            .cast("long")
+            .alias("gap_days_lo"),
+            F.expr(
+                "CASE WHEN bucket = 0 THEN 0"
+                " ELSE shiftleft(1L, cast(bucket as int)) - 1 END"
+            )
+            .cast("long")
+            .alias("gap_days_hi"),
+            "n_gaps",
+        )
+        .select("bucket", "gap_days_lo", "gap_days_hi", "n_gaps")
+    )

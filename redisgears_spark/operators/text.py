@@ -998,3 +998,79 @@ def text_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(_PRED_SCALE)).cast("double")
         ).alias("mean_predictability"),
     )
+
+
+@query(
+    "docs_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    firstw AS (SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w),
+    fd AS (
+      SELECT f.w, d.decile FROM firstw f JOIN d ON d.doc_id = f.first_doc
+    ),
+    new_per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM fd GROUP BY decile
+    ),
+    grid AS (SELECT unnest(generate_series(1, 10)) AS decile)
+    SELECT CAST(g.decile AS BIGINT) AS decile,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_words,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                  ORDER BY g.decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS vocab_size
+    FROM grid g LEFT JOIN new_per n ON n.decile = g.decile
+    """,
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: scanning the corpus in
+    doc_id order, how many NEVER-SEEN-BEFORE words each decile of
+    documents contributes, and the cumulative vocabulary size — the
+    diminishing-returns curve that tells a collection effort whether
+    more of the same source still buys new coverage.
+
+    Construction: "first seen in decile d" = the decile of the word's
+    MIN doc_id — so the running distinct count (inexpressible as a
+    window) becomes a plain per-word min + a 10-row prefix sum. All
+    counts exact integers; ntile over unique doc_id is deterministic
+    in both engines.
+
+    Scale: the word explode reduces map-side to one (word, min doc_id)
+    row per distinct word; the decile map is a |docs|-row integer
+    relation joined on doc_id; everything after is 10 rows. The global
+    ntile is the single-partition shape — at 100 TB the decile
+    assignment comes from doc_id range quantiles instead (same curve,
+    precomputed edges).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.ntile(10).over(W.orderBy("doc_id")).cast("long").alias("decile"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
+    )
+    firstw = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_per = (
+        firstw.join(d, firstw.first_doc == d.doc_id)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    grid = spark.range(1, 11).select(F.col("id").alias("decile"))
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(new_per, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new_words"),
+        )
+        .withColumn(
+            "vocab_size", F.sum("n_new_words").over(w_cum).cast("long")
+        )
+    )
