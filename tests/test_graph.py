@@ -484,11 +484,14 @@ def test_hll_estimate_accuracy_and_numpy_parity(spark, sf_dir):
     import pandas as pd
 
     from redisgears_spark.operators.analytics import (
-        _HLL_ALPHA,
-        _HLL_M,
-        _HLL_W,
+        _hll_alpha,
         events_hll_user_estimate,
     )
+
+    # the demo registration runs the width-parameterized builder at m=64
+    _HLL_M = 64
+    _HLL_W = 32 - 6
+    _HLL_ALPHA = _hll_alpha(_HLL_M)
 
     [row] = events_hll_user_estimate(spark, sf_dir).collect()
     exact = row["exact_distinct"]
