@@ -725,6 +725,11 @@ def main() -> None:
     streaming_agg = bench_streaming(spark, sf_dir, mode="agg")
     keyspace = bench_keyspace(spark, sf_dir)
     keyspace_expr = bench_keyspace(spark, sf_dir, mode="expr")
+    # a 4th reading between the streaming and registry sections: more
+    # interleaved points tighten the min (the r8 first cut saw the
+    # Spark min pair 25% apart on 3 readings — one mid-run reading
+    # happened to land on a busy moment)
+    canary_readings.append(bench_canary(spark))
     # best-of-2, like the streaming sections: a single late-process run
     # is GC/heap-state noise (observed 327k vs 512k calls/s on identical
     # code); per-field max is the dispatch capacity, not the jitter

@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=50)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a machine-readable result artifact (e.g. "
+        "PREFLIGHT_r08.json) recording per-query verdicts",
+    )
     args = ap.parse_args()
 
     from redisgears_spark.session import get_spark
@@ -60,6 +66,32 @@ def main() -> int:
         f"preflight: {len(names)} checked ({n_exact} exact, {n_rows} "
         f"rows-only) in {wall}s at {args.sf}"
     )
+    if args.json:
+        import json
+
+        failed = {name for name, _ in fails}
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "checked": len(names),
+                    "exact": n_exact,
+                    "rows_only": n_rows,
+                    "wall_sec": wall,
+                    "sf_dir": args.sf,
+                    "queries": {
+                        name: (
+                            "fail"
+                            if name in failed
+                            else ("exact" if name in oracles else "rows_only")
+                        )
+                        for name in names
+                    },
+                    "fails": dict(fails),
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     if fails:
         for name, err in fails:
             print(f"FAIL {name}: {err}")
