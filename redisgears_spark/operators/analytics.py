@@ -2503,3 +2503,310 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral co-occurrence + burst detection (round 8, second batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users
+          FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both, sa.n_users AS n_a, sb.n_users AS n_b,
+           CAST(n_both * total_users AS DOUBLE) / (sa.n_users * sb.n_users)
+             AS lift
+    FROM pairs
+    JOIN sizes sa ON pairs.type_a = sa.event_type
+    JOIN sizes sb ON pairs.type_b = sb.event_type
+    CROSS JOIN u
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift: for each pair of event types, how
+    many users did both and the lift vs independence — the feature-
+    adoption affinity matrix (lift > 1: doing A predicts doing B;
+    lift < 1: the behaviors are substitutes). The events-table analog
+    of orders_market_basket.
+
+    Exactness: user sets are DISTINCT integer pairs; lift is the exact
+    integer cross-product (n_both * total) / (n_a * n_b) with ONE IEEE
+    division.
+
+    Scale: the distinct (user, type) relation is the only corpus-sized
+    shuffle (8+small bytes per row); the self-join fans out per user by
+    at most |types|^2 — types are a dimension cardinality. Per-type
+    sizes and the 1-row total broadcast onto the pair table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().cache()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    total = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("total_users")
+    )
+    a = ut.select(F.col("user_id").alias("u_a"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("u_b"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.u_a == b.u_b) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("total_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_hourly_burst",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    c AS (
+      SELECT user_id,
+             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                                 RANGE BETWEEN 3599999999 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS burst
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(burst) AS BIGINT) AS max_burst_1h
+    FROM c GROUP BY user_id
+    """,
+)
+def events_hourly_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak 1-hour burst per user: the maximum number of events any
+    user fired inside a sliding 3600-second window — the abuse /
+    scraper / runaway-client detector (a calendar-hour rollup misses
+    bursts straddling the boundary; the sliding RANGE frame does not).
+
+    Exactness: the frame is VALUE-based (micros), so rows with equal
+    timestamps are peers regardless of physical order — the count is
+    deterministic under any partitioning; all outputs are integers.
+
+    Scale: one hash shuffle on user_id; the range frame is a linear
+    two-pointer scan per user (Spark's bounded-range window), not a
+    self-join; output is |users| rows. Skewed power users stay a
+    single in-order scan — no quadratic blowup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", micros("ts").alias("us"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_599_999_999, W.currentRow)
+    )
+    return (
+        e.withColumn("burst", F.count(F.lit(1)).over(w).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("burst").cast("long").alias("max_burst_1h"),
+        )
+    )
+
+
+@query(
+    "events_cumulative_adoption",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+      FROM f GROUP BY first_day
+    )
+    SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+)
+def events_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily adoption curve: new users (first-ever event that day) and
+    the cumulative user count — the growth chart every product review
+    opens with, computed without a corpus-sized running-distinct.
+
+    Exactness: floored day buckets (shared day_bucket contract),
+    integer counts, integer prefix sum over the unique day sequence.
+
+    Scale: the running distinct is re-expressed as MIN(day) per user
+    (one user_id shuffle, map-side partial) + a |days|-row prefix sum
+    — the same trick as docs_vocab_growth; the corpus never enters a
+    window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(day_bucket("ts")).alias("first_day")
+    )
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@query(
+    "events_interevent_median",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS gap_us
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def events_interevent_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-event cadence: median and p90 gap between a
+    user's consecutive events of the same type — the natural-frequency
+    baseline behind rate-limit tuning and session-timeout choices
+    (a p50 gap near the session gap means the timeout splits real
+    sessions).
+
+    Exactness: gaps are integer microseconds from a lag window with a
+    total (us, event_id) order — ties cannot reorder; the percentile
+    interpolation over integers is the same lo+(hi-lo)*frac IEEE
+    sequence in both engines.
+
+    Scale: one shuffle on (user, type) for the lag; percentile buffers
+    are per event_type (dimension cardinality). At 100 TB with huge
+    types, swap quantile_cont for approx_percentile (mergeable
+    t-digest) — same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", "event_id", micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = e.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+    )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(year(ts) * 12 + month(ts) AS BIGINT) AS month_idx,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT month_idx, day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM du GROUP BY month_idx, day
+    ),
+    monthly AS (
+      SELECT month_idx, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY month_idx
+    ),
+    a AS (
+      SELECT month_idx, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS sum_dau
+      FROM daily GROUP BY month_idx
+    )
+    SELECT a.month_idx, m.mau, a.n_days, a.sum_dau,
+           CAST(a.sum_dau AS DOUBLE) / a.n_days AS avg_dau,
+           CAST(a.sum_dau AS DOUBLE) / (a.n_days * m.mau) AS stickiness
+    FROM a JOIN monthly m ON a.month_idx = m.month_idx
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily actives over monthly
+    actives — the habit-formation metric (1.0 = every monthly user
+    shows up every active day).
+
+    Exactness: one DISTINCT (month, day, user) relation feeds both
+    sides, so DAU and MAU cannot disagree on user identity; floored
+    day buckets; the two ratios are single IEEE divisions of exact
+    integers.
+
+    Scale: the distinct triple is the only corpus-width shuffle; both
+    rollups are map-side partial over it (months x days and months
+    rows); the month join is months-sized. At 100 TB swap the exact
+    DISTINCT for the HLL sketch path (events_hll_user_estimate) if
+    user x day cardinality itself is the bottleneck.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        (F.year("ts") * 12 + F.month("ts")).cast("long").alias("month_idx"),
+        day_bucket("ts").alias("day"),
+        "user_id",
+    ).distinct().cache()
+    daily = du.groupBy("month_idx", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    monthly = du.groupBy("month_idx").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    a = daily.groupBy("month_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    return a.join(F.broadcast(monthly), "month_idx").select(
+        "month_idx",
+        "mau",
+        "n_days",
+        "sum_dau",
+        (F.col("sum_dau").cast("double") / F.col("n_days")).alias("avg_dau"),
+        (
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("mau"))
+        ).alias("stickiness"),
+    )

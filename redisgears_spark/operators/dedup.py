@@ -992,3 +992,168 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# source-level shingle analytics (round 8, second batch)
+# ---------------------------------------------------------------------------
+
+# word-3-gram shingles with the doc's source attached — the same split/
+# lower/distinct contract as _ORACLE_DOCS_CTE, lifted to (source, shingle).
+_ORACLE_SOURCE_SHINGLES_CTE = """
+    docs AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ws) >= 3 THEN
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in generate_series(1, len(ws) - 2)])
+             ELSE [''] END AS sh
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+    ),
+    ds AS (SELECT doc_id, source, unnest(sh) AS s FROM docs)
+"""
+
+
+def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, s): one row per distinct word-3-gram per doc."""
+    docs = shingled_docs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.join(src, "doc_id").select(
+        "doc_id", "source", F.explode("sh").alias("s")
+    )
+
+
+@query(
+    "docs_cross_source_overlap",
+    oracle=f"""
+    WITH {_ORACLE_SOURCE_SHINGLES_CTE},
+    ss AS (SELECT DISTINCT source, s FROM ds),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, inter,
+           (sa.n + sb.n - inter) AS union_n,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.source_a = sa.source
+    JOIN sizes sb ON pairs.source_b = sb.source
+    """,
+)
+def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: exact word-3-gram Jaccard
+    between each pair of document sources — the crawl-snapshot /
+    mirror-site detector run before mixing sources into a training
+    corpus (two "different" sources sharing most shingles are one
+    source counted twice, which silently up-weights their content).
+
+    Exactness: shingle vocabularies are distinct sets per source;
+    intersection/union are integer counts; Jaccard is one division.
+
+    Scale: the heavy relation is (source, shingle) DISTINCT — a
+    fingerprint-width shuffle, never the text. The self-join is on the
+    shingle value with per-shingle fan-out bounded by |sources| (each
+    shingle contributes at most |sources|^2/2 pairs, and |sources| is
+    a dimension, not a corpus, cardinality). Source vocab sizes are
+    broadcast back onto the pair table.
+    """
+    ss = _source_shingles(spark, sf_dir).select("source", "s").distinct()
+    # cache: feeds both self-join sides and the sizes projection
+    ss = ss.cache()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), F.col("s").alias("s_a"))
+    b = ss.select(F.col("source").alias("source_b"), F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, (a.s_a == b.s_b) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    union_n = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            union_n.alias("union_n"),
+            (F.col("inter").cast("double") / union_n).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "docs_boilerplate_shingles",
+    oracle=f"""
+    WITH {_ORACLE_SOURCE_SHINGLES_CTE},
+    df AS (
+      SELECT source, s, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      FROM ds GROUP BY source, s
+    ),
+    nd AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM docs GROUP BY source
+    )
+    SELECT df.source, nd.n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.doc_freq >= 2
+                         AND df.doc_freq * 4 >= nd.n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           CAST(MAX(df.doc_freq) AS BIGINT) AS max_doc_freq
+    FROM df JOIN nd ON df.source = nd.source
+    GROUP BY df.source, nd.n_docs
+    """,
+)
+def docs_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate report: shingles repeated across >= 25 %
+    of the source's documents (and at least 2) are boilerplate —
+    headers, footers, navigation chrome, license banners. The CCNet-
+    style pre-training cleanup signal: a source with a high
+    boilerplate share needs template stripping before its token count
+    means anything.
+
+    Exactness: document frequencies are integer counts per distinct
+    (doc, shingle); the 25 % threshold is the integer comparison
+    df*4 >= n_docs; no floats anywhere.
+
+    Scale: the shuffled relation is (source, shingle, doc_id-distinct)
+    — shingle-width, text never moves; the doc-frequency aggregate is
+    map-side partial; the per-source rollup reduces to |sources| rows
+    and the n_docs dimension joins broadcast.
+    """
+    ds = _source_shingles(spark, sf_dir)
+    df_rel = ds.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    # every doc contributes exactly one row to the shingled relation's
+    # doc_id domain (short docs get the [''] sentinel shingle), so the
+    # per-source doc count comes from the raw table — no second pass
+    # through the shingle stage
+    nd = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    boiler = (F.col("doc_freq") >= 2) & (
+        F.col("doc_freq") * 4 >= F.col("n_docs")
+    )
+    return (
+        df_rel.join(F.broadcast(nd), "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(boiler, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+            F.max("doc_freq").cast("long").alias("max_doc_freq"),
+        )
+    )

@@ -1606,3 +1606,66 @@ def pipeline_contamination_by_source(
             ),
         )
     )
+
+
+@query(
+    "pipeline_source_quality_matrix",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL}
+    SELECT d.source, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {_G_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(CASE WHEN {_G_KEEP_SQL} THEN n_words ELSE 0 END)
+                AS BIGINT) AS kept_words,
+           CAST(SUM(CASE WHEN {_G_KEEP_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS keep_rate
+    FROM s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source, d.lang
+    """,
+)
+def pipeline_source_quality_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation planning matrix: per (source, language) the Gopher
+    keep rate and the token budget it leaves behind — the table that
+    decides which sources are worth template-stripping before the
+    mix-weights (pipeline_domain_mix / unimax) are computed, because
+    a 20 % keep-rate source contributes 5x less than its raw size
+    suggests.
+
+    Exactness: reuses pipeline_gopher_filters' signal relation
+    verbatim (same CTE text in the oracle), so the per-doc verdicts
+    here and in the per-doc report cannot disagree; counts and word
+    sums are integers, keep_rate is ONE division.
+
+    Scale: the signal projection is zero-shuffle codegen over the
+    scan; the metadata join is on doc_id (both sides carry only ids +
+    small ints — text never moves); the rollup reduces map-side to
+    |sources| x |langs| rows.
+    """
+    sig = pipeline_gopher_filters(spark, sf_dir).select(
+        "doc_id", "n_words", "keep"
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return (
+        sig.join(meta, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("kept_words"),
+            (
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("keep_rate"),
+        )
+    )

@@ -3472,3 +3472,672 @@ def orders_interarrival_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "gap_days_lo", "gap_days_hi", "n_gaps")
     )
+
+
+# ---------------------------------------------------------------------------
+# customer-lifetime analytics (round 8, second batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, MIN(midx) AS cohort FROM m GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM firsts GROUP BY cohort
+    ),
+    g AS (
+      SELECT f.cohort,
+             m.midx - f.cohort AS age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(m.rev_c) AS BIGINT) AS rev_c
+      FROM m JOIN firsts f ON m.o_custkey = f.o_custkey
+      GROUP BY f.cohort, m.midx - f.cohort
+    )
+    SELECT g.cohort, g.age_months, g.n_orders, g.rev_c,
+           CAST(SUM(g.rev_c) OVER (PARTITION BY g.cohort
+                                   ORDER BY g.age_months
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_c,
+           s.n_customers,
+           CAST(SUM(g.rev_c) OVER (PARTITION BY g.cohort
+                                   ORDER BY g.age_months
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.n_customers AS ltv_per_customer_c
+    FROM g JOIN sizes s ON g.cohort = s.cohort
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month; per (cohort, months-since-first) the order count, revenue,
+    cumulative revenue, and cumulative revenue per cohort member — the
+    LTV table behind payback-period planning (the reference's users
+    build this shape in JS reducers over client.call scans;
+    v8_native_functions.rs:513-624 has no grouping/window surface).
+
+    Exactness: the month index is integer year*12+month arithmetic;
+    revenue is exact cents; the running total is an integer window sum
+    ordered by the integer age (no ties — age is the partition's sort
+    key after the pre-aggregate); the per-customer LTV is ONE IEEE
+    division of exact operands.
+
+    Scale: one shuffle on custkey for the first-order aggregate, one
+    on (cohort, age) for the monthly rollup — both map-side partial;
+    the window runs over <= months^2 rows (a few hundred), and the
+    cohort-sizes join is a broadcast. Orders are scanned once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+        cents("o_totalprice").alias("rev_c"),
+    )
+    firsts = m.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    g = (
+        m.join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("midx") - F.col("cohort")).alias("age_months"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("rev_c").cast("long").alias("rev_c"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        g.withColumn("cum_rev_c", F.sum("rev_c").over(w).cast("long"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "n_orders",
+            "rev_c",
+            "cum_rev_c",
+            "n_customers",
+            (F.col("cum_rev_c").cast("double") / F.col("n_customers")).alias(
+                "ltv_per_customer_c"
+            ),
+        )
+    )
+
+
+@query(
+    "orders_new_vs_returning",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, MIN(midx) AS first_midx FROM m GROUP BY o_custkey
+    )
+    SELECT m.midx AS month_idx,
+           CAST(SUM(CASE WHEN m.midx = f.first_midx THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_orders,
+           CAST(SUM(CASE WHEN m.midx = f.first_midx THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_returning_orders,
+           CAST(SUM(CASE WHEN m.midx = f.first_midx THEN m.rev_c ELSE 0 END)
+                AS BIGINT) AS new_rev_c,
+           CAST(SUM(CASE WHEN m.midx = f.first_midx THEN 0 ELSE m.rev_c END)
+                AS BIGINT) AS returning_rev_c,
+           CAST(COUNT(DISTINCT CASE WHEN m.midx = f.first_midx
+                                    THEN m.o_custkey END) AS BIGINT)
+             AS n_new_customers
+    FROM m JOIN firsts f ON m.o_custkey = f.o_custkey
+    GROUP BY m.midx
+    """,
+)
+def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per order month: an order is "new" when
+    it falls in its customer's first-ever month; reports order counts,
+    revenue split, and the count of first-time customers — the growth
+    accounting view (acquisition vs retention revenue).
+
+    Exactness: integer month index, exact cents, conditional integer
+    sums, COUNT(DISTINCT) over integer keys.
+
+    Scale: one custkey shuffle for the firsts aggregate; the fact
+    re-join shuffles (custkey) once more and the monthly rollup is
+    map-side partial to <= months rows. At 100 TB the firsts relation
+    is |customers|-sized — it stays a shuffle join on the same key,
+    so AQE plans it without a broadcast dependence.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+        cents("o_totalprice").alias("rev_c"),
+    )
+    firsts = m.groupBy("o_custkey").agg(F.min("midx").alias("first_midx"))
+    is_new = F.col("midx") == F.col("first_midx")
+    return (
+        m.join(firsts, "o_custkey")
+        .groupBy(F.col("midx").alias("month_idx"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_orders"),
+            F.sum(F.when(is_new, 0).otherwise(1))
+            .cast("long")
+            .alias("n_returning_orders"),
+            F.sum(F.when(is_new, F.col("rev_c")).otherwise(0))
+            .cast("long")
+            .alias("new_rev_c"),
+            F.sum(F.when(is_new, 0).otherwise(F.col("rev_c")))
+            .cast("long")
+            .alias("returning_rev_c"),
+            F.countDistinct(F.when(is_new, F.col("o_custkey")))
+            .cast("long")
+            .alias("n_new_customers"),
+        )
+    )
+
+
+@query(
+    "lineitem_ship_delay_hist",
+    oracle="""
+    SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+             AS delay_days,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS gross_c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def lineitem_ship_delay_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram: per whole-day delay between
+    o_orderdate and l_shipdate, the line-item count, how many of those
+    items were returned (the late-shipment/return correlation input),
+    and the gross value riding at that delay.
+
+    Exactness: datediff on DATE-cast timestamps counts day boundaries
+    in both engines; counts and cent sums are exact integers.
+
+    Scale: the lineitem-orders join is the classic big-big equi-join —
+    it hash-shuffles both sides on orderkey (or goes zero-exchange on
+    the bucketed layout, sources/bucketed.py); the histogram then
+    reduces map-side to a few hundred delay buckets. Only three
+    columns of each table are read (ReadSchema-pruned).
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
+                "delay_days"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+            F.sum(cents("l_extendedprice")).cast("long").alias("gross_c"),
+        )
+    )
+
+
+@query(
+    "lineitem_margin_waterfall",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+      FROM lineitem
+    )
+    SELECT ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(ext_c) AS BIGINT) AS gross_c,
+           CAST(SUM(ext_c * disc_pct) AS DOUBLE) / 100 AS discount_c,
+           CAST(SUM(ext_c * (100 - disc_pct)) AS DOUBLE) / 100 AS net_c,
+           CAST(SUM(ext_c * (100 - disc_pct) * tax_pct) AS DOUBLE) / 10000
+             AS tax_c,
+           CAST(SUM(ext_c * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE)
+             / 10000 AS charged_c
+    FROM x GROUP BY ship_year
+    """,
+)
+def lineitem_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per ship year: gross -> discount -> net ->
+    tax -> charged, the TPC-H Q1 decomposition widened into an
+    auditable bridge (each step's delta is its own column).
+
+    Exactness: discounts/taxes are exactly percent-valued in the
+    fixtures, so every product ext_c * pct is an exact integer in
+    cent-percent units; sums stay integer and each output is ONE IEEE
+    division by the 100/10000 unit factor. Magnitudes: |ext_c| <= 1e7,
+    the cent-percent^2 terms <= 2e11 per row — a BIGINT sum holds to
+    ~5e7 rows per group; at 100 TB swap the accumulators to
+    DECIMAL(38,0) (same plan shape, documented trade: ~3x agg cost).
+
+    Scale: single scan, map-side partial aggregate to |years| rows,
+    four columns read. No join, no window.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    x = l.select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        cents("l_extendedprice").alias("ext_c"),
+        basis_points("l_discount").alias("disc_pct"),
+        basis_points("l_tax").alias("tax_pct"),
+    )
+    return x.groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("ext_c").cast("long").alias("gross_c"),
+        (F.sum(F.col("ext_c") * F.col("disc_pct")).cast("double") / 100).alias(
+            "discount_c"
+        ),
+        (
+            F.sum(F.col("ext_c") * (100 - F.col("disc_pct"))).cast("double")
+            / 100
+        ).alias("net_c"),
+        (
+            F.sum(
+                F.col("ext_c") * (100 - F.col("disc_pct")) * F.col("tax_pct")
+            ).cast("double")
+            / 10000
+        ).alias("tax_c"),
+        (
+            F.sum(
+                F.col("ext_c")
+                * (100 - F.col("disc_pct"))
+                * (100 + F.col("tax_pct"))
+            ).cast("double")
+            / 10000
+        ).alias("charged_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# growth / ranking / sequence analytics (round 8, third batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_mom_yoy_growth",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS month_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT g.month_idx, g.n_orders, g.rev_c,
+           CAST(COALESCE(p.rev_c, 0) AS BIGINT) AS prev_rev_c,
+           CAST(COALESCE(y.rev_c, 0) AS BIGINT) AS yoy_rev_c,
+           COALESCE(CAST(g.rev_c AS DOUBLE) / p.rev_c, 0.0) AS mom_ratio,
+           COALESCE(CAST(g.rev_c AS DOUBLE) / y.rev_c, 0.0) AS yoy_ratio
+    FROM g
+    LEFT JOIN g p ON p.month_idx = g.month_idx - 1
+    LEFT JOIN g y ON y.month_idx = g.month_idx - 12
+    """,
+)
+def orders_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: the BI
+    growth dashboard primitive. Calendar-gap-safe: comparisons join on
+    the explicit month index (midx-1 / midx-12), so a missing month
+    yields NULL ratios instead of lag() silently comparing against the
+    wrong month.
+
+    Exactness: integer month index, exact cent sums, each ratio ONE
+    IEEE division. Missing comparison months report the 0 sentinel
+    (never ambiguous — revenue is strictly positive, so a real ratio
+    or rev is never 0); outputs carry no NULLs, the inventory's
+    canonicalization contract.
+
+    Scale: orders scan once into a map-side partial aggregate of
+    |months| rows (cached — the two self-joins reuse it instead of
+    rescanning the fact table); both self-joins broadcast the
+    months-sized relation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("rev_c"),
+        )
+        .cache()
+    )
+    p = g.select(
+        (F.col("month_idx") + 1).alias("month_idx"),
+        F.col("rev_c").alias("prev_rev_c"),
+    )
+    y = g.select(
+        (F.col("month_idx") + 12).alias("month_idx"),
+        F.col("rev_c").alias("yoy_rev_c"),
+    )
+    return (
+        g.join(F.broadcast(p), "month_idx", "left")
+        .join(F.broadcast(y), "month_idx", "left")
+        .select(
+            "month_idx",
+            "n_orders",
+            "rev_c",
+            F.coalesce(F.col("prev_rev_c"), F.lit(0))
+            .cast("long")
+            .alias("prev_rev_c"),
+            F.coalesce(F.col("yoy_rev_c"), F.lit(0))
+            .cast("long")
+            .alias("yoy_rev_c"),
+            F.coalesce(
+                F.col("rev_c").cast("double") / F.col("prev_rev_c"),
+                F.lit(0.0),
+            ).alias("mom_ratio"),
+            F.coalesce(
+                F.col("rev_c").cast("double") / F.col("yoy_rev_c"),
+                F.lit(0.0),
+            ).alias("yoy_ratio"),
+        )
+    )
+
+
+@query(
+    "customer_nation_revenue_rank",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT n.n_name, c.c_custkey, r.rev_c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                     ORDER BY r.rev_c DESC, c.c_custkey)
+                  AS BIGINT) AS rev_rank
+      FROM r
+      JOIN customer c ON r.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, rev_rank, c_custkey, rev_c FROM j WHERE rev_rank <= 5
+    """,
+)
+def customer_nation_revenue_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 customers by lifetime revenue within each nation — the
+    per-region leaderboard (reference users build this as a full scan
+    + JS sort per shard; here it is one window over a pre-aggregate).
+
+    Exactness: revenue in exact cents; ROW_NUMBER with the explicit
+    (rev DESC, custkey ASC) tie-break is fully deterministic.
+
+    Scale: the fact table collapses to |customers| rows BEFORE any
+    join (aggregate pushed below the join); the customer join shuffles
+    on custkey, nation broadcasts, and the rank window partitions by
+    nation — 25 partitions, linear scan each. A top-k-per-group at
+    100 TB keeps this shape; only the pre-aggregate touches the facts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_c")
+    )
+    j = (
+        r.join(c, r.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "rev_c")
+    )
+    w = W.partitionBy("n_name").orderBy(
+        F.col("rev_c").desc(), F.col("c_custkey")
+    )
+    return (
+        j.withColumn("rev_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rev_rank") <= 5)
+        .select("n_name", "rev_rank", "c_custkey", "rev_c")
+    )
+
+
+@query(
+    "orders_runs_test",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT quantile_cont(rev_c, 0.5) AS med FROM d),
+    s AS (
+      SELECT day, rev_c > med AS above
+      FROM d CROSS JOIN m
+      WHERE CAST(rev_c AS DOUBLE) <> med
+    ),
+    seq AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY day) IS DISTINCT FROM above
+                  THEN 1 ELSE 0 END AS flip
+      FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+           CAST(COALESCE(SUM(flip), 0) AS BIGINT) AS n_runs
+    FROM seq
+    """,
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs count on daily revenue: days are classified
+    above/below the median daily revenue (median-equal days dropped,
+    the classic treatment) and consecutive same-sign days collapse
+    into runs — too few runs means trend/autocorrelation, too many
+    means oscillation. Emits the integer components (n_runs, n_above,
+    n_below); the z-score is one plug-in away and deliberately NOT
+    computed here (sqrt of a float ratio is not cross-engine-stable).
+
+    Exactness: day buckets are floored integer division; the median is
+    interpolated over integer cents (bit-identical sequence in both
+    engines); run counting is integer flags. The first row counts as
+    its own run via the IS DISTINCT FROM NULL semantics — n_runs is
+    the flip count where the first flip is always 1 (0 on an empty
+    sequence).
+
+    Scale: facts collapse to |days| rows map-side; the median and the
+    ordered flip-count run over that days-sized relation in a single
+    partition — bounded by the calendar, not the corpus.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(day_bucket("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_c")
+    )
+    m = d.agg(F.expr("percentile(rev_c, 0.5)").alias("med"))
+    s = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("rev_c").cast("double") != F.col("med"))
+        .select("day", (F.col("rev_c") > F.col("med")).alias("above"))
+    )
+    w = W.orderBy("day")
+    seq = s.select(
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_below"),
+        F.coalesce(F.sum("flip"), F.lit(0)).cast("long").alias("n_runs"),
+    )
+
+
+@query(
+    "customer_active_month_islands",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx
+      FROM orders
+    ),
+    f AS (
+      SELECT o_custkey, midx,
+             CASE WHEN midx - LAG(midx) OVER (PARTITION BY o_custkey
+                                              ORDER BY midx) = 1
+                  THEN 0 ELSE 1 END AS new_island
+      FROM m
+    ),
+    isl AS (
+      SELECT o_custkey, midx,
+             CAST(SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY midx
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS island_id
+      FROM f
+    ),
+    per_island AS (
+      SELECT o_custkey, island_id, CAST(COUNT(*) AS BIGINT) AS months
+      FROM isl GROUP BY o_custkey, island_id
+    )
+    SELECT o_custkey,
+           CAST(SUM(months) AS BIGINT) AS n_active_months,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(months) AS BIGINT) AS longest_island
+    FROM per_island GROUP BY o_custkey
+    """,
+)
+def customer_active_month_islands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gaps-and-islands over customer activity: consecutive active
+    months merge into islands; per customer the active-month total,
+    island count, and longest unbroken streak — the engagement-
+    continuity segmentation (one long island = habitual, many short
+    islands = reactivation-driven).
+
+    Exactness: month indexes are integers; island ids are an integer
+    running sum over a deterministic (custkey, midx) order — months
+    are DISTINCT so there are no ties.
+
+    Scale: one DISTINCT shuffle on (custkey, midx), then both windows
+    and both rollups share the custkey partitioning (single exchange,
+    reused); per-customer month lists are calendar-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("midx")
+    f = m.select(
+        "o_custkey",
+        "midx",
+        F.when(F.col("midx") - F.lag("midx").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    isl = f.withColumn(
+        "island_id",
+        F.sum("new_island")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    per_island = isl.groupBy("o_custkey", "island_id").agg(
+        F.count(F.lit(1)).cast("long").alias("months")
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.sum("months").cast("long").alias("n_active_months"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("months").cast("long").alias("longest_island"),
+    )
+
+
+@query(
+    "lineitem_part_mode_quantity",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_partkey, qty, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                     ORDER BY n DESC, qty) AS BIGINT) AS rn,
+             CAST(SUM(n) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_lines
+      FROM g
+    )
+    SELECT l_partkey, qty AS mode_qty, n AS n_at_mode, n_lines
+    FROM r WHERE rn = 1
+    """,
+)
+def lineitem_part_mode_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Modal order quantity per part (tie-break: smallest quantity) —
+    the case-pack / lot-size detector: a part whose mode dominates its
+    line count ships in fixed lots; a flat distribution ships ad hoc.
+
+    Exactness: quantities are integral; counts are integers; the
+    ROW_NUMBER tie-break (count DESC, qty ASC) is total, so the mode
+    is unique and deterministic.
+
+    Scale: the (part, qty) pre-aggregate is map-side partial and
+    collapses the fact table before the window; the window partitions
+    by partkey over at most |distinct qty| (~50) rows per part. This
+    is the exact-mode shape; at extreme group counts swap in max_by
+    over the pre-aggregate (same result, no window sort).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    g = l.groupBy(
+        "l_partkey", F.round("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy("l_partkey").orderBy(F.col("n").desc(), F.col("qty"))
+    r = g.select(
+        "l_partkey",
+        "qty",
+        "n",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("n").over(W.partitionBy("l_partkey")).cast("long").alias(
+            "n_lines"
+        ),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "l_partkey",
+        F.col("qty").alias("mode_qty"),
+        F.col("n").alias("n_at_mode"),
+        "n_lines",
+    )

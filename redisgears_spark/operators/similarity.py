@@ -1414,3 +1414,137 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("q_id").applyInPandas(
         mmr, "q_id long, n_id long, mmr_rank long, relevance double"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-column hygiene (round 8, second batch)
+# ---------------------------------------------------------------------------
+
+# milli-quantized squared-norm: sum over the array of round(x*1000)^2 as
+# BIGINT.  Integer addition is associative, and the per-row fold visits the
+# array in index order in both engines, so the value is bit-identical across
+# partitionings — the float sum-of-squares it screens for is not.
+_QNORM = (
+    "aggregate({col}, 0L, (acc, x) -> acc + "
+    "cast(round(x * 1000) as bigint) * cast(round(x * 1000) as bigint))"
+)
+_QNORM_SQL = (
+    "CAST(list_sum(list_transform({col}, x -> "
+    "CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "embeddings_norm_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, {_QNORM_SQL.format(col="embedding")} AS qn
+      FROM embeddings
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_n,
+             CAST(SUM(qn) AS BIGINT) AS total_qn
+      FROM q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(qn) AS BIGINT) AS min_qn,
+           CAST(MAX(qn) AS BIGINT) AS max_qn,
+           CAST(SUM(qn) AS BIGINT) AS sum_qn,
+           CAST(SUM(CASE WHEN qn * total_n > 4 * total_qn
+                         OR qn * total_n * 4 < total_qn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q CROSS JOIN t
+    GROUP BY label
+    """,
+)
+def embeddings_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene screen: per label, the milli-quantized
+    squared-L2-norm distribution (min/max/sum) and how many vectors sit
+    outside [mean/4, 4*mean] — the degenerate-vector detector run before
+    any ANN indexing (zero vectors, exploded norms, and wrong-scale
+    batches all surface here).
+
+    Exactness: the per-row norm folds round(x*1000)^2 into a BIGINT in
+    array-index order (associative, engine-independent); the outlier
+    test is the INTEGER cross-multiplication qn*n <> 4*total, never a
+    float mean. One corpus-wide scalar (n, sum) is broadcast back.
+
+    Scale: one scan; the fold runs inside codegen per row (no explode,
+    no shuffle of the vector column); the label rollup shuffles only
+    (label, qn). The global scalar is a 1-row broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.expr(_QNORM.format(col="embedding")).alias("qn")
+    )
+    t = q.agg(
+        F.count(F.lit(1)).cast("long").alias("total_n"),
+        F.sum("qn").cast("long").alias("total_qn"),
+    )
+    is_out = (
+        F.col("qn") * F.col("total_n") > 4 * F.col("total_qn")
+    ) | (F.col("qn") * F.col("total_n") * 4 < F.col("total_qn"))
+    return (
+        q.crossJoin(F.broadcast(t))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("qn").cast("long").alias("min_qn"),
+            F.max("qn").cast("long").alias("max_qn"),
+            F.sum("qn").cast("long").alias("sum_qn"),
+            F.sum(F.when(is_out, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "embeddings_dim_profile",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(q) AS BIGINT) AS min_q,
+           CAST(MAX(q) AS BIGINT) AS max_q,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_milli
+    FROM ex GROUP BY dim
+    """,
+)
+def embeddings_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: count, min/max/sum of the
+    milli-quantized component, and the mean — the dead-dimension and
+    scale-drift detector (a dimension whose min=max=0 carries no
+    signal; one whose mean drifts across snapshots signals an encoder
+    version change). The batch shadow of feature-store monitoring.
+
+    Exactness: components quantize to BIGINT milli-units before any
+    aggregate; the mean is ONE IEEE division. DuckDB's zipped unnest
+    pairs each component with its 0-based index exactly as posexplode.
+
+    Scale: posexplode multiplies rows by dim (64 here) but carries
+    only (dim, q) — 16 bytes — into a map-side partial aggregate that
+    collapses to |dims| rows before the single tiny shuffle. The
+    vector column itself never shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val") * 1000).cast("long").alias("q"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+        F.sum("q").cast("long").alias("sum_q"),
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("mean_milli"),
+    )

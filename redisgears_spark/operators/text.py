@@ -1074,3 +1074,45 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size", F.sum("n_new_words").over(w_cum).cast("long")
         )
     )
+
+
+@query(
+    "docs_length_quantiles_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           quantile_cont(n_chars, 0.95) AS p95,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_length_quantiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-length distribution per language: min/p25/p50/p75/p95/
+    max of n_chars — the first chart of any corpus audit (a language
+    whose p95 sits near a truncation limit was clipped upstream; one
+    whose p25 is tiny is boilerplate-heavy).
+
+    Exactness: n_chars is an integer column; interpolated quantiles
+    over integers produce the identical lo+(hi-lo)*frac IEEE sequence
+    in both engines; no text is read (column pruned to lang, n_chars).
+
+    Scale: single scan, per-language exact-percentile buffers
+    (dimension cardinality groups); at extreme per-language counts
+    swap quantile_cont for approx_percentile (mergeable t-digest).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
