@@ -1,0 +1,390 @@
+"""Round-8 second/third-batch operators pinned on RANDOM data against
+brute-force Python.
+
+Same discipline as test_random_data_properties.py: the DuckDB oracle
+proves cross-engine agreement on the fixture; these prove the FORMULAS
+on seeded random tables exercising what the fixture doesn't — timestamp
+collisions inside the burst window, median-equal days in the runs test,
+singleton islands, modal ties, zero/exploded embedding norms.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from redisgears_spark.operators.analytics import (
+    events_hourly_burst,
+    events_interevent_median,
+    events_type_cooccurrence,
+)
+from redisgears_spark.operators.relational import (
+    customer_active_month_islands,
+    lineitem_part_mode_quantity,
+    orders_runs_test,
+)
+from redisgears_spark.operators.similarity import embeddings_norm_outliers
+
+_T0 = pd.Timestamp("2024-01-01")
+_US_T0 = _T0.value // 1_000  # epoch micros of the base timestamp
+
+
+def _events_dir(tmp_path, rows) -> str:
+    """rows: (event_id, user_id, offset_seconds, event_type, value)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": eid,
+                "ts": _T0 + pd.Timedelta(seconds=off),
+                "user_id": uid,
+                "event_type": et,
+                "value": val,
+                "props": "",
+            }
+            for eid, uid, off, et, val in rows
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def _orders_dir(tmp_path, orders) -> str:
+    """orders: (o_orderkey, o_custkey, offset_seconds, o_totalprice)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "o_orderkey": k,
+                "o_custkey": c,
+                "o_orderstatus": "O",
+                "o_totalprice": p,
+                "o_orderdate": _T0 + pd.Timedelta(seconds=off),
+                "o_orderpriority": "1-URGENT",
+            }
+            for k, c, off, p in orders
+        ]
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "orders.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_hourly_burst_matches_brute_force(spark, tmp_path, seed):
+    """Sliding-3600s max burst == O(n^2) recount, INCLUDING rows that
+    share a timestamp (RANGE-frame peers must all count regardless of
+    physical order)."""
+    rng = random.Random(seed)
+    # offsets cluster inside a few hours and repeat (collisions)
+    offs = [rng.randrange(0, 4 * 3600) for _ in range(70)]
+    offs += offs[:10]  # 10 exact duplicate timestamps
+    rows = [
+        (i, rng.randrange(4), off, "view", 1.0)
+        for i, off in enumerate(offs)
+    ]
+    got = {
+        (r["user_id"], r["n_events"], r["max_burst_1h"])
+        for r in events_hourly_burst(
+            spark, _events_dir(tmp_path, rows)
+        ).collect()
+    }
+    per_user: dict[int, list] = {}
+    for _i, uid, off, _et, _v in rows:
+        per_user.setdefault(uid, []).append(off * 1_000_000)
+    want = set()
+    for uid, uss in per_user.items():
+        burst = max(
+            sum(1 for u2 in uss if t - 3_599_999_999 <= u2 <= t)
+            for t in uss
+        )
+        want.add((uid, len(uss), burst))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_runs_test_matches_brute_force(spark, tmp_path, seed):
+    """Run count == sequential scan; duplicated daily totals force
+    median-equal days, which both sides must DROP."""
+    rng = random.Random(seed)
+    # few distinct price points -> many identical daily sums and an
+    # interpolated median likely to land ON a daily value
+    orders = [
+        (
+            i,
+            rng.randrange(3),
+            rng.randrange(0, 14) * 86_400 + rng.randrange(0, 1000),
+            rng.choice([100.0, 200.0, 300.0]),
+        )
+        for i in range(60)
+    ]
+    row = orders_runs_test(spark, _orders_dir(tmp_path, orders)).collect()[0]
+    daily: dict[int, int] = {}
+    for _k, _c, off, p in orders:
+        day = (_US_T0 + off * 1_000_000) // 86_400_000_000
+        daily[day] = daily.get(day, 0) + round(p * 100)
+    vals = sorted(daily.values())
+    med = _pctl(vals, 0.5)
+    seq = [
+        daily[d] > med for d in sorted(daily) if float(daily[d]) != med
+    ]
+    n_runs = 0
+    for i, s in enumerate(seq):
+        if i == 0 or s != seq[i - 1]:
+            n_runs += 1
+    assert row["n_days"] == len(seq)
+    assert row["n_above"] == sum(seq)
+    assert row["n_below"] == len(seq) - sum(seq)
+    assert row["n_runs"] == n_runs
+
+
+@pytest.mark.parametrize("seed", [9])
+def test_month_islands_match_brute_force(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    # spread orders over 10 months with gaps; singleton customers too
+    orders = [
+        (
+            i,
+            rng.randrange(5),
+            rng.randrange(0, 300) * 86_400,
+            100.0,
+        )
+        for i in range(40)
+    ]
+    got = {
+        (
+            r["o_custkey"],
+            r["n_active_months"],
+            r["n_islands"],
+            r["longest_island"],
+        )
+        for r in customer_active_month_islands(
+            spark, _orders_dir(tmp_path, orders)
+        ).collect()
+    }
+    per_cust: dict[int, set] = {}
+    for _k, c, off, _p in orders:
+        ts = _T0 + pd.Timedelta(seconds=off)
+        per_cust.setdefault(c, set()).add(ts.year * 12 + ts.month)
+    want = set()
+    for c, months in per_cust.items():
+        ms = sorted(months)
+        islands = []
+        cur = 1
+        for a, b in zip(ms, ms[1:]):
+            if b - a == 1:
+                cur += 1
+            else:
+                islands.append(cur)
+                cur = 1
+        islands.append(cur)
+        want.add((c, len(ms), len(islands), max(islands)))
+    assert got == want
+
+
+def _pctl(xs: list, p: float) -> float:
+    """Spark's exact interpolation sequence in pure Python:
+    pos = (n-1)*p; lo*(ceil(pos)-pos) + hi*(pos-floor(pos)). Both
+    np.percentile(method='linear') (lo + (hi-lo)*frac) and other
+    algebraically-equal forms differ in the last ulp for some inputs,
+    so the brute force replays the engines' own IEEE sequence
+    (DuckDB's quantile_cont matches Spark's form — that's what the
+    oracle parity already proves)."""
+    s = sorted(xs)
+    pos = (len(s) - 1) * p
+    lo = int(pos)
+    if lo == pos or lo + 1 >= len(s):
+        return float(s[lo])
+    hi = lo + 1
+    return s[lo] * (hi - pos) + s[hi] * (pos - lo)
+
+
+@pytest.mark.parametrize("seed", [10])
+def test_interevent_median_matches_numpy(spark, tmp_path, seed):
+    """Gap percentiles == the engines' interpolation sequence over gaps
+    from the (us, event_id)-ordered sequence — including duplicate
+    timestamps, where the event_id tie-break fixes the gap values."""
+    rng = random.Random(seed)
+    offs = [rng.randrange(0, 5000) for _ in range(60)]
+    offs += offs[:8]  # duplicate timestamps within (user, type)
+    rows = [
+        (
+            i,
+            rng.randrange(3),
+            off,
+            rng.choice(["view", "click"]),
+            1.0,
+        )
+        for i, off in enumerate(offs)
+    ]
+    got = {
+        r["event_type"]: (r["n_gaps"], r["p50_gap_us"], r["p90_gap_us"])
+        for r in events_interevent_median(
+            spark, _events_dir(tmp_path, rows)
+        ).collect()
+    }
+    per_key: dict[tuple, list] = {}
+    for i, uid, off, et, _v in rows:
+        per_key.setdefault((uid, et), []).append((off * 1_000_000, i))
+    gaps_by_type: dict[str, list] = {}
+    for (uid, et), pts in per_key.items():
+        pts.sort()
+        for (a, _ia), (b, _ib) in zip(pts, pts[1:]):
+            gaps_by_type.setdefault(et, []).append(b - a)
+    want = {
+        et: (len(gs), _pctl(gs, 0.5), _pctl(gs, 0.9))
+        for et, gs in gaps_by_type.items()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_part_mode_matches_brute_force(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    # 3 quantity values over few parts -> guaranteed modal ties
+    lines = [
+        (rng.randrange(6), rng.choice([1, 2, 3]))
+        for _ in range(80)
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "l_orderkey": i,
+                "l_partkey": pk,
+                "l_suppkey": 0,
+                "l_linenumber": 1,
+                "l_quantity": float(q),
+                "l_extendedprice": 100.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": _T0,
+            }
+            for i, (pk, q) in enumerate(lines)
+        ]
+    )
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "lineitem.parquet")
+    got = {
+        (r["l_partkey"], r["mode_qty"], r["n_at_mode"], r["n_lines"])
+        for r in lineitem_part_mode_quantity(spark, str(d)).collect()
+    }
+    counts: dict[int, dict[int, int]] = {}
+    for pk, q in lines:
+        counts.setdefault(pk, {})[q] = counts.setdefault(pk, {}).get(q, 0) + 1
+    want = set()
+    for pk, qc in counts.items():
+        mode_qty = min(qc, key=lambda q: (-qc[q], q))
+        want.add((pk, mode_qty, qc[mode_qty], sum(qc.values())))
+    assert got == want
+
+
+def test_norm_outliers_flags_degenerate_vectors(spark, tmp_path):
+    """A zero vector and a 100x-scale vector must both be outliers;
+    stats must equal the integer brute force."""
+    rng = random.Random(13)
+    vecs = [
+        [rng.uniform(-0.2, 0.2) for _ in range(8)] for _ in range(30)
+    ]
+    vecs.append([0.0] * 8)  # dead vector -> low outlier
+    vecs.append([25.0] * 8)  # wrong-scale vector -> high outlier
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": vecs,
+            "label": [i % 3 for i in range(len(vecs))],
+        }
+    )
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "embeddings.parquet")
+    got = {
+        r["label"]: (
+            r["n_vecs"],
+            r["min_qn"],
+            r["max_qn"],
+            r["sum_qn"],
+            r["n_outliers"],
+        )
+        for r in embeddings_norm_outliers(spark, str(d)).collect()
+    }
+
+    def qn(v):
+        return sum(round(x * 1000) ** 2 for x in v)
+
+    qns = [qn(v) for v in vecs]
+    total_n, total_s = len(qns), sum(qns)
+    per_label: dict[int, list] = {}
+    for i, q in enumerate(qns):
+        per_label.setdefault(i % 3, []).append(q)
+    want = {
+        lab: (
+            len(qs),
+            min(qs),
+            max(qs),
+            sum(qs),
+            sum(
+                1
+                for q in qs
+                if q * total_n > 4 * total_s or q * total_n * 4 < total_s
+            ),
+        )
+        for lab, qs in per_label.items()
+    }
+    assert got == want
+    # the two crafted vectors land in labels 31%3 and 30%3 — ensure at
+    # least one outlier was actually flagged in each direction
+    assert sum(w[4] for w in want.values()) >= 2
+
+
+@pytest.mark.parametrize("seed", [14])
+def test_type_cooccurrence_matches_brute_force(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randrange(6),
+            rng.randrange(0, 9000),
+            rng.choice(["view", "click", "purchase"]),
+            1.0,
+        )
+        for i in range(90)
+    ]
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_both"],
+            r["n_a"],
+            r["n_b"],
+            r["lift"],
+        )
+        for r in events_type_cooccurrence(
+            spark, _events_dir(tmp_path, rows)
+        ).collect()
+    }
+    users_by_type: dict[str, set] = {}
+    all_users = set()
+    for _i, uid, _off, et, _v in rows:
+        users_by_type.setdefault(et, set()).add(uid)
+        all_users.add(uid)
+    types = sorted(users_by_type)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = len(users_by_type[a] & users_by_type[b])
+            if both:
+                na, nb = len(users_by_type[a]), len(users_by_type[b])
+                want[(a, b)] = (
+                    both,
+                    na,
+                    nb,
+                    float(both * len(all_users)) / (na * nb),
+                )
+    assert got == want
