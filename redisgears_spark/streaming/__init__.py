@@ -15,6 +15,7 @@ from redisgears_spark.streaming.stateful import (  # noqa: F401
     StatefulStatsRuntime,
     StreamingHeavyHittersRuntime,
     StreamingCusumRuntime,
+    StreamingDistinctRuntime,
     StreamingRateLimitRuntime,
     StreamingSessionizeRuntime,
 )

@@ -843,3 +843,170 @@ class StreamingCusumRuntime(StatefulStatsRuntime):
         out = [r.asDict() for r in df.collect()]
         out.sort(key=lambda r: (r["stream_key"], r["id"]))
         return out
+
+
+# ---------------------------------------------------------------------------
+# streaming distinct count (round 8): a mergeable HLL in the state store
+# ---------------------------------------------------------------------------
+
+_HLLS_OUTPUT_SCHEMA = (
+    "stream_key string, n_records bigint, estimate bigint, "
+    "n_zero_registers bigint"
+)
+_HLLS_STATE_SCHEMA = "registers string, n_records bigint"
+
+
+def _hll_add(registers: list, value: str, p: int) -> None:
+    """Flajolet HLL register update: md5-derived 64-bit hash, p-bit
+    prefix selects the register, rank = leading zeros of the suffix + 1.
+    Same hash family as the batch hll_distinct (analytics.py), so batch
+    and streaming estimates of the same multiset agree."""
+    import hashlib
+
+    h = int(hashlib.md5(value.encode("utf-8")).hexdigest()[:16], 16)
+    idx = h >> (64 - p)
+    rest = h & ((1 << (64 - p)) - 1)
+    rank = (64 - p) - rest.bit_length() + 1
+    if rank > registers[idx]:
+        registers[idx] = rank
+
+
+def _hll_estimate(registers: list) -> int:
+    """Raw HLL estimate with the small-range linear-counting correction
+    (Flajolet et al. 2007)."""
+    import math
+
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in registers)
+    zeros = registers.count(0)
+    if raw <= 2.5 * m and zeros:
+        return round(m * math.log(m / zeros))
+    return round(raw)
+
+
+def _make_hll_reducer(field: str, p: int):
+    import json as _json
+
+    def reducer(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream_key,) = key
+        if state.exists:
+            reg_json, n_records = state.get
+            registers: list = _json.loads(reg_json)
+        else:
+            registers, n_records = [0] * (1 << p), 0
+        frame = _ordered_frame(pdfs)
+        for fields in (frame["fields"] if len(frame) else ()):
+            item = None if fields is None else dict(fields).get(field)
+            if item is None:
+                continue
+            n_records += 1
+            _hll_add(registers, item, p)
+        state.update((_json.dumps(registers), n_records))
+        yield pd.DataFrame(
+            [
+                {
+                    "stream_key": stream_key,
+                    "n_records": n_records,
+                    "estimate": _hll_estimate(registers),
+                    "n_zero_registers": registers.count(0),
+                }
+            ]
+        )
+
+    return reducer
+
+
+class StreamingDistinctRuntime(StatefulStatsRuntime):
+    """Per-stream-key streaming distinct count: one HyperLogLog per key
+    in the state store, the current estimate emitted every micro-batch.
+    The batch trio (events_hll_user_estimate) answers "how many distinct
+    ever" over parquet; this answers it continuously over the live
+    stream with O(m) state per key — the unique-visitors counter
+    RedisGears users run as PFADD/PFCOUNT pairs (public Redis HLL
+    commands), here with exactly-once state via the checkpoint.
+
+    Register updates are max-merges, so the result is independent of
+    micro-batch boundaries and chunk order: any partition of the stream
+    yields bit-identical registers (the property the test pins).
+
+    State per key: 2^p one-byte-ish ranks (JSON ints); total state
+    O(|keys| * m). p=8 (m=256, SE ~6.5 %) by default; at production
+    cardinalities raise p like the batch hll_distinct(m) widths.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        field: str = "event_type",
+        p: int = 8,
+    ):
+        if not 4 <= p <= 14:
+            raise GearsError("streaming HLL precision p must be in [4, 14]")
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.field = field
+        self.p = p
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "hll_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "hll_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        return self._start_stateful(
+            _make_hll_reducer(self.field, self.p),
+            _HLLS_OUTPUT_SCHEMA,
+            _HLLS_STATE_SCHEMA,
+            "streaming_hll_distinct",
+            prefix,
+        )
+
+    def estimates(self) -> dict[str, dict]:
+        """Latest estimate per stream_key (highest committed epoch)."""
+        df = self._sink_df()
+        if df is None:
+            return {}
+        rows = (
+            df.groupBy("stream_key")
+            .agg(
+                F.max_by(
+                    F.struct("estimate", "n_records", "n_zero_registers"),
+                    F.col("epoch"),
+                ).alias("s")
+            )
+            .select("stream_key", "s.*")
+            .collect()
+        )
+        return {
+            r["stream_key"]: {
+                "estimate": r["estimate"],
+                "n_records": r["n_records"],
+                "n_zero_registers": r["n_zero_registers"],
+            }
+            for r in rows
+        }
+
+    # the HLL sink rows carry no deleted/last_id columns; the base stats
+    # surface cannot apply — fail loudly with the right API (the same
+    # contract as the heavy-hitters runtime).
+
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingDistinctRuntime has no per-key stats snapshot — "
+            "use estimates() for the current distinct estimates"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the streaming-distinct "
+            "runtime (its state is an HLL register array, not per-key "
+            "stats with tombstones); stop()/flush() clear state"
+        )

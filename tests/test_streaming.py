@@ -2377,3 +2377,104 @@ class TestStreamingCusum:
         got = {r["id"]: r["cusum_cents"] for r in rt2.scores()}
         # 4900 carried through the checkpoint: 4900 + 100 - 100 = 4900
         assert got == {1: 4900, 2: 4900}
+
+
+class TestStreamingDistinct:
+    """Streaming HLL per stream_key: merge-order-free registers, state
+    survival across micro-batches and restarts, error bound vs truth."""
+
+    def _feed(self, spark, spool, lo, hi):
+        # values cycle with period 97 -> true distinct = min(n, 97) per
+        # key after interleaving; duplicates are heavy
+        rows = [
+            (
+                "k:1" if i % 2 == 0 else "k:2",
+                i,
+                {"u": f"user{i % 97}", "noise": str(i)},
+            )
+            for i in range(lo, hi)
+        ]
+        _write_canonical(spark, spool, rows)
+
+    def test_estimate_equals_single_pass_and_bounds_truth(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingDistinctRuntime
+        from redisgears_spark.streaming.stateful import (
+            _hll_add,
+            _hll_estimate,
+        )
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingDistinctRuntime(
+            engine, spool, work, field="u", p=8
+        )
+        self._feed(spark, spool, 0, 150)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            # second wave: registers must merge, not reset
+            self._feed(spark, spool, 150, 300)
+            rt.process_available()
+        finally:
+            rt.stop()
+        est = rt.estimates()
+        assert set(est) == {"k:1", "k:2"}
+        # independent single-pass HLL over the same values must agree
+        # EXACTLY: register updates are max-merges, so any micro-batch /
+        # chunk partition yields bit-identical registers
+        truth: dict[str, set] = {"k:1": set(), "k:2": set()}
+        regs = {"k:1": [0] * 256, "k:2": [0] * 256}
+        for i in range(300):
+            key = "k:1" if i % 2 == 0 else "k:2"
+            truth[key].add(f"user{i % 97}")
+            _hll_add(regs[key], f"user{i % 97}", 8)
+        for key, row in est.items():
+            assert row["n_records"] == 150
+            assert row["estimate"] == _hll_estimate(regs[key])
+            # p=8 -> SE ~6.5%; allow 4 sigma on a tiny cardinality
+            n_true = len(truth[key])
+            assert abs(row["estimate"] - n_true) <= max(
+                4, int(0.26 * n_true)
+            )
+
+    def test_restart_resumes_registers(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingDistinctRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingDistinctRuntime(engine, spool, work, field="u", p=8)
+        self._feed(spark, spool, 0, 100)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        before = rt.estimates()
+        # a NEW runtime over the same checkpoint continues the registers
+        rt2 = StreamingDistinctRuntime(engine, spool, work, field="u", p=8)
+        self._feed(spark, spool, 100, 300)
+        rt2.start(prefix="k:")
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        after = rt2.estimates()
+        for k in after:
+            assert after[k]["n_records"] > before[k]["n_records"]
+            assert after[k]["estimate"] >= before[k]["estimate"]
+            assert (
+                after[k]["n_zero_registers"]
+                <= before[k]["n_zero_registers"]
+            )
+
+    def test_api_surface(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingDistinctRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingDistinctRuntime(engine, spool, work, field="u")
+        with pytest.raises(GearsError, match="use estimates\\(\\)"):
+            rt.latest()
+        with pytest.raises(GearsError, match="not supported"):
+            rt.expire_idle(60)
+        with pytest.raises(GearsError, match="p must be"):
+            StreamingDistinctRuntime(engine, spool, work, field="u", p=20)
