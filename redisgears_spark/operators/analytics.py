@@ -2810,3 +2810,143 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_days") * F.col("mau"))
         ).alias("stickiness"),
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.us) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.us > v.t_view AND e.us <= v.t_view + 604800000000
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.us) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.us > c.t_click AND e.us <= c.t_click + 604800000000
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_7d,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_7d
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sequential funnel: first view -> first click within 7
+    days of THAT view -> first purchase within 7 days of THAT click.
+    events_funnel_conversion counts any-order-in-lifetime progression;
+    this is the attribution-grade variant where each step must land in
+    the preceding step's window — the number a marketing team actually
+    books.
+
+    Exactness: all comparisons are integer microseconds; stage anchors
+    are MINs over integers.
+
+    Scale: three aggregates all hash-partitioned on user_id — the
+    exchange is computed once and reused across stages (each stage's
+    input arrives pre-partitioned); per-stage state is one timestamp
+    per user. No window function, no self-join of the full fact table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("us")
+    )
+    week = 604_800_000_000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_view"))
+            & (F.col("us") <= F.col("t_view") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_click"))
+            & (F.col("us") <= F.col("t_click") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_7d"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_7d"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+@query(
+    "events_time_to_nth_event",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT user_id,
+             MIN(us) AS t1,
+             MAX(CASE WHEN rn = 5 THEN us END) AS t5
+      FROM r WHERE rn <= 5 GROUP BY user_id
+    ),
+    d AS (SELECT t5 - t1 AS dt_us FROM f WHERE t5 IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_5,
+           CAST(MIN(dt_us) AS BIGINT) AS min_us,
+           quantile_cont(dt_us, 0.5) AS p50_us,
+           quantile_cont(dt_us, 0.9) AS p90_us,
+           CAST(MAX(dt_us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def events_time_to_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: time from a user's first event to their 5th
+    (the classic activation-moment proxy) — distribution over users who
+    got there. A p50 of minutes means an in-session activation loop; a
+    p50 of weeks means activation rides the re-engagement channel.
+
+    Exactness: the row numbering is total-ordered (us, event_id);
+    deltas are integer micros; percentile interpolation over integers
+    is cross-engine exact.
+
+    Scale: one user_id shuffle for the window, rows pruned to rn <= 5
+    BEFORE the per-user aggregate; the final percentile runs over
+    |activated users| deltas. At extreme user counts swap in
+    approx_percentile.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    f = r.groupBy("user_id").agg(
+        F.min("us").alias("t1"),
+        F.max(F.when(F.col("rn") == 5, F.col("us"))).alias("t5"),
+    )
+    d = f.filter(F.col("t5").isNotNull()).select(
+        (F.col("t5") - F.col("t1")).alias("dt_us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_5"),
+        F.min("dt_us").cast("long").alias("min_us"),
+        F.expr("percentile(dt_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(dt_us, 0.9)").alias("p90_us"),
+        F.max("dt_us").cast("long").alias("max_us"),
+    )

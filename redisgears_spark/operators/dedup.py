@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from redisgears_spark.functions.hashing import (
     md5_hash32_spark,
@@ -1156,4 +1157,77 @@ def docs_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_boilerplate"),
             F.max("doc_freq").cast("long").alias("max_doc_freq"),
         )
+    )
+
+
+@query(
+    "dedup_threshold_histogram",
+    oracle=f"""
+    WITH {_ORACLE_PAIRS_CTE},
+    j AS (
+      SELECT (inter * 10) // (sa.n + sb.n - inter) AS bucket
+      FROM pairs
+      JOIN sizes sa ON pairs.a_id = sa.doc_id
+      JOIN sizes sb ON pairs.b_id = sb.doc_id
+    ),
+    h AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) / 10 AS jaccard_lo,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM h
+    """,
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cost curve: how many candidate pairs survive each Jaccard
+    threshold — the table that prices a dedup run BEFORE choosing the
+    cutoff (dedup_ngram_jaccard hardcodes 0.2; this shows what 0.3 or
+    0.5 would have kept, so the threshold is a decision, not a guess).
+
+    Exactness: the bucket is the INTEGER floor division inter*10 //
+    union — never a float compared against a boundary; the
+    at-or-above column is an integer suffix sum over <= 11 rows.
+
+    Scale: identical shuffle structure to dedup_ngram_jaccard (the
+    shingle self-join bounded by LSH candidates at 100 TB); the
+    histogram then collapses to <= 11 rows before the tiny window.
+    """
+    docs = shingled_docs(spark, sf_dir).cache()
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, (a.s_a == b.s_b) & (a.a_id < b.b_id))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    h = (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select(
+            F.expr(
+                "CAST(inter * 10 DIV (n_a + n_b - inter) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        W.orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return h.select(
+        "bucket",
+        (F.col("bucket").cast("double") / 10).alias("jaccard_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )

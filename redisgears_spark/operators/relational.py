@@ -4141,3 +4141,190 @@ def lineitem_part_mode_quantity(
         F.col("n").alias("n_at_mode"),
         "n_lines",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8, fourth batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_basket_size_by_segment",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket_size
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c.c_mktsegment AS segment, b.basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, b.basket_size
+    """,
+)
+def orders_basket_size_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution per market segment: how many line items
+    orders carry, split by customer segment, with the revenue riding at
+    each size — the assortment/bundling signal (a segment whose mass
+    sits at basket_size=1 doesn't respond to cross-sell).
+
+    Exactness: basket sizes and counts are integers; revenue exact
+    cents.
+
+    Scale: lineitem collapses to |orders| rows map-side BEFORE the
+    joins (only orderkey crosses the exchange); the orders join is the
+    big-big equi-join (bucketed-layout eligible), customer joins on
+    custkey, and the rollup reduces to |segments| x |sizes| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("basket_size")
+    )
+    return (
+        b.join(o, b.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "basket_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("rev_c"),
+        )
+    )
+
+
+@query(
+    "lineitem_supplier_share_per_part",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    r AS (
+      SELECT l_partkey, l_suppkey, qty,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                     ORDER BY qty DESC, l_suppkey)
+                  AS BIGINT) AS rn,
+             CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS total_qty,
+             CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS n_suppliers
+      FROM g
+    )
+    SELECT l_partkey, l_suppkey AS top_suppkey, qty AS top_qty,
+           total_qty, n_suppliers,
+           CAST(qty AS DOUBLE) / total_qty AS top_share
+    FROM r WHERE rn = 1
+    """,
+)
+def lineitem_supplier_share_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier concentration per part: the top supplier by shipped
+    quantity, its share, and the supplier count — the single-source
+    risk screen (top_share near 1.0 with n_suppliers > 1 means a
+    nominal second source that never ships).
+
+    Exactness: quantities are integral; the (qty DESC, suppkey) tie-
+    break is total; the share is ONE division of exact integers.
+
+    Scale: the (part, supplier) pre-aggregate is map-side partial; the
+    window partitions by partkey over a handful of suppliers per part.
+    Both window functions share the one sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    wp = W.partitionBy("l_partkey")
+    w = wp.orderBy(F.col("qty").desc(), F.col("l_suppkey"))
+    r = g.select(
+        "l_partkey",
+        "l_suppkey",
+        "qty",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("qty").over(wp).cast("long").alias("total_qty"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_suppliers"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "l_partkey",
+        F.col("l_suppkey").alias("top_suppkey"),
+        F.col("qty").alias("top_qty"),
+        "total_qty",
+        "n_suppliers",
+        (F.col("qty").cast("double") / F.col("total_qty")).alias("top_share"),
+    )
+
+
+@query(
+    "customer_balance_activity_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT c.c_custkey,
+             CAST(NTILE(4) OVER (ORDER BY
+               CAST(round(c.c_acctbal * 100) AS BIGINT), c.c_custkey)
+               AS BIGINT) AS bal_q,
+             CAST(NTILE(4) OVER (ORDER BY
+               COALESCE(a.n_orders, 0), c.c_custkey) AS BIGINT) AS act_q
+      FROM customer c LEFT JOIN a ON c.c_custkey = a.o_custkey
+    )
+    SELECT bal_q, act_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY bal_q, act_q
+    """,
+)
+def customer_balance_activity_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wealth-vs-activity contingency: customers cross-tabbed by
+    account-balance quartile x order-count quartile (16 cells) — the
+    segmentation sanity check (mass on the bal-high/act-low diagonal
+    cell is dormant value; bal-low/act-high is credit risk). Customers
+    with no orders COUNT, via the left join's 0.
+
+    Exactness: both NTILEs ride a TOTAL order (value, custkey), so
+    bucket assignment is deterministic under ties; NTILE's
+    equal-buckets-remainder-to-first definition is standard in both
+    engines.
+
+    Scale: orders collapse to |customers| rows map-side; the left join
+    shuffles on custkey; the two NTILEs are global sorts over the
+    CUSTOMER dimension (not the fact table) — at extreme |customers|
+    swap NTILE for a percentile-threshold bucketing (two aggregates,
+    no global sort) at the cost of exact quartile sizes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    a = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    j = c.join(a, c.c_custkey == a.o_custkey, "left").select(
+        "c_custkey",
+        cents("c_acctbal").alias("bal_c"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+    wb = W.orderBy("bal_c", "c_custkey")
+    wa = W.orderBy("n_orders", "c_custkey")
+    return (
+        j.select(
+            F.ntile(4).over(wb).cast("long").alias("bal_q"),
+            F.ntile(4).over(wa).cast("long").alias("act_q"),
+        )
+        .groupBy("bal_q", "act_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
