@@ -2852,10 +2852,11 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all comparisons are integer microseconds; stage anchors
     are MINs over integers.
 
-    Scale: three aggregates all hash-partitioned on user_id — the
-    exchange is computed once and reused across stages (each stage's
-    input arrives pre-partitioned); per-stage state is one timestamp
-    per user. No window function, no self-join of the full fact table.
+    Scale: each stage filters its event type BELOW its user_id
+    exchange, so a stage shuffles only its own slice of the facts
+    (views, then clicks, then purchases — never the whole table
+    twice); per-stage state is one timestamp per user. No window
+    function, no self-join of the full fact table.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", micros("ts").alias("us")

@@ -388,3 +388,88 @@ def test_type_cooccurrence_matches_brute_force(spark, tmp_path, seed):
                     float(both * len(all_users)) / (na * nb),
                 )
     assert got == want
+
+
+class TestCrossOperatorConsistency:
+    """Operators that answer overlapping questions on the fixture must
+    agree with each other — composition-level invariants the per-query
+    oracles can't see."""
+
+    def test_threshold_histogram_agrees_with_jaccard_cutoff(
+        self, spark, sf_dir
+    ):
+        """The cost curve's >= 0.2 reading must equal the row count of
+        the 0.2-threshold pair query it prices."""
+        from redisgears_spark.operators.dedup import (
+            dedup_ngram_jaccard,
+            dedup_threshold_histogram,
+        )
+
+        hist = dedup_threshold_histogram(spark, sf_dir).collect()
+        at_2 = [r for r in hist if r["bucket"] == 2]
+        n_from_hist = at_2[0]["n_pairs_at_or_above"] if at_2 else 0
+        # bucket 2 may be empty while higher buckets aren't: fall back
+        # to the smallest bucket >= 2
+        if not at_2:
+            higher = [r for r in hist if r["bucket"] > 2]
+            n_from_hist = (
+                min(higher, key=lambda r: r["bucket"])[
+                    "n_pairs_at_or_above"
+                ]
+                if higher
+                else 0
+            )
+        n_pairs = dedup_ngram_jaccard(spark, sf_dir).count()
+        assert n_from_hist == n_pairs
+
+    def test_cumulative_adoption_reaches_total_users(self, spark, sf_dir):
+        from redisgears_spark.operators.analytics import (
+            events_cumulative_adoption,
+        )
+        from redisgears_spark.sources.keyspace import load_table
+
+        rows = events_cumulative_adoption(spark, sf_dir).collect()
+        final = max(rows, key=lambda r: r["day"])["cum_users"]
+        total = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert final == total
+        assert sum(r["n_new_users"] for r in rows) == total
+
+    def test_balance_activity_matrix_partitions_customers(
+        self, spark, sf_dir
+    ):
+        from redisgears_spark.operators.relational import (
+            customer_balance_activity_matrix,
+        )
+        from redisgears_spark.sources.keyspace import load_table
+
+        rows = customer_balance_activity_matrix(spark, sf_dir).collect()
+        n_customers = load_table(spark, sf_dir, "customer").count()
+        assert sum(r["n_customers"] for r in rows) == n_customers
+        # quartile marginals must each cover every customer too
+        for col in ("bal_q", "act_q"):
+            marg: dict[int, int] = {}
+            for r in rows:
+                marg[r[col]] = marg.get(r[col], 0) + r["n_customers"]
+            assert sum(marg.values()) == n_customers
+            assert set(marg) == {1, 2, 3, 4}
+            # NTILE balance: bucket sizes differ by at most 1
+            assert max(marg.values()) - min(marg.values()) <= 1
+
+    def test_degree_hist_mass_equals_edge_count(self, spark, sf_dir):
+        """sum_degree over all buckets == directed edge count == twice
+        the distinct co-purchase pair count."""
+        from redisgears_spark.operators.graph import (
+            _edge_index,
+            part_copurchase_degree_hist,
+        )
+
+        rows = part_copurchase_degree_hist(spark, sf_dir).collect()
+        total_degree = sum(r["sum_degree"] for r in rows)
+        n_edges = _edge_index(spark, sf_dir).count()
+        assert total_degree == n_edges
+        assert n_edges % 2 == 0
