@@ -256,10 +256,11 @@ def _ensure_single_node(client) -> None:
             enabled = 0
     if enabled:
         raise GearsRedisClusterError(
-            "gears_redis: endpoint reports cluster_enabled:1 — this "
-            "source SCANs a single node and would silently read a "
-            "PARTIAL keyspace on a cluster. Cluster-mode fan-out "
-            "(per-node SCAN + MOVED/ASK routing) is out of contract; "
+            "gears_redis: endpoint reports cluster_enabled:1 — a "
+            "single-node SCAN here would silently read a PARTIAL "
+            "keyspace. Opt into the slot-routing fan-out with the "
+            "`cluster=fanout` source option (per-master SCAN union + "
+            "MOVED/ASK redirect handling, sources/rediscluster.py), "
             "point the source at each master individually with "
             "non-overlapping `match` patterns, or run a single-node "
             "deployment."
@@ -273,11 +274,25 @@ def _ensure_single_node(client) -> None:
 def _make_client(options: dict):
     """Build the Redis client from data-source options.
 
-    `fake_path` (test/offline transport) → `FakeRedis` over that spool
-    file (`fake_cluster=1` makes it REPORT cluster mode, for contract
-    tests). Otherwise redis-py over host/port/db/password —
-    `decode_responses=True` so keys/fields arrive as str (the row
-    converter also tolerates bytes for injected clients)."""
+    `cluster=fanout` opts into the slot-routing cluster client
+    (sources/rediscluster.py): `fake_cluster_nodes="lo-hi:path,..."`
+    builds it over FakeRedisClusterNode spools (offline contract
+    tests); otherwise host/port seed a CLUSTER SLOTS discovery over
+    redis-py. `fake_path` (test/offline transport) → `FakeRedis` over
+    that spool file (`fake_cluster=1` makes it REPORT cluster mode, for
+    refusal-contract tests). Otherwise redis-py over host/port/db/
+    password — `decode_responses=True` so keys/fields arrive as str
+    (the row converter also tolerates bytes for injected clients)."""
+    if options.get("cluster") == "fanout":
+        from redisgears_spark.sources.rediscluster import (
+            make_fake_cluster_client,
+            make_real_cluster_client,
+        )
+
+        spec = options.get("fake_cluster_nodes")
+        if spec:
+            return make_fake_cluster_client(spec)
+        return make_real_cluster_client(options)  # pragma: no cover
     fake = options.get("fake_path")
     if fake:
         return FakeRedis(

@@ -644,3 +644,168 @@ class TestClusterContract:
             },
         )()
         assert _scan_stream_keys(stand_in, (), ("user:",)) == ["user:1"]
+
+
+class TestClusterFanout:
+    """Opt-in cluster fan-out (`cluster=fanout`): per-master SCAN union,
+    slot routing, MOVED redirect handling — the reference's hash-slot
+    world (background_run_ctx.rs:179-231) behind the public Redis
+    cluster spec (CRC16-XMODEM, hash tags, 16384 slots)."""
+
+    # the canonical 3-master layout; user:3 -> node0, user:1/2 ->
+    # node1, user:4 -> node2 (slots 2648 / 10778 / 6777 / 15039)
+    def _spec(self, tmp_path) -> str:
+        return ",".join(
+            f"{lo}-{hi}:{tmp_path}/node{i}.jsonl"
+            for i, (lo, hi) in enumerate(
+                [(0, 5460), (5461, 10922), (10923, 16383)]
+            )
+        )
+
+    def _cluster(self, tmp_path):
+        from redisgears_spark.sources.rediscluster import (
+            make_fake_cluster_client,
+        )
+
+        router = make_fake_cluster_client(self._spec(tmp_path))
+        router.xadd("user:3", {"event_type": "view", "value": "1.0"}, id=_id(_MS))
+        router.xadd("user:1", {"event_type": "click", "value": "2.0"}, id=_id(_MS + 1))
+        router.xadd("user:4", {"event_type": "purchase", "value": "3.0"}, id=_id(_MS + 2))
+        return router
+
+    def test_key_slot_public_vectors(self):
+        from redisgears_spark.sources.rediscluster import (
+            crc16_xmodem,
+            key_slot,
+        )
+
+        assert crc16_xmodem(b"123456789") == 0x31C3  # XMODEM check value
+        assert key_slot("foo") == 12182  # Redis docs' published example
+        assert key_slot("bar") == 5061
+        # hash-tag rule: only the {tag} hashes; empty {} hashes the key
+        assert key_slot("user:{42}:orders") == key_slot("{42}")
+        assert key_slot("{}a") != key_slot("{}b")
+
+    def test_node_ranges_must_cover_all_slots(self):
+        from redisgears_spark.sources.rediscluster import parse_node_ranges
+
+        with pytest.raises(ValueError, match="gap"):
+            parse_node_ranges("0-100:/a,200-16383:/b")
+        with pytest.raises(ValueError, match="stop"):
+            parse_node_ranges("0-100:/a")
+        ok = parse_node_ranges("0-5460:/a,5461-16383:/b")
+        assert ok["/a"] == (0, 5460)
+
+    def test_xadd_routes_to_owning_master(self, tmp_path):
+        from redisgears_spark.sources.rediscluster import (
+            FakeRedisClusterNode,
+            parse_node_ranges,
+        )
+
+        router = self._cluster(tmp_path)
+        topo = parse_node_ranges(self._spec(tmp_path))
+        # each key's entries live ONLY in its owner's spool
+        owners = {"user:3": "node0", "user:1": "node1", "user:4": "node2"}
+        for key, node in owners.items():
+            path = f"{tmp_path}/{node}.jsonl"
+            n = FakeRedisClusterNode(path, topo[path], topo)
+            assert len(n.xrange(key)) == 1
+        # and the router reads it back through the same slot routing
+        assert router.xrange("user:1")[0][1]["event_type"] == "click"
+
+    def test_scan_unions_all_masters(self, tmp_path):
+        from redisgears_spark.sources.redisstream import _scan_stream_keys
+        from redisgears_spark.sources.rediscluster import (
+            FakeRedisClusterNode,
+            parse_node_ranges,
+        )
+
+        router = self._cluster(tmp_path)
+        keys = _scan_stream_keys(router, (), ("user:",))
+        assert keys == ["user:1", "user:3", "user:4"]
+        # one node alone sees a PARTIAL keyspace — the failure the
+        # fan-out (and the single-node refusal) exists to prevent
+        topo = parse_node_ranges(self._spec(tmp_path))
+        path = f"{tmp_path}/node1.jsonl"
+        one = FakeRedisClusterNode(path, topo[path], topo)
+        assert list(one.scan_iter(match="user:*")) == ["user:1"]
+
+    def test_batch_read_covers_full_keyspace(self, spark, tmp_path):
+        self._cluster(tmp_path)
+        register_redis_source(spark)
+        df = (
+            spark.read.format("gears_redis")
+            .option("cluster", "fanout")
+            .option("fake_cluster_nodes", self._spec(tmp_path))
+            .option("match", "user:*")
+            .load()
+        )
+        rows = df.collect()
+        assert sorted(r["stream_key"] for r in rows) == [
+            "user:1",
+            "user:3",
+            "user:4",
+        ]
+
+    def test_streaming_tail_over_cluster(self, spark, tmp_path):
+        router = self._cluster(tmp_path)
+        register_redis_source(spark)
+        sink = str(tmp_path / "sink")
+        q = (
+            spark.readStream.format("gears_redis")
+            .option("cluster", "fanout")
+            .option("fake_cluster_nodes", self._spec(tmp_path))
+            .option("match", "user:*")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(sink).count()
+        assert n1 == 3
+        # new entries on two different masters; a second pass reads
+        # ONLY the increment (per-key frontier survives the fan-out)
+        router.xadd("user:3", {"event_type": "view", "value": "9"}, id=_id(_MS + 9))
+        router.xadd("user:4", {"event_type": "view", "value": "9"}, id=_id(_MS + 10))
+        q2 = (
+            spark.readStream.format("gears_redis")
+            .option("cluster", "fanout")
+            .option("fake_cluster_nodes", self._spec(tmp_path))
+            .option("match", "user:*")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == 5
+
+    def test_moved_redirect_follows_and_refreshes(self, tmp_path):
+        router = self._cluster(tmp_path)
+        good = list(router._slots)
+        # STALE routing table (resharding after discovery): rotate the
+        # owners so every key routes to the wrong master first
+        router._slots = [
+            (lo, hi, good[(i + 1) % len(good)][2])
+            for i, (lo, hi, _a) in enumerate(good)
+        ]
+        # the wrong node answers MOVED; the router must follow it and
+        # still return the right rows
+        assert router.type("user:1") == "stream"
+        assert router.xrange("user:3")[0][1]["event_type"] == "view"
+        # and discovery refreshed the table back to the truth
+        assert sorted(router._slots) == sorted(good)
+
+    def test_fanout_passes_single_node_gate(self, tmp_path):
+        from redisgears_spark.sources.redisstream import (
+            _ensure_single_node,
+        )
+
+        router = self._cluster(tmp_path)
+        _ensure_single_node(router)  # must NOT raise: fan-out is safe
+        assert router.info()["cluster_enabled"] == 1
