@@ -3033,3 +3033,57 @@ def events_kmv_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_h",
         F.col("estimate").alias("est_users"),
     )
+
+
+@query(
+    "events_user_activity_log2",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id
+    ),
+    b AS (SELECT length(ltrim(bin(n), '0')) AS bucket, n FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(1 << (bucket - 1) AS BIGINT) AS n_events_lo,
+           CAST((1 << bucket) - 1 AS BIGINT) AS n_events_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS sum_events
+    FROM b GROUP BY bucket
+    """,
+)
+def events_user_activity_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law check on user activity: log2-bucketed histogram of
+    events-per-user with the event mass per bucket — the skew reading
+    that decides whether per-user operators need salting (a top bucket
+    carrying most of sum_events = a few whales dominate every user_id
+    shuffle).
+
+    Exactness: bucket = integer bit-length (bin()-string trick);
+    bounds are shifts; n >= 1 so bucket 0 cannot occur.
+
+    Scale: one map-side-partial count per user, then a ~30-row
+    histogram. This is the cheapest possible skew probe — run it
+    BEFORE the expensive per-user plans it de-risks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bucket = F.length(F.expr("TRIM(LEADING '0' FROM bin(n))")).cast("long")
+    return (
+        c.select(bucket.alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("sum_events"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(1L, cast(bucket as int) - 1)")
+            .cast("long")
+            .alias("n_events_lo"),
+            (F.expr("shiftleft(1L, cast(bucket as int))") - 1)
+            .cast("long")
+            .alias("n_events_hi"),
+            "n_users",
+            "sum_events",
+        )
+    )

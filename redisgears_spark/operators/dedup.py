@@ -1231,3 +1231,83 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+@query(
+    "docs_near_dup_rate_by_source",
+    oracle=f"""
+    WITH {_ORACLE_PAIRS_CTE},
+    nd AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a_id AS doc_id FROM pairs
+        JOIN sizes sa ON pairs.a_id = sa.doc_id
+        JOIN sizes sb ON pairs.b_id = sb.doc_id
+        WHERE inter * 2 >= sa.n + sb.n - inter
+        UNION ALL
+        SELECT b_id AS doc_id FROM pairs
+        JOIN sizes sa ON pairs.a_id = sa.doc_id
+        JOIN sizes sb ON pairs.b_id = sb.doc_id
+        WHERE inter * 2 >= sa.n + sb.n - inter
+      )
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(nd.doc_id) AS BIGINT) AS n_near_dup,
+           CAST(COUNT(nd.doc_id) AS DOUBLE) / COUNT(*) AS near_dup_rate
+    FROM documents d LEFT JOIN nd ON d.doc_id = nd.doc_id
+    GROUP BY d.source
+    """,
+)
+def docs_near_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate inflation per source: the share of a source's
+    docs that have at least one >= 0.5-Jaccard partner ANYWHERE in the
+    corpus — the table that converts "we have N tokens from source X"
+    into effective tokens (a source that is half near-dups of itself
+    or of other sources contributes half its nominal weight).
+
+    Exactness: membership is the INTEGER cross-multiplication
+    inter*2 >= union (Jaccard >= 0.5 without a float boundary); the
+    rate is ONE division.
+
+    Scale: same bounded shingle self-join as the Jaccard verifier (LSH
+    candidates at 100 TB); the near-dup id set is ids-only, and the
+    source rollup is a broadcast-sized left join against the metadata
+    projection.
+    """
+    docs = shingled_docs(spark, sf_dir).cache()
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, (a.s_a == b.s_b) & (a.a_id < b.b_id))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    hit = pairs.join(F.broadcast(sa), "a_id").join(
+        F.broadcast(sb), "b_id"
+    ).filter(
+        F.col("inter") * 2 >= F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    nd = (
+        hit.select(F.col("a_id").alias("doc_id"))
+        .unionAll(hit.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("is_nd", F.lit(1))
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        meta.join(nd, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("is_nd").cast("long").alias("n_near_dup"),
+            (F.count("is_nd").cast("double") / F.count(F.lit(1))).alias(
+                "near_dup_rate"
+            ),
+        )
+    )

@@ -1116,3 +1116,62 @@ def docs_length_quantiles_by_lang(
         F.expr("percentile(n_chars, 0.95)").alias("p95"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "docs_char_class_profile",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_replace(text, '[^a-z]', '', 'g')) )
+                AS BIGINT) AS n_lower,
+           CAST(SUM(len(regexp_replace(text, '[^A-Z]', '', 'g')))
+                AS BIGINT) AS n_upper,
+           CAST(SUM(len(regexp_replace(text, '[^0-9]', '', 'g')))
+                AS BIGINT) AS n_digit,
+           CAST(SUM(len(regexp_replace(text, '[^ ]', '', 'g')))
+                AS BIGINT) AS n_space,
+           CAST(SUM(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))
+                AS BIGINT) AS n_other,
+           CAST(SUM(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))
+             AS DOUBLE) / SUM(len(text)) AS other_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per language: lower/upper/digit/space/
+    other counts and the "other" ratio — the encoding-damage detector
+    (mojibake, HTML entities, control characters all inflate `other`;
+    a language whose profile shifts between crawls changed extractors,
+    not content).
+
+    Exactness: every count is an integer character tally from the same
+    regex alphabet in both engines; the ratio is ONE division.
+
+    Scale: pure codegen projections over the scan (count-by-delete
+    regexes, no explode, no Python); one map-side partial aggregate to
+    |langs| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_of(pattern: str):
+        return F.sum(
+            F.length(F.regexp_replace("text", pattern, ""))
+        ).cast("long")
+
+    other = F.sum(
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        n_of("[^a-z]").alias("n_lower"),
+        n_of("[^A-Z]").alias("n_upper"),
+        n_of("[^0-9]").alias("n_digit"),
+        n_of("[^ ]").alias("n_space"),
+        other.cast("long").alias("n_other"),
+        (
+            other.cast("double") / F.sum(F.length("text"))
+        ).alias("other_ratio"),
+    )
