@@ -809,3 +809,70 @@ class TestClusterFanout:
         router = self._cluster(tmp_path)
         _ensure_single_node(router)  # must NOT raise: fan-out is safe
         assert router.info()["cluster_enabled"] == 1
+
+
+class TestClusterMigrationBridge:
+    def test_cluster_dump_and_replay_through_router(self, spark, tmp_path):
+        """Both migration bridges work THROUGH the fan-out router: a
+        cluster's full keyspace dumps to one AOF segment (scan union +
+        routed pair-fidelity reads), and an AOF replays INTO a cluster
+        with every entry routed to its slot owner."""
+        from redisgears_spark.sources.commandlog import (
+            register_commandlog_source,
+        )
+        from redisgears_spark.sources.redisstream import (
+            dump_redis_to_commandlog,
+            replay_commandlog_to_redis,
+        )
+        from redisgears_spark.sources.rediscluster import (
+            make_fake_cluster_client,
+        )
+
+        spec = ",".join(
+            f"{lo}-{hi}:{tmp_path}/n{i}.jsonl"
+            for i, (lo, hi) in enumerate(
+                [(0, 5460), (5461, 10922), (10923, 16383)]
+            )
+        )
+        router = make_fake_cluster_client(spec)
+        # user:3 -> node0, user:1 -> node1, user:4 -> node2
+        router.xadd("user:3", {"event_type": "view"}, id=_id(_MS))
+        router.xadd("user:1", {"event_type": "click"}, id=_id(_MS + 1))
+        router.xadd("user:4", {"event_type": "buy"}, id=_id(_MS + 2))
+
+        out = str(tmp_path / "dump" / "seg-000.aof")
+        assert dump_redis_to_commandlog(router, "user:*", out) == 3
+        register_commandlog_source(spark)
+        back = (
+            spark.read.format("gears_commandlog")
+            .option("path", str(tmp_path / "dump"))
+            .load()
+            .collect()
+        )
+        assert {
+            (r["stream_key"], r["fields"]["event_type"]) for r in back
+        } == {("user:3", "view"), ("user:1", "click"), ("user:4", "buy")}
+
+        # replay the dumped segment into a FRESH cluster: every entry
+        # must land on (and only on) its slot owner
+        spec2 = ",".join(
+            f"{lo}-{hi}:{tmp_path}/m{i}.jsonl"
+            for i, (lo, hi) in enumerate(
+                [(0, 5460), (5461, 10922), (10923, 16383)]
+            )
+        )
+        router2 = make_fake_cluster_client(spec2)
+        assert replay_commandlog_to_redis(str(tmp_path / "dump"), router2) == 3
+        assert [e[1]["event_type"] for e in router2.xrange("user:4")] == [
+            "buy"
+        ]
+        from redisgears_spark.sources.rediscluster import (
+            FakeRedisClusterNode,
+            parse_node_ranges,
+        )
+
+        topo = parse_node_ranges(spec2)
+        owner = FakeRedisClusterNode(
+            f"{tmp_path}/m2.jsonl", topo[f"{tmp_path}/m2.jsonl"], topo
+        )
+        assert len(owner.xrange("user:4")) == 1

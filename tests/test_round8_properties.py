@@ -473,3 +473,107 @@ class TestCrossOperatorConsistency:
         n_edges = _edge_index(spark, sf_dir).count()
         assert total_degree == n_edges
         assert n_edges % 2 == 0
+
+
+@pytest.mark.parametrize("seed", [15, 16])
+def test_windowed_funnel_matches_brute_force(spark, tmp_path, seed):
+    """Sequential-window funnel == per-user brute force: first view,
+    first click in (t_view, t_view+7d], first purchase in
+    (t_click, t_click+7d]. Offsets are drawn around the 7-day boundary
+    so the window edges (inclusive right, exclusive left) matter."""
+    from redisgears_spark.operators.analytics import events_funnel_windowed
+
+    rng = random.Random(seed)
+    week = 7 * 86_400
+    rows = []
+    for i in range(120):
+        uid = rng.randrange(8)
+        et = rng.choice(["view", "click", "purchase"])
+        # cluster offsets at 0..2 weeks with mass near the boundary
+        off = rng.choice(
+            [rng.randrange(0, week), week, week + 1, rng.randrange(0, 2 * week)]
+        )
+        rows.append((i, uid, off, et, 1.0))
+    row = events_funnel_windowed(
+        spark, _events_dir(tmp_path, rows)
+    ).collect()[0]
+    per_user: dict[int, dict] = {}
+    for _i, uid, off, et, _v in rows:
+        per_user.setdefault(uid, {}).setdefault(et, []).append(
+            off * 1_000_000
+        )
+    wk = week * 1_000_000
+    n_view = n_click = n_purchase = 0
+    for uid, evs in per_user.items():
+        views = sorted(evs.get("view", []))
+        if not views:
+            continue
+        n_view += 1
+        t_view = views[0]
+        clicks = sorted(
+            t for t in evs.get("click", []) if t_view < t <= t_view + wk
+        )
+        if not clicks:
+            continue
+        n_click += 1
+        t_click = clicks[0]
+        purchases = [
+            t for t in evs.get("purchase", []) if t_click < t <= t_click + wk
+        ]
+        if purchases:
+            n_purchase += 1
+    assert (row["n_view"], row["n_click_7d"], row["n_purchase_7d"]) == (
+        n_view,
+        n_click,
+        n_purchase,
+    )
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_supplier_share_matches_brute_force(spark, tmp_path, seed):
+    """Top supplier per part with qty ties — the (qty DESC, suppkey)
+    tie-break must be total."""
+    from redisgears_spark.operators.relational import (
+        lineitem_supplier_share_per_part,
+    )
+
+    rng = random.Random(seed)
+    lines = [
+        (rng.randrange(5), rng.randrange(4), rng.choice([1, 2]))
+        for _ in range(70)
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "l_orderkey": i,
+                "l_partkey": pk,
+                "l_suppkey": sk,
+                "l_linenumber": 1,
+                "l_quantity": float(q),
+                "l_extendedprice": 10.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": _T0,
+            }
+            for i, (pk, sk, q) in enumerate(lines)
+        ]
+    )
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "lineitem.parquet")
+    got = {
+        (r["l_partkey"], r["top_suppkey"], r["top_qty"], r["total_qty"],
+         r["n_suppliers"])
+        for r in lineitem_supplier_share_per_part(spark, str(d)).collect()
+    }
+    agg: dict[int, dict[int, int]] = {}
+    for pk, sk, q in lines:
+        agg.setdefault(pk, {})[sk] = agg.setdefault(pk, {}).get(sk, 0) + q
+    want = set()
+    for pk, by_s in agg.items():
+        top = min(by_s, key=lambda s: (-by_s[s], s))
+        want.add((pk, top, by_s[top], sum(by_s.values()), len(by_s)))
+    assert got == want
