@@ -210,8 +210,18 @@ def bench_streaming(
                 "benchlib.bench"
             ].n_success
 
-        passthrough_s = min(run_passthrough(i) for i in range(iters))
-        runs = [run_trigger(i) for i in range(iters)]
+        # INTERLEAVE the two sides (r8): running all passthroughs then
+        # all triggers lets one load spike land entirely on one side —
+        # min-of-5 cannot save a ratio when the spike spans the whole
+        # trigger block (observed: a 2.8x sync reading whose five
+        # sibling runs sat at 1.5-1.6x). Alternating exposes both sides
+        # to the same box moments, the canary-interleaving lesson
+        # applied to the sections themselves.
+        pass_times, runs = [], []
+        for i in range(iters):
+            pass_times.append(run_passthrough(i))
+            runs.append(run_trigger(i))
+        passthrough_s = min(pass_times)
         # events/sec must divide one run's count by the SAME run's time
         trigger_s, _, n = min(runs, key=lambda r: r[0])
         if mode == "agg":
@@ -559,8 +569,13 @@ def bench_keyspace(
                 "kbenchlib.bench"
             ].n_success
 
-        passthrough_s = min(run_passthrough(i) for i in range(iters))
-        runs = [run_trigger(i) for i in range(iters)]
+        # interleaved for the same reason as bench_streaming: a load
+        # spike must hit both sides, not just the block that ran last
+        pass_times, runs = [], []
+        for i in range(iters):
+            pass_times.append(run_passthrough(i))
+            runs.append(run_trigger(i))
+        passthrough_s = min(pass_times)
         # events/sec must divide one run's count by the SAME run's time
         trigger_s, n = min(runs, key=lambda r: r[0])
         return {

@@ -3087,3 +3087,121 @@ def events_user_activity_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_events",
         )
     )
+
+
+@query(
+    "events_weekday_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
+    FROM events GROUP BY dayofweek(ts), hour(ts)
+    """,
+)
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7x24 load heatmap: events, distinct users, and revenue per
+    (day-of-week, hour) cell — staffing, deploy-window, and send-time
+    planning in one table (events_hourly_seasonality marginalizes the
+    hours; this keeps the weekday interaction).
+
+    Exactness: DuckDB's dayofweek is 0=Sunday..6 while Spark's is
+    1=Sunday..7 — the oracle shifts by one (the events_dow_independence
+    idiom); counts/cents are integers; the session timezone is pinned
+    UTC so hour() agrees.
+
+    Scale: one map-side partial aggregate to <= 168 cells; the distinct
+    user count per cell is the one non-mergeable piece — at 100 TB swap
+    COUNT(DISTINCT) for the HLL/KMV sketch column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(cents("value")).cast("long").alias("total_c"),
+    )
+
+
+@query(
+    "events_cart_abandonment",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT c.user_id, c.t_click,
+             MIN(e.us) AS t_purchase
+      FROM c LEFT JOIN (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'purchase'
+      ) e ON e.user_id = c.user_id
+         AND e.us > c.t_click AND e.us <= c.t_click + 604800000000
+      GROUP BY c.user_id, c.t_click
+    )
+    SELECT CAST(t_click // 604800000000 AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_clickers,
+           CAST(SUM(CASE WHEN t_purchase IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned,
+           CAST(SUM(CASE WHEN t_purchase IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS abandonment_rate
+    FROM conv GROUP BY t_click // 604800000000
+    """,
+)
+def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly abandonment: of users whose FIRST click landed in epoch
+    week W, how many never purchased within 7 days of that click — the
+    remarketing-budget input, windowed so late buyers don't silently
+    rescue old cohorts as the data grows.
+
+    Exactness: anchors are integer-micro MINs; the week bucket is
+    floored integer division; membership in the 7-day window is an
+    integer comparison; the rate is ONE division. The conditional-join
+    MIN yields NULL (never converted) which is counted, not emitted —
+    outputs carry no NULLs.
+
+    Scale: two user_id-partitioned aggregates plus one equi-join on
+    user_id with the window predicate as a residual — purchases join
+    pre-filtered by type; the weekly rollup is calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(micros("ts")).alias("t_click"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", micros("ts").alias("us")
+    )
+    conv = (
+        c.join(
+            p,
+            (c.user_id == p.user_id)
+            & (p.us > c.t_click)
+            & (p.us <= c.t_click + week_us),
+            "left",
+        )
+        .groupBy(c.user_id, "t_click")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    abandoned = F.when(F.col("t_purchase").isNull(), 1).otherwise(0)
+    return (
+        conv.groupBy(
+            F.floor(F.col("t_click") / F.lit(week_us))
+            .cast("long")
+            .alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clickers"),
+            F.sum(abandoned).cast("long").alias("n_abandoned"),
+            (
+                F.sum(abandoned).cast("double") / F.count(F.lit(1))
+            ).alias("abandonment_rate"),
+        )
+    )

@@ -4328,3 +4328,121 @@ def customer_balance_activity_matrix(
         .groupBy("bal_q", "act_q")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+@query(
+    "lineitem_price_consistency",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             (CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+               // CAST(round(l_quantity) AS BIGINT) AS unit_mc
+      FROM lineitem WHERE round(l_quantity) > 0
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(unit_mc) AS BIGINT) AS min_unit_mc,
+           CAST(MAX(unit_mc) AS BIGINT) AS max_unit_mc,
+           CAST(MAX(unit_mc) - MIN(unit_mc) AS BIGINT) AS spread_mc,
+           CAST(MAX(unit_mc) AS DOUBLE) / MIN(unit_mc) AS max_over_min
+    FROM u GROUP BY l_partkey
+    HAVING MAX(unit_mc) > MIN(unit_mc)
+    """,
+)
+def lineitem_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-error screen: parts whose realized unit price (extended
+    price / quantity, in floor-divided milli-cents) varies across line
+    items — catalog drift, fat-finger entries, and unit-of-measure
+    mixups all surface as spread here. Only inconsistent parts are
+    emitted (HAVING max > min), so the table is the worklist, not a dump.
+
+    Exactness: the unit price is INTEGER floor division of exact
+    milli-cents by the integral quantity — no float ratio ever
+    compared; the max/min ratio is the single IEEE division at the end.
+
+    Scale: one map-side partial aggregate on partkey; the HAVING prunes
+    before anything leaves the aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    u = l.filter(qty > 0).select(
+        "l_partkey",
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) * 1000 "
+            "DIV cast(round(l_quantity) as bigint)"
+        ).alias("unit_mc"),
+    )
+    return (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("unit_mc").cast("long").alias("min_unit_mc"),
+            F.max("unit_mc").cast("long").alias("max_unit_mc"),
+        )
+        .filter(F.col("max_unit_mc") > F.col("min_unit_mc"))
+        .select(
+            "l_partkey",
+            "n_lines",
+            "min_unit_mc",
+            "max_unit_mc",
+            (F.col("max_unit_mc") - F.col("min_unit_mc")).alias("spread_mc"),
+            (
+                F.col("max_unit_mc").cast("double") / F.col("min_unit_mc")
+            ).alias("max_over_min"),
+        )
+    )
+
+
+@query(
+    "supplier_nation_balance_profile",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(MIN(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS min_bal_c,
+           quantile_cont(CAST(round(s.s_acctbal * 100) AS BIGINT), 0.5)
+             AS p50_bal_c,
+           CAST(MAX(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS max_bal_c,
+           CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_c
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_nation_balance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier credit health per nation: count, negative-balance count,
+    min/median/max and total balance — the accounts-payable risk rollup
+    over the supply base (a nation whose median is fine but whose min
+    is deeply negative has one supplier about to fail, not a weak
+    market).
+
+    Exactness: balances in exact cents; the median interpolates over
+    integers; counts are conditional integer sums.
+
+    Scale: supplier is a dimension table; nation broadcasts; one
+    map-side partial aggregate to |nations| rows with per-nation
+    exact-percentile buffers (dimension-bounded).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+            F.min(cents("s_acctbal")).cast("long").alias("min_bal_c"),
+            F.expr(
+                "percentile(cast(round(s_acctbal * 100) as bigint), 0.5)"
+            ).alias("p50_bal_c"),
+            F.max(cents("s_acctbal")).cast("long").alias("max_bal_c"),
+            F.sum(cents("s_acctbal")).cast("long").alias("total_bal_c"),
+        )
+    )
