@@ -876,3 +876,51 @@ class TestClusterMigrationBridge:
             f"{tmp_path}/m2.jsonl", topo[f"{tmp_path}/m2.jsonl"], topo
         )
         assert len(owner.xrange("user:4")) == 1
+
+
+def test_router_follows_ask_redirect(tmp_path):
+    """ASK redirects (slot migration IN PROGRESS, not yet committed to
+    the table) must be followed exactly like MOVED — and a node that
+    redirects twice must propagate, not loop."""
+    from redisgears_spark.sources.rediscluster import (
+        ClusterFanoutClient,
+        GearsMovedError,
+        make_fake_cluster_client,
+    )
+
+    spec = ",".join(
+        f"{lo}-{hi}:{tmp_path}/a{i}.jsonl"
+        for i, (lo, hi) in enumerate([(0, 8191), (8192, 16383)])
+    )
+    router = make_fake_cluster_client(spec)
+    router.xadd("user:1", {"event_type": "click"}, id=_id(_MS))
+
+    class AskingNode:
+        """Stand-in that always answers ASK toward the true owner."""
+
+        def __init__(self, target):
+            self.target = target
+
+        def type(self, name):
+            raise GearsMovedError(0, self.target, ask=True)
+
+        def cluster_slots(self):
+            raise RuntimeError("not a discovery node")
+
+    owner_addr = next(
+        addr for _lo, _hi, addr in router._slots
+        if router._owner("user:1") is router._node(addr)
+    )
+    asker = AskingNode(owner_addr)
+    # force the first route to the asking stand-in
+    router._slots = [(0, 16383, "asker")]
+    router._nodes["asker"] = asker
+    assert router.type("user:1") == "stream"
+
+    # a redirect chain of length 2 must raise, not recurse forever
+    loop = AskingNode("asker")
+    router._slots = [(0, 16383, "loop")]
+    router._nodes["loop"] = loop
+    router._nodes["asker"] = AskingNode("loop")
+    with pytest.raises(GearsMovedError):
+        router.type("user:1")

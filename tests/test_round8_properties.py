@@ -577,3 +577,106 @@ def test_supplier_share_matches_brute_force(spark, tmp_path, seed):
         top = min(by_s, key=lambda s: (-by_s[s], s))
         want.add((pk, top, by_s[top], sum(by_s.values()), len(by_s)))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [18, 19])
+def test_cart_abandonment_matches_brute_force(spark, tmp_path, seed):
+    """Weekly abandonment == per-user brute force, with purchases drawn
+    around the 7-day boundary (exclusive left, inclusive right) and
+    pre-click purchases that must NOT rescue the cohort."""
+    from redisgears_spark.operators.analytics import events_cart_abandonment
+
+    rng = random.Random(seed)
+    week = 7 * 86_400
+    rows = []
+    for i in range(100):
+        uid = rng.randrange(10)
+        et = rng.choice(["click", "purchase", "view"])
+        off = rng.choice(
+            [rng.randrange(0, week), week, week + 1,
+             rng.randrange(0, 3 * week)]
+        )
+        rows.append((i, uid, off, et, 1.0))
+    got = {
+        r["week"]: (r["n_clickers"], r["n_abandoned"])
+        for r in events_cart_abandonment(
+            spark, _events_dir(tmp_path, rows)
+        ).collect()
+    }
+    per_user: dict[int, dict] = {}
+    for _i, uid, off, et, _v in rows:
+        per_user.setdefault(uid, {}).setdefault(et, []).append(
+            off * 1_000_000
+        )
+    wk = week * 1_000_000
+    want: dict[int, list] = {}
+    for uid, evs in per_user.items():
+        clicks = evs.get("click", [])
+        if not clicks:
+            continue
+        t_click = min(clicks)
+        w = (_US_T0 + t_click) // wk
+        converted = any(
+            t_click < t <= t_click + wk for t in evs.get("purchase", [])
+        )
+        want.setdefault(w, []).append(converted)
+    assert got == {
+        w: (len(cs), sum(1 for c in cs if not c))
+        for w, cs in want.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [20])
+def test_price_consistency_matches_brute_force(spark, tmp_path, seed):
+    """Floor-divided unit prices and the HAVING prune, including parts
+    with a single price (must be absent) and qty values that do not
+    divide the price evenly (floor semantics must agree)."""
+    from redisgears_spark.operators.relational import (
+        lineitem_price_consistency,
+    )
+
+    rng = random.Random(seed)
+    lines = [
+        (
+            rng.randrange(6),
+            rng.choice([9.99, 10.00, 10.01, 30.00]),
+            rng.choice([1, 3, 7]),
+        )
+        for _ in range(80)
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "l_orderkey": i,
+                "l_partkey": pk,
+                "l_suppkey": 0,
+                "l_linenumber": 1,
+                "l_quantity": float(q),
+                "l_extendedprice": price * q,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": _T0,
+            }
+            for i, (pk, price, q) in enumerate(lines)
+        ]
+    )
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "lineitem.parquet")
+    got = {
+        (r["l_partkey"], r["min_unit_mc"], r["max_unit_mc"], r["n_lines"])
+        for r in lineitem_price_consistency(spark, str(d)).collect()
+    }
+    per_part: dict[int, list] = {}
+    for pk, price, q in lines:
+        ext_c = round(price * q * 100)
+        per_part.setdefault(pk, []).append(ext_c * 1000 // q)
+    want = {
+        (pk, min(us), max(us), len(us))
+        for pk, us in per_part.items()
+        if max(us) > min(us)
+    }
+    assert got == want
