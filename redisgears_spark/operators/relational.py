@@ -3946,8 +3946,10 @@ def customer_nation_revenue_rank(
       FROM s
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-           CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+           CAST(COALESCE(SUM(CASE WHEN above THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_above,
+           CAST(COALESCE(SUM(CASE WHEN above THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS n_below,
            CAST(COALESCE(SUM(flip), 0) AS BIGINT) AS n_runs
     FROM seq
     """,
@@ -3991,12 +3993,14 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("flip"),
     )
+    # every aggregate coalesces: an all-median (or empty) day sequence
+    # must report zeros, not NULLs — the inventory's no-NULL contract
     return seq.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("above"), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_above"),
-        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        F.coalesce(F.sum(F.when(F.col("above"), 0).otherwise(1)), F.lit(0))
         .cast("long")
         .alias("n_below"),
         F.coalesce(F.sum("flip"), F.lit(0)).cast("long").alias("n_runs"),

@@ -680,3 +680,17 @@ def test_price_consistency_matches_brute_force(spark, tmp_path, seed):
         if max(us) > min(us)
     }
     assert got == want
+
+
+def test_runs_test_all_median_days_report_zeros(spark, tmp_path):
+    """Every day identical -> every day equals the median -> the sign
+    sequence is empty; all four outputs must be 0, never NULL (the
+    no-NULL output contract)."""
+    orders = [(i, 0, i * 86_400, 100.0) for i in range(5)]
+    row = orders_runs_test(spark, _orders_dir(tmp_path, orders)).collect()[0]
+    assert (row["n_days"], row["n_above"], row["n_below"], row["n_runs"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
