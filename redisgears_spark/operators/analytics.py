@@ -2910,10 +2910,10 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (SELECT t5 - t1 AS dt_us FROM f WHERE t5 IS NOT NULL)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users_5,
-           CAST(MIN(dt_us) AS BIGINT) AS min_us,
-           quantile_cont(dt_us, 0.5) AS p50_us,
-           quantile_cont(dt_us, 0.9) AS p90_us,
-           CAST(MAX(dt_us) AS BIGINT) AS max_us
+           CAST(COALESCE(MIN(dt_us), 0) AS BIGINT) AS min_us,
+           COALESCE(quantile_cont(dt_us, 0.5), 0.0) AS p50_us,
+           COALESCE(quantile_cont(dt_us, 0.9), 0.0) AS p90_us,
+           CAST(COALESCE(MAX(dt_us), 0) AS BIGINT) AS max_us
     FROM d
     """,
 )
@@ -2944,12 +2944,18 @@ def events_time_to_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = f.filter(F.col("t5").isNotNull()).select(
         (F.col("t5") - F.col("t1")).alias("dt_us")
     )
+    # coalesced: a corpus where NO user reaches 5 events reports zeros,
+    # not NULLs (the inventory's no-NULL output contract)
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_users_5"),
-        F.min("dt_us").cast("long").alias("min_us"),
-        F.expr("percentile(dt_us, 0.5)").alias("p50_us"),
-        F.expr("percentile(dt_us, 0.9)").alias("p90_us"),
-        F.max("dt_us").cast("long").alias("max_us"),
+        F.coalesce(F.min("dt_us"), F.lit(0)).cast("long").alias("min_us"),
+        F.coalesce(F.expr("percentile(dt_us, 0.5)"), F.lit(0.0)).alias(
+            "p50_us"
+        ),
+        F.coalesce(F.expr("percentile(dt_us, 0.9)"), F.lit(0.0)).alias(
+            "p90_us"
+        ),
+        F.coalesce(F.max("dt_us"), F.lit(0)).cast("long").alias("max_us"),
     )
 
 
@@ -2970,7 +2976,9 @@ def kmv_distinct(df: DataFrame, expr_sql: str, k: int = _KMV_K) -> DataFrame:
         .limit(k)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
-            F.max("h").cast("long").alias("kth_h"),
+            # empty input -> 0 sentinel, not NULL (no-NULL contract);
+            # the below-k CASE arm already reports estimate 0.0 then
+            F.coalesce(F.max("h"), F.lit(0)).cast("long").alias("kth_h"),
         )
     )
     num = float((k - 1) * (1 << 32))
@@ -2994,7 +3002,7 @@ def kmv_distinct(df: DataFrame, expr_sql: str, k: int = _KMV_K) -> DataFrame:
     ksmall AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K}),
     a AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
-             CAST(MAX(h) AS BIGINT) AS kth_h
+             CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_h
       FROM ksmall
     )
     SELECT CAST({_KMV_K} AS BIGINT) AS k, n_in_sketch, kth_h,

@@ -694,3 +694,39 @@ def test_runs_test_all_median_days_report_zeros(spark, tmp_path):
         0,
         0,
     )
+
+
+def test_time_to_nth_reports_zeros_when_no_user_reaches_five(
+    spark, tmp_path
+):
+    """Three users with <= 4 events each: n_users_5 = 0 and every
+    latency column is the 0 sentinel, never NULL."""
+    from redisgears_spark.operators.analytics import events_time_to_nth_event
+
+    rows = [
+        (i, i % 3, i * 100, "view", 1.0) for i in range(9)  # 3 per user
+    ]
+    row = events_time_to_nth_event(
+        spark, _events_dir(tmp_path, rows)
+    ).collect()[0]
+    assert (
+        row["n_users_5"],
+        row["min_us"],
+        row["p50_us"],
+        row["p90_us"],
+        row["max_us"],
+    ) == (0, 0, 0.0, 0.0, 0)
+
+
+def test_kmv_below_k_and_degenerate(spark, tmp_path):
+    """Below k the sketch IS the exact count; a tiny corpus must report
+    the true distinct with kth_h > 0 and no NULLs."""
+    from redisgears_spark.operators.analytics import events_kmv_user_estimate
+
+    rows = [(i, i % 7, i * 50, "view", 1.0) for i in range(30)]
+    row = events_kmv_user_estimate(
+        spark, _events_dir(tmp_path, rows)
+    ).collect()[0]
+    assert row["n_in_sketch"] == 7
+    assert row["est_users"] == 7.0
+    assert row["kth_h"] > 0
