@@ -48,3 +48,15 @@ def count_nodes(df: DataFrame, node: str) -> int:
 
     plan = formatted_plan(df)
     return len(re.findall(rf"\(\d+\) {re.escape(node)}\b", plan))
+
+
+def assert_no_broadcast_hint(df: DataFrame) -> None:
+    """Assert the query carries NO explicit broadcast hint (ResolvedHint in
+    the analyzed logical plan). Used where the would-be broadcast side has
+    corpus cardinality: a forced hint bypasses AQE's size check and
+    hard-fails Spark's broadcast limits at scale, while an unhinted plan
+    lets AQE broadcast only when the relation is actually small."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    assert "ResolvedHint" not in analyzed, (
+        f"explicit broadcast hint found in logical plan:\n{analyzed[:4000]}"
+    )

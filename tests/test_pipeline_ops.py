@@ -854,3 +854,46 @@ def test_bigram_predictability_matches_pure_python(spark, sf_dir):
         if row
     }
     assert got == want
+
+
+def test_dedup_economics_lsh_contained_in_exact(spark, sf_dir):
+    """The LSH-bounded modes of the dedup-economics operators are
+    containment-bounded by their exact twins: the banded candidate set is a
+    subset of the all-pairs set (same shingles, exact verify), so (a) every
+    threshold-histogram bucket's LSH n_pairs <= exact n_pairs, and (b) every
+    source's LSH n_near_dup <= exact n_near_dup with identical n_docs.
+    High-Jaccard buckets (>= the banding recall knee) must be near-complete:
+    the fixture's bucket-8+ counts match exactly."""
+    exact_h = {
+        r["bucket"]: r["n_pairs"]
+        for r in QUERIES["dedup_threshold_histogram"](spark, sf_dir).collect()
+    }
+    lsh_h = {
+        r["bucket"]: r["n_pairs"]
+        for r in QUERIES["dedup_threshold_histogram_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh_h, "LSH histogram empty on the fixture"
+    for bucket, n in lsh_h.items():
+        assert bucket in exact_h, f"LSH-only bucket {bucket} (false positives)"
+        assert n <= exact_h[bucket], (bucket, n, exact_h[bucket])
+    # banding with 8 bands of 4 rows catches jaccard ~>= 0.3 w.h.p. — the
+    # fixture's high buckets (0.8+) must be fully recalled
+    for bucket in (8, 9, 10):
+        if bucket in exact_h:
+            assert lsh_h.get(bucket) == exact_h[bucket], (
+                f"high bucket {bucket} under-recalled: "
+                f"{lsh_h.get(bucket)} vs {exact_h[bucket]}"
+            )
+
+    exact_nd = {
+        r["source"]: (r["n_docs"], r["n_near_dup"])
+        for r in QUERIES["docs_near_dup_rate_by_source"](spark, sf_dir).collect()
+    }
+    lsh_nd = {
+        r["source"]: (r["n_docs"], r["n_near_dup"])
+        for r in QUERIES["docs_near_dup_rate_by_source_lsh"](spark, sf_dir).collect()
+    }
+    assert set(lsh_nd) == set(exact_nd)
+    for src, (n_docs, n_nd) in lsh_nd.items():
+        assert n_docs == exact_nd[src][0]
+        assert n_nd <= exact_nd[src][1], (src, n_nd, exact_nd[src][1])
