@@ -583,8 +583,19 @@ def _funnel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hashlib
 
     # stable digest, not hash(): Python string hashing is per-process
-    # randomized, which would defeat the cross-process cache
-    digest = _hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    # randomized, which would defeat the cross-process cache. The digest
+    # folds in the SIGNAL DEFINITIONS alongside the corpus fingerprint:
+    # a cache keyed on the corpus alone would serve stale verdicts after
+    # a threshold/gram-rule change (or across two code versions on one
+    # machine) until the parquet mtime happened to move.
+    signal_version = (
+        _G_SIGNALS_SQL,
+        _G_KEEP_SQL,
+        _DECON_N,
+        _DECON_EVAL_MOD,
+        "funnel-index-v1",  # bump manually for index schema changes
+    )
+    digest = _hashlib.md5(repr((key, signal_version)).encode()).hexdigest()[:16]
     path = _os.path.join(root, f"funnel_{digest}.parquet")
     if not _os.path.exists(path):
         _os.makedirs(root, exist_ok=True)

@@ -3807,8 +3807,9 @@ def orders_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month and year-over-year revenue growth: the BI
     growth dashboard primitive. Calendar-gap-safe: comparisons join on
     the explicit month index (midx-1 / midx-12), so a missing month
-    yields NULL ratios instead of lag() silently comparing against the
-    wrong month.
+    produces the 0 sentinel ratio instead of lag() silently comparing
+    against the wrong month (the join can't misalign; see Exactness for
+    the sentinel contract).
 
     Exactness: integer month index, exact cent sums, each ratio ONE
     IEEE division. Missing comparison months report the 0 sentinel

@@ -82,21 +82,41 @@ class GearsMovedError(RuntimeError):
         self.slot = slot
         self.addr = addr
         self.ask = ask
+        self.ask = ask
 
 
-def _parse_redirect(exc: BaseException) -> tuple[int, str] | None:
-    """(slot, addr) if `exc` is a MOVED/ASK redirect (ours or
-    redis-py's ResponseError carrying the wire message), else None."""
+def _parse_redirect(exc: BaseException) -> tuple[int, str, bool] | None:
+    """(slot, addr, is_ask) if `exc` is a MOVED/ASK redirect (ours or
+    redis-py's ResponseError carrying the wire message), else None. The
+    ask flag must survive parsing: ASK and MOVED demand different retry
+    protocols (ASKING preamble vs routing-table refresh)."""
     if isinstance(exc, GearsMovedError):
-        return exc.slot, exc.addr
+        return exc.slot, exc.addr, exc.ask
     msg = str(exc)
     parts = msg.split()
     if len(parts) == 3 and parts[0] in ("MOVED", "ASK"):
         try:
-            return int(parts[1]), parts[2]
+            return int(parts[1]), parts[2], parts[0] == "ASK"
         except ValueError:
             return None
     return None
+
+
+def _send_asking(node) -> None:
+    """Issue the ASKING preamble on `node` before an ASK-redirected retry.
+    Per the cluster spec an importing node answers MOVED (back to the
+    migrating source) for any non-ASKING command on an importing slot, so
+    skipping this makes the one retry fail on a real mid-migration
+    cluster. Fake nodes expose `asking()`; redis-py exposes
+    execute_command('ASKING'); bare stand-ins (contract tests) may expose
+    neither, in which case there is nothing to send."""
+    fn = getattr(node, "asking", None)
+    if fn is not None:
+        fn()
+        return
+    exec_ = getattr(node, "execute_command", None)
+    if exec_ is not None:
+        exec_("ASKING")
 
 
 class FakeRedisClusterNode(FakeRedis):
@@ -111,6 +131,15 @@ class FakeRedisClusterNode(FakeRedis):
         self.addr = path
         self.slot_lo, self.slot_hi = slot_range
         self._topology = dict(topology)
+        # live-migration state, mirroring CLUSTER SETSLOT MIGRATING /
+        # IMPORTING: a migrating owner answers ASK <target> for keys it no
+        # longer holds; an importing node REFUSES non-ASKING commands on
+        # the importing slot with MOVED back to the table owner — the
+        # behavior that makes a missing ASKING preamble a hard failure,
+        # exactly as on a real cluster
+        self.migrating: dict = {}  # slot -> target addr
+        self.importing: set = set()  # slots being received
+        self._asking = False  # one-shot, set by ASKING
 
     # -- cluster surface ----------------------------------------------
 
@@ -132,9 +161,28 @@ class FakeRedisClusterNode(FakeRedis):
                 return GearsMovedError(slot, addr)
         return GearsMovedError(slot, self.addr)  # pragma: no cover
 
+    def asking(self) -> None:
+        """The ASKING preamble: permits exactly ONE following command on
+        an importing slot (one-shot, as on a real connection)."""
+        self._asking = True
+
     def _check(self, key: str) -> None:
-        if not self._owns(key):
+        slot = key_slot(key)
+        asking, self._asking = self._asking, False  # consume one-shot
+        if self._owns(key):
+            if slot in self.migrating:
+                # mid-migration owner: keys already moved are served by
+                # the importing target via ASK (simplification: the fake
+                # redirects the whole slot once migration starts)
+                raise GearsMovedError(slot, self.migrating[slot], ask=True)
+            return
+        if slot in self.importing:
+            if asking:
+                return  # ASKING preamble received — serve the command
+            # non-ASKING command on an importing slot: MOVED back to the
+            # committed table owner (the migrating source)
             raise self._redirect(key)
+        raise self._redirect(key)
 
     # -- per-key commands route-check before serving -------------------
 
@@ -279,17 +327,24 @@ class ClusterFanoutClient:
         raise GearsMovedError(slot, "?")  # pragma: no cover - full cover
 
     def _routed(self, key: str, op):
-        """Run `op(node)` against the slot owner; on one MOVED/ASK
-        redirect, follow it, refresh the table, and retry against the
-        named owner."""
+        """Run `op(node)` against the slot owner; on one redirect, follow
+        it per the cluster spec: MOVED (committed topology change) retries
+        at the named owner then refreshes the table; ASK (migration in
+        flight) sends the ASKING preamble and retries at the target WITHOUT
+        refreshing — the table still names the migrating source and will
+        flip to MOVED only when the migration commits."""
         try:
             return op(self._owner(key))
         except BaseException as e:
             redirect = _parse_redirect(e)
             if redirect is None:
                 raise
-            _slot, addr = redirect
-            result = op(self._node(addr))  # follow the redirect FIRST
+            _slot, addr, ask = redirect
+            target = self._node(addr)
+            if ask:
+                _send_asking(target)
+                return op(target)
+            result = op(target)  # follow the redirect FIRST
             try:
                 self._discover()  # then refresh for subsequent commands
             except Exception:

@@ -859,8 +859,13 @@ _HLLS_STATE_SCHEMA = "registers string, n_records bigint"
 def _hll_add(registers: list, value: str, p: int) -> None:
     """Flajolet HLL register update: md5-derived 64-bit hash, p-bit
     prefix selects the register, rank = leading zeros of the suffix + 1.
-    Same hash family as the batch hll_distinct (analytics.py), so batch
-    and streaming estimates of the same multiset agree."""
+    Both this and the batch hll_distinct (analytics.py) are md5-derived
+    HLLs with the same error bounds at equal m, but they are NOT
+    bit-identical estimators: batch buckets a 32-bit md5 prefix by mod-m
+    (portable across SQL dialects), this one indexes by the high p bits
+    of a 64-bit prefix (cheaper in the per-record Python path) — register
+    contents, and therefore estimates of the same multiset, generally
+    differ within the shared ±1.04/sqrt(m) bound."""
     import hashlib
 
     h = int(hashlib.md5(value.encode("utf-8")).hexdigest()[:16], 16)
@@ -873,12 +878,16 @@ def _hll_add(registers: list, value: str, p: int) -> None:
 
 def _hll_estimate(registers: list) -> int:
     """Raw HLL estimate with the small-range linear-counting correction
-    (Flajolet et al. 2007)."""
+    (Flajolet et al. 2007). Bias constant comes from the batch
+    implementation's _hll_alpha — the paper special-cases m=16/32/64
+    (0.673/0.697/0.709), and the constructor allows p down to 4, so the
+    generic formula would carry a known bias at small widths."""
     import math
 
+    from redisgears_spark.operators.analytics import _hll_alpha
+
     m = len(registers)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    raw = alpha * m * m / sum(2.0 ** -r for r in registers)
+    raw = _hll_alpha(m) * m * m / sum(2.0 ** -r for r in registers)
     zeros = registers.count(0)
     if raw <= 2.5 * m and zeros:
         return round(m * math.log(m / zeros))

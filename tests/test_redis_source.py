@@ -924,3 +924,50 @@ def test_router_follows_ask_redirect(tmp_path):
     router._nodes["asker"] = AskingNode("loop")
     with pytest.raises(GearsMovedError):
         router.type("user:1")
+
+
+def test_ask_redirect_sends_asking_preamble(tmp_path):
+    """The real mid-migration contract (cluster spec): the importing node
+    REFUSES non-ASKING commands on an importing slot with MOVED, so the
+    router must send ASKING on the target before the retried command —
+    and must NOT refresh the routing table (the committed table still
+    names the migrating source until the migration commits)."""
+    from redisgears_spark.sources.rediscluster import (
+        GearsMovedError,
+        key_slot,
+        make_fake_cluster_client,
+    )
+
+    spec = ",".join(
+        f"{lo}-{hi}:{tmp_path}/m{i}.jsonl"
+        for i, (lo, hi) in enumerate([(0, 8191), (8192, 16383)])
+    )
+    router = make_fake_cluster_client(spec)
+    router.xadd("user:1", {"event_type": "click"}, id="1000-0")
+
+    slot = key_slot("user:1")
+    owner = router._owner("user:1")
+    target_addr = next(
+        addr for _lo, _hi, addr in router._slots
+        if router._node(addr) is not owner
+    )
+    target = router._node(target_addr)
+
+    # stage the migration: copy the key to the target (ASKING-gated, as a
+    # real MIGRATE would land it), then flip the source to MIGRATING
+    target.importing.add(slot)
+    for entry_id, fields in owner.xrange("user:1"):
+        target.asking()
+        target.xadd("user:1", fields, id=entry_id)
+    owner.migrating[slot] = target_addr
+
+    # the importing node refuses a bare (non-ASKING) command with MOVED
+    with pytest.raises(GearsMovedError) as exc:
+        target.xrange("user:1")
+    assert exc.value.ask is False
+
+    table_before = list(router._slots)
+    rows = router.xrange("user:1")
+    assert len(rows) == 1 and rows[0][1]["event_type"] == "click"
+    # ASK must not trigger a routing-table refresh
+    assert router._slots == table_before
