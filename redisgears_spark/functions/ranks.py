@@ -1,0 +1,113 @@
+"""Distributed exact rank functions — global NTILE without the global sort.
+
+`F.ntile(n).over(W.orderBy(...))` with no partitionBy plans a
+single-partition window: the whole relation funnels through ONE task, the
+shape that dies first at 100 TB. This module computes the IDENTICAL
+bucket assignment (same first-n%N-buckets-get-the-extra-row rule, same
+tie-broken total order) with the two-phase prefix-sum recipe already used
+by pipeline_pack_shards:
+
+  1. range-bucket the ORDER key into coarse integer buckets (a narrow
+     projection riding the scan; monotone in the key, so bucket order IS
+     sort order);
+  2. count rows per bucket — |buckets| rows to the driver (bounded by
+     MAX_BUCKETS, like the pack-shards gather);
+  3. exclusive-prefix-sum the counts into per-bucket rank offsets and
+     broadcast them back;
+  4. row_number WITHIN each bucket (parallel across buckets) + the
+     bucket's offset = the exact global rank, and NTILE's bucket is a
+     closed-form integer function of (rank, N, n).
+
+Bit-exact against a global `NTILE(n) OVER (ORDER BY value, tiebreak)`
+because the order key is bucketed monotonically and integer arithmetic is
+associative — this is zipWithIndex's two-phase shape in DataFrame ops.
+
+Worst case: a single dominant order-key value lands its ties in one range
+bucket (same hot-partition behavior a sort-based range partitioner would
+have); the tiebreak column only breaks ties WITHIN a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# bucket sizing: enough buckets for full parallelism, few enough that the
+# per-bucket count gather stays a driver-trivial relation
+TARGET_ROWS_PER_BUCKET = 1_000_000
+MAX_BUCKETS = 65_536
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Add `out_col` = NTILE(n) OVER (ORDER BY value_col, tiebreak_col)
+    to `df` without a single-partition window.
+
+    `value_col` must be an integral column (the four call sites order by
+    exact integers: cents, counts, epoch-µs, ids); `tiebreak_col` must
+    make (value, tiebreak) a total order — the same requirement the
+    oracle's deterministic NTILE already imposes. Returns the input
+    columns plus `out_col` (long, 1-based).
+    """
+    spark = df.sparkSession
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).first()
+    n_rows, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if not n_rows:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+
+    n_buckets = min(
+        MAX_BUCKETS,
+        max(
+            spark.sparkContext.defaultParallelism,
+            n_rows // TARGET_ROWS_PER_BUCKET,
+        ),
+    )
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    b = f"__gnt_bucket_{out_col}"
+    off = f"__gnt_offset_{out_col}"
+    rk = f"__gnt_rank_{out_col}"
+    bucketed = df.withColumn(
+        b, F.expr(f"(CAST({value_col} AS BIGINT) - {int(lo)}) DIV {width}")
+    )
+
+    counts = bucketed.groupBy(b).agg(F.count(F.lit(1)).alias("c")).collect()
+    per_bucket = {r[b]: r["c"] for r in counts}
+    offsets, acc = [], 0
+    for bucket in sorted(per_bucket):
+        offsets.append((bucket, acc))
+        acc += per_bucket[bucket]
+    boff = spark.createDataFrame(offsets, f"{b} long, {off} long")
+
+    w = W.partitionBy(b).orderBy(value_col, tiebreak_col)
+    # NTILE(n) closed form over the 1-based global rank r with N rows:
+    # q = N DIV n rows in every bucket, the first rem = N % n buckets get
+    # one extra; ranks <= rem*(q+1) fall in those wide buckets. All
+    # integer DIV — no float ever touches a bucket boundary.
+    q, rem = n_rows // n, n_rows % n
+    threshold = rem * (q + 1)
+    if q == 0:  # fewer rows than buckets: bucket i holds exactly row i
+        tile_sql = rk
+    elif rem == 0:
+        tile_sql = f"({rk} - 1) DIV {q} + 1"
+    else:
+        tile_sql = (
+            f"IF({rk} <= {threshold}, "
+            f"({rk} - 1) DIV {q + 1} + 1, "
+            f"{rem} + ({rk} - {threshold} - 1) DIV {q} + 1)"
+        )
+    return (
+        bucketed.join(F.broadcast(boff), b)
+        .withColumn(rk, F.row_number().over(w) + F.col(off))
+        .withColumn(out_col, F.expr(tile_sql).cast("long"))
+        .drop(b, off, rk)
+    )

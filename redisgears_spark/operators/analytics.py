@@ -787,28 +787,30 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents).
 
     Scale: the fact table shuffles once into the per-customer rollup;
-    the three ntile windows then run over |customers| aggregate rows
-    (dimension cardinality, same reduction argument as the Gini
-    operator). A 1e9-customer rollup would swap ntile for a
-    percentile-bound join, but the rollup-first shape is the point.
+    the three quintile scores come from global_ntile
+    (functions/ranks.py) — bit-identical to the oracle's global NTILE
+    windows but computed via the two-phase prefix sum, so even a
+    1e9-customer rollup never funnels through one task.
     """
+    from redisgears_spark.functions.ranks import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
         F.max(micros("o_orderdate")).alias("last_order_us"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(cents("o_totalprice")).cast("long").alias("monetary_cents"),
     )
-    r = F.ntile(5).over(W.orderBy("last_order_us", "o_custkey")).cast("long")
-    f_ = F.ntile(5).over(W.orderBy("n_orders", "o_custkey")).cast("long")
-    m = F.ntile(5).over(W.orderBy("monetary_cents", "o_custkey")).cast("long")
-    scored = base.select(
+    scored = global_ntile(base, 5, "last_order_us", "o_custkey", "r_score")
+    scored = global_ntile(scored, 5, "n_orders", "o_custkey", "f_score")
+    scored = global_ntile(scored, 5, "monetary_cents", "o_custkey", "m_score")
+    scored = scored.select(
         "o_custkey",
         "last_order_us",
         "n_orders",
         "monetary_cents",
-        r.alias("r_score"),
-        f_.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     seg = (
         F.when(

@@ -1543,16 +1543,17 @@ def pipeline_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and token sums are exact integers, keep_rate one IEEE
     division.
 
-    Scale: signals are a Catalyst projection; the global ntile is the
-    single-partition window shape — at 100 TB swap it for quantile
-    cuts from a sampled CDF (the _take_lang_quota docstring's
-    two-phase recipe), which changes band edges, not the report shape.
+    Scale: signals are a Catalyst projection; decile assignment rides
+    global_ntile (functions/ranks.py) — the two-phase prefix-sum
+    NTILE, bit-identical to the oracle's global window (same band
+    edges) with no single-partition sort.
     """
+    from redisgears_spark.functions.ranks import global_ntile
+
     sig = pipeline_gopher_filters(spark, sf_dir).select(
         "doc_id", "n_words", F.col("keep").cast("int").alias("keep")
     )
-    dec = F.ntile(10).over(W.orderBy("n_words", "doc_id"))
-    k = sig.withColumn("decile", dec.cast("long"))
+    k = global_ntile(sig, 10, "n_words", "doc_id", "decile")
     return k.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_tokens"),

@@ -4306,11 +4306,13 @@ def customer_balance_activity_matrix(
     engines.
 
     Scale: orders collapse to |customers| rows map-side; the left join
-    shuffles on custkey; the two NTILEs are global sorts over the
-    CUSTOMER dimension (not the fact table) — at extreme |customers|
-    swap NTILE for a percentile-threshold bucketing (two aggregates,
-    no global sort) at the cost of exact quartile sizes.
+    shuffles on custkey; the quartiles come from global_ntile
+    (functions/ranks.py) — the two-phase prefix-sum NTILE that is
+    bit-identical to the oracle's global window but never plans a
+    single-partition sort, so the shape survives extreme |customers|.
     """
+    from redisgears_spark.functions.ranks import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
@@ -4323,14 +4325,10 @@ def customer_balance_activity_matrix(
         cents("c_acctbal").alias("bal_c"),
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
     )
-    wb = W.orderBy("bal_c", "c_custkey")
-    wa = W.orderBy("n_orders", "c_custkey")
+    j = global_ntile(j, 4, "bal_c", "c_custkey", "bal_q")
+    j = global_ntile(j, 4, "n_orders", "c_custkey", "act_q")
     return (
-        j.select(
-            F.ntile(4).over(wb).cast("long").alias("bal_q"),
-            F.ntile(4).over(wa).cast("long").alias("act_q"),
-        )
-        .groupBy("bal_q", "act_q")
+        j.groupBy("bal_q", "act_q")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
 

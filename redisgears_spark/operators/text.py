@@ -1043,15 +1043,16 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the word explode reduces map-side to one (word, min doc_id)
     row per distinct word; the decile map is a |docs|-row integer
-    relation joined on doc_id; everything after is 10 rows. The global
-    ntile is the single-partition shape — at 100 TB the decile
-    assignment comes from doc_id range quantiles instead (same curve,
-    precomputed edges).
+    relation joined on doc_id; everything after is 10 rows. Decile
+    assignment rides global_ntile (functions/ranks.py) — the two-phase
+    prefix-sum NTILE, bit-identical to the oracle's global window with
+    no single-partition sort.
     """
+    from redisgears_spark.functions.ranks import global_ntile
+
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.ntile(10).over(W.orderBy("doc_id")).cast("long").alias("decile"),
+    d = global_ntile(
+        docs.select("doc_id"), 10, "doc_id", "doc_id", "decile"
     )
     words = docs.select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("w")

@@ -746,3 +746,25 @@ def test_dedup_pair_family_no_corpus_broadcast_hint(spark, sf_dir):
         "docs_near_dup_rate_by_source_lsh",
     ):
         assert_no_broadcast_hint(QUERIES[name](spark, sf_dir))
+
+
+def test_ntile_family_never_single_partition(spark, sf_dir):
+    """All former global-NTILE operators now ride global_ntile
+    (functions/ranks.py): the rank window partitions by the range bucket
+    and offsets arrive via broadcast, so no plan may contain a
+    SinglePartition exchange (the shape that funnels the relation through
+    one task at 100 TB). Bit-exactness vs the oracle's global NTILE is the
+    driver's hash check; this pins the physical shape."""
+    for name, allowed_single in (
+        ("customer_balance_activity_matrix", 0),
+        ("customer_rfm_segments", 0),
+        # vocab_growth keeps ONE single-partition window: the final cumsum
+        # over the literal 10-row decile grid (spark.range(1,11)) — a
+        # constant-size relation, independent of corpus scale
+        ("docs_vocab_growth", 1),
+        ("pipeline_length_deciles", 0),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        found = plan.count("Arguments: SinglePartition")
+        assert found <= allowed_single, (name, found, plan[:4000])
+        assert "__gnt_bucket" in plan, (name, "ranks path not in plan")

@@ -578,3 +578,41 @@ class TestProfileColumns:
         assert ok["n_distinct"] == 2
         assert ok["top_value"] == "a"
         assert ok["top_count"] == 2
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile (functions/ranks.py) must be bit-identical to
+    NTILE(n) OVER (ORDER BY value, tiebreak) for every bucket-size
+    regime: rem=0, rem>0, heavy ties, fewer rows than buckets, and a
+    single row — the closed-form (rank, N, n) bucketing and the
+    two-phase rank offset are both integer-exact, so there is no
+    tolerance here."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from redisgears_spark.functions.ranks import global_ntile
+
+    random.seed(7)
+    for n_rows, n, vrange in [
+        (1000, 4, 50),   # rem=0
+        (997, 5, 10),    # rem>0, heavy ties
+        (100, 7, 3),     # rem>0, very heavy ties
+        (5, 10, 2),      # fewer rows than buckets
+        (64, 8, 1),      # all values identical
+        (1, 3, 1),       # single row
+    ]:
+        rows = [(i, random.randrange(vrange)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(n).over(W.orderBy("v", "id")).cast("long")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in global_ntile(df, n, "v", "id", "t").collect()
+        }
+        assert got == want, (n_rows, n, vrange)
