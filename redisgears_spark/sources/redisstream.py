@@ -538,6 +538,21 @@ class FakeRedis:
         # re-parse per op made replay_commandlog_to_redis O(n^2))
         self._state: dict[str, list[tuple[int, str, dict]]] = {}
         self._pos = 0
+        # generic keyspace (string/hash values + TTL marks) — in-memory,
+        # process-local: the notification bridge holds ONE client object in
+        # the driver, exactly like a real server's pub/sub delivers only to
+        # live connections. The JSONL spool stays streams-only (it is the
+        # cross-process replay surface for the gears_redis source).
+        self._kv: dict = {}
+        self._ttl: dict = {}
+        # keyspace-notification analog (`notify-keyspace-events KEA`):
+        # callables (event, key) invoked synchronously after each mutating
+        # command — the FakeRedis twin of `__keyspace@<db>__:*` pub/sub
+        self.notification_listeners: list = []
+
+    def _notify(self, event: str, key: str) -> None:
+        for listener in list(self.notification_listeners):
+            listener(event, key)
 
     # -- state ------------------------------------------------------------
 
@@ -635,6 +650,7 @@ class FakeRedis:
                 self._append({"key": name, "id": id, "pairs": pairs})
             finally:
                 fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        self._notify("xadd", name)
         return id
 
     def xrange(self, name: str, min: str = "-", max: str = "+", count=None):
@@ -681,12 +697,20 @@ class FakeRedis:
     def scan_iter(self, match: str = "*", _type: str | None = None):
         if _type is not None and _type.upper() != "STREAM":
             return
-        for key in sorted(self._streams()):
+        keys = set(self._streams())
+        if _type is None:
+            keys |= set(self._kv)
+        for key in sorted(keys):
             if fnmatch.fnmatchcase(key, match):
                 yield key
 
     def type(self, name: str) -> str:
-        return "stream" if name in self._streams() else "none"
+        if name in self._streams():
+            return "stream"
+        v = self._kv.get(name)
+        if v is None:
+            return "none"
+        return "hash" if isinstance(v, dict) else "string"
 
     def info(self, section: str | None = None) -> dict:
         """INFO subset: the cluster section _ensure_single_node reads.
@@ -703,9 +727,69 @@ class FakeRedis:
         return before - len(self._streams().get(name, []))
 
     def delete(self, name: str) -> int:
-        existed = int(name in self._streams())
-        self._append({"del": name})
+        existed = int(name in self._streams()) or int(name in self._kv)
+        if name in self._streams():
+            self._append({"del": name})
+        self._kv.pop(name, None)
+        self._ttl.pop(name, None)
+        if existed:
+            self._notify("del", name)
         return existed
+
+    # -- generic keyspace (string/hash + TTL): the command surface the
+    # keyspace-notification bridge observes. Mirrors public Redis
+    # semantics; every mutation fires its notification event name.
+
+    def set(self, name: str, value) -> bool:
+        self._kv[name] = str(value)
+        self._notify("set", name)
+        return True
+
+    def get(self, name: str):
+        v = self._kv.get(name)
+        return v if isinstance(v, str) or v is None else None
+
+    def hset(self, name: str, key=None, value=None, mapping=None) -> int:
+        h = self._kv.setdefault(name, {})
+        if not isinstance(h, dict):
+            raise ValueError(
+                "WRONGTYPE Operation against a key holding the wrong "
+                "kind of value"
+            )
+        added = 0
+        items = dict(mapping or {})
+        if key is not None:
+            items[key] = value
+        for k, v in items.items():
+            added += int(str(k) not in h)
+            h[str(k)] = str(v)
+        self._notify("hset", name)
+        return added
+
+    def hgetall(self, name: str) -> dict:
+        v = self._kv.get(name)
+        return dict(v) if isinstance(v, dict) else {}
+
+    def expire(self, name: str, seconds: int) -> bool:
+        if name not in self._kv and name not in self._streams():
+            return False
+        self._ttl[name] = int(seconds)
+        self._notify("expire", name)
+        return True
+
+    def force_expire(self, name: str) -> bool:
+        """Deterministically lapse a TTL'd key — the test stand-in for the
+        server clock reaching the deadline (FakeRedis never reads a real
+        clock). Fires the 'expired' event, as the real active-expiry cycle
+        does."""
+        if name not in self._ttl:
+            return False
+        self._ttl.pop(name, None)
+        self._kv.pop(name, None)
+        if name in self._streams():
+            self._append({"del": name})
+        self._notify("expired", name)
+        return True
 
 
 # ---------------------------------------------------------------------------

@@ -1343,22 +1343,70 @@ class KeyspaceTriggerRuntime:
     sees — event-time values, not action-time.
     """
 
-    def __init__(self, engine: GearsEngine, changes_dir: str, work_dir: str):
+    def __init__(
+        self,
+        engine: GearsEngine,
+        changes_dir: str,
+        work_dir: str,
+        source_format: str = "parquet",
+        source_options: dict | None = None,
+    ):
+        """`source_format="parquet"` (default) consumes a pre-written
+        changes feed (tests, offline replay). `source_format="redis"`
+        attaches a KeyspaceNotificationBridge to a live (or Fake) server —
+        the reference's native shape, where keyspace triggers are driven by
+        real `__keyspace@<db>__:*` notifications (lib.rs:1904-1908) — and
+        the bridge lands each notification, with its event-time snapshot
+        and origin tag, into this same changes feed; everything downstream
+        (prefix match, expr/callback, DLQ, exactly-once sink) is shared.
+        `source_options` carries the client options (fake_path or
+        host/port/db/password, plus db= and flush_every=)."""
         self.engine = engine
         self.spark = engine.spark
         self.changes_dir = changes_dir
+        # the feed may legitimately be empty at trigger start (live mode:
+        # no notification has fired yet) — the file source needs the dir
+        os.makedirs(changes_dir, exist_ok=True)
         self.work_dir = work_dir
         self.stats: dict[str, TriggerStats] = {}
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
         self._seq = 0
+        self.source_format = source_format
+        self.bridge = None
+        if source_format == "redis":
+            from redisgears_spark.sources.redisstream import _make_client
+            from redisgears_spark.streaming.notifications import (
+                KeyspaceNotificationBridge,
+            )
+
+            opts = dict(source_options or {})
+            client = opts.pop("client", None) or _make_client(opts)
+            self.client = client
+            self.bridge = KeyspaceNotificationBridge(
+                self,
+                client,
+                db=int(opts.get("db", "0")),
+                flush_every=int(opts.get("flush_every", "1")),
+                clock=opts.get("clock"),
+            )
+            self.bridge.attach()
+        elif source_format != "parquet":
+            raise GearsError(
+                f"keyspace trigger source_format must be 'parquet' or "
+                f"'redis', got {source_format!r}"
+            )
         engine.register_trigger_runtime(self)
 
     # -- feed helpers (used by tests and by trigger actions) ----------------
 
-    def append_changes(self, rows: list[dict], origin: str = "client") -> None:
+    def append_changes(
+        self, rows: list[dict], origin: str | None = "client"
+    ) -> None:
         """Append change events to the feed. Trigger-origin writes MUST pass
-        origin='trigger' — that tag is what breaks notification loops."""
+        origin='trigger' — that tag is what breaks notification loops.
+        origin=None defers to each row's own 'origin' field (the
+        notification bridge tags rows individually)."""
         self._seq += len(rows)
         pdf = pd.DataFrame(
             [
@@ -1367,7 +1415,8 @@ class KeyspaceTriggerRuntime:
                     "event": r.get("event", "set"),
                     "key": r["key"],
                     "ts": r.get("ts", pd.Timestamp("2024-01-01")),
-                    "origin": origin,
+                    "origin": origin if origin is not None
+                    else r.get("origin", "client"),
                     "snapshot": r.get("snapshot", {}),
                 }
                 for r in rows
@@ -1506,6 +1555,8 @@ class KeyspaceTriggerRuntime:
         return query
 
     def process_available(self) -> None:
+        if self.bridge is not None:
+            self.bridge.drain()  # land buffered notifications first
         for q in self.queries.values():
             q.processAllAvailable()
 
@@ -1633,6 +1684,8 @@ class KeyspaceTriggerRuntime:
         }
 
     def stop_all(self) -> None:
+        if self.bridge is not None:
+            self.bridge.detach()
         for q in self.queries.values():
             try:
                 q.stop()

@@ -4,6 +4,7 @@ register → mutate source → drain → assert sink + stats)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pandas as pd
@@ -721,6 +722,203 @@ class TestKeyspaceTriggers:
             rt.append_changes([{"seq": 3, "key": "user:1", "event": "set"}])
             rt.process_available()
             assert rt.stats["loopy.echo"].n_records == 2
+        finally:
+            rt.stop_all()
+
+    def test_live_notifications_drive_cdc_trigger(self, spark, sf_dir, tmp_path):
+        """The reference's native keyspace-trigger shape: real server
+        notifications (here the FakeRedis analog of
+        `__keyspace@0__:*`) drive the trigger, with the read-only
+        snapshot taken synchronously AT EVENT TIME (lib.rs:1904-1908,
+        keys_notifications.rs:191-208). set/hset/del/expired on the
+        server must fire with type-dispatched snapshots; prefix misses
+        must not."""
+        engine = GearsEngine(spark, sf_dir)
+        changes_dir = str(tmp_path / "changes_live")
+        work = str(tmp_path / "cdcwork_live")
+
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "on_user",
+                prefix="user:",
+                fn=lambda d: {
+                    "event": d["event"],
+                    "snap": dict(d["snapshot"] or {}),
+                },
+            ),
+            name="livek",
+        )
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            changes_dir,
+            work,
+            source_format="redis",
+            source_options={
+                "fake_path": str(tmp_path / "live.jsonl"),
+                "clock": lambda: pd.Timestamp("2024-01-01"),
+            },
+        )
+        client = rt.client
+        rt.start_trigger(lib, "on_user")
+        try:
+            client.set("user:1", "ada")
+            client.set("user:1", "ada2")  # snapshot must be event-time
+            client.hset("user:2", mapping={"name": "bob", "age": "7"})
+            client.set("order:9", "miss")  # prefix miss
+            client.delete("user:1")
+            client.set("user:3", "gone soon")
+            client.expire("user:3", 60)
+            client.force_expire("user:3")
+            rt.process_available()
+
+            stats = rt.stats["livek.on_user"]
+            # user events: set, set, hset, del, set, expire, expired = 7
+            assert stats.n_records == 7
+            assert stats.n_failed == 0
+            sink = rt.read_sink("livek", "on_user").collect()
+            by_seq = {
+                r["seq"]: json.loads(r["result"]) for r in sink
+                if r["status"] == "ok"
+            }
+            results = sorted(by_seq.items())
+            # event-time snapshots: first set sees 'ada', second 'ada2'
+            set_snaps = [
+                v["snap"] for _, v in results
+                if v["event"] == "set" and "value" in v["snap"]
+            ]
+            assert set_snaps[0] == {"value": "ada"}
+            assert set_snaps[1] == {"value": "ada2"}
+            hset = next(v for _, v in results if v["event"] == "hset")
+            assert hset["snap"] == {"name": "bob", "age": "7"}
+            # deleted/expired keys snapshot empty
+            assert next(
+                v for _, v in results if v["event"] == "del"
+            )["snap"] == {}
+            assert next(
+                v for _, v in results if v["event"] == "expired"
+            )["snap"] == {}
+        finally:
+            rt.stop_all()
+
+    def test_trigger_client_writes_are_suppressed(self, spark, sf_dir, tmp_path):
+        """Writes made through the bridge's trigger_client() proxy are the
+        NotificationBlocker analog (lib.rs:629-645): their notifications
+        land tagged origin='trigger' and must NOT re-fire the trigger,
+        while direct client writes still do."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            str(tmp_path / "changes_sup"),
+            str(tmp_path / "cdcwork_sup"),
+            source_format="redis",
+            source_options={"fake_path": str(tmp_path / "sup.jsonl")},
+        )
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "echo", prefix="user:", fn=lambda d: {"seen": d["key"]}
+            ),
+            name="loopy2",
+        )
+        rt.start_trigger(lib, "echo")
+        try:
+            rt.client.set("user:1", "v1")
+            rt.process_available()
+            assert rt.stats["loopy2.echo"].n_records == 1
+
+            # the action's write-back path: tagged, filtered, no loop
+            proxy = rt.bridge.trigger_client()
+            proxy.set("user:1", "written-by-trigger")
+            rt.process_available()
+            assert rt.stats["loopy2.echo"].n_records == 1  # unchanged
+
+            # read methods pass through the proxy untouched
+            assert proxy.get("user:1") == "written-by-trigger"
+
+            # a genuine client write still fires — and sees the
+            # trigger-written value in its snapshot
+            rt.client.set("user:1", "client-again")
+            rt.process_available()
+            assert rt.stats["loopy2.echo"].n_records == 2
+        finally:
+            rt.stop_all()
+
+    def test_live_stream_xadd_notification_snapshot(self, spark, sf_dir, tmp_path):
+        """XADD fires the 'xadd' keyspace event with the stream's last
+        entry id as the snapshot — the @STREAM class the reference
+        subscribes to alongside @GENERIC."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            str(tmp_path / "changes_x"),
+            str(tmp_path / "cdcwork_x"),
+            source_format="redis",
+            source_options={"fake_path": str(tmp_path / "x.jsonl")},
+        )
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "on_stream",
+                prefix="s:",
+                fn=lambda d: {"last": d["snapshot"].get("last_id")},
+            ),
+            name="xlib",
+        )
+        rt.start_trigger(lib, "on_stream")
+        try:
+            rt.client.xadd("s:a", {"f": "1"}, id="100-0")
+            rt.client.xadd("s:a", {"f": "2"}, id="200-0")
+            rt.process_available()
+            assert rt.stats["xlib.on_stream"].n_records == 2
+            sink = rt.read_sink("xlib", "on_stream").collect()
+            lasts = sorted(
+                json.loads(r["result"])["last"] for r in sink
+            )
+            assert lasts == ["100-0", "200-0"]  # event-time, not final
+        finally:
+            rt.stop_all()
+
+    def test_commandlog_replay_drives_cdc_trigger(self, spark, sf_dir, tmp_path):
+        """The runtime matrix closes over commandlog by composition: an AOF
+        spool replayed into a bridged (Fake) server fires 'xadd'
+        notifications, which drive the CDC trigger — parquet, live-redis,
+        and commandlog inputs all reach the same changes feed."""
+        from redisgears_spark.sources.commandlog import write_command_log
+        from redisgears_spark.sources.redisstream import (
+            replay_commandlog_to_redis,
+        )
+
+        log_dir = str(tmp_path / "aof")
+        seq_space = 1 << 20  # pack_id's per-ms sequence space
+        write_command_log(
+            [
+                {"stream_key": "s:a", "id": 100 * seq_space,
+                 "fields": {"f": "1"}},
+                {"stream_key": "s:b", "id": 200 * seq_space,
+                 "fields": {"f": "2"}},
+                {"stream_key": "other", "id": 300 * seq_space,
+                 "fields": {"f": "3"}},
+            ],
+            f"{log_dir}/seg-000.aof",
+        )
+        engine = GearsEngine(spark, sf_dir)
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            str(tmp_path / "changes_aof"),
+            str(tmp_path / "cdcwork_aof"),
+            source_format="redis",
+            source_options={"fake_path": str(tmp_path / "aof_live.jsonl")},
+        )
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "on_s", prefix="s:", fn=lambda d: {"k": d["key"]}
+            ),
+            name="aoflib",
+        )
+        rt.start_trigger(lib, "on_s")
+        try:
+            n = replay_commandlog_to_redis(log_dir, rt.client)
+            assert n == 3
+            rt.process_available()
+            assert rt.stats["aoflib.on_s"].n_records == 2  # prefix match
         finally:
             rt.stop_all()
 
