@@ -3215,3 +3215,137 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandonment_rate"),
         )
     )
+
+
+# per-cell KMV: salt fan-out for the first-level k-smallest prune
+_KMV_CELL_SALT = 64
+
+
+@query(
+    "events_weekday_hour_heatmap_sketched",
+    oracle=f"""
+    WITH e AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, user_id, value
+      FROM events
+    ),
+    cells AS (
+      SELECT dow, hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+      FROM e GROUP BY dow, hour
+    ),
+    h AS (
+      SELECT DISTINCT dow, hour,
+             {md5_hash32_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM e
+    ),
+    rk AS (
+      SELECT dow, hour, h,
+             row_number() OVER (PARTITION BY dow, hour ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT dow, hour,
+             CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             CAST(MAX(h) AS BIGINT) AS kth_h
+      FROM rk WHERE rn <= {_KMV_K} GROUP BY dow, hour
+    )
+    SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hour AS BIGINT) AS hour,
+           c.n_events, c.total_c,
+           CASE WHEN s.n_in_sketch < {_KMV_K}
+                THEN CAST(s.n_in_sketch AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1) * (1 << 32)} AS DOUBLE) / s.kth_h
+           END AS est_users
+    FROM cells c JOIN sk s ON c.dow = s.dow AND c.hour = s.hour
+    """,
+)
+def events_weekday_hour_heatmap_sketched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 7x24 heatmap with the COUNT(DISTINCT)->sketch swap REGISTERED
+    instead of documented: distinct users per cell come from a per-cell
+    K-minimum-values sketch (k=256) rather than countDistinct. The
+    tested pattern other "at 100 TB use a sketch" docstrings point at.
+
+    Why this stays a hash-exact oracle row even though it is a sketch:
+    the KMV estimate is a deterministic ORDER STATISTIC of the md5 hash
+    space — both engines find the identical k-th smallest hash, so the
+    estimate matches bit-for-bit (cells under k distinct users report
+    the exact count; cells over it report (k-1)*2^32/kth_hash with
+    SE ~ 1/sqrt(k-2) ~ 6.3 %, bound pinned in tests/test_sketch_widths).
+
+    Scale — grouped top-k without a hot per-cell partition: the naive
+    per-cell row_number window funnels each cell's ~1e9 distinct hashes
+    through one task. Instead the k smallest are taken TWICE: level 1
+    partitions by (cell, h % 64) — 64x the
+    parallelism, each subgroup bounded — and level 2 reduces the
+    surviving 64*k candidates per cell (a few thousand
+    rows) to the true k. The k smallest of a set ARE the k smallest of
+    the union of per-bucket k smallest, so the salt changes the plan,
+    never the answer (the oracle uses the plain single window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.dayofweek("ts").cast("long").alias("dow")
+    hr = F.hour("ts").cast("long").alias("hour")
+    cells = ev.groupBy(dow, hr).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents("value")).cast("long").alias("total_c"),
+    )
+    keyed = ev.select(dow, hr, F.col("user_id"))
+    sk = grouped_kmv(keyed, ["dow", "hour"], "cast(user_id as string)")
+    return cells.join(sk, ["dow", "hour"]).select(
+        "dow",
+        "hour",
+        "n_events",
+        "total_c",
+        F.col("estimate").alias("est_users"),
+    )
+
+
+def grouped_kmv(
+    df: DataFrame,
+    group_cols: list,
+    expr_sql: str,
+    k: int = _KMV_K,
+    salt: int = _KMV_CELL_SALT,
+) -> DataFrame:
+    """Per-group KMV distinct sketch: (group_cols..., n_in_sketch, kth_h,
+    estimate). The grouped twin of kmv_distinct, built as a salted
+    two-level k-smallest so no group ever funnels its full distinct-hash
+    set through one task: level 1 takes the k smallest within
+    (group, h % salt) — salt-times the parallelism, each subgroup
+    bounded — and level 2 reduces the salt*k survivors per group (a few
+    thousand rows) to the true k. The k smallest of a set are exactly
+    the k smallest of the union of per-bucket k smallest, so `salt` is
+    a physical-plan knob with zero effect on the answer (pinned in
+    tests/test_sketch_widths.py)."""
+    if k < 2:
+        raise ValueError("KMV needs k >= 2")
+    h = df.select(
+        *group_cols, md5_hash32_spark(expr_sql).alias("h")
+    ).distinct()
+    w1 = W.partitionBy(*group_cols, F.col("h") % salt).orderBy("h")
+    cand = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy("h")
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )
+    sk = topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max("h").cast("long").alias("kth_h"),
+    )
+    num = float((k - 1) * (1 << 32))
+    return sk.select(
+        *group_cols,
+        "n_in_sketch",
+        "kth_h",
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double"))
+        .otherwise(F.lit(num) / F.col("kth_h"))
+        .alias("estimate"),
+    )

@@ -137,3 +137,35 @@ def test_kmv_rejects_bad_k(spark):
 
     with pytest.raises(ValueError, match="k >= 2"):
         kmv_distinct(spark.range(10), "cast(id as string)", 1)
+
+
+def test_grouped_kmv_exact_below_k_bounded_above(spark):
+    """grouped_kmv contract: (a) groups under k distinct report the EXACT
+    count; (b) groups far above k estimate within the KMV error bound
+    (SE ~ 1/sqrt(k-2) ~ 6.3 % at k=256; assert 4 SE = 25 %); (c) the salt
+    fan-out is a physical knob only — salt=1 and salt=64 answers are
+    bit-identical."""
+    from redisgears_spark.operators.analytics import grouped_kmv
+
+    rows = (
+        [("small", f"u{i}") for i in range(100)]
+        + [("big", f"v{i}") for i in range(30_000)]
+        # duplicates must not move either estimate
+        + [("small", "u0"), ("big", "v1")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, uid string").repartition(16)
+    out = {
+        r["g"]: r
+        for r in grouped_kmv(df, ["g"], "uid", k=256, salt=64).collect()
+    }
+    assert out["small"]["n_in_sketch"] == 100
+    assert out["small"]["estimate"] == 100.0
+    assert out["big"]["n_in_sketch"] == 256
+    rel_err = abs(out["big"]["estimate"] - 30_000) / 30_000
+    assert rel_err < 0.25, rel_err
+
+    plain = {
+        r["g"]: r["estimate"]
+        for r in grouped_kmv(df, ["g"], "uid", k=256, salt=1).collect()
+    }
+    assert plain == {g: r["estimate"] for g, r in out.items()}
