@@ -34,3 +34,12 @@ def md5_hash32_sql(expr_sql: str, mod: int | None = None) -> str:
     if mod is not None:
         src = f"({src} % {mod})"
     return src
+
+
+def md5_hash32_py(value: str) -> int:
+    """Python twin computing the identical value for a single string —
+    what lets a streaming state-store sketch agree BIT-FOR-BIT with the
+    batch/oracle sketches built from the SQL dialects above."""
+    import hashlib
+
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:8], 16)

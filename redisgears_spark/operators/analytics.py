@@ -3349,3 +3349,283 @@ def grouped_kmv(
         .otherwise(F.lit(num) / F.col("kth_h"))
         .alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9 additions: conversion calendar, value distributions, session shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_conversion_by_weekday",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                      0) AS purchase_per_view
+    FROM events GROUP BY dayofweek(ts)
+    """,
+)
+def events_conversion_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion calendar: views / clicks / purchases and the
+    purchase-per-view ratio by day of week — the send-time companion to
+    the load heatmap (traffic peaks and conversion peaks are usually
+    NOT the same day; campaigns that target the former waste the
+    latter).
+
+    Exactness: conditional counts are integer sums; the ratio is ONE
+    division (NULLIF guard is unreachable on real data — every weekday
+    has views — but keeps degenerate fixtures from dividing by zero;
+    Spark's divide returns NULL on 0 denominator identically).
+
+    Scale: one map-side partial aggregate to 7 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    return ev.groupBy(F.dayofweek("ts").cast("long").alias("dow")).agg(
+        views.cast("long").alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.nullif(views, F.lit(0))
+        ).alias("purchase_per_view"),
+    )
+
+
+@query(
+    "events_value_quartiles_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           quantile_cont(value_c, 0.25) AS p25_c,
+           quantile_cont(value_c, 0.5) AS p50_c,
+           quantile_cont(value_c, 0.75) AS p75_c,
+           CAST(MAX(value_c) AS BIGINT) AS max_c
+    FROM v GROUP BY event_type
+    """,
+)
+def events_value_quartiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type value distribution (quartiles over exact cents) —
+    the outlier-vs-typical split a pricing or fraud reviewer starts
+    from (a 'click' type whose p75 is near its max is a thin tail; a
+    'purchase' with p25 = 0 is a tracking bug).
+
+    Exactness: values quantize to integer cents BEFORE the quantile,
+    so interpolation runs over integers and produces the identical
+    IEEE sequence in both engines (the pinned interpolation form).
+
+    Scale: per-type exact-percentile buffers (dimension-cardinality
+    groups); swap for approx_percentile at extreme row counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", cents("value").alias("value_c"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("percentile(value_c, 0.25)").alias("p25_c"),
+        F.expr("percentile(value_c, 0.5)").alias("p50_c"),
+        F.expr("percentile(value_c, 0.75)").alias("p75_c"),
+        F.max("value_c").cast("long").alias("max_c"),
+    )
+
+
+@query(
+    "events_early_value_share",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(us) AS first_us FROM u GROUP BY user_id)
+    SELECT u.user_id,
+           CAST(f.first_us AS BIGINT) AS first_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(u.value_c) AS BIGINT) AS lifetime_c,
+           CAST(SUM(CASE WHEN u.us < f.first_us + 604800000000
+                         THEN u.value_c ELSE 0 END) AS BIGINT)
+             AS first_week_c,
+           COALESCE(
+             CAST(SUM(CASE WHEN u.us < f.first_us + 604800000000
+                           THEN u.value_c ELSE 0 END) AS DOUBLE)
+               / NULLIF(SUM(u.value_c), 0), 0.0) AS early_share
+    FROM u JOIN f ON u.user_id = f.user_id
+    GROUP BY u.user_id, f.first_us
+    """,
+)
+def events_early_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-week value concentration per user: how much of a user's
+    lifetime value lands within 7 days of their first event — the
+    onboarding-quality metric growth teams track (a product where
+    early_share ~ 1 monetizes once and churns; ~0 has a slow-burn
+    funnel).
+
+    Exactness: the window edge is an integer µs comparison against
+    first_us + 7d; sums are exact cents; the share is ONE division
+    with a 0.0 sentinel when lifetime value is 0 (no NULL outputs).
+
+    Scale: two passes over the fact keyed by user_id — the first-event
+    aggregate re-joins on the SAME key, so with AQE both sides share
+    one exchange layout; no windows, no self-pairing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id", micros("ts").alias("us"), cents("value").alias("value_c")
+    )
+    f = u.groupBy("user_id").agg(F.min("us").alias("first_us"))
+    week = F.lit(604800000000)
+    early = F.sum(
+        F.when(F.col("us") < F.col("first_us") + week, F.col("value_c"))
+        .otherwise(0)
+    )
+    return (
+        u.join(f, "user_id")
+        .groupBy("user_id", "first_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_c").cast("long").alias("lifetime_c"),
+            early.cast("long").alias("first_week_c"),
+            F.coalesce(
+                early.cast("double") / F.nullif(F.sum("value_c"), F.lit(0)),
+                F.lit(0.0),
+            ).alias("early_share"),
+        )
+        .select(
+            "user_id",
+            F.col("first_us").cast("long").alias("first_us"),
+            "n_events",
+            "lifetime_c",
+            "first_week_c",
+            "early_share",
+        )
+    )
+
+
+@query(
+    "events_peak_hour_by_type",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    r AS (
+      SELECT event_type, hour, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hour) AS rk,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total
+      FROM h
+    )
+    SELECT event_type, hour AS peak_hour, n AS n_at_peak,
+           CAST(n AS DOUBLE) / total AS peak_share
+    FROM r WHERE rk = 1
+    """,
+)
+def events_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak hour per event type with its traffic share — the one-row-
+    per-type summary of the heatmap (purchases peaking at a different
+    hour than views is a targeting lever; a peak_share near 1/24 means
+    the type has no rhythm at all).
+
+    Exactness: the argmax is a rank over the TOTAL order
+    (count DESC, hour ASC) — ties on count resolve to the earliest
+    hour identically in both engines; the share is one division.
+
+    Scale: the fact collapses map-side to <= |types| x 24 rows; both
+    windows partition by event_type over that dimension-sized relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = W.partitionBy("event_type").orderBy(F.col("n").desc(), "hour")
+    wt = W.partitionBy("event_type")
+    return (
+        h.withColumn("rk", F.row_number().over(wr))
+        .withColumn("total", F.sum("n").over(wt).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("peak_hour"),
+            F.col("n").alias("n_at_peak"),
+            (F.col("n").cast("double") / F.col("total")).alias("peak_share"),
+        )
+    )
+
+
+@query(
+    "events_sessions_per_user_hist",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                           OR us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      FROM e GROUP BY user_id
+    )
+    SELECT n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s GROUP BY n_sessions
+    """,
+)
+def events_sessions_per_user_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engagement-depth histogram: users bucketed by how many 30-minute-
+    gap sessions they produced — the DAU-quality distribution behind a
+    flat DAU line (100 one-session users and 10 ten-session users are
+    the same DAU and very different products).
+
+    Exactness: a session starts where the integer µs gap to the
+    previous event exceeds 30 min (the session_windows boundary rule,
+    (ts, event_id)-ordered); session counts and user counts are
+    integers — no floats anywhere.
+
+    Scale: the lag window partitions by user_id (parallel); both
+    aggregates are map-side partial; output is <= max-sessions rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        micros("ts").alias("us"),
+        F.lag(micros("ts")).over(w).alias("prev_us"),
+    )
+    new_session = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("us") - F.col("prev_us") > 1800000000),
+        1,
+    ).otherwise(0)
+    s = e.groupBy("user_id").agg(
+        F.sum(new_session).cast("long").alias("n_sessions")
+    )
+    return s.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -417,3 +417,62 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("norm_sq_q6"),
     )
+
+
+@query(
+    "multimodal_size_histogram",
+    oracle="""
+    WITH p AS (
+      SELECT source AS origin,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT origin,
+           CAST(length(ltrim(bin(n_bytes), '0')) AS BIGINT) AS size_bucket,
+           CAST(1 << (length(ltrim(bin(n_bytes), '0')) - 1) AS BIGINT)
+             AS bytes_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM p WHERE n_bytes > 0
+    GROUP BY origin, length(ltrim(bin(n_bytes), '0'))
+    """,
+)
+def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size log2 histogram per origin: how many media blobs land
+    in each power-of-two size band and the bytes they hold — the storage
+    planner's view (shard sizing, small-file compaction, and decode-cost
+    budgeting all read this table first).
+
+    Exactness: the bucket is the integer bit-length of the byte count
+    (the events_user_activity_log2 idiom — bin() + ltrim, no float log2
+    anywhere); byte counts come from the BINARY payload length, never a
+    decode.
+
+    Scale: a JVM-side projection on the pruned (payload-length, origin)
+    pair — the payload column's bytes never reach Python — followed by
+    one map-side partial aggregate to |origins| x ~40 rows.
+    """
+    media = media_table(spark, sf_dir)
+    n = F.length("payload").cast("long")
+    p = media.select(
+        F.col("meta.origin").alias("origin"), n.alias("n_bytes")
+    ).filter(F.col("n_bytes") > 0)
+    bucket = F.length(
+        F.expr("TRIM(LEADING '0' FROM bin(n_bytes))")
+    ).cast("long")
+    return (
+        p.groupBy("origin", bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "origin",
+            "size_bucket",
+            F.expr("shiftleft(1L, cast(size_bucket as int) - 1)")
+            .cast("long")
+            .alias("bytes_lo"),
+            "n_payloads",
+            "total_bytes",
+        )
+    )

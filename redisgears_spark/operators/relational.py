@@ -4449,3 +4449,531 @@ def supplier_nation_balance_profile(
             F.sum(cents("s_acctbal")).cast("long").alias("total_bal_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9 additions: customer lifecycle, order aging, discount economics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_first_last_order_delta",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) AS us, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    f AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MIN({'us': us, 'o_orderkey': o_orderkey, 'price_c': price_c})
+               AS first_o,
+             MAX({'us': us, 'o_orderkey': o_orderkey, 'price_c': price_c})
+               AS last_o
+      FROM o GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           CAST(first_o.price_c AS BIGINT) AS first_c,
+           CAST(last_o.price_c AS BIGINT) AS last_c,
+           CAST(last_o.price_c - first_o.price_c AS BIGINT) AS delta_c,
+           CAST(last_o.price_c AS DOUBLE) / first_o.price_c AS growth_ratio
+    FROM f
+    """,
+)
+def orders_first_last_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifecycle bookends: each customer's FIRST and LAST order
+    value and the growth between them — the expand-or-shrink signal a
+    CRM reads before segmenting (a customer whose last basket is half
+    the first is churning in value before churning in visits).
+
+    Exactness: the bookends are min/max over the TOTAL order
+    (epoch µs, orderkey, cents) — a struct order statistic, so ties on
+    the date break identically in both engines; the ratio is ONE IEEE
+    division of exact cents (order prices are strictly positive).
+
+    Scale: one map-side partial aggregate on custkey — struct min/max
+    are mergeable, so the shuffle carries |customers| pre-folded rows;
+    nothing here is a window or a self-join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_custkey",
+        F.struct(
+            micros("o_orderdate").alias("us"),
+            F.col("o_orderkey").alias("o_orderkey"),
+            cents("o_totalprice").alias("price_c"),
+        ).alias("bk"),
+    )
+    f = keyed.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("bk").alias("first_o"),
+        F.max("bk").alias("last_o"),
+    )
+    return f.select(
+        "o_custkey",
+        "n_orders",
+        F.col("first_o.price_c").cast("long").alias("first_c"),
+        F.col("last_o.price_c").cast("long").alias("last_c"),
+        (F.col("last_o.price_c") - F.col("first_o.price_c"))
+        .cast("long")
+        .alias("delta_c"),
+        (
+            F.col("last_o.price_c").cast("double") / F.col("first_o.price_c")
+        ).alias("growth_ratio"),
+    )
+
+
+@query(
+    "orders_open_order_aging",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    a AS (
+      SELECT o_orderstatus,
+             CAST(date_diff('day', o_orderdate, mx.d0) // 30 AS BIGINT)
+               AS age_bucket,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders, mx WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, age_bucket,
+           CAST(age_bucket * 30 AS BIGINT) AS age_days_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_c) AS BIGINT) AS open_value_c
+    FROM a GROUP BY o_orderstatus, age_bucket
+    """,
+)
+def orders_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: non-finalized orders ('O'pen /
+    'P'artially shipped) bucketed by 30-day age relative to the
+    dataset's frontier date, with the capital tied up in each bucket —
+    the accounts-receivable-style view ops teams walk weekly (an old
+    bucket that grows is a fulfillment stall).
+
+    Exactness: age is an INTEGER day difference floor-divided into
+    30-day buckets — datediff and integer division agree across
+    engines; value is exact cents.
+
+    Scale: the frontier date is a 1-row broadcast (crossJoin of a
+    scalar aggregate — the q22 idiom); the rest is one map-side
+    partial aggregate over the filtered fact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("d0"))
+    a = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderstatus",
+            F.expr(
+                "CAST(datediff(d0, o_orderdate) AS BIGINT) DIV 30"
+            ).alias("age_bucket"),
+            cents("o_totalprice").alias("price_c"),
+        )
+    )
+    return a.groupBy("o_orderstatus", "age_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price_c").cast("long").alias("open_value_c"),
+    ).select(
+        "o_orderstatus",
+        "age_bucket",
+        (F.col("age_bucket") * 30).cast("long").alias("age_days_lo"),
+        "n_orders",
+        "open_value_c",
+    )
+
+
+@query(
+    "orders_interarrival_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             epoch_us(o.o_orderdate)
+               - lag(epoch_us(o.o_orderdate)) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey
+                 ) AS gap_us
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY segment
+    """,
+)
+def orders_interarrival_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reorder-cadence distribution per market segment: median and p90
+    time between a customer's consecutive orders — the segment-level
+    rhythm that turns the per-customer cadence (orders_interarrival_
+    stats) into a planning number ("MACHINERY reorders every ~40 days;
+    p90 is 4 months").
+
+    Exactness: gaps are integer µs from the (orderdate, orderkey)-
+    ordered lag; interpolated percentiles over integers produce the
+    identical lo*(ceil-pos) + hi*(pos-floor) IEEE sequence in both
+    engines (the repo's pinned Spark/DuckDB interpolation form).
+
+    Scale: the lag window partitions by custkey (parallel); the
+    percentile buffers group by segment — dimension cardinality. The
+    customer join broadcasts the dimension side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "segment",
+            (micros("o_orderdate") - F.lag(micros("o_orderdate")).over(w))
+            .alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return g.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
+@query(
+    "customer_segment_balance_profile",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(bal_c) AS BIGINT) AS total_c,
+           CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) AS mean_c,
+           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(bal_c AS HUGEINT) * bal_c)
+                - CAST(SUM(bal_c) AS HUGEINT) * SUM(bal_c) AS DOUBLE)
+             / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) AS var_c2,
+           CAST(MIN(bal_c) AS BIGINT) AS min_c,
+           CAST(MAX(bal_c) AS BIGINT) AS max_c
+    FROM b GROUP BY c_mktsegment
+    """,
+)
+def customer_segment_balance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Account-balance spread per market segment: count, total, mean,
+    sample variance, min/max — the dispersion check behind any
+    "segment X is richer" claim (two segments with equal means and a
+    3x variance gap are NOT the same population).
+
+    Exactness: variance comes from the exact-integer identity
+    (n*Σx² - (Σx)²) / (n(n-1)) — cents and cents² accumulate as
+    integers (128-bit on the DuckDB side, decimal on Spark's), so the
+    ONLY float op is the final division; never Welford's running
+    floats, whose accumulation order differs per engine.
+
+    Scale: one map-side partial aggregate to |segments| rows; Σx² of
+    cents fits decimal(38) up to ~10^18 rows of 10^6-cent balances.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_mktsegment", cents("c_acctbal").alias("bal_c")
+    )
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    sx = F.sum(F.col("bal_c").cast("decimal(38,0)"))
+    sxx = F.sum(
+        (F.col("bal_c").cast("decimal(38,0)") * F.col("bal_c")).cast(
+            "decimal(38,0)"
+        )
+    )
+    return b.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("bal_c").cast("long").alias("total_c"),
+        (F.sum("bal_c").cast("double") / F.count(F.lit(1))).alias("mean_c"),
+        (
+            (n * sxx - sx * sx).cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        ).alias("var_c2"),
+        F.min("bal_c").cast("long").alias("min_c"),
+        F.max("bal_c").cast("long").alias("max_c"),
+    )
+
+
+@query(
+    "lineitem_discount_band_lift",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_band,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT disc_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(SUM(price_c) AS BIGINT) AS gross_c,
+           CAST(SUM(price_c * (100 - disc_band)) AS BIGINT) AS net_cb,
+           CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS qty_per_line
+    FROM l GROUP BY disc_band
+    """,
+)
+def lineitem_discount_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-economics table: per integer discount band (0-10 %),
+    line count, quantity moved, gross revenue, and net revenue in
+    cent-basis-points — the curve a pricing team reads to see whether
+    deeper discounts actually move more units (qty_per_line flat
+    across bands = discounts are leakage, not lift).
+
+    Exactness: the band is round(discount*100) — an integer, never a
+    float bucket edge; net revenue keeps the (100-band) factor INSIDE
+    the integer sum (cent-basis-points), so no per-row float multiply
+    ever accumulates; the one division is qty/lines.
+
+    Scale: one map-side partial aggregate to <= 11 bands.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.round("l_quantity").cast("long")
+    rows = l.select(
+        band.alias("disc_band"),
+        qty.alias("qty"),
+        cents("l_extendedprice").alias("price_c"),
+    )
+    return rows.groupBy("disc_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("price_c").cast("long").alias("gross_c"),
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_band")))
+        .cast("long")
+        .alias("net_cb"),
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias(
+            "qty_per_line"
+        ),
+    )
+
+
+@query(
+    "lineitem_returns_monthly_trend",
+    oracle="""
+    WITH m AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS midx,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(m.midx AS BIGINT) AS month_idx,
+           m.n_lines, m.n_returned,
+           CAST(m.n_returned AS DOUBLE) / m.n_lines AS return_rate,
+           COALESCE(
+             CAST(m.n_returned AS DOUBLE) / m.n_lines
+               - CAST(p.n_returned AS DOUBLE) / p.n_lines, 0.0)
+             AS rate_delta_mom
+    FROM m LEFT JOIN m p ON p.midx = m.midx - 1
+    """,
+)
+def lineitem_returns_monthly_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Return-rate trend by ship month with the month-over-month delta —
+    the quality-regression tripwire (a two-month rate climb usually
+    means a bad batch or a carrier change, visible long before the
+    quarterly rollup).
+
+    Exactness: counts are integers; each rate is ONE division; the MoM
+    delta joins on the EXPLICIT month index (the orders_mom_yoy_growth
+    idiom — lag() would silently compare across calendar gaps) and
+    reports the 0 sentinel for the first month (no NULLs in outputs).
+
+    Scale: the fact collapses map-side to |months| rows; the self-join
+    runs on that dimension-sized relation.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    m = (
+        l.groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("midx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        .cache()
+    )
+    p = m.select(
+        (F.col("midx") + 1).alias("midx"),
+        (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
+            "prev_rate"
+        ),
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_lines")
+    return (
+        m.join(p, "midx", "left")
+        .select(
+            F.col("midx").alias("month_idx"),
+            "n_lines",
+            "n_returned",
+            rate.alias("return_rate"),
+            F.coalesce(rate - F.col("prev_rate"), F.lit(0.0)).alias(
+                "rate_delta_mom"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_part_concentration_hhi",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(SUM(qty * qty) AS DOUBLE)
+             / (CAST(SUM(qty) AS HUGEINT) * SUM(qty)) AS hhi,
+           CAST(MAX(qty) AS DOUBLE) / SUM(qty) AS top_share
+    FROM q GROUP BY l_partkey HAVING SUM(qty) > 0
+    """,
+)
+def supplier_part_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-concentration screen: per part, the Herfindahl index of
+    its supplier quantity shares and the top supplier's share — the
+    single-source-risk table procurement reads (hhi 1.0 = one
+    supplier; a part with hhi > 0.5 has no real second source).
+
+    Exactness: HHI = Σ share² is computed as Σqty² / (Σqty)² — both
+    sums are exact integers, so the index is ONE IEEE division instead
+    of a float accumulation whose order differs per engine; top_share
+    is likewise max/total in one division.
+
+    Scale: two stacked map-side partial aggregates ((part,supp) then
+    part); qty² of per-pair sums fits decimal(38) far past 100 TB.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    q = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    qd = F.col("qty").cast("decimal(38,0)")
+    return (
+        q.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.sum(qd * F.col("qty")).alias("sq"),
+            F.max("qty").cast("long").alias("max_qty"),
+        )
+        .filter(F.col("total_qty") > 0)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            "total_qty",
+            (
+                F.col("sq").cast("double")
+                / (
+                    F.col("total_qty").cast("decimal(38,0)")
+                    * F.col("total_qty")
+                ).cast("double")
+            ).alias("hhi"),
+            (F.col("max_qty").cast("double") / F.col("total_qty")).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
+@query(
+    "nation_trade_flow_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    ),
+    m AS (
+      SELECT supp_nation, cust_nation,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_c
+      FROM f GROUP BY supp_nation, cust_nation
+    ),
+    t AS (SELECT SUM(rev_c) AS total_c FROM m)
+    SELECT m.supp_nation, m.cust_nation, m.n_lines, m.rev_c,
+           CAST(m.rev_c AS DOUBLE) / t.total_c AS flow_share
+    FROM m, t
+    """,
+)
+def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full supplier-nation x customer-nation trade matrix with each
+    flow's share of global revenue — TPC-H q7 without its two-nation
+    filter: the map view (which lanes dominate, which are dormant)
+    rather than the drill-down.
+
+    Exactness: revenue is the repo's exact-cents idiom (ONE rounding of
+    price*(1-disc) per line, integer sums); the share is one division
+    by a scalar total.
+
+    Scale: ONE fact-table shuffle (the orders join); customer,
+    supplier, and both nation legs broadcast (dimension cardinality);
+    the total is a 1-row broadcast back over the <= |nations|² matrix.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    f = (
+        l.select("l_orderkey", "l_suppkey", rev.alias("rev_c"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                 F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+    )
+    m = f.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("rev_c").cast("long").alias("rev_c"),
+    )
+    t = m.agg(F.sum("rev_c").alias("total_c"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "supp_nation",
+        "cust_nation",
+        "n_lines",
+        "rev_c",
+        (F.col("rev_c").cast("double") / F.col("total_c")).alias(
+            "flow_share"
+        ),
+    )

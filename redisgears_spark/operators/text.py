@@ -1176,3 +1176,107 @@ def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             other.cast("double") / F.sum(F.length("text"))
         ).alias("other_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9 additions: sentence shape, hapax vocabulary health
+# ---------------------------------------------------------------------------
+
+# sentence segments: split on terminal-punctuation runs, keep non-empty
+# trimmed segments (a trailing '.' yields an empty tail in both engines)
+_SENTENCES = (
+    "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')"
+)
+_SENTENCES_SQL = (
+    "list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), "
+    "x -> trim(x)), x -> x <> '')"
+)
+
+
+@query(
+    "text_sentence_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_SENTENCES_SQL}) AS BIGINT) AS n_sentences,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, n_sentences, n_words,
+           COALESCE(CAST(n_words AS DOUBLE) / NULLIF(n_sentences, 0), 0.0)
+             AS words_per_sentence
+    FROM s
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-shape profile per document: sentence count and mean
+    sentence length in words — the readability signal quality
+    classifiers lean on (machine-generated spam runs either one
+    endless sentence or staccato fragments; prose sits in the teens).
+
+    Exactness: both engines split on the same '[.!?]+' regex (Java and
+    RE2 agree on this class), trim with the same whitespace set, and
+    drop empties — counts are integers, the mean is ONE division with
+    a 0.0 sentinel for punctuation-free empty docs.
+
+    Scale: a zero-shuffle codegen projection over the scan — no
+    Python, no aggregation; at 100 TB this is scan-bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_sent = F.expr(f"CAST(size({_SENTENCES}) AS BIGINT)")
+    n_words = F.expr(f"CAST(size({_TOKENS}) AS BIGINT)")
+    return d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        F.coalesce(
+            n_words.cast("double") / F.nullif(n_sent, F.lit(0)), F.lit(0.0)
+        ).alias("words_per_sentence"),
+    )
+
+
+@query(
+    "docs_hapax_rate",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest({_TOKENS_SQL}) AS word FROM documents
+    ),
+    c AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM w GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_rate
+    FROM c GROUP BY lang
+    """,
+)
+def docs_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share per language: the fraction of the vocabulary
+    seen exactly once — the vocabulary-health dial (natural corpora run
+    ~40-60 % hapax by Zipf; far below means templated/duplicated text,
+    far above means OCR noise or tokenizer breakage).
+
+    Exactness: token counts are integers over the shared \\s+ token
+    rule; the rate is ONE division by the vocabulary size.
+
+    Scale: explode reduces map-side into (lang, word) partial counts —
+    the shuffle carries the distinct vocabulary, not the corpus; the
+    per-lang rollup is dimension-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(F.expr(_TOKENS)).alias("word"))
+    c = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        hapax.cast("long").alias("n_hapax"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_rate"),
+    )

@@ -16,6 +16,7 @@ from redisgears_spark.streaming.stateful import (  # noqa: F401
     StreamingHeavyHittersRuntime,
     StreamingCusumRuntime,
     StreamingDistinctRuntime,
+    StreamingKmvRuntime,
     StreamingRateLimitRuntime,
     StreamingSessionizeRuntime,
 )

@@ -1019,3 +1019,174 @@ class StreamingDistinctRuntime(StatefulStatsRuntime):
             "runtime (its state is an HLL register array, not per-key "
             "stats with tombstones); stop()/flush() clear state"
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming distinct count via KMV (round 9): the state-store sketch that is
+# BIT-IDENTICAL to the batch kmv_distinct — same md5-prefix hash, same
+# order-statistic estimator — so a live counter and its batch backfill agree
+# exactly (contrast the HLL pair, which shares only the error bound).
+# ---------------------------------------------------------------------------
+
+_KMVS_OUTPUT_SCHEMA = (
+    "stream_key string, n_records bigint, n_in_sketch bigint, "
+    "kth_h bigint, estimate double"
+)
+_KMVS_STATE_SCHEMA = "mins string, n_records bigint"
+
+
+def _kmv_merge(mins: list, value: str, k: int) -> list:
+    """Fold one value into the sorted k-minimum list. Insert-if-smaller
+    keeps the list the TRUE k smallest distinct hashes of everything seen,
+    so the fold is order- and chunking-insensitive (set-min is
+    commutative/associative/idempotent) — the restart/merge contract."""
+    from redisgears_spark.functions.hashing import md5_hash32_py
+
+    h = md5_hash32_py(value)
+    if h in mins:  # distinct sketch: duplicates are no-ops
+        return mins
+    if len(mins) < k:
+        import bisect
+
+        bisect.insort(mins, h)
+        return mins
+    if h < mins[-1]:
+        import bisect
+
+        mins.pop()
+        bisect.insort(mins, h)
+    return mins
+
+
+def _kmv_estimate(mins: list, k: int) -> float:
+    """kmv_distinct's estimator (analytics.py): exact count below k,
+    (k-1)*2^32/kth_min at k — identical arithmetic, so streaming and
+    batch report the same float."""
+    if len(mins) < k:
+        return float(len(mins))
+    return float((k - 1) * (1 << 32)) / mins[-1]
+
+
+def _make_kmv_reducer(field: str, k: int):
+    import json as _json
+
+    def reducer(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream_key,) = key
+        if state.exists:
+            mins_json, n_records = state.get
+            mins: list = _json.loads(mins_json)
+        else:
+            mins, n_records = [], 0
+        frame = _ordered_frame(pdfs)
+        for fields in (frame["fields"] if len(frame) else ()):
+            item = None if fields is None else dict(fields).get(field)
+            if item is None:
+                continue
+            n_records += 1
+            mins = _kmv_merge(mins, item, k)
+        state.update((_json.dumps(mins), n_records))
+        yield pd.DataFrame(
+            [
+                {
+                    "stream_key": stream_key,
+                    "n_records": n_records,
+                    "n_in_sketch": len(mins),
+                    "kth_h": mins[-1] if len(mins) == k else 0,
+                    "estimate": _kmv_estimate(mins, k),
+                }
+            ]
+        )
+
+    return reducer
+
+
+class StreamingKmvRuntime(StatefulStatsRuntime):
+    """Per-stream-key streaming distinct count via K-minimum-values: the
+    k smallest distinct 32-bit md5-prefix hashes per key live in the
+    state store; the estimate is the batch kmv_distinct order statistic.
+
+    Why this exists next to StreamingDistinctRuntime (HLL): the KMV pair
+    is bit-identical across streaming, batch, and the DuckDB oracle —
+    same hash (functions/hashing.md5_hash32_*), same estimator — so a
+    migration can hand a counter between the live and backfill paths
+    with NO reconciliation epsilon. The price is state: O(k) 8-byte
+    hashes per key vs HLL's fixed 2^p bytes, and exactness below k
+    (under k distinct values the 'estimate' IS the exact count).
+
+    The fold is a set-min merge (commutative, associative, idempotent),
+    so any chunking/restart of the stream yields the identical sketch —
+    pinned against the batch builder in tests.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        field: str = "event_type",
+        k: int = 256,
+    ):
+        if k < 2:
+            raise GearsError("streaming KMV needs k >= 2")
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.field = field
+        self.k = k
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "kmv_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "kmv_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        return self._start_stateful(
+            _make_kmv_reducer(self.field, self.k),
+            _KMVS_OUTPUT_SCHEMA,
+            _KMVS_STATE_SCHEMA,
+            "streaming_kmv_distinct",
+            prefix,
+        )
+
+    def estimates(self) -> dict[str, dict]:
+        """Latest estimate per stream_key (highest committed epoch)."""
+        df = self._sink_df()
+        if df is None:
+            return {}
+        rows = (
+            df.groupBy("stream_key")
+            .agg(
+                F.max_by(
+                    F.struct("estimate", "n_records", "n_in_sketch", "kth_h"),
+                    F.col("epoch"),
+                ).alias("s")
+            )
+            .select("stream_key", "s.*")
+            .collect()
+        )
+        return {
+            r["stream_key"]: {
+                "estimate": r["estimate"],
+                "n_records": r["n_records"],
+                "n_in_sketch": r["n_in_sketch"],
+                "kth_h": r["kth_h"],
+            }
+            for r in rows
+        }
+
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingKmvRuntime has no per-key stats snapshot — use "
+            "estimates() for the current distinct estimates"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the streaming-KMV runtime "
+            "(its state is a k-minimum hash list, not per-key stats "
+            "with tombstones); stop()/flush() clear state"
+        )

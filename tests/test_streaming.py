@@ -2676,3 +2676,106 @@ class TestStreamingDistinct:
             rt.expire_idle(60)
         with pytest.raises(GearsError, match="p must be"):
             StreamingDistinctRuntime(engine, spool, work, field="u", p=20)
+
+
+class TestStreamingKmv:
+    """Streaming KMV per stream_key: the sketch that agrees BIT-FOR-BIT
+    with the batch kmv_distinct (same md5-prefix hash, same estimator),
+    chunking-insensitive set-min state, restart resume."""
+
+    def _feed(self, spark, spool, lo, hi):
+        rows = [
+            (
+                "k:1" if i % 2 == 0 else "k:2",
+                i,
+                {"u": f"user{i % 97}", "noise": str(i)},
+            )
+            for i in range(lo, hi)
+        ]
+        _write_canonical(spark, spool, rows)
+
+    def test_matches_batch_kmv_bit_for_bit(self, spark, sf_dir, spool, work):
+        from redisgears_spark.functions.hashing import md5_hash32_py
+        from redisgears_spark.streaming import StreamingKmvRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        # k=32 << 49 distinct per key: the estimator arm engages
+        rt = StreamingKmvRuntime(engine, spool, work, field="u", k=32)
+        self._feed(spark, spool, 0, 150)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            self._feed(spark, spool, 150, 300)  # merge, not reset
+            rt.process_available()
+        finally:
+            rt.stop()
+        est = rt.estimates()
+        assert set(est) == {"k:1", "k:2"}
+        # ground truth with the BATCH hash + estimator arithmetic
+        for key in est:
+            vals = {
+                f"user{i % 97}"
+                for i in range(300)
+                if ("k:1" if i % 2 == 0 else "k:2") == key
+            }
+            mins = sorted(md5_hash32_py(v) for v in vals)[:32]
+            want = (
+                float(len(mins))
+                if len(mins) < 32
+                else float(31 * (1 << 32)) / mins[-1]
+            )
+            assert est[key]["n_in_sketch"] == min(32, len(vals))
+            assert est[key]["kth_h"] == (mins[-1] if len(mins) == 32 else 0)
+            assert est[key]["estimate"] == want  # BIT-identical, not close
+            assert est[key]["n_records"] == 150
+
+    def test_exact_below_k_and_restart_resume(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingKmvRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingKmvRuntime(engine, spool, work, field="u", k=256)
+        self._feed(spark, spool, 0, 100)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        before = rt.estimates()
+        # 100 records -> 50 per key, values user{i%97}: under k, so the
+        # estimate IS the exact distinct count
+        for key, row in before.items():
+            true_distinct = len(
+                {
+                    f"user{i % 97}"
+                    for i in range(100)
+                    if ("k:1" if i % 2 == 0 else "k:2") == key
+                }
+            )
+            assert row["estimate"] == float(true_distinct)
+            assert row["kth_h"] == 0  # sketch not full
+        # restart over the same checkpoint continues the min-list
+        rt2 = StreamingKmvRuntime(engine, spool, work, field="u", k=256)
+        self._feed(spark, spool, 100, 300)
+        rt2.start(prefix="k:")
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        after = rt2.estimates()
+        for k in after:
+            assert after[k]["n_records"] == 150
+            assert after[k]["estimate"] >= before[k]["estimate"]
+
+    def test_api_surface(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingKmvRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingKmvRuntime(engine, spool, work, field="u")
+        with pytest.raises(GearsError, match="use estimates\\(\\)"):
+            rt.latest()
+        with pytest.raises(GearsError, match="not supported"):
+            rt.expire_idle(60)
+        with pytest.raises(GearsError, match="k >= 2"):
+            StreamingKmvRuntime(engine, spool, work, field="u", k=1)
