@@ -4320,15 +4320,21 @@ def customer_balance_activity_matrix(
     a = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
+    # cache: two chained global_ntile passes each scan the join twice
     j = c.join(a, c.c_custkey == a.o_custkey, "left").select(
         "c_custkey",
         cents("c_acctbal").alias("bal_c"),
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
-    )
-    j = global_ntile(j, 4, "bal_c", "c_custkey", "bal_q")
-    j = global_ntile(j, 4, "n_orders", "c_custkey", "act_q")
+    ).cache()
+    bal = global_ntile(
+        j.select("c_custkey", "bal_c"), 4, "bal_c", "c_custkey", "bal_q"
+    ).select("c_custkey", "bal_q")
+    act = global_ntile(
+        j.select("c_custkey", "n_orders"), 4, "n_orders", "c_custkey", "act_q"
+    ).select("c_custkey", "act_q")
     return (
-        j.groupBy("bal_q", "act_q")
+        bal.join(act, "c_custkey")
+        .groupBy("bal_q", "act_q")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
 
