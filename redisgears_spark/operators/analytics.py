@@ -3642,3 +3642,188 @@ def events_sessions_per_user_hist(
     return s.groupBy("n_sessions").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@query(
+    "events_repeat_rate_by_type",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS repeat_rate
+    FROM c GROUP BY event_type
+    """,
+)
+def events_repeat_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-behavior rate per event type: the share of a type's users
+    who did it at least twice — the habit-formation metric (a purchase
+    repeat_rate near 0 is an acquisition business; near 1 is a
+    subscription shape).
+
+    Exactness: integer per-user counts, one division per type.
+
+    Scale: two stacked map-side partial aggregates — (type, user) then
+    type; no distincts, no windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    repeat = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        repeat.cast("long").alias("n_repeat"),
+        F.sum("n").cast("long").alias("n_events"),
+        (repeat.cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
+    )
+
+
+@query(
+    "events_value_percentile_concentration",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_c
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, value_c,
+             CAST(NTILE(100) OVER (ORDER BY value_c, user_id) AS BIGINT)
+               AS pctile
+      FROM u
+    ),
+    t AS (SELECT SUM(value_c) AS total_c FROM u)
+    SELECT b.pctile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(b.value_c) AS BIGINT) AS value_c,
+           CAST(SUM(b.value_c) AS DOUBLE) / t.total_c AS value_share
+    FROM b, t GROUP BY b.pctile, t.total_c
+    """,
+)
+def events_value_percentile_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whale curve: users cut into value percentiles (NTILE 100) with
+    each percentile's share of total value — the revenue-concentration
+    table ("the top percentile is 30 % of value") that prices both VIP
+    programs and the per-user shuffle-skew risk.
+
+    Exactness: the percentile cut is exact NTILE over (cents, user_id)
+    via global_ntile (functions/ranks.py) — bit-identical to the
+    oracle's window with no single-partition sort; shares divide exact
+    integer sums by the scalar total.
+
+    Scale: per-user rollup map-side; the two-phase prefix-sum NTILE
+    replaces the global sort; the total rides a 1-row broadcast.
+    """
+    from redisgears_spark.functions.ranks import global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(cents("value")).cast("long").alias("value_c")
+    )
+    b = global_ntile(u, 100, "value_c", "user_id", "pctile")
+    t = u.agg(F.sum("value_c").alias("total_c"))
+    return (
+        b.groupBy("pctile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("value_c").cast("long").alias("value_c"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "pctile",
+            "n_users",
+            "value_c",
+            (F.col("value_c").cast("double") / F.col("total_c")).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+@query(
+    "events_funnel_step_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    vc AS (
+      SELECT t_click - t_view AS gap_us FROM f
+      WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        AND t_click >= t_view
+    ),
+    cp AS (
+      SELECT t_purchase - t_click AS gap_us FROM f
+      WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_click
+    )
+    SELECT 'view_to_click' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us
+    FROM vc
+    UNION ALL
+    SELECT 'click_to_purchase',
+           CAST(COUNT(*) AS BIGINT),
+           quantile_cont(gap_us, 0.5),
+           quantile_cont(gap_us, 0.9)
+    FROM cp
+    """,
+)
+def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-latency report: median and p90 time from a user's
+    FIRST view to first click, and first click to first purchase — the
+    "where does intent cool off" companion to the conversion-rate
+    funnel (a p90 of days at one step means re-marketing belongs
+    there).
+
+    Exactness: first-touch times are integer µs MINs per conditional
+    type; gaps subtract exactly; only forward gaps count (a click
+    before any view is a tracking artifact, excluded identically in
+    both engines); percentiles interpolate over integers.
+
+    Scale: one map-side pivot aggregate per user; the two step
+    summaries aggregate |users| rows each and union to 2 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "t_purchase"
+        ),
+    ).cache()
+
+    def step(name: str, t0: str, t1: str) -> DataFrame:
+        g = f.filter(
+            F.col(t0).isNotNull()
+            & F.col(t1).isNotNull()
+            & (F.col(t1) >= F.col(t0))
+        ).select((F.col(t1) - F.col(t0)).alias("gap_us"))
+        return g.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
+        )
+
+    return step("view_to_click", "t_view", "t_click").unionByName(
+        step("click_to_purchase", "t_click", "t_purchase")
+    )

@@ -4983,3 +4983,402 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flow_share"
         ),
     )
+
+
+@query(
+    "orders_priority_status_matrix",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS value_c
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def orders_priority_status_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Priority x fulfillment-status cross-tab with order value — the SLA
+    triage table (value stuck in 1-URGENT x 'O'pen is the number an ops
+    lead escalates on).
+
+    Exactness: counts and cents. Scale: one map-side partial aggregate
+    to |priorities| x |statuses| (= 15) rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("value_c"),
+    )
+
+
+@query(
+    "orders_weekend_effect",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                  THEN 1 ELSE 0 END AS is_weekend,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    )
+    SELECT CAST(is_weekend AS BIGINT) AS is_weekend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_c) AS BIGINT) AS revenue_c,
+           CAST(SUM(price_c) AS DOUBLE) / COUNT(*) AS avg_order_c
+    FROM o GROUP BY is_weekend
+    """,
+)
+def orders_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday order profile: volume, revenue, and average
+    basket — the two-row table behind staffing and promo-timing
+    decisions (B2B books weekdays; a weekend avg-basket premium means
+    consumer traffic).
+
+    Exactness: DuckDB dayofweek is 0=Sun..6=Sat, Spark's 1=Sun..7=Sat —
+    each side tests its own encoding for {Sun, Sat}; cents are exact and
+    the average is ONE division.
+
+    Scale: map-side partial aggregate to 2 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    is_we = (
+        F.when(F.dayofweek("o_orderdate").isin(1, 7), 1).otherwise(0)
+    ).cast("long")
+    return (
+        o.select(is_we.alias("is_weekend"), cents("o_totalprice").alias("price_c"))
+        .groupBy("is_weekend")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("revenue_c"),
+            (F.sum("price_c").cast("double") / F.count(F.lit(1))).alias(
+                "avg_order_c"
+            ),
+        )
+    )
+
+
+@query(
+    "segment_top_brand_revenue",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment, p.p_brand AS brand,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY c.c_mktsegment, p.p_brand
+    ),
+    k AS (
+      SELECT segment, brand, rev_c,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY rev_c DESC, brand) AS rk,
+             CAST(SUM(rev_c) OVER (PARTITION BY segment) AS BIGINT)
+               AS segment_c
+      FROM r
+    )
+    SELECT segment, brand, rev_c, segment_c,
+           CAST(rev_c AS DOUBLE) / segment_c AS brand_share
+    FROM k WHERE rk = 1
+    """,
+)
+def segment_top_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top brand per market segment by discounted revenue, with its share
+    of the segment — the merchandising headline ("BUILDING is a
+    Brand#32 segment") and a cross-category affinity probe in one row
+    per segment.
+
+    Exactness: the argmax rank rides the TOTAL order
+    (revenue DESC, brand) so revenue ties resolve identically; cents
+    are exact and the share is one division.
+
+    Scale: one fact shuffle (orders join); customer and part broadcast;
+    the rank windows run over the |segments| x |brands| aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    r = (
+        l.select("l_orderkey", "l_partkey", rev.alias("rev_c"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("segment", "brand")
+        .agg(F.sum("rev_c").cast("long").alias("rev_c"))
+    )
+    wr = W.partitionBy("segment").orderBy(F.col("rev_c").desc(), "brand")
+    wt = W.partitionBy("segment")
+    return (
+        r.withColumn("rk", F.row_number().over(wr))
+        .withColumn("segment_c", F.sum("rev_c").over(wt).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            "brand",
+            "rev_c",
+            "segment_c",
+            (F.col("rev_c").cast("double") / F.col("segment_c")).alias(
+                "brand_share"
+            ),
+        )
+    )
+
+
+@query(
+    "lineitem_qty_price_bands",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) // 10 AS qty_band,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000
+               AS price_band,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT qty_band, price_band,
+           CAST(qty_band * 10 AS BIGINT) AS qty_lo,
+           CAST(price_band * 10000 AS BIGINT) AS price_lo_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(price_c) AS BIGINT) AS revenue_c
+    FROM l GROUP BY qty_band, price_band
+    """,
+)
+def lineitem_qty_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D order-line density map: quantity decade x $10k price band with
+    line counts and revenue — the heat plot behind minimum-order-size
+    and freight-break decisions (mass in low-qty/low-price cells is
+    handling cost, not margin).
+
+    Exactness: both band edges are INTEGER floor divisions of exact
+    units (no float boundary can leak a row across cells).
+
+    Scale: one map-side partial aggregate to a few hundred cells.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    qb = F.expr("CAST(round(l_quantity) AS BIGINT) DIV 10")
+    pb = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 1000000"
+    )
+    return (
+        l.select(
+            qb.alias("qty_band"),
+            pb.alias("price_band"),
+            cents("l_extendedprice").alias("price_c"),
+        )
+        .groupBy("qty_band", "price_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("price_c").cast("long").alias("revenue_c"),
+        )
+        .select(
+            "qty_band",
+            "price_band",
+            (F.col("qty_band") * 10).cast("long").alias("qty_lo"),
+            (F.col("price_band") * 10000).cast("long").alias("price_lo_c"),
+            "n_lines",
+            "revenue_c",
+        )
+    )
+
+
+@query(
+    "lineitem_order_ship_spread",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey,
+             CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate))
+                  AS BIGINT) AS spread_days,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT spread_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN n_lines >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_line
+    FROM s GROUP BY spread_days
+    """,
+)
+def lineitem_order_ship_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment-consolidation histogram: per order, the day span between
+    its first and last shipped line, rolled into a spread histogram —
+    the split-shipment cost profile (spread 0 = one box; a long tail =
+    partial-fulfillment freight leakage).
+
+    Exactness: the spread is an integer day difference of per-order
+    MIN/MAX ship dates; all counts integer.
+
+    Scale: two stacked map-side partial aggregates (orderkey, then
+    spread) — min/max/count are all mergeable, no windows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_orderkey").agg(
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+        .cast("long")
+        .alias("spread_days"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return s.groupBy("spread_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("n_lines") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_line"),
+    )
+
+
+@query(
+    "orders_monthly_revenue_volatility",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS midx,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(rev_c) AS BIGINT) AS total_c,
+           CAST(SUM(rev_c) AS DOUBLE) / COUNT(*) AS mean_month_c,
+           CAST(CAST(COUNT(*) AS HUGEINT)
+                  * SUM(CAST(rev_c AS HUGEINT) * rev_c)
+                - CAST(SUM(rev_c) AS HUGEINT) * SUM(rev_c) AS DOUBLE)
+             / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) AS var_month_c2,
+           CAST(MIN(rev_c) AS BIGINT) AS min_month_c,
+           CAST(MAX(rev_c) AS BIGINT) AS max_month_c
+    FROM m
+    """,
+)
+def orders_monthly_revenue_volatility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue stability in one row: monthly revenue mean, sample
+    variance, and range — the volatility number a forecast quotes its
+    confidence against (flat variance = seasonal-naive forecasting is
+    fine; high = the mix is event-driven).
+
+    Exactness: monthly sums are exact cents; variance uses the integer
+    identity (n*Σx² - (Σx)²)/(n(n-1)) over 128-bit intermediates —
+    division is the only float op (the segment-balance idiom).
+
+    Scale: fact collapses map-side to |months| rows; the final
+    aggregate is over that dimension-sized relation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    sx = F.sum(F.col("rev_c").cast("decimal(38,0)"))
+    sxx = F.sum(
+        (F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c")).cast(
+            "decimal(38,0)"
+        )
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("rev_c").cast("long").alias("total_c"),
+        (F.sum("rev_c").cast("double") / F.count(F.lit(1))).alias(
+            "mean_month_c"
+        ),
+        (
+            (n * sxx - sx * sx).cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        ).alias("var_month_c2"),
+        F.min("rev_c").cast("long").alias("min_month_c"),
+        F.max("rev_c").cast("long").alias("max_month_c"),
+    )
+
+
+@query(
+    "supplier_nation_balance_rank",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_suppkey, s.s_name,
+           CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c,
+           CAST(row_number() OVER (
+             PARTITION BY n.n_name
+             ORDER BY round(s.s_acctbal * 100) DESC, s.s_suppkey
+           ) AS BIGINT) AS rank_in_nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    QUALIFY rank_in_nation <= 3
+    """,
+)
+def supplier_nation_balance_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 suppliers by account balance within each nation — the
+    per-region preferred-partner shortlist (q2's min-cost pick is
+    per-part; this is the balance-sheet view per geography).
+
+    Exactness: rank rides (cents DESC, suppkey), a total order; QUALIFY
+    and the Spark filter express the same top-3 cut.
+
+    Scale: the rank window partitions by nation (parallel, dimension
+    cardinality); the nation join broadcasts.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    w = W.partitionBy("nation").orderBy(
+        cents("s_acctbal").desc(), "s_suppkey"
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "nation",
+            "s_suppkey",
+            "s_name",
+            cents("s_acctbal").alias("bal_c"),
+            F.row_number().over(w).cast("long").alias("rank_in_nation"),
+        )
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+@query(
+    "part_size_price_curve",
+    oracle="""
+    SELECT CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS mean_price_c,
+           quantile_cont(CAST(round(p_retailprice * 100) AS BIGINT), 0.5)
+             AS p50_price_c
+    FROM part GROUP BY p_size
+    """,
+)
+def part_size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price-vs-size curve: per part size, count, mean and median
+    retail price — the pricing-ladder sanity check (median diverging
+    from mean at a size = outlier SKUs distorting that rung).
+
+    Exactness: prices quantize to cents before aggregation; the mean is
+    one division and the median interpolates over integers (the pinned
+    percentile form).
+
+    Scale: map-side partial aggregate + per-size exact-percentile
+    buffers over |sizes| (= 50) groups.
+    """
+    p = load_table(spark, sf_dir, "part")
+    v = p.select(
+        F.col("p_size").cast("long").alias("p_size"),
+        cents("p_retailprice").alias("price_c"),
+    )
+    return v.groupBy("p_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("price_c").cast("long").alias("total_c"),
+        (F.sum("price_c").cast("double") / F.count(F.lit(1))).alias(
+            "mean_price_c"
+        ),
+        F.expr("percentile(price_c, 0.5)").alias("p50_price_c"),
+    )
