@@ -3827,3 +3827,160 @@ def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return step("view_to_click", "t_view", "t_click").unionByName(
         step("click_to_purchase", "t_click", "t_purchase")
     )
+
+
+@query(
+    "events_user_lifecycle_stages",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events),
+    u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT CASE
+               WHEN mx.t1 - u.first_us < 604800000000 THEN 'new'
+               WHEN mx.t1 - u.last_us < 604800000000 THEN 'active'
+               WHEN mx.t1 - u.last_us < 2592000000000 THEN 'dormant'
+               ELSE 'churned'
+             END AS stage,
+             u.n_events
+      FROM u, mx
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM staged GROUP BY stage
+    """,
+)
+def events_user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle census at the data frontier: users staged as new (first
+    seen < 7 d ago), active (seen < 7 d ago), dormant (7-30 d), or
+    churned (> 30 d) with their event mass — the four numbers every
+    growth dashboard leads with, priority-ordered so a user is 'new'
+    before 'active'.
+
+    Exactness: stages are integer µs comparisons against the corpus
+    frontier (a 1-row broadcast scalar); counts are integers.
+
+    Scale: one per-user map-side rollup; the frontier crossJoins as a
+    1-row broadcast; the stage rollup is 4 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(micros("ts")).alias("t1"))
+    u = ev.groupBy("user_id").agg(
+        F.min(micros("ts")).alias("first_us"),
+        F.max(micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    week = 604800000000
+    month = 2592000000000
+    stage = (
+        F.when(F.col("t1") - F.col("first_us") < week, "new")
+        .when(F.col("t1") - F.col("last_us") < week, "active")
+        .when(F.col("t1") - F.col("last_us") < month, "dormant")
+        .otherwise("churned")
+    )
+    return (
+        u.crossJoin(F.broadcast(mx))
+        .select(stage.alias("stage"), "n_events")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "customer_value_migration",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(o_orderdate)) AS t0,
+             (MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate)))
+               // 2 AS tm
+      FROM orders
+    ),
+    h1 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders, bounds WHERE epoch_us(o_orderdate) < bounds.tm
+      GROUP BY o_custkey
+    ),
+    h2 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders, bounds WHERE epoch_us(o_orderdate) >= bounds.tm
+      GROUP BY o_custkey
+    ),
+    q1 AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY rev_c, o_custkey) AS BIGINT) AS q
+      FROM h1
+    ),
+    q2 AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY rev_c, o_custkey) AS BIGINT) AS q
+      FROM h2
+    )
+    SELECT COALESCE(q1.q, 0) AS q_before, COALESCE(q2.q, 0) AS q_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q1 FULL OUTER JOIN q2 ON q1.o_custkey = q2.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-quartile migration matrix: customers quartiled by revenue in
+    the first half of the data's time span vs the second, cross-tabbed
+    (quartile 0 = inactive in that half) — the retention-economics view
+    (mass moving 4 -> 0 is high-value churn; 0 -> 4 is a cohort of new
+    whales).
+
+    Exactness: the midpoint is integer µs arithmetic on a broadcast
+    scalar; both quartile cuts are exact NTILE over (cents, custkey)
+    via global_ntile — bit-identical to the oracle windows, no global
+    sort; the FULL OUTER join's 0 sentinels keep the no-NULL contract.
+
+    Scale: two filtered per-customer rollups off one scan shape; two
+    prefix-sum NTILEs; the matrix is 25 cells.
+    """
+    from redisgears_spark.functions.ranks import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        (F.min(micros("o_orderdate")) + F.max(micros("o_orderdate"))).alias(
+            "_sum_us"
+        )
+    ).select(F.expr("_sum_us DIV 2").alias("tm"))  # integer floor, as the oracle's //
+    base = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        micros("o_orderdate").alias("us"),
+        cents("o_totalprice").alias("price_c"),
+        "tm",
+    )
+
+    def half(pred) -> DataFrame:
+        h = (
+            base.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.sum("price_c").cast("long").alias("rev_c"))
+        )
+        return global_ntile(h, 4, "rev_c", "o_custkey", "q").select(
+            "o_custkey", "q"
+        )
+
+    q1 = half(F.col("us") < F.col("tm")).withColumnRenamed("q", "q_before")
+    q2 = half(F.col("us") >= F.col("tm")).withColumnRenamed("q", "q_after")
+    return (
+        q1.join(q2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("q_before", F.lit(0)).cast("long").alias("q_before"),
+            F.coalesce("q_after", F.lit(0)).cast("long").alias("q_after"),
+        )
+        .groupBy("q_before", "q_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

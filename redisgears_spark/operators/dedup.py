@@ -1376,3 +1376,64 @@ def docs_near_dup_rate_by_source_lsh(spark: SparkSession, sf_dir: str) -> DataFr
     hash-green oracle row.
     """
     return docs_near_dup_rate_by_source(spark, sf_dir, candidates="lsh")
+
+
+@query(
+    "docs_shingle_df_histogram",
+    oracle=f"""
+    WITH {_ORACLE_DOCS_CTE},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS doc_freq
+           FROM ex GROUP BY s),
+    h AS (
+      SELECT CAST(length(ltrim(bin(doc_freq), '0')) AS BIGINT) AS bucket,
+             doc_freq
+      FROM df
+    )
+    SELECT bucket,
+           CAST(1 << (bucket - 1) AS BIGINT) AS doc_freq_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(doc_freq) AS BIGINT) AS total_occurrences
+    FROM h GROUP BY bucket
+    """,
+)
+def docs_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency spectrum: word-3-gram shingles bucketed
+    by log2 of how many documents carry them — the calibration table for
+    every shingle-based stage (the bucket-1 mass is unique content; the
+    top buckets are the boilerplate the 25 % rule strips, and ALSO the
+    wedge-join hot keys that decide whether the exact pair path is
+    affordable).
+
+    Exactness: document frequencies are integer counts over distinct
+    per-doc shingles; the bucket is the integer bit-length (bin+ltrim,
+    the log2-histogram idiom — no float log anywhere).
+
+    Scale: the explode reduces map-side to (shingle, count) partial
+    aggregates — the shuffle carries the distinct shingle vocabulary,
+    never documents; the histogram is ~30 rows.
+    """
+    docs = shingled_docs(spark, sf_dir)
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    df_rel = ex.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    bucket = F.length(
+        F.expr("TRIM(LEADING '0' FROM bin(doc_freq))")
+    ).cast("long")
+    return (
+        df_rel.select(bucket.alias("bucket"), "doc_freq")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("doc_freq").cast("long").alias("total_occurrences"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(1L, cast(bucket as int) - 1)")
+            .cast("long")
+            .alias("doc_freq_lo"),
+            "n_shingles",
+            "total_occurrences",
+        )
+    )

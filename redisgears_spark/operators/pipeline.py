@@ -1681,3 +1681,72 @@ def pipeline_source_quality_matrix(
             ).alias("keep_rate"),
         )
     )
+
+
+@query(
+    "pipeline_quality_violation_curve",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL},
+    r AS (
+      SELECT doc_id, n_words,
+             CAST(bit_count(CAST(
+               CASE WHEN n_words < {_G_MIN_WORDS} THEN 1 ELSE 0 END
+             + CASE WHEN n_words > {_G_MAX_WORDS} THEN 2 ELSE 0 END
+             + CASE WHEN mean_word_len IS NULL OR mean_word_len < {_G_MIN_MWL}
+                         OR mean_word_len > {_G_MAX_MWL} THEN 4 ELSE 0 END
+             + CASE WHEN symbol_ratio IS NULL
+                         OR symbol_ratio > {_G_MAX_SYMBOL_RATIO} THEN 8 ELSE 0 END
+             + CASE WHEN NOT has_stopword THEN 16 ELSE 0 END
+             AS BIGINT)) AS BIGINT) AS n_violations
+      FROM s
+    ),
+    h AS (
+      SELECT n_violations,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens
+      FROM r GROUP BY n_violations
+    )
+    SELECT n_violations, n_docs, n_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY n_violations
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS docs_at_or_below,
+           CAST(SUM(n_tokens) OVER (ORDER BY n_violations
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS tokens_at_or_below
+    FROM h
+    """,
+)
+def pipeline_quality_violation_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-gate tolerance curve: documents and tokens by HOW MANY
+    Gopher rules they violate, with cumulative totals at each tolerance
+    — the table that prices a "keep docs failing <= 1 rule" relaxation
+    BEFORE anyone reruns the corpus (the dedup threshold-histogram
+    idiom applied to the quality gate).
+
+    Exactness: composes pipeline_gopher_filters' registered reasons
+    bitmask verbatim (same CASE sum in the oracle), so a violation here
+    and in the per-doc report cannot disagree; the violation count is
+    bit_count over that integer; the cumulative window runs over <= 6
+    rows.
+
+    Scale: the signal projection is the registered operator's
+    zero-shuffle codegen scan; everything after the first aggregate is
+    constant-sized.
+    """
+    sig = pipeline_gopher_filters(spark, sf_dir).select(
+        "n_words", F.bit_count("reasons").cast("long").alias("n_violations")
+    )
+    h = sig.groupBy("n_violations").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )
+    w = W.orderBy("n_violations").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return h.select(
+        "n_violations",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("long").alias("docs_at_or_below"),
+        F.sum("n_tokens").over(w).cast("long").alias("tokens_at_or_below"),
+    )

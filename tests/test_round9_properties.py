@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 
 from redisgears_spark.operators.analytics import (
+    events_user_lifecycle_stages,
     events_early_value_share,
     events_funnel_step_latency,
     events_sessions_per_user_hist,
@@ -294,3 +295,57 @@ def test_supplier_hhi_matches_brute_force(spark, tmp_path, seed):
         assert got[pk][3] == max(supp.values()) / total
         if len(supp) == 1:
             assert got[pk][2] == 1.0
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_lifecycle_stages_all_four_exercised(spark, tmp_path, seed):
+    """The fixture corpus is uniformly active, so the stage cuts are
+    pinned here instead: random users engineered into every stage
+    (including the new-beats-active priority and boundaries exactly AT
+    the 7d/30d edges, which belong to the OLDER stage — strict <)."""
+    rng = random.Random(seed)
+    day = 86400
+    frontier = 100 * day
+    rows, eid = [], 0
+    want: dict[str, int] = {}
+    for uid in range(40):
+        kind = rng.choice(["new", "active", "dormant", "churned", "edge7", "edge30"])
+        if kind == "new":  # first seen < 7d ago (even if also active)
+            first = frontier - rng.randrange(0, 7 * day - 1)
+            offs = [first, frontier - rng.randrange(0, 3)]
+            stage = "new"
+        elif kind == "active":
+            first = frontier - rng.randrange(10 * day, 50 * day)
+            offs = [first, frontier - rng.randrange(0, 7 * day - 1)]
+            stage = "active"
+        elif kind == "dormant":
+            first = frontier - rng.randrange(40 * day, 90 * day)
+            offs = [first, frontier - rng.randrange(7 * day, 30 * day - 1)]
+            stage = "dormant"
+        elif kind == "churned":
+            first = frontier - rng.randrange(60 * day, 99 * day)
+            offs = [first, frontier - rng.randrange(30 * day, 50 * day)]
+            stage = "churned"
+        elif kind == "edge7":  # last seen EXACTLY 7d ago -> dormant
+            first = frontier - 50 * day
+            offs = [first, frontier - 7 * day]
+            stage = "dormant"
+        else:  # last seen EXACTLY 30d ago -> churned
+            first = frontier - 80 * day
+            offs = [first, frontier - 30 * day]
+            stage = "churned"
+        for off in offs:
+            rows.append((eid, uid, off, "view", 1.0))
+            eid += 1
+        want[stage] = want.get(stage, 0) + 1
+    # anchor user pinning the frontier exactly (new by construction)
+    rows.append((eid, 999, frontier, "view", 1.0))
+    want["new"] = want.get("new", 0) + 1
+
+    got = {
+        r["stage"]: r["n_users"]
+        for r in events_user_lifecycle_stages(
+            spark, _events_dir(tmp_path, rows)
+        ).collect()
+    }
+    assert got == want
