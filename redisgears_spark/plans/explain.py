@@ -60,3 +60,27 @@ def assert_no_broadcast_hint(df: DataFrame) -> None:
     assert "ResolvedHint" not in analyzed, (
         f"explicit broadcast hint found in logical plan:\n{analyzed[:4000]}"
     )
+
+
+def count_single_partition_windows(df: DataFrame) -> int:
+    """Count SinglePartition exchanges feeding a Sort/Window — the
+    genuinely scale-hostile shape (the whole relation through one task).
+    Scalar aggregates also plan a SinglePartition exchange, but their
+    input is one pre-aggregated row per partition — harmless — so plain
+    'SinglePartition in plan' pins over-flag; this follows each such
+    exchange to its consumer instead."""
+    import re
+
+    plan = formatted_plan(df)
+    # map node id -> name from the details section headers '(id) Name'
+    nodes = dict(re.findall(r"^\((\d+)\) (\S+)", plan, re.M))
+    bad = 0
+    for m in re.finditer(r"^\((\d+)\) Exchange\b", plan, re.M):
+        nid = int(m.group(1))
+        seg = plan[m.start():]
+        args = seg.split("Arguments:", 1)
+        if len(args) > 1 and args[1].lstrip().startswith("SinglePartition"):
+            consumer = nodes.get(str(nid + 1), "")
+            if consumer.startswith(("Sort", "Window")):
+                bad += 1
+    return bad

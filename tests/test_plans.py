@@ -768,3 +768,37 @@ def test_ntile_family_never_single_partition(spark, sf_dir):
         found = plan.count("Arguments: SinglePartition")
         assert found <= allowed_single, (name, found, plan[:4000])
         assert "__gnt_bucket" in plan, (name, "ranks path not in plan")
+
+
+def test_trade_flow_single_fact_shuffle_dims_broadcast(spark, sf_dir):
+    """The full nation x nation matrix must touch the fact table once:
+    customer/supplier/nation legs broadcast, and only the orders join
+    (plus the aggregate) shuffles; the global total arrives as a 1-row
+    broadcast (BroadcastNestedLoopJoin), never a cartesian."""
+    df = QUERIES["nation_trade_flow_matrix"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_round9_aggregates_no_single_partition(spark, sf_dir):
+    """The new rollup operators must never plan a single-partition SORT
+    or WINDOW over corpus-sized data (scalar aggregates also plan a
+    SinglePartition exchange, but over one pre-folded row per task —
+    harmless, hence the consumer-aware counter). Constant-size windows
+    (the <= 6-row violation-curve cumsum) are exempt by count."""
+    from redisgears_spark.plans.explain import count_single_partition_windows
+
+    for name, allowed in (
+        ("supplier_part_concentration_hhi", 0),
+        ("events_value_percentile_concentration", 0),
+        ("customer_value_migration", 0),
+        ("events_user_lifecycle_stages", 0),
+        ("lineitem_order_ship_spread", 0),
+        # the violation curve's cumulative window runs over <= 6 rows
+        ("pipeline_quality_violation_curve", 1),
+        # the shingle spectrum's histogram is ~30 rows after the DF agg
+        ("docs_shingle_df_histogram", 0),
+    ):
+        found = count_single_partition_windows(QUERIES[name](spark, sf_dir))
+        assert found <= allowed, (name, found)
