@@ -3984,3 +3984,133 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_before", "q_after")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+@query(
+    "events_type_share_drift_daily",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS total FROM d GROUP BY day),
+    ab AS (
+      SELECT COALESCE(a.day, b.day + 1) AS day,
+             COALESCE(a.n, 0) AS n_today,
+             COALESCE(b.n, 0) AS n_prev
+      FROM d a FULL OUTER JOIN d b
+        ON a.day = b.day + 1 AND a.event_type = b.event_type
+    ),
+    j AS (
+      SELECT ab.day, ab.n_today, ab.n_prev,
+             ta.total AS total_today, tb.total AS total_prev
+      FROM ab
+      JOIN t ta ON ta.day = ab.day
+      JOIN t tb ON tb.day = ab.day - 1
+    )
+    SELECT day,
+           CAST(MAX(total_today) AS BIGINT) AS n_events,
+           CAST(SUM(abs(n_today * total_prev - n_prev * total_today))
+                AS BIGINT) AS drift_l1_scaled,
+           CAST(SUM(abs(n_today * total_prev - n_prev * total_today))
+                AS DOUBLE)
+             / (MAX(total_today) * MAX(total_prev)) AS drift_l1
+    FROM j GROUP BY day
+    """,
+)
+def events_type_share_drift_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-mix drift monitor: per day, the L1 distance between today's
+    and yesterday's event-type share vectors — the cheap
+    "did-the-product-change" alarm (an SDK release that renames a type
+    spikes this to ~2; organic mix moves sit near 0).
+
+    Exactness: L1 over shares is computed CROSS-MULTIPLIED —
+    Σ|n_t·M - m_t·T| is an exact integer (T, M = day totals), so
+    engines never sum floats in different orders; the reported ratio
+    divides that one integer by T·M.
+
+    Scale: the fact collapses map-side to |days| x |types| rows;
+    everything after runs on that dimension-sized relation (the
+    full-outer day join handles types appearing/disappearing).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        day_bucket("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).cache()
+    t = d.groupBy("day").agg(F.sum("n").cast("long").alias("total"))
+    a = d.select("day", "event_type", F.col("n").alias("n_today"))
+    b = d.select(
+        (F.col("day") + 1).alias("day"),
+        "event_type",
+        F.col("n").alias("n_prev"),
+    )
+    ta = t.select("day", F.col("total").alias("total_today"))
+    tb = t.select((F.col("day") + 1).alias("day"), F.col("total").alias("total_prev"))
+    j = (
+        a.join(b, ["day", "event_type"], "full_outer")
+        .join(ta, "day")  # inner: drops day pairs without BOTH totals
+        .join(tb, "day")
+        .select(
+            "day",
+            F.coalesce("n_today", F.lit(0)).alias("n_today"),
+            "total_today",
+            F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+            "total_prev",
+        )
+    )
+    scaled = F.sum(
+        F.abs(
+            F.col("n_today") * F.col("total_prev")
+            - F.col("n_prev") * F.col("total_today")
+        )
+    )
+    return j.groupBy("day").agg(
+        F.max("total_today").cast("long").alias("n_events"),
+        scaled.cast("long").alias("drift_l1_scaled"),
+        (
+            scaled.cast("double")
+            / (F.max("total_today") * F.max("total_prev"))
+        ).alias("drift_l1"),
+    )
+
+
+@query(
+    "events_zero_value_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN round(value * 100) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN round(value * 100) = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS zero_rate
+    FROM events GROUP BY event_type
+    """,
+)
+def events_zero_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero/NULL-value audit per event type — the instrumentation-bug
+    tripwire (a purchase type with a nonzero zero_rate is a client
+    sending unpriced conversions; NULLs are schema drift). Runs before
+    any revenue rollup trusts the value column.
+
+    Exactness: zero means exact integer cents = 0 (never a float
+    epsilon compare); counts integer, rate one division.
+
+    Scale: one map-side partial aggregate to |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    zero = F.sum(
+        F.when(F.round(F.col("value") * 100) == 0, 1).otherwise(0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        zero.cast("long").alias("n_zero"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        (zero.cast("double") / F.count(F.lit(1))).alias("zero_rate"),
+    )

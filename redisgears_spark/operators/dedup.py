@@ -1437,3 +1437,50 @@ def docs_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_occurrences",
         )
     )
+
+
+@query(
+    "docs_exact_dup_rate_by_lang",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fp
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_redundant,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM f GROUP BY lang
+    """,
+)
+def docs_exact_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate inflation per language: docs minus distinct
+    normalized fingerprints — the first-order dedup saving, split the
+    way corpus budgets are allocated (a language that is 30 % exact
+    copies has 30 % less data than its row count claims; the near-dup
+    twin is docs_near_dup_rate_by_source).
+
+    Exactness: the fingerprint is dedup_exact's normalization idiom;
+    counts are integers, the rate ONE division.
+
+    Scale: the shuffle carries (lang, 16-byte md5) — the distinct runs
+    per language map-side first; text never moves.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    f = d.select("lang", fp.alias("fp"))
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_redundant"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

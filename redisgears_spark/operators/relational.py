@@ -5382,3 +5382,250 @@ def part_size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("percentile(price_c, 0.5)").alias("p50_price_c"),
     )
+
+
+@query(
+    "orders_round_price_bias",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN price_c % 100 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_whole_dollar,
+           CAST(SUM(CASE WHEN price_c % 10000 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_whole_hundred,
+           CAST(SUM(CASE WHEN price_c % 100 = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS whole_dollar_rate,
+           CAST(SUM(CASE WHEN price_c % 10000 = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS whole_hundred_rate
+    FROM p
+    """,
+)
+def orders_round_price_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias audit: the share of order totals landing on
+    whole dollars and whole hundreds — organic price sums land on round
+    numbers at roughly the base rate (1 % / 0.01 %), so an excess is
+    manual entry, negotiated overrides, or fabrication (the
+    Benford-audit companion at the other end of the digits).
+
+    Exactness: modular arithmetic on exact cents; two single divisions.
+
+    Scale: one map-side partial aggregate to one row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    p = o.select(cents("o_totalprice").alias("price_c"))
+    dollar = F.sum(F.when(F.col("price_c") % 100 == 0, 1).otherwise(0))
+    hundred = F.sum(F.when(F.col("price_c") % 10000 == 0, 1).otherwise(0))
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dollar.cast("long").alias("n_whole_dollar"),
+        hundred.cast("long").alias("n_whole_hundred"),
+        (dollar.cast("double") / F.count(F.lit(1))).alias("whole_dollar_rate"),
+        (hundred.cast("double") / F.count(F.lit(1))).alias(
+            "whole_hundred_rate"
+        ),
+    )
+
+
+@query(
+    "orders_quarterly_growth",
+    oracle="""
+    WITH q AS (
+      SELECT (year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3)
+               AS qidx,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS qtr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    g AS (
+      SELECT qidx, MIN(yr) AS yr, MIN(qtr) AS qtr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(price_c) AS BIGINT) AS rev_c
+      FROM q GROUP BY qidx
+    )
+    SELECT CAST(g.qidx AS BIGINT) AS quarter_idx, g.yr, g.qtr,
+           g.n_orders, g.rev_c,
+           COALESCE(CAST(g.rev_c AS DOUBLE) / p.rev_c, 0.0) AS qoq_ratio,
+           COALESCE(CAST(g.rev_c AS DOUBLE) / y.rev_c, 0.0) AS yoy_ratio
+    FROM g
+    LEFT JOIN g p ON p.qidx = g.qidx - 1
+    LEFT JOIN g y ON y.qidx = g.qidx - 4
+    """,
+)
+def orders_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter and year-over-year revenue growth — the
+    board-deck rollup of orders_mom_yoy_growth (same calendar-gap-safe
+    explicit-index joins, coarser grain: noise-resistant where monthly
+    ratios whipsaw).
+
+    Exactness: integer quarter index (year*4 + zero-based quarter);
+    exact cent sums; each ratio ONE division with the 0 sentinel for
+    missing comparison quarters (no NULL outputs).
+
+    Scale: the fact collapses map-side to |quarters| rows; both
+    self-joins run on that dimension-sized relation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    qidx = (
+        F.year("o_orderdate") * 4
+        + F.expr("CAST((month(o_orderdate) - 1) DIV 3 AS INT)")
+    ).cast("long")
+    g = (
+        o.select(
+            qidx.alias("qidx"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.expr(
+                "CAST((month(o_orderdate) - 1) DIV 3 + 1 AS BIGINT)"
+            ).alias("qtr"),
+            cents("o_totalprice").alias("price_c"),
+        )
+        .groupBy("qidx")
+        .agg(
+            F.min("yr").alias("yr"),
+            F.min("qtr").alias("qtr"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("rev_c"),
+        )
+        .cache()
+    )
+    p = g.select((F.col("qidx") + 1).alias("qidx"), F.col("rev_c").alias("prev_c"))
+    y = g.select((F.col("qidx") + 4).alias("qidx"), F.col("rev_c").alias("yago_c"))
+    return (
+        g.join(p, "qidx", "left")
+        .join(y, "qidx", "left")
+        .select(
+            F.col("qidx").alias("quarter_idx"),
+            "yr",
+            "qtr",
+            "n_orders",
+            "rev_c",
+            F.coalesce(
+                F.col("rev_c").cast("double") / F.col("prev_c"), F.lit(0.0)
+            ).alias("qoq_ratio"),
+            F.coalesce(
+                F.col("rev_c").cast("double") / F.col("yago_c"), F.lit(0.0)
+            ).alias("yoy_ratio"),
+        )
+    )
+
+
+@query(
+    "part_brand_price_dispersion",
+    oracle="""
+    WITH b AS (
+      SELECT p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(price_c) AS BIGINT) AS min_c,
+           CAST(MAX(price_c) AS BIGINT) AS max_c,
+           CAST(SUM(price_c) AS DOUBLE) / COUNT(*) AS mean_c,
+           CAST(CAST(COUNT(*) AS HUGEINT)
+                  * SUM(CAST(price_c AS HUGEINT) * price_c)
+                - CAST(SUM(price_c) AS HUGEINT) * SUM(price_c) AS DOUBLE)
+             / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) AS var_c2
+    FROM b GROUP BY p_brand
+    """,
+)
+def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-architecture check per brand: count, range, mean, and sample
+    variance of retail prices — a brand whose variance dwarfs its peers
+    has no price ladder (or a mis-keyed SKU); one with zero variance is
+    a placeholder catalog.
+
+    Exactness: the segment-balance variance idiom — integer sums of
+    cents and cents² (128-bit), ONE final division.
+
+    Scale: map-side partial aggregate to |brands| (= 25) rows.
+    """
+    p = load_table(spark, sf_dir, "part")
+    b = p.select("p_brand", cents("p_retailprice").alias("price_c"))
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    sx = F.sum(F.col("price_c").cast("decimal(38,0)"))
+    sxx = F.sum(
+        (F.col("price_c").cast("decimal(38,0)") * F.col("price_c")).cast(
+            "decimal(38,0)"
+        )
+    )
+    return b.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("price_c").cast("long").alias("min_c"),
+        F.max("price_c").cast("long").alias("max_c"),
+        (F.sum("price_c").cast("double") / F.count(F.lit(1))).alias("mean_c"),
+        (
+            (n * sxx - sx * sx).cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        ).alias("var_c2"),
+    )
+
+
+@query(
+    "supplier_volume_scorecard",
+    oracle="""
+    WITH v AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT n.n_name AS nation, s.s_suppkey,
+           CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c,
+           v.n_lines, v.total_qty, v.rev_c,
+           CAST(row_number() OVER (
+             PARTITION BY n.n_name ORDER BY v.rev_c DESC, s.s_suppkey
+           ) AS BIGINT) AS rev_rank_in_nation
+    FROM v
+    JOIN supplier s ON v.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def supplier_volume_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: shipped lines, quantity, discounted revenue,
+    account balance, and revenue rank within the supplier's nation — the
+    one-row-per-supplier table a sourcing review walks (high revenue +
+    negative balance is a payment-terms problem; rank 1 with thin
+    volume means a concentrated nation).
+
+    Exactness: exact-cents revenue idiom; the rank rides
+    (revenue DESC, suppkey) — a total order.
+
+    Scale: one fact rollup map-side to |suppliers| rows; supplier and
+    nation broadcast; the rank window partitions by nation over the
+    dimension-sized result.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    v = l.select("l_suppkey", F.round("l_quantity").cast("long").alias("qty"),
+                 rev.alias("rev_c")).groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("rev_c").cast("long").alias("rev_c"),
+    )
+    w = W.partitionBy("nation").orderBy(F.col("rev_c").desc(), "s_suppkey")
+    return (
+        v.join(F.broadcast(s), v.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "nation",
+            "s_suppkey",
+            cents("s_acctbal").alias("bal_c"),
+            "n_lines",
+            "total_qty",
+            "rev_c",
+            F.row_number().over(w).cast("long").alias("rev_rank_in_nation"),
+        )
+    )

@@ -1280,3 +1280,35 @@ def docs_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_tokens"),
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_rate"),
     )
+
+
+@query(
+    "text_word_length_histogram",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, CAST(len(unnest({_TOKENS_SQL})) AS BIGINT) AS wl
+      FROM documents
+    )
+    SELECT lang, wl AS word_len,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM w GROUP BY lang, wl
+    """,
+)
+def text_word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length distribution per language — the tokenizer-health
+    fingerprint (a spike at length 1 is punctuation leakage; a heavy
+    20+ tail is concatenation/OCR damage; real language curves peak at
+    3-8 and are stable enough to detect corpus drift).
+
+    Exactness: integer character counts over the shared token rule.
+
+    Scale: the explode reduces map-side into (lang, len) partial
+    counts — a few hundred output rows; text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(F.expr(_TOKENS)).alias("word")).select(
+        "lang", F.length("word").cast("long").alias("word_len")
+    )
+    return w.groupBy("lang", "word_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
