@@ -3379,10 +3379,11 @@ def grouped_kmv(
                 AS BIGINT) AS n_clicks,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_purchases,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                AS DOUBLE)
-             / NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
-                      0) AS purchase_per_view
+           COALESCE(
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                        0), 0.0) AS purchase_per_view
     FROM events GROUP BY dayofweek(ts)
     """,
 )
@@ -3410,11 +3411,12 @@ def events_conversion_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("n_purchases"),
-        (
+        F.coalesce(
             F.sum(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             ).cast("double")
-            / F.nullif(views, F.lit(0))
+            / F.nullif(views, F.lit(0)),
+            F.lit(0.0),
         ).alias("purchase_per_view"),
     )
 
@@ -3775,14 +3777,14 @@ def events_value_percentile_concentration(
     )
     SELECT 'view_to_click' AS step,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           quantile_cont(gap_us, 0.5) AS p50_us,
-           quantile_cont(gap_us, 0.9) AS p90_us
+           COALESCE(quantile_cont(gap_us, 0.5), 0.0) AS p50_us,
+           COALESCE(quantile_cont(gap_us, 0.9), 0.0) AS p90_us
     FROM vc
     UNION ALL
     SELECT 'click_to_purchase',
            CAST(COUNT(*) AS BIGINT),
-           quantile_cont(gap_us, 0.5),
-           quantile_cont(gap_us, 0.9)
+           COALESCE(quantile_cont(gap_us, 0.5), 0.0),
+           COALESCE(quantile_cont(gap_us, 0.9), 0.0)
     FROM cp
     """,
 )
@@ -3817,11 +3819,16 @@ def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col(t1).isNotNull()
             & (F.col(t1) >= F.col(t0))
         ).select((F.col(t1) - F.col(t0)).alias("gap_us"))
+        # empty step -> 0.0 sentinel, not NULL (inventory no-NULL contract)
         return g.agg(
             F.lit(name).alias("step"),
             F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
-            F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
+            F.coalesce(F.expr("percentile(gap_us, 0.5)"), F.lit(0.0)).alias(
+                "p50_us"
+            ),
+            F.coalesce(F.expr("percentile(gap_us, 0.9)"), F.lit(0.0)).alias(
+                "p90_us"
+            ),
         )
 
     return step("view_to_click", "t_view", "t_click").unionByName(

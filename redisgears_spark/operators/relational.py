@@ -4662,9 +4662,11 @@ def orders_interarrival_percentiles(
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(bal_c) AS BIGINT) AS total_c,
            CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) AS mean_c,
-           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(bal_c AS HUGEINT) * bal_c)
-                - CAST(SUM(bal_c) AS HUGEINT) * SUM(bal_c) AS DOUBLE)
-             / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) AS var_c2,
+           CASE WHEN COUNT(*) >= 2 THEN
+             CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(bal_c AS HUGEINT) * bal_c)
+                  - CAST(SUM(bal_c) AS HUGEINT) * SUM(bal_c) AS DOUBLE)
+               / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1))
+           ELSE 0.0 END AS var_c2,
            CAST(MIN(bal_c) AS BIGINT) AS min_c,
            CAST(MAX(bal_c) AS BIGINT) AS max_c
     FROM b GROUP BY c_mktsegment
@@ -4702,10 +4704,13 @@ def customer_segment_balance_profile(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("bal_c").cast("long").alias("total_c"),
         (F.sum("bal_c").cast("double") / F.count(F.lit(1))).alias("mean_c"),
-        (
+        F.when(
+            F.count(F.lit(1)) >= 2,
             (n * sxx - sx * sx).cast("double")
-            / (n * (n - F.lit(1))).cast("double")
-        ).alias("var_c2"),
+            / (n * (n - F.lit(1))).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_c2"),
         F.min("bal_c").cast("long").alias("min_c"),
         F.max("bal_c").cast("long").alias("max_c"),
     )
@@ -5247,10 +5252,12 @@ def lineitem_order_ship_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
            CAST(SUM(rev_c) AS BIGINT) AS total_c,
            CAST(SUM(rev_c) AS DOUBLE) / COUNT(*) AS mean_month_c,
-           CAST(CAST(COUNT(*) AS HUGEINT)
-                  * SUM(CAST(rev_c AS HUGEINT) * rev_c)
-                - CAST(SUM(rev_c) AS HUGEINT) * SUM(rev_c) AS DOUBLE)
-             / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) AS var_month_c2,
+           CASE WHEN COUNT(*) >= 2 THEN
+             CAST(CAST(COUNT(*) AS HUGEINT)
+                    * SUM(CAST(rev_c AS HUGEINT) * rev_c)
+                  - CAST(SUM(rev_c) AS HUGEINT) * SUM(rev_c) AS DOUBLE)
+               / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1))
+           ELSE 0.0 END AS var_month_c2,
            CAST(MIN(rev_c) AS BIGINT) AS min_month_c,
            CAST(MAX(rev_c) AS BIGINT) AS max_month_c
     FROM m
@@ -5288,10 +5295,13 @@ def orders_monthly_revenue_volatility(
         (F.sum("rev_c").cast("double") / F.count(F.lit(1))).alias(
             "mean_month_c"
         ),
-        (
+        F.when(
+            F.count(F.lit(1)) >= 2,
             (n * sxx - sx * sx).cast("double")
-            / (n * (n - F.lit(1))).cast("double")
-        ).alias("var_month_c2"),
+            / (n * (n - F.lit(1))).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_month_c2"),
         F.min("rev_c").cast("long").alias("min_month_c"),
         F.max("rev_c").cast("long").alias("max_month_c"),
     )
@@ -5525,10 +5535,12 @@ def orders_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(price_c) AS BIGINT) AS min_c,
            CAST(MAX(price_c) AS BIGINT) AS max_c,
            CAST(SUM(price_c) AS DOUBLE) / COUNT(*) AS mean_c,
-           CAST(CAST(COUNT(*) AS HUGEINT)
-                  * SUM(CAST(price_c AS HUGEINT) * price_c)
-                - CAST(SUM(price_c) AS HUGEINT) * SUM(price_c) AS DOUBLE)
-             / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) AS var_c2
+           CASE WHEN COUNT(*) >= 2 THEN
+             CAST(CAST(COUNT(*) AS HUGEINT)
+                    * SUM(CAST(price_c AS HUGEINT) * price_c)
+                  - CAST(SUM(price_c) AS HUGEINT) * SUM(price_c) AS DOUBLE)
+               / (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1))
+           ELSE 0.0 END AS var_c2
     FROM b GROUP BY p_brand
     """,
 )
@@ -5557,10 +5569,13 @@ def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price_c").cast("long").alias("min_c"),
         F.max("price_c").cast("long").alias("max_c"),
         (F.sum("price_c").cast("double") / F.count(F.lit(1))).alias("mean_c"),
-        (
+        F.when(
+            F.count(F.lit(1)) >= 2,
             (n * sxx - sx * sx).cast("double")
-            / (n * (n - F.lit(1))).cast("double")
-        ).alias("var_c2"),
+            / (n * (n - F.lit(1))).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_c2"),
     )
 
 
