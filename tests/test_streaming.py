@@ -922,6 +922,49 @@ class TestKeyspaceTriggers:
         finally:
             rt.stop_all()
 
+    def test_bridge_buffers_and_drains(self, spark, sf_dir, tmp_path):
+        """flush_every > 1 batches notifications into one parquet append;
+        process_available() force-drains the partial buffer so no event
+        is stranded; detach() drains too (idempotent)."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            str(tmp_path / "changes_buf"),
+            str(tmp_path / "cdcwork_buf"),
+            source_format="redis",
+            source_options={
+                "fake_path": str(tmp_path / "buf.jsonl"),
+                "flush_every": "4",
+            },
+        )
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "b", prefix="user:", fn=lambda d: {"k": d["key"]}
+            ),
+            name="buflib",
+        )
+        rt.start_trigger(lib, "b")
+        try:
+            for i in range(3):  # under flush_every: stays buffered
+                rt.client.set(f"user:{i}", "v")
+            assert len(rt.bridge._buffer) == 3
+            rt.process_available()  # drains the partial buffer first
+            assert rt.stats["buflib.b"].n_records == 3
+            assert rt.bridge._buffer == []
+            for i in range(4):  # hits flush_every: lands without drain
+                rt.client.set(f"user:x{i}", "v")
+            assert rt.bridge._buffer == []
+            rt.process_available()
+            assert rt.stats["buflib.b"].n_records == 7
+            rt.client.set("user:last", "v")
+            rt.bridge.detach()  # detach must flush the straggler
+            assert rt.bridge._buffer == []
+            rt.client.set("user:after", "v")  # detached: not observed
+            rt.process_available()
+            assert rt.stats["buflib.b"].n_records == 8
+        finally:
+            rt.stop_all()
+
 
 class TestWindowedAgg:
     """Event-time windows + watermarks (SURVEY §2.G additive capability —
