@@ -476,3 +476,54 @@ def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bytes",
         )
     )
+
+
+@query(
+    "multimodal_size_mismatch_audit",
+    oracle="""
+    SELECT source AS origin,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(CASE WHEN octet_length(encode(text)) <> n_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           CAST(SUM(CASE WHEN octet_length(encode(text)) <> n_chars
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS mismatch_rate
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_size_mismatch_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared-vs-actual payload size audit per origin: the rollup of
+    multimodal_metadata's per-row consistency flag — the ingest-health
+    summary a pipeline gate reads (an origin with a nonzero mismatch
+    rate is truncating blobs or mis-reporting metadata; at byte level,
+    any multi-byte character makes declared char counts diverge from
+    encoded bytes, which is exactly what this catches).
+
+    Exactness: byte lengths are JVM-side BINARY lengths vs the typed
+    metadata integer; counts integer, rate one division.
+
+    Scale: pruned-column projection (payload length + metadata only —
+    the blob bytes never reach Python), one map-side aggregate to
+    |origins| rows.
+    """
+    media = media_table(spark, sf_dir)
+    mism = F.sum(
+        F.when(
+            F.length("payload").cast("long") != F.col("declared_size"), 1
+        ).otherwise(0)
+    )
+    return (
+        media.select(
+            F.col("meta.origin").alias("origin"),
+            "payload",
+            F.col("meta.declared_size").alias("declared_size"),
+        )
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            mism.cast("long").alias("n_mismatch"),
+            (mism.cast("double") / F.count(F.lit(1))).alias("mismatch_rate"),
+        )
+    )

@@ -5644,3 +5644,250 @@ def supplier_volume_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rev_rank_in_nation"),
         )
     )
+
+
+@query(
+    "part_type_brand_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand, p_type, CAST(COUNT(*) AS HUGEINT) AS o
+      FROM part GROUP BY p_brand, p_type
+    ),
+    margins AS (
+      SELECT p_brand, p_type, o,
+             SUM(o) OVER (PARTITION BY p_brand) AS r,
+             SUM(o) OVER (PARTITION BY p_type) AS c,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT p_brand, p_type,
+           CAST(o AS BIGINT) AS observed,
+           CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+             / (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE)) AS chi2_term
+    FROM margins
+    """,
+)
+def part_type_brand_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square decomposition of catalog brand x type — "does every
+    brand carry the same type mix" (the assortment-strategy probe: a
+    big chi2_term cell is a brand specializing in, or missing, a type).
+    The events_dow_independence idiom pointed at the catalog.
+
+    Exactness: (o·n − r·c)²/(r·c·n) per cell — exact 128-bit integer
+    numerator/denominator, ONE division per cell; the global statistic
+    is deliberately not float-summed (order-dependent across engines).
+
+    Scale: one aggregate to |brands| x |types| cells; margin windows
+    run over that dimension-sized relation.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cells = p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("o")
+    )
+    margins = cells.select(
+        "p_brand",
+        "p_type",
+        "o",
+        F.sum("o").over(W.partitionBy("p_brand")).alias("r"),
+        F.sum("o").over(W.partitionBy("p_type")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    return margins.select(
+        "p_brand",
+        "p_type",
+        F.col("o").cast("long").alias("observed"),
+        (
+            (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+        ).alias("expected"),
+        (
+            num.cast("double") * num.cast("double")
+            / (
+                (F.col("r") * F.col("c")).cast("double")
+                * F.col("n").cast("double")
+            )
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "customer_negative_balance_audit",
+    oracle="""
+    SELECT c.c_mktsegment, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN round(c.c_acctbal * 100) < 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_negative,
+           CAST(SUM(CASE WHEN round(c.c_acctbal * 100) < 0
+                         THEN CAST(round(c.c_acctbal * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS debt_c,
+           CAST(SUM(CASE WHEN round(c.c_acctbal * 100) < 0 THEN 1 ELSE 0
+                    END) AS DOUBLE) / COUNT(*) AS negative_rate
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_mktsegment, n.n_name
+    """,
+)
+def customer_negative_balance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Credit-exposure map: negative-balance customer counts, the debt
+    they hold, and the negative rate per (segment, nation) — the
+    receivables-risk table finance reads next to the trade-flow matrix
+    (a nation-segment cell with a climbing negative_rate is a
+    collections problem localizing).
+
+    Exactness: negativity tests EXACT cents (never a float sign);
+    debt sums integers; the rate is one division.
+
+    Scale: one map-side partial aggregate over the customer dimension;
+    nation broadcasts.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    bal = cents("c_acctbal")
+    neg = F.sum(F.when(bal < 0, 1).otherwise(0))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            neg.cast("long").alias("n_negative"),
+            F.sum(F.when(bal < 0, bal).otherwise(0))
+            .cast("long")
+            .alias("debt_c"),
+            (neg.cast("double") / F.count(F.lit(1))).alias("negative_rate"),
+        )
+    )
+
+
+@query(
+    "orders_reorder_gap_by_value_band",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ),
+    banded AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY monetary_c, o_custkey) AS BIGINT)
+               AS value_band
+      FROM m
+    ),
+    g AS (
+      SELECT o.o_custkey,
+             epoch_us(o.o_orderdate)
+               - lag(epoch_us(o.o_orderdate)) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey
+                 ) AS gap_us
+      FROM orders o
+    )
+    SELECT b.value_band,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(g.gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(g.gap_us, 0.9) AS p90_gap_us
+    FROM g JOIN banded b ON g.o_custkey = b.o_custkey
+    WHERE g.gap_us IS NOT NULL
+    GROUP BY b.value_band
+    """,
+)
+def orders_reorder_gap_by_value_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do high-value customers reorder faster? Customers quartiled by
+    lifetime spend (exact distributed NTILE), then median / p90 reorder
+    gap per band — the loyalty-economics cross of the cadence and
+    whale-curve tables (band 4 reordering slower than band 1 inverts
+    the usual retention story).
+
+    Exactness: bands ride global_ntile over (cents, custkey); gaps are
+    integer µs from the (orderdate, orderkey)-ordered lag; percentiles
+    interpolate over integers (the pinned form).
+
+    Scale: per-customer rollup + prefix-sum NTILE (no global sort); the
+    gap window partitions by custkey; the band join is on custkey and
+    the final aggregate has 4 groups.
+    """
+    from redisgears_spark.functions.ranks import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("monetary_c")
+    )
+    banded = global_ntile(m, 4, "monetary_c", "o_custkey", "value_band").select(
+        "o_custkey", "value_band"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        (micros("o_orderdate") - F.lag(micros("o_orderdate")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.join(banded, "o_custkey")
+        .groupBy("value_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+        )
+    )
+
+
+@query(
+    "customer_nation_segment_mix",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation, c.c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    ),
+    t AS (SELECT nation, CAST(SUM(n_customers) AS BIGINT) AS nation_total
+          FROM m GROUP BY nation)
+    SELECT m.nation, m.c_mktsegment, m.n_customers, t.nation_total,
+           CAST(m.n_customers AS DOUBLE) / t.nation_total AS segment_share
+    FROM m JOIN t ON m.nation = t.nation
+    """,
+)
+def customer_nation_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base composition: segment share within each nation — the
+    territory-planning baseline (a nation whose MACHINERY share is 2x
+    the global mix gets a different sales motion) and the denominator
+    table behind any per-nation conversion claim.
+
+    Exactness: integer counts; each share is one division by the
+    nation total.
+
+    Scale: one dimension-table aggregate; the per-nation total joins
+    back on the |nations|-sized relation.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    m = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("nation", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    t = m.groupBy("nation").agg(
+        F.sum("n_customers").cast("long").alias("nation_total")
+    )
+    return (
+        m.join(t, "nation")
+        .select(
+            "nation",
+            "c_mktsegment",
+            "n_customers",
+            "nation_total",
+            (
+                F.col("n_customers").cast("double") / F.col("nation_total")
+            ).alias("segment_share"),
+        )
+    )
