@@ -3499,9 +3499,9 @@ def events_early_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_us + 7d; sums are exact cents; the share is ONE division
     with a 0.0 sentinel when lifetime value is 0 (no NULL outputs).
 
-    Scale: two passes over the fact keyed by user_id — the first-event
-    aggregate re-joins on the SAME key, so with AQE both sides share
-    one exchange layout; no windows, no self-pairing.
+    Scale: two aggregates over the fact, both keyed by user_id, joined
+    back on that same key — every exchange in the plan hashes on one
+    column; no windows, no self-pairing.
     """
     ev = load_table(spark, sf_dir, "events")
     u = ev.select(
