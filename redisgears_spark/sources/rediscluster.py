@@ -190,6 +190,29 @@ class FakeRedisClusterNode(FakeRedis):
         self._check(name)
         return super().xadd(name, fields, id)
 
+    # generic-keyspace commands slot-check like every keyed command (a
+    # real cluster node MOVED-redirects SET/HSET/EXPIRE the same way)
+
+    def set(self, name, value):
+        self._check(name)
+        return super().set(name, value)
+
+    def get(self, name):
+        self._check(name)
+        return super().get(name)
+
+    def hset(self, name, key=None, value=None, mapping=None):
+        self._check(name)
+        return super().hset(name, key=key, value=value, mapping=mapping)
+
+    def hgetall(self, name):
+        self._check(name)
+        return super().hgetall(name)
+
+    def expire(self, name, seconds):
+        self._check(name)
+        return super().expire(name, seconds)
+
     def xrange(self, name, min="-", max="+", count=None):
         self._check(name)
         return super().xrange(name, min, max, count)
@@ -384,6 +407,23 @@ class ClusterFanoutClient:
 
     def delete(self, name):
         return self._routed(name, lambda n: n.delete(name))
+
+    def set(self, name, value):
+        return self._routed(name, lambda n: n.set(name, value))
+
+    def get(self, name):
+        return self._routed(name, lambda n: n.get(name))
+
+    def hset(self, name, key=None, value=None, mapping=None):
+        return self._routed(
+            name, lambda n: n.hset(name, key=key, value=value, mapping=mapping)
+        )
+
+    def hgetall(self, name):
+        return self._routed(name, lambda n: n.hgetall(name))
+
+    def expire(self, name, seconds):
+        return self._routed(name, lambda n: n.expire(name, seconds))
 
     def info(self, section: str | None = None) -> dict:
         # the router spans the cluster; report what discovery knows

@@ -971,3 +971,34 @@ def test_ask_redirect_sends_asking_preamble(tmp_path):
     assert len(rows) == 1 and rows[0][1]["event_type"] == "click"
     # ASK must not trigger a routing-table refresh
     assert router._slots == table_before
+
+
+def test_cluster_routes_generic_keyspace_commands(tmp_path):
+    """SET/GET/HSET/HGETALL/EXPIRE route by slot exactly like stream
+    commands: the router serves any key, a node refuses keys it does not
+    own with MOVED, and the value round-trips through the owner."""
+    from redisgears_spark.sources.rediscluster import (
+        GearsMovedError,
+        make_fake_cluster_client,
+    )
+
+    spec = ",".join(
+        f"{lo}-{hi}:{tmp_path}/g{i}.jsonl"
+        for i, (lo, hi) in enumerate([(0, 8191), (8192, 16383)])
+    )
+    router = make_fake_cluster_client(spec)
+    router.set("user:1", "ada")
+    router.hset("user:2", mapping={"name": "bob"})
+    assert router.get("user:1") == "ada"
+    assert router.hgetall("user:2") == {"name": "bob"}
+    assert router.expire("user:1", 60) is True
+
+    owner = router._owner("user:1")
+    other = next(
+        router._node(addr)
+        for _lo, _hi, addr in router._slots
+        if router._node(addr) is not owner
+    )
+    with pytest.raises(GearsMovedError):
+        other.set("user:1", "wrong-node")
+    assert owner.get("user:1") == "ada"
