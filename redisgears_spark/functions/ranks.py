@@ -58,12 +58,24 @@ def global_ntile(
     spark = df.sparkSession
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
+        F.count(value_col).alias("n_defined"),
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     ).first()
     n_rows, lo, hi = stats["n"], stats["lo"], stats["hi"]
     if not n_rows:
         return df.withColumn(out_col, F.lit(None).cast("long"))
+    if stats["n_defined"] != n_rows:
+        # a window NTILE would rank NULLs first; the range-bucket stage
+        # has no bucket for them and would SILENTLY drop the rows from
+        # every tile count — refuse loudly instead (callers coalesce a
+        # sentinel before cutting, which is also the only way the oracle
+        # side can mirror the ordering deterministically)
+        raise ValueError(
+            f"global_ntile: {value_col} contains NULLs "
+            f"({n_rows - stats['n_defined']} of {n_rows} rows); coalesce "
+            "them to a sentinel before cutting"
+        )
 
     n_buckets = min(
         MAX_BUCKETS,

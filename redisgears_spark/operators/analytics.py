@@ -4018,11 +4018,14 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day,
            CAST(MAX(total_today) AS BIGINT) AS n_events,
-           CAST(SUM(abs(n_today * total_prev - n_prev * total_today))
+           CAST(SUM(abs(CAST(n_today AS HUGEINT) * total_prev
+                        - CAST(n_prev AS HUGEINT) * total_today))
                 AS BIGINT) AS drift_l1_scaled,
-           CAST(SUM(abs(n_today * total_prev - n_prev * total_today))
+           CAST(SUM(abs(CAST(n_today AS HUGEINT) * total_prev
+                        - CAST(n_prev AS HUGEINT) * total_today))
                 AS DOUBLE)
-             / (MAX(total_today) * MAX(total_prev)) AS drift_l1
+             / (CAST(MAX(total_today) AS HUGEINT) * MAX(total_prev))
+             AS drift_l1
     FROM j GROUP BY day
     """,
 )
@@ -4037,7 +4040,10 @@ def events_type_share_drift_daily(
     Exactness: L1 over shares is computed CROSS-MULTIPLIED —
     Σ|n_t·M - m_t·T| is an exact integer (T, M = day totals), so
     engines never sum floats in different orders; the reported ratio
-    divides that one integer by T·M.
+    divides that one integer by T·M. Products accumulate in 128-bit
+    decimals (int64 wraps past ~3e9 events/day); the BIGINT
+    drift_l1_scaled diagnostic itself is exact up to ~2e9 events/day —
+    beyond that read drift_l1, whose decimal arithmetic never wraps.
 
     Scale: the fact collapses map-side to |days| x |types| rows;
     everything after runs on that dimension-sized relation (the
@@ -4068,18 +4074,23 @@ def events_type_share_drift_daily(
             "total_prev",
         )
     )
+    # 128-bit cross-products: int64 * int64 wraps silently past 2^63 in
+    # non-ANSI Spark (daily totals ~3e9 suffice) — the sibling variance
+    # operators' decimal(38,0) discipline applies here too
+    nt = F.col("n_today").cast("decimal(38,0)")
+    np_ = F.col("n_prev").cast("decimal(38,0)")
     scaled = F.sum(
-        F.abs(
-            F.col("n_today") * F.col("total_prev")
-            - F.col("n_prev") * F.col("total_today")
-        )
+        F.abs(nt * F.col("total_prev") - np_ * F.col("total_today"))
     )
     return j.groupBy("day").agg(
         F.max("total_today").cast("long").alias("n_events"),
         scaled.cast("long").alias("drift_l1_scaled"),
         (
             scaled.cast("double")
-            / (F.max("total_today") * F.max("total_prev"))
+            / (
+                F.max("total_today").cast("decimal(38,0)")
+                * F.max("total_prev")
+            ).cast("double")
         ).alias("drift_l1"),
     )
 

@@ -82,7 +82,6 @@ class GearsMovedError(RuntimeError):
         self.slot = slot
         self.addr = addr
         self.ask = ask
-        self.ask = ask
 
 
 def _parse_redirect(exc: BaseException) -> tuple[int, str, bool] | None:
@@ -109,7 +108,14 @@ def _send_asking(node) -> None:
     skipping this makes the one retry fail on a real mid-migration
     cluster. Fake nodes expose `asking()`; redis-py exposes
     execute_command('ASKING'); bare stand-ins (contract tests) may expose
-    neither, in which case there is nothing to send."""
+    neither, in which case there is nothing to send.
+
+    Live-connection invariant: ASKING is one-shot PER CONNECTION, so the
+    preamble and the retried command must ride the same socket. Each
+    ClusterFanoutClient (and its per-master redis-py clients) is owned by
+    ONE reader thread — sequential commands on an otherwise-idle redis-py
+    pool reuse the same connection, which preserves the pairing; sharing
+    a router across threads would break it (don't)."""
     fn = getattr(node, "asking", None)
     if fn is not None:
         fn()

@@ -695,11 +695,17 @@ class FakeRedis:
         return out[:count] if count else out
 
     def scan_iter(self, match: str = "*", _type: str | None = None):
-        if _type is not None and _type.upper() != "STREAM":
-            return
-        keys = set(self._streams())
         if _type is None:
-            keys |= set(self._kv)
+            keys = set(self._streams()) | set(self._kv)
+        else:
+            want = _type.upper()
+            if want == "STREAM":
+                keys = set(self._streams())
+            else:
+                # SCAN TYPE over the generic keyspace, like a real server
+                keys = {
+                    k for k in self._kv if self.type(k).upper() == want
+                }
         for key in sorted(keys):
             if fnmatch.fnmatchcase(key, match):
                 yield key
@@ -741,6 +747,9 @@ class FakeRedis:
     # semantics; every mutation fires its notification event name.
 
     def set(self, name: str, value) -> bool:
+        # real SET overwrites a key of ANY type (implicit DEL of a stream)
+        if name in self._streams():
+            self._append({"del": name})
         self._kv[name] = str(value)
         self._notify("set", name)
         return True
@@ -750,6 +759,11 @@ class FakeRedis:
         return v if isinstance(v, str) or v is None else None
 
     def hset(self, name: str, key=None, value=None, mapping=None) -> int:
+        if name in self._streams():
+            raise ValueError(
+                "WRONGTYPE Operation against a key holding the wrong "
+                "kind of value"
+            )
         h = self._kv.setdefault(name, {})
         if not isinstance(h, dict):
             raise ValueError(

@@ -137,9 +137,16 @@ class KeyspaceNotificationBridge:
                 origin = "trigger"
             else:
                 origin = "client"
-            self.runtime._seq += 1
+            # seq allocation under the RUNTIME lock: the live pubsub
+            # thread and driver-side append_changes callers both advance
+            # the counter, and an unsynchronized read-modify-write could
+            # hand two rows one seq (the feed's idempotency key). Lock
+            # order is always bridge._lock -> runtime._lock.
+            with self.runtime._lock:
+                self.runtime._seq += 1
+                seq = self.runtime._seq
             row = {
-                "seq": self.runtime._seq,
+                "seq": seq,
                 "event": event,
                 "key": key,
                 "ts": self._clock(),
@@ -209,6 +216,11 @@ class _TriggerWriteProxy:
     """Write-through proxy tagging the next notification per written key."""
 
     _WRITE_METHODS = ("set", "hset", "delete", "xadd", "expire")
+    # commands that fire NO notification when they return falsy (DEL of a
+    # missing key, EXPIRE of a missing key) — the pre-registered
+    # suppression must be withdrawn or it would mis-tag the next genuine
+    # client event on that key as trigger-origin
+    _CONDITIONAL = ("delete", "expire")
 
     def __init__(self, bridge: KeyspaceNotificationBridge):
         self._bridge = bridge
@@ -217,15 +229,20 @@ class _TriggerWriteProxy:
         target = getattr(self._bridge.client, name)
         if name not in self._WRITE_METHODS:
             return target
+        conditional = name in self._CONDITIONAL
 
         def wrapped(key, *args, **kwargs):
             with self._bridge._lock:
                 self._bridge._suppress[key] += 1
             try:
-                return target(key, *args, **kwargs)
+                result = target(key, *args, **kwargs)
             except BaseException:
                 with self._bridge._lock:  # write failed: no echo coming
                     self._bridge._suppress[key] -= 1
                 raise
+            if conditional and not result:  # no-op: no echo coming
+                with self._bridge._lock:
+                    self._bridge._suppress[key] -= 1
+            return result
 
         return wrapped

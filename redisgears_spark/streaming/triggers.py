@@ -1407,7 +1407,8 @@ class KeyspaceTriggerRuntime:
         origin='trigger' — that tag is what breaks notification loops.
         origin=None defers to each row's own 'origin' field (the
         notification bridge tags rows individually)."""
-        self._seq += len(rows)
+        with self._lock:  # the bridge's pubsub thread also advances _seq
+            self._seq += len(rows)
         pdf = pd.DataFrame(
             [
                 {

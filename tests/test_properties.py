@@ -616,3 +616,18 @@ def test_global_ntile_matches_window_ntile(spark):
             for r in global_ntile(df, n, "v", "id", "t").collect()
         }
         assert got == want, (n_rows, n, vrange)
+
+
+def test_global_ntile_refuses_null_values(spark):
+    """NULLs in the cut column would silently vanish from every tile
+    (the range bucket has no bucket for them) — the helper must refuse
+    loudly instead of shipping skewed boundaries."""
+    import pytest
+
+    from redisgears_spark.functions.ranks import global_ntile
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        global_ntile(df, 2, "v", "id", "t").collect()

@@ -407,3 +407,30 @@ def test_stream_offset_legacy_pos_shim(spark, tmp_path):
     assert end == {"last": "seg-002.aof"}
     replay = list(r.readBetweenOffsets({"pos": 2}, {"last": "seg-002.aof"}))
     assert [row[0] for row in replay] == ["user:2"]
+
+
+def test_fakeredis_generic_type_semantics(tmp_path):
+    """Public-Redis type rules over the new generic keyspace: SET
+    overwrites a stream (implicit DEL), HSET on a stream raises
+    WRONGTYPE, and SCAN TYPE filters string/hash keys like the server."""
+    from redisgears_spark.sources.redisstream import FakeRedis
+
+    c = FakeRedis(str(tmp_path / "t.jsonl"))
+    c.xadd("k", {"f": "1"}, id="100-0")
+    assert c.type("k") == "stream"
+    c.set("k", "v")  # SET replaces ANY key type
+    assert c.type("k") == "string"
+    assert c.get("k") == "v"
+    assert c.xrange("k") == []
+
+    c.xadd("s", {"f": "1"}, id="100-0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="WRONGTYPE"):
+        c.hset("s", mapping={"a": "b"})
+
+    c.hset("h", mapping={"a": "b"})
+    assert sorted(c.scan_iter(_type="string")) == ["k"]
+    assert sorted(c.scan_iter(_type="hash")) == ["h"]
+    assert sorted(c.scan_iter(_type="stream")) == ["s"]
+    assert sorted(c.scan_iter()) == ["h", "k", "s"]

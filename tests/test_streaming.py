@@ -965,6 +965,43 @@ class TestKeyspaceTriggers:
         finally:
             rt.stop_all()
 
+    def test_proxy_noop_write_does_not_suppress_next_client_event(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A trigger-proxy DELETE/EXPIRE of a missing key fires no
+        notification, so its pre-registered suppression must be
+        withdrawn — otherwise the NEXT genuine client write on that key
+        would be mis-tagged origin='trigger' and silently swallowed."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            str(tmp_path / "changes_leak"),
+            str(tmp_path / "cdcwork_leak"),
+            source_format="redis",
+            source_options={"fake_path": str(tmp_path / "leak.jsonl")},
+        )
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "lk", prefix="user:", fn=lambda d: {"k": d["key"]}
+            ),
+            name="leaklib",
+        )
+        rt.start_trigger(lib, "lk")
+        try:
+            proxy = rt.bridge.trigger_client()
+            assert proxy.delete("user:ghost") == 0   # no-op: no echo
+            assert proxy.expire("user:ghost", 60) is False
+            rt.client.set("user:ghost", "real client write")
+            rt.process_available()
+            # the client write MUST fire — a leaked suppression eats it
+            assert rt.stats["leaklib.lk"].n_records == 1
+            # and a genuine proxy write is still suppressed
+            proxy.set("user:ghost", "trigger write")
+            rt.process_available()
+            assert rt.stats["leaklib.lk"].n_records == 1
+        finally:
+            rt.stop_all()
+
 
 class TestWindowedAgg:
     """Event-time windows + watermarks (SURVEY §2.G additive capability —
