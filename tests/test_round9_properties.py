@@ -349,3 +349,46 @@ def test_lifecycle_stages_all_four_exercised(spark, tmp_path, seed):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [23, 24])
+def test_mix_drift_matches_brute_force_with_type_churn(spark, tmp_path, seed):
+    """Daily event-mix L1 drift == brute-force shares, INCLUDING types
+    that appear or disappear between days (the full-outer leg) — and the
+    scaled integer equals sum|n_t*M - m_t*T| exactly."""
+    rng = random.Random(seed)
+    day_s = 86400
+    types = ["view", "click", "purchase", "refund"]
+    rows, eid = [], 0
+    per_day: dict[int, dict[str, int]] = {}
+    for d in range(5):
+        # each day uses a random SUBSET of types (churn on purpose)
+        active = rng.sample(types, rng.randrange(1, len(types) + 1))
+        for _ in range(rng.randrange(5, 25)):
+            et = rng.choice(active)
+            rows.append((eid, rng.randrange(3), d * day_s + rng.randrange(day_s), et, 1.0))
+            per_day.setdefault(d, {}).setdefault(et, 0)
+            per_day[d][et] += 1
+            eid += 1
+    from redisgears_spark.operators.analytics import (
+        events_type_share_drift_daily,
+    )
+
+    day0 = (_US_T0 // 1_000_000) // day_s
+    got = {
+        r["day"]: (r["n_events"], r["drift_l1_scaled"], r["drift_l1"])
+        for r in events_type_share_drift_daily(
+            spark, _events_dir(tmp_path, rows)
+        ).collect()
+    }
+    want = {}
+    for d in range(1, 5):
+        today, prev = per_day[d], per_day[d - 1]
+        T = sum(today.values())
+        M = sum(prev.values())
+        scaled = sum(
+            abs(today.get(t, 0) * M - prev.get(t, 0) * T)
+            for t in set(today) | set(prev)
+        )
+        want[day0 + d] = (T, scaled, scaled / (T * M))
+    assert got == want
