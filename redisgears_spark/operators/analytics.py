@@ -3335,9 +3335,15 @@ def grouped_kmv(
     tests/test_sketch_widths.py)."""
     if k < 2:
         raise ValueError("KMV needs k >= 2")
-    h = df.select(
-        *group_cols, md5_hash32_spark(expr_sql).alias("h")
-    ).distinct()
+    # NULL inputs hash to NULL, which Spark windows rank FIRST (nulls-first
+    # ORDER BY) while DuckDB's ORDER BY ranks them last — left in, NULL
+    # rows would silently consume top-k slots and skew the estimate.
+    # A NULL contributes nothing to a distinct count; drop it.
+    h = (
+        df.select(*group_cols, md5_hash32_spark(expr_sql).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     w1 = W.partitionBy(*group_cols, F.col("h") % salt).orderBy("h")
     cand = (
         h.withColumn("rn", F.row_number().over(w1))

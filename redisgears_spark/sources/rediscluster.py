@@ -111,11 +111,10 @@ def _send_asking(node) -> None:
     neither, in which case there is nothing to send.
 
     Live-connection invariant: ASKING is one-shot PER CONNECTION, so the
-    preamble and the retried command must ride the same socket. Each
-    ClusterFanoutClient (and its per-master redis-py clients) is owned by
-    ONE reader thread — sequential commands on an otherwise-idle redis-py
-    pool reuse the same connection, which preserves the pairing; sharing
-    a router across threads would break it (don't)."""
+    preamble and the retried command must ride the same socket — for
+    redis-py nodes that pairing is enforced mechanically by `_ask_pinned`
+    (a single-connection client wraps both commands); calling this bare
+    is only safe for fake/pool-less nodes."""
     fn = getattr(node, "asking", None)
     if fn is not None:
         fn()
@@ -123,6 +122,33 @@ def _send_asking(node) -> None:
     exec_ = getattr(node, "execute_command", None)
     if exec_ is not None:
         exec_("ASKING")
+
+
+def _ask_pinned(node, op):
+    """Run the ASKING preamble and the ASK-redirected retry on ONE
+    connection. ASKING is one-shot per connection: on a pooled redis-py
+    client, execute_command('ASKING') may ride connection A while the
+    retried op checks out connection B (pool holds >1 connection, or
+    another caller interleaves), silently voiding the preamble — the
+    importing node then answers MOVED and the retry fails mid-migration.
+    redis-py's own escape hatch is `Redis.client()`: a child client bound
+    to a single checked-out connection (exposed as `.connection`, which
+    the raw xrange_pairs path also honors); both commands ride that
+    socket, and close() returns it to the pool. Fake nodes are
+    single-threaded spools with no pool — the bare preamble is exact
+    there."""
+    single = getattr(node, "client", None)
+    if callable(single):
+        pinned = single()
+        try:
+            _send_asking(pinned)
+            return op(pinned)
+        finally:
+            close = getattr(pinned, "close", None)
+            if close is not None:
+                close()
+    _send_asking(node)
+    return op(node)
 
 
 class FakeRedisClusterNode(FakeRedis):
@@ -371,8 +397,7 @@ class ClusterFanoutClient:
             _slot, addr, ask = redirect
             target = self._node(addr)
             if ask:
-                _send_asking(target)
-                return op(target)
+                return _ask_pinned(target, op)
             result = op(target)  # follow the redirect FIRST
             try:
                 self._discover()  # then refresh for subsequent commands

@@ -164,10 +164,20 @@ def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
     args = ["XRANGE", key, lo, hi]
     if count is not None:
         args += ["COUNT", count]
-    try:
-        conn = pool.get_connection()  # redis-py >= 5.3 signature
-    except TypeError:  # older redis-py: command_name is required
-        conn = pool.get_connection("XRANGE")
+    # a single-connection client (redis-py's Redis.client(), used for the
+    # ASKING-pinned ASK retry) exposes its checked-out socket as
+    # `.connection` — ride it instead of the pool so the preamble pairing
+    # holds; the owner's close() releases it, not us
+    pinned = getattr(client, "connection", None)
+    if pinned is not None:
+        borrowed = False
+        conn = pinned
+    else:
+        borrowed = True
+        try:
+            conn = pool.get_connection()  # redis-py >= 5.3 signature
+        except TypeError:  # older redis-py: command_name is required
+            conn = pool.get_connection("XRANGE")
     # only CONNECTION failures retry (redis-py's call_with_retry scope):
     # a server-side ResponseError (WRONGTYPE, NOPERM) must propagate
     # without tearing down a healthy connection and re-issuing the same
@@ -202,10 +212,12 @@ def _xrange_pairs(client, key: str, lo: str = "-", hi: str = "+", count=None):
         try:
             conn.disconnect()
         finally:
-            pool.release(conn)
+            if borrowed:
+                pool.release(conn)
         raise
     else:
-        pool.release(conn)
+        if borrowed:
+            pool.release(conn)
     out = []
     for entry_id, flat in resp or []:
         out.append(

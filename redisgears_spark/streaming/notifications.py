@@ -137,16 +137,10 @@ class KeyspaceNotificationBridge:
                 origin = "trigger"
             else:
                 origin = "client"
-            # seq allocation under the RUNTIME lock: the live pubsub
-            # thread and driver-side append_changes callers both advance
-            # the counter, and an unsynchronized read-modify-write could
-            # hand two rows one seq (the feed's idempotency key). Lock
-            # order is always bridge._lock -> runtime._lock.
-            with self.runtime._lock:
-                self.runtime._seq += 1
-                seq = self.runtime._seq
+            # seq is stamped by append_changes at flush time — the runtime
+            # is the single allocator, so a bridge row can never collide
+            # with (or double-advance past) a driver-side appended row.
             row = {
-                "seq": seq,
                 "event": event,
                 "key": key,
                 "ts": self._clock(),
@@ -231,11 +225,22 @@ class _TriggerWriteProxy:
             return target
         conditional = name in self._CONDITIONAL
 
-        def wrapped(key, *args, **kwargs):
+        def wrapped(*args, **kwargs):
+            # every proxied write method takes the key as its first
+            # parameter, named `name` (the redis-py convention) — resolve
+            # it from either calling style so a keyword call (set(name=...,
+            # value=...)) registers the suppression instead of raising
+            if args:
+                key = args[0]
+            elif "name" in kwargs:
+                key = kwargs["name"]
+            else:
+                # no key present: defer to the client's own signature error
+                return target(*args, **kwargs)
             with self._bridge._lock:
                 self._bridge._suppress[key] += 1
             try:
-                result = target(key, *args, **kwargs)
+                result = target(*args, **kwargs)
             except BaseException:
                 with self._bridge._lock:  # write failed: no echo coming
                     self._bridge._suppress[key] -= 1

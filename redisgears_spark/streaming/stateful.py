@@ -1093,7 +1093,11 @@ def _make_kmv_reducer(field: str, k: int):
                     "stream_key": stream_key,
                     "n_records": n_records,
                     "n_in_sketch": len(mins),
-                    "kth_h": mins[-1] if len(mins) == k else 0,
+                    # below k the sketch holds ALL distinct hashes, so the
+                    # batch twin's COALESCE(MAX(h), 0) is mins[-1] (0 only
+                    # when empty) — matching it keeps full rows, not just
+                    # the estimate, bit-identical across streaming/batch
+                    "kth_h": mins[-1] if mins else 0,
                     "estimate": _kmv_estimate(mins, k),
                 }
             ]

@@ -1406,9 +1406,22 @@ class KeyspaceTriggerRuntime:
         """Append change events to the feed. Trigger-origin writes MUST pass
         origin='trigger' — that tag is what breaks notification loops.
         origin=None defers to each row's own 'origin' field (the
-        notification bridge tags rows individually)."""
-        with self._lock:  # the bridge's pubsub thread also advances _seq
-            self._seq += len(rows)
+        notification bridge tags rows individually).
+
+        This method is the SINGLE seq allocator for the feed: rows lacking
+        'seq' are stamped here under the runtime lock, and rows that arrive
+        pre-stamped (tests, replay) advance the counter past their value so
+        a later allocation can never collide with a caller-chosen seq — seq
+        is the exactly-once sink's idempotency key, so a collision would
+        silently drop a genuine event."""
+        with self._lock:  # the bridge's pubsub thread also appends rows
+            for r in rows:
+                seq = r.get("seq")
+                if seq is None:
+                    self._seq += 1
+                    r["seq"] = self._seq
+                else:
+                    self._seq = max(self._seq, int(seq))
         pdf = pd.DataFrame(
             [
                 {

@@ -973,6 +973,73 @@ def test_ask_redirect_sends_asking_preamble(tmp_path):
     assert router._slots == table_before
 
 
+def test_ask_retry_rides_one_connection_on_pooled_clients(tmp_path):
+    """ASKING is one-shot PER CONNECTION: on a pooled redis-py client the
+    preamble and the retried command may check out different sockets,
+    silently voiding the preamble. The router must enforce the pairing
+    mechanically — a node exposing redis-py's `client()` (child client
+    bound to one checked-out connection) gets BOTH commands on that child,
+    which is then closed (returning the connection to the pool)."""
+    from redisgears_spark.sources.rediscluster import _ask_pinned
+
+    events = []
+
+    class PinnedChild:
+        """The single-connection client redis-py's Redis.client() returns."""
+
+        def __init__(self):
+            self.connection = object()  # non-None, as redis-py sets it
+
+        def execute_command(self, *args):
+            events.append(("cmd", self, args))
+            return "OK"
+
+        def xrange(self, name, lo="-", hi="+", count=None):
+            events.append(("xrange", self, name))
+            return [("1000-0", {"f": "v"})]
+
+        def close(self):
+            events.append(("close", self))
+
+    class PooledNode:
+        """Stand-in for a pooled redis-py client: bare execute_command
+        here would ride an arbitrary pool connection."""
+
+        def client(self):
+            child = PinnedChild()
+            events.append(("client", child))
+            return child
+
+        def execute_command(self, *args):  # the UNPAIRED path — must not run
+            raise AssertionError("ASK retry used the pooled client")
+
+    node = PooledNode()
+    rows = _ask_pinned(node, lambda n: n.xrange("user:1"))
+    assert rows == [("1000-0", {"f": "v"})]
+    kinds = [e[0] for e in events]
+    assert kinds == ["client", "cmd", "xrange", "close"]
+    child = events[0][1]
+    # the preamble and the retried command rode the SAME child client
+    assert events[1][1] is child and events[1][2] == ("ASKING",)
+    assert events[2][1] is child
+    assert events[3][1] is child  # and it was closed (pool release)
+
+    # fake/pool-less nodes (no .client) keep the direct preamble path
+    class BareNode:
+        def __init__(self):
+            self.asked = 0
+
+        def asking(self):
+            self.asked += 1
+
+        def type(self, name):
+            return "stream"
+
+    bare = BareNode()
+    assert _ask_pinned(bare, lambda n: n.type("user:1")) == "stream"
+    assert bare.asked == 1
+
+
 def test_cluster_routes_generic_keyspace_commands(tmp_path):
     """SET/GET/HSET/HGETALL/EXPIRE route by slot exactly like stream
     commands: the router serves any key, a node refuses keys it does not

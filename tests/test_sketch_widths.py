@@ -169,3 +169,24 @@ def test_grouped_kmv_exact_below_k_bounded_above(spark):
         for r in grouped_kmv(df, ["g"], "uid", k=256, salt=1).collect()
     }
     assert plain == {g: r["estimate"] for g, r in out.items()}
+
+
+def test_grouped_kmv_ignores_null_inputs(spark):
+    """NULL inputs hash to NULL, which Spark window ORDER BY ranks FIRST
+    (nulls-first) while the DuckDB oracle ranks last — left in, NULL rows
+    would consume top-k slots and skew the estimate. A NULL contributes
+    nothing to a distinct count, so the sketch must be identical with or
+    without NULL rows."""
+    from redisgears_spark.operators.analytics import grouped_kmv
+
+    clean = [("g1", f"u{i}") for i in range(50)]
+    noisy = clean + [("g1", None)] * 10 + [("g2", None)] * 3
+    df_clean = spark.createDataFrame(clean, "g string, uid string")
+    df_noisy = spark.createDataFrame(noisy, "g string, uid string")
+
+    want = {r["g"]: r.asDict() for r in grouped_kmv(df_clean, ["g"], "uid", k=16).collect()}
+    got = {r["g"]: r.asDict() for r in grouped_kmv(df_noisy, ["g"], "uid", k=16).collect()}
+    # g2 had ONLY nulls: no row at all (a group of nulls has 0 distinct)
+    assert set(got) == {"g1"}
+    assert got["g1"] == want["g1"]
+    assert got["g1"]["n_in_sketch"] == 16  # NULL never consumed a slot

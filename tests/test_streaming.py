@@ -1002,6 +1002,76 @@ class TestKeyspaceTriggers:
         finally:
             rt.stop_all()
 
+    def test_proxy_keyword_call_still_suppresses(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Every proxied write method takes the key as its first
+        parameter, named `name` (redis-py convention) — a keyword call
+        like proxy.set(name=..., value=...) must register the suppression
+        exactly like the positional form, not raise TypeError (and not
+        skip the registration, which would mis-tag the echo as
+        client-origin and re-fire the trigger)."""
+        engine = GearsEngine(spark, sf_dir)
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            str(tmp_path / "changes_kw"),
+            str(tmp_path / "cdcwork_kw"),
+            source_format="redis",
+            source_options={"fake_path": str(tmp_path / "kw.jsonl")},
+        )
+        lib = engine.load_library(
+            lambda l: l.register_keyspace_trigger(
+                "kw", prefix="user:", fn=lambda d: {"k": d["key"]}
+            ),
+            name="kwlib",
+        )
+        rt.start_trigger(lib, "kw")
+        try:
+            proxy = rt.bridge.trigger_client()
+            proxy.set(name="user:kw", value="by-keyword")
+            rt.process_available()
+            assert rt.stats["kwlib.kw"].n_records == 0  # suppressed
+            assert rt.client.get("user:kw") == "by-keyword"  # write landed
+            rt.client.set("user:kw", "client")  # genuine write still fires
+            rt.process_available()
+            assert rt.stats["kwlib.kw"].n_records == 1
+        finally:
+            rt.stop_all()
+
+    def test_append_changes_is_the_single_seq_allocator(
+        self, spark, sf_dir, tmp_path
+    ):
+        """seq is the exactly-once sink's idempotency key, so the feed
+        must never hand two rows one seq. append_changes is the single
+        allocator: rows lacking seq are stamped under the runtime lock,
+        and a caller-chosen seq (tests, replay) advances the counter past
+        itself so a later bridge-allocated seq can't collide with it —
+        and bridge rows are counted ONCE, not double-advanced (allocation
+        + bulk bump) leaving gaps."""
+        engine = GearsEngine(spark, sf_dir)
+        changes_dir = str(tmp_path / "changes_seq")
+        rt = KeyspaceTriggerRuntime(
+            engine,
+            changes_dir,
+            str(tmp_path / "cdcwork_seq"),
+            source_format="redis",
+            source_options={"fake_path": str(tmp_path / "seq.jsonl")},
+        )
+        try:
+            # caller-chosen seq (replay-style direct append)
+            rt.append_changes([{"seq": 5, "event": "set", "key": "user:a"}])
+            # bridge-allocated rows MUST land above the pre-stamped 5
+            rt.client.set("user:b", "v")
+            rt.client.set("user:c", "v")
+            # unstamped direct append allocates too
+            rt.append_changes([{"event": "set", "key": "user:d"}])
+            feed = spark.read.parquet(changes_dir)
+            seqs = sorted(r["seq"] for r in feed.select("seq").collect())
+            assert len(seqs) == len(set(seqs)) == 4  # no collisions
+            assert seqs == [5, 6, 7, 8]  # counted once: no gaps above 5
+        finally:
+            rt.stop_all()
+
 
 class TestWindowedAgg:
     """Event-time windows + watermarks (SURVEY §2.G additive capability —
@@ -2825,16 +2895,19 @@ class TestStreamingKmv:
         before = rt.estimates()
         # 100 records -> 50 per key, values user{i%97}: under k, so the
         # estimate IS the exact distinct count
+        from redisgears_spark.functions.hashing import md5_hash32_py
+
         for key, row in before.items():
-            true_distinct = len(
-                {
-                    f"user{i % 97}"
-                    for i in range(100)
-                    if ("k:1" if i % 2 == 0 else "k:2") == key
-                }
-            )
-            assert row["estimate"] == float(true_distinct)
-            assert row["kth_h"] == 0  # sketch not full
+            vals = {
+                f"user{i % 97}"
+                for i in range(100)
+                if ("k:1" if i % 2 == 0 else "k:2") == key
+            }
+            assert row["estimate"] == float(len(vals))
+            # below k the sketch holds every distinct hash, so kth_h is
+            # the batch twin's COALESCE(MAX(h), 0) — NOT a 0 sentinel; a
+            # migration diffing full rows must see identical values
+            assert row["kth_h"] == max(md5_hash32_py(v) for v in vals)
         # restart over the same checkpoint continues the min-list
         rt2 = StreamingKmvRuntime(engine, spool, work, field="u", k=256)
         self._feed(spark, spool, 100, 300)
