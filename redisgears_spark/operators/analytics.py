@@ -4138,3 +4138,195 @@ def events_zero_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null"),
         (zero.cast("double") / F.count(F.lit(1))).alias("zero_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: hash-sample quantile sketch — the mergeable quantile estimator
+# whose oracle is EXACT (deterministic bottom-k-by-hash row sample)
+# ---------------------------------------------------------------------------
+
+_HSQ_K = 64
+_HSQ_SALT = 64
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    group_cols: list,
+    id_expr_sql: str,
+    value_col,
+    k: int = _HSQ_K,
+    salt: int = _HSQ_SALT,
+) -> DataFrame:
+    """Per-group quantile sketch from a DETERMINISTIC uniform row sample:
+    keep the k rows whose 32-bit md5 hash of `id_expr_sql` (a unique row
+    id) is smallest, then report nearest-rank quantiles of the sampled
+    values — (group..., n_sample, p25, p50, p75, p90).
+
+    Why this sketch instead of t-digest/KLL: the bottom-k-by-hash sample
+    is an ORDER STATISTIC, not a randomized structure — both engines (and
+    the streaming twin) select the identical k rows, so the oracle is
+    hash-exact even though the answer is an estimate of the true
+    quantiles. It is mergeable for free (k-smallest of a union = k-
+    smallest of the union of per-part k-smallests) and chunking/restart-
+    insensitive, the same contract as kmv_distinct — KMV samples distinct
+    VALUES for cardinality, this samples ROWS for distribution shape.
+    Estimation error is the classic sample-quantile bound (~1/(2*sqrt(k))
+    rank error at k=64 ~ 6 pp, pinned in tests).
+
+    NULL rule: rows whose hash or value is NULL are dropped before
+    sampling (Spark ranks NULL hashes first, DuckDB last — left in, they
+    would consume sample slots and diverge; a NULL value has no place in
+    a quantile). A group with only NULL values emits no row.
+
+    Scale: the same salted two-level k-smallest as grouped_kmv — level 1
+    bounds every window partition to (group, h % salt), level 2 reduces
+    salt*k survivors per group; no group ever funnels its full row set
+    through one task, and `salt` never changes the answer (k smallest of
+    a set ARE the k smallest of the union of per-bucket k smallests).
+    """
+    if k < 1:
+        raise ValueError("hash-sample quantiles need k >= 1")
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    base = df.select(
+        *group_cols,
+        md5_hash32_spark(id_expr_sql).alias("h"),
+        v.cast("long").alias("v"),
+    ).filter(F.col("h").isNotNull() & F.col("v").isNotNull())
+    w1 = W.partitionBy(*group_cols, F.col("h") % salt).orderBy("h", "v")
+    cand = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy("h", "v")
+    samp = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # nearest-rank quantiles over the v-sorted sample: idx = ceil(q*n/100)
+    # in pure integer arithmetic — (q*n + 99) div 100 — so both engines
+    # pick the identical sampled value
+    wv = W.partitionBy(*group_cols).orderBy("v", "h")
+    wn = W.partitionBy(*group_cols)
+    ranked = samp.withColumn("vr", F.row_number().over(wv)).withColumn(
+        "n_sample", F.count(F.lit(1)).over(wn)
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("vr") == F.expr(f"({q} * n_sample + 99) div 100"),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}")
+        for q in (25, 50, 75, 90)
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        F.max("n_sample").cast("long").alias("n_sample"), *picks
+    )
+
+
+def _hsq_oracle(
+    table: str,
+    group_sql: str,
+    group_alias: str,
+    id_sql: str,
+    value_sql: str,
+    k: int = _HSQ_K,
+) -> str:
+    """DuckDB twin of hash_sample_quantiles for a single group column."""
+    return f"""
+    WITH b AS (
+      SELECT {group_sql} AS g,
+             {md5_hash32_sql(id_sql)} AS h,
+             {value_sql} AS v
+      FROM {table}
+      WHERE {id_sql} IS NOT NULL AND {value_sql} IS NOT NULL
+    ),
+    s AS (
+      SELECT g, h, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, v) AS rn
+      FROM b
+    ),
+    samp AS (SELECT g, h, v FROM s WHERE rn <= {k}),
+    r AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, h) AS vr,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM samp
+    )
+    SELECT g AS {group_alias},
+           CAST(MAX(n) AS BIGINT) AS n_sample,
+           CAST(MAX(CASE WHEN vr = (25*n + 99)//100 THEN v END) AS BIGINT) AS p25,
+           CAST(MAX(CASE WHEN vr = (50*n + 99)//100 THEN v END) AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN vr = (75*n + 99)//100 THEN v END) AS BIGINT) AS p75,
+           CAST(MAX(CASE WHEN vr = (90*n + 99)//100 THEN v END) AS BIGINT) AS p90
+    FROM r GROUP BY g
+    """
+
+
+@query(
+    "events_value_quantile_sketch",
+    oracle=_hsq_oracle(
+        "events",
+        "event_type",
+        "event_type",
+        "CAST(event_id AS VARCHAR)",
+        "CAST(round(value * 100) AS BIGINT)",
+    ),
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles from the bottom-k hash sample —
+    the distribution-shape sketch a 100 TB profile pass runs instead of
+    exact percentiles (which need a full per-group sort). The reference
+    has no quantile surface at all (its aggregates are user JS code,
+    function_ctx sums at best); this completes the mergeable-sketch
+    family (HLL / CMS / Bloom / KMV) with distribution shape.
+
+    Exactness: the sample is an order statistic (k smallest md5 of the
+    unique event_id) and the nearest-rank pick is integer arithmetic —
+    the DuckDB oracle reproduces the sketch bit-for-bit, estimation
+    error and all. Error vs the TRUE quantiles is bounded and pinned
+    separately (tests/test_sketch_widths.py).
+
+    Scale: two bounded windows (salted then reduced, grouped_kmv's
+    shape) + one partial-agg fold; the corpus is never globally sorted
+    and no partition exceeds k rows after level 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return hash_sample_quantiles(
+        ev,
+        ["event_type"],
+        "cast(event_id as string)",
+        cents("value"),
+    )
+
+
+@query(
+    "orders_price_quantile_sketch",
+    oracle=_hsq_oracle(
+        "orders",
+        "o_orderpriority",
+        "o_orderpriority",
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)",
+    ),
+)
+def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles per priority class via the same bottom-k
+    hash sample — the second registration of the sketch, proving the
+    helper generalizes across tables (id = o_orderkey, value = total
+    price cents). See events_value_quantile_sketch for the contract.
+
+    Scale: identical two-level shape; at 100 TB the sample relation is
+    |priorities| * k rows — driver-safe by construction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return hash_sample_quantiles(
+        o,
+        ["o_orderpriority"],
+        "cast(o_orderkey as string)",
+        cents("o_totalprice"),
+    )

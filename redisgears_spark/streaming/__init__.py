@@ -17,6 +17,7 @@ from redisgears_spark.streaming.stateful import (  # noqa: F401
     StreamingCusumRuntime,
     StreamingDistinctRuntime,
     StreamingKmvRuntime,
+    StreamingQuantileRuntime,
     StreamingRateLimitRuntime,
     StreamingSessionizeRuntime,
 )

@@ -1194,3 +1194,183 @@ class StreamingKmvRuntime(StatefulStatsRuntime):
             "(its state is a k-minimum hash list, not per-key stats "
             "with tombstones); stop()/flush() clear state"
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hash-sample quantiles — the 8th stateful runtime (round 10)
+# ---------------------------------------------------------------------------
+
+_HSQS_OUTPUT_SCHEMA = (
+    "stream_key string, n_records bigint, n_sample bigint, "
+    "p25 bigint, p50 bigint, p75 bigint, p90 bigint"
+)
+_HSQS_STATE_SCHEMA = "samp string, n_records bigint"
+
+
+def _hsq_merge(samp: list, row_id: str, value: int, k: int) -> list:
+    """Fold one (row_id, value) into the k-smallest-by-(h, v) sample list
+    (each element a [h, v] pair, kept sorted). A replayed row hashes to
+    the same h and is a no-op, so exactly-once replays can't double-
+    sample; the fold is set-min over (h, v) — commutative, associative,
+    idempotent — the same restart/merge contract as the KMV runtime."""
+    from redisgears_spark.functions.hashing import md5_hash32_py
+
+    h = md5_hash32_py(row_id)
+    e = [h, value]
+    if e in samp:
+        return samp
+    if len(samp) < k:
+        import bisect
+
+        bisect.insort(samp, e)
+        return samp
+    if e < samp[-1]:
+        import bisect
+
+        samp.pop()
+        bisect.insort(samp, e)
+    return samp
+
+
+def _hsq_quantiles(samp: list, k: int) -> dict:
+    """Nearest-rank picks over the v-sorted sample — the identical
+    integer arithmetic as the batch hash_sample_quantiles/DuckDB oracle
+    ((q*n + 99) div 100, 1-indexed), so all three agree bit-for-bit."""
+    n = len(samp)
+    if n == 0:
+        return {"n_sample": 0, "p25": 0, "p50": 0, "p75": 0, "p90": 0}
+    by_v = sorted((v, h) for h, v in samp)
+    out = {"n_sample": n}
+    for q in (25, 50, 75, 90):
+        idx = (q * n + 99) // 100
+        out[f"p{q}"] = by_v[idx - 1][0]
+    return out
+
+
+def _make_hsq_reducer(id_field: str, value_field: str, k: int):
+    import json as _json
+
+    def reducer(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream_key,) = key
+        if state.exists:
+            samp_json, n_records = state.get
+            samp: list = _json.loads(samp_json)
+        else:
+            samp, n_records = [], 0
+        frame = _ordered_frame(pdfs)
+        for fields in (frame["fields"] if len(frame) else ()):
+            d = {} if fields is None else dict(fields)
+            rid = d.get(id_field)
+            raw = d.get(value_field)
+            if rid is None or raw is None:
+                continue
+            try:
+                value = int(raw)
+            except (TypeError, ValueError):
+                continue  # non-integer payloads: not sampleable
+            n_records += 1
+            samp = _hsq_merge(samp, rid, value, k)
+        state.update((_json.dumps(samp), n_records))
+        q = _hsq_quantiles(samp, k)
+        yield pd.DataFrame(
+            [{"stream_key": stream_key, "n_records": n_records, **q}]
+        )
+
+    return reducer
+
+
+class StreamingQuantileRuntime(StatefulStatsRuntime):
+    """Per-stream-key streaming quantiles via the bottom-k-by-hash row
+    sample: the k rows whose md5 hash of `id_field` is smallest live in
+    the state store with their integer `value_field`; quantiles are
+    nearest-rank picks over that sample.
+
+    The third member of the bit-identical trio (after KMV): the sample
+    is an order statistic, so streaming, the batch
+    hash_sample_quantiles, and the DuckDB oracle select the identical k
+    rows and report the identical p25/p50/p75/p90 — a migration can
+    hand a latency/value monitor between live and backfill paths with
+    no reconciliation epsilon. State is O(k) pairs per key; the fold is
+    set-min over (h, v) (commutative, associative, idempotent), so any
+    chunking or restart yields the identical sketch, and a replayed row
+    (same id) is a no-op — exactly-once replays can't double-sample.
+
+    Reference parity: RedisGears has no quantile surface (aggregation
+    is user JS; function_ctx sums at best) — this is a
+    beyond-reference operator for the training-data-pipeline tier.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        id_field: str = "event_id",
+        value_field: str = "value",
+        k: int = 64,
+    ):
+        if k < 1:
+            raise GearsError("streaming quantiles need k >= 1")
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.id_field = id_field
+        self.value_field = value_field
+        self.k = k
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "hsq_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "hsq_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        return self._start_stateful(
+            _make_hsq_reducer(self.id_field, self.value_field, self.k),
+            _HSQS_OUTPUT_SCHEMA,
+            _HSQS_STATE_SCHEMA,
+            "streaming_hash_sample_quantiles",
+            prefix,
+        )
+
+    def quantiles(self) -> dict[str, dict]:
+        """Latest quantile row per stream_key (highest committed epoch)."""
+        df = self._sink_df()
+        if df is None:
+            return {}
+        rows = (
+            df.groupBy("stream_key")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "n_records", "n_sample", "p25", "p50", "p75", "p90"
+                    ),
+                    F.col("epoch"),
+                ).alias("s")
+            )
+            .select("stream_key", "s.*")
+            .collect()
+        )
+        return {
+            r["stream_key"]: {
+                c: r[c]
+                for c in ("n_records", "n_sample", "p25", "p50", "p75", "p90")
+            }
+            for r in rows
+        }
+
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingQuantileRuntime has no per-key stats snapshot — use "
+            "quantiles() for the current sample quantiles"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the streaming-quantile "
+            "runtime (its state is a k-minimum sample list, not per-key "
+            "stats with tombstones); stop()/flush() clear state"
+        )

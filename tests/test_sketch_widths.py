@@ -190,3 +190,67 @@ def test_grouped_kmv_ignores_null_inputs(spark):
     assert set(got) == {"g1"}
     assert got["g1"] == want["g1"]
     assert got["g1"]["n_in_sketch"] == 16  # NULL never consumed a slot
+
+
+def test_hash_sample_quantiles_error_bound_and_salt_invariance(spark):
+    """Sketch contract: (a) on 50k uniform values the k=256 sample's p50
+    is within 4 standard errors of the truth (SE ~ 1/(2*sqrt(k)) ~ 3.1 pp
+    of rank); (b) salt is a physical knob only — salt=1 and salt=64
+    answers are bit-identical; (c) below k the sketch reports the EXACT
+    nearest-rank quantiles of the full data."""
+    from redisgears_spark.operators.analytics import hash_sample_quantiles
+
+    n = 50_000
+    df = (
+        spark.range(n)
+        .selectExpr("'g' AS g", "cast(id as string) AS rid", "id AS v")
+        .repartition(16)
+    )
+    row = hash_sample_quantiles(df, ["g"], "rid", "v", k=256).collect()[0]
+    assert row["n_sample"] == 256
+    # rank error: |p50_rank - 0.5| < 4 * 1/(2*sqrt(256)) = 12.5 pp
+    assert abs(row["p50"] / n - 0.50) < 0.125
+    assert abs(row["p90"] / n - 0.90) < 0.125
+
+    r64 = hash_sample_quantiles(df, ["g"], "rid", "v", k=256, salt=64)
+    r1 = hash_sample_quantiles(df, ["g"], "rid", "v", k=256, salt=1)
+    assert r64.collect()[0].asDict() == r1.collect()[0].asDict()
+
+    small = (
+        spark.range(10)
+        .selectExpr("'g' AS g", "cast(id as string) AS rid", "id AS v")
+    )
+    srow = hash_sample_quantiles(small, ["g"], "rid", "v", k=256).collect()[0]
+    # idx(q) = ceil(q*10/100): p25=v[2], p50=v[4], p75=v[7], p90=v[8]
+    assert (srow["p25"], srow["p50"], srow["p75"], srow["p90"]) == (2, 4, 7, 8)
+
+
+def test_hash_sample_quantiles_null_and_merge_property(spark):
+    """NULL ids/values never consume sample slots, and the sample is
+    mergeable: the sketch of the whole equals the sketch computed from
+    the union of per-half samples (k-smallest of union of k-smallests)."""
+    from redisgears_spark.operators.analytics import hash_sample_quantiles
+
+    rows = [("g", f"r{i}", i) for i in range(1000)]
+    noisy = rows + [("g", None, 5), ("g", "rx", None)] * 20
+    clean_df = spark.createDataFrame(rows, "g string, rid string, v long")
+    noisy_df = spark.createDataFrame(noisy, "g string, rid string, v long")
+    want = hash_sample_quantiles(clean_df, ["g"], "rid", "v", k=32).collect()[0]
+    got = hash_sample_quantiles(noisy_df, ["g"], "rid", "v", k=32).collect()[0]
+    assert got.asDict() == want.asDict()
+
+    # mergeability the REAL way: shrink each half to its own bottom-32
+    # sample (32 rows), union the two 32-row samples, and sketch over
+    # those 64 rows — the answer must equal the whole-data sketch,
+    # because the k smallest of a union are among the per-part k
+    # smallests (the partial-agg fan-in a 1000-executor merge relies on)
+    from redisgears_spark.functions.hashing import md5_hash32_py
+
+    halves = [rows[:500], rows[500:]]
+    sample_rows = []
+    for half in halves:
+        ranked = sorted(half, key=lambda r: (md5_hash32_py(r[1]), r[2]))
+        sample_rows.extend(ranked[:32])
+    sdf = spark.createDataFrame(sample_rows, "g string, rid string, v long")
+    merged = hash_sample_quantiles(sdf, ["g"], "rid", "v", k=32).collect()[0]
+    assert merged.asDict() == want.asDict()

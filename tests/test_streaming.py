@@ -2932,3 +2932,99 @@ class TestStreamingKmv:
             rt.expire_idle(60)
         with pytest.raises(GearsError, match="k >= 2"):
             StreamingKmvRuntime(engine, spool, work, field="u", k=1)
+
+
+class TestStreamingQuantiles:
+    """Streaming hash-sample quantiles: the third bit-identical trio
+    member (streaming == batch hash_sample_quantiles == DuckDB oracle),
+    chunking-insensitive bottom-k-by-(h,v) sample, replay no-op."""
+
+    def _feed(self, spark, spool, lo, hi):
+        rows = [
+            (
+                "k:1" if i % 2 == 0 else "k:2",
+                i,
+                {"rid": f"row{i}", "value": str((i * 37) % 1000)},
+            )
+            for i in range(lo, hi)
+        ]
+        _write_canonical(spark, spool, rows)
+
+    def test_matches_batch_sketch_bit_for_bit(self, spark, sf_dir, spool, work):
+        from redisgears_spark.operators.analytics import hash_sample_quantiles
+        from redisgears_spark.streaming import StreamingQuantileRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingQuantileRuntime(
+            engine, spool, work, id_field="rid", value_field="value", k=16
+        )
+        self._feed(spark, spool, 0, 120)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            self._feed(spark, spool, 120, 240)  # merge, not reset
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = rt.quantiles()
+        assert set(got) == {"k:1", "k:2"}
+        # batch twin over the identical rows
+        rows = [
+            (
+                "k:1" if i % 2 == 0 else "k:2",
+                f"row{i}",
+                (i * 37) % 1000,
+            )
+            for i in range(240)
+        ]
+        df = spark.createDataFrame(rows, "g string, rid string, v long")
+        batch = {
+            r["g"]: r.asDict()
+            for r in hash_sample_quantiles(
+                df, ["g"], "rid", "v", k=16
+            ).collect()
+        }
+        for key in got:
+            assert got[key]["n_records"] == 120
+            assert got[key]["n_sample"] == batch[key]["n_sample"] == 16
+            for q in ("p25", "p50", "p75", "p90"):
+                assert got[key][q] == batch[key][q]  # BIT-identical
+
+    def test_replayed_rows_are_noops_and_below_k_exact(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingQuantileRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingQuantileRuntime(
+            engine, spool, work, id_field="rid", value_field="value", k=64
+        )
+        # 10 rows then the SAME ids replayed: sample must not double
+        rows = [
+            ("k:1", i, {"rid": f"r{i % 10}", "value": str(i % 10)})
+            for i in range(30)
+        ]
+        _write_canonical(spark, spool, rows)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = rt.quantiles()["k:1"]
+        assert got["n_sample"] == 10  # replays were no-ops
+        assert got["n_records"] == 30  # but still counted as records
+        # below k the sample IS the data: nearest-rank over 0..9
+        # idx(q) = ceil(q*10/100) -> p25=v[2], p50=v[4], p75=v[7], p90=v[8]
+        assert (got["p25"], got["p50"], got["p75"], got["p90"]) == (2, 4, 7, 8)
+
+    def test_api_surface(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingQuantileRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingQuantileRuntime(engine, spool, work)
+        with pytest.raises(GearsError, match="use quantiles\\(\\)"):
+            rt.latest()
+        with pytest.raises(GearsError, match="not supported"):
+            rt.expire_idle(60)
+        with pytest.raises(GearsError, match="k >= 1"):
+            StreamingQuantileRuntime(engine, spool, work, k=0)
