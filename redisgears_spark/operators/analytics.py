@@ -4330,3 +4330,150 @@ def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(o_orderkey as string)",
         cents("o_totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: temporal as-of attribution and per-entity capped sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_prev_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT e.event_type, e.us, p.us AS p_us
+      FROM (SELECT * FROM e WHERE event_type <> 'purchase') e
+      ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.us
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed,
+           CAST(SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS attributed_share,
+           COALESCE(quantile_cont(us - p_us, 0.5), 0.0) AS p50_gap_us,
+           CAST(COALESCE(MAX(us - p_us), 0) AS BIGINT) AS max_gap_us
+    FROM j GROUP BY event_type
+    """,
+)
+def events_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF attribution: for every non-purchase event, the same user's
+    most recent purchase at-or-before it — per event type, how many
+    events happen post-purchase and how long after (the "did they come
+    back after buying" read). The canonical as-of join Spark lacks as a
+    keyword; the DuckDB oracle uses its native ASOF LEFT JOIN, so this
+    row-pins our composition against a real as-of implementation.
+
+    Spark-first composition: NOT a join at all — purchases and events
+    share one relation, so a RANGE frame (unbounded-preceding .. current
+    us) taking max(purchase_us) per user reproduces `p.us <= e.us`
+    exactly, INCLUDING the equal-timestamp edge (a range frame is
+    value-inclusive, exactly the <= the oracle declares; a rows frame
+    would depend on tie order).
+
+    Exactness: gaps are integer micros; share is one division;
+    percentile-over-integers is the pinned cross-engine form.
+
+    Scale: one user_id shuffle, one pass — no self-join, no
+    per-purchase fan-out. At 100 TB the window state per user is one
+    running max (8 bytes); contrast the naive events x purchases range
+    join this replaces.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_p = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    j = (
+        ev.withColumn("p_us", last_p)
+        .filter(F.col("event_type") != "purchase")
+        .withColumn("gap_us", F.col("us") - F.col("p_us"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("p_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_attributed"),
+        (
+            F.sum(
+                F.when(F.col("p_us").isNotNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("attributed_share"),
+        F.coalesce(F.expr("percentile(gap_us, 0.5)"), F.lit(0.0)).alias(
+            "p50_gap_us"
+        ),
+        F.coalesce(F.max("gap_us"), F.lit(0)).cast("long").alias("max_gap_us"),
+    )
+
+
+@query(
+    "events_user_capped_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             {md5_hash32_sql("CAST(event_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, v_c,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS kept_share,
+           CAST(SUM(CASE WHEN rn <= 50 THEN v_c ELSE 0 END) AS BIGINT)
+             AS kept_value_c
+    FROM r GROUP BY event_type
+    """,
+)
+def events_user_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity contribution cap: keep at most 50 events per user,
+    chosen deterministically (the 50 smallest md5 hashes of event_id
+    within the user — an unbiased uniform subsample of that user's
+    events, stable across runs and engines), and report what the cap
+    keeps per event type. THE anti-skew primitive of training-data
+    pipelines: without it, one bot account dominates a behavioral
+    corpus; random sampling would be irreproducible, recency-based
+    keeps drift.
+
+    Scale: one user_id shuffle for the row_number; heavy users bound
+    their own window cost (their rows all hash-rank locally, no global
+    structure). The 50 smallest-by-hash ARE mergeable per user, so a
+    100 TB run can partial-cap per partition first (same k-smallest
+    fan-in as the sketch family).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        cents("value").alias("v_c"),
+        md5_hash32_spark("cast(event_id as string)").alias("h"),
+    )
+    w = W.partitionBy("user_id").orderBy("h")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") <= 50, 1).otherwise(0)
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("kept_share"),
+        F.sum(F.when(F.col("rn") <= 50, F.col("v_c")).otherwise(0))
+        .cast("long")
+        .alias("kept_value_c"),
+    )

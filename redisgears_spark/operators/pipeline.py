@@ -1750,3 +1750,67 @@ def pipeline_quality_violation_curve(
         F.sum("n_docs").over(w).cast("long").alias("docs_at_or_below"),
         F.sum("n_tokens").over(w).cast("long").alias("tokens_at_or_below"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: leakage-safe entity-level holdout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_user_holdout_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE
+               WHEN {md5_hash32_sql("CAST(user_id AS VARCHAR)", 10)} < 8
+                 THEN 'train'
+               WHEN {md5_hash32_sql("CAST(user_id AS VARCHAR)", 10)} = 8
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_c) AS BIGINT) AS value_c
+    FROM tagged GROUP BY split
+    """,
+)
+def pipeline_user_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 holdout: events are split by a hash of the
+    USER, not the event — every user's full history lands in exactly one
+    split, so evaluation never sees training users (the entity-level
+    rule behavioral/recommendation corpora require; event-level random
+    splits leak identity features across the boundary).
+
+    Deterministic and engine-exact: split = md5(user_id) mod 10 →
+    {{0..7 train, 8 val, 9 test}} — the same assignment on any engine,
+    any run, any cluster size, and STABLE under corpus growth (a user's
+    split never changes when new events arrive, unlike fraction-based
+    sampling).
+
+    Scale: the split tag is a map-side projection (zero shuffle); the
+    audit aggregate shuffles once on the 3-row split key with a
+    distinct-user rollup riding the same exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = md5_hash32_spark("cast(user_id as string)", 10)
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        ev.select(
+            split.alias("split"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v_c").cast("long").alias("value_c"),
+        )
+    )

@@ -5891,3 +5891,104 @@ def customer_nation_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("segment_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: interval analytics without the quadratic overlap join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_inflight_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+               AS s_day,
+             MAX(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000)
+               AS e_day
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT s_day AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e_day + 1 AS d, -1 AS delta FROM iv
+    ),
+    byday AS (SELECT d, SUM(delta) AS delta FROM deltas GROUP BY d),
+    sweep AS (
+      SELECT d, SUM(delta) OVER (ORDER BY d) AS open FROM byday
+    ),
+    spans AS (
+      SELECT d, open,
+             LEAD(d, 1, d + 1) OVER (ORDER BY d) - d AS span_days
+      FROM sweep
+    )
+    SELECT CAST(d // 365 AS BIGINT) AS year_bucket,
+           CAST(MAX(open) AS BIGINT) AS max_open,
+           CAST(SUM(open * span_days) AS BIGINT) AS open_day_integral,
+           CAST(SUM(span_days) AS BIGINT) AS span_total_days
+    FROM spans
+    WHERE open > 0
+    GROUP BY d // 365
+    """,
+)
+def orders_inflight_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are in flight at once: each order's fulfillment
+    interval is [orderdate, last shipdate], and the concurrency curve is
+    computed by a BOUNDARY SWEEP — +1 at each start day, -1 the day
+    after each end, running sum over distinct boundary days — NOT the
+    naive interval self-join (which emits a pair per overlapping order
+    pair: quadratic in the warehouse's busiest season). Reported per
+    coarse year bucket: peak concurrency and the open-order-days
+    integral (sum of open-count x days-held-constant, the capacity
+    planner's area-under-curve).
+
+    Exactness: day buckets are floored integer division; the sweep is
+    integer cumulative sums; spans are day deltas via LEAD with an
+    explicit default closing the last span at 1 day. WHERE open > 0
+    drops the gaps between seasons (both engines agree exactly).
+
+    Scale: |boundary days| rows after the per-day collapse — thousands,
+    not billions — so the ORDER BY d running sum is a single skinny
+    sorted partition by construction (the one acceptable global window:
+    its input is already aggregated to calendar cardinality). The
+    interval build is one o_orderkey join + partial max.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", day_bucket("o_orderdate").alias("s_day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", day_bucket("l_shipdate").alias("ship_day")
+    )
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "s_day")
+        .agg(F.max("ship_day").alias("e_day"))
+    )
+    deltas = iv.select(
+        F.col("s_day").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select((F.col("e_day") + 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    byday = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    wsweep = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wlead = W.orderBy("d")
+    spans = (
+        byday.withColumn("open", F.sum("delta").over(wsweep))
+        .withColumn(
+            "span_days",
+            F.lead("d", 1).over(wlead) - F.col("d"),
+        )
+        .withColumn("span_days", F.coalesce("span_days", F.lit(1)))
+        .filter(F.col("open") > 0)
+    )
+    return spans.groupBy(
+        (F.floor(F.col("d") / 365)).cast("long").alias("year_bucket")
+    ).agg(
+        F.max("open").cast("long").alias("max_open"),
+        F.sum(F.col("open") * F.col("span_days"))
+        .cast("long")
+        .alias("open_day_integral"),
+        F.sum("span_days").cast("long").alias("span_total_days"),
+    )
