@@ -5992,3 +5992,194 @@ def orders_inflight_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("open_day_integral"),
         F.sum("span_days").cast("long").alias("span_total_days"),
     )
+
+
+@query(
+    "supplier_fulfillment_scorecard",
+    oracle="""
+    SELECT s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           CAST(SUM(
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           ) AS BIGINT) AS revenue_e4,
+           CAST(MAX(epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000)
+                AS BIGINT) AS last_ship_day
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey
+    """,
+)
+def supplier_fulfillment_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier operational scorecard: line volume, distinct parts
+    carried, discounted revenue (exact 1e-4-dollar integers), and the
+    most recent ship day — the account-health table a procurement team
+    refreshes nightly.
+
+    Scale: supplier is dimension-sized and BROADCAST; lineitem
+    aggregates map-side on l_suppkey before the skinny single shuffle
+    (the distinct-parts rollup rides the same exchange). No fact-fact
+    join anywhere.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        (cents("l_extendedprice") * (100 - basis_points("l_discount"))).alias(
+            "rev_e4"
+        ),
+        day_bucket("l_shipdate").alias("ship_day"),
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.sum("rev_e4").cast("long").alias("revenue_e4"),
+            F.max("ship_day").cast("long").alias("last_ship_day"),
+        )
+    )
+
+
+@query(
+    "part_name_token_revenue",
+    oracle="""
+    WITH tok AS (
+      SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token
+      FROM part
+    ),
+    rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev_e4,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT t.p_partkey) AS BIGINT) AS n_parts,
+           CAST(SUM(COALESCE(r.n_lines, 0)) AS BIGINT) AS n_lines,
+           CAST(SUM(COALESCE(r.rev_e4, 0)) AS BIGINT) AS revenue_e4
+    FROM tok t LEFT JOIN rev r ON r.l_partkey = t.p_partkey
+    GROUP BY token
+    HAVING COUNT(DISTINCT t.p_partkey) >= 10
+    """,
+)
+def part_name_token_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part-name token: explode each part name into words and
+    attribute the part's discounted revenue to every word — the
+    merchandising view ("which descriptors sell") that joins the text
+    surface to the relational one. Tokens on fewer than 10 parts are
+    dropped (long-tail noise).
+
+    Scale: lineitem collapses to per-part revenue FIRST (map-side
+    partials on the scan), so the explode multiplies only the
+    dimension-sized part relation — never fact rows. The token rollup
+    then shuffles |parts| x ~5 short rows.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").alias("toks")
+    )
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            (
+                cents("l_extendedprice")
+                * (100 - basis_points("l_discount"))
+            ).alias("rev_e4"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("rev_e4").alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    tok = part.select(
+        "p_partkey", F.explode("toks").alias("token")
+    )
+    j = tok.join(rev, tok.p_partkey == rev.l_partkey, "left")
+    return (
+        j.groupBy("token")
+        .agg(
+            F.countDistinct("p_partkey").cast("long").alias("n_parts"),
+            F.sum(F.coalesce("n_lines", F.lit(0)))
+            .cast("long")
+            .alias("n_lines"),
+            F.sum(F.coalesce("rev_e4", F.lit(0)))
+            .cast("long")
+            .alias("revenue_e4"),
+        )
+        .filter(F.col("n_parts") >= 10)
+    )
+
+
+@query(
+    "nation_balance_ledger",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk,
+             COUNT(*) AS n_customers,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS cust_bal_c
+      FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk,
+             COUNT(*) AS n_suppliers,
+             SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS supp_bal_c
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name,
+           CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(c.cust_bal_c, 0) AS BIGINT) AS cust_bal_c,
+           CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers,
+           CAST(COALESCE(s.supp_bal_c, 0) AS BIGINT) AS supp_bal_c,
+           CAST(COALESCE(c.cust_bal_c, 0) - COALESCE(s.supp_bal_c, 0)
+                AS BIGINT) AS net_bal_c
+    FROM nation n
+    LEFT JOIN c ON c.nk = n.n_nationkey
+    LEFT JOIN s ON s.nk = n.n_nationkey
+    """,
+)
+def nation_balance_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided balance ledger per nation: customer account balances
+    vs supplier account balances and the net — the exposure table that
+    needs BOTH fact sides aggregated before the dimension join (a
+    nation with customers but no suppliers must still appear, zeros
+    filled, per the no-NULL-output contract).
+
+    Scale: each side collapses to <= |nations| rows map-side; the
+    dimension joins are broadcasts of 25-row relations. Zero fact-fact
+    edges.
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("cust_bal_c"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(cents("s_acctbal")).alias("supp_bal_c"),
+        )
+    )
+    out = (
+        n.join(F.broadcast(c), n.n_nationkey == c.nk, "left")
+        .join(F.broadcast(s), n.n_nationkey == s.nk, "left")
+    )
+    zero = lambda col: F.coalesce(F.col(col), F.lit(0)).cast("long")  # noqa: E731
+    return out.select(
+        "n_name",
+        zero("n_customers").alias("n_customers"),
+        zero("cust_bal_c").alias("cust_bal_c"),
+        zero("n_suppliers").alias("n_suppliers"),
+        zero("supp_bal_c").alias("supp_bal_c"),
+        (zero("cust_bal_c") - zero("supp_bal_c")).alias("net_bal_c"),
+    )

@@ -1548,3 +1548,57 @@ def embeddings_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("long").alias("sum_q"),
         (F.sum("q").cast("double") / F.count(F.lit(1))).alias("mean_milli"),
     )
+
+
+@query(
+    "embeddings_norm2_histogram",
+    oracle="""
+    WITH n2 AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               x -> CAST(round(x * 1000) AS BIGINT)
+                    * CAST(round(x * 1000) AS BIGINT))) AS norm2
+      FROM embeddings
+    )
+    SELECT CAST(norm2 // 500 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2
+    FROM n2 GROUP BY norm2 // 500
+    """,
+)
+def embeddings_norm2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-norm histogram of the embedding corpus — the encoder
+    sanity gauge (a unit-normalized encoder concentrates at 1.0; a
+    second mode means mixed encoder versions; a zero bucket means dead
+    vectors that will NaN a cosine). Buckets are 500 milli^2 wide
+    around the ~1e6 unit-norm center.
+
+    Exactness: each component quantizes to BIGINT milli-units and the
+    squared norm is an integer sum folded IN ARRAY ORDER on both
+    engines (Spark `aggregate` and DuckDB `list_sum(list_transform(...))`
+    are row-local, so no float reassociation can diverge); the bucket
+    is floored integer division.
+
+    Scale: the fold is a zero-shuffle JVM-side projection per row (the
+    vector never leaves its partition); the histogram shuffles
+    |buckets| partial rows. This is the cheap pre-pass run before any
+    ANN build.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.expr(
+        "aggregate(transform(embedding, "
+        "x -> cast(round(x * 1000) as bigint) "
+        "* cast(round(x * 1000) as bigint)), 0L, (a, x) -> a + x)"
+    )
+    n2 = emb.select("label", norm2.alias("norm2"))
+    return (
+        n2.groupBy(F.floor(F.col("norm2") / 500).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+            F.min("norm2").cast("long").alias("min_norm2"),
+            F.max("norm2").cast("long").alias("max_norm2"),
+        )
+    )
