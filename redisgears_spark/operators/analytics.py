@@ -4477,3 +4477,77 @@ def events_user_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_value_c"),
     )
+
+
+@query(
+    "events_daily_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.c AS x, b.c AS y
+      FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT n, sx, sy, sxy,
+           CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                ELSE 0.0 END AS lag1_r
+    FROM m
+    """,
+)
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the
+    momentum/mean-reversion gauge (r near +1: busy days cluster; near
+    -1: spikes are followed by crashes; near 0: daily totals are
+    memoryless) and the statistical cousin of events_cusum_drift
+    (which detects LEVEL shifts; this measures serial dependence).
+
+    Exactness across engines: every moment (n, Sx, Sy, Sxy, Sxx, Syy)
+    is an exact BIGINT; Pearson r is then built from IEEE-exact
+    primitives only — BIGINT→DOUBLE casts (round-to-nearest, identical
+    both engines), sqrt (correctly rounded per IEEE-754), one multiply,
+    one divide. Degenerate series (constant side, <2 pairs) report the
+    0.0 sentinel, both engines by the same guard.
+
+    Scale: the fact table collapses to calendar cardinality map-side;
+    the lag join is |days| x |days| at equality d+1 — thousands of
+    rows. Moments are a single-row fold. Nothing here grows with the
+    event count except the first partial aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket("ts").alias("d")).agg(
+        F.sum(cents("value")).alias("c")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = a.join(b, b.db == a.da + 1).select("x", "y")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (F.col("n") >= 2) & (dx > 0) & (dy > 0),
+        num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return m.select("n", "sx", "sy", "sxy", r.alias("lag1_r"))

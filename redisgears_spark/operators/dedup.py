@@ -1484,3 +1484,54 @@ def docs_exact_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "docs_prefix_dup_rate",
+    oracle="""
+    WITH p AS (
+      SELECT source, substr(text, 1, 64) AS prefix FROM documents
+    ),
+    g AS (
+      SELECT source, prefix, COUNT(*) AS n FROM p GROUP BY source, prefix
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_in_dup_prefix,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n)
+             AS dup_prefix_share,
+           CAST(MAX(n) AS BIGINT) AS max_prefix_count
+    FROM g GROUP BY source
+    """,
+)
+def docs_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix rate per source: how many documents open with the
+    SAME first 64 characters — the cheapest boilerplate detector there
+    is (scraped corpora share cookie banners, license headers, and
+    navigation preambles long before their bodies diverge), run as a
+    triage pass before the shingle-level boilerplate scan
+    (docs_boilerplate_shingles), which costs a tokenize+explode this
+    one avoids entirely.
+
+    Exactness: substr is byte-identical on both engines; everything
+    else is integer counts and one division.
+
+    Scale: ONE shuffle on (source, 64-char prefix) with map-side
+    partial counts; the prefix (not the document) is the shuffle
+    payload. At 100 TB swap the raw prefix for its md5 hash to shrink
+    the exchange — same answer, 16 bytes/row.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.substring("text", 1, 64).alias("prefix")
+    )
+    g = docs.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, F.col("n")).otherwise(0)
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.sum(dup).cast("long").alias("n_in_dup_prefix"),
+        (F.sum(dup).cast("double") / F.sum("n")).alias("dup_prefix_share"),
+        F.max("n").cast("long").alias("max_prefix_count"),
+    )

@@ -1602,3 +1602,59 @@ def embeddings_norm2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("norm2").cast("long").alias("max_norm2"),
         )
     )
+
+
+@query(
+    "docs_embedding_coverage",
+    oracle="""
+    WITH n2 AS (
+      SELECT vec_id,
+             list_sum(list_transform(embedding,
+               x -> CAST(round(x * 1000) AS BIGINT)
+                    * CAST(round(x * 1000) AS BIGINT))) AS norm2
+      FROM embeddings
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_vec,
+           CAST(SUM(CASE WHEN n2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage,
+           CAST(COALESCE(SUM(n2.norm2), 0) AS BIGINT) AS sum_norm2
+    FROM documents d LEFT JOIN n2 ON n2.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-coverage audit per source: which corpus slices have
+    vectors (RAG/ANN readiness) and the aggregate squared-norm mass of
+    the covered slice — run this BEFORE any similarity pass so a
+    source that silently missed the encoding job doesn't read as
+    "no near-duplicates". Joins the documents and embeddings tables on
+    doc_id = vec_id, the corpus's own linkage.
+
+    Exactness: counts + integer milli^2 norms (row-local array fold,
+    both engines in array order); coverage is one division.
+
+    Scale: the norm collapses each vector to 8 bytes BEFORE the join,
+    so the equi-join ships (id, norm2) pairs, never the vectors; both
+    sides shuffle on doc_id or the embeddings side broadcasts when
+    dimension-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    norm2 = F.expr(
+        "aggregate(transform(embedding, "
+        "x -> cast(round(x * 1000) as bigint) "
+        "* cast(round(x * 1000) as bigint)), 0L, (a, x) -> a + x)"
+    )
+    n2 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", norm2.alias("norm2")
+    )
+    j = docs.join(n2, docs.doc_id == n2.vec_id, "left")
+    covered = F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(covered).cast("long").alias("n_with_vec"),
+        (F.sum(covered).cast("double") / F.count(F.lit(1))).alias("coverage"),
+        F.coalesce(F.sum("norm2"), F.lit(0)).cast("long").alias("sum_norm2"),
+    )

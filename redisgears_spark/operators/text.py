@@ -1312,3 +1312,48 @@ def text_word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("lang", "word_len").agg(
         F.count(F.lit(1)).cast("long").alias("n_words")
     )
+
+
+@query(
+    "text_freq_of_freq_spectrum",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    tf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+    fof AS (SELECT f, COUNT(*) AS n_types FROM tf GROUP BY f)
+    SELECT CAST(length(ltrim(bin(f), '0')) AS BIGINT) AS f_log2_bucket,
+           CAST(SUM(n_types) AS BIGINT) AS n_types,
+           CAST(SUM(f * n_types) AS BIGINT) AS n_tokens,
+           CAST(MIN(f) AS BIGINT) AS min_f,
+           CAST(MAX(f) AS BIGINT) AS max_f
+    FROM fof GROUP BY length(ltrim(bin(f), '0'))
+    """,
+)
+def text_freq_of_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum (the Good-Turing table): how
+    many vocabulary types occur exactly f times, rolled into log2(f)
+    buckets — the smoothing-mass profile every LM tokenizer audit
+    starts from (N1/N = unseen-mass estimate; a fat singleton bucket
+    means OCR noise or unsegmented text). Complements docs_hapax_rate
+    (which reports only f=1) with the full spectrum.
+
+    Exactness: log2 buckets via the bit-length idiom
+    (length(ltrim(bin(f),'0'))) — pure integer, both engines identical;
+    all other columns are integer counts.
+
+    Scale: two partial-agg shuffles (term counts, then spectrum) on
+    skinny (hash, count) rows; no window, no sort — the same shape at
+    100 TB with the term-count exchange as the only real cost.
+    """
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    fof = tf.groupBy("f").agg(F.count(F.lit(1)).alias("n_types"))
+    bucket = F.length(F.expr("ltrim('0', bin(f))")).cast("long")
+    return fof.groupBy(bucket.alias("f_log2_bucket")).agg(
+        F.sum("n_types").cast("long").alias("n_types"),
+        F.sum(F.col("f") * F.col("n_types")).cast("long").alias("n_tokens"),
+        F.min("f").cast("long").alias("min_f"),
+        F.max("f").cast("long").alias("max_f"),
+    )
