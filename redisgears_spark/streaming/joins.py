@@ -197,3 +197,46 @@ def stream_static_enrich(
         F.broadcast(dim), F.col("_k") == dim[dim.columns[0]], "left"
     )
     return joined.drop("_k")
+
+
+def stream_asof_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str = "stream_key",
+    dim_key: str = "key",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Temporal (as-of / SCD2) stream enrichment: each record left-joins
+    the dimension VERSION that was valid at the record's event time —
+    `dim.valid_from <= id_ts < dim.valid_to` — not whatever version is
+    current when the micro-batch happens to run. This is the lookup the
+    reference's users approximate with a per-record client.call('HGET')
+    — which silently reads the dimension at PROCESSING time, so a
+    replayed/backfilled stream enriches differently than the live run.
+    Joining on the validity interval makes replays reproducible: the
+    same record always meets the same dimension version.
+
+    Current versions use an open upper bound (valid_to = a far-future
+    sentinel, e.g. TIMESTAMP '9999-01-01'); a record before a key's
+    first version, or with no dimension key at all, passes through with
+    NULL enrichment columns (left join — the callback's miss-is-null
+    behavior).
+
+    Scale: the dimension (all versions) broadcasts; the range predicate
+    is evaluated inside the broadcast hash join's stream side, so the
+    stream never shuffles and state stays empty (stream-static joins
+    keep no watermark state). The same freshness caveat as
+    stream_static_enrich applies: a parquet-path dimension's file
+    listing pins at query start — version CHANGES need the SCD2 table
+    to be append-only (new rows close old intervals), which is exactly
+    the shape this join consumes.
+    """
+    s = stream.withColumn("_k", F.col(stream_key))
+    cond = (
+        (F.col("_k") == dim[dim_key])
+        & (dim[valid_from] <= s["id_ts"])
+        & (s["id_ts"] < dim[valid_to])
+    )
+    return s.join(F.broadcast(dim), cond, "left").drop("_k")

@@ -1897,6 +1897,73 @@ class TestStreamIntervalJoin:
         for r in out.collect():
             assert r["c_mktsegment"] == want.get(r["stream_key"])
 
+    def test_stream_asof_enrichment_is_event_time(
+        self, spark, sf_dir, spool, work
+    ):
+        """Temporal (SCD2) enrichment joins the dimension VERSION valid
+        at each record's event time: records before the version flip get
+        v1, records after get v2 — regardless of when the micro-batch
+        runs — and keys with no version covering their ts enrich null."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from redisgears_spark.streaming import events_to_stream
+        from redisgears_spark.streaming.joins import stream_asof_enrich
+
+        flip = datetime.datetime(2024, 1, 15)
+        far = datetime.datetime(9999, 1, 1)
+        rows = []
+        for uid in range(150):
+            key = f"user:{uid}"
+            if uid % 10 == 9:
+                continue  # no dimension rows at all: must enrich null
+            rows.append((key, datetime.datetime(2024, 1, 1), flip, "bronze"))
+            rows.append((key, flip, far, "gold"))
+        dim = spark.createDataFrame(
+            rows,
+            "key string, valid_from timestamp, valid_to timestamp, "
+            "tier string",
+        )
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        write_slice(spark, sf_dir, spool, 0, 300)
+        src = events_to_stream(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(spool)
+        )
+        enriched = stream_asof_enrich(src, dim)
+        sink = os.path.join(work, "asof_sink")
+        q = (
+            enriched.select("stream_key", "id", "id_ts", "tier")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option(
+                "checkpointLocation", os.path.join(work, "asof_ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink).collect()
+        assert len(out) == 300  # left join: nothing dropped
+        n_null = 0
+        for r in out:
+            uid = int(r["stream_key"].split(":")[1])
+            if uid % 10 == 9:
+                assert r["tier"] is None
+                n_null += 1
+            elif r["id_ts"] < flip:
+                assert r["tier"] == "bronze", r
+            else:
+                assert r["tier"] == "gold", r
+        assert n_null > 0  # the no-dimension path was exercised
+
     def test_join_state_survives_restart(self, spark, sf_dir, spool, work):
         """A view buffered in the join state store before a stop must
         still pair with a purchase arriving after the restart — state
