@@ -5966,11 +5966,23 @@ def orders_inflight_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "s_day")
         .agg(F.max("ship_day").alias("e_day"))
     )
+    # one explode, not a self-union: a union would read the interval
+    # relation through two plan branches and run the lineitem join+agg
+    # twice (verified in the physical plan) — the array explode emits
+    # both boundary rows in a single pass
     deltas = iv.select(
-        F.col("s_day").alias("d"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select((F.col("e_day") + 1).alias("d"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_day").alias("d"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("e_day") + 1).alias("d"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.d", "b.delta")
     byday = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
     wsweep = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
     wlead = W.orderBy("d")
