@@ -4551,3 +4551,112 @@ def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
     ).otherwise(F.lit(0.0))
     return m.select("n", "sx", "sy", "sxy", r.alias("lag1_r"))
+
+
+@query(
+    "customer_event_audience_overlap_kmv",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {md5_hash32_sql("CAST(c_custkey AS VARCHAR)")} AS h
+      FROM customer
+    ),
+    hb AS (
+      SELECT DISTINCT {md5_hash32_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    uni AS (
+      SELECT COALESCE(a.h, b.h) AS h,
+             CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      FROM ha a FULL OUTER JOIN hb b ON a.h = b.h
+    ),
+    ks AS (SELECT * FROM uni ORDER BY h LIMIT {_KMV_K}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_h
+      FROM ks
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_sketch, n_both, kth_h,
+           CASE WHEN n_sketch > 0
+                THEN CAST(n_both AS DOUBLE) / n_sketch ELSE 0.0
+           END AS jaccard,
+           CASE WHEN n_sketch < {_KMV_K}
+                THEN CAST(n_sketch AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1) * (1 << 32)} AS DOUBLE) / kth_h
+           END AS union_est,
+           (CASE WHEN n_sketch > 0
+                 THEN CAST(n_both AS DOUBLE) / n_sketch ELSE 0.0 END)
+           * (CASE WHEN n_sketch < {_KMV_K}
+                   THEN CAST(n_sketch AS DOUBLE)
+                   ELSE CAST({(_KMV_K - 1) * (1 << 32)} AS DOUBLE) / kth_h
+              END) AS intersection_est
+    FROM agg
+    """,
+)
+def customer_event_audience_overlap_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV SET OPERATIONS — the reason engines carry KMV beside HLL
+    (kmv_distinct's docstring promises it; this registers it): estimate
+    the overlap between two key populations (customers vs active event
+    users) WITHOUT joining the fact tables. Take the k smallest hashes
+    of the UNION of the two distinct-hash sets; the fraction of those
+    present in both sides estimates Jaccard; kth-smallest estimates the
+    union cardinality; their product estimates the intersection.
+
+    Correct-by-construction subtlety: a hash among the k smallest of
+    the union that belongs to side A is necessarily among the k
+    smallest of A's own sketch (A's hashes are a subset of the union),
+    so computing from full distinct-hash relations — what the oracle
+    can express — is IDENTICAL to merging two k-sized sketches: this
+    query literally verifies the mergeable set-op path bit-for-bit.
+
+    Exactness: order statistics + integer flags; the three estimates
+    are IEEE single divisions/multiplies of exact integers.
+
+    Scale: each side collapses to distinct 8-byte hashes map-side; the
+    overlap join co-partitions two skinny hash relations; the top-k is
+    TakeOrderedAndProject (each partition contributes <= k). The fact
+    tables never meet.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    ha = cust.select(
+        md5_hash32_spark("cast(c_custkey as string)").alias("h")
+    ).distinct()
+    hb = ev.select(
+        md5_hash32_spark("cast(user_id as string)").alias("h")
+    ).distinct()
+    uni = ha.withColumnRenamed("h", "ah").join(
+        hb.withColumnRenamed("h", "bh"),
+        F.col("ah") == F.col("bh"),
+        "full_outer",
+    ).select(
+        F.coalesce("ah", "bh").alias("h"),
+        F.when(F.col("ah").isNotNull(), 1).otherwise(0).alias("in_a"),
+        F.when(F.col("bh").isNotNull(), 1).otherwise(0).alias("in_b"),
+    )
+    ks = uni.orderBy("h").limit(_KMV_K)
+    agg = ks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.coalesce(F.max("h"), F.lit(0)).cast("long").alias("kth_h"),
+    )
+    num = float((_KMV_K - 1) * (1 << 32))
+    jac = F.when(
+        F.col("n_sketch") > 0,
+        F.col("n_both").cast("double") / F.col("n_sketch"),
+    ).otherwise(F.lit(0.0))
+    uest = F.when(
+        F.col("n_sketch") < _KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(num) / F.col("kth_h"))
+    return agg.select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        "n_sketch",
+        "n_both",
+        "kth_h",
+        jac.alias("jaccard"),
+        uest.alias("union_est"),
+        (jac * uest).alias("intersection_est"),
+    )

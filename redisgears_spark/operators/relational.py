@@ -6195,3 +6195,62 @@ def nation_balance_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero("supp_bal_c").alias("supp_bal_c"),
         (zero("cust_bal_c") - zero("supp_bal_c")).alias("net_bal_c"),
     )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey,
+             MIN(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000)
+               AS ship_day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lat AS (
+      SELECT o.o_orderpriority,
+             f.ship_day
+               - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+               AS days
+      FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency per priority class — the SLA
+    table: does 1-URGENT actually ship faster than 5-LOW? Latency is
+    integer days between o_orderdate and the order's EARLIEST lineitem
+    shipdate (the first physical motion; the inflight-concurrency op
+    uses the LAST — together they bracket the fulfillment interval).
+
+    Exactness: floored epoch-day buckets; percentile-over-integers is
+    the pinned cross-engine form.
+
+    Scale: lineitem collapses to per-order min map-side (one orderkey
+    shuffle), joins orders on the same key (co-partitioned, AQE picks
+    the shuffle join at fact scale), and the percentile buffers per
+    priority class — 5 groups. No window, no sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", day_bucket("l_shipdate").alias("sd")
+    )
+    first_ship = li.groupBy("l_orderkey").agg(F.min("sd").alias("ship_day"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", day_bucket("o_orderdate").alias("od")
+    )
+    lat = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority", (F.col("ship_day") - F.col("od")).alias("days")
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("days").cast("long").alias("min_days"),
+        F.expr("percentile(days, 0.5)").alias("p50_days"),
+        F.expr("percentile(days, 0.9)").alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
