@@ -10,6 +10,7 @@ from redisgears_spark.operators import (  # noqa: F401,E402
     multimodal,
     pipeline,
     relational,
+    scale_audit,
     similarity,
     skew,
     text,

@@ -1,0 +1,553 @@
+"""Scale-audit operators: the pre-flight diagnostics a 100 TB job runs
+BEFORE the expensive query — exactly the checks this repo's own plan
+doctrine applies by hand (SURVEY §2 scale notes, PLANS.md), packaged as
+first-class oracle-checked queries.
+
+Why these are engine operators and not ad-hoc scripts: at cluster scale
+the cost of a mis-planned join (an unexpected fan-out, a skewed shuffle
+key, a dimension that silently stopped fitting the broadcast threshold,
+an FK edge with orphans that a left join silently drops) is hours of
+wasted executor time; the cheap integer profiles here answer "is this
+join safe to run?" from grouped counts only — the fact tables never
+meet each other.
+
+All aggregates follow the repo-wide exactness rule (functions/exact.py):
+integer sums, at most one IEEE division at the end, so every report is
+bit-identical between Spark and the DuckDB oracle.
+
+Cost model shared by all six: one hash aggregate per input relation
+(map-side partial, linear), joins only between skinny per-key count
+relations, TakeOrderedAndProject for any top-k — nothing here shuffles
+a fact-table payload, so each audit costs a small fraction of the join
+it prices.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from redisgears_spark.functions.exact import cents
+from redisgears_spark.functions.hashing import md5_hash32_spark, md5_hash32_sql
+from redisgears_spark.operators.registry import query
+from redisgears_spark.sources.keyspace import load_table
+
+_SKEW_BUCKETS = 64  # hash-partition model for the skew audit
+_BALANCE_BUCKETS = 32  # the bucketed layout's bucket count (sources/bucketed.py)
+_BROADCAST_LIMIT = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold default
+
+
+# ---------------------------------------------------------------------------
+# join cardinality profile
+# ---------------------------------------------------------------------------
+
+
+def _edge_profile(
+    name: str,
+    left: DataFrame,
+    lkey: str,
+    right: DataFrame,
+    rkey: str,
+) -> DataFrame:
+    """Exact join-size estimate from per-key counts only: |A ⋈ B| =
+    Σ_k cA(k)·cB(k). Two skinny grouped relations join on the key; the
+    fact rows themselves never shuffle."""
+    lc = left.groupBy(F.col(lkey).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cl")
+    )
+    rc = right.groupBy(F.col(rkey).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    lt = lc.agg(
+        F.sum("cl").cast("long").alias("left_rows"),
+        F.count(F.lit(1)).cast("long").alias("left_keys"),
+    )
+    rt = rc.agg(
+        F.sum("cr").cast("long").alias("right_rows"),
+        F.count(F.lit(1)).cast("long").alias("right_keys"),
+    )
+    m = lc.join(rc, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("long")
+        .alias("out_rows"),
+        F.coalesce(F.max(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("long")
+        .alias("max_key_pairs"),
+    )
+    return (
+        lt.crossJoin(rt)
+        .crossJoin(m)
+        .select(
+            F.lit(name).alias("edge"),
+            "left_rows",
+            "right_rows",
+            "left_keys",
+            "right_keys",
+            "matched_keys",
+            "out_rows",
+            "max_key_pairs",
+            (
+                F.col("out_rows").cast("double")
+                / F.greatest("left_rows", "right_rows")
+            ).alias("amplification"),
+        )
+    )
+
+
+def _edge_oracle(name: str) -> str:
+    return f"""
+    SELECT '{name}' AS edge,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM {name}_lc) AS left_rows,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM {name}_rc) AS right_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {name}_lc) AS left_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {name}_rc) AS right_keys,
+           CAST(COUNT(*) AS BIGINT) AS matched_keys,
+           CAST(COALESCE(SUM(l.c * r.c), 0) AS BIGINT) AS out_rows,
+           CAST(COALESCE(MAX(l.c * r.c), 0) AS BIGINT) AS max_key_pairs,
+           CAST(CAST(COALESCE(SUM(l.c * r.c), 0) AS BIGINT) AS DOUBLE)
+             / GREATEST((SELECT CAST(SUM(c) AS BIGINT) FROM {name}_lc),
+                        (SELECT CAST(SUM(c) AS BIGINT) FROM {name}_rc))
+             AS amplification
+    FROM {name}_lc l JOIN {name}_rc r ON l.k = r.k
+    """
+
+
+@query(
+    "join_cardinality_profile",
+    oracle=f"""
+    WITH ol_lc AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM orders GROUP BY 1),
+         ol_rc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+         co_lc AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM customer GROUP BY 1),
+         co_rc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM orders GROUP BY 1),
+         ll_lc AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+         ll_rc AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1)
+    {_edge_oracle("ol")}
+    UNION ALL
+    {_edge_oracle("co")}
+    UNION ALL
+    {_edge_oracle("ll")}
+    """,
+)
+def join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-output-size profile for the three canonical join edges
+    (PK–FK orders⋈lineitem, PK–FK customer⋈orders, and the FK–FK
+    lineitem⋈lineitem self-join on partkey — the quadratic wedge that
+    prices the co-purchase family) computed WITHOUT running the joins:
+    |A ⋈ B| = Σ_k cA(k)·cB(k) over per-key grouped counts.
+
+    This is the check you run before a 100 TB join: `out_rows` is the
+    exact shuffle-write volume the real join would produce,
+    `max_key_pairs` is the single hottest key's output (the task that
+    OOMs first), and `amplification` says whether the join explodes.
+    A planner reading this table knows to salt (max_key_pairs ≫
+    out_rows/shuffle_partitions) or to refuse (amplification ≫ 1 on an
+    FK–FK edge).
+
+    Scale: per-edge cost is two map-side hash aggregates plus a join of
+    two skinny (key, count) relations — the fact tables never meet.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    edges = [
+        _edge_profile("ol", orders, "o_orderkey", lineitem, "l_orderkey"),
+        _edge_profile("co", customer, "c_custkey", orders, "o_custkey"),
+        _edge_profile("ll", lineitem, "l_partkey", lineitem, "l_partkey"),
+    ]
+    return reduce(DataFrame.unionAll, edges)
+
+
+# ---------------------------------------------------------------------------
+# shuffle-key skew audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_key_skew_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT 'l_orderkey' AS join_key,
+             {md5_hash32_sql("CAST(l_orderkey AS VARCHAR)", _SKEW_BUCKETS)}
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'l_partkey',
+             {md5_hash32_sql("CAST(l_partkey AS VARCHAR)", _SKEW_BUCKETS)},
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'l_suppkey',
+             {md5_hash32_sql("CAST(l_suppkey AS VARCHAR)", _SKEW_BUCKETS)},
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT join_key,
+           CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+           CAST(MIN(c) AS BIGINT) AS min_bucket_rows,
+           CAST(MAX(c) * {_SKEW_BUCKETS} AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+             AS skew_ratio
+    FROM b GROUP BY join_key
+    """,
+)
+def lineitem_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition skew audit for every candidate shuffle key of the
+    fact table: model a 64-partition hash shuffle with the cross-engine
+    md5 bucket (functions/hashing.py), count rows per bucket, and report
+    max/fair-share as `skew_ratio` (1.0 = perfectly balanced; a ratio of
+    r means the slowest task does r× the average work, which is the
+    wall-clock multiplier of the whole stage at scale).
+
+    skew_ratio is the cross-multiplied exact form max·B/total — one IEEE
+    division of exact integers, bit-identical to the oracle.
+
+    Scale: one map-side aggregate per key over (key-hash % B) — B·|keys|
+    intermediate rows, no fact-payload shuffle. At 100 TB you run this
+    once per candidate key and pick the evenest; a hot ratio says salt
+    (skew.py's salted-join pattern) before the real shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        b = li.groupBy(
+            md5_hash32_spark(
+                f"cast({key} as string)", _SKEW_BUCKETS
+            ).alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        parts.append(
+            b.agg(
+                F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+                F.sum("c").cast("long").alias("total_rows"),
+                F.max("c").cast("long").alias("max_bucket_rows"),
+                F.min("c").cast("long").alias("min_bucket_rows"),
+                (
+                    (F.max("c") * _SKEW_BUCKETS).cast("double")
+                    / F.sum("c").cast("long")
+                ).alias("skew_ratio"),
+            ).select(F.lit(key).alias("join_key"), "*")
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+# ---------------------------------------------------------------------------
+# broadcast eligibility
+# ---------------------------------------------------------------------------
+
+# (table, [(col, fixed_width_or_None)]) — None means varchar: length + 4
+_TABLE_WIDTHS: list[tuple[str, list[tuple[str, int | None]]]] = [
+    ("region", [("r_regionkey", 4), ("r_name", None)]),
+    ("nation", [("n_nationkey", 4), ("n_name", None), ("n_regionkey", 4)]),
+    (
+        "supplier",
+        [("s_suppkey", 8), ("s_name", None), ("s_nationkey", 4),
+         ("s_acctbal", 8)],
+    ),
+    (
+        "customer",
+        [("c_custkey", 8), ("c_name", None), ("c_nationkey", 4),
+         ("c_acctbal", 8), ("c_mktsegment", None)],
+    ),
+    (
+        "part",
+        [("p_partkey", 8), ("p_name", None), ("p_brand", None),
+         ("p_type", None), ("p_size", 4), ("p_retailprice", 8)],
+    ),
+    (
+        "orders",
+        [("o_orderkey", 8), ("o_custkey", 8), ("o_orderstatus", None),
+         ("o_totalprice", 8), ("o_orderdate", 8), ("o_orderpriority", None)],
+    ),
+]
+
+
+def _row_bytes_sql(cols: list[tuple[str, int | None]]) -> str:
+    terms = [
+        str(w) if w is not None else f"(LENGTH({c}) + 4)"
+        for c, w in cols
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "broadcast_eligibility_report",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({_row_bytes_sql(cols)}) AS BIGINT) AS est_bytes,
+               CAST(CAST(SUM({_row_bytes_sql(cols)}) AS BIGINT) AS DOUBLE)
+                 / 1048576 AS est_mb,
+               CAST(CASE WHEN CAST(SUM({_row_bytes_sql(cols)}) AS BIGINT)
+                              < {_BROADCAST_LIMIT}
+                         THEN 1 ELSE 0 END AS BIGINT) AS broadcastable
+        FROM {t}
+        """
+        for t, cols in _TABLE_WIDTHS
+    ),
+)
+def broadcast_eligibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which side of each star-join edge still fits under the broadcast
+    threshold? Per dimension table, an exact unpacked-row byte estimate
+    (fixed widths for numeric/timestamp columns, length+4 for strings —
+    the UnsafeRow-style model) compared against the 10 MiB
+    `spark.sql.autoBroadcastJoinThreshold` default.
+
+    This is the audit behind the repo's broadcast doctrine: every
+    `F.broadcast` hint in the operator inventory must name a relation
+    this report marks broadcastable *at the target scale*, and the
+    round-8 verdict showed what happens when one doesn't (the per-doc
+    `sizes` hints). At 100 TB the dimension ladder grows too: region/
+    nation stay eligible forever, customer/part cross the line at some
+    SF — this table is how a planner notices BEFORE the 8 GB broadcast
+    hard-limit aborts the job.
+
+    Scale: one map-side sum per table, no shuffle beyond the one-row
+    fold.
+    """
+    parts = []
+    for t, cols in _TABLE_WIDTHS:
+        df = load_table(spark, sf_dir, t)
+        row_bytes = reduce(
+            lambda a, b: a + b,
+            [
+                F.lit(w) if w is not None else (F.length(c) + F.lit(4))
+                for c, w in cols
+            ],
+        )
+        est = F.sum(row_bytes).cast("long")
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                est.alias("est_bytes"),
+                (est.cast("double") / F.lit(1048576)).alias("est_mb"),
+                F.when(est < _BROADCAST_LIMIT, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("broadcastable"),
+            ).select(F.lit(t).alias("table_name"), "*")
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+# ---------------------------------------------------------------------------
+# FK orphan audit
+# ---------------------------------------------------------------------------
+
+_FK_EDGES: list[tuple[str, str, str, str, str]] = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+]
+
+
+@query(
+    "fk_orphan_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+               CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+               CAST(COUNT(DISTINCT c.{ckey}) AS BIGINT) AS orphan_keys,
+               CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT CAST(COUNT(*) AS BIGINT) FROM {child})
+                 AS orphan_rate
+        FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pkey} = c.{ckey})
+        """
+        for name, child, ckey, parent, pkey in _FK_EDGES
+    ),
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star schema
+    (plus the events→customer edge, which is ALLOWED to have orphans —
+    event traffic from non-customers). Orphan child rows are exactly the
+    rows an inner join silently drops and a left join silently
+    null-fills; at 100 TB neither failure mode announces itself, so the
+    audit is the difference between "revenue by nation" and "revenue by
+    nation, minus whatever didn't match".
+
+    Left-anti join per edge (null child keys count as orphans in both
+    engines: NULL never equals), grouped counts only.
+
+    Scale: each edge is a semi-join of the child's key column against
+    the parent key — with the parent dimension-sized, AQE broadcasts
+    it and the audit is a map-side pass over the child.
+    """
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in {e[1] for e in _FK_EDGES} | {e[3] for e in _FK_EDGES}
+    }
+    parts = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        c, p = tables[child], tables[parent]
+        child_rows = c.agg(
+            F.count(F.lit(1)).cast("long").alias("child_rows")
+        )
+        orphans = c.join(
+            p, c[ckey] == p[pkey], "left_anti"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
+            F.count_distinct(F.col(ckey)).cast("long").alias("orphan_keys"),
+        )
+        parts.append(
+            child_rows.crossJoin(orphans).select(
+                F.lit(name).alias("edge"),
+                "child_rows",
+                "orphan_rows",
+                "orphan_keys",
+                (
+                    F.col("orphan_rows").cast("double")
+                    / F.col("child_rows")
+                ).alias("orphan_rate"),
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+# ---------------------------------------------------------------------------
+# heavy-key report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_skew_topk",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+    top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+    SELECT user_id, cnt, total,
+           CAST(cnt AS DOUBLE) / total AS share,
+           CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS DOUBLE) / total AS cum_share,
+           CAST(CASE WHEN cnt * 32 > total THEN 1 ELSE 0 END AS BIGINT)
+             AS exceeds_fair_share_32
+    FROM top, t
+    """,
+)
+def events_user_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 heaviest shuffle keys of the event stream, with each key's
+    share of total rows and the flag that matters for planning: does one
+    key alone exceed a 32-partition fair share (cnt·32 > total, exact
+    integer comparison)? Any flagged key makes EVERY groupBy/join on
+    user_id straggle regardless of partition count — the fix is salting
+    (skew.py) or AQE skew-join, and this report is what tells you
+    before the stage does.
+
+    The top-20 is TakeOrderedAndProject over the grouped counts (each
+    partition contributes ≤20 candidates); the cumulative-share window
+    runs over exactly those 20 rows — a constant-size fold, not a
+    global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = c.agg(F.sum("cnt").cast("long").alias("total"))
+    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(20)
+    w = (
+        W.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        top.crossJoin(total)
+        .withColumn("cum", F.sum("cnt").over(w).cast("long"))
+        .select(
+            "user_id",
+            "cnt",
+            "total",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+            (F.col("cum").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+            F.when(F.col("cnt") * 32 > F.col("total"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("exceeds_fair_share_32"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed-layout balance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_partition_balance",
+    oracle=f"""
+    WITH b AS (
+      SELECT {md5_hash32_sql("CAST(o_orderkey AS VARCHAR)",
+                             _BALANCE_BUCKETS)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+    SELECT bucket, n_rows, value_cents,
+           CAST(n_rows * {_BALANCE_BUCKETS} AS DOUBLE) / total - 1.0
+             AS imbalance
+    FROM b, t
+    """,
+)
+def orders_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row and value balance of the 32-bucket layout key
+    (sources/bucketed.py buckets orders on o_orderkey): rows and exact
+    cents per md5 bucket, and each bucket's deviation from fair share
+    (`imbalance` = rows·B/total − 1; ±0 is perfect, +0.5 means that
+    bucket's task runs 1.5× the average). The zero-exchange co-located
+    join is only as fast as its fullest bucket — this is the table that
+    validates the layout choice before committing a 100 TB rewrite to
+    it.
+
+    One map-side aggregate over (hash % B); the fair-share division is
+    the single float op.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        md5_hash32_spark(
+            "cast(o_orderkey as string)", _BALANCE_BUCKETS
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents("o_totalprice")).cast("long").alias("value_cents"),
+    )
+    total = b.agg(F.sum("n_rows").cast("long").alias("total"))
+    return b.crossJoin(total).select(
+        "bucket",
+        "n_rows",
+        "value_cents",
+        (
+            (F.col("n_rows") * _BALANCE_BUCKETS).cast("double")
+            / F.col("total")
+            - F.lit(1.0)
+        ).alias("imbalance"),
+    )

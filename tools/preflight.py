@@ -29,6 +29,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=50)
     ap.add_argument("--all", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names (or name prefixes ending in "
+        "'*') to check instead of the rotation window",
+    )
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument(
         "--json",
@@ -46,7 +52,24 @@ def main() -> int:
     spark = get_spark("preflight", cpus=args.cpus)
     con = duckdb_conn(args.sf)
     queries, oracles = entry.queries(), entry.oracle_sql()
-    names = list(queries) if args.all else list(queries)[: args.limit]
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        names = [
+            n
+            for n in queries
+            if any(
+                n == p or (p.endswith("*") and n.startswith(p[:-1]))
+                for p in pats
+            )
+        ]
+        missing = [
+            p for p in pats if not p.endswith("*") and p not in queries
+        ]
+        if missing:
+            print(f"unknown query names: {missing}")
+            return 1
+    else:
+        names = list(queries) if args.all else list(queries)[: args.limit]
     t0 = time.time()
     fails: list[tuple[str, str]] = []
     n_exact = n_rows = 0
