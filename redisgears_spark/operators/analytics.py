@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from redisgears_spark.functions.exact import cents, day_bucket, micros
+from redisgears_spark.functions.exact import basis_points, cents, day_bucket, micros
 from redisgears_spark.functions.hashing import (
     md5_hash32_spark,
     md5_hash32_sql,
@@ -4659,4 +4659,426 @@ def customer_event_audience_overlap_kmv(
         jac.alias("jaccard"),
         uest.alias("union_est"),
         (jac * uest).alias("intersection_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 statistics batch: inequality, seasonality, dispersion diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_balance_gini_by_nation",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey
+             ) AS rn
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bal) AS BIGINT) AS s,
+             CAST(SUM(rn * bal) AS BIGINT) AS ws
+      FROM r GROUP BY 1
+    )
+    SELECT n.n_name AS nation_name,
+           g.n AS n_customers,
+           g.s AS balance_cents,
+           CAST(2 * g.ws - (g.n + 1) * g.s AS DOUBLE) / (g.n * g.s) AS gini
+    FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+    """,
+)
+def customer_balance_gini_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of account-balance concentration per nation — the
+    inequality profile that tells a credit desk which national books are
+    whale-dominated. Closed rank form over exact cents: with balances
+    sorted ascending and 1-based rank i, G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) —
+    integer numerator and denominator, ONE IEEE division
+    (orders_gini_concentration's formula, widened to a per-nation
+    partitioned cut).
+
+    Scale: the rank window partitions by nation (parallel across
+    nations, linear within), the aggregate is map-side partial, and the
+    25-row nation name join broadcasts. No global sort exists anywhere
+    in the plan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = cust.select(
+        "c_nationkey",
+        cents("c_acctbal").alias("bal"),
+        "c_custkey",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("c_nationkey").orderBy("bal", "c_custkey")
+        ),
+    )
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal").cast("long").alias("s"),
+        F.sum(F.col("rn") * F.col("bal")).cast("long").alias("ws"),
+    )
+    return g.join(
+        F.broadcast(nation),
+        g["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        F.col("n_name").alias("nation_name"),
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("balance_cents"),
+        (
+            (2 * F.col("ws") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s"))
+        ).alias("gini"),
+    )
+
+
+@query(
+    "orders_seasonal_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total FROM m)
+    SELECT month, n_orders, revenue_cents,
+           CAST(revenue_cents * 12 AS DOUBLE) / total AS seasonal_index
+    FROM m, t
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index of order revenue: each month's
+    revenue relative to the flat-year expectation (index = rev·12/total,
+    cross-multiplied so the single division is the last op). Index > 1
+    marks the high season — the capacity-planning number.
+
+    Scale: one map-side aggregate to 12 rows, one scalar total
+    broadcast back over them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("revenue_cents"),
+    )
+    t = m.agg(F.sum("revenue_cents").cast("long").alias("total"))
+    return m.crossJoin(t).select(
+        "month",
+        "n_orders",
+        "revenue_cents",
+        (
+            (F.col("revenue_cents") * 12).cast("double") / F.col("total")
+        ).alias("seasonal_index"),
+    )
+
+
+@query(
+    "orders_priority_escalation_trend",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS midx,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent_high
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(m.midx AS BIGINT) AS month_idx,
+           m.n_orders, m.n_urgent_high,
+           CAST(m.n_urgent_high AS DOUBLE) / m.n_orders AS urgent_share,
+           COALESCE(
+             CAST(m.n_urgent_high AS DOUBLE) / m.n_orders
+               - CAST(p.n_urgent_high AS DOUBLE) / p.n_orders, 0.0)
+             AS share_delta_mom
+    FROM m LEFT JOIN m p ON p.midx = m.midx - 1
+    """,
+)
+def orders_priority_escalation_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly share of urgent/high-priority orders with the
+    month-over-month delta — the escalation tripwire (a sustained climb
+    in urgency share means the fulfillment SLA is about to be tested;
+    same trend idiom as lineitem_returns_monthly_trend, self-join on
+    month_idx−1 with 0-sentinel for the first month).
+
+    Scale: map-side partial agg to one row per month; the MoM self-join
+    is dimension-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("midx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_urgent_high"),
+    )
+    p = m.select(
+        F.col("midx").alias("p_midx"),
+        F.col("n_orders").alias("p_n"),
+        F.col("n_urgent_high").alias("p_u"),
+    )
+    share = F.col("n_urgent_high").cast("double") / F.col("n_orders")
+    prev_share = F.col("p_u").cast("double") / F.col("p_n")
+    return m.join(p, F.col("p_midx") == F.col("midx") - 1, "left").select(
+        F.col("midx").alias("month_idx"),
+        "n_orders",
+        "n_urgent_high",
+        share.alias("urgent_share"),
+        F.coalesce(share - prev_share, F.lit(0.0)).alias("share_delta_mom"),
+    )
+
+
+@query(
+    "lineitem_tax_discount_matrix",
+    oracle="""
+    SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS gross_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT)
+             AS charged_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+             / (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) * 10000) AS effective_rate
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def lineitem_tax_discount_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective charge multiplier by (discount %, tax %) cell — the
+    pricing-policy matrix: charged/gross where charged applies TPC-H's
+    price·(1−disc)·(1+tax). All products stay in exact integer
+    cent·percent² units (`charged_e4`); the effective rate is ONE
+    division by gross·10⁴. A cell whose effective_rate deviates from
+    (100−d)(100+t)/10⁴ would expose a data-entry error — here it is the
+    identity, which is the point of the audit.
+
+    Scale: single map-side aggregate over an 11×9 band grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = basis_points("l_discount", 100)
+    tax = basis_points("l_tax", 100)
+    gross = cents("l_extendedprice")
+    charged = gross * (100 - disc) * (100 + tax)
+    return (
+        li.groupBy(disc.alias("disc_pct"), tax.alias("tax_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(gross).cast("long").alias("gross_cents"),
+            F.sum(charged).cast("long").alias("charged_e4"),
+        )
+        .select(
+            "disc_pct",
+            "tax_pct",
+            "n_lines",
+            "gross_cents",
+            "charged_e4",
+            (
+                F.col("charged_e4").cast("double")
+                / (F.col("gross_cents") * 10000)
+            ).alias("effective_rate"),
+        )
+    )
+
+
+@query(
+    "events_user_peak_hour_share_hist",
+    oracle="""
+    WITH uh AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(MAX(c) AS BIGINT) AS mx
+      FROM uh GROUP BY 1
+    )
+    SELECT (mx * 10) // total AS share_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(mx) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(total) AS BIGINT) AS pooled_peak_share
+    FROM u GROUP BY 1
+    """,
+)
+def events_user_peak_hour_share_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How concentrated is each user's activity in their single busiest
+    hour-of-day? Bucket users by peak-hour share decile — computed as
+    the INTEGER division (max·10)//total, so the bucket edge can never
+    fall on a float rounding seam — and report the pooled share per
+    bucket (Σmax/Σtotal, one division). Bots cluster in the top
+    buckets; humans spread.
+
+    Scale: two map-side aggregates (user×hour, then user), then a
+    10-row histogram. No windows, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = uh.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.max("c").cast("long").alias("mx"),
+    )
+    return (
+        u.withColumn("share_bucket", F.expr("(mx * 10) div total"))
+        .groupBy("share_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (
+                F.sum("mx").cast("long").cast("double")
+                / F.sum("total").cast("long")
+            ).alias("pooled_peak_share"),
+        )
+    )
+
+
+@query(
+    "events_value_variance_homogeneity",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT)
+               AS ss
+      FROM events GROUP BY 1
+    ),
+    v AS (
+      SELECT event_type,
+             n AS n_events,
+             CAST(s AS DOUBLE) / n AS mean_value_cents,
+             CAST(CAST(n AS HUGEINT) * ss
+                  - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+               / (n * (n - 1)) AS variance
+      FROM g
+    ),
+    m AS (SELECT MIN(variance) AS mv FROM v)
+    SELECT event_type, n_events, mean_value_cents, variance,
+           variance / mv AS var_over_min
+    FROM v, m
+    """,
+)
+def events_value_variance_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hartley-style variance-homogeneity check of event value across
+    types: per-type sample variance via the integer identity
+    (nΣx²−(Σx)²)/(n(n−1)) over exact cents — sums ride decimal(38,0) /
+    HUGEINT because n·Σx² exceeds int64 — plus each type's ratio to the
+    smallest variance (`var_over_min`, the F-max statistic). A ratio far
+    above 1 says pooled-variance assumptions (and uniform z-score
+    thresholds) are wrong across types.
+
+    Scale: one map-side aggregate to |types| rows; the min-variance
+    scalar broadcasts back. Divisions: exactly one per output float.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = cents("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum((c * c).cast(_DEC)).cast(_DEC).alias("ss"),
+    )
+    nd = F.col("n").cast(_DEC)
+    sd = F.col("s").cast(_DEC)
+    v = g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_value_cents"),
+        (
+            (nd * F.col("ss") - sd * sd).cast("double")
+            / (F.col("n") * (F.col("n") - 1))
+        ).alias("variance"),
+    )
+    m = v.agg(F.min("variance").alias("mv"))
+    return v.crossJoin(m).select(
+        "event_type",
+        "n_events",
+        "mean_value_cents",
+        "variance",
+        (F.col("variance") / F.col("mv")).alias("var_over_min"),
+    )
+
+
+@query(
+    "events_user_fano_factor",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS ssq
+      FROM d GROUP BY 1
+    )
+    SELECT user_id, n_days, n_events,
+           CAST(n_days * ssq - n_events * n_events AS DOUBLE)
+             / ((n_days - 1) * n_events) AS fano
+    FROM u WHERE n_days >= 2
+    """,
+)
+def events_user_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness via the Fano factor of daily event counts
+    (variance/mean over the user's ACTIVE days): Fano ≈ 1 is
+    Poisson-like organic traffic, ≫ 1 is bursty (campaign-driven or
+    scripted), ≪ 1 is metronomic (cron-like bots). Exact closed form
+    Fano = (nΣc²−(Σc)²)/((n−1)Σc) — integer numerator and denominator,
+    one division; users with a single active day are excluded (the
+    sample variance is undefined).
+
+    Scale: two map-side aggregates (user×day, then user); day counts
+    are small so every sum stays far inside int64.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("user_id", day_bucket("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    return u.filter(F.col("n_days") >= 2).select(
+        "user_id",
+        "n_days",
+        "n_events",
+        (
+            (
+                F.col("n_days") * F.col("ssq")
+                - F.col("n_events") * F.col("n_events")
+            ).cast("double")
+            / ((F.col("n_days") - 1) * F.col("n_events"))
+        ).alias("fano"),
     )
