@@ -1814,3 +1814,66 @@ def pipeline_user_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_c").cast("long").alias("value_c"),
         )
     )
+
+
+@query(
+    "pipeline_epoch_repeat_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM s
+    )
+    SELECT source, n_docs, tokens,
+           (2 * t.total) // t.n_sources AS budget_share,
+           LEAST(4, ((2 * t.total) // t.n_sources) // tokens) AS epochs,
+           LEAST(4, ((2 * t.total) // t.n_sources) // tokens) * tokens
+             AS tokens_used,
+           (2 * t.total) // t.n_sources
+             - LEAST(4, ((2 * t.total) // t.n_sources) // tokens) * tokens
+             AS budget_left
+    FROM s, t
+    """,
+)
+def pipeline_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (the Muennighoff-et-al recipe: when
+    the token budget exceeds the corpus, repeat data up to ~4 epochs
+    before repetition stops helping): give each source an equal slice of
+    a 2×-corpus budget and compute the integer number of whole epochs it
+    can run, capped at 4. Every column is integer arithmetic (floor
+    divisions, LEAST) — a plan you can hand to a scheduler with no
+    rounding ambiguity; `budget_left` is the slice residue a second
+    allocation pass could redistribute.
+
+    Scale: one token-count aggregate per source (map-side explode-free
+    `size(...)`), one scalar total broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr(f"size({_TOKENS})")).cast("long").alias("tokens"),
+    )
+    t = s.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    j = s.crossJoin(t)
+    budget = F.expr("(2 * total) div n_sources")
+    epochs = F.least(F.lit(4).cast("long"), F.expr(
+        "((2 * total) div n_sources) div tokens"
+    ))
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        budget.alias("budget_share"),
+        epochs.alias("epochs"),
+        (epochs * F.col("tokens")).alias("tokens_used"),
+        (budget - epochs * F.col("tokens")).alias("budget_left"),
+    )

@@ -1357,3 +1357,418 @@ def text_freq_of_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("f").cast("long").alias("min_f"),
         F.max("f").cast("long").alias("max_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10 additions: corpus-shape diagnostics (Zipf, coverage, cohesion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_zipf_rank_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST({_TOKENS_SQL}) AS token FROM documents
+    ),
+    f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok GROUP BY 1),
+    t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+    top AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM f ORDER BY freq DESC, token LIMIT 50
+    )
+    SELECT rank, token, freq,
+           rank * freq AS rank_freq,
+           CAST(freq AS DOUBLE) / total AS token_share
+    FROM top, t
+    """,
+)
+def docs_zipf_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency curve of the corpus head (top-50 tokens):
+    under Zipf's law rank·freq is constant, so `rank_freq` is emitted as
+    the EXACT INTEGER product — the constancy check needs no logarithm
+    (log-log slope fitting would break cross-engine bit-exactness; the
+    product form is the same diagnostic, log-free). A corpus whose
+    rank_freq column collapses early is template-dominated; one that
+    holds is natural-language-like.
+
+    Scale: map-side token counting, TakeOrderedAndProject for the
+    top-50, rank assigned over those 50 rows only (constant fold, not a
+    global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    t = f.agg(F.sum("freq").cast("long").alias("total"))
+    top = f.orderBy(F.desc("freq"), F.asc("token")).limit(50)
+    w = W.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(t)
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_freq"),
+            (F.col("freq").cast("double") / F.col("total")).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+_stop_sql = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@query(
+    "docs_stopword_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN token IN {_stop_sql} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stopword,
+           CAST(SUM(CASE WHEN token IN {_stop_sql} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS stopword_share
+    FROM tok GROUP BY source
+    """,
+)
+def docs_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword mass per source — the classic language-naturalness
+    signal (CCNet/Gopher both gate on it): machine-generated or
+    template text carries far less function-word mass than natural
+    prose. Counts ride integers; the share is one division.
+
+    Scale: explode + map-side conditional count per source; the
+    stopword list is a compile-time literal (no join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    is_stop = F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(is_stop).cast("long").alias("n_stopword"),
+        (
+            F.sum(is_stop).cast("double") / F.count(F.lit(1))
+        ).alias("stopword_share"),
+    )
+
+
+@query(
+    "docs_sentence_length_cv",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, UNNEST({_SENTENCES_SQL}) AS sent FROM documents
+    ),
+    x AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(sent, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS words
+      FROM s
+    ),
+    g AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             CAST(SUM(words) AS BIGINT) AS sw,
+             CAST(SUM(words * words) AS BIGINT) AS sww
+      FROM x GROUP BY 1
+    )
+    SELECT lang, n_sentences,
+           CAST(sw AS DOUBLE) / n_sentences AS mean_words,
+           CAST(n_sentences * (n_sentences * sww - sw * sw) AS DOUBLE)
+             / ((n_sentences - 1) * sw * sw) AS cv2
+    FROM g WHERE n_sentences >= 2
+    """,
+)
+def docs_sentence_length_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length dispersion per language as the SQUARED coefficient
+    of variation — cv² = n(nΣx²−(Σx)²)/((n−1)(Σx)²), the log-free,
+    sqrt-free form that stays an integer ratio until its single
+    division. Uniform machine text has cv² ≈ 0; natural prose sits
+    around 0.3–0.7 — a per-language quality gate threshold.
+
+    Scale: sentence explode is map-side (array ops per row), then one
+    aggregate to |langs| rows. Integer magnitudes: n·Σx² at 100 TB
+    needs the decimal lift — at fixture scales int64 holds with 10+
+    digits of headroom, and the docstring contract (like the variance
+    family) is to ride decimal(38,0) when row counts pass ~10^9.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang", F.explode(F.expr(_SENTENCES)).alias("sent")
+    )
+    words = F.expr(
+        "CAST(size(filter(split(sent, '\\\\s+'), t -> t != '')) AS BIGINT)"
+    )
+    g = s.select("lang", words.alias("words")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum("words").cast("long").alias("sw"),
+        F.sum(F.col("words") * F.col("words")).cast("long").alias("sww"),
+    )
+    n = F.col("n_sentences")
+    return g.filter(n >= 2).select(
+        "lang",
+        "n_sentences",
+        (F.col("sw").cast("double") / n).alias("mean_words"),
+        (
+            (n * (n * F.col("sww") - F.col("sw") * F.col("sw"))).cast(
+                "double"
+            )
+            / ((n - 1) * F.col("sw") * F.col("sw"))
+        ).alias("cv2"),
+    )
+
+
+@query(
+    "text_ttr_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr,
+           CAST(COUNT(DISTINCT token) AS DOUBLE)
+             / sqrt(CAST(COUNT(*) AS DOUBLE)) AS root_ttr
+    FROM tok GROUP BY source
+    """,
+)
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level type–token ratio per source (text_token_stats is the
+    per-document cut; this is the pooled vocabulary-richness ledger).
+    Root-TTR (Guiraud's R = V/√N) corrects plain TTR's length bias so
+    sources of different volume compare fairly. sqrt is IEEE
+    correctly-rounded in both engines, so the floats stay bit-identical
+    (contrast log, which is not and is banned from oracle paths).
+
+    Scale: explode + per-source distinct aggregate — the distinct is the
+    one shuffle, on (source, token).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("token")).cast("long").alias("n_distinct"),
+        (
+            F.count_distinct(F.col("token")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ttr"),
+        (
+            F.count_distinct(F.col("token")).cast("double")
+            / F.sqrt(F.count(F.lit(1)).cast("double"))
+        ).alias("root_ttr"),
+    )
+
+
+@query(
+    "text_cooccurrence_lift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, UNNEST({_TOKENS_SQL}) AS token FROM documents
+      )
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tok GROUP BY 1),
+    v AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 30),
+    tv AS (SELECT t.doc_id, t.token FROM tok t JOIN v USING (token)),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    p AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc_docs
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    )
+    SELECT p.token_a, p.token_b, p.cooc_docs,
+           va.df AS df_a, vb.df AS df_b,
+           CAST(p.cooc_docs * d.n_docs AS DOUBLE) / (va.df * vb.df) AS lift
+    FROM p
+    JOIN v va ON va.token = p.token_a
+    JOIN v vb ON vb.token = p.token_b, d
+    """,
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence lift between head-vocabulary tokens:
+    lift(a,b) = P(a,b)/(P(a)P(b)) computed in the cross-multiplied
+    integer form cooc·D/(df_a·df_b) — PMI without the logarithm, same
+    ordering, bit-exact. Lift ≫ 1 marks collocations (phrases the
+    tokenizer should keep together); lift < 1 marks topical repulsion.
+
+    Scale: the pair join is restricted to the top-30-df vocabulary
+    BEFORE the self-join (a 30-row broadcast filter), so per-document
+    fan-out is bounded by 30²/2 regardless of corpus size — the
+    unbounded version of this query is exactly the all-pairs shape the
+    dedup-economics verdict banned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    ).distinct()
+    df = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    v = df.orderBy(F.desc("df"), F.asc("token")).limit(30)
+    tv = tok.join(F.broadcast(v.select("token")), "token")
+    d = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a = tv.select(F.col("doc_id"), F.col("token").alias("token_a"))
+    b = tv.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b"))
+    p = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("token_a") < F.col("token_b")),
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc_docs"))
+    )
+    va = v.select(F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    vb = v.select(F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    return (
+        p.join(F.broadcast(va), "token_a")
+        .join(F.broadcast(vb), "token_b")
+        .crossJoin(d)
+        .select(
+            "token_a",
+            "token_b",
+            "cooc_docs",
+            "df_a",
+            "df_b",
+            (
+                (F.col("cooc_docs") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "docs_trigram_uniqueness_hist",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(length(text) - 2 AS BIGINT) AS n_tri,
+             CAST(len(list_distinct(
+               list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INTEGER), 3))
+             )) AS BIGINT) AS n_uniq
+      FROM documents WHERE length(text) >= 3
+    )
+    SELECT (n_uniq * 10) // n_tri AS uniq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(n_uniq) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(n_tri) AS BIGINT) AS pooled_uniqueness
+    FROM x GROUP BY 1
+    """,
+)
+def docs_trigram_uniqueness_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-trigram uniqueness histogram — the compression-ratio
+    proxy quality filters use without running a compressor: distinct
+    trigrams over total trigrams per document, bucketed by the integer
+    division (uniq·10)//total so bucket edges can't sit on float seams.
+    Highly repetitive (template/spam) documents land in the low
+    buckets; the pooled ratio per bucket is one division of exact sums.
+
+    Scale: the trigram set is computed per row with array expressions
+    (no explode, no shuffle of trigram rows); the histogram aggregate
+    is map-side to ≤11 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.filter(F.length("text") >= 3).select(
+        (F.length("text") - 2).cast("long").alias("n_tri"),
+        F.expr(
+            "CAST(size(array_distinct(transform("
+            "sequence(1, length(text) - 2), "
+            "i -> substr(text, i, 3)))) AS BIGINT)"
+        ).alias("n_uniq"),
+    )
+    return (
+        x.withColumn("uniq_bucket", F.expr("(n_uniq * 10) div n_tri"))
+        .groupBy("uniq_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum("n_uniq").cast("long").cast("double")
+                / F.sum("n_tri").cast("long")
+            ).alias("pooled_uniqueness"),
+        )
+    )
+
+
+@query(
+    "docs_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST({_TOKENS_SQL}) AS token FROM documents
+    ),
+    f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok GROUP BY 1),
+    r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+                 AS rank FROM f),
+    t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size FROM f)
+    SELECT k AS top_k,
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM r WHERE rank <= k)
+             AS covered_tokens,
+           t.total_tokens,
+           t.vocab_size,
+           CAST((SELECT CAST(SUM(freq) AS BIGINT) FROM r WHERE rank <= k)
+                AS DOUBLE) / t.total_tokens AS coverage_share
+    FROM (VALUES (CAST(10 AS BIGINT)), (CAST(100 AS BIGINT)),
+                 (CAST(1000 AS BIGINT))) AS ks(k), t
+    """,
+)
+def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary coverage curve: what share of all token
+    occurrences do the top 10 / 100 / 1000 types cover? The table a
+    tokenizer-budget decision reads (a 1k vocab covering 99 % means BPE
+    merges buy little; 60 % means they buy a lot).
+
+    Scale: the per-k head sums are TakeOrderedAndProject over the
+    vocabulary relation (vocabulary-sized, not corpus-sized — the only
+    rank consumer is a top-k), never a corpus sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    t = f.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    parts = []
+    for k in (10, 100, 1000):
+        head = (
+            f.orderBy(F.desc("freq"), F.asc("token"))
+            .limit(k)
+            .agg(F.sum("freq").cast("long").alias("covered_tokens"))
+        )
+        parts.append(
+            head.crossJoin(t).select(
+                F.lit(k).cast("long").alias("top_k"),
+                "covered_tokens",
+                "total_tokens",
+                "vocab_size",
+                (
+                    F.col("covered_tokens").cast("double")
+                    / F.col("total_tokens")
+                ).alias("coverage_share"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
