@@ -1658,3 +1658,366 @@ def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(covered).cast("double") / F.count(F.lit(1))).alias("coverage"),
         F.coalesce(F.sum("norm2"), F.lit(0)).cast("long").alias("sum_norm2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10 additions: embedding-space geometry diagnostics
+# ---------------------------------------------------------------------------
+
+_DEC10 = "decimal(38,0)"
+
+
+@query(
+    "embeddings_centroid_separation_matrix",
+    oracle="""
+    WITH comp AS (
+      SELECT e.label, s.i AS dim,
+             CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q6
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    ),
+    g AS (
+      SELECT label, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q6) AS BIGINT) AS s
+      FROM comp GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(MAX(a.n) AS BIGINT) AS n_a,
+             CAST(MAX(b.n) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
+                      * CAST(a.s * b.n - b.s * a.n AS HUGEINT)) AS HUGEINT)
+               AS num
+      FROM g a JOIN g b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           CAST(num AS DOUBLE)
+             / (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 1e12)
+             AS centroid_dist2
+    FROM p
+    """,
+)
+def embeddings_centroid_separation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Squared L2 distance between every pair of label centroids — the
+    class-separability matrix that says whether nearest-centroid
+    classification (sim_nearest_centroid_classify) has any hope: classes
+    whose centroid_dist2 is small relative to within-class spread will
+    confuse.
+
+    Exactness: centroids never materialize as floats — the difference
+    (s_a/n_a − s_b/n_b) is cross-multiplied to the integer
+    (s_a·n_b − s_b·n_a), squared in decimal(38,0)/HUGEINT (the square
+    exceeds int64), summed over dims, and normalized by
+    (n_a·n_b)²·10¹² in the final float step.
+
+    Scale: per-(label, dim) integer sums are map-side; the pair join is
+    |labels|²·dims rows — dimension-sized, never corpus-sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q6"),
+    )
+    g = comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q6").cast("long").alias("s"),
+    )
+    a = g.select(
+        F.col("label").alias("label_a"),
+        F.col("dim"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    diff = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+        _DEC10
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.sum(diff * diff).cast(_DEC10).alias("num"),
+        )
+    )
+    den = (
+        (F.col("n_a") * F.col("n_b") * F.col("n_a") * F.col("n_b"))
+        .cast("double")
+        * F.lit(1e12)
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (F.col("num").cast("double") / den).alias("centroid_dist2"),
+    )
+
+
+@query(
+    "embeddings_quantile_clip_ranges",
+    oracle="""
+    WITH comp AS (
+      SELECT s.i AS dim, e.vec_id,
+             CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q6
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    ),
+    r AS (
+      SELECT dim, q6,
+             ROW_NUMBER() OVER (PARTITION BY dim ORDER BY q6, vec_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY dim) AS n
+      FROM comp
+    )
+    SELECT dim,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 1) // 100 + 1
+                         THEN q6 END) AS BIGINT) AS q6_p01,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1
+                         THEN q6 END) AS BIGINT) AS q6_p99,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1
+                         THEN q6 END)
+                - MAX(CASE WHEN rn = ((n - 1) * 1) // 100 + 1
+                           THEN q6 END) AS BIGINT) AS clip_range_q6
+    FROM r GROUP BY dim
+    """,
+)
+def embeddings_quantile_clip_ranges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension p01/p99 clip ranges — the calibration table int8
+    quantization reads (embeddings_int8_quantize assumes a symmetric
+    range; this measures the real one, so outlier dims get their own
+    clip instead of poisoning the global scale).
+
+    Exactness: type-1 (lower-step) quantiles selected by exact integer
+    rank k = ⌊(n−1)p⌋+1 over q6-quantized components with vec_id
+    tie-break — order statistics, zero float ops in the whole output.
+
+    Scale: the rank window partitions BY DIMENSION (64-way parallel,
+    linear within); selection is a conditional aggregate, so no
+    per-dim sort result ever leaves the executors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        "vec_id",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q6"),
+    )
+    w = W.partitionBy("dim").orderBy("q6", "vec_id")
+    wn = W.partitionBy("dim")
+    r = comp.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    k01 = F.expr("((n - 1) * 1) div 100 + 1")
+    k99 = F.expr("((n - 1) * 99) div 100 + 1")
+    p01 = F.max(F.when(F.col("rn") == k01, F.col("q6"))).cast("long")
+    p99 = F.max(F.when(F.col("rn") == k99, F.col("q6"))).cast("long")
+    return r.groupBy("dim").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        p01.alias("q6_p01"),
+        p99.alias("q6_p99"),
+        (p99 - p01).alias("clip_range_q6"),
+    )
+
+
+@query(
+    "embeddings_adjacent_dim_corr",
+    oracle="""
+    WITH comp AS (
+      SELECT e.vec_id, s.i AS dim,
+             CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q6
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    ),
+    pair AS (
+      SELECT a.dim AS dim_a, b.dim AS dim_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.q6) AS BIGINT) AS sx,
+             CAST(SUM(b.q6) AS BIGINT) AS sy,
+             CAST(SUM(CAST(a.q6 AS HUGEINT) * CAST(b.q6 AS HUGEINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(a.q6 AS HUGEINT) * CAST(a.q6 AS HUGEINT))
+                  AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(b.q6 AS HUGEINT) * CAST(b.q6 AS HUGEINT))
+                  AS HUGEINT) AS syy
+      FROM comp a JOIN comp b
+        ON a.vec_id = b.vec_id AND b.dim = a.dim + 1
+      GROUP BY 1, 2
+    )
+    SELECT dim_a, dim_b, n,
+           CAST(CAST(n AS HUGEINT) * sxy
+                - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                         AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                           AS DOUBLE)) AS corr
+    FROM pair
+    """,
+)
+def embeddings_adjacent_dim_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation between adjacent embedding dimensions — the
+    redundancy probe: a well-trained embedding has near-zero adjacent
+    correlation; strong bands mean the effective dimensionality is
+    lower than the stored one (PQ subspace splits and dimension-drop
+    compression both read this).
+
+    Exactness: all five sums accumulate q6 integers (products ride
+    decimal(38,0)/HUGEINT — n·Σxy exceeds int64 past ~10⁴ vectors);
+    the Pearson numerator and the two variance terms are exact
+    integers, combined by sqrt (IEEE correctly-rounded) and one
+    division.
+
+    Scale: the adjacent-pair join co-partitions on vec_id and emits
+    exactly 63 output rows; components stream through a map-side
+    partial aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q6"),
+    )
+    a = comp.select("vec_id", F.col("dim").alias("dim_a"), F.col("q6").alias("qa"))
+    b = comp.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("q6").alias("qb"),
+    )
+    qa_d = F.col("qa").cast(_DEC10)
+    qb_d = F.col("qb").cast(_DEC10)
+    pair = (
+        a.join(
+            b,
+            (F.col("vec_id") == F.col("vid_b"))
+            & (F.col("dim_b") == F.col("dim_a") + 1),
+        )
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qa").cast("long").alias("sx"),
+            F.sum("qb").cast("long").alias("sy"),
+            F.sum(qa_d * qb_d).cast(_DEC10).alias("sxy"),
+            F.sum(qa_d * qa_d).cast(_DEC10).alias("sxx"),
+            F.sum(qb_d * qb_d).cast(_DEC10).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast(_DEC10)
+    sxd = F.col("sx").cast(_DEC10)
+    syd = F.col("sy").cast(_DEC10)
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    vx = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    vy = (nd * F.col("syy") - syd * syd).cast("double")
+    return pair.select(
+        "dim_a",
+        "dim_b",
+        "n",
+        (num / F.sqrt(vx * vy)).alias("corr"),
+    )
+
+
+@query(
+    "embeddings_sign_coherence",
+    oracle="""
+    WITH comp AS (
+      SELECT e.label, s.i AS dim,
+             CASE WHEN round(CAST(e.embedding[s.i + 1] AS DOUBLE)
+                             * 1000000) >= 0
+                  THEN 1 ELSE 0 END AS pos
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    ),
+    g AS (
+      SELECT label, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM comp GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT label,
+             CAST(MAX(n) AS BIGINT) AS n_vecs,
+             CAST(SUM(LEAST(n_pos, n - n_pos)) AS BIGINT) AS disagree_bits
+      FROM g GROUP BY 1
+    )
+    SELECT label, n_vecs, disagree_bits,
+           CAST(disagree_bits AS DOUBLE) / n_vecs AS mean_hamming
+    FROM l
+    """,
+)
+def embeddings_sign_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-fingerprint coherence per label: take each vector's 64-bit
+    sign pattern (the SimHash view of the embedding), form the label's
+    majority sign per dimension, and report the total minority bit-count
+    — exactly the summed Hamming distance from each member to the class
+    majority fingerprint. Low mean_hamming means a 64-bit sign sketch
+    alone nearly identifies the class (cheap pre-filter before cosine);
+    high means sign bits carry little class signal.
+
+    Exactness: pure integer counting (minority count per dim =
+    min(n_pos, n−n_pos); Σ over dims = Σ member Hamming distances to
+    the majority pattern, an identity that needs no per-pair work);
+    one division for the mean.
+
+    Scale: two map-side aggregates — (label, dim) then label; nothing
+    pairwise anywhere despite computing a summed pairwise-style
+    distance.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.when(
+            F.round(F.col("x").cast("double") * 1_000_000) >= 0, 1
+        ).otherwise(0).alias("pos"),
+    )
+    g = comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    l = g.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum(F.least(F.col("n_pos"), F.col("n") - F.col("n_pos")))
+        .cast("long")
+        .alias("disagree_bits"),
+    )
+    return l.select(
+        "label",
+        "n_vecs",
+        "disagree_bits",
+        (
+            F.col("disagree_bits").cast("double") / F.col("n_vecs")
+        ).alias("mean_hamming"),
+    )
