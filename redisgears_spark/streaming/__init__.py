@@ -13,6 +13,7 @@ from redisgears_spark.streaming.windows import (  # noqa: F401
 )
 from redisgears_spark.streaming.stateful import (  # noqa: F401
     StatefulStatsRuntime,
+    StreamingBloomDedupRuntime,
     StreamingHeavyHittersRuntime,
     StreamingCusumRuntime,
     StreamingDistinctRuntime,

@@ -3095,3 +3095,175 @@ class TestStreamingQuantiles:
             rt.expire_idle(60)
         with pytest.raises(GearsError, match="k >= 1"):
             StreamingQuantileRuntime(engine, spool, work, k=0)
+
+
+class TestStreamingBloomDedup:
+    """Streaming Bloom first-seen filter: no false negatives ever,
+    bounded false positives at width, chunking-invariant final bitmap
+    that matches the batch builder's bit positions, restart resume."""
+
+    def _feed(self, spark, spool, pairs):
+        """pairs: list of (stream_key, id, value)."""
+        _write_canonical(
+            spark, spool, [(k, i, {"u": v}) for k, i, v in pairs]
+        )
+
+    def test_no_false_negatives_and_verdict_stream(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingBloomDedupRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingBloomDedupRuntime(
+            engine, spool, work, field="u", m=1 << 17, k=7
+        )
+        # 60 distinct values, each sent twice (second wave = replays)
+        first = [("k:1", i, f"v{i}") for i in range(60)]
+        replay = [("k:1", 100 + i, f"v{i}") for i in range(60)]
+        self._feed(spark, spool, first)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            self._feed(spark, spool, replay)
+            rt.process_available()
+        finally:
+            rt.stop()
+        stats = rt.dedup_stats()["k:1"]
+        # every replay suppressed (no false negatives, guaranteed);
+        # at m=2^17 with 60 items the FP probability is ~1e-22, so all
+        # 60 fresh values pass
+        assert stats["n_records"] == 120
+        assert stats["n_first_seen"] == 60
+        assert stats["n_suppressed"] == 60
+        v = rt.verdicts()
+        passed = {
+            r["item"]
+            for r in v.filter("first_seen").select("item").collect()
+        }
+        assert passed == {f"v{i}" for i in range(60)}
+        # replays carry first_seen=false with the ORIGINAL's id passed
+        ids_passed = sorted(
+            r["id"] for r in v.filter("first_seen").collect()
+        )
+        assert ids_passed == list(range(60))
+
+    def test_bitmap_matches_batch_positions_and_restart(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.functions.hashing import md5_hash32_py
+        from redisgears_spark.streaming import StreamingBloomDedupRuntime
+        from redisgears_spark.streaming.stateful import _bloom_positions
+
+        m, k = 1 << 12, 5
+        # python twin equals the documented batch rule md5('i:value')%m
+        for val in ("a", "x:y", "v7"):
+            assert _bloom_positions(val, m, k) == [
+                md5_hash32_py(f"{i}:{val}") % m for i in range(1, k + 1)
+            ]
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingBloomDedupRuntime(
+            engine, spool, work, field="u", m=m, k=k
+        )
+        vals = [f"item{i}" for i in range(40)]
+        self._feed(
+            spark, spool, [("k:1", i, v) for i, v in enumerate(vals[:25])]
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        # restart over the same checkpoint: state resumes, replays of
+        # the first 25 suppressed, the 15 new values pass
+        rt2 = StreamingBloomDedupRuntime(
+            engine, spool, work, field="u", m=m, k=k
+        )
+        self._feed(
+            spark,
+            spool,
+            [("k:1", 100 + i, v) for i, v in enumerate(vals)],
+        )
+        rt2.start(prefix="k:")
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        stats = rt2.dedup_stats()["k:1"]
+        assert stats["n_records"] == 65
+        assert stats["n_first_seen"] == 40  # 25 + 15 new
+        assert stats["n_suppressed"] == 25
+        # final bitmap = OR of the batch positions of all distinct values
+        want = 0
+        for val in vals:
+            for pos in _bloom_positions(val, m, k):
+                want |= 1 << pos
+        assert stats["bits_set"] == want.bit_count()
+
+    def test_chunking_invariance_of_totals(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingBloomDedupRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        pairs = [("k:1", i, f"w{i % 30}") for i in range(90)]
+
+        def run(workdir, chunks):
+            import shutil
+
+            sp = spool + f"_{chunks}"
+            rt = StreamingBloomDedupRuntime(
+                engine, sp, workdir, field="u", m=1 << 14, k=5
+            )
+            step = len(pairs) // chunks
+            self._feed(spark, sp, pairs[:step])
+            rt.start(prefix="k:")
+            try:
+                rt.process_available()
+                for c in range(1, chunks):
+                    self._feed(
+                        spark, sp, pairs[c * step:(c + 1) * step]
+                    )
+                    rt.process_available()
+            finally:
+                rt.stop()
+            return rt.dedup_stats()["k:1"]
+
+        a = run(work + "_a", 1)
+        b = run(work + "_b", 3)
+        # totals and final bitmap population are chunking-invariant
+        assert a["n_records"] == b["n_records"] == 90
+        assert a["n_first_seen"] == b["n_first_seen"] == 30
+        assert a["n_suppressed"] == b["n_suppressed"] == 60
+        assert a["bits_set"] == b["bits_set"]
+
+    def test_guards_and_missing_field(self, spark, sf_dir, spool, work):
+        import pytest as _pytest
+
+        from redisgears_spark.streaming import StreamingBloomDedupRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        with _pytest.raises(GearsError, match="power of two"):
+            StreamingBloomDedupRuntime(engine, spool, work, m=1000)
+        with _pytest.raises(GearsError, match="1 <= k <= 16"):
+            StreamingBloomDedupRuntime(engine, spool, work, k=0)
+        rt = StreamingBloomDedupRuntime(
+            engine, spool, work, field="u", m=1 << 10, k=3
+        )
+        # rows without the field pass through unfiltered (not counted)
+        _write_canonical(
+            spark,
+            spool,
+            [("k:1", 0, {"other": "x"}), ("k:1", 1, {"u": "a"}),
+             ("k:1", 2, {"u": "a"})],
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        stats = rt.dedup_stats()["k:1"]
+        assert stats["n_records"] == 2
+        assert stats["n_first_seen"] == 1
+        assert stats["n_suppressed"] == 1
+        with _pytest.raises(GearsError, match="dedup_stats"):
+            rt.latest()
+        with _pytest.raises(GearsError, match="not supported"):
+            rt.expire_idle(60)
