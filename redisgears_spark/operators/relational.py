@@ -6254,3 +6254,545 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(days, 0.9)").alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 widening: repeat curves, positional pricing, dormancy, trajectories
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_customer_repeat_curve",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    h AS (
+      SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM c GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS total FROM h)
+    SELECT n_orders, n_customers,
+           CAST(n_customers AS DOUBLE) / t.total AS customer_share,
+           CAST(CAST(SUM(n_customers) OVER (ORDER BY n_orders
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+             / t.total AS cum_share
+    FROM h, t
+    """,
+)
+def orders_customer_repeat_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase curve: how many customers placed exactly k orders,
+    with the cumulative share — the loyalty-ladder table (a long tail at
+    k=1 means acquisition-heavy; mass at high k means retention-driven).
+    Counting only; two divisions on exact integers.
+
+    Scale: two map-side aggregates (customer, then order-count), then a
+    window over the ≤ max(k) histogram rows — histogram-sized, not
+    customer-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    h = c.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    t = h.agg(F.sum("n_customers").cast("long").alias("total"))
+    w = W.orderBy("n_orders").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        h.crossJoin(t)
+        .withColumn("cum", F.sum("n_customers").over(w).cast("long"))
+        .select(
+            "n_orders",
+            "n_customers",
+            (
+                F.col("n_customers").cast("double") / F.col("total")
+            ).alias("customer_share"),
+            (F.col("cum").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+@query(
+    "lineitem_linenumber_profile",
+    oracle="""
+    SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / (COUNT(*) * 100) AS avg_price,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS return_rate
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_linenumber_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positional pricing profile: average line value and return rate by
+    line position within the order. A monotone avg_price slope says
+    carts are ordered (big item first); a return-rate gradient by
+    position is a picking-error signal. Integer sums, one division per
+    float.
+
+    Scale: single map-side aggregate over ≤7 positions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_linenumber").cast("long").alias("linenumber")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(cents("l_extendedprice")).cast("long").alias("price_cents"),
+        (
+            F.sum(cents("l_extendedprice")).cast("double")
+            / (F.count(F.lit(1)) * 100)
+        ).alias("avg_price"),
+        (
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("return_rate"),
+    )
+
+
+@query(
+    "supplier_balance_quartile_mix",
+    oracle="""
+    WITH q AS (
+      SELECT s_nationkey,
+             NTILE(4) OVER (
+               ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT), s_suppkey
+             ) AS quartile
+      FROM supplier
+    )
+    SELECT n.n_name AS nation_name,
+           CAST(q.quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM q JOIN nation n ON n.n_nationkey = q.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def supplier_balance_quartile_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which nations hold the rich and poor supplier books? Global
+    balance quartiles (functions/ranks.global_ntile — the distributed
+    exact NTILE, bit-identical to the window form without a
+    single-partition sort) crossed with nation. A nation concentrated in
+    quartile 1 is a credit-risk cluster.
+
+    Scale: global_ntile range-buckets the cents order key (no global
+    sort); the nation join broadcasts 25 rows.
+    """
+    from redisgears_spark.functions.ranks import global_ntile
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    q = global_ntile(
+        sup.select("s_suppkey", "s_nationkey", cents("s_acctbal").alias("bal")),
+        4,
+        "bal",
+        "s_suppkey",
+        "quartile",
+    )
+    return (
+        q.join(
+            F.broadcast(nation),
+            q["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("quartile").cast("long").alias("quartile"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    )
+
+
+@query(
+    "events_dormancy_reactivation",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             LAG(epoch_us(ts) // 86400000000) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_day
+      FROM events
+    )
+    SELECT CAST(day // 7 AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_reactivations,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM g
+    WHERE prev_day IS NOT NULL AND day - prev_day > 30
+    GROUP BY 1
+    """,
+)
+def events_dormancy_reactivation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reactivation ledger: events that end a dormancy of more than 30
+    days (per user, gap measured in floored epoch-days — the shared
+    day_bucket rule), grouped by week. The win-back measurement table:
+    a campaign should spike it.
+
+    Scale: one lag window partitioned by user_id (the same exchange
+    every per-user operator reuses), then a map-side weekly rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        day_bucket("ts").alias("day"),
+        F.lag(day_bucket("ts")).over(w).alias("prev_day"),
+    )
+    return (
+        g.filter(
+            F.col("prev_day").isNotNull()
+            & (F.col("day") - F.col("prev_day") > 30)
+        )
+        .groupBy(F.expr("day div 7").cast("long").alias("week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reactivations"),
+            F.count_distinct(F.col("user_id"))
+            .cast("long")
+            .alias("n_users"),
+        )
+    )
+
+
+@query(
+    "customer_order_value_trajectory",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn_z,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    ),
+    fl AS (
+      SELECT o_custkey,
+             CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT)
+               AS first_cents,
+             CAST(MAX(CASE WHEN rn_z = 1 THEN v END) AS BIGINT)
+               AS last_cents
+      FROM o WHERE n >= 2 GROUP BY 1
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN last_cents > first_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN last_cents < first_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_down,
+           CAST(SUM(CASE WHEN last_cents = first_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flat,
+           CAST(SUM(CASE WHEN last_cents > first_cents THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS up_share
+    FROM fl JOIN customer c ON c.c_custkey = fl.o_custkey
+    GROUP BY 1
+    """,
+)
+def customer_order_value_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is each repeat customer's basket growing or shrinking? Compare
+    first vs last order value (date order, orderkey tie-break) for
+    customers with 2+ orders, rolled up to trajectory counts per market
+    segment. Exact cents comparison; the only float is up_share.
+
+    Scale: both bookend windows ride ONE exchange on o_custkey (same
+    partitioning, Catalyst reuses it); the segment join shuffles the
+    customer dimension once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wa = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wz = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    wn = W.partitionBy("o_custkey")
+    o = orders.select(
+        "o_custkey",
+        cents("o_totalprice").alias("v"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    fl = (
+        o.filter(F.col("n") >= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("v")))
+            .cast("long")
+            .alias("first_cents"),
+            F.max(F.when(F.col("rn_z") == 1, F.col("v")))
+            .cast("long")
+            .alias("last_cents"),
+        )
+    )
+    up = F.when(F.col("last_cents") > F.col("first_cents"), 1).otherwise(0)
+    down = F.when(F.col("last_cents") < F.col("first_cents"), 1).otherwise(0)
+    flat = F.when(F.col("last_cents") == F.col("first_cents"), 1).otherwise(0)
+    return (
+        fl.join(cust, fl["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(up).cast("long").alias("n_up"),
+            F.sum(down).cast("long").alias("n_down"),
+            F.sum(flat).cast("long").alias("n_flat"),
+            (F.sum(up).cast("double") / F.count(F.lit(1))).alias(
+                "up_share"
+            ),
+        )
+    )
+
+
+@query(
+    "lineitem_discount_drift_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS midx,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS disc_pct_sum
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(m.midx AS BIGINT) AS month_idx,
+           m.n_lines, m.disc_pct_sum,
+           CAST(m.disc_pct_sum AS DOUBLE) / m.n_lines AS avg_discount_pct,
+           COALESCE(
+             CAST(m.disc_pct_sum AS DOUBLE) / m.n_lines
+               - CAST(p.disc_pct_sum AS DOUBLE) / p.n_lines, 0.0)
+             AS drift_mom
+    FROM m LEFT JOIN m p ON p.midx = m.midx - 1
+    """,
+)
+def lineitem_discount_drift_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average granted discount by ship month with the MoM drift — the
+    margin-leak monitor (creeping discounts are invisible per-deal and
+    obvious here). Discounts accumulate as exact integer percent; same
+    trend idiom as the returns/priority monitors.
+
+    Scale: map-side aggregate to one row per month, dimension-sized
+    self-join for the drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).cast("long").alias("midx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(basis_points("l_discount", 100))
+        .cast("long")
+        .alias("disc_pct_sum"),
+    )
+    p = m.select(
+        F.col("midx").alias("p_midx"),
+        F.col("n_lines").alias("p_n"),
+        F.col("disc_pct_sum").alias("p_s"),
+    )
+    avg = F.col("disc_pct_sum").cast("double") / F.col("n_lines")
+    pavg = F.col("p_s").cast("double") / F.col("p_n")
+    return m.join(p, F.col("p_midx") == F.col("midx") - 1, "left").select(
+        F.col("midx").alias("month_idx"),
+        "n_lines",
+        "disc_pct_sum",
+        avg.alias("avg_discount_pct"),
+        F.coalesce(avg - pavg, F.lit(0.0)).alias("drift_mom"),
+    )
+
+
+@query(
+    "part_price_band_brand_hhi",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) // 10000 AS band,
+             p_brand,
+             CAST(COUNT(*) AS BIGINT) AS q
+      FROM part GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT band,
+             CAST(SUM(q) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) AS BIGINT) AS n_brands,
+             CAST(SUM(q * q) AS BIGINT) AS sq
+      FROM b GROUP BY 1
+    )
+    SELECT band, n_parts, n_brands,
+           CAST(sq AS DOUBLE) / (n_parts * n_parts) AS brand_hhi
+    FROM g
+    """,
+)
+def part_price_band_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand concentration within each $100 retail-price band:
+    Herfindahl index as Σq²/(Σq)² in ONE division (the
+    supplier_part_concentration_hhi discipline — never a float share
+    accumulation). A band with HHI near 1/n_brands is contested; near 1
+    is a brand monopoly — the assortment-gap table merchandising reads.
+
+    Scale: two map-side aggregates; band boundaries are integer cents
+    division, so no float seam decides a band.
+    """
+    part = load_table(spark, sf_dir, "part")
+    b = part.groupBy(
+        F.expr(
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) div 10000"
+        ).alias("band"),
+        "p_brand",
+    ).agg(F.count(F.lit(1)).cast("long").alias("q"))
+    g = b.groupBy("band").agg(
+        F.sum("q").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
+    )
+    return g.select(
+        "band",
+        "n_parts",
+        "n_brands",
+        (
+            F.col("sq").cast("double")
+            / (F.col("n_parts") * F.col("n_parts"))
+        ).alias("brand_hhi"),
+    )
+
+
+@query(
+    "events_session_depth_value_curve",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, v,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM s
+    ),
+    agg AS (
+      SELECT user_id, sess_no,
+             CAST(COUNT(*) AS BIGINT) AS depth,
+             CAST(SUM(v) AS BIGINT) AS sess_cents
+      FROM sid GROUP BY 1, 2
+    )
+    SELECT LEAST(depth, 10) AS depth_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(sess_cents) AS BIGINT) AS value_cents,
+           CAST(CAST(SUM(sess_cents) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(depth) AS BIGINT) AS value_per_event
+    FROM agg GROUP BY 1
+    """,
+)
+def events_session_depth_value_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does a longer session spend more per event? Sessionize with the
+    repo's 30-minute-gap rule (lag + running sum, strict > on exactly
+    1800 s — the pinned boundary), then bucket sessions by depth (capped
+    at 10+) and report value per event. The engagement-monetization
+    curve growth teams tune against.
+
+    Scale: the sessionization windows ride one user_id exchange; the
+    bucket rollup is map-side to ≤10 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        cents("value").alias("v"),
+        F.when(
+            (
+                micros("ts") - F.lag(micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag(micros("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sid = s.withColumn("sess_no", F.sum("new_sess").over(wc))
+    agg = sid.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.sum("v").cast("long").alias("sess_cents"),
+    )
+    return (
+        agg.groupBy(
+            F.least(F.col("depth"), F.lit(10).cast("long")).alias(
+                "depth_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("sess_cents").cast("long").alias("value_cents"),
+            (
+                F.sum("sess_cents").cast("long").cast("double")
+                / F.sum("depth").cast("long")
+            ).alias("value_per_event"),
+        )
+    )
+
+
+@query(
+    "supplier_monthly_active",
+    oracle="""
+    SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS month_idx,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_active_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT l_suppkey)
+             AS lines_per_supplier
+    FROM lineitem GROUP BY 1
+    """,
+)
+def supplier_monthly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active supplier count per ship month with load per supplier — the
+    capacity-utilization trend (rising lines_per_supplier with flat
+    supplier count means the base is saturating).
+
+    Scale: one aggregate with a distinct on (month, suppkey) — the
+    distinct shuffle is bounded by months × suppliers, and at 100 TB
+    the documented swap is the grouped-KMV sketch
+    (events_weekday_hour_heatmap_sketched pattern) if supplier
+    cardinality ever makes the exact distinct the bottleneck.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).cast("long").alias("month_idx")
+    ).agg(
+        F.count_distinct(F.col("l_suppkey"))
+        .cast("long")
+        .alias("n_active_suppliers"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.count_distinct(F.col("l_suppkey"))
+        ).alias("lines_per_supplier"),
+    )
