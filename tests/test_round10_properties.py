@@ -1,0 +1,468 @@
+"""Round-10 operators pinned on RANDOM data against brute-force Python.
+
+Same discipline as test_round8/9_properties.py: the DuckDB oracle proves
+cross-engine agreement on the fixture; these prove the FORMULAS on seeded
+random tables exercising what the fixture doesn't — negative balances and
+ties in the Gini rank form, join edges with hot keys, quantile ranks
+landing exactly on bucket seams, users with exactly two active days, peak
+shares exactly on a decile edge, first==last trajectory ties, and session
+gaps exactly at the 1800 s boundary.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from redisgears_spark.functions.hashing import md5_hash32_py
+from redisgears_spark.operators.analytics import (
+    customer_balance_gini_by_nation,
+    events_user_fano_factor,
+    events_user_peak_hour_share_hist,
+)
+from redisgears_spark.operators.relational import (
+    customer_order_value_trajectory,
+    events_session_depth_value_curve,
+)
+from redisgears_spark.operators.scale_audit import (
+    join_cardinality_profile,
+    lineitem_key_skew_audit,
+)
+from redisgears_spark.operators.similarity import (
+    embeddings_centroid_separation_matrix,
+    embeddings_quantile_clip_ranges,
+)
+
+_T0 = pd.Timestamp("2024-01-01")
+
+
+def _write(tmp_path, name, pdf, schema=None):
+    d = tmp_path / "rand"
+    d.mkdir(exist_ok=True)
+    if schema is not None:
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            d / f"{name}.parquet",
+        )
+    else:
+        pdf.to_parquet(d / f"{name}.parquet")
+    return str(d)
+
+
+def _customers(tmp_path, rows):
+    """rows: (c_custkey, c_nationkey, c_acctbal)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "c_custkey": k,
+                "c_name": f"c{k}",
+                "c_nationkey": n,
+                "c_acctbal": b,
+                "c_mktsegment": "BUILDING" if k % 2 else "MACHINERY",
+            }
+            for k, n, b in rows
+        ]
+    )
+    pdf["c_nationkey"] = pdf["c_nationkey"].astype("int32")
+    return _write(tmp_path, "customer", pdf)
+
+
+def _nations(tmp_path, keys):
+    pdf = pd.DataFrame(
+        [
+            {"n_nationkey": k, "n_name": f"NATION{k}", "n_regionkey": 0}
+            for k in keys
+        ]
+    )
+    pdf["n_nationkey"] = pdf["n_nationkey"].astype("int32")
+    pdf["n_regionkey"] = pdf["n_regionkey"].astype("int32")
+    return _write(tmp_path, "nation", pdf)
+
+
+def _events(tmp_path, rows):
+    """rows: (event_id, user_id, offset_seconds, event_type, value)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": eid,
+                "ts": _T0 + pd.Timedelta(seconds=off),
+                "user_id": uid,
+                "event_type": et,
+                "value": val,
+                "props": "",
+            }
+            for eid, uid, off, et, val in rows
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return _write(tmp_path, "events", pdf)
+
+
+class TestGiniByNation:
+    def test_matches_bruteforce_with_negatives_and_ties(
+        self, spark, tmp_path
+    ):
+        rng = random.Random(1007)
+        rows = []
+        k = 0
+        for nat in range(3):
+            for _ in range(40):
+                k += 1
+                # cents-valued, negatives allowed, forced ties
+                bal = rng.choice([-994.28, 0.0, 12.5, 12.5, 777.77,
+                                  rng.randint(-5000, 90000) / 100])
+                rows.append((k, nat, bal))
+        _customers(tmp_path, rows)
+        d = _nations(tmp_path, [0, 1, 2])
+        got = {
+            r["nation_name"]: r
+            for r in customer_balance_gini_by_nation(spark, d).collect()
+        }
+        for nat in range(3):
+            cents = sorted(
+                round(b * 100)
+                for kk, n, b in rows
+                if n == nat
+            )
+            n = len(cents)
+            s = sum(cents)
+            ws = sum((i + 1) * x for i, x in enumerate(cents))
+            want = (2 * ws - (n + 1) * s) / (n * s)
+            row = got[f"NATION{nat}"]
+            assert row["n_customers"] == n
+            assert row["balance_cents"] == s
+            assert row["gini"] == want  # bit-identical closed form
+
+
+class TestJoinCardinality:
+    def test_out_rows_equals_real_join_size(self, spark, tmp_path):
+        rng = random.Random(1010)
+        orders = [
+            (i, rng.randint(1, 15), rng.randint(0, 100),
+             rng.randint(100, 9999) / 100)
+            for i in range(1, 120)
+        ]
+        # lineitem keyed to a SUBSET of orders, with one hot partkey
+        lines = []
+        for ln, _ in enumerate(range(300)):
+            ok = rng.randint(1, 150)  # some orphan orderkeys too
+            pk = 7 if rng.random() < 0.3 else rng.randint(1, 40)
+            lines.append((ok, pk, rng.randint(1, 10), 1.0))
+        # write orders/lineitem/customer shaped frames
+        opdf = pd.DataFrame(
+            [
+                {
+                    "o_orderkey": k, "o_custkey": c, "o_orderstatus": "O",
+                    "o_totalprice": p,
+                    "o_orderdate": _T0 + pd.Timedelta(days=off),
+                    "o_orderpriority": "5-LOW",
+                }
+                for k, c, off, p in orders
+            ]
+        )
+        opdf["o_orderdate"] = opdf["o_orderdate"].astype("datetime64[us]")
+        _write(tmp_path, "orders", opdf)
+        lpdf = pd.DataFrame(
+            [
+                {
+                    "l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk,
+                    "l_linenumber": 1, "l_quantity": q,
+                    "l_extendedprice": 1.0, "l_discount": 0.0,
+                    "l_tax": 0.0, "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": _T0,
+                }
+                for ok, pk, sk, q in lines
+            ]
+        )
+        lpdf["l_linenumber"] = lpdf["l_linenumber"].astype("int32")
+        lpdf["l_shipdate"] = lpdf["l_shipdate"].astype("datetime64[us]")
+        _write(tmp_path, "lineitem", lpdf)
+        d = _customers(
+            tmp_path, [(c, 0, 1.0) for c in range(1, 16)]
+        )
+        got = {
+            r["edge"]: r for r in join_cardinality_profile(spark, d).collect()
+        }
+        # brute-force join sizes
+        from collections import Counter
+
+        oc = Counter(k for k, *_ in orders)
+        lc = Counter(ok for ok, *_ in lines)
+        want_ol = sum(oc[k] * lc[k] for k in oc.keys() & lc.keys())
+        assert got["ol"]["out_rows"] == want_ol
+        assert got["ol"]["max_key_pairs"] == max(
+            (oc[k] * lc[k] for k in oc.keys() & lc.keys()), default=0
+        )
+        pc = Counter(pk for _, pk, *_ in lines)
+        want_ll = sum(c * c for c in pc.values())
+        assert got["ll"]["out_rows"] == want_ll
+        assert got["ll"]["max_key_pairs"] == max(c * c for c in pc.values())
+        cc = Counter(c for _, c, *_ in orders)
+        want_co = sum(cc.get(c, 0) for c in range(1, 16))
+        assert got["co"]["out_rows"] == want_co
+
+
+class TestSkewAudit:
+    def test_ratio_matches_python_buckets(self, spark, tmp_path):
+        rng = random.Random(1013)
+        lines = [
+            (rng.randint(1, 50), rng.randint(1, 9), rng.randint(1, 5), 1.0)
+            for _ in range(400)
+        ]
+        lpdf = pd.DataFrame(
+            [
+                {
+                    "l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk,
+                    "l_linenumber": 1, "l_quantity": q,
+                    "l_extendedprice": 1.0, "l_discount": 0.0,
+                    "l_tax": 0.0, "l_returnflag": "N",
+                    "l_linestatus": "O", "l_shipdate": _T0,
+                }
+                for ok, pk, sk, q in lines
+            ]
+        )
+        lpdf["l_linenumber"] = lpdf["l_linenumber"].astype("int32")
+        lpdf["l_shipdate"] = lpdf["l_shipdate"].astype("datetime64[us]")
+        d = _write(tmp_path, "lineitem", lpdf)
+        got = {
+            r["join_key"]: r
+            for r in lineitem_key_skew_audit(spark, d).collect()
+        }
+        from collections import Counter
+
+        for key, idx in (("l_orderkey", 0), ("l_partkey", 1),
+                         ("l_suppkey", 2)):
+            b = Counter(
+                md5_hash32_py(str(line[idx])) % 64 for line in lines
+            )
+            row = got[key]
+            assert row["buckets_hit"] == len(b)
+            assert row["max_bucket_rows"] == max(b.values())
+            assert row["min_bucket_rows"] == min(b.values())
+            assert row["skew_ratio"] == max(b.values()) * 64 / 400
+
+
+class TestQuantileClipRanges:
+    def test_type1_rank_selection(self, spark, tmp_path):
+        rng = random.Random(1019)
+        dim = 4
+        vecs = [
+            [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(137)
+        ]
+        schema = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        )
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(137),
+                "embedding": vecs,
+                "label": [i % 3 for i in range(137)],
+            }
+        )
+        d = _write(tmp_path, "embeddings", pdf, schema)
+        # operator hard-codes 64 dims in the explode range? No — Spark
+        # posexplode follows the actual array length; only the ORACLE
+        # fixes 64. Here we call the Spark side directly.
+        got = {
+            r["dim"]: r
+            for r in embeddings_quantile_clip_ranges(spark, d).collect()
+        }
+        import numpy as np
+
+        for dd in range(dim):
+            q6 = sorted(
+                int(round(float(np.float32(v[dd])) * 1_000_000))
+                for v in vecs
+            )
+            n = len(q6)
+            k01 = ((n - 1) * 1) // 100  # 0-based
+            k99 = ((n - 1) * 99) // 100
+            assert got[dd]["n_vecs"] == n
+            assert got[dd]["q6_p01"] == q6[k01]
+            assert got[dd]["q6_p99"] == q6[k99]
+            assert got[dd]["clip_range_q6"] == q6[k99] - q6[k01]
+
+
+class TestCentroidSeparation:
+    def test_cross_multiplied_identity(self, spark, tmp_path):
+        rng = random.Random(1021)
+        dim = 3
+        rows = []
+        for i in range(60):
+            rows.append(
+                (i, [rng.uniform(-2, 2) for _ in range(dim)], i % 3)
+            )
+        schema = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        )
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+                "label": [r[2] for r in rows],
+            }
+        )
+        d = _write(tmp_path, "embeddings", pdf, schema)
+        got = {
+            (r["label_a"], r["label_b"]): r
+            for r in embeddings_centroid_separation_matrix(
+                spark, d
+            ).collect()
+        }
+        import numpy as np
+
+        for a in range(3):
+            for b in range(a + 1, 3):
+                qa = [
+                    [int(round(float(np.float32(x)) * 1_000_000))
+                     for x in r[1]]
+                    for r in rows if r[2] == a
+                ]
+                qb = [
+                    [int(round(float(np.float32(x)) * 1_000_000))
+                     for x in r[1]]
+                    for r in rows if r[2] == b
+                ]
+                na, nb = len(qa), len(qb)
+                num = 0
+                for dd in range(dim):
+                    sa = sum(v[dd] for v in qa)
+                    sb = sum(v[dd] for v in qb)
+                    diff = sa * nb - sb * na
+                    num += diff * diff
+                want = float(num) / (float(na * nb * na * nb) * 1e12)
+                row = got[(a, b)]
+                assert row["n_a"] == na and row["n_b"] == nb
+                assert row["centroid_dist2"] == want
+
+
+class TestFanoFactor:
+    def test_two_day_edge_and_bruteforce(self, spark, tmp_path):
+        rng = random.Random(1031)
+        rows, eid = [], 0
+        # user 1: exactly two active days, equal counts -> variance 2*
+        # ((c-mean)^2)=0 -> fano 0
+        for day in (0, 5):
+            for _ in range(3):
+                rows.append((eid, 1, day * 86400 + eid, "view", 1.0))
+                eid += 1
+        # user 2: single active day -> excluded
+        rows.append((eid, 2, 0, "view", 1.0)); eid += 1
+        # user 3: random spread
+        for _ in range(40):
+            rows.append(
+                (eid, 3, rng.randint(0, 20) * 86400 + rng.randint(0, 86399),
+                 "view", 1.0)
+            )
+            eid += 1
+        d = _events(tmp_path, rows)
+        got = {
+            r["user_id"]: r for r in events_user_fano_factor(spark, d).collect()
+        }
+        assert got[1]["fano"] == 0.0
+        assert 2 not in got
+        from collections import Counter
+
+        days = Counter(off // 86400 for e, u, off, t, v in rows if u == 3)
+        n = len(days)
+        tot = sum(days.values())
+        ssq = sum(c * c for c in days.values())
+        want = (n * ssq - tot * tot) / ((n - 1) * tot)
+        assert got[3]["fano"] == want
+        assert got[3]["n_days"] == n and got[3]["n_events"] == tot
+
+
+class TestPeakHourHist:
+    def test_exact_decile_edge(self, spark, tmp_path):
+        # user 1: 1 of 2 events in the peak hour -> share exactly 0.5 ->
+        # bucket (1*10)//2 = 5
+        rows = [
+            (0, 1, 0, "view", 1.0),          # hour 0
+            (1, 1, 3600, "view", 1.0),       # hour 1
+            # user 2: all 4 events in one hour -> bucket 10
+            (2, 2, 100, "view", 1.0),
+            (3, 2, 200, "view", 1.0),
+            (4, 2, 300, "view", 1.0),
+            (5, 2, 400, "view", 1.0),
+        ]
+        d = _events(tmp_path, rows)
+        got = {
+            r["share_bucket"]: r
+            for r in events_user_peak_hour_share_hist(spark, d).collect()
+        }
+        assert got[5]["n_users"] == 1
+        assert got[5]["pooled_peak_share"] == 0.5
+        assert got[10]["n_users"] == 1
+        assert got[10]["pooled_peak_share"] == 1.0
+
+
+class TestTrajectoryTies:
+    def test_flat_single_order_and_samedate_tiebreak(self, spark, tmp_path):
+        orders = [
+            # cust 1: first 100.00 then 200.00 -> up
+            (1, 1, 0, 100.0), (2, 1, 10, 200.0),
+            # cust 3: two orders SAME date, orderkey breaks the tie:
+            # key 5 (300.00) is first, key 6 (250.00) is last -> down
+            (5, 3, 7, 300.0), (6, 3, 7, 250.0),
+            # cust 5: equal values -> flat
+            (7, 5, 0, 42.0), (8, 5, 3, 42.0),
+            # cust 7: single order -> excluded
+            (9, 7, 0, 9.0),
+        ]
+        opdf = pd.DataFrame(
+            [
+                {
+                    "o_orderkey": k, "o_custkey": c, "o_orderstatus": "O",
+                    "o_totalprice": p,
+                    "o_orderdate": _T0 + pd.Timedelta(days=off),
+                    "o_orderpriority": "5-LOW",
+                }
+                for k, c, off, p in orders
+            ]
+        )
+        opdf["o_orderdate"] = opdf["o_orderdate"].astype("datetime64[us]")
+        _write(tmp_path, "orders", opdf)
+        d = _customers(
+            tmp_path, [(1, 0, 1.0), (3, 0, 1.0), (5, 0, 1.0), (7, 0, 1.0)]
+        )
+        rows = customer_order_value_trajectory(spark, d).collect()
+        # all four customers are in segment BUILDING (odd keys)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_customers"] == 3  # single-order cust 7 excluded
+        assert r["n_up"] == 1 and r["n_down"] == 1 and r["n_flat"] == 1
+
+
+class TestSessionDepthValue:
+    def test_boundary_gap_stays_in_session(self, spark, tmp_path):
+        rows = [
+            # user 1: gaps of exactly 1800 s -> ONE session of depth 3
+            (0, 1, 0, "view", 1.0),
+            (1, 1, 1800, "view", 2.0),
+            (2, 1, 3600, "view", 3.0),
+            # user 2: gap 1801 s -> two sessions of depth 1
+            (3, 2, 0, "view", 10.0),
+            (4, 2, 1801, "view", 20.0),
+        ]
+        d = _events(tmp_path, rows)
+        got = {
+            r["depth_bucket"]: r
+            for r in events_session_depth_value_curve(spark, d).collect()
+        }
+        assert got[3]["n_sessions"] == 1
+        assert got[3]["value_cents"] == 600
+        assert got[1]["n_sessions"] == 2
+        assert got[1]["value_cents"] == 3000
+        assert got[1]["value_per_event"] == 1500.0
