@@ -802,3 +802,67 @@ def test_round9_aggregates_no_single_partition(spark, sf_dir):
     ):
         found = count_single_partition_windows(QUERIES[name](spark, sf_dir))
         assert found <= allowed, (name, found)
+
+
+def test_round10_scale_audit_shapes(spark, sf_dir):
+    """The scale-audit family must practice what it preaches: counts-only
+    joins (no fact payload meets another fact payload), no explicit
+    broadcast hints (AQE decides), no cartesians."""
+    from redisgears_spark.plans.explain import assert_no_broadcast_hint
+
+    for name in (
+        "join_cardinality_profile",
+        "lineitem_key_skew_audit",
+        "broadcast_eligibility_report",
+        "fk_orphan_audit",
+        "orders_partition_balance",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        assert_no_broadcast_hint(df)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+    # heavy-key report: top-20 via TakeOrderedAndProject, not a global sort
+    plan = formatted_plan(QUERIES["events_user_skew_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_round10_windows_partition_correctly(spark, sf_dir):
+    """Round-10 windowed operators: every data-sized window carries a
+    partitionBy (nation / dimension / user), so no single-partition
+    sort-window exists. Constant-size exceptions by count: the Zipf /
+    repeat-curve / skew-topk rank windows run over TakeOrdered top-k or
+    histogram-sized relations."""
+    from redisgears_spark.plans.explain import count_single_partition_windows
+
+    for name, allowed in (
+        ("customer_balance_gini_by_nation", 0),
+        ("embeddings_quantile_clip_ranges", 0),
+        ("supplier_balance_quartile_mix", 0),
+        ("customer_order_value_trajectory", 0),
+        ("events_dormancy_reactivation", 0),
+        ("events_session_depth_value_curve", 0),
+        ("events_user_fano_factor", 0),
+        # top-20 keys after TakeOrderedAndProject feed the cum-share window
+        ("events_user_skew_topk", 1),
+        # rank over the top-50 Zipf head
+        ("docs_zipf_rank_curve", 1),
+        # cum-share over the <= max-orders histogram rows
+        ("orders_customer_repeat_curve", 1),
+    ):
+        found = count_single_partition_windows(QUERIES[name](spark, sf_dir))
+        assert found <= allowed, (name, found)
+
+
+def test_round10_dim_joins_broadcast(spark, sf_dir):
+    """Dimension legs of the round-10 operators broadcast (nation in the
+    Gini/quartile cuts, the 30-token vocabulary in the co-occurrence
+    lift) — the fact side never shuffles for a dimension join."""
+    for name, n in (
+        ("customer_balance_gini_by_nation", 1),
+        ("supplier_balance_quartile_mix", 1),
+        ("text_cooccurrence_lift", 2),
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= n, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, name
