@@ -5082,3 +5082,144 @@ def events_user_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_days") - 1) * F.col("n_events"))
         ).alias("fano"),
     )
+
+
+@query(
+    "events_weekly_active_segments",
+    oracle="""
+    SELECT epoch_us(e.ts) // 86400000000 // 7 AS week,
+           COALESCE(c.c_mktsegment, 'NONE') AS segment,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_active_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly active users split by market segment (events joined to the
+    customer dimension; non-customer traffic lands in 'NONE' — the FK
+    edge the orphan audit documents as legitimately leaky). The
+    engagement-mix trend a product team reads next to plain WAU.
+
+    Scale: the customer dimension broadcasts; the distinct is the one
+    shuffle, on (week, segment, user).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"], "left")
+        .groupBy(
+            F.expr(
+                "floor(unix_micros(cast(ts as timestamp)) / 86400000000)"
+                " div 7"
+            ).cast("long").alias("week"),
+            F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).cast("long").alias("wau"))
+    )
+
+
+@query(
+    "events_value_share_by_hour",
+    oracle="""
+    WITH h AS (
+      SELECT EXTRACT(hour FROM ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM h)
+    SELECT CAST(hour AS BIGINT) AS hour, n_events, value_cents,
+           CAST(value_cents AS DOUBLE) / t.total AS value_share
+    FROM h, t
+    """,
+)
+def events_value_share_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day revenue profile with each hour's share of total value
+    — the staffing/capacity curve (hourly_seasonality counts events;
+    this weighs them by money). Exact cents; one division per row.
+
+    Scale: 24-row map-side aggregate plus a scalar total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents("value")).cast("long").alias("value_cents"),
+    )
+    t = h.agg(F.sum("value_cents").cast("long").alias("total"))
+    return h.crossJoin(t).select(
+        "hour",
+        "n_events",
+        "value_cents",
+        (
+            F.col("value_cents").cast("double") / F.col("total")
+        ).alias("value_share"),
+    )
+
+
+@query(
+    "events_transition_gap_median",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tr AS (
+      SELECT prev_type, event_type AS next_type, gap_us, event_id
+      FROM g WHERE prev_type IS NOT NULL
+    ),
+    r AS (
+      SELECT prev_type, next_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY prev_type, next_type
+                                ORDER BY gap_us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY prev_type, next_type) AS n
+      FROM tr
+    )
+    SELECT prev_type, next_type,
+           CAST(MAX(n) AS BIGINT) AS n_transitions,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+                         THEN gap_us END) AS BIGINT) AS median_gap_us
+    FROM r GROUP BY 1, 2
+    """,
+)
+def events_transition_gap_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median dwell time between consecutive event types per user — the
+    (prev → next) latency matrix (markov_transitions gives the
+    probabilities; this gives the tempo). Median is the exact type-1
+    order statistic (rank ⌊(n−1)/2⌋+1 with event_id tie-break), never an
+    interpolated float.
+
+    Scale: the lag window rides the standard user_id exchange; the rank
+    window partitions by type pair (|types|² groups, parallel).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(wu).alias("prev_type"),
+        (micros("ts") - F.lag(micros("ts")).over(wu)).alias("gap_us"),
+    ).filter(F.col("prev_type").isNotNull())
+    wp = W.partitionBy("prev_type", "event_type").orderBy(
+        "gap_us", "event_id"
+    )
+    wn = W.partitionBy("prev_type", "event_type")
+    r = g.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    k = F.expr("((n - 1) * 50) div 100 + 1")
+    return r.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        F.max(F.when(F.col("rn") == k, F.col("gap_us")))
+        .cast("long")
+        .alias("median_gap_us"),
+    )

@@ -1535,3 +1535,44 @@ def docs_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dup).cast("double") / F.sum("n")).alias("dup_prefix_share"),
         F.max("n").cast("long").alias("max_prefix_count"),
     )
+
+
+@query(
+    "docs_shingle_kmv",
+    oracle=f"""
+    WITH {_ORACLE_DOCS_CTE},
+    s AS (SELECT UNNEST(sh) AS s FROM docs),
+    h AS (SELECT DISTINCT {md5_hash32_sql("s")} AS h FROM s),
+    ksmall AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_h
+      FROM ksmall
+    )
+    SELECT CAST(256 AS BIGINT) AS k, n_in_sketch, kth_h,
+           CASE WHEN n_in_sketch < 256
+                THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE CAST({255 * (1 << 32)} AS DOUBLE) / kth_h
+           END AS estimate
+    FROM agg
+    """,
+)
+def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle cardinality estimate via the KMV order statistic
+    — the number every dedup campaign sizes itself with (distinct
+    3-gram count drives band-bucket counts, LSH memory, and the
+    exact-oracle feasibility call) WITHOUT paying the full distinct
+    shuffle. Same k=256 sketch and estimator as kmv_distinct, over the
+    shared shingle derivation (shingled_docs), so the estimate is
+    bit-identical to the oracle at any scale.
+
+    Scale: shingles collapse to 8-byte hashes map-side; the top-k is
+    TakeOrderedAndProject (each partition contributes ≤ 256 rows). The
+    shingle strings themselves never shuffle.
+    """
+    from redisgears_spark.operators.analytics import kmv_distinct
+
+    sh = shingled_docs(spark, sf_dir).select(
+        F.explode("sh").alias("s")
+    )
+    return kmv_distinct(sh, "s", 256)

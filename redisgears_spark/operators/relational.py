@@ -6796,3 +6796,115 @@ def supplier_monthly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count_distinct(F.col("l_suppkey"))
         ).alias("lines_per_supplier"),
     )
+
+
+@query(
+    "orders_value_band_mix_quarterly",
+    oracle="""
+    WITH q AS (
+      SELECT (year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3)
+               AS qidx,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT qidx, CAST(SUM(n_orders) AS BIGINT) AS q_total
+      FROM q GROUP BY 1
+    )
+    SELECT CAST(q.qidx AS BIGINT) AS qidx, q.band, q.n_orders,
+           CAST(q.n_orders AS DOUBLE) / t.q_total AS share_of_quarter
+    FROM q JOIN t ON t.qidx = q.qidx
+    """,
+)
+def orders_value_band_mix_quarterly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-size mix by quarter: share of each $50k value band within
+    its quarter — the basket-inflation monitor (a drifting mix says the
+    same revenue is coming from fewer, bigger orders). Band edges are
+    integer cents division; shares are one division against the
+    quarter total.
+
+    Scale: map-side aggregate to (quarter × band) cells; the
+    quarter-total join is quarter-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.expr(
+            "CAST(year(o_orderdate) * 4 "
+            "+ (month(o_orderdate) - 1) div 3 AS BIGINT)"
+        ).alias("qidx"),
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 5000000"
+        ).alias("band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    t = q.groupBy(F.col("qidx").alias("t_qidx")).agg(
+        F.sum("n_orders").cast("long").alias("q_total")
+    )
+    return q.join(t, q["qidx"] == t["t_qidx"]).select(
+        "qidx",
+        "band",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double") / F.col("q_total")
+        ).alias("share_of_quarter"),
+    )
+
+
+@query(
+    "orders_vs_shipments_weekly",
+    oracle="""
+    WITH o AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT epoch_us(l_shipdate) // 86400000000 // 7 AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_shipped
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.week, s.week) AS week,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(s.n_lines_shipped, 0) AS BIGINT)
+             AS n_lines_shipped,
+           CASE WHEN COALESCE(o.n_orders, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(s.n_lines_shipped, 0) AS DOUBLE)
+                     / o.n_orders END AS lines_per_order
+    FROM o FULL OUTER JOIN s ON s.week = o.week
+    """,
+)
+def orders_vs_shipments_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Intake vs outflow: orders placed and lines shipped per week, full
+    outer so weeks with only one side still appear (trailing shipment
+    weeks have zero intake — the 0.0 sentinel keeps the no-NULL
+    contract and matches the oracle's CASE). A rising lines_per_order
+    with flat intake means the warehouse is draining backlog.
+
+    Scale: two independent map-side weekly rollups; the full-outer join
+    is week-count-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(
+        F.expr("floor(unix_micros(cast(o_orderdate as timestamp)) "
+               "/ 86400000000) div 7").cast("long").alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    s = li.groupBy(
+        F.expr("floor(unix_micros(cast(l_shipdate as timestamp)) "
+               "/ 86400000000) div 7").cast("long").alias("s_week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_lines_shipped"))
+    j = o.join(s, o["week"] == s["s_week"], "full_outer")
+    n_o = F.coalesce("n_orders", F.lit(0)).cast("long")
+    n_s = F.coalesce("n_lines_shipped", F.lit(0)).cast("long")
+    return j.select(
+        F.coalesce("week", "s_week").cast("long").alias("week"),
+        n_o.alias("n_orders"),
+        n_s.alias("n_lines_shipped"),
+        F.when(n_o == 0, F.lit(0.0))
+        .otherwise(n_s.cast("double") / n_o)
+        .alias("lines_per_order"),
+    )

@@ -2021,3 +2021,44 @@ def embeddings_sign_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("disagree_bits").cast("double") / F.col("n_vecs")
         ).alias("mean_hamming"),
     )
+
+
+@query(
+    "embeddings_label_balance",
+    oracle="""
+    WITH g AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+                 CAST(MAX(n_vecs) AS BIGINT) AS mx FROM g)
+    SELECT label, n_vecs,
+           CAST(n_vecs AS DOUBLE) / t.total AS share,
+           CAST(n_vecs AS DOUBLE) / t.mx AS ratio_to_max
+    FROM g, t
+    """,
+)
+def embeddings_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balance of the labeled embedding set — the first table any
+    classifier evaluation reads (nearest-centroid accuracy over a 10:1
+    imbalanced set needs per-class recall, not raw accuracy). Counts
+    plus two divisions.
+
+    Scale: one map-side aggregate; the (total, max) scalar broadcasts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    t = g.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.max("n_vecs").cast("long").alias("mx"),
+    )
+    return g.crossJoin(t).select(
+        "label",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("total")).alias("share"),
+        (F.col("n_vecs").cast("double") / F.col("mx")).alias(
+            "ratio_to_max"
+        ),
+    )

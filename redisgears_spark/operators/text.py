@@ -1772,3 +1772,75 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+@query(
+    "docs_token_length_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, UNNEST({_TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(token)) AS BIGINT) AS char_sum,
+           CAST(MAX(length(token)) AS BIGINT) AS max_token_len,
+           CAST(SUM(length(token)) AS DOUBLE) / COUNT(*)
+             AS avg_token_len
+    FROM tok GROUP BY lang
+    """,
+)
+def docs_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and max token length per language — the tokenizer-budget
+    scout (languages with long average tokens fragment differently
+    under BPE; a max_token_len outlier is usually concatenation junk).
+    Integer sums, one division.
+
+    Scale: explode + map-side aggregate to |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.expr(_TOKENS)).alias("token"))
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.length("token")).cast("long").alias("char_sum"),
+        F.max(F.length("token")).cast("long").alias("max_token_len"),
+        (
+            F.sum(F.length("token")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "docs_numeric_token_share",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN regexp_matches(token, '^[0-9]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           CAST(SUM(CASE WHEN regexp_matches(token, '^[0-9]+$')
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS numeric_share
+    FROM tok GROUP BY source
+    """,
+)
+def docs_numeric_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of purely numeric tokens per source — the table/log
+    contamination signal (C4 dropped pages drowning in digits; a source
+    whose numeric share spikes is shipping CSV dumps as prose). Counts
+    ride integers; the share is one division.
+
+    Scale: explode + map-side conditional count; the regex runs
+    JVM-side inside codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.expr(_TOKENS)).alias("token"))
+    is_num = F.when(F.col("token").rlike("^[0-9]+$"), 1).otherwise(0)
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(is_num).cast("long").alias("n_numeric"),
+        (F.sum(is_num).cast("double") / F.count(F.lit(1))).alias(
+            "numeric_share"
+        ),
+    )
