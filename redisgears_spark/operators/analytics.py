@@ -5223,3 +5223,145 @@ def events_transition_gap_median(
         .cast("long")
         .alias("median_gap_us"),
     )
+
+
+@query(
+    "events_type_whale_share",
+    oracle="""
+    WITH uv AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v DESC, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM uv
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(v) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN v ELSE 0 END)
+                AS BIGINT) AS top_decile_cents,
+           CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN v ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(v) AS BIGINT) AS whale_share
+    FROM r GROUP BY event_type
+    """,
+)
+def events_type_whale_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value concentration per event type: what share of each type's
+    total value comes from its top decile of users (k = ⌈n/10⌉ by
+    integer arithmetic, value-desc user-asc rank)? The per-type whale
+    dependence table — a type whose whale_share nears 1 is one churned
+    account away from a revenue cliff.
+
+    Scale: the rank window partitions BY TYPE (parallel across types);
+    user value sums are map-side partial first, so the window input is
+    users × types, not raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents("value")).cast("long").alias("v")
+    )
+    wp = W.partitionBy("event_type").orderBy(F.desc("v"), F.asc("user_id"))
+    wn = W.partitionBy("event_type")
+    r = uv.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    in_top = F.when(
+        F.col("rn") <= F.expr("(n + 9) div 10"), F.col("v")
+    ).otherwise(0)
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("total_cents"),
+        F.sum(in_top).cast("long").alias("top_decile_cents"),
+        (
+            F.sum(in_top).cast("double") / F.sum("v").cast("long")
+        ).alias("whale_share"),
+    )
+
+
+@query(
+    "events_first_session_conversion",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM g
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN sess_no = 1
+                           AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM sid GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted_first_session,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*)
+             AS first_session_conversion
+    FROM u
+    """,
+)
+def events_first_session_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Share of users who purchase within their very FIRST session (the
+    repo's 30-minute-gap sessionization, strict > at the 1800 s
+    boundary) — the activation metric onboarding funnels optimize, and
+    a different number from overall conversion whenever purchases
+    concentrate in later sessions.
+
+    Scale: the sessionization windows ride one user_id exchange; the
+    verdict folds map-side to one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                micros("ts") - F.lag(micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag(micros("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sid = g.withColumn("sess_no", F.sum("new_sess").over(wc))
+    u = sid.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("sess_no") == 1)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("converted")
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted_first_session"),
+        (
+            F.sum("converted").cast("double") / F.count(F.lit(1))
+        ).alias("first_session_conversion"),
+    )

@@ -6908,3 +6908,180 @@ def orders_vs_shipments_weekly(
         .otherwise(n_s.cast("double") / n_o)
         .alias("lines_per_order"),
     )
+
+
+@query(
+    "customer_tenure_value_quadrants",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             epoch_us(MAX(o_orderdate)) // 86400000000
+               - epoch_us(MIN(o_orderdate)) // 86400000000 AS tenure_days,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey,
+             NTILE(2) OVER (ORDER BY tenure_days, o_custkey) AS tq,
+             NTILE(2) OVER (ORDER BY v, o_custkey) AS vq
+      FROM c
+    )
+    SELECT CASE WHEN tq = 2 THEN 'long' ELSE 'short' END AS tenure_half,
+           CASE WHEN vq = 2 THEN 'high' ELSE 'low' END AS value_half,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY 1, 2
+    """,
+)
+def customer_tenure_value_quadrants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median-split quadrants of customer tenure (first→last order days)
+    against lifetime value: loyal-low, loyal-high, new-low, new-high
+    counts — the 2×2 every retention deck opens with. Both median
+    splits run through functions/ranks.global_ntile (exact NTILE(2),
+    no single-partition sort), bit-identical to the window form the
+    oracle uses.
+
+    Scale: per-customer bookends are one map-side aggregate;
+    global_ntile range-buckets each cut; the quadrant rollup is
+    4 rows.
+    """
+    from redisgears_spark.functions.ranks import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        (
+            F.floor(
+                F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+            - F.floor(
+                F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+        ).cast("long").alias("tenure_days"),
+        F.sum(cents("o_totalprice")).cast("long").alias("v"),
+    )
+    c = global_ntile(c, 2, "tenure_days", "o_custkey", "tq")
+    c = global_ntile(c, 2, "v", "o_custkey", "vq")
+    return (
+        c.select(
+            F.when(F.col("tq") == 2, "long")
+            .otherwise("short")
+            .alias("tenure_half"),
+            F.when(F.col("vq") == 2, "high")
+            .otherwise("low")
+            .alias("value_half"),
+        )
+        .groupBy("tenure_half", "value_half")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@query(
+    "orders_priority_value_premium",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+                 CAST(SUM(value_cents) AS BIGINT) AS tc FROM p)
+    SELECT o_orderpriority, n_orders, value_cents,
+           CAST(value_cents AS DOUBLE) / (n_orders * 100) AS avg_value,
+           CAST(CAST(value_cents AS HUGEINT) * t.tn AS DOUBLE)
+             / CAST(CAST(n_orders AS HUGEINT) * t.tc AS DOUBLE)
+             AS premium_vs_overall
+    FROM p, t
+    """,
+)
+def orders_priority_value_premium(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do urgent orders carry bigger baskets? Average order value per
+    priority and its ratio to the overall average, computed in the
+    cross-multiplied form (v·N)/(n·V) so the ratio is ONE division of
+    exact integer products (riding decimal(38,0)/HUGEINT — v·N exceeds
+    int64 past ~10⁸ orders).
+
+    Scale: 5-row map-side aggregate plus a scalar total broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("value_cents"),
+    )
+    t = p.agg(
+        F.sum("n_orders").cast("long").alias("tn"),
+        F.sum("value_cents").cast("long").alias("tc"),
+    )
+    dec = "decimal(38,0)"
+    return p.crossJoin(t).select(
+        "o_orderpriority",
+        "n_orders",
+        "value_cents",
+        (
+            F.col("value_cents").cast("double")
+            / (F.col("n_orders") * 100)
+        ).alias("avg_value"),
+        (
+            (F.col("value_cents").cast(dec) * F.col("tn").cast(dec))
+            .cast("double")
+            / (F.col("n_orders").cast(dec) * F.col("tc").cast(dec))
+            .cast("double")
+        ).alias("premium_vs_overall"),
+    )
+
+
+@query(
+    "region_balance_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS supplier_balance_cents
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def region_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier book rolled up the full geography ladder
+    (supplier→nation→region): nations, suppliers, and exact balance
+    cents per region — the treasury-exposure view one level above
+    nation_balance_ledger.
+
+    Scale: both dimension joins broadcast (region 5 rows, nation 25);
+    the rollup is map-side partial on the supplier fact.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            F.broadcast(nation),
+            sup["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count_distinct(F.col("n_nationkey"))
+            .cast("long")
+            .alias("n_nations"),
+            F.count_distinct(F.col("s_suppkey"))
+            .cast("long")
+            .alias("n_suppliers"),
+            F.sum(cents("s_acctbal"))
+            .cast("long")
+            .alias("supplier_balance_cents"),
+        )
+    )

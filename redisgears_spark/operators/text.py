@@ -1844,3 +1844,58 @@ def docs_numeric_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "numeric_share"
         ),
     )
+
+
+@query(
+    "docs_source_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS q
+      FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang,
+             CAST(SUM(q) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(q * q) AS BIGINT) AS sq
+      FROM q GROUP BY 1
+    )
+    SELECT lang, n_docs, n_sources,
+           CAST(sq AS DOUBLE) / (n_docs * n_docs) AS source_hhi,
+           CAST(n_docs * n_docs AS DOUBLE) / sq AS effective_sources
+    FROM g
+    """,
+)
+def docs_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source diversity per language via the inverse participation ratio:
+    effective_sources = (Σq)²/Σq² — the entropy-free diversity number (a
+    language drawing equally from s sources scores exactly s; one
+    dominant source collapses it toward 1). The log-free twin of a
+    Shannon diversity check, so it keeps the exact-oracle contract; the
+    HHI is the same statistic inverted.
+
+    Scale: two map-side aggregates; each float is one division of exact
+    integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("q")
+    )
+    g = q.groupBy("lang").agg(
+        F.sum("q").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        (
+            F.col("sq").cast("double")
+            / (F.col("n_docs") * F.col("n_docs"))
+        ).alias("source_hhi"),
+        (
+            (F.col("n_docs") * F.col("n_docs")).cast("double")
+            / F.col("sq")
+        ).alias("effective_sources"),
+    )
