@@ -6950,6 +6950,9 @@ def customer_tenure_value_quadrants(
     from redisgears_spark.functions.ranks import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
+    # cache: chained global_ntile passes would each rescan the rollup
+    # (the balance-activity lesson — score from a cached base, join
+    # skinny)
     c = orders.groupBy("o_custkey").agg(
         (
             F.floor(
@@ -6962,11 +6965,17 @@ def customer_tenure_value_quadrants(
             )
         ).cast("long").alias("tenure_days"),
         F.sum(cents("o_totalprice")).cast("long").alias("v"),
-    )
-    c = global_ntile(c, 2, "tenure_days", "o_custkey", "tq")
-    c = global_ntile(c, 2, "v", "o_custkey", "vq")
+    ).cache()
+    tq = global_ntile(
+        c.select("o_custkey", "tenure_days"), 2, "tenure_days",
+        "o_custkey", "tq"
+    ).select("o_custkey", "tq")
+    vq = global_ntile(
+        c.select("o_custkey", "v"), 2, "v", "o_custkey", "vq"
+    ).select(F.col("o_custkey").alias("v_custkey"), "vq")
     return (
-        c.select(
+        tq.join(vq, F.col("o_custkey") == F.col("v_custkey"))
+        .select(
             F.when(F.col("tq") == 2, "long")
             .otherwise("short")
             .alias("tenure_half"),
