@@ -1561,14 +1561,12 @@ def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-shingle cardinality estimate via the KMV order statistic
     — the number every dedup campaign sizes itself with (distinct
     3-gram count drives band-bucket counts, LSH memory, and the
-    exact-oracle feasibility call) WITHOUT paying the full distinct
-    shuffle. Same k=256 sketch and estimator as kmv_distinct, over the
-    shared shingle derivation (shingled_docs), so the estimate is
+    exact-oracle feasibility call) without ever shuffling a shingle
+    STRING: shingles collapse to 8-byte hashes map-side, the distinct
+    runs over hashes only, and the top-k is TakeOrderedAndProject.
+    Same k=256 sketch and estimator as kmv_distinct, over the shared
+    shingle derivation (shingled_docs), so the estimate is
     bit-identical to the oracle at any scale.
-
-    Scale: shingles collapse to 8-byte hashes map-side; the top-k is
-    TakeOrderedAndProject (each partition contributes ≤ 256 rows). The
-    shingle strings themselves never shuffle.
     """
     from redisgears_spark.operators.analytics import kmv_distinct
 
