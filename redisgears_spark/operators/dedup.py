@@ -1574,3 +1574,127 @@ def docs_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("sh").alias("s")
     )
     return kmv_distinct(sh, "s", 256)
+
+
+@query(
+    "docs_exact_dup_source_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS n_cross_pairs
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def docs_exact_dup_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which source pairs share EXACT duplicate content? Per (source_a <
+    source_b): the number of shared normalized-content fingerprints and
+    the exact count of cross-source duplicate pairs (Σ c_a·c_b over
+    shared fingerprints, from grouped counts — no document-pair rows
+    are ever generated, the same counts-only trick as
+    join_cardinality_profile). The exact-dup companion of
+    docs_cross_source_overlap's shingle matrix: this one finds mirror
+    feeds, that one finds boilerplate.
+
+    Scale: the shuffle carries (md5, source, count) rows; the
+    fingerprint self-join fans out by |sources| per fingerprint at
+    worst, bounded by |sources|² output cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp_col = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = docs.groupBy(
+        "source", fp_col.alias("fingerprint")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = fp.select(
+        F.col("source").alias("source_a"),
+        "fingerprint",
+        F.col("c").alias("ca"),
+    )
+    b = fp.select(
+        F.col("source").alias("source_b"),
+        F.col("fingerprint").alias("fp_b"),
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fingerprint") == F.col("fp_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_fps"),
+            F.sum(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+    )
+
+
+@query(
+    "pipeline_dedup_survivorship",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT fingerprint, MIN(doc_id) AS keep_doc_id
+      FROM fp GROUP BY 1
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id = k.keep_doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN f.doc_id = k.keep_doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS survival_rate
+    FROM fp f JOIN keep k ON k.fingerprint = f.fingerprint
+    GROUP BY 1
+    """,
+)
+def pipeline_dedup_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What does dedup_exact's keep-lowest-doc_id policy DO to each
+    source's share of the corpus? Survival rate per source under the
+    exact policy — the fairness audit a mixture designer runs before
+    trusting post-dedup domain weights (a mirror source whose content
+    always arrives second survives at ~0 and silently vanishes from
+    the mix).
+
+    Scale: same 24-byte (md5, doc_id) shuffle as dedup_exact, the
+    keeper relation joins back fingerprint-keyed, rollup map-side to
+    |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp_col = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = docs.select("doc_id", "source", fp_col.alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    survived = F.when(
+        F.col("doc_id") == F.col("keep_doc_id"), 1
+    ).otherwise(0)
+    return (
+        fp.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(survived).cast("long").alias("n_survivors"),
+            (
+                F.sum(survived).cast("double") / F.count(F.lit(1))
+            ).alias("survival_rate"),
+        )
+    )

@@ -1877,3 +1877,61 @@ def pipeline_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epochs * F.col("tokens")).alias("tokens_used"),
         (budget - epochs * F.col("tokens")).alias("budget_left"),
     )
+
+
+@query(
+    "pipeline_hash_sample_calibration",
+    oracle=f"""
+    WITH h AS (
+      SELECT {md5_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM h)
+    SELECT k AS one_in_k,
+           t.total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h WHERE h % k = 0)
+             AS n_sampled,
+           CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM h WHERE h % k = 0)
+                * k AS DOUBLE) / t.total AS realized_over_nominal
+    FROM (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT)),
+                 (CAST(16 AS BIGINT)), (CAST(64 AS BIGINT))) AS ks(k), t
+    """,
+)
+def pipeline_hash_sample_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration table for deterministic hash sampling (the h%k==0
+    rule every sampling operator in this repo uses): realized sample
+    size vs nominal 1/k at k = 2/4/16/64, as the cross-multiplied exact
+    ratio n·k/total. A reading far from 1.0 would mean the 32-bit md5
+    prefix is biased over this id space — the check you run ONCE per
+    key universe before trusting hash-sampled estimates at 100 TB.
+
+    Scale: one hash projection, four conditional counts folded
+    map-side; no shuffle beyond the scalar folds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        md5_hash32_spark("CAST(doc_id AS STRING)").alias("h")
+    )
+    t = h.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    parts = []
+    for k in (2, 4, 16, 64):
+        n = h.filter(F.col("h") % k == 0).agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled")
+        )
+        parts.append(
+            n.crossJoin(t).select(
+                F.lit(k).cast("long").alias("one_in_k"),
+                "total",
+                "n_sampled",
+                (
+                    (F.col("n_sampled") * k).cast("double")
+                    / F.col("total")
+                ).alias("realized_over_nominal"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

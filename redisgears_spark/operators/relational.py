@@ -7094,3 +7094,198 @@ def region_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("supplier_balance_cents"),
         )
     )
+
+
+@query(
+    "orders_weekday_value_profile",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+                 CAST(SUM(value_cents) AS BIGINT) AS tc FROM d)
+    SELECT dow, n_orders, value_cents,
+           CAST(value_cents AS DOUBLE) / (n_orders * 100) AS avg_value,
+           CAST(CAST(value_cents AS HUGEINT) * t.tn AS DOUBLE)
+             / CAST(CAST(n_orders AS HUGEINT) * t.tc AS DOUBLE)
+             AS value_index
+    FROM d, t
+    """,
+)
+def orders_weekday_value_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full weekday revenue profile: order count, exact value, average
+    basket, and each weekday's basket index vs the overall average in
+    the cross-multiplied (v·N)/(n·V) form (orders_weekend_effect is the
+    2-row binary cut; this is the 7-row curve). Convention: Spark's
+    dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, so the oracle
+    adds 1.
+
+    Scale: 7-row map-side aggregate plus a scalar broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.dayofweek("o_orderdate").cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("value_cents"),
+    )
+    t = d.agg(
+        F.sum("n_orders").cast("long").alias("tn"),
+        F.sum("value_cents").cast("long").alias("tc"),
+    )
+    dec = "decimal(38,0)"
+    return d.crossJoin(t).select(
+        "dow",
+        "n_orders",
+        "value_cents",
+        (
+            F.col("value_cents").cast("double")
+            / (F.col("n_orders") * 100)
+        ).alias("avg_value"),
+        (
+            (F.col("value_cents").cast(dec) * F.col("tn").cast(dec))
+            .cast("double")
+            / (F.col("n_orders").cast(dec) * F.col("tc").cast(dec))
+            .cast("double")
+        ).alias("value_index"),
+    )
+
+
+@query(
+    "lineitem_quantity_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS quantity,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS total FROM q)
+    SELECT quantity, n_lines,
+           CAST(n_lines AS DOUBLE) / t.total AS share,
+           CAST(CAST(SUM(n_lines) OVER (ORDER BY quantity
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+             / t.total AS cum_share
+    FROM q, t
+    """,
+)
+def lineitem_quantity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-line quantity distribution with cumulative shares — the
+    pick-size profile (warehouse slotting reads the cumulative curve:
+    if 80 % of lines are quantity ≤ 20, that's the forward-pick zone).
+    Quantities are exactly integer-valued in the fixture; the window
+    runs over the ≤50-row histogram.
+
+    Scale: map-side histogram; the cumulative fold is histogram-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy(
+        F.round("l_quantity").cast("long").alias("quantity")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    t = q.agg(F.sum("n_lines").cast("long").alias("total"))
+    w = W.orderBy("quantity").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        q.crossJoin(t)
+        .withColumn("cum", F.sum("n_lines").over(w).cast("long"))
+        .select(
+            "quantity",
+            "n_lines",
+            (F.col("n_lines").cast("double") / F.col("total")).alias(
+                "share"
+            ),
+            (F.col("cum").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_balance_volume_corr",
+    oracle="""
+    WITH v AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    x AS (
+      SELECT CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS bal,
+             COALESCE(v.n_lines, 0) AS vol
+      FROM supplier s LEFT JOIN v ON v.l_suppkey = s.s_suppkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bal) AS BIGINT) AS sx,
+             CAST(SUM(vol) AS BIGINT) AS sy,
+             CAST(SUM(CAST(bal AS HUGEINT) * CAST(vol AS HUGEINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(bal AS HUGEINT) * CAST(bal AS HUGEINT))
+                  AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(vol AS HUGEINT) * CAST(vol AS HUGEINT))
+                  AS HUGEINT) AS syy
+      FROM x
+    )
+    SELECT n AS n_suppliers,
+           CAST(CAST(n AS HUGEINT) * sxy
+                - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                         AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                           AS DOUBLE)) AS balance_volume_corr
+    FROM s
+    """,
+)
+def supplier_balance_volume_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does supplier account balance track shipping volume? One-row
+    Pearson correlation between exact balance cents and lineitem count
+    per supplier (suppliers with zero lines count at volume 0 via the
+    left join — excluding them would bias the estimate upward). Same
+    decimal/HUGEINT Pearson identity as the embedding-dimension and
+    assortativity correlations; sqrt plus one division are the only
+    float ops.
+
+    Scale: volume is a map-side count per suppkey; the supplier join is
+    dimension-sized; the fold is scalar.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    x = sup.join(v, sup["s_suppkey"] == v["l_suppkey"], "left").select(
+        cents("s_acctbal").alias("bal"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("vol"),
+    )
+    dec = "decimal(38,0)"
+    bd = F.col("bal").cast(dec)
+    vd = F.col("vol").cast(dec)
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal").cast("long").alias("sx"),
+        F.sum("vol").cast("long").alias("sy"),
+        F.sum(bd * vd).cast(dec).alias("sxy"),
+        F.sum(bd * bd).cast(dec).alias("sxx"),
+        F.sum(vd * vd).cast(dec).alias("syy"),
+    )
+    nd = F.col("n").cast(dec)
+    sxd = F.col("sx").cast(dec)
+    syd = F.col("sy").cast(dec)
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    vx = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    vy = (nd * F.col("syy") - syd * syd).cast("double")
+    return s.select(
+        F.col("n").alias("n_suppliers"),
+        (num / F.sqrt(vx * vy)).alias("balance_volume_corr"),
+    )
