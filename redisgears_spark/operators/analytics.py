@@ -5365,3 +5365,240 @@ def events_first_session_conversion(
             F.sum("converted").cast("double") / F.count(F.lit(1))
         ).alias("first_session_conversion"),
     )
+
+
+@query(
+    "events_concurrent_sessions_daily_peak",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no,
+             epoch_us(ts) AS us
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sess_no,
+             CAST(MIN(us) AS BIGINT) AS s_us,
+             CAST(MAX(us) AS BIGINT) AS e_us
+      FROM sid GROUP BY 1, 2
+    ),
+    sweep AS (
+      SELECT s_us // 86400000000 AS day, s_us AS us, 1 AS delta,
+             user_id, sess_no
+      FROM sess
+      UNION ALL
+      SELECT s_us // 86400000000, e_us, -1, user_id, sess_no FROM sess
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY us, delta, user_id, sess_no
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM sweep
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent_sessions
+    FROM run GROUP BY 1
+    """,
+)
+def events_concurrent_sessions_daily_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number a
+    connection-pool sizing exercise wants (orders_inflight_concurrency
+    is the order-interval version; this sweeps 30-minute-gap sessions).
+    Boundary sweep: +1 at session start, −1 at session end, running
+    max per day; at equal microseconds the −1 sorts first (delta
+    ascending), so a session ending exactly when another starts never
+    double-counts. A session is attributed to its START day (sessions
+    are gap-bounded, so spillover is minutes, documented).
+
+    Scale: sessionization rides the user_id exchange; the sweep window
+    partitions BY DAY (parallel across days, linear within).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        micros("ts").alias("us"),
+        F.when(
+            (
+                micros("ts") - F.lag(micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag(micros("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    wc = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sid = g.withColumn("sess_no", F.sum("new_sess").over(wc))
+    sess = sid.groupBy("user_id", "sess_no").agg(
+        F.min("us").cast("long").alias("s_us"),
+        F.max("us").cast("long").alias("e_us"),
+    )
+    day = F.expr("s_us div 86400000000")
+    sweep = sess.select(
+        day.alias("day"),
+        F.col("s_us").alias("us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "sess_no",
+    ).unionAll(
+        sess.select(
+            day.alias("day"),
+            F.col("e_us").alias("us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "sess_no",
+        )
+    )
+    wr = W.partitionBy("day").orderBy(
+        "us", "delta", "user_id", "sess_no"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = sweep.withColumn("live", F.sum("delta").over(wr))
+    return run.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.max("live").cast("long").alias("peak_concurrent_sessions")
+    )
+
+
+@query(
+    "events_bot_signature_census",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    uh AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS hc
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT user_id,
+             CAST(MAX(hc) AS BIGINT) AS mx,
+             CAST(SUM(hc) AS BIGINT) AS total
+      FROM uh GROUP BY 1
+    ),
+    daily AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS ssq
+      FROM d GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS events_total,
+             CAST(COUNT(*) AS BIGINT) AS users_total
+      FROM daily
+    ),
+    u AS (
+      SELECT dd.user_id,
+             CASE WHEN hourly.total >= 10
+                       AND (hourly.mx * 10) // hourly.total >= 8
+                  THEN 1 ELSE 0 END AS peaky,
+             CASE WHEN dd.n_days >= 3
+                       AND CAST(dd.n_days * dd.ssq
+                                - dd.n_events * dd.n_events AS DOUBLE)
+                           / ((dd.n_days - 1) * dd.n_events) < 0.2
+                  THEN 2 ELSE 0 END AS metronomic,
+             CASE WHEN CAST(dd.n_events AS HUGEINT) * t.users_total
+                       > 4 * CAST(t.events_total AS HUGEINT)
+                  THEN 4 ELSE 0 END AS hyperactive
+      FROM daily dd JOIN hourly ON hourly.user_id = dd.user_id, t
+    )
+    SELECT CAST(peaky + metronomic + hyperactive AS BIGINT) AS signature,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY 1
+    """,
+)
+def events_bot_signature_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-based bot-signature census — the composition operator that
+    folds three exact behavioral signals into one bitmask (the Gopher
+    reasons-bitmask pattern applied to traffic quality): bit 1 = peaky
+    (≥80 % of ≥10 events in one hour-of-day, integer-division decile),
+    bit 2 = metronomic (daily Fano factor < 0.2 over ≥3 active days —
+    cron-like regularity), bit 4 = hyperactive (event count over 4× the
+    per-user mean, cross-multiplied in HUGEINT). Census rows per
+    signature combination; signature 0 is organic traffic.
+
+    Exactness: every signal reuses an already-pinned integer form (the
+    peak-hour decile, the Fano identity, a cross-multiplied mean
+    comparison); the one float compare (< 0.2) is between
+    identically-derived doubles in both engines.
+
+    Scale: three map-side aggregates and a user-keyed join of two
+    user-sized relations; the census is ≤8 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("user_id", day_bucket("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    daily = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    uh = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("hc")
+    )
+    hourly = uh.groupBy(F.col("user_id").alias("h_user")).agg(
+        F.max("hc").cast("long").alias("mx"),
+        F.sum("hc").cast("long").alias("total"),
+    )
+    t = daily.agg(
+        F.sum("n_events").cast("long").alias("events_total"),
+        F.count(F.lit(1)).cast("long").alias("users_total"),
+    )
+    dec = "decimal(38,0)"
+    fano = (
+        (
+            F.col("n_days") * F.col("ssq")
+            - F.col("n_events") * F.col("n_events")
+        ).cast("double")
+        / ((F.col("n_days") - 1) * F.col("n_events"))
+    )
+    u = (
+        daily.join(hourly, F.col("user_id") == F.col("h_user"))
+        .crossJoin(t)
+        .select(
+            F.when(
+                (F.col("total") >= 10)
+                & (F.expr("(mx * 10) div total") >= 8),
+                1,
+            ).otherwise(0).alias("peaky"),
+            F.when((F.col("n_days") >= 3) & (fano < 0.2), 2)
+            .otherwise(0)
+            .alias("metronomic"),
+            F.when(
+                F.col("n_events").cast(dec) * F.col("users_total")
+                > F.lit(4) * F.col("events_total").cast(dec),
+                4,
+            ).otherwise(0).alias("hyperactive"),
+        )
+    )
+    return u.groupBy(
+        (
+            F.col("peaky") + F.col("metronomic") + F.col("hyperactive")
+        ).cast("long").alias("signature")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

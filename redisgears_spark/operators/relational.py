@@ -7289,3 +7289,108 @@ def supplier_balance_volume_corr(
         F.col("n").alias("n_suppliers"),
         (num / F.sqrt(vx * vy)).alias("balance_volume_corr"),
     )
+
+
+@query(
+    "part_sourcing_redundancy",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem GROUP BY 1
+    ),
+    h AS (
+      SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM s GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS total FROM h)
+    SELECT n_suppliers, n_parts,
+           CAST(n_parts AS DOUBLE) / t.total AS part_share
+    FROM h, t
+    """,
+)
+def part_sourcing_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy histogram: how many parts ship from
+    exactly k distinct suppliers? The n_suppliers=1 row is the
+    single-source risk register — every part there stops shipping when
+    one supplier does.
+
+    Scale: distinct on (part, supplier) then two map-side rollups; the
+    100 TB swap for the distinct is the grouped-KMV pattern if supplier
+    cardinality ever dominates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey").agg(
+        F.count_distinct(F.col("l_suppkey"))
+        .cast("long")
+        .alias("n_suppliers")
+    )
+    h = s.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    t = h.agg(F.sum("n_parts").cast("long").alias("total"))
+    return h.crossJoin(t).select(
+        "n_suppliers",
+        "n_parts",
+        (F.col("n_parts").cast("double") / F.col("total")).alias(
+            "part_share"
+        ),
+    )
+
+
+@query(
+    "lineitem_zero_tax_share_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS midx,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN CAST(ROUND(l_tax * 100) AS BIGINT) = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_tax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(m.midx AS BIGINT) AS month_idx,
+           m.n_lines, m.n_zero_tax,
+           CAST(m.n_zero_tax AS DOUBLE) / m.n_lines AS zero_tax_share,
+           COALESCE(
+             CAST(m.n_zero_tax AS DOUBLE) / m.n_lines
+               - CAST(p.n_zero_tax AS DOUBLE) / p.n_lines, 0.0)
+             AS share_delta_mom
+    FROM m LEFT JOIN m p ON p.midx = m.midx - 1
+    """,
+)
+def lineitem_zero_tax_share_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Share of tax-exempt lines by ship month with the MoM delta — the
+    compliance drift monitor (a jump in zero-tax share is either a new
+    exempt jurisdiction or a data-entry regression; both deserve the
+    alert). Tax compares at exact integer percent; same trend idiom as
+    the returns/priority/discount monitors.
+
+    Scale: map-side monthly rollup, dimension-sized MoM self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).cast("long").alias("midx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.when(basis_points("l_tax", 100) == 0, 1).otherwise(0)
+        ).cast("long").alias("n_zero_tax"),
+    )
+    p = m.select(
+        F.col("midx").alias("p_midx"),
+        F.col("n_lines").alias("p_n"),
+        F.col("n_zero_tax").alias("p_z"),
+    )
+    share = F.col("n_zero_tax").cast("double") / F.col("n_lines")
+    pshare = F.col("p_z").cast("double") / F.col("p_n")
+    return m.join(p, F.col("p_midx") == F.col("midx") - 1, "left").select(
+        F.col("midx").alias("month_idx"),
+        "n_lines",
+        "n_zero_tax",
+        share.alias("zero_tax_share"),
+        F.coalesce(share - pshare, F.lit(0.0)).alias("share_delta_mom"),
+    )

@@ -1899,3 +1899,59 @@ def docs_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sq")
         ).alias("effective_sources"),
     )
+
+
+@query(
+    "docs_lang_source_matrix",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         obs AS (
+           SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1, 2
+         )
+    SELECT l.lang, s.source,
+           CAST(COALESCE(o.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN o.n_docs IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_gap
+    FROM langs l CROSS JOIN srcs s
+    LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
+    """,
+)
+def docs_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL language × source coverage matrix including empty cells
+    (is_gap = 1) — the completeness audit a multilingual corpus
+    curator runs before promising coverage: an observed-cells-only
+    rollup cannot show which (lang, source) combinations are missing,
+    and at 100 TB a silent gap is indistinguishable from a filter bug
+    without this table.
+
+    Scale: the cross join multiplies two DISTINCT dimension relations
+    (|langs|·|sources| cells — dimension-sized by construction, the
+    one place a cross join is the honest plan); the observed counts
+    join back dimension-keyed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    langs = docs.select("lang").distinct()
+    srcs = docs.select("source").distinct()
+    obs = docs.groupBy(
+        F.col("lang").alias("o_lang"), F.col("source").alias("o_source")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        langs.crossJoin(srcs)
+        .join(
+            obs,
+            (F.col("lang") == F.col("o_lang"))
+            & (F.col("source") == F.col("o_source")),
+            "left",
+        )
+        .select(
+            "lang",
+            "source",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_docs"),
+            F.when(F.col("n").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_gap"),
+        )
+    )
