@@ -466,3 +466,282 @@ class TestSessionDepthValue:
         assert got[1]["n_sessions"] == 2
         assert got[1]["value_cents"] == 3000
         assert got[1]["value_per_event"] == 1500.0
+
+
+def _orders_dir10(tmp_path, orders):
+    """orders: (o_orderkey, o_custkey, offset_days, o_totalprice,
+    o_orderpriority)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "o_orderkey": k,
+                "o_custkey": c,
+                "o_orderstatus": "O",
+                "o_totalprice": p,
+                "o_orderdate": _T0 + pd.Timedelta(days=off),
+                "o_orderpriority": pr,
+            }
+            for k, c, off, p, pr in orders
+        ]
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    return _write(tmp_path, "orders", pdf)
+
+
+class TestTransitionGapMedian:
+    def test_bruteforce_with_ties(self, spark, tmp_path):
+        from redisgears_spark.operators.analytics import (
+            events_transition_gap_median,
+        )
+
+        rng = random.Random(1033)
+        rows, eid = [], 0
+        types = ["view", "click", "purchase"]
+        for uid in range(1, 8):
+            t = 0
+            for _ in range(rng.randint(2, 25)):
+                t += rng.choice([10, 10, 60, 3600])  # forced gap ties
+                rows.append((eid, uid, t, rng.choice(types), 1.0))
+                eid += 1
+        d = _events(tmp_path, rows)
+        got = {
+            (r["prev_type"], r["next_type"]): r
+            for r in events_transition_gap_median(spark, d).collect()
+        }
+        # brute force: per user ordered by (ts, event_id)
+        from collections import defaultdict
+
+        trans = defaultdict(list)  # (prev,next) -> [(gap_us, event_id)]
+        byu = defaultdict(list)
+        for eid_, uid, off, et, v in rows:
+            byu[uid].append((off, eid_, et))
+        for uid, evs in byu.items():
+            evs.sort()
+            for (o1, e1, t1), (o2, e2, t2) in zip(evs, evs[1:]):
+                trans[(t1, t2)].append(((o2 - o1) * 1_000_000, e2))
+        for pair, gaps in trans.items():
+            gaps.sort()
+            n = len(gaps)
+            want = gaps[((n - 1) * 50) // 100][0]
+            assert got[pair]["n_transitions"] == n, pair
+            assert got[pair]["median_gap_us"] == want, pair
+
+
+class TestConcurrencyPeak:
+    def test_touching_sessions_do_not_double_count(self, spark, tmp_path):
+        from redisgears_spark.operators.analytics import (
+            events_concurrent_sessions_daily_peak,
+        )
+
+        rows = [
+            # user 1: session [0, 100]
+            (0, 1, 0, "view", 1.0),
+            (1, 1, 100, "view", 1.0),
+            # user 2: session starting EXACTLY at user 1's end (us=100):
+            # the -1 sorts before the +1, so peak stays 1... but user 3
+            # overlaps both
+            (2, 2, 100, "view", 1.0),
+            (3, 2, 200, "view", 1.0),
+            # user 3: [50, 150] overlaps user 1 AND user 2
+            (4, 3, 50, "view", 1.0),
+            (5, 3, 150, "view", 1.0),
+            # next day: two fully-overlapping sessions -> peak 2
+            (6, 4, 86400 + 10, "view", 1.0),
+            (7, 4, 86400 + 50, "view", 1.0),
+            (8, 5, 86400 + 20, "view", 1.0),
+            (9, 5, 86400 + 40, "view", 1.0),
+        ]
+        d = _events(tmp_path, rows)
+        got = {
+            r["day"]: r["peak_concurrent_sessions"]
+            for r in events_concurrent_sessions_daily_peak(
+                spark, d
+            ).collect()
+        }
+        # day 0: at t=50..100 both user1 and user3 live (=2); at t=100
+        # user1 ends before user2 starts, user3 still live -> still 2
+        assert got[19723] == 2  # _T0 = 2024-01-01 = epoch day 19723
+        assert got[19724] == 2
+
+    def test_peak_matches_bruteforce(self, spark, tmp_path):
+        from redisgears_spark.operators.analytics import (
+            events_concurrent_sessions_daily_peak,
+        )
+
+        rng = random.Random(1039)
+        rows, eid = [], 0
+        for uid in range(1, 30):
+            t = rng.randint(0, 3600)
+            for _ in range(rng.randint(1, 12)):
+                rows.append((eid, uid, t, "view", 1.0))
+                eid += 1
+                t += rng.choice([30, 300, 2000])  # some same-session,
+                # some new-session gaps
+        d = _events(tmp_path, rows)
+        got = {
+            r["day"]: r["peak_concurrent_sessions"]
+            for r in events_concurrent_sessions_daily_peak(
+                spark, d
+            ).collect()
+        }
+        # brute force sessions with the 30-min strict-> rule
+        from collections import defaultdict
+
+        byu = defaultdict(list)
+        for eid_, uid, off, et, v in rows:
+            byu[uid].append(off)
+        sessions = []
+        for uid, offs in byu.items():
+            offs.sort()
+            start = prev = offs[0]
+            for o in offs[1:]:
+                if o - prev > 1800:
+                    sessions.append((start, prev))
+                    start = o
+                prev = o
+            sessions.append((start, prev))
+        events_sweep = defaultdict(list)
+        for s, e in sessions:
+            day = (s + 19723 * 86400) * 1_000_000 // 86_400_000_000
+            events_sweep[day].append((s, 1))
+            events_sweep[day].append((e, -1))
+        for day, evs in events_sweep.items():
+            evs.sort(key=lambda x: (x[0], x[1]))
+            live = peak = 0
+            for _, delta in evs:
+                live += delta
+                peak = max(peak, live)
+            assert got[day] == peak, day
+
+
+class TestBotSignatureCensus:
+    def test_constructed_signatures(self, spark, tmp_path):
+        from redisgears_spark.operators.analytics import (
+            events_bot_signature_census,
+        )
+
+        rows, eid = [], 0
+        # user 1: organic — spread over hours/days, moderate volume
+        for i in range(12):
+            rows.append((eid, 1, i * 86400 + (i % 24) * 3600 + (i * 977) % 3000, "view", 1.0))
+            eid += 1
+        # user 2: peaky — 12 events, 11 in hour 3 of day 0
+        for i in range(11):
+            rows.append((eid, 2, 3 * 3600 + i * 60, "view", 1.0))
+            eid += 1
+        rows.append((eid, 2, 10 * 3600, "view", 1.0)); eid += 1
+        # user 3: metronomic — exactly 2 events every day for 5 days
+        # (fano 0 < 0.2), spread across hours so not peaky
+        for day in range(5):
+            for j in range(2):
+                rows.append(
+                    (eid, 3, day * 86400 + (day * 5 + j * 7) % 24 * 3600,
+                     "view", 1.0)
+                )
+                eid += 1
+        d = _events(tmp_path, rows)
+        out = {
+            r["signature"]: r["n_users"]
+            for r in events_bot_signature_census(spark, d).collect()
+        }
+        # user 2's 12 events: peak hour 11/12 -> (11*10)//12 = 9 >= 8,
+        # and 11 of them in one day + 1 in another: n_days=2 < 3 so not
+        # metronomic; volume 12 vs mean ~11.3: not > 4x -> signature 1.
+        # user 3: fano 0 over 5 days, peak hour share 2/10 -> sig 2.
+        # user 1: organic -> 0 (12 events over 12 days, fano 0 BUT
+        # wait: 1/day constant -> fano 0, n_days 12 >= 3 -> metronomic!
+        # constant 1/day IS cron-like: signature 2 by design.
+        assert out.get(1, 0) == 1  # peaky user 2
+        assert out.get(2, 0) == 2  # metronomic users 1 and 3
+        assert sum(out.values()) == 3
+
+
+class TestExactDupSourceMatrix:
+    def test_cross_pairs_bruteforce(self, spark, tmp_path):
+        from redisgears_spark.operators.dedup import (
+            docs_exact_dup_source_matrix,
+        )
+
+        rows = [
+            # "alpha beta" appears in A x2, B x1, C x1
+            (1, "alpha beta", "A"), (2, "alpha  beta", "A"),
+            (3, "Alpha Beta", "B"), (4, "alpha beta", "C"),
+            # "gamma" in A and B
+            (5, "gamma", "A"), (6, "gamma", "B"),
+            # unique docs
+            (7, "delta", "A"), (8, "epsilon", "B"),
+        ]
+        pdf = pd.DataFrame(
+            [
+                {"doc_id": i, "text": t, "lang": "en", "source": s,
+                 "n_chars": len(t)}
+                for i, t, s in rows
+            ]
+        )
+        d = _write(tmp_path, "documents", pdf)
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in docs_exact_dup_source_matrix(spark, d).collect()
+        }
+        # A-B: fps {alpha beta (2x1), gamma (1x1)} -> 2 shared, 3 pairs
+        assert got[("A", "B")]["n_shared_fps"] == 2
+        assert got[("A", "B")]["n_cross_pairs"] == 3
+        # A-C: alpha beta 2x1 -> 1 shared, 2 pairs
+        assert got[("A", "C")]["n_cross_pairs"] == 2
+        # B-C: alpha beta 1x1
+        assert got[("B", "C")]["n_cross_pairs"] == 1
+
+
+class TestBalanceVolumeCorr:
+    def test_identity_vs_python(self, spark, tmp_path):
+        from redisgears_spark.operators.relational import (
+            supplier_balance_volume_corr,
+        )
+
+        rng = random.Random(1049)
+        sups = [(k, rng.randint(-5000, 900000) / 100) for k in range(1, 25)]
+        spdf = pd.DataFrame(
+            [
+                {"s_suppkey": k, "s_name": f"s{k}", "s_nationkey": 0,
+                 "s_acctbal": b}
+                for k, b in sups
+            ]
+        )
+        spdf["s_nationkey"] = spdf["s_nationkey"].astype("int32")
+        _write(tmp_path, "supplier", spdf)
+        # supplier 24 gets NO lines (left-join zero-volume case)
+        lines = [
+            (rng.randint(1, 99), 1, rng.randint(1, 23), 1.0)
+            for _ in range(300)
+        ]
+        lpdf = pd.DataFrame(
+            [
+                {"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk,
+                 "l_linenumber": 1, "l_quantity": q,
+                 "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                 "l_returnflag": "N", "l_linestatus": "O",
+                 "l_shipdate": _T0}
+                for ok, pk, sk, q in lines
+            ]
+        )
+        lpdf["l_linenumber"] = lpdf["l_linenumber"].astype("int32")
+        lpdf["l_shipdate"] = lpdf["l_shipdate"].astype("datetime64[us]")
+        d = _write(tmp_path, "lineitem", lpdf)
+        row = supplier_balance_volume_corr(spark, d).collect()[0]
+        from collections import Counter
+
+        vol = Counter(sk for _, _, sk, _ in lines)
+        xs = [round(b * 100) for _, b in sups]
+        ys = [vol.get(k, 0) for k, _ in sups]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        import math
+
+        want = (n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        assert row["n_suppliers"] == n
+        assert row["balance_volume_corr"] == want
