@@ -5602,3 +5602,85 @@ def events_bot_signature_census(
             F.col("peaky") + F.col("metronomic") + F.col("hyperactive")
         ).cast("long").alias("signature")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@query(
+    "events_prior_context_value_lift",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    p AS (
+      SELECT prev_type,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM g
+      WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_purchases) AS BIGINT) AS tn,
+                 CAST(SUM(value_cents) AS BIGINT) AS tc FROM p)
+    SELECT p.prev_type, p.n_purchases, p.value_cents,
+           CAST(p.value_cents AS DOUBLE) / (p.n_purchases * 100)
+             AS avg_value,
+           CAST(CAST(p.value_cents AS HUGEINT) * t.tn AS DOUBLE)
+             / CAST(CAST(p.n_purchases AS HUGEINT) * t.tc AS DOUBLE)
+             AS value_lift
+    FROM p, t
+    """,
+)
+def events_prior_context_value_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does what a user did IMMEDIATELY BEFORE a purchase move its value?
+    Average purchase value conditioned on the preceding event type, and
+    its cross-multiplied lift vs all context-bearing purchases
+    ((v·N)/(n·V), decimal/HUGEINT) — the contextual-merchandising table
+    (a high view→purchase lift argues for recommendation slots right
+    before checkout).
+
+    Scale: one lag window on the user_id exchange, then a |types|-row
+    aggregate and a scalar broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        cents("value").alias("v"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    p = (
+        g.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_type").isNotNull()
+        )
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("v").cast("long").alias("value_cents"),
+        )
+    )
+    t = p.agg(
+        F.sum("n_purchases").cast("long").alias("tn"),
+        F.sum("value_cents").cast("long").alias("tc"),
+    )
+    dec = "decimal(38,0)"
+    return p.crossJoin(t).select(
+        "prev_type",
+        "n_purchases",
+        "value_cents",
+        (
+            F.col("value_cents").cast("double")
+            / (F.col("n_purchases") * 100)
+        ).alias("avg_value"),
+        (
+            (F.col("value_cents").cast(dec) * F.col("tn").cast(dec))
+            .cast("double")
+            / (F.col("n_purchases").cast(dec) * F.col("tc").cast(dec))
+            .cast("double")
+        ).alias("value_lift"),
+    )

@@ -7394,3 +7394,111 @@ def lineitem_zero_tax_share_monthly(
         share.alias("zero_tax_share"),
         F.coalesce(share - pshare, F.lit(0.0)).alias("share_delta_mom"),
     )
+
+
+@query(
+    "part_brand_type_gaps",
+    oracle="""
+    WITH brands AS (SELECT DISTINCT p_brand FROM part),
+         types AS (SELECT DISTINCT p_type FROM part),
+         obs AS (
+           SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1, 2
+         )
+    SELECT b.p_brand, t.p_type,
+           CAST(COALESCE(o.n_parts, 0) AS BIGINT) AS n_parts,
+           CAST(CASE WHEN o.n_parts IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_gap
+    FROM brands b CROSS JOIN types t
+    LEFT JOIN obs o ON o.p_brand = b.p_brand AND o.p_type = t.p_type
+    """,
+)
+def part_brand_type_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full brand × type assortment matrix INCLUDING empty cells —
+    the merchandising gap list (docs_lang_source_matrix's completeness
+    pattern on the catalog): a gap cell is a product line a brand
+    doesn't field, which an observed-cells rollup cannot show.
+
+    Scale: dimension × dimension cross join of two DISTINCT relations;
+    observed counts join back keyed.
+    """
+    part = load_table(spark, sf_dir, "part")
+    brands = part.select("p_brand").distinct()
+    types = part.select("p_type").distinct()
+    obs = part.groupBy(
+        F.col("p_brand").alias("o_brand"), F.col("p_type").alias("o_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        brands.crossJoin(types)
+        .join(
+            obs,
+            (F.col("p_brand") == F.col("o_brand"))
+            & (F.col("p_type") == F.col("o_type")),
+            "left",
+        )
+        .select(
+            "p_brand",
+            "p_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_parts"),
+            F.when(F.col("n").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "lineitem_unit_price_bands",
+    oracle="""
+    WITH u AS (
+      SELECT (CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              // CAST(ROUND(l_quantity) AS BIGINT)) // 100000 AS band,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    g AS (
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(pc) AS BIGINT) AS value_cents
+      FROM u GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS total FROM g)
+    SELECT band, n_lines, value_cents,
+           CAST(n_lines AS DOUBLE) / t.total AS line_share
+    FROM g, t
+    """,
+)
+def lineitem_unit_price_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unit-price distribution in $1000 bands, where unit price is the
+    INTEGER division price_cents // quantity — no float ever touches a
+    band edge (quantities are exactly integer-valued in the fixture;
+    the floor matches DuckDB's // semantics on non-negative operands).
+    The catalog-tiering table: mass in low bands is commodity volume,
+    the tail is specialty.
+
+    Scale: one map-side band histogram plus the scalar total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.expr(
+            "(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " div CAST(ROUND(l_quantity) AS BIGINT)) div 100000"
+        ).alias("band"),
+        cents("l_extendedprice").alias("pc"),
+    )
+    g = u.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("pc").cast("long").alias("value_cents"),
+    )
+    t = g.agg(F.sum("n_lines").cast("long").alias("total"))
+    return g.crossJoin(t).select(
+        "band",
+        "n_lines",
+        "value_cents",
+        (F.col("n_lines").cast("double") / F.col("total")).alias(
+            "line_share"
+        ),
+    )

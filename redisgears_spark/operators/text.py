@@ -1955,3 +1955,108 @@ def docs_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_gap"),
         )
     )
+
+
+@query(
+    "docs_rare_token_burden",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_TOKENS_SQL}) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN freq.f <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN freq.f <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_burden
+    FROM tok t JOIN freq ON freq.token = t.token
+    GROUP BY t.source
+    """,
+)
+def docs_rare_token_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of token occurrences whose type appears ≤2 times in the
+    WHOLE corpus, per source — the OCR-noise / mojibake signal (garbled
+    text mints one-off types; clean prose reuses the vocabulary). The
+    complement of hapax rate: that counts rare TYPES, this weighs their
+    burden on each source's token stream.
+
+    Scale: one global frequency aggregate, then a token-keyed join back
+    — both relations carry (token, small-int) rows only; the corpus
+    text never shuffles twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.expr(_TOKENS)).alias("token"))
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    rare = F.when(F.col("f") <= 2, 1).otherwise(0)
+    return (
+        tok.join(freq, "token")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            (F.sum(rare).cast("double") / F.count(F.lit(1))).alias(
+                "rare_burden"
+            ),
+        )
+    )
+
+
+@query(
+    "docs_cross_lang_token_leakage",
+    oracle=f"""
+    WITH lt AS (
+      SELECT DISTINCT lang, token FROM (
+        SELECT lang, UNNEST({_TOKENS_SQL}) AS token FROM documents
+      )
+    ),
+    spread AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM lt GROUP BY 1
+    ),
+    tok AS (
+      SELECT lang, UNNEST({_TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN s.n_langs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN s.n_langs >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS leakage_share
+    FROM tok t JOIN spread s ON s.token = t.token
+    GROUP BY t.lang
+    """,
+)
+def docs_cross_lang_token_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of each language's token stream is vocabulary shared
+    with ANOTHER language? High leakage means language-ID boundaries
+    are soft (code-switching, loanwords, or mislabeled documents) and
+    per-language statistics contaminate each other — the check run
+    before trusting any per-lang quality gate.
+
+    Scale: the distinct (lang, token) relation is vocabulary-sized; the
+    spread join back is token-keyed with small-int payloads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.expr(_TOKENS)).alias("token"))
+    spread = tok.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs")
+    )
+    shared = F.when(F.col("n_langs") >= 2, 1).otherwise(0)
+    return (
+        tok.join(spread, "token")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            (F.sum(shared).cast("double") / F.count(F.lit(1))).alias(
+                "leakage_share"
+            ),
+        )
+    )
