@@ -7502,3 +7502,76 @@ def lineitem_unit_price_bands(
             "line_share"
         ),
     )
+
+
+@query(
+    "supplier_monthly_active_sketched",
+    oracle="""
+    WITH m AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS midx,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    h AS (
+      SELECT DISTINCT (year(l_shipdate) * 12 + month(l_shipdate)) AS midx,
+             (('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT)
+               AS h
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT midx, h,
+             row_number() OVER (PARTITION BY midx ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT midx,
+             CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             CAST(MAX(h) AS BIGINT) AS kth_h
+      FROM rk WHERE rn <= 256 GROUP BY midx
+    )
+    SELECT CAST(m.midx AS BIGINT) AS month_idx, m.n_lines,
+           CASE WHEN s.n_in_sketch < 256
+                THEN CAST(s.n_in_sketch AS DOUBLE)
+                ELSE CAST(1095216660480 AS DOUBLE) / s.kth_h
+           END AS est_active_suppliers
+    FROM m JOIN sk s ON s.midx = m.midx
+    """,
+)
+def supplier_monthly_active_sketched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of supplier_monthly_active: per-month distinct
+    suppliers via grouped KMV (k=256) instead of the exact
+    COUNT(DISTINCT) — the registered code for the swap that operator's
+    docstring promises (the r8 verdict's rule: a documented swap must
+    exist as a tested operator, not as prose). Because KMV is a
+    deterministic order statistic, even the ESTIMATE carries a full
+    hash-exact oracle; below k distinct the estimate IS the exact
+    count, so fixture months with <256 suppliers reconcile exactly
+    against the unsketched twin.
+
+    Scale: the salted two-level k-smallest (grouped_kmv) bounds every
+    task at k rows per (month, salt-bucket); no month funnels its full
+    distinct-supplier set through one task.
+    """
+    from redisgears_spark.operators.analytics import grouped_kmv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    midx = (
+        F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    ).cast("long").alias("month_idx")
+    m = li.groupBy(midx).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    sk = grouped_kmv(
+        li.select(midx, "l_suppkey"),
+        ["month_idx"],
+        "CAST(l_suppkey AS STRING)",
+        256,
+    ).select(
+        F.col("month_idx").alias("s_midx"),
+        F.col("estimate").alias("est_active_suppliers"),
+    )
+    return m.join(sk, m["month_idx"] == F.col("s_midx")).select(
+        "month_idx", "n_lines", "est_active_suppliers"
+    )
