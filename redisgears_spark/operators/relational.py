@@ -7315,9 +7315,9 @@ def part_sourcing_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-source risk register — every part there stops shipping when
     one supplier does.
 
-    Scale: distinct on (part, supplier) then two map-side rollups; the
-    100 TB swap for the distinct is the grouped-KMV pattern if supplier
-    cardinality ever dominates.
+    Scale: distinct on (part, supplier) then two map-side rollups; if
+    supplier cardinality ever dominates, the registered grouped-KMV
+    swap (supplier_monthly_active_sketched) is the drop-in.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_partkey").agg(

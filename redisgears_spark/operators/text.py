@@ -1478,13 +1478,18 @@ def docs_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_sentences,
              CAST(SUM(words) AS BIGINT) AS sw,
-             CAST(SUM(words * words) AS BIGINT) AS sww
+             CAST(SUM(CAST(words AS HUGEINT) * CAST(words AS HUGEINT))
+                  AS HUGEINT) AS sww
       FROM x GROUP BY 1
     )
     SELECT lang, n_sentences,
            CAST(sw AS DOUBLE) / n_sentences AS mean_words,
-           CAST(n_sentences * (n_sentences * sww - sw * sw) AS DOUBLE)
-             / ((n_sentences - 1) * sw * sw) AS cv2
+           CAST(CAST(n_sentences AS HUGEINT)
+                * (CAST(n_sentences AS HUGEINT) * sww
+                   - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT))
+                AS DOUBLE)
+             / (CAST(n_sentences - 1 AS DOUBLE) * CAST(sw AS DOUBLE)
+                * CAST(sw AS DOUBLE)) AS cv2
     FROM g WHERE n_sentences >= 2
     """,
 )
@@ -1496,10 +1501,11 @@ def docs_sentence_length_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     around 0.3–0.7 — a per-language quality gate threshold.
 
     Scale: sentence explode is map-side (array ops per row), then one
-    aggregate to |langs| rows. Integer magnitudes: n·Σx² at 100 TB
-    needs the decimal lift — at fixture scales int64 holds with 10+
-    digits of headroom, and the docstring contract (like the variance
-    family) is to ride decimal(38,0) when row counts pass ~10^9.
+    aggregate to |langs| rows. The n·(nΣx²−(Σx)²) product rides
+    decimal(38,0)/HUGEINT (the variance-family discipline), so the
+    identity holds at any corpus size; the denominator folds in double
+    (each factor exact, products correctly rounded, identical
+    evaluation order in both engines).
     """
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
@@ -1508,21 +1514,27 @@ def docs_sentence_length_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.expr(
         "CAST(size(filter(split(sent, '\\\\s+'), t -> t != '')) AS BIGINT)"
     )
+    dec = "decimal(38,0)"
+    wd = F.col("words").cast(dec)
     g = s.select("lang", words.alias("words")).groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_sentences"),
         F.sum("words").cast("long").alias("sw"),
-        F.sum(F.col("words") * F.col("words")).cast("long").alias("sww"),
+        F.sum(wd * wd).cast(dec).alias("sww"),
     )
     n = F.col("n_sentences")
+    nd = n.cast(dec)
+    swd = F.col("sw").cast(dec)
     return g.filter(n >= 2).select(
         "lang",
         "n_sentences",
         (F.col("sw").cast("double") / n).alias("mean_words"),
         (
-            (n * (n * F.col("sww") - F.col("sw") * F.col("sw"))).cast(
-                "double"
+            (nd * (nd * F.col("sww") - swd * swd)).cast("double")
+            / (
+                (n - 1).cast("double")
+                * F.col("sw").cast("double")
+                * F.col("sw").cast("double")
             )
-            / ((n - 1) * F.col("sw") * F.col("sw"))
         ).alias("cv2"),
     )
 
