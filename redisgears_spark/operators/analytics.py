@@ -5684,3 +5684,42 @@ def events_prior_context_value_lift(
             .cast("double")
         ).alias("value_lift"),
     )
+
+
+@query(
+    "events_midnight_pileup_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN epoch_us(ts) % 86400000000 < 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_midnight,
+           CAST(SUM(CASE WHEN epoch_us(ts) % 86400000000 < 60000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS midnight_share
+    FROM events GROUP BY 1
+    """,
+)
+def events_midnight_pileup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Timestamp-hygiene audit: share of events landing in the first
+    minute after midnight UTC, per type. Organic traffic puts ~1/1440
+    of events there; a pileup means truncated timestamps or batch jobs
+    stamped at day boundaries — the check run before trusting ANY
+    hour-of-day or session statistic (both silently break on piled-up
+    timestamps).
+
+    Scale: one map-side conditional count; the modulo runs on exact
+    epoch micros.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    near = F.when(
+        micros("ts") % 86_400_000_000 < 60_000_000, 1
+    ).otherwise(0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(near).cast("long").alias("n_midnight"),
+        (F.sum(near).cast("double") / F.count(F.lit(1))).alias(
+            "midnight_share"
+        ),
+    )

@@ -1698,3 +1698,72 @@ def pipeline_dedup_survivorship(
             ).alias("survival_rate"),
         )
     )
+
+
+@query(
+    "docs_quality_vs_duplication",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ),
+    g AS (
+      SELECT fingerprint, MIN(doc_id) AS keep_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM fp GROUP BY 1
+    ),
+    cls AS (
+      SELECT CASE
+               WHEN g.n_copies = 1 THEN 'unique'
+               WHEN f.doc_id = g.keep_doc_id THEN 'dup_kept'
+               ELSE 'dup_removed'
+             END AS dup_status,
+             f.n_chars
+      FROM fp f JOIN g ON g.fingerprint = f.fingerprint
+    )
+    SELECT dup_status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM cls GROUP BY 1
+    """,
+)
+def docs_quality_vs_duplication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Are duplicated documents systematically different from unique
+    ones? Split the corpus by exact-dedup status (unique / cluster head
+    kept / removed) and compare length profiles — the bias check run
+    before treating "post-dedup" as "same distribution, smaller" (if
+    duplicates skew short, dedup silently shifts the length mix).
+
+    Scale: the same 24-byte fingerprint shuffle as dedup_exact; the
+    status classification joins the keeper relation fingerprint-keyed;
+    the rollup is 3 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp_col = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = docs.select("doc_id", "n_chars", fp_col.alias("fingerprint"))
+    g = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    status = (
+        F.when(F.col("n_copies") == 1, "unique")
+        .when(F.col("doc_id") == F.col("keep_doc_id"), "dup_kept")
+        .otherwise("dup_removed")
+    )
+    return (
+        fp.join(g, "fingerprint")
+        .select(status.alias("dup_status"), "n_chars")
+        .groupBy("dup_status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+    )

@@ -7575,3 +7575,55 @@ def supplier_monthly_active_sketched(
     return m.join(sk, m["month_idx"] == F.col("s_midx")).select(
         "month_idx", "n_lines", "est_active_suppliers"
     )
+
+
+@query(
+    "orders_duplicate_rows_audit",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_dup_rows,
+           CAST(SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS BIGINT)
+             AS n_excess_rows,
+           CAST(SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS BIGINT) AS excess_share
+    FROM g
+    """,
+)
+def orders_duplicate_rows_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-duplication audit on the fact table: groups of orders
+    identical on (customer, date, exact price) — the signature of a
+    double-ingested batch. `n_excess_rows` is exactly the overcount a
+    revenue sum inherits; at 100 TB a replayed partition announces
+    itself here long before reconciliation month-end. One-row report,
+    one division.
+
+    Scale: map-side group on three columns, scalar fold.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        "o_custkey", "o_orderdate", cents("o_totalprice").alias("pc")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dup = F.when(F.col("n") >= 2, F.col("n")).otherwise(0)
+    excess = F.when(F.col("n") >= 2, F.col("n") - 1).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(dup).cast("long").alias("n_dup_rows"),
+        F.sum(excess).cast("long").alias("n_excess_rows"),
+        (
+            F.sum(excess).cast("double") / F.sum("n").cast("long")
+        ).alias("excess_share"),
+    )

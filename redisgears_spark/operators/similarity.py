@@ -2062,3 +2062,92 @@ def embeddings_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio_to_max"
         ),
     )
+
+
+@query(
+    "embeddings_outlier_rate_by_label",
+    oracle="""
+    WITH n2 AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS HUGEINT)
+                      * CAST(round(CAST(x AS DOUBLE) * 1000000)
+                             AS HUGEINT)) AS HUGEINT) AS q
+      FROM embeddings e, UNNEST(e.embedding) AS t(x)
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT vec_id, label, q,
+             ROW_NUMBER() OVER (ORDER BY q, vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM n2
+    ),
+    thr AS (
+      SELECT MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN q END)
+               AS p99
+      FROM r
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN q > thr.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CASE WHEN q > thr.p99 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS outlier_rate
+    FROM n2, thr GROUP BY label, thr.p99
+    """,
+)
+def embeddings_outlier_rate_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which classes produce the norm outliers? Squared L2 norms in
+    exact q6² integer units (HUGEINT/decimal sums), the global p99 as a
+    type-1 order statistic, then per-label share of vectors above it —
+    a label with concentrated outliers usually marks an embedding-model
+    failure mode on that class (embeddings_norm_outliers finds the
+    vectors; this attributes them).
+
+    Scale: per-vector norms are a map-side fold over posexploded
+    components; the p99 selection is a single order statistic over the
+    vector-count-sized norm relation (at extreme cardinality the
+    registered hash-sample quantile sketch is the drop-in); the label
+    rollup is map-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast(dec)
+        .alias("q6"),
+    )
+    n2 = comp.groupBy("vec_id", "label").agg(
+        F.sum(F.col("q6") * F.col("q6")).cast(dec).alias("q")
+    )
+    wr = W.orderBy("q", "vec_id")
+    r = n2.select("vec_id", "q").withColumn(
+        "rn", F.row_number().over(wr)
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy())
+    )
+    thr = r.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((n - 1) * 99) div 100 + 1"),
+                F.col("q"),
+            )
+        ).alias("p99")
+    )
+    out = F.when(F.col("q") > F.col("p99"), 1).otherwise(0)
+    return (
+        n2.crossJoin(thr)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(out).cast("long").alias("n_outliers"),
+            (F.sum(out).cast("double") / F.count(F.lit(1))).alias(
+                "outlier_rate"
+            ),
+        )
+    )
