@@ -3267,3 +3267,51 @@ class TestStreamingBloomDedup:
             rt.latest()
         with _pytest.raises(GearsError, match="not supported"):
             rt.expire_idle(60)
+
+
+class TestBloomDedupFixtureIntegration:
+    """The Bloom runtime over the standard fixture adapter: first-seen
+    event-type counts per user-stream reconcile EXACTLY with the batch
+    distinct (at production width the FP probability over the fixture's
+    tiny per-key vocabularies is ~0)."""
+
+    def test_first_seen_equals_exact_distinct(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingBloomDedupRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingBloomDedupRuntime(
+            engine,
+            spool,
+            work,
+            source_adapter=events_to_stream,
+            field="event_type",
+            m=1 << 17,
+            k=7,
+        )
+        write_slice(spark, sf_dir, spool, 0, 400)
+        rt.start(prefix="user:")
+        try:
+            rt.process_available()
+            write_slice(spark, sf_dir, spool, 400, 800)  # resume, not reset
+            rt.process_available()
+        finally:
+            rt.stop()
+        stats = rt.dedup_stats()
+        ev = load_table(spark, sf_dir, "events").filter("event_id < 800")
+        import pyspark.sql.functions as SF
+
+        exact = {
+            f"user:{r['user_id']}": (r["nd"], r["n"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                SF.count_distinct("event_type").alias("nd"),
+                SF.count(SF.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert set(stats) == set(exact)
+        for key, s in stats.items():
+            nd, n = exact[key]
+            assert s["n_first_seen"] == nd, key  # zero false positives
+            assert s["n_records"] == n, key
+            assert s["n_suppressed"] == n - nd, key
