@@ -5723,3 +5723,55 @@ def events_midnight_pileup_audit(
             "midnight_share"
         ),
     )
+
+
+@query(
+    "events_daily_type_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT day,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM q GROUP BY 1
+    )
+    SELECT CAST(day AS BIGINT) AS day, n_events, n_types,
+           CAST(n_events * n_events AS DOUBLE) / sq AS effective_types
+    FROM g
+    """,
+)
+def events_daily_type_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily effective event-type count via the inverse participation
+    ratio (Σc)²/Σc² — the entropy-free diversity trend
+    (docs_source_diversity's statistic on the traffic mix): a day whose
+    effective_types collapses toward 1 is single-type flooding (an
+    incident or a bot run) even when raw volume looks normal.
+
+    Scale: two map-side aggregates to day-count rows; one division per
+    row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy(
+        day_bucket("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = q.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    return g.select(
+        F.col("day").cast("long").alias("day"),
+        "n_events",
+        "n_types",
+        (
+            (F.col("n_events") * F.col("n_events")).cast("double")
+            / F.col("sq")
+        ).alias("effective_types"),
+    )

@@ -1767,3 +1767,66 @@ def docs_quality_vs_duplication(
             ).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "docs_shingle_saturation_curve",
+    oracle=f"""
+    WITH {_ORACLE_DOCS_CTE},
+    sh AS (
+      SELECT s, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM (SELECT doc_id, UNNEST(sh) AS s FROM docs)
+      GROUP BY 1
+    ),
+    mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM documents)
+    SELECT k AS quarter,
+           (mx.max_id * k) // 4 AS cutoff_doc_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh
+            WHERE first_doc <= (mx.max_id * k) // 4)
+             AS distinct_shingles_cum
+    FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+                 (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT))) AS ks(k), mx
+    """,
+)
+def docs_shingle_saturation_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-shingle growth over corpus prefixes (doc_id quartile
+    cutoffs) — the Heaps-law curve for SHINGLES, which is the dedup
+    state-growth forecast (a flattening curve means LSH band tables and
+    Bloom filters stop growing; a linear one means budget for the full
+    corpus). Computed from ONE aggregation: the first doc_id carrying
+    each shingle, histogrammed against the cutoffs — never four
+    separate distinct passes.
+
+    Scale: per-shingle MIN(doc_id) is a map-side partial aggregate on
+    the shingle hash; the four cutoff counts are conditional folds.
+    """
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").cast("long").alias("max_id"))
+    j = sh.crossJoin(mx)
+    parts = []
+    for k in (1, 2, 3, 4):
+        cut = F.expr(f"(max_id * {k}) div 4")
+        parts.append(
+            j.agg(
+                F.max(cut).cast("long").alias("cutoff_doc_id"),
+                F.sum(
+                    F.when(F.col("first_doc") <= cut, 1).otherwise(0)
+                ).cast("long").alias("distinct_shingles_cum"),
+            ).select(
+                F.lit(k).cast("long").alias("quarter"),
+                "cutoff_doc_id",
+                "distinct_shingles_cum",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1935,3 +1935,163 @@ def pipeline_hash_sample_calibration(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "pipeline_length_filter_sensitivity",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+             CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+      FROM documents
+    )
+    SELECT k AS min_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE n_chars >= k) AS n_kept,
+           CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                 WHERE n_chars >= k) AS DOUBLE) / t.total_docs
+             AS doc_share,
+           (SELECT CAST(SUM(len({_TOKENS_SQL})) AS BIGINT)
+            FROM documents WHERE n_chars >= k) AS tokens_kept,
+           CAST((SELECT CAST(SUM(len({_TOKENS_SQL})) AS BIGINT)
+                 FROM documents WHERE n_chars >= k) AS DOUBLE)
+             / t.total_tokens AS token_share
+    FROM (VALUES (CAST(64 AS BIGINT)), (CAST(128 AS BIGINT)),
+                 (CAST(256 AS BIGINT)), (CAST(512 AS BIGINT))) AS ks(k), t
+    """,
+)
+def pipeline_length_filter_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What does each candidate min-length gate cost? Documents and
+    tokens surviving at thresholds 64/128/256/512 chars — the
+    sensitivity curve read BEFORE fixing a Gopher-style length filter
+    (the doc_share/token_share divergence shows whether the gate
+    removes mass or just noise: dropping 20 % of docs but 2 % of
+    tokens is cheap; the reverse is not).
+
+    Scale: one pass computes per-doc (n_chars, token count) map-side;
+    the four thresholds are conditional folds over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "n_chars", F.expr(f"size({_TOKENS})").cast("long").alias("tok")
+    )
+    t = base.agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )
+    parts = []
+    for k in (64, 128, 256, 512):
+        kept = base.filter(F.col("n_chars") >= k).agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum("tok"), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        parts.append(
+            kept.crossJoin(t).select(
+                F.lit(k).cast("long").alias("min_chars"),
+                "n_kept",
+                (
+                    F.col("n_kept").cast("double") / F.col("total_docs")
+                ).alias("doc_share"),
+                "tokens_kept",
+                (
+                    F.col("tokens_kept").cast("double")
+                    / F.col("total_tokens")
+                ).alias("token_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "min_chars", "n_kept", "doc_share", "tokens_kept", "token_share"
+    )
+
+
+@query(
+    "pipeline_post_dedup_mixture_shift",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             len({_TOKENS_SQL}) AS tok,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT fingerprint, MIN(doc_id) AS keep_doc_id
+      FROM fp GROUP BY 1
+    ),
+    s AS (
+      SELECT f.source,
+             CAST(SUM(f.tok) AS BIGINT) AS tokens_before,
+             CAST(SUM(CASE WHEN f.doc_id = k.keep_doc_id
+                           THEN f.tok ELSE 0 END) AS BIGINT)
+               AS tokens_after
+      FROM fp f JOIN keep k ON k.fingerprint = f.fingerprint
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(tokens_before) AS BIGINT) AS tb,
+                 CAST(SUM(tokens_after) AS BIGINT) AS ta FROM s)
+    SELECT s.source, s.tokens_before, s.tokens_after,
+           CAST(s.tokens_before AS DOUBLE) / t.tb AS share_before,
+           CAST(s.tokens_after AS DOUBLE) / t.ta AS share_after,
+           CAST(s.tokens_after AS DOUBLE) / t.ta
+             - CAST(s.tokens_before AS DOUBLE) / t.tb AS share_shift
+    FROM s, t
+    """,
+)
+def pipeline_post_dedup_mixture_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The downstream consequence pipeline_dedup_survivorship warns
+    about, measured in the unit that matters: each source's TOKEN share
+    of the mixture before vs after exact dedup (keep-lowest policy).
+    `share_shift` is the silent reweighting dedup applies to the
+    training mixture — a designer who tuned domain weights pre-dedup is
+    actually training on these post-dedup shares.
+
+    Scale: the fingerprint shuffle carries (md5, doc_id, source,
+    token-count); the keeper join is fingerprint-keyed; rollup to
+    |sources| rows and one scalar broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp_col = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_TOKENS})").cast("long").alias("tok"),
+        fp_col.alias("fingerprint"),
+    )
+    keep = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    s = (
+        fp.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.sum("tok").cast("long").alias("tokens_before"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("keep_doc_id"), F.col("tok")
+                ).otherwise(0)
+            ).cast("long").alias("tokens_after"),
+        )
+    )
+    t = s.agg(
+        F.sum("tokens_before").cast("long").alias("tb"),
+        F.sum("tokens_after").cast("long").alias("ta"),
+    )
+    before = F.col("tokens_before").cast("double") / F.col("tb")
+    after = F.col("tokens_after").cast("double") / F.col("ta")
+    return s.crossJoin(t).select(
+        "source",
+        "tokens_before",
+        "tokens_after",
+        before.alias("share_before"),
+        after.alias("share_after"),
+        (after - before).alias("share_shift"),
+    )
