@@ -745,3 +745,184 @@ class TestBalanceVolumeCorr:
         )
         assert row["n_suppliers"] == n
         assert row["balance_volume_corr"] == want
+
+
+def _documents(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": lg, "source": s,
+             "n_chars": len(t)}
+            for i, t, lg, s in rows
+        ]
+    )
+    return _write(tmp_path, "documents", pdf)
+
+
+class TestBroadcastEligibility:
+    def test_byte_model_vs_python(self, spark, tmp_path):
+        from redisgears_spark.operators.scale_audit import (
+            broadcast_eligibility_report,
+        )
+
+        rng = random.Random(1051)
+        regions = [(i, "R" * rng.randint(1, 20)) for i in range(5)]
+        rpdf = pd.DataFrame(
+            [{"r_regionkey": k, "r_name": n} for k, n in regions]
+        )
+        rpdf["r_regionkey"] = rpdf["r_regionkey"].astype("int32")
+        _write(tmp_path, "region", rpdf)
+        nations = [(i, "N" * rng.randint(1, 25), i % 5) for i in range(25)]
+        npdf = pd.DataFrame(
+            [
+                {"n_nationkey": k, "n_name": n, "n_regionkey": r}
+                for k, n, r in nations
+            ]
+        )
+        for c in ("n_nationkey", "n_regionkey"):
+            npdf[c] = npdf[c].astype("int32")
+        _write(tmp_path, "nation", npdf)
+        sups = [(i, "S" * rng.randint(1, 30), i % 25, 1.5)
+                for i in range(40)]
+        spdf = pd.DataFrame(
+            [
+                {"s_suppkey": k, "s_name": n, "s_nationkey": nk,
+                 "s_acctbal": b}
+                for k, n, nk, b in sups
+            ]
+        )
+        spdf["s_nationkey"] = spdf["s_nationkey"].astype("int32")
+        _write(tmp_path, "supplier", spdf)
+        _customers(tmp_path, [(1, 0, 1.0)])
+        ppdf = pd.DataFrame(
+            [{"p_partkey": 1, "p_name": "pn", "p_brand": "b",
+              "p_type": "t", "p_size": 1, "p_retailprice": 1.0}]
+        )
+        ppdf["p_size"] = ppdf["p_size"].astype("int32")
+        _write(tmp_path, "part", ppdf)
+        opdf = pd.DataFrame(
+            [{"o_orderkey": 1, "o_custkey": 1, "o_orderstatus": "O",
+              "o_totalprice": 1.0, "o_orderdate": _T0,
+              "o_orderpriority": "5-LOW"}]
+        )
+        opdf["o_orderdate"] = opdf["o_orderdate"].astype("datetime64[us]")
+        d = _write(tmp_path, "orders", opdf)
+        got = {
+            r["table_name"]: r
+            for r in broadcast_eligibility_report(spark, d).collect()
+        }
+        want_region = sum(4 + len(n) + 4 for _, n in regions)
+        want_nation = sum(4 + len(n) + 4 + 4 for _, n, _ in nations)
+        want_sup = sum(8 + len(n) + 4 + 4 + 8 for _, n, _, _ in sups)
+        assert got["region"]["est_bytes"] == want_region
+        assert got["nation"]["est_bytes"] == want_nation
+        assert got["supplier"]["est_bytes"] == want_sup
+        assert all(r["broadcastable"] == 1 for r in got.values())
+
+
+class TestVocabCoverageEdges:
+    def test_k_exceeding_vocab_covers_everything(self, spark, tmp_path):
+        from redisgears_spark.operators.text import docs_vocab_coverage_curve
+
+        rows = [
+            (1, "aa bb aa cc", "en", "A"),
+            (2, "bb dd", "en", "A"),
+        ]
+        d = _documents(tmp_path, rows)
+        got = {
+            r["top_k"]: r for r in docs_vocab_coverage_curve(spark, d).collect()
+        }
+        # vocab = {aa:2, bb:2, cc:1, dd:1}, 6 occurrences
+        assert got[10]["vocab_size"] == 4
+        assert got[10]["covered_tokens"] == 6  # k=10 > vocab covers all
+        assert got[10]["coverage_share"] == 1.0
+        assert got[1000]["covered_tokens"] == 6
+
+
+class TestEpochRepeatPlan:
+    def test_caps_and_zero_epoch_sources(self, spark, tmp_path):
+        from redisgears_spark.operators.pipeline import (
+            pipeline_epoch_repeat_plan,
+        )
+
+        rows = [
+            # source A: tiny (2 tokens) -> epochs cap at 4
+            (1, "a b", "en", "A"),
+            # source B: huge (most of the corpus) -> budget_share below
+            # its size -> 0 epochs
+            (2, " ".join(["w"] * 100), "en", "B"),
+        ]
+        d = _documents(tmp_path, rows)
+        got = {
+            r["source"]: r for r in pipeline_epoch_repeat_plan(spark, d).collect()
+        }
+        total = 102
+        budget_share = (2 * total) // 2  # 102 per source
+        assert got["A"]["budget_share"] == budget_share
+        assert got["A"]["epochs"] == 4  # 102 // 2 = 51, capped at 4
+        assert got["A"]["tokens_used"] == 8
+        assert got["B"]["epochs"] == 1  # 102 // 100 = 1
+        assert got["B"]["budget_left"] == 2
+
+
+class TestLangSourceMatrixGaps:
+    def test_gap_cells_present_with_zero(self, spark, tmp_path):
+        from redisgears_spark.operators.text import docs_lang_source_matrix
+
+        rows = [
+            (1, "x", "en", "A"),
+            (2, "y", "fr", "B"),
+            (3, "z", "en", "B"),
+        ]
+        d = _documents(tmp_path, rows)
+        got = {
+            (r["lang"], r["source"]): r
+            for r in docs_lang_source_matrix(spark, d).collect()
+        }
+        assert len(got) == 4  # full 2x2
+        assert got[("fr", "A")]["n_docs"] == 0
+        assert got[("fr", "A")]["is_gap"] == 1
+        assert got[("en", "B")]["n_docs"] == 1
+        assert got[("en", "B")]["is_gap"] == 0
+
+
+class TestSeasonalAndTrend:
+    def test_seasonal_index_sums_and_trend_first_month(self, spark, tmp_path):
+        from redisgears_spark.operators.analytics import (
+            orders_priority_escalation_trend,
+            orders_seasonal_index,
+        )
+
+        rng = random.Random(1061)
+        orders = []
+        k = 0
+        for m in range(12):
+            for _ in range(rng.randint(2, 9)):
+                k += 1
+                orders.append(
+                    (k, 1, m * 30 + 1, rng.randint(1000, 99999) / 100,
+                     rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+                )
+        d = _orders_dir10(tmp_path, orders)
+        rows = orders_seasonal_index(spark, d).collect()
+        # Σ n_orders = total; Σ index·rev/12 identity: Σ rev·12/total = 12
+        assert sum(r["n_orders"] for r in rows) == len(orders)
+        total_rev = sum(r["revenue_cents"] for r in rows)
+        for r in rows:
+            assert r["seasonal_index"] == r["revenue_cents"] * 12 / total_rev
+        tr = sorted(
+            orders_priority_escalation_trend(spark, d).collect(),
+            key=lambda r: r["month_idx"],
+        )
+        # first month has no predecessor -> 0.0 sentinel
+        assert tr[0]["share_delta_mom"] == 0.0
+        # deltas reconcile with adjacent shares where months are adjacent
+        by_idx = {r["month_idx"]: r for r in tr}
+        for r in tr:
+            p = by_idx.get(r["month_idx"] - 1)
+            if p is not None:
+                want = (
+                    r["n_urgent_high"] / r["n_orders"]
+                    - p["n_urgent_high"] / p["n_orders"]
+                )
+                assert r["share_delta_mom"] == want
