@@ -5775,3 +5775,65 @@ def events_daily_type_diversity(
             / F.col("sq")
         ).alias("effective_types"),
     )
+
+
+@query(
+    "events_hourly_volatility_profile",
+    oracle="""
+    WITH dh AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             EXTRACT(hour FROM ts) AS hour,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT hour,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT)
+               AS ss
+      FROM dh GROUP BY 1
+    )
+    SELECT CAST(hour AS BIGINT) AS hour, n_days,
+           CAST(s AS DOUBLE) / n_days AS mean_daily_cents,
+           CAST(CAST(n_days AS HUGEINT) * ss
+                - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+             / (n_days * (n_days - 1)) AS var_daily_cents
+    FROM g WHERE n_days >= 2
+    """,
+)
+def events_hourly_volatility_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which hours of the day are PREDICTABLE? Mean and variance of the
+    per-day value total at each hour-of-day (the variance identity over
+    decimal/HUGEINT cent sums) — a staffing model wants low-variance
+    hours served by the base schedule and high-variance hours by
+    surge capacity; events_value_share_by_hour gives the level, this
+    gives the spread.
+
+    Scale: (day, hour) rollup map-side, then a 24-row fold; one
+    division per float.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    dh = ev.groupBy(
+        day_bucket("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.sum(cents("value")).cast("long").alias("v"))
+    vd = F.col("v").cast(dec)
+    g = dh.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(vd * vd).cast(dec).alias("ss"),
+    )
+    n = F.col("n_days")
+    nd = n.cast(dec)
+    sd = F.col("s").cast(dec)
+    return g.filter(n >= 2).select(
+        F.col("hour").cast("long").alias("hour"),
+        "n_days",
+        (F.col("s").cast("double") / n).alias("mean_daily_cents"),
+        (
+            (nd * F.col("ss") - sd * sd).cast("double") / (n * (n - 1))
+        ).alias("var_daily_cents"),
+    )

@@ -7627,3 +7627,205 @@ def orders_duplicate_rows_audit(
             F.sum(excess).cast("double") / F.sum("n").cast("long")
         ).alias("excess_share"),
     )
+
+
+@query(
+    "orders_week_continuity_audit",
+    oracle="""
+    WITH w AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT CAST(MIN(week) AS BIGINT) AS lo,
+                 CAST(MAX(week) AS BIGINT) AS hi FROM w)
+    SELECT b.lo AS first_week, b.hi AS last_week,
+           CAST(b.hi - b.lo + 1 AS BIGINT) AS n_weeks_expected,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_weeks_observed,
+           CAST(b.hi - b.lo + 1
+                - (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS BIGINT)
+             AS n_gap_weeks,
+           CAST(b.hi - b.lo + 1
+                - (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS DOUBLE)
+             / (b.hi - b.lo + 1) AS gap_share
+    FROM b
+    """,
+)
+def orders_week_continuity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-continuity audit: weeks inside [first, last] with ZERO
+    orders. A fact table is usually assumed gap-free; a missing week at
+    100 TB is a dropped ingest partition that every trend query then
+    misreads as a demand crash. One-row report — expected vs observed
+    distinct weeks, the gap count, and its share.
+
+    Scale: one distinct-week rollup (weeks are dimension-sized), scalar
+    folds — the audit never materializes the calendar.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        F.expr(
+            "floor(unix_micros(cast(o_orderdate as timestamp))"
+            " / 86400000000) div 7"
+        ).cast("long").alias("week")
+    ).distinct()
+    return w.agg(
+        F.min("week").cast("long").alias("first_week"),
+        F.max("week").cast("long").alias("last_week"),
+        (F.max("week") - F.min("week") + 1)
+        .cast("long")
+        .alias("n_weeks_expected"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks_observed"),
+        (F.max("week") - F.min("week") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_gap_weeks"),
+        (
+            (
+                F.max("week") - F.min("week") + 1 - F.count(F.lit(1))
+            ).cast("double")
+            / (F.max("week") - F.min("week") + 1)
+        ).alias("gap_share"),
+    )
+
+
+@query(
+    "supplier_exclusive_parts",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_sups
+      FROM lineitem GROUP BY 1
+    ),
+    sp AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    )
+    SELECT sp.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_served,
+           CAST(SUM(CASE WHEN ps.n_sups = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           CAST(SUM(CASE WHEN ps.n_sups = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS exclusivity_share
+    FROM sp JOIN ps ON ps.l_partkey = sp.l_partkey
+    GROUP BY 1
+    """,
+)
+def supplier_exclusive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier-grain view of sourcing risk: how many of each
+    supplier's parts does NOBODY else ship? A supplier with high
+    exclusivity_share is a hard dependency — losing them strands those
+    parts entirely (part_sourcing_redundancy counts the parts; this
+    names the supplier the risk concentrates in).
+
+    Scale: two distinct rollups on (part, supplier) and a part-keyed
+    join of skinny relations.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.count_distinct(F.col("l_suppkey")).cast("long").alias("n_sups")
+    )
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    excl = F.when(F.col("n_sups") == 1, 1).otherwise(0)
+    return (
+        sp.join(ps, "l_partkey")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts_served"),
+            F.sum(excl).cast("long").alias("n_exclusive"),
+            (F.sum(excl).cast("double") / F.count(F.lit(1))).alias(
+                "exclusivity_share"
+            ),
+        )
+    )
+
+
+@query(
+    "part_type_price_premium",
+    oracle="""
+    WITH p AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_cents
+      FROM part GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS tn,
+                 CAST(SUM(price_cents) AS BIGINT) AS tc FROM p)
+    SELECT p.p_type, p.n_parts, p.price_cents,
+           CAST(p.price_cents AS DOUBLE) / (p.n_parts * 100) AS avg_price,
+           CAST(CAST(p.price_cents AS HUGEINT) * t.tn AS DOUBLE)
+             / CAST(CAST(p.n_parts AS HUGEINT) * t.tc AS DOUBLE)
+             AS price_premium
+    FROM p, t
+    """,
+)
+def part_type_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price positioning by part type: average retail price and
+    its cross-multiplied premium vs the whole catalog ((v·N)/(n·V)
+    over decimal/HUGEINT — one division). The assortment-pricing
+    ladder: which types command a premium and which are traffic
+    commodities.
+
+    Scale: |types|-row map-side aggregate plus a scalar broadcast.
+    """
+    part = load_table(spark, sf_dir, "part")
+    p = part.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(cents("p_retailprice")).cast("long").alias("price_cents"),
+    )
+    t = p.agg(
+        F.sum("n_parts").cast("long").alias("tn"),
+        F.sum("price_cents").cast("long").alias("tc"),
+    )
+    dec = "decimal(38,0)"
+    return p.crossJoin(t).select(
+        "p_type",
+        "n_parts",
+        "price_cents",
+        (
+            F.col("price_cents").cast("double") / (F.col("n_parts") * 100)
+        ).alias("avg_price"),
+        (
+            (F.col("price_cents").cast(dec) * F.col("tn").cast(dec))
+            .cast("double")
+            / (F.col("n_parts").cast(dec) * F.col("tc").cast(dec))
+            .cast("double")
+        ).alias("price_premium"),
+    )
+
+
+@query(
+    "orders_monthly_arpu",
+    oracle="""
+    SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS month_idx,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(DISTINCT o_custkey) * 100) AS arpu
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_monthly_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per active customer (ARPU) — the unit-economics
+    trend that separates growth in breadth (more actives, flat ARPU)
+    from growth in depth (flat actives, rising ARPU). Exact cents; one
+    division.
+
+    Scale: one aggregate with a (month, custkey) distinct; the
+    registered grouped-KMV twin pattern
+    (supplier_monthly_active_sketched) is the drop-in when customer
+    cardinality dominates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("month_idx")
+    ).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("revenue_cents"),
+        F.count_distinct(F.col("o_custkey")).cast("long").alias("n_active"),
+        (
+            F.sum(cents("o_totalprice")).cast("double")
+            / (F.count_distinct(F.col("o_custkey")) * 100)
+        ).alias("arpu"),
+    )
