@@ -1424,13 +1424,19 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT.  Integer addition is associative, and the per-row fold visits the
 # array in index order in both engines, so the value is bit-identical across
 # partitionings — the float sum-of-squares it screens for is not.
+# cast float32 -> double BEFORE the multiply (the similarity-stack rule):
+# a single-precision x*1000 is the one arithmetic step whose result can
+# differ between engines' promotion rules — at sf0.1 two components sat
+# exactly on such a seam and shifted three operators by one milli-unit
 _QNORM = (
     "aggregate({col}, 0L, (acc, x) -> acc + "
-    "cast(round(x * 1000) as bigint) * cast(round(x * 1000) as bigint))"
+    "cast(round(cast(x as double) * 1000) as bigint) "
+    "* cast(round(cast(x as double) * 1000) as bigint))"
 )
 _QNORM_SQL = (
     "CAST(list_sum(list_transform({col}, x -> "
-    "CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))) "
+    "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) "
+    "* CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) "
     "AS BIGINT)"
 )
 
@@ -1506,7 +1512,8 @@ def embeddings_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT unnest(range(len(embedding))) AS dim,
-             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS q
       FROM embeddings
     )
     SELECT CAST(dim AS BIGINT) AS dim,
@@ -1539,7 +1546,7 @@ def embeddings_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "val")
     ).select(
         F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("val") * 1000).cast("long").alias("q"),
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("q"),
     )
     return ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1556,8 +1563,9 @@ def embeddings_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n2 AS (
       SELECT label,
              list_sum(list_transform(embedding,
-               x -> CAST(round(x * 1000) AS BIGINT)
-                    * CAST(round(x * 1000) AS BIGINT))) AS norm2
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+               AS norm2
       FROM embeddings
     )
     SELECT CAST(norm2 // 500 AS BIGINT) AS bucket,
@@ -1589,8 +1597,9 @@ def embeddings_norm2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norm2 = F.expr(
         "aggregate(transform(embedding, "
-        "x -> cast(round(x * 1000) as bigint) "
-        "* cast(round(x * 1000) as bigint)), 0L, (a, x) -> a + x)"
+        "x -> cast(round(cast(x as double) * 1000) as bigint) "
+        "* cast(round(cast(x as double) * 1000) as bigint)), "
+        "0L, (a, x) -> a + x)"
     )
     n2 = emb.select("label", norm2.alias("norm2"))
     return (
@@ -1610,8 +1619,9 @@ def embeddings_norm2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n2 AS (
       SELECT vec_id,
              list_sum(list_transform(embedding,
-               x -> CAST(round(x * 1000) AS BIGINT)
-                    * CAST(round(x * 1000) AS BIGINT))) AS norm2
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+               AS norm2
       FROM embeddings
     )
     SELECT d.source,
@@ -1644,8 +1654,9 @@ def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     norm2 = F.expr(
         "aggregate(transform(embedding, "
-        "x -> cast(round(x * 1000) as bigint) "
-        "* cast(round(x * 1000) as bigint)), 0L, (a, x) -> a + x)"
+        "x -> cast(round(cast(x as double) * 1000) as bigint) "
+        "* cast(round(cast(x as double) * 1000) as bigint)), "
+        "0L, (a, x) -> a + x)"
     )
     n2 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", norm2.alias("norm2")
