@@ -926,3 +926,126 @@ class TestSeasonalAndTrend:
                     - p["n_urgent_high"] / p["n_orders"]
                 )
                 assert r["share_delta_mom"] == want
+
+
+class TestWeekContinuity:
+    def test_gap_counting(self, spark, tmp_path):
+        from redisgears_spark.operators.relational import (
+            orders_week_continuity_audit,
+        )
+
+        # orders in weeks 0, 1, 4 (offsets in days) -> gaps at weeks 2,3
+        orders = [
+            (1, 1, 0, 10.0, "5-LOW"),
+            (2, 1, 8, 10.0, "5-LOW"),
+            (3, 1, 29, 10.0, "5-LOW"),
+        ]
+        d = _orders_dir10(tmp_path, orders)
+        r = orders_week_continuity_audit(spark, d).collect()[0]
+        assert r["n_weeks_expected"] == r["last_week"] - r["first_week"] + 1
+        assert r["n_weeks_observed"] == 3
+        assert r["n_gap_weeks"] == r["n_weeks_expected"] - 3
+        assert r["n_gap_weeks"] >= 1  # weeks 2-3 missing
+        assert r["gap_share"] == r["n_gap_weeks"] / r["n_weeks_expected"]
+
+
+class TestExclusiveParts:
+    def test_exclusivity_bruteforce(self, spark, tmp_path):
+        from redisgears_spark.operators.relational import (
+            supplier_exclusive_parts,
+        )
+
+        rng = random.Random(1063)
+        lines = []
+        # part 1..5 single-sourced from supplier 1; parts 6..15 shared
+        for p in range(1, 6):
+            for _ in range(3):
+                lines.append((rng.randint(1, 50), p, 1, 1.0))
+        for p in range(6, 16):
+            for sk in (1, 2):
+                lines.append((rng.randint(1, 50), p, sk, 1.0))
+        lpdf = pd.DataFrame(
+            [
+                {"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk,
+                 "l_linenumber": 1, "l_quantity": q,
+                 "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                 "l_returnflag": "N", "l_linestatus": "O",
+                 "l_shipdate": _T0}
+                for ok, pk, sk, q in lines
+            ]
+        )
+        lpdf["l_linenumber"] = lpdf["l_linenumber"].astype("int32")
+        lpdf["l_shipdate"] = lpdf["l_shipdate"].astype("datetime64[us]")
+        d = _write(tmp_path, "lineitem", lpdf)
+        got = {
+            r["suppkey"]: r
+            for r in supplier_exclusive_parts(spark, d).collect()
+        }
+        assert got[1]["n_parts_served"] == 15
+        assert got[1]["n_exclusive"] == 5
+        assert got[1]["exclusivity_share"] == 5 / 15
+        assert got[2]["n_parts_served"] == 10
+        assert got[2]["n_exclusive"] == 0
+
+
+class TestHourlyVolatility:
+    def test_constant_hours_have_zero_variance(self, spark, tmp_path):
+        from redisgears_spark.operators.analytics import (
+            events_hourly_volatility_profile,
+        )
+
+        rows, eid = [], 0
+        # hour 5: exactly 3.00 every day for 4 days -> variance 0
+        for day in range(4):
+            rows.append((eid, 1, day * 86400 + 5 * 3600, "view", 3.0))
+            eid += 1
+        # hour 9: alternating 1.00 / 5.00 over 4 days
+        for day in range(4):
+            rows.append(
+                (eid, 2, day * 86400 + 9 * 3600, "view",
+                 1.0 if day % 2 == 0 else 5.0)
+            )
+            eid += 1
+        # hour 11: a single day -> excluded (n_days < 2)
+        rows.append((eid, 3, 11 * 3600, "view", 7.0))
+        d = _events(tmp_path, rows)
+        got = {
+            r["hour"]: r
+            for r in events_hourly_volatility_profile(spark, d).collect()
+        }
+        assert got[5]["var_daily_cents"] == 0.0
+        assert got[5]["mean_daily_cents"] == 300.0
+        # var of [100,500,100,500] cents: n=4, s=1200, ss=520000
+        # (4*520000 - 1440000)/(4*3)
+        assert got[9]["var_daily_cents"] == (4 * 520000 - 1200 * 1200) / 12
+        assert 11 not in got
+
+
+class TestArpuAndPremium:
+    def test_identities(self, spark, tmp_path):
+        from redisgears_spark.operators.relational import (
+            orders_monthly_arpu,
+            orders_priority_value_premium,
+        )
+
+        rng = random.Random(1069)
+        orders = []
+        k = 0
+        for m in range(3):
+            for c in range(1, 6):
+                for _ in range(rng.randint(1, 3)):
+                    k += 1
+                    orders.append(
+                        (k, c, m * 31, rng.randint(100, 9999) / 100,
+                         rng.choice(["1-URGENT", "5-LOW"]))
+                    )
+        d = _orders_dir10(tmp_path, orders)
+        for r in orders_monthly_arpu(spark, d).collect():
+            assert r["arpu"] == r["revenue_cents"] / (r["n_active"] * 100)
+        rows = orders_priority_value_premium(spark, d).collect()
+        tn = sum(r["n_orders"] for r in rows)
+        tc = sum(r["value_cents"] for r in rows)
+        for r in rows:
+            assert r["premium_vs_overall"] == float(
+                r["value_cents"] * tn
+            ) / float(r["n_orders"] * tc)
