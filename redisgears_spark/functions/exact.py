@@ -65,3 +65,15 @@ def day_bucket(col: Column | str) -> Column:
     integer. Every daily-bucketing operator must use this helper
     rather than inlining the division."""
     return F.floor(micros(col) / F.lit(86_400_000_000)).cast("long")
+
+
+def week_bucket(col: Column | str) -> Column:
+    """Timestamp → epoch-week bucket: `day_bucket(ts) div 7` (matches
+    DuckDB's `epoch_us(ts) // 86400000000 // 7`). Integer `div` on the
+    already-floored day keeps the pre-1970 flooring rule in ONE place —
+    weekly-bucketing operators must use this rather than inlining the
+    division chain (same contract as day_bucket). FLOOR rather than
+    Spark's truncating `div` so pre-1970 weeks also land on the
+    oracle's side; post-1970 the two agree, which is why the inlined
+    `div 7` forms this replaces were value-identical on the fixtures."""
+    return F.floor(day_bucket(col) / F.lit(7)).cast("long")

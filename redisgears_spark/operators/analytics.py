@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from redisgears_spark.functions.exact import basis_points, cents, day_bucket, micros
+from redisgears_spark.functions.exact import (  # noqa: E501
+    basis_points,
+    cents,
+    day_bucket,
+    micros,
+    week_bucket,
+)
 from redisgears_spark.functions.hashing import (
     md5_hash32_spark,
     md5_hash32_sql,
@@ -5110,10 +5116,7 @@ def events_weekly_active_segments(
     return (
         ev.join(cust, ev["user_id"] == cust["c_custkey"], "left")
         .groupBy(
-            F.expr(
-                "floor(unix_micros(cast(ts as timestamp)) / 86400000000)"
-                " div 7"
-            ).cast("long").alias("week"),
+            week_bucket("ts").alias("week"),
             F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
         )
         .agg(F.count_distinct(F.col("user_id")).cast("long").alias("wau"))

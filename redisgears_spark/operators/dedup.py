@@ -1814,17 +1814,23 @@ def docs_shingle_saturation_curve(
     parts = []
     for k in (1, 2, 3, 4):
         cut = F.expr(f"(max_id * {k}) div 4")
-        parts.append(
-            j.agg(
-                F.max(cut).cast("long").alias("cutoff_doc_id"),
+        # cutoff comes from mx directly and the count coalesces to 0 so
+        # a corpus whose docs are all too short to shingle (empty `sh`)
+        # still reports the oracle's cutoffs and 0 counts rather than
+        # an all-NULL row from aggregating the empty crossJoin
+        cnt = j.agg(
+            F.coalesce(
                 F.sum(
                     F.when(F.col("first_doc") <= cut, 1).otherwise(0)
-                ).cast("long").alias("distinct_shingles_cum"),
-            ).select(
+                ),
+                F.lit(0),
+            ).cast("long").alias("distinct_shingles_cum"),
+        )
+        parts.append(
+            mx.select(
                 F.lit(k).cast("long").alias("quarter"),
-                "cutoff_doc_id",
-                "distinct_shingles_cum",
-            )
+                cut.cast("long").alias("cutoff_doc_id"),
+            ).crossJoin(cnt)
         )
     out = parts[0]
     for p in parts[1:]:

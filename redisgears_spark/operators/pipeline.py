@@ -1832,11 +1832,17 @@ def pipeline_user_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n_docs, tokens,
            (2 * t.total) // t.n_sources AS budget_share,
-           LEAST(4, ((2 * t.total) // t.n_sources) // tokens) AS epochs,
-           LEAST(4, ((2 * t.total) // t.n_sources) // tokens) * tokens
-             AS tokens_used,
+           CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE LEAST(4, ((2 * t.total) // t.n_sources) // tokens)
+           END AS epochs,
+           CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE LEAST(4, ((2 * t.total) // t.n_sources) // tokens)
+           END * tokens AS tokens_used,
            (2 * t.total) // t.n_sources
-             - LEAST(4, ((2 * t.total) // t.n_sources) // tokens) * tokens
+             - CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(4,
+                         ((2 * t.total) // t.n_sources) // tokens)
+               END * tokens
              AS budget_left
     FROM s, t
     """,
@@ -1865,9 +1871,14 @@ def pipeline_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = s.crossJoin(t)
     budget = F.expr("(2 * total) div n_sources")
-    epochs = F.least(F.lit(4).cast("long"), F.expr(
-        "((2 * total) div n_sources) div tokens"
-    ))
+    # tokens = 0 would NULL the integer division in both engines and
+    # LEAST would skip the NULL (epochs=4 for an empty source); plan 0
+    # epochs instead so the no-NULL output contract holds (ADVICE r10)
+    epochs = F.when(F.col("tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(F.lit(4).cast("long"), F.expr(
+            "((2 * total) div n_sources) div tokens"
+        ))
+    )
     return j.select(
         "source",
         "n_docs",

@@ -28,6 +28,7 @@ from redisgears_spark.functions.exact import (
     cents,
     day_bucket,
     micros,
+    week_bucket,
 )
 from redisgears_spark.operators.registry import query
 from redisgears_spark.sources.keyspace import load_table
@@ -6890,12 +6891,10 @@ def orders_vs_shipments_weekly(
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     o = orders.groupBy(
-        F.expr("floor(unix_micros(cast(o_orderdate as timestamp)) "
-               "/ 86400000000) div 7").cast("long").alias("week")
+        week_bucket("o_orderdate").alias("week")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     s = li.groupBy(
-        F.expr("floor(unix_micros(cast(l_shipdate as timestamp)) "
-               "/ 86400000000) div 7").cast("long").alias("s_week")
+        week_bucket("l_shipdate").alias("s_week")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_lines_shipped"))
     j = o.join(s, o["week"] == s["s_week"], "full_outer")
     n_o = F.coalesce("n_orders", F.lit(0)).cast("long")
@@ -6955,14 +6954,8 @@ def customer_tenure_value_quadrants(
     # skinny)
     c = orders.groupBy("o_custkey").agg(
         (
-            F.floor(
-                F.unix_micros(F.max("o_orderdate").cast("timestamp"))
-                / F.lit(86_400_000_000)
-            )
-            - F.floor(
-                F.unix_micros(F.min("o_orderdate").cast("timestamp"))
-                / F.lit(86_400_000_000)
-            )
+            day_bucket(F.max("o_orderdate"))
+            - day_bucket(F.min("o_orderdate"))
         ).cast("long").alias("tenure_days"),
         F.sum(cents("o_totalprice")).cast("long").alias("v"),
     ).cache()
@@ -7664,10 +7657,7 @@ def orders_week_continuity_audit(
     """
     orders = load_table(spark, sf_dir, "orders")
     w = orders.select(
-        F.expr(
-            "floor(unix_micros(cast(o_orderdate as timestamp))"
-            " / 86400000000) div 7"
-        ).cast("long").alias("week")
+        week_bucket("o_orderdate").alias("week")
     ).distinct()
     return w.agg(
         F.min("week").cast("long").alias("first_week"),

@@ -1412,7 +1412,10 @@ def _make_bloom_dedup(field: str, m: int, k: int):
         a false positive (fresh value suppressed) happens with
         probability ≈ (bits_set/m)^k, which the m/k sizing keeps small
         until the filter saturates. Records whose field is missing pass
-        through unfiltered (never inserted)."""
+        through unfiltered (never inserted): they are emitted with
+        first_seen=true and item=null so downstream
+        `.filter('first_seen')` consumers keep them, but they do not
+        touch the filter or the counters."""
         (stream_key,) = key
         if state.exists:
             bloom_hex, n_records, n_first, n_suppressed = state.get
@@ -1427,6 +1430,16 @@ def _make_bloom_dedup(field: str, m: int, k: int):
         for rid, fields in rows:
             item = None if fields is None else dict(fields).get(field)
             if item is None:
+                # pass-through contract: no field → unfiltered, uncounted
+                out.append(
+                    {
+                        "stream_key": stream_key,
+                        "id": int(rid),
+                        "item": None,
+                        "first_seen": True,
+                        "bits_set": bloom.bit_count(),
+                    }
+                )
                 continue
             n_records += 1
             mask = 0
@@ -1534,12 +1547,15 @@ class StreamingBloomDedupRuntime(StatefulStatsRuntime):
     def dedup_stats(self) -> dict[str, dict]:
         """Per-key totals from the sink: n_records, n_first_seen,
         n_suppressed, bits_set (latest). Aggregated JVM-side; one row
-        per key reaches the driver."""
+        per key reaches the driver. Missing-field pass-through rows
+        (item=null) are in the verdict stream but not in the stats —
+        they never touched the filter."""
         df = self._sink_df()
         if df is None:
             return {}
         rows = (
-            df.groupBy("stream_key")
+            df.filter(F.col("item").isNotNull())
+            .groupBy("stream_key")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_records"),
                 F.sum(F.col("first_seen").cast("long"))

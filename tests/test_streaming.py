@@ -3263,6 +3263,14 @@ class TestStreamingBloomDedup:
         assert stats["n_records"] == 2
         assert stats["n_first_seen"] == 1
         assert stats["n_suppressed"] == 1
+        # the missing-field row PASSES THROUGH (first_seen=true,
+        # item=null) so a downstream .filter('first_seen') keeps it —
+        # the documented pass-through contract, not a silent drop
+        rows = {r["id"]: r for r in rt.verdicts().collect()}
+        assert set(rows) == {0, 1, 2}
+        assert rows[0]["item"] is None and rows[0]["first_seen"] is True
+        assert rows[1]["first_seen"] is True
+        assert rows[2]["first_seen"] is False
         with _pytest.raises(GearsError, match="dedup_stats"):
             rt.latest()
         with _pytest.raises(GearsError, match="not supported"):
