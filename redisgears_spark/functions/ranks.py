@@ -123,3 +123,114 @@ def global_ntile(
         .withColumn(out_col, F.expr(tile_sql).cast("long"))
         .drop(b, off, rk)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    sum_col: str,
+    rank_col: str,
+    cum_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Add the global 1-based rank (`rank_col`) and the INCLUSIVE running
+    sum of `sum_col` (`cum_col`) over ORDER BY value_col [DESC],
+    tiebreak_col — without a single-partition window. The prefix-sum
+    extension of `global_ntile`'s recipe:
+
+      1. range-bucket the order key (negated for DESC — `-v ASC,
+         tiebreak ASC` is the same total order as `v DESC, tiebreak
+         ASC`; the bucket id stays monotone in the order);
+      2. gather per-bucket (count, Σ sum_col) — |buckets| rows, bounded
+         by MAX_BUCKETS;
+      3. exclusive-prefix both on the driver (exact python ints — no
+         overflow at any width) and broadcast the offsets back;
+      4. within-bucket row_number + running SUM window (parallel across
+         buckets) + the bucket's offsets = the exact global rank and
+         prefix sum.
+
+    Bit-exact against `SUM(sum_col) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)` + `row_number()` because integer addition is associative
+    and the bucketing is order-monotone. `value_col` must be integral
+    (cast to BIGINT for bucketing) and NULL-free; `sum_col` should be an
+    exact integer/decimal column — the running sum stays in its type.
+    Returns the input columns plus rank_col (long) and cum_col
+    (sum_col's type).
+    """
+    spark = df.sparkSession
+    order_expr = (
+        f"-CAST({value_col} AS BIGINT)" if descending
+        else f"CAST({value_col} AS BIGINT)"
+    )
+    b = f"__gcs_bucket_{rank_col}"
+    keyed = df.withColumn(f"__gcs_key_{rank_col}", F.expr(order_expr))
+    key = f"__gcs_key_{rank_col}"
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("n_defined"),
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+    ).first()
+    n_rows, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if not n_rows:
+        return (
+            df.withColumn(rank_col, F.lit(None).cast("long"))
+            .withColumn(cum_col, F.lit(None).cast(df.schema[sum_col].dataType))
+        )
+    if stats["n_defined"] != n_rows:
+        raise ValueError(
+            f"global_cumsum: {value_col} contains NULLs "
+            f"({n_rows - stats['n_defined']} of {n_rows} rows); coalesce "
+            "them to a sentinel before ranking"
+        )
+    n_buckets = min(
+        MAX_BUCKETS,
+        max(
+            spark.sparkContext.defaultParallelism,
+            n_rows // TARGET_ROWS_PER_BUCKET,
+        ),
+    )
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    bucketed = keyed.withColumn(
+        b, F.expr(f"({key} - {int(lo)}) DIV {width}")
+    )
+    gather = (
+        bucketed.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(sum_col).alias("s"),
+        )
+        .collect()
+    )
+    from decimal import Decimal
+
+    per_bucket = {r[b]: (r["c"], r["s"]) for r in gather}
+    roff = f"__gcs_roff_{rank_col}"
+    soff = f"__gcs_soff_{rank_col}"
+    rows, racc, sacc = [], 0, 0
+    for bucket in sorted(per_bucket):
+        rows.append((bucket, racc, Decimal(sacc)))
+        c, sm = per_bucket[bucket]
+        racc += c
+        sacc += int(sm)
+    sum_type = df.schema[sum_col].dataType.simpleString()
+    boff = spark.createDataFrame(
+        rows, f"{b} long, {roff} long, {soff} decimal(38,0)"
+    )
+    w = W.partitionBy(b).orderBy(key, tiebreak_col)
+    rk = f"__gcs_rk_{rank_col}"
+    return (
+        bucketed.join(F.broadcast(boff), b)
+        .withColumn(rk, F.row_number().over(w) + F.col(roff))
+        .withColumn(
+            cum_col,
+            (
+                F.sum(sum_col)
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                + F.col(soff).cast(sum_type)
+            ).cast(sum_type),
+        )
+        .withColumn(rank_col, F.col(rk).cast("long"))
+        .drop(b, key, roff, soff, rk)
+    )

@@ -230,9 +230,11 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two-phase — the per-customer rollup shuffles the fact table
     once with map-side partials; the global rank then runs over
-    |customers| aggregate rows, not |orders| (at 100 TB that is the
-    dimension cardinality, a single-partition sort of ~1e7 rows — the
-    standard top-of-funnel reduction, same shape as TakeOrdered).
+    |customers| aggregate rows, not |orders|. That rank is still a
+    single-partition sort of the dimension — at 100 TB use the
+    REGISTERED twin orders_gini_concentration_twophase
+    (functions/ranks.global_cumsum), bit-identical output with no
+    single-partition window.
     """
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
@@ -246,6 +248,66 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("r").alias("sr"),
         F.sum(F.col("i") * F.col("r")).alias("sir"),
+    )
+    gini = (
+        (F.lit(2).cast(_DEC) * F.col("sir") - (F.col("n") + 1) * F.col("sr"))
+        .cast("double")
+        / (F.col("n") * F.col("sr")).cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sr").cast("long").alias("total_cents"),
+        gini.alias("gini"),
+    )
+
+
+@query(
+    "orders_gini_concentration_twophase",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+               AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+             CAST(row_number() OVER (ORDER BY r, o_custkey) AS HUGEINT) AS i
+      FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(i * r) - (COUNT(*) + 1) * SUM(r) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(r) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def orders_gini_concentration_twophase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders_gini_concentration's 100 TB form (the r8 rule: a
+    docstring-promised scale swap must be a registered operator): the
+    global revenue rank comes from functions/ranks.global_cumsum's
+    range-bucket + offset-broadcast construction instead of a
+    single-partition row_number window. The rank assignment is
+    bit-identical (order-monotone bucketing, associative integer
+    offsets), so the closed-form Gini carries the SAME full hash-exact
+    oracle as the window twin.
+
+    Scale: plan-pinned free of SinglePartition windows; the only
+    driver-side relation is the bounded per-bucket (count, sum) gather.
+    """
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast(_DEC).alias("r")
+    )
+    ranked = global_cumsum(rev, "r", "o_custkey", "r", "i", "cum")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("i").cast(_DEC) * F.col("r")).alias("sir"),
     )
     gini = (
         (F.lit(2).cast(_DEC) * F.col("sir") - (F.col("n") + 1) * F.col("sr"))

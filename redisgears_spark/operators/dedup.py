@@ -31,6 +31,7 @@ from redisgears_spark.functions.hashing import (
     md5_hash32_sql,
 )
 from redisgears_spark.operators.registry import query
+from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
 from redisgears_spark.sources.keyspace import load_table, rebalanced
 
 # shared shingle expressions -------------------------------------------------
@@ -95,7 +96,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rebalanced(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(shingle, "doc_id long, sh array<string>")
+    ).mapInPandas(_arrow_kernel(shingle), "doc_id long, sh array<string>")
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +387,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 )
 
         labels = edges.repartition(1).mapInPandas(
-            cc_union_find, "doc_id long, cluster_id long"
+            _arrow_kernel(cc_union_find), "doc_id long, cluster_id long"
         )
         result = labels.withColumn(
             "is_survivor", F.col("doc_id") == F.col("cluster_id")
@@ -553,7 +554,7 @@ def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalanced(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).mapInPandas(
-        sketch,
+        _arrow_kernel(sketch),
         "doc_id long, sh array<string>, "
         "bands array<struct<band_id:int,band_hash:long>>",
     )
@@ -776,7 +777,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         rebalanced(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
         .mapInPandas(
-            sign,
+            _arrow_kernel(sign),
             "doc_id long, sim_lo long, sim_hi long, band_id int, band_bits long",
         )
         # both self-join sides read this — cache or the Python pass runs twice

@@ -21,6 +21,7 @@ from redisgears_spark.functions.hashing import (
     md5_hash32_sql,
 )
 from redisgears_spark.operators.registry import query
+from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
 from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table, rebalanced
 
@@ -73,7 +74,7 @@ def _gram_rows(spark: SparkSession, sf_dir: str, predicate) -> DataFrame:
         .filter(predicate)
         .select("doc_id", "text")
     )
-    return docs.mapInPandas(grams, "doc_id long, g string")
+    return docs.mapInPandas(_arrow_kernel(grams), "doc_id long, g string")
 
 
 @query(
@@ -1103,7 +1104,7 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = best[0]
         merges.append((rnd, b["l"], b["r"], int(b["n"])))
         nxt = cur.mapInPandas(
-            _merge_symbols_factory(b["l"], b["r"]),
+            _arrow_kernel(_merge_symbols_factory(b["l"], b["r"])),
             "word string, freq long, symbols array<string>",
         )
         nxt = nxt.localCheckpoint(eager=True)  # bound the lineage
@@ -1203,7 +1204,7 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_TOKENS).alias("w")
     )
     out = docs.mapInPandas(
-        apply_merges, "doc_id long, n_ws_tokens long, n_bpe_tokens long"
+        _arrow_kernel(apply_merges), "doc_id long, n_ws_tokens long, n_bpe_tokens long"
     )
     return out.select(
         "doc_id",

@@ -3370,9 +3370,10 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut deterministic under ties.
 
     Scale: facts reduce to |customers| rows first; the global-order
-    cumulative window is the same single-partition shape the Gini
-    operator documents — at 100 TB swap it for the two-phase prefix
-    sum over md5 buckets (pipeline_shuffle_pack's construction).
+    cumulative window is single-partition over that dimension — at
+    100 TB use the REGISTERED twin orders_pareto_8020_twophase
+    (functions/ranks.global_cumsum: range-bucket + offset broadcast,
+    no single-partition window), bit-identical output.
     """
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
@@ -3392,6 +3393,74 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("i"))
     )
     return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        hit.cast("long").alias("n_top80"),
+        (hit.cast("double") / F.max("n")).alias("top_fraction"),
+        F.max("total").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "orders_pareto_8020_twophase",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+               AS r
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             row_number() OVER (ORDER BY r DESC, o_custkey) AS i,
+             SUM(r) OVER () AS total,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN i END) AS BIGINT)
+             AS n_top80,
+           CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN i END) AS DOUBLE)
+             / MAX(n) AS top_fraction,
+           CAST(MAX(total) AS BIGINT) AS total_cents
+    FROM ranked
+    """,
+)
+def orders_pareto_8020_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders_pareto_8020's 100 TB form (the r8 rule: a docstring-promised
+    scale swap must exist as a registered operator): the global-order
+    cumulative-revenue window is replaced by
+    functions/ranks.global_cumsum — range-bucket the (negated) revenue
+    key, gather |buckets| (count, sum) rows, broadcast exclusive
+    offsets, rank + prefix-sum WITHIN buckets in parallel. Bit-identical
+    to the window form (integer addition is associative; the bucketing
+    is order-monotone), so it carries the SAME full hash-exact oracle —
+    deterministic construction, the grouped-KMV precedent.
+
+    Scale: no single-partition window anywhere (plan-pinned in
+    tests/test_plans.py); the only driver relation is the bounded
+    per-bucket gather.
+    """
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("r")
+    )
+    ranked = global_cumsum(
+        rev, "r", "o_custkey", "r", "i", "cum", descending=True
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("total"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    hit = F.min(
+        F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("i"))
+    )
+    return j.agg(
         F.max("n").cast("long").alias("n_customers"),
         hit.cast("long").alias("n_top80"),
         (hit.cast("double") / F.max("n")).alias("top_fraction"),

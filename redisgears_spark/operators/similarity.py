@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from redisgears_spark.operators.registry import query
+from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
 from redisgears_spark.operators.text import _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table, rebalanced
 
@@ -215,7 +216,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = rebalanced(
         load_table(spark, sf_dir, "embeddings").select("vec_id", F.expr(_QUANT).alias("v"))
     )
-    scored = corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
+    scored = corpus.mapInPandas(_arrow_kernel(score), "q_id long, n_id long, cosine double")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -276,7 +277,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = rebalanced(
         load_table(spark, sf_dir, "embeddings").select("vec_id", F.expr(_QUANT).alias("v"))
     )
-    return corpus.mapInPandas(score, "a_id long, b_id long, cosine double")
+    return corpus.mapInPandas(_arrow_kernel(score), "a_id long, b_id long, cosine double")
 
 
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +318,7 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalanced(load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     ))
-    buckets = emb.mapInPandas(bucketize, "vec_id long, tbl long, bucket long")
+    buckets = emb.mapInPandas(_arrow_kernel(bucketize), "vec_id long, tbl long, bucket long")
     l = buckets.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
     r = buckets.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
     cand = (
@@ -444,7 +445,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     # Lloyd step: per-(cell, dim) exact-integer mean over quantized values —
     # map-side partials, one tiny final agg, zero corpus-width shuffles
     stats = (
-        vecs.mapInPandas(partial_stats, "cell long, pos long, s long, n long")
+        vecs.mapInPandas(_arrow_kernel(partial_stats), "cell long, pos long, s long, n long")
         .groupBy("cell", "pos")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
@@ -513,11 +514,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_QUANT).alias("q"),
     ))
     lists = vecs.mapInPandas(
-        assign_corpus, "vec_id long, cell long, n_q array<bigint>, n_nq long"
+        _arrow_kernel(assign_corpus), "vec_id long, cell long, n_q array<bigint>, n_nq long"
     )
     probes = (
         vecs.filter(F.col("vec_id") < _N_QUERIES)
-        .mapInPandas(assign_queries, "q_id long, cell long")
+        .mapInPandas(_arrow_kernel(assign_queries), "q_id long, cell long")
     )
     cand = (
         lists.join(F.broadcast(probes), "cell")
@@ -595,7 +596,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalanced(load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     ))
-    buckets = emb.mapInPandas(bucketize, "vec_id long, tbl long, bucket long")
+    buckets = emb.mapInPandas(_arrow_kernel(bucketize), "vec_id long, tbl long, bucket long")
 
     queries = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "tbl", "bucket"
@@ -720,7 +721,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
         )
     )
     stats = (
-        vecs.mapInPandas(partial_stats, "m long, k long, pos long, s long, n long")
+        vecs.mapInPandas(_arrow_kernel(partial_stats), "m long, k long, pos long, s long, n long")
         .groupBy("m", "k", "pos")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
@@ -786,7 +787,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         )
     )
-    codes = emb.mapInPandas(encode, "vec_id long, code long")
+    codes = emb.mapInPandas(_arrow_kernel(encode), "vec_id long, code long")
 
     # query LUTs: tiny (8 queries × M × K doubles), shipped in the closure
     q_pdf = (
@@ -827,7 +828,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     shortlist = codes.mapInPandas(
-        adc_shortlist, "q_id long, n_id long, adc double"
+        _arrow_kernel(adc_shortlist), "q_id long, n_id long, adc double"
     )
     w_adc = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
     cand = (
@@ -1308,7 +1309,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.expr(_QUANT).alias("v")
         )
     )
-    return corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
+    return corpus.mapInPandas(_arrow_kernel(score), "q_id long, n_id long, cosine double")
 
 
 _MMR_POOL = 20  # relevance pool fed to the re-ranker
@@ -1369,7 +1370,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.expr(_QUANT).alias("v")
         )
     )
-    scored = corpus.mapInPandas(score, "q_id long, n_id long, cosine double")
+    scored = corpus.mapInPandas(_arrow_kernel(score), "q_id long, n_id long, cosine double")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     pool = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1384,6 +1385,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mmr(key, pdf):
         import pandas as pd
 
+        from redisgears_spark.workerpatch import ensure as _wp
+
+        _wp()
         qid = key[0]
         ids = pdf["n_id"].to_numpy(dtype="int64")
         V = np.vstack(pdf["v"].to_numpy()).astype("int64")
@@ -1411,6 +1415,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # applyInPandas inspects the kernel's arity, so the *args-style
+    # arrow_kernel wrapper cannot be used here; mmr calls ensure() itself
     return cand.groupBy("q_id").applyInPandas(
         mmr, "q_id long, n_id long, mmr_rank long, relevance double"
     )

@@ -50,6 +50,7 @@ import os
 import re
 import threading
 import uuid
+from concurrent import futures
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -88,6 +89,10 @@ _RESULT_SCHEMA = (
 # admission gate and respool machinery are skipped entirely (the common
 # fast path — the reference's default window is small, but most Spark
 # consumers want micro-batch-sized admission)
+
+# opt-in per-batch phase timings on stderr (perf-round instrumentation;
+# zero cost when the env var is unset)
+_PROFILE_BATCHES = bool(os.environ.get("RG_TRIGGER_PROFILE"))
 
 
 def events_to_stream(df: DataFrame) -> DataFrame:
@@ -250,6 +255,9 @@ def _make_partition_processor(
     acl_re = re.compile(acl_regex) if acl_regex is not None else None
 
     def process(batches: Any) -> Any:
+        from redisgears_spark.workerpatch import ensure as _wp
+
+        _wp()  # skip the per-task zipimport rescan from the 2nd task on
         schema = _arrow_result_schema()
         frontier: dict[str, int] = {}
         first_ts: dict[str, Any] = {}
@@ -434,7 +442,20 @@ class StreamTriggerRuntime:
         self.stats: dict[str, TriggerStats] = {}
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
+        self._pool: futures.ThreadPoolExecutor | None = None
         engine.register_trigger_runtime(self)
+
+    def _overlap_pool(self) -> futures.ThreadPoolExecutor:
+        """Lazy shared pool for overlapping the independent per-batch jobs
+        of declarative triggers (sink write ∥ metadata agg). Two workers:
+        one per concurrently-running trigger job is plenty — the jobs are
+        JVM-side, the thread only blocks on py4j."""
+        with self._lock:
+            if self._pool is None:
+                self._pool = futures.ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix="rg-trigger-overlap"
+                )
+            return self._pool
 
     # target rows per Python-callback task: small enough to parallelize a
     # modest micro-batch, large enough that Arrow/task overhead amortizes
@@ -676,6 +697,22 @@ class StreamTriggerRuntime:
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
             from pyspark.sql.window import Window as W
 
+            if _PROFILE_BATCHES:
+                import sys as _sys
+                import time as _t
+
+                _ph: list[tuple[str, float]] = []
+                _last = _t.perf_counter()
+
+                def _mark(label: str) -> None:
+                    nonlocal _last
+                    now = _t.perf_counter()
+                    _ph.append((label, now - _last))
+                    _last = now
+            else:
+                def _mark(label: str) -> None:
+                    pass
+
             if declarative and self.engine.acl_read_regex(owner) is not None:
                 # re-resolved EVERY epoch, mirroring the per-batch owner
                 # resolution the callback path does in make_processor: a
@@ -706,6 +743,7 @@ class StreamTriggerRuntime:
             # prefix filter — predicate-pushdown-friendly, the consumer
             # match of keys_notifications.rs:199-203
             matched = batch_df.filter(prefix_pred)
+            _mark("entry_filter")
             from pyspark.sql import Observation
 
             obs_gate: Observation | None = None
@@ -744,10 +782,12 @@ class StreamTriggerRuntime:
                 # _ROWS_PER_PYTHON_TASK rows per task, capped at
                 # defaultParallelism — huge backfill batches still get
                 # full parallelism
+                nparts = self._python_stage_partitions(ckpt_dir, epoch_id)
+                _mark("size_partitions")
                 admitted = matched.repartition(
-                    self._python_stage_partitions(ckpt_dir, epoch_id),
-                    "stream_key",
+                    nparts, "stream_key"
                 ).sortWithinPartitions("stream_key", "id")
+                _mark("build_plan")
             else:
                 # declarative trigger: a stateless Catalyst row expression
                 # needs no per-key ordering — no shuffle at all
@@ -800,17 +840,36 @@ class StreamTriggerRuntime:
                     row_results = admitted.select(
                         "stream_key", "id", "id_ts", *expr_result_cols
                     )
-                    row_results.write.mode("append").parquet(sink_dir)
-                    # metadata from `admitted`, the exact set written above —
+                    # metadata from `admitted`, the exact set written below —
                     # identical to `matched` today (engine forbids bounded
                     # declarative triggers), but if that validation is ever
                     # relaxed, deferred rows must not be acked/counted
-                    # without being written
-                    meta_rows = (
-                        admitted.groupBy("stream_key")
-                        .agg(*expr_meta_cols)
-                        .collect()
+                    # without being written.
+                    # The sink write and the (stream_key, id, id_ts)-pruned
+                    # metadata agg are independent jobs over the same batch
+                    # files — run them CONCURRENTLY so the batch pays
+                    # max(write, agg) wall-clock, not the sum (measured
+                    # ~0.1 s/batch of serialized JVM job constants at the
+                    # bench shape; at scale the two scans were already
+                    # independent, this only removes the artificial barrier)
+                    meta_df = admitted.groupBy("stream_key").agg(
+                        *expr_meta_cols
                     )
+                    write_fut = self._overlap_pool().submit(
+                        lambda: row_results.write.mode("append").parquet(
+                            sink_dir
+                        )
+                    )
+                    try:
+                        meta_rows = meta_df.collect()
+                    except Exception:
+                        # wait the write out (no dangling job), but let the
+                        # collect error surface — it came first
+                        futures.wait([write_fut])
+                        raise
+                    # a failed sink write must fail the batch (foreachBatch
+                    # must not commit a batch whose rows were not written)
+                    write_fut.result()
                     frontiers = [
                         (r["stream_key"], r["id"]) for r in meta_rows
                     ]
@@ -833,6 +892,7 @@ class StreamTriggerRuntime:
                 meta = admitted.mapInPandas(
                     make_processor(), _RESULT_SCHEMA
                 ).collect()
+                _mark("job_collect")
                 n_ok = n_err = 0
                 an_error = None
                 oldest_us = None
@@ -851,6 +911,7 @@ class StreamTriggerRuntime:
                             )
                     else:  # frontier
                         frontiers.append((r["stream_key"], r["id"]))
+                _mark("meta_parse")
             n_deferred = int(obs_gate.get["deferred"]) if obs_gate else 0
             if n_deferred:
                 # overflow is exceptional — recompute the gate (fn never ran
@@ -883,6 +944,13 @@ class StreamTriggerRuntime:
                 for key, fid in frontiers:
                     cur = stats.frontier.get(key, -1)
                     stats.frontier[key] = max(cur, fid)
+            if _PROFILE_BATCHES:
+                _mark("stats_update")
+                print(
+                    f"[rg-profile] {qkey} epoch={epoch_id} "
+                    + " ".join(f"{k}={v:.3f}" for k, v in _ph),
+                    file=_sys.stderr,
+                )
 
         # the respool source only exists for bounded windows — the overflow
         # re-spool is the only writer, so an unbounded trigger would poll a
@@ -910,6 +978,10 @@ class StreamTriggerRuntime:
             except Exception:
                 pass
         self.queries.clear()
+        with self._lock:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None
 
     def stop_library(self, lib_name: str) -> None:
         """Stop every query owned by one library and drop its stats
@@ -1251,6 +1323,9 @@ def _make_cdc_partition_processor(fn, on_fired, sink_dir, acl_regex=None):
     acl_re = re.compile(acl_regex) if acl_regex is not None else None
 
     def process_partition(pdf_iter):
+        from redisgears_spark.workerpatch import ensure as _wp
+
+        _wp()  # see workerpatch — removes ~130 ms/task of preamble
         schema = _arrow_cdc_schema()
         n_ok = n_err = 0
         an_error = None

@@ -899,3 +899,22 @@ def test_round10_late_batches_plan_shapes(spark, sf_dir):
     for name in ("events_bot_signature_census", "docs_exact_dup_source_matrix"):
         p = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
+
+
+def test_twophase_prefix_sum_twins_never_single_partition(spark, sf_dir):
+    """The r10-verdict twins: pareto/gini over global_cumsum must not
+    plan a SinglePartition exchange anywhere — the rank/prefix-sum
+    window partitions by the range bucket and the offsets broadcast."""
+    for name, scalar_folds in (
+        # pareto: final one-row agg + the broadcast 1-row totals relation
+        ("orders_pareto_8020_twophase", 2),
+        ("orders_gini_concentration_twophase", 1),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        # the rank/prefix-sum window must partition by the range bucket —
+        # the data-sized relation never funnels through one task
+        assert "hashpartitioning(__gcs_bucket" in plan, (name, plan[:4000])
+        # the only SinglePartition exchanges are the FINAL scalar folds
+        # (one-row aggregates over already-reduced partials) — never more
+        found = plan.count("Arguments: SinglePartition")
+        assert found <= scalar_folds, (name, found, plan[:4000])

@@ -631,3 +631,67 @@ def test_global_ntile_refuses_null_values(spark):
     )
     with pytest.raises(ValueError, match="contains NULLs"):
         global_ntile(df, 2, "v", "id", "t").collect()
+
+
+def test_global_cumsum_matches_window_prefix_sum(spark):
+    """global_cumsum (functions/ranks.py) must be bit-identical to
+    row_number() + SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)
+    in both directions, under heavy ties, negatives, and a single row —
+    integer-exact construction, no tolerance."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    random.seed(11)
+    for n_rows, vrange, desc in [
+        (1000, 50, False),
+        (1000, 50, True),
+        (997, 5, True),    # heavy ties, desc
+        (64, 1, False),    # all values identical
+        (1, 3, True),      # single row
+    ]:
+        rows = [
+            (i, random.randrange(vrange) - vrange // 2,
+             random.randrange(1000))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, v long, s long"
+        ).withColumn("s", F.col("s").cast("decimal(38,0)")).repartition(8)
+        order = [F.col("v").desc(), "id"] if desc else ["v", "id"]
+        w = W.orderBy(*order)
+        want = {
+            r["id"]: (r["i"], int(r["cum"]))
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("long").alias("i"),
+                F.sum("s")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .alias("cum"),
+            ).collect()
+        }
+        got = {
+            r["id"]: (r["i"], int(r["cum"]))
+            for r in global_cumsum(
+                df, "v", "id", "s", "i", "cum", descending=desc
+            ).collect()
+        }
+        assert got == want, (n_rows, vrange, desc)
+
+
+def test_twophase_twins_match_window_originals(spark, sf_dir):
+    """The registered two-phase twins must return EXACTLY the window
+    originals' rows (same columns, same values) — the twin is a physical
+    re-plan, not a semantic variant."""
+    from redisgears_spark.operators import QUERIES
+
+    for a, b in (
+        ("orders_pareto_8020", "orders_pareto_8020_twophase"),
+        ("orders_gini_concentration", "orders_gini_concentration_twophase"),
+    ):
+        ra = QUERIES[a](spark, sf_dir).collect()
+        rb = QUERIES[b](spark, sf_dir).collect()
+        assert [r.asDict() for r in ra] == [r.asDict() for r in rb], (a, b)
