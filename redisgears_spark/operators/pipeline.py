@@ -682,8 +682,9 @@ def _take_lang_quota(
 
     Scale: one hash shuffle on lang for the rank window; with |langs|
     small and docs/lang huge the per-lang sort is the skew risk — at
-    100 TB swap the row_number for the two-phase quantile cut (sample
-    the md5 space, cut at the K-th quantile, keep rows below it). One
+    100 TB use the REGISTERED twin pipeline_lang_rebalance_hashcut
+    (sampled md5-space quantile cut, no full-data sort); it exists per
+    the r8 rule and is containment-pinned against this exact form. One
     place to change, for all three samplers.
     """
     rk = F.row_number().over(
@@ -1489,10 +1490,10 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer cross-multiplication, no float thresholds.
 
     Scale: one hash shuffle on lang for the rank window; same skew
-    note as _take_lang_quota — at 100 TB swap the row_number for the
-    two-phase quantile cut over the md5 space (sample, cut at the
-    quantile, assign by hash threshold), which drops the per-lang sort
-    entirely at the cost of ±sampling-error split sizes.
+    note as _take_lang_quota — at 100 TB use the REGISTERED twin
+    pipeline_stratified_split_hashcut (sampled md5-space quantile
+    thresholds, hash-threshold assignment, no per-lang full sort) at
+    the cost of ±sampling-error split sizes.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     w = W.partitionBy("lang").orderBy(
@@ -1506,6 +1507,200 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(F.col("rnk") * 10 <= F.col("n") * 8, "train")
         .when(F.col("rnk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "pipeline_lang_rebalance_hashcut",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(min(cnt) AS BIGINT) AS k
+      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    ),
+    n AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ),
+    samp AS (
+      SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS m
+      FROM documents
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            % 4 = 0
+    ),
+    cut AS (
+      SELECT n.lang,
+             COALESCE(MAX(CASE WHEN s.rn =
+                 LEAST(s.m, (k.k * s.m + n.n - 1) // n.n)
+               THEN s.h END), 'g') AS t
+      FROM n CROSS JOIN k LEFT JOIN samp s ON s.lang = n.lang
+      GROUP BY n.lang
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cut ON cut.lang = d.lang
+    WHERE md5(CAST(d.doc_id AS VARCHAR)) <= cut.t
+    """,
+)
+def pipeline_lang_rebalance_hashcut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipeline_lang_rebalance's 100 TB form (the r8 rule: a
+    docstring-promised scale swap must be a registered operator): the
+    per-language top-K-by-md5 rank window is replaced by a HASH
+    THRESHOLD from a sampled quantile of the md5 space — keep every doc
+    whose md5(doc_id) permutation key is ≤ the language's cut. The cut
+    is the ceil(K·m/n)-th smallest md5 in a deterministic 1-in-4 hash
+    sample (m sampled of n docs, quota K = smallest language), so the
+    whole construction is engine-exact and carries a FULL hash-exact
+    oracle — only the SELECTION SIZE is approximate (±sampling error
+    around K, containment-pinned in tests against the exact top-K: both
+    sets are prefixes of the same md5 order, so one always contains the
+    other).
+
+    Scale: NO full-data sort anywhere — the fact scan is filter-only;
+    the rank window runs over the 25% sample only (at 100 TB raise the
+    sample modulus; the construction is rate-independent). A language
+    the sample misses keeps all its docs (threshold sentinel 'g' > any
+    hex) — deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    k = counts.agg(F.min("n").cast("long").alias("k"))
+    samp = docs.filter(
+        md5_hash32_spark("cast(doc_id as string)", 4) == 0
+    ).select("lang", h.alias("h"), "doc_id")
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = samp.select(
+        "lang",
+        "h",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("lang"))
+        .cast("long")
+        .alias("m"),
+    )
+    cut = (
+        counts.crossJoin(F.broadcast(k))
+        .join(ranked, "lang", "left")
+        .groupBy("lang")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.least(
+                            F.col("m"),
+                            F.expr("(k * m + n - 1) div n"),
+                        ),
+                        F.col("h"),
+                    )
+                ),
+                F.lit("g"),
+            ).alias("t")
+        )
+    )
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .filter(h <= F.col("t"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "pipeline_stratified_split_hashcut",
+    oracle="""
+    WITH samp AS (
+      SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS m
+      FROM documents
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            % 4 = 0
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    cut AS (
+      SELECT langs.lang,
+             COALESCE(MAX(CASE WHEN s.rn = GREATEST(1, (8 * s.m) // 10)
+               THEN s.h END), 'g') AS t80,
+             COALESCE(MAX(CASE WHEN s.rn = GREATEST(
+                 GREATEST(1, (8 * s.m) // 10), (9 * s.m) // 10)
+               THEN s.h END), 'g') AS t90
+      FROM langs LEFT JOIN samp s ON s.lang = langs.lang
+      GROUP BY langs.lang
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN md5(CAST(d.doc_id AS VARCHAR)) <= cut.t80 THEN 'train'
+                WHEN md5(CAST(d.doc_id AS VARCHAR)) <= cut.t90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d JOIN cut ON cut.lang = d.lang
+    """,
+)
+def pipeline_stratified_split_hashcut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipeline_stratified_split's 100 TB form (the r8 rule): the
+    per-language rank window is replaced by two hash thresholds — the
+    0.8 and 0.9 quantiles of the md5 permutation key, ESTIMATED as
+    order statistics of a deterministic 1-in-4 hash sample — and every
+    doc is assigned train/val/test by comparing its own md5 against
+    the thresholds, a pure map-side projection. The construction is
+    deterministic on both engines (FULL hash-exact oracle); only the
+    split SIZES are approximate (±sampling error around 80/10/10,
+    tolerance-pinned in tests against the exact split).
+
+    Scale: the full corpus is never sorted — assignment is a broadcast
+    join + string compare; the sample window is 25% of the data (raise
+    the modulus at 100 TB). A language the sample misses lands wholly
+    in 'train' (sentinel 'g'), deterministically.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    samp = docs.filter(
+        md5_hash32_spark("cast(doc_id as string)", 4) == 0
+    ).select("lang", h.alias("h"), "doc_id")
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = samp.select(
+        "lang",
+        "h",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("lang"))
+        .cast("long")
+        .alias("m"),
+    )
+    k80 = F.greatest(F.lit(1).cast("long"), F.expr("(8 * m) div 10"))
+    k90 = F.greatest(k80, F.expr("(9 * m) div 10"))
+    cut = (
+        docs.select("lang")
+        .distinct()
+        .join(ranked, "lang", "left")
+        .groupBy("lang")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k80, F.col("h"))), F.lit("g")
+            ).alias("t80"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k90, F.col("h"))), F.lit("g")
+            ).alias("t90"),
+        )
+    )
+    return docs.join(F.broadcast(cut), "lang").select(
+        "doc_id",
+        "lang",
+        F.when(h <= F.col("t80"), "train")
+        .when(h <= F.col("t90"), "val")
         .otherwise("test")
         .alias("split"),
     )

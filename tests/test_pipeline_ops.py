@@ -897,3 +897,56 @@ def test_dedup_economics_lsh_contained_in_exact(spark, sf_dir):
     for src, (n_docs, n_nd) in lsh_nd.items():
         assert n_docs == exact_nd[src][0]
         assert n_nd <= exact_nd[src][1], (src, n_nd, exact_nd[src][1])
+
+
+def test_lang_rebalance_hashcut_containment_and_size(spark, sf_dir):
+    """The hash-cut twin vs the exact top-K rebalance (the LSH-twin
+    precedent: registered scale twin + containment pin): both selections
+    are prefixes of the SAME per-language md5 order, so one must always
+    contain the other; the twin's per-language size is K ± sampling
+    error (1-in-4 sample at fixture scale → wide but bounded)."""
+    from collections import Counter
+
+    from redisgears_spark.operators import QUERIES
+
+    exact = QUERIES["pipeline_lang_rebalance"](spark, sf_dir).collect()
+    twin = QUERIES["pipeline_lang_rebalance_hashcut"](spark, sf_dir).collect()
+    ce = Counter(r["lang"] for r in exact)
+    k = min(ce.values())
+    se: dict[str, set] = {}
+    st: dict[str, set] = {}
+    for r in exact:
+        se.setdefault(r["lang"], set()).add(r["doc_id"])
+    for r in twin:
+        st.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert set(se) == set(st)  # every language is represented
+    for lang in se:
+        a, b = se[lang], st[lang]
+        # prefix-of-the-same-order structure: strict containment
+        assert a <= b or b <= a, (lang, len(a), len(b))
+        # size within ±40% of the quota at the fixture's sample size
+        assert abs(len(b) - k) <= max(2, int(0.4 * k)), (lang, len(b), k)
+
+
+def test_stratified_split_hashcut_shares_and_partition(spark, sf_dir):
+    """The hash-cut split twin: every doc gets exactly one split, every
+    language appears in 'train', and per-language shares sit within
+    sampling tolerance of 80/10/10 (the exact split's shares are the
+    oracle-checked reference; the twin trades exact sizes for a
+    sort-free plan)."""
+    from collections import Counter
+
+    from redisgears_spark.operators import QUERIES
+
+    rows = QUERIES["pipeline_stratified_split_hashcut"](
+        spark, sf_dir
+    ).collect()
+    n_docs = QUERIES["pipeline_stratified_split"](spark, sf_dir).count()
+    assert len(rows) == n_docs  # total function: every doc assigned once
+    counts = Counter((r["lang"], r["split"]) for r in rows)
+    totals = Counter(r["lang"] for r in rows)
+    for lang, n in totals.items():
+        tr = counts.get((lang, "train"), 0) / n
+        va = counts.get((lang, "val"), 0) / n
+        assert 0.55 <= tr <= 0.95, (lang, tr)
+        assert va <= 0.25, (lang, va)
