@@ -254,6 +254,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits only above-threshold pairs, so the quadratic work is vectorized
     and the output is sparse. At 100 TB, generate candidates with
     sim_ann_lsh buckets and verify with this cosine on candidates only.
+
+    Measured cost of the r10 double-quantization fix (d3f6852: every
+    float32 component casts to double BEFORE the ×1000 quantization, on
+    both engines): the r10 driver artifact read 1.55 s (vs 0.71 s in r9)
+    under a mid-run canary spike; an interleaved clean-canary re-run in
+    r11 reads 0.52–0.74 s WITH the fix in place — the fix itself costs
+    ≲0.1 s at sf0.1, the rest of the r10 delta was box state.
     """
     import numpy as np
 
