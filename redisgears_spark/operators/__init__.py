@@ -9,6 +9,7 @@ from redisgears_spark.operators import (  # noqa: F401,E402
     linkage,
     multimodal,
     pipeline,
+    rankstats,
     relational,
     scale_audit,
     similarity,

@@ -551,3 +551,283 @@ def orders_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("imbalance"),
     )
+
+
+@query(
+    "partition_count_planner",
+    oracle=f"""
+    WITH b AS (
+      SELECT {md5_hash32_sql("CAST(l_orderkey AS VARCHAR)", 512)} AS b512,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cand AS (
+      SELECT p, b512 % p AS bucket, CAST(SUM(c) AS BIGINT) AS rows_in
+      FROM b, (VALUES (CAST(32 AS BIGINT)), (CAST(128 AS BIGINT)),
+                      (CAST(512 AS BIGINT))) AS ps(p)
+      GROUP BY 1, 2
+    )
+    SELECT p AS n_partitions,
+           CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+           CAST(MAX(rows_in) AS BIGINT) AS max_rows,
+           CAST(SUM(rows_in) AS BIGINT) AS total_rows,
+           CAST(MAX(rows_in) * p AS DOUBLE) / SUM(rows_in) AS imbalance
+    FROM cand GROUP BY 1
+    """,
+)
+def partition_count_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition-count planner: profile the lineitem orderkey
+    shuffle at THREE candidate partition counts (32/128/512) from ONE
+    512-bucket hash rollup — (x mod 512) mod 32 ≡ x mod 32 because
+    32 | 512, so the coarser candidates re-aggregate the fine buckets
+    with zero extra scans. `imbalance` = max·P/total (1.0 = perfectly
+    even) is the number that says whether raising
+    spark.sql.shuffle.partitions actually spreads this key, or just
+    slices the same hot bucket thinner.
+
+    Scale: one grouped count on the hashed key (map-side partial), then
+    arithmetic over ≤512 rows. The audit of a 100 TB shuffle never
+    shuffles the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        md5_hash32_spark("CAST(l_orderkey AS STRING)", 512).alias("b512")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ps = li.sparkSession.createDataFrame([(32,), (128,), (512,)], "p long")
+    cand = (
+        b.crossJoin(F.broadcast(ps))
+        .groupBy("p", (F.col("b512") % F.col("p")).alias("bucket"))
+        .agg(F.sum("c").cast("long").alias("rows_in"))
+    )
+    return cand.groupBy(F.col("p").alias("n_partitions")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        F.max("rows_in").cast("long").alias("max_rows"),
+        F.sum("rows_in").cast("long").alias("total_rows"),
+        (
+            (F.max("rows_in") * F.col("p").cast("long")).cast("double")
+            / F.sum("rows_in")
+        ).alias("imbalance"),
+    )
+
+
+@query(
+    "orders_month_partition_pruning_audit",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mk,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (
+      SELECT MIN(mk) AS lo, MAX(mk) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM m
+    ),
+    preds AS (
+      SELECT * FROM (VALUES
+        ('first_quarter', 0, 2),
+        ('median_month', -1, -1),
+        ('trailing_half_year', -6, 0)
+      ) AS t(pred, a, b)
+    ),
+    ranges AS (
+      SELECT pred,
+             CASE pred WHEN 'first_quarter' THEN bounds.lo
+                       WHEN 'median_month' THEN (bounds.lo + bounds.hi) // 2
+                       ELSE bounds.hi - 5 END AS r_lo,
+             CASE pred WHEN 'first_quarter' THEN bounds.lo + 2
+                       WHEN 'median_month' THEN (bounds.lo + bounds.hi) // 2
+                       ELSE bounds.hi END AS r_hi,
+             bounds.n_parts, bounds.n_rows
+      FROM preds, bounds
+    )
+    SELECT pred,
+           CAST((SELECT COUNT(*) FROM m
+                 WHERE m.mk BETWEEN r.r_lo AND r.r_hi) AS BIGINT)
+             AS parts_touched,
+           r.n_parts AS parts_total,
+           CAST(COALESCE((SELECT SUM(c) FROM m
+                 WHERE m.mk BETWEEN r.r_lo AND r.r_hi), 0) AS BIGINT)
+             AS rows_scanned,
+           r.n_rows AS rows_total,
+           CAST(COALESCE((SELECT SUM(c) FROM m
+                 WHERE m.mk BETWEEN r.r_lo AND r.r_hi), 0) AS DOUBLE)
+             / r.n_rows AS scan_share
+    FROM ranges r
+    """,
+)
+def orders_month_partition_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-pruning effectiveness audit: if orders were
+    month-partitioned (the standard fact layout), how many partitions —
+    and what row share — would three canonical predicate shapes touch:
+    the first observed quarter, the median point month, and the trailing
+    half-year. scan_share ≈ months/range ÷ months/total means pruning
+    works; a flat share means the date column doesn't align with the
+    partition key and the layout buys nothing.
+
+    Exactness: month key = year·12 + (month−1) integers; ranges from
+    integer min/max/DIV; one division per row.
+
+    Scale: one month-grain rollup (map-side; |months| rows), then
+    arithmetic over that dimension — the audit reads no fact row twice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mk = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    m = orders.groupBy(mk.alias("mk")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = m.agg(
+        F.min("mk").alias("lo"),
+        F.max("mk").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    preds = orders.sparkSession.createDataFrame(
+        [("first_quarter",), ("median_month",), ("trailing_half_year",)],
+        "pred string",
+    )
+    ranges = preds.crossJoin(F.broadcast(bounds)).select(
+        "pred",
+        F.when(F.col("pred") == "first_quarter", F.col("lo"))
+        .when(
+            F.col("pred") == "median_month",
+            F.expr("(lo + hi) div 2"),
+        )
+        .otherwise(F.col("hi") - 5)
+        .alias("r_lo"),
+        F.when(F.col("pred") == "first_quarter", F.col("lo") + 2)
+        .when(
+            F.col("pred") == "median_month",
+            F.expr("(lo + hi) div 2"),
+        )
+        .otherwise(F.col("hi"))
+        .alias("r_hi"),
+        "n_parts",
+        "n_rows",
+    )
+    j = ranges.join(
+        F.broadcast(m),
+        (F.col("mk") >= F.col("r_lo")) & (F.col("mk") <= F.col("r_hi")),
+        "left",
+    )
+    return j.groupBy("pred", "n_parts", "n_rows").agg(
+        F.count("mk").cast("long").alias("parts_touched"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("rows_scanned"),
+    ).select(
+        "pred",
+        "parts_touched",
+        F.col("n_parts").alias("parts_total"),
+        "rows_scanned",
+        F.col("n_rows").alias("rows_total"),
+        (F.col("rows_scanned").cast("double") / F.col("n_rows")).alias(
+            "scan_share"
+        ),
+    )
+
+
+@query(
+    "lineitem_rowgroup_clustering_audit",
+    oracle="""
+    WITH keyed AS (
+      SELECT CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             l_orderkey * 10 + l_linenumber AS tb
+      FROM lineitem
+    ),
+    rg AS (
+      SELECT (row_number() OVER (ORDER BY day, tb) - 1) // 1024 AS rowgroup,
+             day
+      FROM keyed
+    ),
+    per AS (
+      SELECT rowgroup, MIN(day) AS d_lo, MAX(day) AS d_hi,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM rg GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d_lo) AS lo, MAX(d_hi) AS hi FROM per),
+    win AS (
+      SELECT (bounds.lo + bounds.hi) // 2 - 15 AS w_lo,
+             (bounds.lo + bounds.hi) // 2 + 15 AS w_hi
+      FROM bounds
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS n_rowgroups,
+           CAST((SELECT COUNT(*) FROM per, win
+                 WHERE per.d_hi >= win.w_lo AND per.d_lo <= win.w_hi)
+                AS BIGINT) AS rowgroups_overlapping,
+           CAST((SELECT SUM(c) FROM per) AS BIGINT) AS rows_total,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM per, win
+                 WHERE per.d_hi >= win.w_lo AND per.d_lo <= win.w_hi)
+                AS BIGINT) AS rows_in_touched_groups,
+           CAST((SELECT COUNT(*) FROM per, win
+                 WHERE per.d_hi >= win.w_lo AND per.d_lo <= win.w_hi)
+                AS DOUBLE) / (SELECT COUNT(*) FROM per)
+             AS rowgroup_touch_share
+    """,
+)
+def lineitem_rowgroup_clustering_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clustering (Z-order-lite) payoff audit: if lineitem were written
+    sorted by ship date in 1024-row rowgroups, how many rowgroups does a
+    mid-range 30-day predicate touch? Near-minimal touch share means
+    min/max rowgroup stats would prune almost everything — the measured
+    argument for sorting on write. The global sort position comes from
+    functions/ranks.global_cumsum (range buckets + offset broadcast), so
+    even the AUDIT avoids the single-partition sort it is pricing.
+
+    Exactness: days via the epoch-day floor rule (day_bucket), rowgroup
+    = (rank−1) DIV 1024, window edges from integer min/max DIV; one
+    division.
+
+    Scale: the rank pass is the two-phase shape; everything after is
+    |rowgroups|-sized.
+    """
+    from redisgears_spark.functions.exact import day_bucket
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        day_bucket("l_shipdate").alias("day"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("tb"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    ranked = global_cumsum(keyed, "day", "tb", "one", "rnk", "__cum")
+    per = ranked.groupBy(
+        F.expr("(rnk - 1) div 1024").alias("rowgroup")
+    ).agg(
+        F.min("day").alias("d_lo"),
+        F.max("day").alias("d_hi"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    bounds = per.agg(
+        F.min("d_lo").alias("lo"), F.max("d_hi").alias("hi")
+    ).select(
+        F.expr("(lo + hi) div 2 - 15").alias("w_lo"),
+        F.expr("(lo + hi) div 2 + 15").alias("w_hi"),
+    )
+    j = per.crossJoin(F.broadcast(bounds))
+    touched = (F.col("d_hi") >= F.col("w_lo")) & (
+        F.col("d_lo") <= F.col("w_hi")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rowgroups"),
+        F.sum(touched.cast("long")).cast("long").alias(
+            "rowgroups_overlapping"
+        ),
+        F.sum("c").cast("long").alias("rows_total"),
+        F.coalesce(
+            F.sum(F.when(touched, F.col("c"))), F.lit(0)
+        ).cast("long").alias("rows_in_touched_groups"),
+        (
+            F.sum(touched.cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rowgroup_touch_share"),
+    )
