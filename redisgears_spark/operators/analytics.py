@@ -5902,3 +5902,102 @@ def events_hourly_volatility_profile(
             (nd * F.col("ss") - sd * sd).cast("double") / (n * (n - 1))
         ).alias("var_daily_cents"),
     )
+
+
+@query(
+    "events_session_entry_exit_matrix",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM g
+    ),
+    se AS (
+      SELECT user_id, sess_no,
+             FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id, sess_no ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS entry_type,
+             LAST_VALUE(event_type) OVER (
+               PARTITION BY user_id, sess_no ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_type
+      FROM sid
+    ),
+    sessions AS (
+      SELECT DISTINCT user_id, sess_no, entry_type, exit_type FROM se
+    ),
+    m AS (
+      SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM sessions GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM m)
+    SELECT entry_type, exit_type, n_sessions,
+           CAST(n_sessions AS DOUBLE) / t.total AS session_share
+    FROM m, t
+    """,
+)
+def events_session_entry_exit_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session entry→exit transition matrix: which event type OPENS a
+    session versus which one CLOSES it, with each cell's share — the
+    landing/abandonment map (sessions entering on 'search' and exiting
+    on 'view' without 'purchase' are the funnel leak; sessions both
+    entering and exiting on 'purchase' are the one-shot buyers). Uses
+    the repo's 30-minute-gap sessionization, deterministic (ts,
+    event_id) ordering at both bookends.
+
+    Scale: every window rides ONE user_id exchange; the matrix is
+    |event_types|² rows, the total a scalar broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag(us).over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sid = g.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ws = W.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+    full = ws.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    se = sid.select(
+        "user_id",
+        "sess_no",
+        F.first("event_type").over(full).alias("entry_type"),
+        F.last("event_type").over(full).alias("exit_type"),
+    ).distinct()
+    m = se.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    t = m.agg(F.sum("n_sessions").cast("long").alias("total"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        (F.col("n_sessions").cast("double") / F.col("total")).alias(
+            "session_share"
+        ),
+    )

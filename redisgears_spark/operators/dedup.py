@@ -1837,3 +1837,58 @@ def docs_shingle_saturation_curve(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "docs_dup_cluster_size_bands",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ),
+    g AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM fp GROUP BY 1
+    )
+    SELECT CASE WHEN sz = 1 THEN 'unique'
+                WHEN sz = 2 THEN 'pair'
+                WHEN sz <= 4 THEN '3-4'
+                WHEN sz <= 8 THEN '5-8'
+                ELSE '9+' END AS size_band,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM g GROUP BY 1
+    """,
+)
+def docs_dup_cluster_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram in integer bands (1 / 2 /
+    3-4 / 5-8 / 9+): how duplication mass is distributed — many pairs
+    (mirrors, double-ingest) need a different fix than a few giant
+    clusters (boilerplate, templates). `n_removable` = Σ(size−1) per
+    band is the dedup yield forecast the threshold cost curve prices.
+
+    Exactness: bands cut by integer comparisons on exact counts — no
+    log-scale float edges.
+
+    Scale: the same 24-byte fingerprint shuffle as dedup_exact; bands
+    fold the |clusters| relation map-side to ≤5 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    g = docs.select(fp.alias("fingerprint")).groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    band = (
+        F.when(F.col("sz") == 1, "unique")
+        .when(F.col("sz") == 2, "pair")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return g.groupBy(band.alias("size_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )

@@ -7888,3 +7888,253 @@ def orders_monthly_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count_distinct(F.col("o_custkey")) * 100)
         ).alias("arpu"),
     )
+
+
+@query(
+    "customer_order_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                  AS BIGINT)
+             - LAG(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                        // 86400000000 AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS gap
+      FROM orders
+    ),
+    r AS (
+      SELECT gap,
+             row_number() OVER (ORDER BY gap, o_custkey, o_orderkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM g WHERE gap IS NOT NULL
+    )
+    SELECT CAST(q AS BIGINT) AS quartile_pct,
+           CAST(gap AS BIGINT) AS gap_days,
+           CAST(n AS BIGINT) AS n_gaps
+    FROM r, (VALUES (CAST(25 AS BIGINT)), (CAST(50 AS BIGINT)),
+                    (CAST(75 AS BIGINT))) AS qs(q)
+    WHERE rnk = GREATEST(1, (q * n + 99) // 100)
+    """,
+)
+def customer_order_gap_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-order gap distribution: p25/p50/p75 of the day gaps between
+    a customer's consecutive orders, as EXACT type-1 order statistics
+    (rank ceil(q·n), deterministic (gap, custkey, orderkey) tiebreak) —
+    the reorder-cadence numbers a retention model is calibrated on,
+    with no approximate-percentile sketch involved.
+
+    Scale: the LAG window rides one custkey exchange; the global rank of
+    the gap relation goes through functions/ranks.global_cumsum (range
+    buckets + offset broadcast — no single-partition sort); the 3-row
+    percentile grid joins on the exact cutoff rank.
+    """
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            day_bucket("o_orderdate")
+            - F.lag(day_bucket("o_orderdate")).over(w)
+        ).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    # unique tiebreak for the global rank: (custkey, orderkey) — orderkey
+    # alone is already unique, but the oracle orders by both, so mirror it
+    keyed = g.select(
+        "gap",
+        (F.col("o_custkey") * F.lit(10_000_000_000).cast("long")
+         + F.col("o_orderkey")).alias("tb"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    ranked = global_cumsum(keyed, "gap", "tb", "one", "rnk", "__c")
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = spark.createDataFrame([(25,), (50,), (75,)], "q long")
+    grid = qs.crossJoin(F.broadcast(tot)).select(
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"), F.expr("(q * n + 99) div 100")
+        ).alias("cut"),
+        "n",
+    )
+    return ranked.join(F.broadcast(grid), F.col("rnk") == F.col("cut")).select(
+        F.col("q").alias("quartile_pct"),
+        F.col("gap").cast("long").alias("gap_days"),
+        F.col("n").alias("n_gaps"),
+    )
+
+
+@query(
+    "orders_status_priority_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM m)
+    SELECT o_orderstatus, o_orderpriority, n_orders, value_cents,
+           CAST(n_orders AS DOUBLE) / t.total AS order_share
+    FROM m, t
+    """,
+)
+def orders_status_priority_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The order-book composition matrix: count and exact cent value per
+    (status, priority) cell with each cell's share — the two-axis
+    breakdown an operations dashboard opens with (a growing share of
+    high-priority unfulfilled cells is the backlog alarm).
+
+    Scale: one map-side rollup to a ≤15-row matrix; scalar total
+    broadcast back; one division per cell.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("value_cents"),
+    )
+    t = m.agg(F.sum("n_orders").cast("long").alias("total"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        "value_cents",
+        (F.col("n_orders").cast("double") / F.col("total")).alias(
+            "order_share"
+        ),
+    )
+
+
+@query(
+    "supplier_nation_dependency_bands",
+    oracle="""
+    WITH e AS (
+      SELECT l.l_suppkey, c.c_nationkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS HUGEINT) AS cp
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT l_suppkey,
+             MAX(cp) AS top_cp,
+             SUM(cp) AS total_cp
+      FROM e GROUP BY 1
+    )
+    SELECT CAST(LEAST(9, (10 * top_cp) // total_cp) AS BIGINT)
+             AS dependency_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM per
+    GROUP BY 1
+    """,
+)
+def supplier_nation_dependency_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain concentration-risk histogram: for each supplier, the
+    share of its discounted revenue coming from its LARGEST customer
+    nation, banded into deciles by integer division — how many suppliers
+    would lose >90% of their demand if one geography closed. The
+    nation-grain companion to supplier_exclusive_parts' product-grain
+    risk.
+
+    Exactness: cent·pct integer revenue; the band is (10·top) DIV total
+    (LEAST 9 caps the exact-100% case); no float touches a band edge.
+
+    Scale: one fact-to-fact equi-join on orderkey (the standard TPC-H
+    shape; customer broadcasts), a two-level rollup to (supplier,
+    nation) then supplier grain, and a ≤10-row histogram.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_suppkey", "c_nationkey")
+        .agg(
+            F.sum(
+                cents("l_extendedprice").cast("decimal(38,0)")
+                * (
+                    F.lit(100).cast("decimal(38,0)")
+                    - basis_points("l_discount").cast("decimal(38,0)")
+                )
+            ).alias("cp")
+        )
+    )
+    per = e.groupBy("l_suppkey").agg(
+        F.max("cp").alias("top_cp"), F.sum("cp").alias("total_cp")
+    )
+    return per.select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("CAST((10 * top_cp) div total_cp AS BIGINT)"),
+        ).alias("dependency_decile")
+    ).groupBy("dependency_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )
+
+
+@query(
+    "part_brand_price_ladder",
+    oracle="""
+    WITH pr AS (
+      SELECT p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             p_partkey,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(MAX(n) AS BIGINT) AS n_parts,
+           CAST(MIN(price_c) AS BIGINT) AS min_price_cents,
+           CAST(MAX(CASE WHEN rnk = (n + 1) // 2 THEN price_c END)
+                AS BIGINT) AS median_price_cents,
+           CAST(MAX(price_c) AS BIGINT) AS max_price_cents
+    FROM pr GROUP BY 1
+    """,
+)
+def part_brand_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price ladder: min / exact median / max retail price in
+    cents — where each brand sits in the catalog and how wide its range
+    runs (the positioning table behind price-band HHI). Median is the
+    exact lower-median order statistic (rank (n+1) DIV 2 on the
+    deterministic (price, partkey) order), not a percentile sketch.
+
+    Scale: one hash exchange on brand (a small dimension) carries the
+    rank window; the rollup is |brands| rows.
+    """
+    part = load_table(spark, sf_dir, "part")
+    price = cents("p_retailprice")
+    w = W.partitionBy("p_brand").orderBy(price.alias("pc"), "p_partkey")
+    pr = part.select(
+        "p_brand",
+        price.alias("price_c"),
+        "p_partkey",
+        F.row_number()
+        .over(W.partitionBy("p_brand").orderBy(price, "p_partkey"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("p_brand")).alias("n"),
+    )
+    return pr.groupBy("p_brand").agg(
+        F.max("n").cast("long").alias("n_parts"),
+        F.min("price_c").cast("long").alias("min_price_cents"),
+        F.max(
+            F.when(F.col("rnk") == F.expr("(n + 1) div 2"), F.col("price_c"))
+        ).cast("long").alias("median_price_cents"),
+        F.max("price_c").cast("long").alias("max_price_cents"),
+    )

@@ -2073,3 +2073,192 @@ def docs_cross_lang_token_leakage(
             ),
         )
     )
+
+
+@query(
+    "docs_prefix_boilerplate_share",
+    oracle="""
+    WITH p AS (
+      SELECT source, md5(substr(lower(text), 1, 32)) AS pf
+      FROM documents
+    ),
+    g AS (
+      SELECT pf, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1
+    ),
+    tagged AS (
+      SELECT p.source, CASE WHEN g.c >= 2 THEN 1 ELSE 0 END AS boiler
+      FROM p JOIN g ON g.pf = p.pf
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(boiler) AS BIGINT) AS n_shared_prefix,
+           CAST(SUM(boiler) AS DOUBLE) / COUNT(*) AS boilerplate_share
+    FROM tagged GROUP BY 1
+    """,
+)
+def docs_prefix_boilerplate_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leading-boilerplate audit: the share of each source's documents
+    whose first 32 characters are shared with at least one other doc —
+    scraped nav bars, license headers, and template intros show up here
+    long before full-document dedup fires (the prefix is the cheapest
+    boilerplate fingerprint; C4 used line-level hashes, this is the
+    head-of-doc cut of the same idea).
+
+    Scale: the join key is a 16-byte md5 of a 32-char prefix — the text
+    never shuffles; the rollup is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pf = F.md5(F.substring(F.lower("text"), 1, 32))
+    p = docs.select("source", pf.alias("pf"))
+    g = p.groupBy("pf").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tagged = p.join(g, "pf").select(
+        "source", (F.col("c") >= 2).cast("long").alias("boiler")
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("boiler").cast("long").alias("n_shared_prefix"),
+        (F.sum("boiler").cast("double") / F.count(F.lit(1))).alias(
+            "boilerplate_share"
+        ),
+    )
+
+
+@query(
+    "docs_sentence_len_percentiles_by_lang",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, UNNEST({_SENTENCES_SQL}) AS sent
+      FROM documents
+    ),
+    wl AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(sent),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               CAST(len(list_filter(regexp_split_to_array(lower(sent),
+                    '\\s+'), x -> x <> '')) AS BIGINT), doc_id, sent)
+               AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM s
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_sentences,
+           CAST(MAX(CASE WHEN rnk = GREATEST(1, (25 * n + 99) // 100)
+                    THEN n_words END) AS BIGINT) AS p25_words,
+           CAST(MAX(CASE WHEN rnk = GREATEST(1, (50 * n + 99) // 100)
+                    THEN n_words END) AS BIGINT) AS p50_words,
+           CAST(MAX(CASE WHEN rnk = GREATEST(1, (75 * n + 99) // 100)
+                    THEN n_words END) AS BIGINT) AS p75_words
+    FROM wl GROUP BY 1
+    """,
+)
+def docs_sentence_len_percentiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language sentence-length quartiles (words per sentence) as
+    EXACT type-1 order statistics — the segmentation sanity check before
+    language-specific length gates: a language whose p50 sits at 2 words
+    has a broken splitter (or a chat-log corpus), and a filter tuned on
+    English p-values mis-fires on it.
+
+    Exactness: the repo's terminal-punctuation sentence rule
+    (_SENTENCES) and whitespace word rule, ranks on the deterministic
+    (n_words, doc_id, sentence) order, cutoffs at ceil(q·n).
+
+    Scale: one lang exchange carries the rank window (|langs| is tiny;
+    per-lang volume is the skew note — the two-phase swap applies as in
+    _take_lang_quota if a single language dominates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_SENTENCES)).alias("sent")
+    )
+    n_words = F.size(
+        F.expr(
+            "filter(split(lower(sent), '\\\\s+'), x -> x != '')"
+        )
+    ).cast("long")
+    w = W.partitionBy("lang").orderBy(n_words, "doc_id", "sent")
+    wl = s.select(
+        "lang",
+        n_words.alias("n_words"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    def cut(q):
+        return F.max(
+            F.when(
+                F.col("rnk")
+                == F.greatest(
+                    F.lit(1), F.expr(f"({q} * n + 99) div 100")
+                ),
+                F.col("n_words"),
+            )
+        ).cast("long")
+    return wl.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_sentences"),
+        cut(25).alias("p25_words"),
+        cut(50).alias("p50_words"),
+        cut(75).alias("p75_words"),
+    )
+
+
+@query(
+    "docs_token_repeat_ratio_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, UNNEST({_TOKENS_SQL}) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT doc_id, source,
+             CAST(MAX(c) AS BIGINT) AS max_tok,
+             CAST(SUM(c) AS BIGINT) AS n_tok
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(max_tok) AS BIGINT) AS sum_max_token,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(max_tok) AS DOUBLE) / SUM(n_tok) AS pooled_repeat_ratio
+    FROM per GROUP BY 1
+    """,
+)
+def docs_token_repeat_ratio_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-repetition profile per source: the pooled ratio of each
+    document's MOST frequent token to its token count — the keyword-spam
+    / degenerate-generation signal (a source whose top token carries 30%
+    of its token mass is stuffing or boilerplate). Pooled as Σmax/Σn —
+    one exact division per source, not an average of per-doc floats.
+
+    Scale: the (doc, token) count is the one explode shuffle (tokens
+    never leave their partition after it); per-doc and per-source
+    rollups are map-side partial aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    cnt = t.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = cnt.groupBy("doc_id", "source").agg(
+        F.max("c").cast("long").alias("max_tok"),
+        F.sum("c").cast("long").alias("n_tok"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("max_tok").cast("long").alias("sum_max_token"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        (F.sum("max_tok").cast("double") / F.sum("n_tok")).alias(
+            "pooled_repeat_ratio"
+        ),
+    )
