@@ -18,6 +18,7 @@ from redisgears_spark.streaming.stateful import (  # noqa: F401
     StreamingCusumRuntime,
     StreamingDistinctRuntime,
     StreamingKmvRuntime,
+    StreamingMinHashRuntime,
     StreamingQuantileRuntime,
     StreamingRateLimitRuntime,
     StreamingSessionizeRuntime,

@@ -1596,3 +1596,226 @@ class StreamingBloomDedupRuntime(StatefulStatsRuntime):
             "runtime (dropping a filter would re-admit duplicates); "
             "stop()/flush() clear state"
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash signatures — the 10th stateful runtime (round 11)
+# ---------------------------------------------------------------------------
+
+_MHS_OUTPUT_SCHEMA = (
+    "stream_key string, n_records bigint, n_items bigint, "
+    "signature string, bands string"
+)
+_MHS_STATE_SCHEMA = "sig string, n_records bigint, n_items bigint"
+
+_MH_N = 32  # operators/dedup._MINHASH_N — shared family width
+_MH_BANDS = 8
+_MH_ROWS = _MH_N // _MH_BANDS
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64_py(z: int) -> int:
+    """Scalar twin of operators/dedup._splitmix64 (numpy uint64) — the
+    same finalizer in pure-python mod-2^64 arithmetic, so a streaming
+    signature can be compared bit-for-bit against the batch sketch."""
+    z = (z + 0x9E3779B97F4A7C15) & _U64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
+    return z ^ (z >> 31)
+
+
+def _mh_salts() -> list[int]:
+    """The batch family's 32 fixed salts: splitmix64(i · golden) for
+    i = 1..32, wrapping mod 2^64 exactly like the numpy uint64 multiply."""
+    return [
+        _splitmix64_py((i * 0x9E3779B97F4A7C15) & _U64)
+        for i in range(1, _MH_N + 1)
+    ]
+
+
+def _mh_hash64(value: str) -> int:
+    """Scalar twin of operators/dedup._hash64_str: 8-byte blake2b,
+    little-endian uint64."""
+    from hashlib import blake2b
+
+    return int.from_bytes(
+        blake2b(value.encode(), digest_size=8).digest(), "little"
+    )
+
+
+def _mh_fold(sig: list[int], value: str, salts: list[int]) -> list[int]:
+    """Fold one set element into the 32-component min-signature. Set-min
+    is commutative, associative, and idempotent — replays of the same
+    value are no-ops and any chunking/restart yields the identical
+    signature (the same merge contract as the KMV runtime)."""
+    h = _mh_hash64(value)
+    for i, s in enumerate(salts):
+        v = _splitmix64_py(h ^ s)
+        if v < sig[i]:
+            sig[i] = v
+    return sig
+
+
+def _mh_bands(sig: list[int]) -> list[int]:
+    """The batch sketch's band fold (operators/dedup._sketched_docs):
+    acc = splitmix64(acc ^ component) across each band's rows, emitted
+    SIGNED (the numpy path views uint64 as int64) so a live band hash
+    equi-joins against the batch band table directly."""
+    out = []
+    for b in range(_MH_BANDS):
+        acc = 0
+        for r in range(_MH_ROWS):
+            acc = _splitmix64_py(acc ^ sig[b * _MH_ROWS + r])
+        out.append(acc - (1 << 64) if acc >= (1 << 63) else acc)
+    return out
+
+
+def _make_minhash_reducer(field: str):
+    import json as _json
+
+    salts = _mh_salts()
+
+    def reducer(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (stream_key,) = key
+        if state.exists:
+            sig_json, n_records, n_items = state.get
+            sig: list[int] = _json.loads(sig_json)
+        else:
+            sig, n_records, n_items = [_U64] * _MH_N, 0, 0
+        frame = _ordered_frame(pdfs)
+        for fields in (frame["fields"] if len(frame) else ()):
+            item = None if fields is None else dict(fields).get(field)
+            if item is None:
+                continue
+            n_records += 1
+            n_items += 1
+            _mh_fold(sig, item, salts)
+        state.update((_json.dumps(sig), n_records, n_items))
+        yield pd.DataFrame(
+            [
+                {
+                    "stream_key": stream_key,
+                    "n_records": n_records,
+                    "n_items": n_items,
+                    "signature": _json.dumps(sig),
+                    "bands": _json.dumps(_mh_bands(sig)),
+                }
+            ]
+        )
+
+    return reducer
+
+
+class StreamingMinHashRuntime(StatefulStatsRuntime):
+    """Per-stream-key continuous MinHash signature — the live half of the
+    near-duplicate family (operators/dedup's MinHash+LSH is the batch
+    half): every key's 32-component signature over the VALUES of `field`
+    is maintained in the state store, and the 8 LSH band hashes are
+    emitted alongside, ready to equi-join against the batch band table
+    or another stream's bands for live near-dup candidate detection.
+
+    Bit-compat contract (pinned in tests): the hash family is EXACTLY
+    the batch sketch's — blake2b-8 content hash, splitmix64(h ^ salt_i)
+    with the same 32 salts, column-min, and the same band fold emitted
+    signed — so a streaming signature over a set of values equals the
+    batch numpy signature over the same distinct values, component for
+    component, and the band hashes bucket-match across the two paths
+    with no reconciliation epsilon.
+
+    Set-min folding makes the signature chunking-invariant, idempotent
+    under exactly-once replays, and restart-resumable from the
+    checkpoint. similarity(a, b) estimates Jaccard as the fraction of
+    matching components (the standard MinHash estimator; expected error
+    ~1/√32).
+
+    State: 32 uint64 components per key (~700 B as JSON) no matter how
+    many values flow past — the firehose-safe shape.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        source_adapter=None,
+        field: str = "event_type",
+    ):
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        self.field = field
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "minhash_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "minhash_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        return self._start_stateful(
+            _make_minhash_reducer(self.field),
+            _MHS_OUTPUT_SCHEMA,
+            _MHS_STATE_SCHEMA,
+            "streaming_minhash",
+            prefix,
+        )
+
+    def signatures(self) -> dict[str, dict]:
+        """Latest signature + band hashes per stream_key (highest
+        committed epoch). Values: n_records, n_items, signature
+        (list[int], 32 uint64 components), bands (list[int], 8 signed
+        band hashes, batch-compatible)."""
+        import json as _json
+
+        df = self._sink_df()
+        if df is None:
+            return {}
+        rows = (
+            df.groupBy("stream_key")
+            .agg(
+                F.max_by(
+                    F.struct("n_records", "n_items", "signature", "bands"),
+                    F.col("epoch"),
+                ).alias("s")
+            )
+            .select("stream_key", "s.*")
+            .collect()
+        )
+        return {
+            r["stream_key"]: {
+                "n_records": r["n_records"],
+                "n_items": r["n_items"],
+                "signature": _json.loads(r["signature"]),
+                "bands": _json.loads(r["bands"]),
+            }
+            for r in rows
+        }
+
+    def similarity(self, key_a: str, key_b: str) -> float:
+        """MinHash Jaccard estimate between two stream keys: matching
+        signature components / 32. Raises if either key has no
+        signature yet."""
+        sigs = self.signatures()
+        if key_a not in sigs or key_b not in sigs:
+            missing = [k for k in (key_a, key_b) if k not in sigs]
+            raise GearsError(
+                f"no MinHash signature yet for {missing} — feed records "
+                "and process_available() first"
+            )
+        a, b = sigs[key_a]["signature"], sigs[key_b]["signature"]
+        return sum(1 for x, y in zip(a, b) if x == y) / float(_MH_N)
+
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingMinHashRuntime has no per-key stats snapshot — use "
+            "signatures() for the current sketches"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the streaming-MinHash "
+            "runtime (its state is a min-signature, not per-key stats "
+            "with tombstones); stop()/flush() clear state"
+        )

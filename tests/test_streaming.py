@@ -3323,3 +3323,147 @@ class TestBloomDedupFixtureIntegration:
             assert s["n_first_seen"] == nd, key  # zero false positives
             assert s["n_records"] == n, key
             assert s["n_suppressed"] == n - nd, key
+
+
+class TestStreamingMinHash:
+    """Streaming MinHash signatures: bit-identity with the batch numpy
+    sketch family, chunking/replay invariance, restart resume, and the
+    Jaccard estimator's accuracy on known-overlap sets."""
+
+    def _feed(self, spark, spool, pairs):
+        _write_canonical(
+            spark, spool, [(k, i, {"u": v}) for k, i, v in pairs]
+        )
+
+    def test_signature_matches_batch_family_bitwise(
+        self, spark, sf_dir, spool, work
+    ):
+        import numpy as np
+
+        from redisgears_spark.operators.dedup import (
+            _MINHASH_BANDS,
+            _MINHASH_N,
+            _MINHASH_ROWS,
+            _hash64_str,
+            _splitmix64,
+        )
+        from redisgears_spark.streaming import StreamingMinHashRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingMinHashRuntime(engine, spool, work, field="u")
+        vals = [f"item-{i}" for i in range(40)]
+        # duplicates interleaved: set semantics must absorb them
+        feed = vals + vals[:15]
+        self._feed(
+            spark, spool, [("k:1", i, v) for i, v in enumerate(feed)]
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = rt.signatures()["k:1"]
+        assert got["n_items"] == len(feed)
+        # batch numpy sketch over the DISTINCT value set
+        salts = _splitmix64(
+            np.arange(1, _MINHASH_N + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        with np.errstate(over="ignore"):
+            flat = _hash64_str(vals)
+            salted = _splitmix64(flat[:, None] ^ salts[None, :])
+            sig_np = salted.min(axis=0)
+            acc = np.zeros((1, _MINHASH_BANDS), dtype=np.uint64)
+            banded = sig_np.reshape(1, _MINHASH_BANDS, _MINHASH_ROWS)
+            for r in range(_MINHASH_ROWS):
+                acc = _splitmix64(acc ^ banded[:, :, r])
+        assert got["signature"] == [int(x) for x in sig_np]
+        assert got["bands"] == [int(x) for x in acc.view(np.int64)[0]]
+
+    def test_chunking_invariance_and_restart(self, spark, sf_dir, spool, work):
+        from redisgears_spark.streaming import StreamingMinHashRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        pairs = [("k:1", i, f"w{i % 25}") for i in range(75)]
+
+        def run(workdir, sp, chunks):
+            rt = StreamingMinHashRuntime(engine, sp, workdir, field="u")
+            step = len(pairs) // chunks
+            self._feed(spark, sp, pairs[:step])
+            rt.start(prefix="k:")
+            try:
+                rt.process_available()
+                for c in range(1, chunks):
+                    self._feed(spark, sp, pairs[c * step:(c + 1) * step])
+                    rt.process_available()
+            finally:
+                rt.stop()
+            return rt.signatures()["k:1"]
+
+        a = run(work + "_a", spool + "_a", 1)
+        b = run(work + "_b", spool + "_b", 3)
+        assert a["signature"] == b["signature"]
+        assert a["bands"] == b["bands"]
+        assert a["n_items"] == b["n_items"] == 75
+        # restart over the same checkpoint resumes, absorbs replays of
+        # known values, and folds new ones
+        rt2 = StreamingMinHashRuntime(
+            engine, spool + "_a", work + "_a", field="u"
+        )
+        self._feed(
+            spark, spool + "_a",
+            [("k:1", 100 + i, f"w{i % 30}") for i in range(30)],
+        )
+        rt2.start(prefix="k:")
+        try:
+            rt2.process_available()
+        finally:
+            rt2.stop()
+        c = rt2.signatures()["k:1"]
+        # 5 genuinely new values folded in: every component can only DROP
+        assert all(
+            x <= y for x, y in zip(c["signature"], a["signature"])
+        )
+        assert c["n_items"] == 105
+
+    def test_similarity_estimates_known_jaccard(
+        self, spark, sf_dir, spool, work
+    ):
+        from redisgears_spark.streaming import StreamingMinHashRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingMinHashRuntime(engine, spool, work, field="u")
+        # A and B share 60 of 100 union values → true J = 60/140... use
+        # |A|=|B|=80, overlap 60 → J = 60/100 = 0.6
+        a_vals = [f"v{i}" for i in range(80)]
+        b_vals = [f"v{i}" for i in range(20, 100)]
+        feed = [("k:a", i, v) for i, v in enumerate(a_vals)] + [
+            ("k:b", 1000 + i, v) for i, v in enumerate(b_vals)
+        ]
+        self._feed(spark, spool, feed)
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        est = rt.similarity("k:a", "k:b")
+        assert abs(est - 0.6) <= 0.25  # 32 components → wide but bounded
+        # identical sets estimate exactly 1.0 (same signature)
+        assert rt.similarity("k:a", "k:a") == 1.0
+        import pytest as _pytest
+
+        with _pytest.raises(GearsError, match="no MinHash signature"):
+            rt.similarity("k:a", "k:missing")
+
+    def test_unsupported_surfaces_raise(self, spark, sf_dir, spool, work):
+        import pytest as _pytest
+
+        from redisgears_spark.streaming import StreamingMinHashRuntime
+
+        rt = StreamingMinHashRuntime(
+            GearsEngine(spark, sf_dir), spool, work
+        )
+        with _pytest.raises(GearsError, match="signatures"):
+            rt.latest()
+        with _pytest.raises(GearsError, match="not supported"):
+            rt.expire_idle(60)
