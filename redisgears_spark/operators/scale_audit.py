@@ -831,3 +831,95 @@ def lineitem_rowgroup_clustering_audit(
             / F.count(F.lit(1))
         ).alias("rowgroup_touch_share"),
     )
+
+
+@query(
+    "lineitem_aqe_skew_split_simulator",
+    oracle=f"""
+    WITH b AS (
+      SELECT {md5_hash32_sql("CAST(l_orderkey AS VARCHAR)", 64)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    med AS (
+      SELECT c AS median_rows FROM (
+        SELECT c, row_number() OVER (ORDER BY c, bucket) AS rn,
+               COUNT(*) OVER () AS n
+        FROM b
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_buckets,
+           CAST(med.median_rows AS BIGINT) AS median_rows,
+           CAST((SELECT COUNT(*) FROM b
+                 WHERE b.c > 5 * med.median_rows) AS BIGINT)
+             AS n_skewed,
+           CAST((SELECT MAX(c) FROM b) AS DOUBLE) / med.median_rows
+             AS max_skew_factor,
+           CAST((SELECT COALESCE(SUM((b.c + med.median_rows - 1)
+                                     // med.median_rows), 0)
+                 FROM b WHERE b.c > 5 * med.median_rows) AS BIGINT)
+             AS splits_for_skewed,
+           CAST((SELECT COUNT(*) FROM b
+                 WHERE b.c <= 5 * med.median_rows) AS BIGINT)
+             + CAST((SELECT COALESCE(SUM((b.c + med.median_rows - 1)
+                                         // med.median_rows), 0)
+                     FROM b WHERE b.c > 5 * med.median_rows) AS BIGINT)
+             AS n_partitions_after
+    FROM med
+    """,
+)
+def lineitem_aqe_skew_split_simulator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AQE skew-join split simulation for the lineitem orderkey shuffle
+    at 64 partitions: buckets above 5× the median partition size (the
+    shape of spark.sql.adaptive.skewJoin.skewedPartitionFactor) get
+    split into ceil(size/median) pieces — the one-row report says
+    whether AQE will save this join, and what the post-split partition
+    count looks like, BEFORE the join runs.
+
+    Exactness: the median is the exact lower-median order statistic
+    over the 64 bucket counts; splits are ceil integer division; one
+    IEEE division for the max-skew factor.
+
+    Scale: one grouped count on the hashed key; everything else is
+    arithmetic over ≤64 rows (the rank window is constant-size).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        md5_hash32_spark("CAST(l_orderkey AS STRING)", 64).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = W.orderBy("c", "bucket")
+    med = (
+        b.select(
+            "c",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("c").alias("median_rows"))
+    )
+    j = b.crossJoin(F.broadcast(med))
+    skewed = F.col("c") > 5 * F.col("median_rows")
+    splits = F.expr("(c + median_rows - 1) div median_rows")
+    return j.groupBy("median_rows").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(skewed.cast("long")).cast("long").alias("n_skewed"),
+        (F.max("c").cast("double") / F.col("median_rows")).alias(
+            "max_skew_factor"
+        ),
+        F.coalesce(F.sum(F.when(skewed, splits)), F.lit(0))
+        .cast("long")
+        .alias("splits_for_skewed"),
+        (
+            F.sum((~skewed).cast("long"))
+            + F.coalesce(F.sum(F.when(skewed, splits)), F.lit(0))
+        ).cast("long").alias("n_partitions_after"),
+    ).select(
+        "n_buckets",
+        F.col("median_rows").cast("long").alias("median_rows"),
+        "n_skewed",
+        "max_skew_factor",
+        "splits_for_skewed",
+        "n_partitions_after",
+    )

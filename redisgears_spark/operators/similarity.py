@@ -2175,3 +2175,86 @@ def embeddings_outlier_rate_by_label(
             ),
         )
     )
+
+
+@query(
+    "embeddings_dim_variance_ladder",
+    oracle="""
+    WITH comp AS (
+      SELECT s.i AS dim,
+             CAST(CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS HUGEINT) AS q6
+      FROM embeddings e, (SELECT unnest(range(0, 64)) AS i) s
+    ),
+    per AS (
+      SELECT dim,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(q6) AS s1,
+             SUM(q6 * q6) AS s2
+      FROM comp GROUP BY 1
+    ),
+    v AS (
+      SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+             n * s2 - s1 * s1 AS var_num
+      FROM per
+    ),
+    t AS (SELECT SUM(var_num) AS total FROM v)
+    SELECT dim,
+           n_vecs,
+           CAST(var_num AS BIGINT) AS var_num_q6,
+           CAST(row_number() OVER (ORDER BY var_num DESC, dim) AS BIGINT)
+             AS variance_rank,
+           CAST(var_num AS DOUBLE) / CAST(t.total AS DOUBLE)
+             AS variance_share
+    FROM v, t
+    """,
+)
+def embeddings_dim_variance_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension variance ladder: the exact cross-multiplied variance
+    numerator n·Σx²−(Σx)² of each of the 64 embedding dimensions (q6
+    milli-micro units, float32 cast to double BEFORE quantization — the
+    repo's uniform rule), ranked, with each dimension's share of total
+    variance. The PQ/IVF planning table: dimensions whose share ~0 are
+    dead weight a product quantizer should not spend codebook bits on,
+    and a handful of dominant dims means rotation (OPQ) would pay.
+
+    Exactness: all sums in HUGEINT/decimal; the share is one IEEE
+    division; the rank orders exact integers with a dim tiebreak.
+
+    Scale: one explode-by-64 projection with map-side partial sums →
+    a 64-row relation; the rank window runs over those 64 rows
+    (constant-size — scale-independent, like the decile grids).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = spark.range(0, 64).select(F.col("id").cast("int").alias("i"))
+    comp = emb.crossJoin(F.broadcast(dims)).select(
+        F.col("i").alias("dim"),
+        F.expr(
+            "CAST(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS decimal(38,0))"
+        ).alias("q6"),
+    )
+    per = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("q6").alias("s1"),
+        F.sum(F.col("q6") * F.col("q6")).alias("s2"),
+    )
+    v = per.select(
+        "dim",
+        F.col("n").cast("long").alias("n_vecs"),
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias(
+            "var_num"
+        ),
+    )
+    t = v.agg(F.sum("var_num").alias("total"))
+    w64 = W.orderBy(F.col("var_num").desc(), "dim")
+    return v.crossJoin(F.broadcast(t)).select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_vecs",
+        F.col("var_num").cast("long").alias("var_num_q6"),
+        F.row_number().over(w64).cast("long").alias("variance_rank"),
+        (F.col("var_num").cast("double") / F.col("total").cast("double"))
+        .alias("variance_share"),
+    )
