@@ -2302,3 +2302,364 @@ def pipeline_post_dedup_mixture_shift(
         after.alias("share_after"),
         (after - before).alias("share_shift"),
     )
+
+
+@query(
+    "pipeline_funnel_by_lang",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL},
+    dl AS (SELECT doc_id, lang FROM documents),
+    q AS (SELECT doc_id, n_words FROM s WHERE {_G_KEEP_SQL}),
+    fp AS (SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+           FROM documents),
+    surv AS (
+      SELECT doc_id, n_words FROM (
+        SELECT q.doc_id, q.n_words,
+               MIN(q.doc_id) OVER (PARTITION BY fp.f) AS keeper
+        FROM q JOIN fp ON q.doc_id = fp.doc_id
+      ) WHERE doc_id = keeper
+    ),
+    {_DECON_GRAMS_CTE},
+    eg AS (SELECT DISTINCT md5(g) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN eg ON md5(g.g) = eg.gh
+              WHERE g.doc_id % {_DECON_EVAL_MOD} <> 0),
+    clean AS (
+      SELECT doc_id, n_words FROM surv
+      WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    )
+    SELECT stage, lang, n_docs, n_tokens FROM (
+      SELECT 'raw' AS stage, dl.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(s.n_words), 0) AS BIGINT) AS n_tokens
+      FROM s JOIN dl ON dl.doc_id = s.doc_id GROUP BY 2
+      UNION ALL
+      SELECT 'quality', dl.lang, CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(q.n_words), 0) AS BIGINT)
+      FROM q JOIN dl ON dl.doc_id = q.doc_id GROUP BY 2
+      UNION ALL
+      SELECT 'dedup', dl.lang, CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(surv.n_words), 0) AS BIGINT)
+      FROM surv JOIN dl ON dl.doc_id = surv.doc_id GROUP BY 2
+      UNION ALL
+      SELECT 'decontaminated', dl.lang, CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(clean.n_words), 0) AS BIGINT)
+      FROM clean JOIN dl ON dl.doc_id = clean.doc_id GROUP BY 2
+    )
+    """,
+)
+def pipeline_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel split by language: per-lang doc and token
+    counts at each stage (raw → Gopher gate → exact-dedup survivors →
+    decontaminated) — the fairness view of pipeline_funnel_report. A
+    language whose survival rate lags the corpus average is being
+    disproportionately filtered (quality rules tuned on English, dup
+    mirrors concentrated in one language), and the rebalance quota math
+    downstream silently inherits that bias.
+
+    Built from the SAME cached _funnel_index signals as the global
+    funnel (one lang join added), so the per-lang report costs one
+    broadcast join and four skinny rollups, not a signal recomputation.
+    """
+    idx = _funnel_index(spark, sf_dir)
+    dl = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = idx.join(F.broadcast(dl), "doc_id")
+
+    def stage(df, name):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_words"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "lang", "n_docs", "n_tokens")
+
+    q = j.filter(F.col("keep"))
+    keeper = F.min("doc_id").over(W.partitionBy("f"))
+    surv = q.withColumn("keeper", keeper).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    return (
+        stage(j, "raw")
+        .unionByName(stage(q, "quality"))
+        .unionByName(stage(surv, "dedup"))
+        .unionByName(stage(surv.filter(F.col("clean")), "decontaminated"))
+    )
+
+
+@query(
+    "pipeline_quality_lang_quota_feasibility",
+    oracle=f"""
+    WITH {_G_SIGNALS_SQL},
+    dl AS (SELECT doc_id, lang FROM documents),
+    k AS (
+      SELECT CAST(min(cnt) AS BIGINT) AS k
+      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    ),
+    per AS (
+      SELECT dl.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN {_G_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality
+      FROM s JOIN dl ON dl.doc_id = s.doc_id
+      GROUP BY 1
+    )
+    SELECT lang, n_docs, n_quality, k.k AS quota,
+           n_quality >= k.k AS feasible,
+           CAST(n_quality AS DOUBLE) / k.k AS fill_rate
+    FROM per, k
+    """,
+)
+def pipeline_quality_lang_quota_feasibility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the uniform rebalance quota survive the quality gate? Per
+    language: docs passing the Gopher rules vs the downsample-to-min
+    quota K (pipeline_lang_rebalance's target). A language with
+    feasible=false cannot fill its quota from quality-passing docs —
+    the mix either shrinks to the new minimum or admits below-gate
+    documents; fill_rate says by how much. This is the check that runs
+    BETWEEN the gate and the sampler, before any downsampling executes.
+
+    Scale: the gate signals are one Catalyst projection; the report is
+    |langs| rows with a broadcast scalar quota.
+    """
+    sig = pipeline_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    dl = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        sig.join(F.broadcast(dl), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias(
+                "n_quality"
+            ),
+        )
+    )
+    k = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").cast("long").alias("quota")
+    )
+    return per.crossJoin(F.broadcast(k)).select(
+        "lang",
+        "n_docs",
+        "n_quality",
+        "quota",
+        (F.col("n_quality") >= F.col("quota")).alias("feasible"),
+        (F.col("n_quality").cast("double") / F.col("quota")).alias(
+            "fill_rate"
+        ),
+    )
+
+
+@query(
+    "pipeline_survivor_policy_delta",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    ),
+    cl AS (
+      SELECT f,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(MIN(doc_id) AS BIGINT) AS first_id,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    pick AS (
+      SELECT cl.f, cl.first_id,
+             (SELECT MIN(doc_id) FROM fp
+              WHERE fp.f = cl.f AND fp.n_chars = cl.max_chars)
+               AS longest_id,
+             (SELECT n_chars FROM fp WHERE fp.doc_id = cl.first_id)
+               AS first_chars,
+             cl.max_chars
+      FROM cl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(CASE WHEN first_id <> longest_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_policy_disagree,
+           CAST(SUM(first_chars) AS BIGINT) AS keep_first_chars,
+           CAST(SUM(max_chars) AS BIGINT) AS keep_longest_chars,
+           CAST(SUM(max_chars) - SUM(first_chars) AS BIGINT)
+             AS chars_gained_by_longest
+    FROM pick
+    """,
+)
+def pipeline_survivor_policy_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup survivor-policy audit: for every multi-document duplicate
+    cluster, compare the KEEP-FIRST survivor (min doc_id — the repo's
+    default, stable under re-ingest) against KEEP-LONGEST (max n_chars,
+    doc_id tiebreak — the content-preserving choice): how many clusters
+    disagree and how much character mass the corpus would gain by
+    switching. On exact duplicates the texts are identical post-
+    normalization, so a nonzero delta measures WHITESPACE-ONLY length
+    variation — small deltas justify the cheaper stable policy.
+
+    Scale: fingerprint-grain aggregates only (the same 24-byte shuffle
+    as dedup_exact); the survivor re-lookup joins cluster rows, never
+    text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("f"),
+    )
+    cl = (
+        fp.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.min("doc_id").cast("long").alias("first_id"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .filter(F.col("sz") >= 2)
+    )
+    longest = (
+        fp.join(cl.select("f", "max_chars"), "f")
+        .filter(F.col("n_chars") == F.col("max_chars"))
+        .groupBy("f")
+        .agg(F.min("doc_id").cast("long").alias("longest_id"))
+    )
+    first_chars = (
+        fp.join(cl.select("f", "first_id"), "f")
+        .filter(F.col("doc_id") == F.col("first_id"))
+        .select("f", F.col("n_chars").cast("long").alias("first_chars"))
+    )
+    pick = cl.join(longest, "f").join(first_chars, "f")
+    return pick.agg(
+        F.count(F.lit(1)).cast("long").alias("n_multi_clusters"),
+        F.sum(
+            (F.col("first_id") != F.col("longest_id")).cast("long")
+        ).cast("long").alias("n_policy_disagree"),
+        F.sum("first_chars").cast("long").alias("keep_first_chars"),
+        F.sum("max_chars").cast("long").alias("keep_longest_chars"),
+        (F.sum("max_chars") - F.sum("first_chars"))
+        .cast("long")
+        .alias("chars_gained_by_longest"),
+    )
+
+
+@query(
+    "pipeline_contamination_gram_sensitivity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    g AS (
+      SELECT n, doc_id, gram FROM (
+        SELECT 3 AS n, doc_id,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in generate_series(1, len(w) - 2)]) AS gram
+        FROM tok WHERE len(w) >= 3
+        UNION ALL
+        SELECT 5, doc_id,
+               unnest([array_to_string(w[i:i+4], ' ')
+                       for i in generate_series(1, len(w) - 4)])
+        FROM tok WHERE len(w) >= 5
+        UNION ALL
+        SELECT 8, doc_id,
+               unnest([array_to_string(w[i:i+7], ' ')
+                       for i in generate_series(1, len(w) - 7)])
+        FROM tok WHERE len(w) >= 8
+      )
+    ),
+    eg AS (SELECT DISTINCT n, md5(gram) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    tg AS (SELECT DISTINCT n, doc_id, md5(gram) AS gh FROM g
+           WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+    dirty AS (SELECT DISTINCT tg.n, tg.doc_id
+              FROM tg JOIN eg ON eg.n = tg.n AND eg.gh = tg.gh),
+    train AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train
+              FROM documents WHERE doc_id % {_DECON_EVAL_MOD} <> 0)
+    SELECT CAST(ns.n AS BIGINT) AS gram_n,
+           train.n_train AS n_train_docs,
+           CAST(COALESCE((SELECT COUNT(*) FROM dirty
+                          WHERE dirty.n = ns.n), 0) AS BIGINT)
+             AS n_contaminated,
+           CAST(COALESCE((SELECT COUNT(*) FROM dirty
+                          WHERE dirty.n = ns.n), 0) AS DOUBLE)
+             / train.n_train AS contamination_rate
+    FROM (VALUES (3), (5), (8)) AS ns(n), train
+    """,
+)
+def pipeline_contamination_gram_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination threshold sensitivity: the contaminated-document
+    rate at 3-, 5-, and 8-gram overlap against the held-out eval slice
+    (the repo's doc_id % 13 == 0 rule). 3-grams over-flag (common
+    phrases), 8-grams under-flag (only verbatim passages) — the spread
+    between the three rates is the decision evidence for the production
+    gram size, measured on THIS corpus rather than inherited from a
+    paper.
+
+    Scale: ONE Arrow pass tokenizes each document once and emits all
+    three gram streams tagged by n (the _gram_rows lesson — the text
+    never re-tokenizes per n); exchanges carry (n, doc_id, md5) only.
+    """
+    import re as _re
+
+    def grams3(batches):
+        import pandas as pd
+
+        ns_out: list = []
+        for pdf in batches:
+            ns: list = []
+            ids: list = []
+            gs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = [
+                    x
+                    for x in _re.split(r"\s+", text.lower(), flags=_re.ASCII)
+                    if x
+                ]
+                for n in (3, 5, 8):
+                    for i in range(len(w) - (n - 1)):
+                        ns.append(n)
+                        ids.append(doc_id)
+                        gs.append(" ".join(w[i:i + n]))
+            yield pd.DataFrame({"n": ns, "doc_id": ids, "g": gs})
+
+    docs = rebalanced(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    g = docs.mapInPandas(
+        _arrow_kernel(grams3), "n int, doc_id long, g string"
+    ).select("n", "doc_id", F.md5("g").alias("gh"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eg = g.filter(is_eval).select("n", "gh").distinct()
+    tg = g.filter(~is_eval).select("n", "doc_id", "gh").distinct()
+    dirty = (
+        tg.join(eg, ["n", "gh"])
+        .select("n", "doc_id")
+        .distinct()
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    train = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~is_eval)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_docs"))
+    )
+    ns = spark.createDataFrame([(3,), (5,), (8,)], "gram_n long")
+    return (
+        ns.join(
+            F.broadcast(dirty),
+            ns["gram_n"] == dirty["n"].cast("long"),
+            "left",
+        )
+        .crossJoin(F.broadcast(train))
+        .select(
+            "gram_n",
+            "n_train_docs",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_train_docs")
+            ).alias("contamination_rate"),
+        )
+    )
