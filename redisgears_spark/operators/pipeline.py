@@ -2477,11 +2477,15 @@ def pipeline_quality_lang_quota_feasibility(
       FROM cl
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
-           CAST(SUM(CASE WHEN first_id <> longest_id THEN 1 ELSE 0 END)
+           CAST(COALESCE(SUM(CASE WHEN first_id <> longest_id
+                                  THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_policy_disagree,
-           CAST(SUM(first_chars) AS BIGINT) AS keep_first_chars,
-           CAST(SUM(max_chars) AS BIGINT) AS keep_longest_chars,
-           CAST(SUM(max_chars) - SUM(first_chars) AS BIGINT)
+           CAST(COALESCE(SUM(first_chars), 0) AS BIGINT)
+             AS keep_first_chars,
+           CAST(COALESCE(SUM(max_chars), 0) AS BIGINT)
+             AS keep_longest_chars,
+           CAST(COALESCE(SUM(max_chars), 0)
+                - COALESCE(SUM(first_chars), 0) AS BIGINT)
              AS chars_gained_by_longest
     FROM pick
     """,
@@ -2530,16 +2534,23 @@ def pipeline_survivor_policy_delta(
         .select("f", F.col("n_chars").cast("long").alias("first_chars"))
     )
     pick = cl.join(longest, "f").join(first_chars, "f")
+    # a dup-free corpus aggregates an empty relation — coalesce every
+    # sum to 0 so the no-NULL output contract holds (the
+    # epoch_repeat_plan lesson), mirrored in the oracle
     return pick.agg(
         F.count(F.lit(1)).cast("long").alias("n_multi_clusters"),
-        F.sum(
-            (F.col("first_id") != F.col("longest_id")).cast("long")
+        F.coalesce(
+            F.sum((F.col("first_id") != F.col("longest_id")).cast("long")),
+            F.lit(0),
         ).cast("long").alias("n_policy_disagree"),
-        F.sum("first_chars").cast("long").alias("keep_first_chars"),
-        F.sum("max_chars").cast("long").alias("keep_longest_chars"),
-        (F.sum("max_chars") - F.sum("first_chars"))
-        .cast("long")
-        .alias("chars_gained_by_longest"),
+        F.coalesce(F.sum("first_chars"), F.lit(0))
+        .cast("long").alias("keep_first_chars"),
+        F.coalesce(F.sum("max_chars"), F.lit(0))
+        .cast("long").alias("keep_longest_chars"),
+        (
+            F.coalesce(F.sum("max_chars"), F.lit(0))
+            - F.coalesce(F.sum("first_chars"), F.lit(0))
+        ).cast("long").alias("chars_gained_by_longest"),
     )
 
 
