@@ -918,3 +918,39 @@ def test_twophase_prefix_sum_twins_never_single_partition(spark, sf_dir):
         # (one-row aggregates over already-reduced partials) — never more
         found = plan.count("Arguments: SinglePartition")
         assert found <= scalar_folds, (name, found, plan[:4000])
+
+
+def test_round11_scale_audits_are_rollup_only(spark, sf_dir):
+    """The r11 scale audits must never shuffle a fact payload: the
+    partition planner and AQE simulator read grouped hash-bucket counts
+    (one partial-aggregate exchange), join only broadcast/dimension
+    relations, and contain no cartesian product."""
+    for name in (
+        "partition_count_planner",
+        "lineitem_aqe_skew_split_simulator",
+        "orders_month_partition_pruning_audit",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+        # the fact scan feeds a partial aggregate before any exchange
+        assert "HashAggregate" in plan, name
+
+
+def test_rowgroup_audit_rides_global_cumsum(spark, sf_dir):
+    """The clustering audit's own sort position must come from the
+    two-phase rank (range buckets + broadcast offsets), not a
+    single-partition sort of lineitem."""
+    plan = formatted_plan(
+        QUERIES["lineitem_rowgroup_clustering_audit"](spark, sf_dir)
+    )
+    assert "hashpartitioning(__gcs_bucket" in plan, plan[:3000]
+
+
+def test_nation_dependency_broadcasts_customer(spark, sf_dir):
+    """supplier_nation_dependency_bands: the one fact-to-fact join is
+    orderkey; the customer leg must arrive via broadcast."""
+    plan = formatted_plan(
+        QUERIES["supplier_nation_dependency_bands"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
