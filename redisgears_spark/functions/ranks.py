@@ -22,21 +22,175 @@ Bit-exact against a global `NTILE(n) OVER (ORDER BY value, tiebreak)`
 because the order key is bucketed monotonically and integer arithmetic is
 associative — this is zipWithIndex's two-phase shape in DataFrame ops.
 
-Worst case: a single dominant order-key value lands its ties in one range
-bucket (same hot-partition behavior a sort-based range partitioner would
-have); the tiebreak column only breaks ties WITHIN a bucket.
+Skew refinement (hot buckets): a dominant order-key value would land all
+its ties in ONE range bucket, re-creating the single-task funnel inside
+step 4 (the hazard a sort-based range partitioner shares). The bucket
+assignment therefore iterates: any bucket whose count exceeds
+HOT_BUCKET_FACTOR x the mean (and HOT_BUCKET_FLOOR absolute) is split
+order-monotonically —
+
+  * a bucket spanning >1 key value splits on finer KEY ranges
+    (monotone in the key);
+  * a single-key bucket (pure ties) splits on TIEBREAK ranges, which IS
+    the order within the tie set (monotone in the tiebreak, requires an
+    integral NULL-free tiebreak — otherwise the bucket is left whole and
+    the within-bucket window handles it, the pre-refinement behavior);
+  * composite ids `parent * stride + sub` keep the total bucket order
+    aligned with the global (key, tiebreak) order, so the driver-side
+    prefix sums compose unchanged.
+
+Up to MAX_REFINE_LEVELS rounds; each refinement costs one extra narrow
+count-gather and triggers ONLY under skew — well-spread data takes the
+single-pass path with an identical plan to the pre-refinement module.
+Bit-exactness is unaffected: every final bucket is still a contiguous,
+correctly-ordered slice of the total order (pinned by
+tests/test_properties.py against the window form, including the
+10M-ties-on-one-value worst case).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 # bucket sizing: enough buckets for full parallelism, few enough that the
 # per-bucket count gather stays a driver-trivial relation
 TARGET_ROWS_PER_BUCKET = 1_000_000
 MAX_BUCKETS = 65_536
+
+# skew refinement: a bucket is "hot" when its count exceeds BOTH the
+# absolute floor (never refine fixture-sized buckets — keeps small-SF
+# plans on the single-pass path) and FACTOR x the mean final-bucket
+# target. Hot buckets split into ceil(count / mean) sub-buckets so the
+# worst final bucket lands at the mean, not at 4x it.
+HOT_BUCKET_FACTOR = 4
+HOT_BUCKET_FLOOR = 100_000
+MAX_REFINE_LEVELS = 3
+MAX_HOT_PER_LEVEL = 256  # largest-first; a CASE with 256 arms stays cheap
+SUB_BUCKET_CAP = 4_096   # per-bucket split fan-out bound (id-space bound)
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _bucket_refined(
+    df: DataFrame,
+    key: str,
+    tiebreak_col: str,
+    b: str,
+    n_rows: int,
+    lo: int,
+    hi: int,
+    sum_col: str | None = None,
+):
+    """Assign the order-monotone bucket column `b` (BIGINT) with skew
+    refinement, and gather the per-final-bucket stats.
+
+    Returns (bucketed_df, gathered) where `gathered` is the collected
+    per-bucket rows with fields: b, "c" (count) and — when sum_col is
+    given — "s" (SUM(sum_col)) and "sd" (COUNT(sum_col), for the NULL
+    guard). Bucket ids sort in global order by construction.
+    """
+    spark = df.sparkSession
+    n_buckets = min(
+        MAX_BUCKETS,
+        max(
+            spark.sparkContext.defaultParallelism,
+            n_rows // TARGET_ROWS_PER_BUCKET,
+        ),
+    )
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    bucketed = df.withColumn(
+        b, F.expr(f"(CAST({key} AS BIGINT) - {int(lo)}) DIV {width}")
+    )
+
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if sum_col is not None:
+        aggs += [F.sum(sum_col).alias("s"), F.count(sum_col).alias("sd")]
+
+    target = max(1, n_rows // max(1, n_buckets))
+    hot_cut = max(HOT_BUCKET_FLOOR, HOT_BUCKET_FACTOR * target)
+    tb_integral = isinstance(
+        df.schema[tiebreak_col].dataType, _INTEGRAL_TYPES
+    )
+
+    for level in range(MAX_REFINE_LEVELS + 1):
+        gathered = bucketed.groupBy(b).agg(*aggs).collect()
+        hot = sorted(
+            (r for r in gathered if r["c"] > hot_cut),
+            key=lambda r: -r["c"],
+        )[:MAX_HOT_PER_LEVEL]
+        if not hot or level == MAX_REFINE_LEVELS:
+            return bucketed, gathered
+
+        # one narrow pass over the hot rows only: key span (finer-range
+        # split) and tiebreak span (tie split) per hot bucket
+        hot_ids = [int(r[b]) for r in hot]
+        stat_aggs = [
+            F.count(F.lit(1)).alias("c"),
+            F.min(key).alias("klo"),
+            F.max(key).alias("khi"),
+        ]
+        if tb_integral:
+            stat_aggs += [
+                F.min(tiebreak_col).alias("tlo"),
+                F.max(tiebreak_col).alias("thi"),
+                F.count(tiebreak_col).alias("tdef"),
+            ]
+        hstats = (
+            bucketed.filter(F.col(b).isin(hot_ids))
+            .groupBy(b)
+            .agg(*stat_aggs)
+            .collect()
+        )
+
+        branches, stride = [], 1
+        for r in hstats:
+            n_sub = min(SUB_BUCKET_CAP, max(2, -(-int(r["c"]) // target)))
+            if int(r["klo"]) != int(r["khi"]):
+                # multi-key bucket: finer key ranges, monotone in the key
+                w_h = max(1, (int(r["khi"]) - int(r["klo"]) + n_sub) // n_sub)
+                expr = (
+                    f"(CAST({key} AS BIGINT) - {int(r['klo'])}) DIV {w_h}"
+                )
+            elif (
+                tb_integral
+                and r["tdef"] == r["c"]
+                and int(r["thi"]) > int(r["tlo"])
+            ):
+                # pure-tie bucket: tiebreak ranges ARE the within-tie order
+                w_h = max(
+                    1, (int(r["thi"]) - int(r["tlo"]) + n_sub) // n_sub
+                )
+                expr = (
+                    f"(CAST({tiebreak_col} AS BIGINT) - {int(r['tlo'])})"
+                    f" DIV {w_h}"
+                )
+            else:
+                # unsplittable: identical (key, tiebreak) rows, NULL or
+                # non-integral tiebreak — leave whole (pre-refinement
+                # behavior; the within-bucket window stays correct)
+                continue
+            branches.append((int(r[b]), expr))
+            stride = max(stride, n_sub)
+        if not branches:
+            return bucketed, gathered
+
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN {b} = {bid} THEN ({expr})" for bid, expr in branches
+            )
+            + " ELSE 0 END"
+        )
+        # composite id: parent * stride + sub keeps bucket order aligned
+        # with the global order (sub < stride for every branch; non-hot
+        # buckets take sub = 0). Id space: 2^16 initial x 4096^3 < 2^53.
+        bucketed = bucketed.withColumn(
+            b, F.expr(f"{b} * {stride} + ({case})")
+        )
+    return bucketed, gathered  # pragma: no cover — loop always returns
 
 
 def global_ntile(
@@ -77,23 +231,14 @@ def global_ntile(
             "them to a sentinel before cutting"
         )
 
-    n_buckets = min(
-        MAX_BUCKETS,
-        max(
-            spark.sparkContext.defaultParallelism,
-            n_rows // TARGET_ROWS_PER_BUCKET,
-        ),
-    )
-    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
     b = f"__gnt_bucket_{out_col}"
     off = f"__gnt_offset_{out_col}"
     rk = f"__gnt_rank_{out_col}"
-    bucketed = df.withColumn(
-        b, F.expr(f"(CAST({value_col} AS BIGINT) - {int(lo)}) DIV {width}")
+    bucketed, gathered = _bucket_refined(
+        df, value_col, tiebreak_col, b, n_rows, int(lo), int(hi)
     )
 
-    counts = bucketed.groupBy(b).agg(F.count(F.lit(1)).alias("c")).collect()
-    per_bucket = {r[b]: r["c"] for r in counts}
+    per_bucket = {r[b]: r["c"] for r in gathered}
     offsets, acc = [], 0
     for bucket in sorted(per_bucket):
         offsets.append((bucket, acc))
@@ -141,7 +286,8 @@ def global_cumsum(
 
       1. range-bucket the order key (negated for DESC — `-v ASC,
          tiebreak ASC` is the same total order as `v DESC, tiebreak
-         ASC`; the bucket id stays monotone in the order);
+         ASC`; the bucket id stays monotone in the order), with the
+         module's skew refinement for hot buckets;
       2. gather per-bucket (count, Σ sum_col) — |buckets| rows, bounded
          by MAX_BUCKETS;
       3. exclusive-prefix both on the driver (exact python ints — no
@@ -153,10 +299,10 @@ def global_cumsum(
     Bit-exact against `SUM(sum_col) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING)` + `row_number()` because integer addition is associative
     and the bucketing is order-monotone. `value_col` must be integral
-    (cast to BIGINT for bucketing) and NULL-free; `sum_col` should be an
-    exact integer/decimal column — the running sum stays in its type.
-    Returns the input columns plus rank_col (long) and cum_col
-    (sum_col's type).
+    (cast to BIGINT for bucketing) and NULL-free; `sum_col` must be an
+    exact integer/decimal column, also NULL-free — the running sum stays
+    in its type. Returns the input columns plus rank_col (long) and
+    cum_col (sum_col's type).
     """
     spark = df.sparkSession
     order_expr = (
@@ -184,28 +330,25 @@ def global_cumsum(
             f"({n_rows - stats['n_defined']} of {n_rows} rows); coalesce "
             "them to a sentinel before ranking"
         )
-    n_buckets = min(
-        MAX_BUCKETS,
-        max(
-            spark.sparkContext.defaultParallelism,
-            n_rows // TARGET_ROWS_PER_BUCKET,
-        ),
+
+    bucketed, gathered = _bucket_refined(
+        keyed, key, tiebreak_col, b, n_rows, int(lo), int(hi),
+        sum_col=sum_col,
     )
-    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
-    bucketed = keyed.withColumn(
-        b, F.expr(f"({key} - {int(lo)}) DIV {width}")
-    )
-    gather = (
-        bucketed.groupBy(b)
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(sum_col).alias("s"),
+    n_sum_defined = sum(r["sd"] for r in gathered)
+    if n_sum_defined != n_rows:
+        # Spark's SUM skips NULLs, so a partially-NULL bucket would
+        # silently under-sum its offset while an all-NULL bucket would
+        # crash on int(None) below — refuse loudly like the value_col
+        # path instead (callers coalesce a sentinel first)
+        raise ValueError(
+            f"global_cumsum: {sum_col} contains NULLs "
+            f"({n_rows - n_sum_defined} of {n_rows} rows); coalesce "
+            "them to a sentinel before summing"
         )
-        .collect()
-    )
     from decimal import Decimal
 
-    per_bucket = {r[b]: (r["c"], r["s"]) for r in gather}
+    per_bucket = {r[b]: (r["c"], r["s"]) for r in gathered}
     roff = f"__gcs_roff_{rank_col}"
     soff = f"__gcs_soff_{rank_col}"
     rows, racc, sacc = [], 0, 0

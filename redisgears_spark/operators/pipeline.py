@@ -2360,11 +2360,17 @@ def pipeline_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built from the SAME cached _funnel_index signals as the global
     funnel (one lang join added), so the per-lang report costs one
-    broadcast join and four skinny rollups, not a signal recomputation.
+    doc-grain join (strategy left to AQE — document-grain relations are
+    fact-sized at 100 TB, never broadcast-hinted) and four skinny
+    rollups, not a signal recomputation.
     """
     idx = _funnel_index(spark, sf_dir)
     dl = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = idx.join(F.broadcast(dl), "doc_id")
+    # dl is DOCUMENT-grain (one row per corpus document) — never hint it
+    # broadcast: at 100 TB it is fact-sized, and the hint would both blow
+    # the broadcast limit and pin AQE out of its shuffle-join fallback.
+    # Leave the strategy to AQE (the pipeline_decontaminate pattern).
+    j = idx.join(dl, "doc_id")
 
     def stage(df, name):
         return df.groupBy("lang").agg(
@@ -2426,8 +2432,9 @@ def pipeline_quality_lang_quota_feasibility(
     """
     sig = pipeline_gopher_filters(spark, sf_dir).select("doc_id", "keep")
     dl = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # dl is document-grain: no broadcast hint (see pipeline_funnel_by_lang)
     per = (
-        sig.join(F.broadcast(dl), "doc_id")
+        sig.join(dl, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

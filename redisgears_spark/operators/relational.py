@@ -7943,12 +7943,15 @@ def customer_order_gap_percentiles(
             - F.lag(day_bucket("o_orderdate")).over(w)
         ).cast("long").alias("gap"),
     ).filter(F.col("gap").isNotNull())
-    # unique tiebreak for the global rank: (custkey, orderkey) — orderkey
-    # alone is already unique, but the oracle orders by both, so mirror it
+    # unique tiebreak for the global rank: o_orderkey alone. The oracle
+    # orders by (gap, custkey, orderkey), but the output (the gap VALUE at
+    # the cut rank) is invariant to how equal gaps are permuted, so any
+    # total order works — and a plain key column has no overflow seam at
+    # any scale (the former custkey*10^10+orderkey composite wrapped past
+    # custkey ~9.2e8; r11 verdict item 6).
     keyed = g.select(
         "gap",
-        (F.col("o_custkey") * F.lit(10_000_000_000).cast("long")
-         + F.col("o_orderkey")).alias("tb"),
+        F.col("o_orderkey").alias("tb"),
         F.lit(1).cast("long").alias("one"),
     )
     ranked = global_cumsum(keyed, "gap", "tb", "one", "rnk", "__c")
@@ -8120,7 +8123,6 @@ def part_brand_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part")
     price = cents("p_retailprice")
-    w = W.partitionBy("p_brand").orderBy(price.alias("pc"), "p_partkey")
     pr = part.select(
         "p_brand",
         price.alias("price_c"),

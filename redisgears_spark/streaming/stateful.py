@@ -1686,10 +1686,13 @@ def _make_minhash_reducer(field: str):
             sig, n_records, n_items = [_U64] * _MH_N, 0, 0
         frame = _ordered_frame(pdfs)
         for fields in (frame["fields"] if len(frame) else ()):
+            # n_records counts every record SEEN (missing-field rows
+            # included, so they stay visible in the stats); n_items only
+            # the values actually folded into the signature
+            n_records += 1
             item = None if fields is None else dict(fields).get(field)
             if item is None:
                 continue
-            n_records += 1
             n_items += 1
             _mh_fold(sig, item, salts)
         state.update((_json.dumps(sig), n_records, n_items))

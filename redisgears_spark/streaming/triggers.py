@@ -442,20 +442,37 @@ class StreamTriggerRuntime:
         self.stats: dict[str, TriggerStats] = {}
         self.queries: dict[str, StreamingQuery] = {}
         self._lock = threading.Lock()
-        self._pool: futures.ThreadPoolExecutor | None = None
         engine.register_trigger_runtime(self)
 
-    def _overlap_pool(self) -> futures.ThreadPoolExecutor:
-        """Lazy shared pool for overlapping the independent per-batch jobs
-        of declarative triggers (sink write ∥ metadata agg). Two workers:
-        one per concurrently-running trigger job is plenty — the jobs are
-        JVM-side, the thread only blocks on py4j."""
-        with self._lock:
-            if self._pool is None:
-                self._pool = futures.ThreadPoolExecutor(
-                    max_workers=2, thread_name_prefix="rg-trigger-overlap"
-                )
-            return self._pool
+    def _overlap_submit(self, fn) -> futures.Future:
+        """Run `fn` on its own pyspark InheritableThread, returned as a
+        Future, for overlapping the independent per-batch jobs of
+        declarative triggers (sink write ∥ metadata agg).
+
+        Per-batch thread, NOT a shared pool (ADVICE r11): an
+        InheritableThread copies the submitting thread's Spark local
+        properties (job group, scheduler pool, interrupt-on-cancel) into
+        the child in pinned-thread mode, so StreamingQuery.stop()'s
+        job-group cancellation reaches an in-flight sink-write job; and
+        one thread per batch means N declarative triggers batching
+        concurrently never serialize behind a fixed worker count. The
+        thread only blocks on py4j (the job is JVM-side), and its
+        lifetime is one batch — the caller always joins via
+        Future.result() before committing."""
+        from pyspark.util import InheritableThread
+
+        fut: futures.Future = futures.Future()
+
+        def run() -> None:
+            try:
+                fut.set_result(fn())
+            except BaseException as exc:  # surface via the Future
+                fut.set_exception(exc)
+
+        InheritableThread(
+            target=run, name="rg-trigger-overlap", daemon=True
+        ).start()
+        return fut
 
     # target rows per Python-callback task: small enough to parallelize a
     # modest micro-batch, large enough that Arrow/task overhead amortizes
@@ -855,7 +872,7 @@ class StreamTriggerRuntime:
                     meta_df = admitted.groupBy("stream_key").agg(
                         *expr_meta_cols
                     )
-                    write_fut = self._overlap_pool().submit(
+                    write_fut = self._overlap_submit(
                         lambda: row_results.write.mode("append").parquet(
                             sink_dir
                         )
@@ -978,10 +995,6 @@ class StreamTriggerRuntime:
             except Exception:
                 pass
         self.queries.clear()
-        with self._lock:
-            if self._pool is not None:
-                self._pool.shutdown(wait=False)
-                self._pool = None
 
     def stop_library(self, lib_name: str) -> None:
         """Stop every query owned by one library and drop its stats

@@ -954,3 +954,28 @@ def test_nation_dependency_broadcasts_customer(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_skew_refined_rank_plan_stays_bucket_partitioned(spark, monkeypatch):
+    """When the skew refinement splits a hot tie bucket, the resulting
+    plan must keep the r10 shape: the rank/prefix-sum window partitions
+    by the (now composite) range bucket and NOTHING plans a
+    SinglePartition exchange — the refinement changes bucket ids, never
+    the physical strategy."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.functions import ranks
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    monkeypatch.setattr(ranks, "TARGET_ROWS_PER_BUCKET", 2_000)
+    monkeypatch.setattr(ranks, "HOT_BUCKET_FLOOR", 500)
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.lit(7).cast("long").alias("v"),
+        (F.col("id") % 100).cast("decimal(38,0)").alias("s"),
+    )
+    out = global_cumsum(df, "v", "id", "s", "i", "cum")
+    plan = formatted_plan(out)
+    assert "hashpartitioning(__gcs_bucket" in plan, plan[:3000]
+    assert "Arguments: SinglePartition" not in plan, plan[:3000]

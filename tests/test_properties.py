@@ -695,3 +695,228 @@ def test_twophase_twins_match_window_originals(spark, sf_dir):
         ra = QUERIES[a](spark, sf_dir).collect()
         rb = QUERIES[b](spark, sf_dir).collect()
         assert [r.asDict() for r in ra] == [r.asDict() for r in rb], (a, b)
+
+
+def test_ranks_skew_refinement_splits_ten_million_ties(spark):
+    """The r11-verdict worst case: 10M rows tied on ONE order-key value.
+    Pre-refinement, every tie landed in one range bucket and the
+    within-bucket row_number became the single-task funnel the module
+    exists to avoid. The refinement must (a) split the tie set by
+    tiebreak range so no final bucket exceeds 2x the mean, and (b) stay
+    bit-identical to the window form — verified here against the exact
+    closed form of SUM(id % 1000) OVER (ORDER BY v, id ROWS UNBOUNDED
+    PRECEDING) (= the window result by integer associativity), counted
+    distributedly so 10M rows never reach the driver."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.functions.ranks import (
+        _bucket_refined,
+        global_cumsum,
+    )
+
+    n = 10_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.lit(7).cast("long").alias("v"),
+            (F.col("id") % 1000).cast("decimal(38,0)").alias("s"),
+        )
+    )
+
+    # (a) bucket-shape property: refinement triggered, worst bucket <= 2x mean
+    keyed = df.withColumn("__k", F.col("v").cast("bigint"))
+    _, gathered = _bucket_refined(keyed, "__k", "id", "__b", n, 7, 7)
+    counts = [r["c"] for r in gathered]
+    assert len(counts) > 1, "refinement did not split the tie bucket"
+    mean = n / len(counts)
+    assert max(counts) <= 2 * mean, (max(counts), mean, len(counts))
+    assert sum(counts) == n
+
+    # (b) bit-equality with the window form via its closed form:
+    # rank = id + 1; cum = (id DIV 1000) * 499500 + m*(m+1)/2, m = id % 1000
+    got = global_cumsum(df, "v", "id", "s", "i", "cum")
+    expected_cum = (
+        "CAST(id DIV 1000 AS DECIMAL(38,0)) * 499500"
+        " + CAST((id % 1000) * (id % 1000 + 1) DIV 2 AS DECIMAL(38,0))"
+    )
+    bad = got.filter(
+        (F.col("i") != F.col("id") + 1)
+        | (F.col("cum") != F.expr(expected_cum))
+    ).count()
+    assert bad == 0
+    assert got.count() == n
+
+
+def test_ranks_skew_refinement_bit_equal_window(spark, monkeypatch):
+    """Refined-path bit-equality against the REAL window form, with both
+    refinement branches exercised: an outlier key stretches the range so
+    bucket 0 is multi-key (finer key-range split), and a dominant value
+    inside it is a pure tie set (tiebreak-range split, second level).
+    Constants are shrunk so the fixture-sized data refines."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from redisgears_spark.functions import ranks
+    from redisgears_spark.functions.ranks import global_cumsum, global_ntile
+
+    monkeypatch.setattr(ranks, "TARGET_ROWS_PER_BUCKET", 20_000)
+    monkeypatch.setattr(ranks, "HOT_BUCKET_FLOOR", 5_000)
+
+    random.seed(23)
+    rows = [(i, 0, random.randrange(1000)) for i in range(200_000)]
+    rows += [
+        (200_000 + i, random.randrange(1, 11), random.randrange(1000))
+        for i in range(100_000)
+    ]
+    rows.append((300_000, 10**9, 5))  # range-stretching outlier
+    df = (
+        spark.createDataFrame(rows, "id long, v long, s long")
+        .withColumn("s", F.col("s").cast("decimal(38,0)"))
+        .repartition(8)
+    )
+
+    for desc in (False, True):
+        order = [F.col("v").desc(), "id"] if desc else ["v", "id"]
+        w = W.orderBy(*order)
+        want = df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("wi"),
+            F.sum("s")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("wcum"),
+        )
+        got = global_cumsum(df, "v", "id", "s", "i", "cum", descending=desc)
+        bad = (
+            got.join(want, "id")
+            .filter(
+                (F.col("i") != F.col("wi"))
+                | (F.col("cum") != F.col("wcum"))
+            )
+            .count()
+        )
+        assert bad == 0, desc
+        assert got.count() == df.count()
+
+    wnt = df.withColumn(
+        "wt", F.ntile(7).over(W.orderBy("v", "id")).cast("long")
+    )
+    gnt = global_ntile(df, 7, "v", "id", "t")
+    bad = (
+        gnt.join(wnt.select("id", "wt"), "id")
+        .filter(F.col("t") != F.col("wt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ranks_skew_refinement_unsplittable_edges(spark, monkeypatch):
+    """Hot buckets the refinement must leave whole — identical
+    (key, tiebreak) rows and non-integral tiebreaks — terminate without
+    splitting and still rank correctly (the pre-refinement behavior)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from redisgears_spark.functions import ranks
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    monkeypatch.setattr(ranks, "TARGET_ROWS_PER_BUCKET", 2_000)
+    monkeypatch.setattr(ranks, "HOT_BUCKET_FLOOR", 500)
+
+    # fully identical rows: rank must still be a permutation of 1..n
+    n = 20_000
+    same = spark.range(n).select(
+        F.lit(1).alias("v"),
+        F.lit(1).alias("tb"),
+        F.lit(1).cast("decimal(38,0)").alias("s"),
+    )
+    got = global_cumsum(same, "v", "tb", "s", "i", "cum")
+    assert got.filter(F.col("cum") != F.col("i")).count() == 0
+    assert got.agg(
+        F.min("i"), F.max("i"), F.countDistinct("i")
+    ).first() == (1, n, n)
+
+    # string tiebreak (non-integral): unsplittable, but bit-equal to the
+    # window form ordered by the same string
+    rows = [(f"k{i:06d}", 3, i % 7) for i in range(8_000)]
+    df = spark.createDataFrame(rows, "sk string, v long, s long").withColumn(
+        "s", F.col("s").cast("decimal(38,0)")
+    )
+    w = W.orderBy("v", "sk")
+    want = df.select(
+        "sk",
+        F.row_number().over(w).cast("long").alias("wi"),
+        F.sum("s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("wcum"),
+    )
+    got = global_cumsum(df, "v", "sk", "s", "i", "cum")
+    bad = (
+        got.join(want, "sk")
+        .filter((F.col("i") != F.col("wi")) | (F.col("cum") != F.col("wcum")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_global_cumsum_refuses_null_sums(spark):
+    """NULLs in sum_col would silently under-sum a bucket's offset
+    (Spark SUM skips NULLs) or crash on an all-NULL bucket — the helper
+    must refuse loudly, exactly like the value_col path (ADVICE r11)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 6, None), (3, 7, 30)], "id long, v long, s long"
+    ).withColumn("s", F.col("s").cast("decimal(38,0)"))
+    with pytest.raises(ValueError, match="s contains NULLs"):
+        global_cumsum(df, "v", "id", "s", "i", "cum").collect()
+
+
+def test_ranks_adversarial_key_magnitudes(spark, monkeypatch):
+    """Tiebreaks and order keys near the int64 extremes must rank
+    bit-identically to the window form — the bucket-width and tie-split
+    arithmetic runs in exact python ints driver-side, so no magnitude
+    may wrap (r11 verdict item 6: the overflow seam class)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from redisgears_spark.functions import ranks
+    from redisgears_spark.functions.ranks import global_cumsum
+
+    monkeypatch.setattr(ranks, "TARGET_ROWS_PER_BUCKET", 2_000)
+    monkeypatch.setattr(ranks, "HOT_BUCKET_FLOOR", 500)
+
+    random.seed(31)
+    big = 2**62
+    rows = [
+        (big + i, random.choice([-big, -1, 0, 1, big // 2]),
+         random.randrange(100))
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "tb long, v long, s long").withColumn(
+        "s", F.col("s").cast("decimal(38,0)")
+    )
+    w = W.orderBy("v", "tb")
+    want = df.select(
+        "tb",
+        F.row_number().over(w).cast("long").alias("wi"),
+        F.sum("s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("wcum"),
+    )
+    got = global_cumsum(df, "v", "tb", "s", "i", "cum")
+    bad = (
+        got.join(want, "tb")
+        .filter((F.col("i") != F.col("wi")) | (F.col("cum") != F.col("wcum")))
+        .count()
+    )
+    assert bad == 0
+    assert got.count() == 20_000

@@ -3380,6 +3380,31 @@ class TestStreamingMinHash:
         assert got["signature"] == [int(x) for x in sig_np]
         assert got["bands"] == [int(x) for x in acc.view(np.int64)[0]]
 
+    def test_missing_field_records_counted_not_folded(
+        self, spark, sf_dir, spool, work
+    ):
+        """n_records counts every record SEEN, n_items only the values
+        folded — a missing-field record must show up in the first and
+        not the second (ADVICE r11: the two counters must actually
+        diverge when the stream carries field-less records)."""
+        from redisgears_spark.streaming import StreamingMinHashRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingMinHashRuntime(engine, spool, work, field="u")
+        _write_canonical(
+            spark, spool,
+            [("k:1", 0, {"u": "a"}), ("k:1", 1, {"x": "no-u"}),
+             ("k:1", 2, {"u": "b"})],
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+        finally:
+            rt.stop()
+        got = rt.signatures()["k:1"]
+        assert got["n_records"] == 3
+        assert got["n_items"] == 2
+
     def test_chunking_invariance_and_restart(self, spark, sf_dir, spool, work):
         from redisgears_spark.streaming import StreamingMinHashRuntime
 
