@@ -956,17 +956,24 @@ _BPE_MERGES = 8
 _BPE_LOCAL_VOCAB_LIMIT = 100_000
 
 
-def bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE's training input: the word-frequency table (classic BPE
-    trains on distinct words weighted by count, not the raw corpus —
-    Sennrich et al. 2016), each word as its character-symbol sequence."""
-    docs = load_table(spark, sf_dir, "documents")
+def _word_freq_of(docs: DataFrame) -> DataFrame:
+    """Word-frequency table over any document slice, each word as its
+    character-symbol sequence — the additive unit of BPE training state
+    (frequency tables of disjoint slices ADD; pipeline_bpe_extend builds
+    on exactly that algebra)."""
     words = docs.select(
         F.explode(F.expr(_TOKENS)).alias("word")
     ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     return words.select(
         "word", "freq", F.split("word", "").alias("symbols")
     )
+
+
+def bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE's training input: the word-frequency table (classic BPE
+    trains on distinct words weighted by count, not the raw corpus —
+    Sennrich et al. 2016), each word as its character-symbol sequence."""
+    return _word_freq_of(load_table(spark, sf_dir, "documents"))
 
 
 
@@ -986,6 +993,101 @@ def _apply_merge(syms: list, left: str, right: str) -> list:
             res.append(syms[i])
             i += 1
     return res
+
+def _local_pair_counts(freq: dict, words: dict):
+    """Weighted adjacent-pair counts over the in-memory symbol state —
+    the Sennrich counting statistic (overlapping zip pairs), shared by
+    the local trainer and the extend replay so their counts agree by
+    construction."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for w, syms in words.items():
+        fq = freq[w]
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += fq
+    return counts
+
+
+def _local_bpe_rounds(
+    freq: dict, words: dict, n_rounds: int, round_offset: int = 0
+) -> list[tuple[int, str, str, int]]:
+    """The exact Sennrich greedy loop over an in-memory word-frequency
+    state (mutates `words`). Used by pipeline_bpe_train's local strategy
+    and by pipeline_bpe_extend's base-training and continuation phases —
+    one loop definition, so train and extend can never disagree on the
+    argmax/tie-break discipline."""
+    recs: list[tuple[int, str, str, int]] = []
+    for i in range(n_rounds):
+        counts = _local_pair_counts(freq, words)
+        if not counts:
+            break
+        (lft, rgt), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        recs.append((round_offset + i, lft, rgt, int(n)))
+        for w, syms in words.items():
+            words[w] = _apply_merge(syms, lft, rgt)
+    return recs
+
+
+def _pairs_df(cur: DataFrame) -> DataFrame:
+    """Adjacent pairs WITHIN a word: zip the symbol list against its own
+    tail (array ops — no window machinery, no cross-row state)."""
+    return cur.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("symbols") >= 2,
+                F.zip_with(
+                    F.slice(
+                        "symbols", 1, F.size("symbols") - F.lit(1)
+                    ),
+                    F.slice("symbols", 2, F.size("symbols")),
+                    lambda a, b: F.struct(
+                        a.alias("l"), b.alias("r")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    )
+
+
+def _dist_bpe_rounds(
+    cur: DataFrame, n_rounds: int, round_offset: int = 0
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The distributed greedy loop (web-scale vocabularies): per round
+    one pair-count agg (map-side partial, 1-row TakeOrdered argmax —
+    count desc, then lexicographic pair, matching the local tuple
+    tie-break) and one Arrow-batched merge pass, localCheckpoint-bounded
+    lineage. Returns (merges, final symbol state) so a caller can
+    continue training from where it stopped — the continuation hook
+    pipeline_bpe_extend uses."""
+    recs: list[tuple[int, str, str, int]] = []
+    first = cur
+    for i in range(n_rounds):
+        best = (
+            _pairs_df(cur)
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] <= 0:
+            break
+        b = best[0]
+        recs.append((round_offset + i, b["l"], b["r"], int(b["n"])))
+        nxt = cur.mapInPandas(
+            _arrow_kernel(_merge_symbols_factory(b["l"], b["r"])),
+            "word string, freq long, symbols array<string>",
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # bound the lineage
+        if cur is not first:
+            cur.unpersist()
+        cur = nxt
+    return recs, cur
+
 
 def _merge_symbols_factory(left: str, right: str):
     """Arrow-batched merge of one (left, right) pair (the per-round BPE
@@ -1043,75 +1145,17 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_words <= _BPE_LOCAL_VOCAB_LIMIT:
         # bounded local path: the frequency table is dimension-sized —
         # collect (word, freq) ONLY (no corpus rows) and run the exact
-        # Sennrich loop in memory; the distributed loop below is the
-        # same algorithm for web-scale vocabularies
-        from collections import Counter
-
+        # Sennrich loop in memory; the distributed loop is the same
+        # algorithm for web-scale vocabularies
         freq = {r["word"]: r["freq"] for r in wf.select("word", "freq").collect()}
         words = {w: list(w) for w in freq}
-        local_merges: list[tuple[int, str, str, int]] = []
-        for rnd in range(_BPE_MERGES):
-            counts: Counter = Counter()
-            for w, syms in words.items():
-                fq = freq[w]
-                for a, b in zip(syms, syms[1:]):
-                    counts[(a, b)] += fq
-            if not counts:
-                break
-            (lft, rgt), n = min(
-                counts.items(), key=lambda kv: (-kv[1], kv[0])
-            )
-            local_merges.append((rnd, lft, rgt, int(n)))
-            for w, syms in words.items():
-                words[w] = _apply_merge(syms, lft, rgt)
+        local_merges = _local_bpe_rounds(freq, words, _BPE_MERGES)
         wf.unpersist()
         return spark.createDataFrame(
             local_merges,
             "round long, left string, right string, pair_count long",
         )
-    merges = []
-    cur = wf
-    for rnd in range(_BPE_MERGES):
-        # adjacent pairs WITHIN a word: zip the symbol list against its
-        # own tail (array ops — no window machinery, no cross-row state)
-        pairs = cur.select(
-            "freq",
-            F.explode(
-                F.when(
-                    F.size("symbols") >= 2,
-                    F.zip_with(
-                        F.slice(
-                            "symbols", 1, F.size("symbols") - F.lit(1)
-                        ),
-                        F.slice("symbols", 2, F.size("symbols")),
-                        lambda a, b: F.struct(
-                            a.alias("l"), b.alias("r")
-                        ),
-                    ),
-                ).otherwise(F.array())
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy(
-                F.col("p.l").alias("l"), F.col("p.r").alias("r")
-            )
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["n"] <= 0:
-            break
-        b = best[0]
-        merges.append((rnd, b["l"], b["r"], int(b["n"])))
-        nxt = cur.mapInPandas(
-            _arrow_kernel(_merge_symbols_factory(b["l"], b["r"])),
-            "word string, freq long, symbols array<string>",
-        )
-        nxt = nxt.localCheckpoint(eager=True)  # bound the lineage
-        if cur is not wf:
-            cur.unpersist()
-        cur = nxt
+    merges, _ = _dist_bpe_rounds(wf, _BPE_MERGES)
     wf.unpersist()
     return spark.createDataFrame(
         merges, "round long, left string, right string, pair_count long"
@@ -1216,6 +1260,151 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_ws_tokens"), F.lit(1))
         ).alias("bpe_tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental BPE vocabulary extension (round 12)
+# ---------------------------------------------------------------------------
+
+_BPE_EXTEND_MERGES = 4
+# the increment: sources that "arrive later" in the extend scenario
+_BPE_NEW_SOURCES = ("src18", "src19")
+
+
+def _bpe_extend(
+    spark: SparkSession, sf_dir: str, new_sources
+) -> DataFrame:
+    """Shared engine for pipeline_bpe_extend (new_sources parameterized
+    so tests can pin the empty-increment continuation property)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.col("source").isin(list(new_sources))
+        if new_sources
+        else F.lit(False)
+    )
+    base_wf = _word_freq_of(docs.filter(~is_new)).cache()
+    inc_wf = _word_freq_of(docs.filter(is_new))
+    # incremental state algebra: the union table is base + increment
+    # ADDED (frequency tables of disjoint slices are associative under
+    # +), never a rescan of the combined corpus — at 100 TB the base
+    # table is saved trainer state and only the increment is scanned
+    union_wf = (
+        base_wf.select("word", "freq")
+        .unionByName(inc_wf.select("word", "freq"))
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("symbols"))
+        .cache()
+    )
+    out_schema = (
+        "round long, left string, right string, pair_count long, "
+        "phase string"
+    )
+    n_union = union_wf.count()
+    if n_union <= _BPE_LOCAL_VOCAB_LIMIT:
+        base_freq = {
+            r["word"]: r["freq"]
+            for r in base_wf.select("word", "freq").collect()
+        }
+        bwords = {w: list(w) for w in base_freq}
+        base_merges = _local_bpe_rounds(base_freq, bwords, _BPE_MERGES)
+        ufreq = {
+            r["word"]: r["freq"]
+            for r in union_wf.select("word", "freq").collect()
+        }
+        uwords = {w: list(w) for w in ufreq}
+        recs: list[tuple] = []
+        rnd = 0
+        for _r, lft, rgt, _n in base_merges:
+            # the replayed pair's count ON THE UNION at replay time —
+            # the drift diagnostic (how much the increment moved this
+            # merge's support); the same overlapping-zip statistic the
+            # trainer computes
+            cnt = 0
+            for w, syms in uwords.items():
+                fq = ufreq[w]
+                for a, b in zip(syms, syms[1:]):
+                    if a == lft and b == rgt:
+                        cnt += fq
+            recs.append((rnd, lft, rgt, int(cnt), "base"))
+            for w, syms in uwords.items():
+                uwords[w] = _apply_merge(syms, lft, rgt)
+            rnd += 1
+        ext = _local_bpe_rounds(
+            ufreq, uwords, _BPE_EXTEND_MERGES, round_offset=rnd
+        )
+        recs.extend((r, l, rr, n, "ext") for (r, l, rr, n) in ext)
+        base_wf.unpersist()
+        union_wf.unpersist()
+        return spark.createDataFrame(recs, out_schema)
+    # distributed twin — same phases, web-scale state
+    base_merges, _ = _dist_bpe_rounds(base_wf, _BPE_MERGES)
+    cur = union_wf
+    recs = []
+    rnd = 0
+    for _r, lft, rgt, _n in base_merges:
+        row = (
+            _pairs_df(cur)
+            .filter((F.col("p.l") == lft) & (F.col("p.r") == rgt))
+            .agg(F.sum("freq").alias("n"))
+            .collect()
+        )
+        cnt = row[0]["n"] or 0
+        recs.append((rnd, lft, rgt, int(cnt), "base"))
+        nxt = cur.mapInPandas(
+            _arrow_kernel(_merge_symbols_factory(lft, rgt)),
+            "word string, freq long, symbols array<string>",
+        ).localCheckpoint(eager=True)
+        if cur is not union_wf:
+            cur.unpersist()
+        cur = nxt
+        rnd += 1
+    ext, _ = _dist_bpe_rounds(cur, _BPE_EXTEND_MERGES, round_offset=rnd)
+    recs.extend((r, l, rr, n, "ext") for (r, l, rr, n) in ext)
+    base_wf.unpersist()
+    union_wf.unpersist()
+    return spark.createDataFrame(recs, out_schema)
+
+
+@query("pipeline_bpe_extend")  # iterative fixpoint — rows-only
+def pipeline_bpe_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BPE vocabulary update — extend a shipped tokenizer
+    when new corpus sources arrive, WITHOUT retraining from scratch and
+    WITHOUT invalidating already-tokenized data.
+
+    Scenario: the tokenizer's 8 merges were trained on the base corpus
+    (every source except src18/src19); the two new sources then land.
+    The update (i) adds the increment's word-frequency table to the
+    saved base table — frequency state is additive, only the increment
+    is scanned; (ii) REPLAYS the frozen base merges on the union state,
+    recording each merge's support on the extended corpus (the drift
+    diagnostic: a base merge whose union count collapsed is a candidate
+    for deprecation); (iii) CONTINUES training 4 more merges from that
+    state. Output: (round, left, right, pair_count, phase∈{base,ext}).
+
+    Frozen-prefix discipline: base merges keep their ranks — extending
+    a vocabulary must be append-only or every previously tokenized
+    shard re-encodes (the production constraint that rules out naive
+    retraining; cf. the registry's append-only upgrade semantics,
+    function_load_lib.rs prologue checks).
+
+    Non-SQL-expressible (data-dependent fixpoint) → rows-only at the
+    driver. tests/test_pipeline_ops.py pins (a) the full output against
+    an independent pure-Python incremental reference, (b) the
+    continuation property — with an EMPTY increment the base phase
+    reproduces pipeline_bpe_train's merges bit-for-bit and the ext
+    phase equals rounds 8–11 of a 12-round from-scratch train (greedy
+    BPE is sequential, so freeze-and-continue == train-longer), and
+    (c) local/distributed strategy equality with the vocab limit
+    forced to 0.
+
+    Scale: state is the |distinct words| frequency table (millions of
+    rows at 100 TB, never the corpus); per replay round ONE targeted
+    pair-count agg (map-side partial on a single pair filter) + one
+    Arrow merge pass; per new round the same argmax discipline as
+    training. Checkpoint-bounded lineage throughout.
+    """
+    return _bpe_extend(spark, sf_dir, _BPE_NEW_SOURCES)
 
 
 # ---------------------------------------------------------------------------

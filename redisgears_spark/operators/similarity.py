@@ -2258,3 +2258,103 @@ def embeddings_dim_variance_ladder(
         (F.col("var_num").cast("double") / F.col("total").cast("double"))
         .alias("variance_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming IVF index parity (round 12)
+# ---------------------------------------------------------------------------
+
+
+@query("sim_ann_ivf_streamed")  # approximate — rows-only; bit-equality vs
+# the batch index pinned in tests/test_streaming_ann.py
+def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k served from the STREAMING IVF index
+    (streaming/ann.StreamingAnnIvfRuntime): the corpus is replayed as
+    stream records (vector payload in fields['vec']) through the
+    stateful cell-routed ingest, then the same 8 query vectors probe the
+    live inverted lists. The result is BIT-IDENTICAL to batch
+    sim_ann_ivf — same trained centroids (shared _ivf_centroids cache),
+    same quantization, same argmax routing, same nprobe probe order,
+    same Catalyst rescore — so this operator IS the proof that a
+    continuously-maintained live index and a batch rebuild never
+    diverge (no reconciliation epsilon).
+
+    Reference analog: live stream consumers building queryable state
+    (stream_reader.rs consumer-state discipline) — here the state is a
+    vector index.
+
+    Scale: ingest is one stateful streaming stage keyed on cell (state
+    hash-partitions across executors, O(corpus/cells) per cell, cells
+    scale as √N); the query is one exploded-list join + broadcast probe
+    table + window top-k. The 40-row result materializes driver-side so
+    the temp spool/checkpoint dirs can be reclaimed before return.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.streaming.ann import StreamingAnnIvfRuntime
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = _ivf_centroids(spark, sf_dir)
+    base = _tempfile.mkdtemp(prefix="rg_ann_stream_")
+    try:
+        spool = _os.path.join(base, "spool")
+        # corpus → STREAM_SCHEMA records; the vector ships as a JSON
+        # array rendered by the JVM's shortest-roundtrip double repr, so
+        # the Arrow-side parse recovers bit-identical float64s
+        emb.select(
+            F.concat(F.lit("emb:"), F.col("vec_id").cast("string")).alias(
+                "stream_key"
+            ),
+            F.col("vec_id").cast("long").alias("id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("id_ts"),
+            F.create_map(
+                F.lit("vec_id"),
+                F.col("vec_id").cast("string"),
+                F.lit("vec"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",",
+                        F.expr(
+                            "transform(embedding,"
+                            " x -> cast(cast(x as double) as string))"
+                        ),
+                    ),
+                    F.lit("]"),
+                ),
+            ).alias("fields"),
+            F.lit(None)
+            .cast("array<struct<field:string,value:string>>")
+            .alias("record"),
+        ).write.parquet(spool)
+
+        engine = GearsEngine(spark, sf_dir=sf_dir)
+        rt = StreamingAnnIvfRuntime(
+            engine, spool, _os.path.join(base, "work"), centroids=C
+        )
+        rt.start()
+        rt.process_available()
+        rt.stop()
+
+        qrows = (
+            emb.filter(F.col("vec_id") < _N_QUERIES)
+            .select(
+                "vec_id",
+                F.expr(
+                    "transform(embedding, x -> cast(x as double))"
+                ).alias("v"),
+            )
+            .collect()
+        )
+        result = rt.topk(
+            [(r["vec_id"], list(r["v"])) for r in qrows],
+            k=_TOP_K,
+            nprobe=_IVF_NPROBE,
+        ).collect()
+        return spark.createDataFrame(
+            result, "q_id long, n_id long, cosine double, rank long"
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

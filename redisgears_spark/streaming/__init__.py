@@ -11,6 +11,9 @@ from redisgears_spark.streaming.windows import (  # noqa: F401
     WindowedAggRuntime,
     windowed_stream_agg,
 )
+from redisgears_spark.streaming.ann import (  # noqa: F401
+    StreamingAnnIvfRuntime,
+)
 from redisgears_spark.streaming.stateful import (  # noqa: F401
     StatefulStatsRuntime,
     StreamingBloomDedupRuntime,

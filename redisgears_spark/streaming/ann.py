@@ -1,0 +1,336 @@
+"""Streaming ANN index — IVF-cell-routed vector ingest on the stateful
+runtime pattern (the live half of operators/similarity's batch IVF, the
+same way StreamingMinHashRuntime is the live half of the batch LSH
+family).
+
+Reference analog: the reference's stream consumers keep per-consumer
+state that survives restarts (redisgears_core/src/stream_reader.rs:112-150
+frontier/state discipline); here the state is a vector index instead of
+counters, maintained per IVF cell by Structured Streaming's state store.
+
+Design:
+
+  * **Routing, not re-training.** The coarse quantizer (16 L2-normalized
+    centroids) is trained ONCE by the batch trainer
+    (operators/similarity._ivf_centroids — seeded Lloyd, exact-integer
+    partials, deterministic under any partitioning) and handed to the
+    runtime. Incoming vectors are assigned executor-side to their argmax
+    cell — the SAME `(V @ C.T).argmax` kernel as the batch corpus
+    assignment — so a vector ingested live lands in exactly the inverted
+    list the batch build would have put it in.
+  * **State = inverted lists.** The stateful operator groups by `cell`;
+    each cell's state is its inverted list {vec_id → quantized vector}.
+    A re-ingested vec_id REPLACES its entry (dict semantics), which makes
+    ingestion idempotent under exactly-once replays and restart-resumable
+    from the checkpoint. Per-cell state is O(|corpus|/cells); at 100 TB
+    you scale cells with the corpus (cells ≈ √N is the IVF norm) and the
+    state store hash-partitions cells across executors. `max_per_cell`
+    bounds state for firehose sources (keeps the most recent ids —
+    recall then degrades gracefully to the retained window).
+  * **Exactness contract (pinned in tests/test_streaming_ann.py):** the
+    quantization (round-half-away-from-zero micro-units — Spark SQL
+    round's HALF_UP), the cell assignment, the probe selection, and the
+    rescore expression are all bit-compatible with the batch sim_ann_ivf
+    path, so `topk()` over a streamed-in corpus returns BIT-IDENTICAL
+    rows (ids, ranks, IEEE cosine) to batch sim_ann_ivf over the same
+    parquet — no reconciliation epsilon between the live index and a
+    batch rebuild.
+  * **Query = one Spark job.** topk() explodes the latest committed
+    inverted lists (JVM-side), joins the broadcast probe table (|queries|
+    × nprobe rows), rescores with the batch path's Catalyst cosine
+    (exact-integer dot, one IEEE division), and window-top-ks. No driver
+    loop over vectors; the driver only assigns probe cells for the
+    bounded query set (nprobe·|queries| pairs).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window as W
+
+from redisgears_spark.engine import GearsEngine, GearsError
+from redisgears_spark.streaming.stateful import StatefulStatsRuntime
+
+_ANN_OUTPUT_SCHEMA = (
+    "cell long, n_vectors bigint, vec_ids array<bigint>, "
+    "qs array<array<bigint>>, nqs array<bigint>"
+)
+_ANN_STATE_SCHEMA = "inv string"
+
+_ROUTED_SCHEMA = "cell long, vec_id long, q array<bigint>, id bigint"
+
+
+def _quant_half_up(v):
+    """Quantize float64 → int64 micro-units with round-half-away-from-zero
+    — the numpy twin of the batch path's Spark SQL
+    `cast(round(x * 1e6) as bigint)` (BigDecimal HALF_UP). numpy's own
+    `round` is half-EVEN and would diverge on exact .5 boundaries."""
+    import numpy as np
+
+    d = v * 1e6
+    return np.where(
+        d >= 0, np.floor(d + 0.5), np.ceil(d - 0.5)
+    ).astype("int64")
+
+
+def _make_router(centroids, vec_field: str, id_field: str):
+    """mapInPandas kernel: parse the JSON vector payload, assign its IVF
+    cell (argmax dot against the fixed centroids — ties to the lowest
+    cell index, same as the batch assign), quantize. Runs executor-side
+    over Arrow batches; the centroid matrix (16×64 float64) ships in the
+    task closure."""
+
+    def route(batches):
+        import numpy as np
+
+        from redisgears_spark.workerpatch import ensure as _wp
+
+        _wp()
+        C = np.asarray(centroids, dtype="float64")
+        for pdf in batches:
+            rows = []
+            for fields, rec_id in zip(pdf["fields"], pdf["id"]):
+                f = dict(fields) if fields is not None else {}
+                payload = f.get(vec_field)
+                vid = f.get(id_field)
+                if payload is None or vid is None:
+                    continue
+                v = np.asarray(_json.loads(payload), dtype="float64")
+                cell = int((C @ v).argmax())
+                q = _quant_half_up(v)
+                rows.append(
+                    {
+                        "cell": cell,
+                        "vec_id": int(vid),
+                        "q": q.tolist(),
+                        "id": int(rec_id),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["cell", "vec_id", "q", "id"]
+            )
+
+    return route
+
+
+def _make_cell_reducer(max_per_cell: int | None):
+    def reducer(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from redisgears_spark.streaming.stateful import _ordered_frame
+
+        (cell,) = key
+        if state.exists:
+            (inv_json,) = state.get
+            inv: dict[str, list[int]] = _json.loads(inv_json)
+        else:
+            inv = {}
+        frame = _ordered_frame(pdfs)
+        if len(frame):
+            for vid, q in zip(frame["vec_id"], frame["q"]):
+                inv[str(int(vid))] = [int(x) for x in q]
+            if max_per_cell is not None and len(inv) > max_per_cell:
+                # bounded-state mode: retain the max_per_cell HIGHEST
+                # vec_ids (deterministic, replay-stable — "most recent"
+                # under monotonically assigned ids)
+                keep = sorted(inv, key=int)[-max_per_cell:]
+                inv = {k: inv[k] for k in keep}
+        state.update((_json.dumps(inv),))
+        ids = sorted(int(k) for k in inv)
+        qs = [inv[str(i)] for i in ids]
+        yield pd.DataFrame(
+            [
+                {
+                    "cell": int(cell),
+                    "n_vectors": len(ids),
+                    "vec_ids": ids,
+                    "qs": qs,
+                    "nqs": [sum(c * c for c in q) for q in qs],
+                }
+            ]
+        )
+
+    return reducer
+
+
+class StreamingAnnIvfRuntime(StatefulStatsRuntime):
+    """Continuously-maintained IVF ANN index over a vector stream.
+
+    Records carry the vector as a JSON float array in
+    ``fields[vec_field]`` and its id in ``fields[id_field]``. See the
+    module docstring for the routing/state/exactness contract.
+    """
+
+    def __init__(
+        self,
+        engine: GearsEngine,
+        spool_dir: str,
+        work_dir: str,
+        centroids,
+        source_adapter=None,
+        vec_field: str = "vec",
+        id_field: str = "vec_id",
+        max_per_cell: int | None = None,
+    ):
+        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        import numpy as np
+
+        self.centroids = np.asarray(centroids, dtype="float64")
+        self.vec_field = vec_field
+        self.id_field = id_field
+        self.max_per_cell = max_per_cell
+
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, "ann_ckpt")
+
+    @property
+    def sink_dir(self) -> str:
+        return os.path.join(self.work_dir, "ann_sink")
+
+    def start(self, prefix: str = "") -> StreamingQuery:
+        src = self._source()
+        if prefix:
+            src = src.filter(F.col("stream_key").startswith(prefix))
+        routed = src.select("id", "fields").mapInPandas(
+            _make_router(self.centroids, self.vec_field, self.id_field),
+            _ROUTED_SCHEMA,
+        )
+        out = routed.groupBy("cell").applyInPandasWithState(
+            _make_cell_reducer(self.max_per_cell),
+            _ANN_OUTPUT_SCHEMA,
+            _ANN_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        os.makedirs(self.sink_dir, exist_ok=True)
+        sink_dir = self.sink_dir
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(sink_dir)
+
+        self.query = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt_dir)
+            .outputMode("update")
+            .queryName("streaming_ann_ivf")
+            .start()
+        )
+        return self.query
+
+    def inverted_lists(self) -> DataFrame | None:
+        """Latest committed inverted list per cell (highest epoch wins —
+        update mode re-emits a cell's full list whenever it changes), or
+        None before the first commit."""
+        df = self._sink_df()
+        if df is None:
+            return None
+        return (
+            df.groupBy("cell")
+            .agg(
+                F.max_by(
+                    F.struct("n_vectors", "vec_ids", "qs", "nqs"),
+                    F.col("epoch"),
+                ).alias("s")
+            )
+            .select("cell", "s.*")
+        )
+
+    def topk(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 5,
+        nprobe: int = 10,
+    ) -> DataFrame:
+        """Top-k nearest neighbours for a bounded query set against the
+        live index — one Spark job, bit-compatible with batch sim_ann_ivf.
+
+        The driver assigns probe cells for the |queries| vectors (the
+        query set is bounded by definition; the CORPUS never touches the
+        driver) and broadcasts the probe table and the quantized query
+        vectors; candidates come from exploding the probed cells'
+        inverted lists JVM-side; the rescore is the batch path's exact
+        Catalyst expression (integer dot, one IEEE division)."""
+        import numpy as np
+
+        from redisgears_spark.operators.similarity import _cosine, _dot
+
+        inv = self.inverted_lists()
+        if inv is None:
+            raise GearsError(
+                "streaming ANN index is empty — ingest vectors and "
+                "process_available() first"
+            )
+        C = self.centroids
+        probe_rows, qrows = [], []
+        for q_id, vec in queries:
+            v = np.asarray(vec, dtype="float64")
+            dots = C @ v
+            order = np.argsort(-dots, kind="stable")[:nprobe]
+            probe_rows.extend(
+                {"q_id": int(q_id), "cell": int(c)} for c in order
+            )
+            q = _quant_half_up(v)
+            qrows.append(
+                {
+                    "q_id": int(q_id),
+                    "q_q": q.tolist(),
+                    "q_nq": int(q @ q),  # int64, same domain as the batch path
+                }
+            )
+        spark = self.spark
+        probes = spark.createDataFrame(
+            pd.DataFrame(probe_rows), "q_id long, cell long"
+        )
+        qdf = spark.createDataFrame(
+            pd.DataFrame(qrows), "q_id long, q_q array<bigint>, q_nq long"
+        )
+        lists = inv.select(
+            "cell",
+            F.explode(F.arrays_zip("vec_ids", "qs", "nqs")).alias("z"),
+        ).select(
+            "cell",
+            F.col("z.vec_ids").alias("n_id"),
+            F.col("z.qs").alias("n_q"),
+            F.col("z.nqs").alias("n_nq"),
+        )
+        cand = (
+            lists.join(F.broadcast(probes), "cell")
+            .filter(F.col("n_id") != F.col("q_id"))
+            .select("q_id", "n_id", "n_q", "n_nq")
+            .dropDuplicates(["q_id", "n_id"])
+        )
+        scored = cand.join(F.broadcast(qdf), "q_id").select(
+            "q_id",
+            "n_id",
+            _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine"),
+        )
+        w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank")
+        )
+
+    def latest(self) -> dict[str, dict]:
+        raise GearsError(
+            "StreamingAnnIvfRuntime has no per-key stats snapshot — use "
+            "inverted_lists() / topk()"
+        )
+
+    def expire_idle(self, ttl_seconds: float) -> list[str]:
+        raise GearsError(
+            "TTL expiry is not supported for the streaming ANN runtime "
+            "(state is an index, not per-key stats); use max_per_cell "
+            "for bounded state, stop()/flush() to clear"
+        )

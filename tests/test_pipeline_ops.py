@@ -950,3 +950,167 @@ def test_stratified_split_hashcut_shares_and_partition(spark, sf_dir):
         va = counts.get((lang, "val"), 0) / n
         assert 0.55 <= tr <= 0.95, (lang, tr)
         assert va <= 0.25, (lang, va)
+
+
+def _pure_python_bpe(wf, n_rounds, words=None, offset=0):
+    """Independent Sennrich loop (count-desc/lexicographic tie-break) —
+    returns (merges, final word-state). Deliberately re-implemented here
+    rather than imported, so the operator and its oracle can't share a
+    bug."""
+    from collections import Counter
+
+    if words is None:
+        words = {w: list(w) for w in wf}
+    out = []
+    for rnd in range(n_rounds):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((offset + rnd, l, r, n))
+        words = {w: _pp_apply(syms, l, r) for w, syms in words.items()}
+    return out, words
+
+
+def _pp_apply(syms, l, r):
+    res, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            res.append(l + r)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _word_counter(spark, sf_dir, source_pred=None):
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.operators.text import _TOKENS
+    from redisgears_spark.sources.keyspace import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    if source_pred is not None:
+        docs = docs.filter(source_pred)
+    wf = Counter()
+    for r in docs.select(F.explode(F.expr(_TOKENS)).alias("w")).collect():
+        wf[r["w"]] += 1
+    return wf
+
+
+def test_bpe_extend_matches_incremental_reference(spark, sf_dir):
+    """pipeline_bpe_extend == an independent pure-Python incremental
+    run: train 8 merges on the base corpus, replay them on the union
+    (recording each pair's union-time support), continue 4 more."""
+    import pyspark.sql.functions as F
+
+    from collections import Counter
+
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.operators.pipeline import (
+        _BPE_EXTEND_MERGES,
+        _BPE_MERGES,
+        _BPE_NEW_SOURCES,
+    )
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"], r["phase"])
+        for r in QUERIES["pipeline_bpe_extend"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+
+    base_wf = _word_counter(
+        spark, sf_dir, ~F.col("source").isin(list(_BPE_NEW_SOURCES))
+    )
+    union_wf = _word_counter(spark, sf_dir)
+    base_merges, _ = _pure_python_bpe(base_wf, _BPE_MERGES)
+    words = {w: list(w) for w in union_wf}
+    want = []
+    rnd = 0
+    for _i, l, r, _n in base_merges:
+        cnt = 0
+        for w, syms in words.items():
+            f = union_wf[w]
+            for a, b in zip(syms, syms[1:]):
+                if a == l and b == r:
+                    cnt += f
+        want.append((rnd, l, r, cnt, "base"))
+        words = {w: _pp_apply(syms, l, r) for w, syms in words.items()}
+        rnd += 1
+    ext, _ = _pure_python_bpe(union_wf, _BPE_EXTEND_MERGES, words, rnd)
+    want.extend((i, l, r, n, "ext") for (i, l, r, n) in ext)
+    assert got == want
+    # the increment genuinely moved at least one count (the scenario is
+    # non-degenerate on this fixture)
+    base_counts = {(l, r): n for (_i, l, r, n) in base_merges}
+    assert any(
+        base_counts[(l, r)] != n
+        for (_i, l, r, n, ph) in got
+        if ph == "base"
+    )
+
+
+def test_bpe_extend_empty_increment_is_training_continuation(
+    spark, sf_dir
+):
+    """Greedy BPE is sequential, so freeze-and-continue with an EMPTY
+    increment must equal training longer from scratch: base phase ==
+    pipeline_bpe_train's merges bit-for-bit (counts included), ext
+    phase == rounds 8-11 of a 12-round from-scratch reference run."""
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.operators.pipeline import (
+        _BPE_EXTEND_MERGES,
+        _BPE_MERGES,
+        _bpe_extend,
+    )
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"], r["phase"])
+        for r in _bpe_extend(spark, sf_dir, ()).orderBy("round").collect()
+    ]
+    train = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in QUERIES["pipeline_bpe_train"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert [(i, l, r, n) for (i, l, r, n, ph) in got if ph == "base"] == train
+
+    union_wf = _word_counter(spark, sf_dir)
+    longer, _ = _pure_python_bpe(union_wf, _BPE_MERGES + _BPE_EXTEND_MERGES)
+    assert [(i, l, r, n) for (i, l, r, n, ph) in got if ph == "ext"] == longer[
+        _BPE_MERGES:
+    ]
+
+
+def test_bpe_extend_distributed_strategy_equality(
+    spark, sf_dir, monkeypatch
+):
+    """The web-scale path (vocab limit forced to 0: distributed base
+    training, targeted per-pair replay counts, distributed
+    continuation) returns exactly the local path's output."""
+    from redisgears_spark.operators import QUERIES
+    from redisgears_spark.operators import pipeline as P
+
+    local = [
+        tuple(r)
+        for r in QUERIES["pipeline_bpe_extend"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    monkeypatch.setattr(P, "_BPE_LOCAL_VOCAB_LIMIT", 0)
+    dist = [
+        tuple(r)
+        for r in QUERIES["pipeline_bpe_extend"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert dist == local
