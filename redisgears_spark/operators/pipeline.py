@@ -1366,6 +1366,117 @@ def _bpe_extend(
     return spark.createDataFrame(recs, out_schema)
 
 
+_BUDGET_FILL_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({toks}) AS BIGINT) AS n_tok,
+             {n_stop} AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, n_tok,
+             (n_stop * 1000) // greatest(n_tok, 1) AS q_milli
+      FROM d),
+    b AS (SELECT (SUM(n_tok) * 6) // 10 AS budget FROM q),
+    c AS (
+      SELECT *, SUM(n_tok) OVER (
+               ORDER BY q_milli DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tok
+      FROM q)
+    SELECT c.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(SUM(c.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN c.cum_tok <= b.budget THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_sel,
+           CAST(SUM(CASE WHEN c.cum_tok <= b.budget THEN c.n_tok
+                         ELSE 0 END) AS BIGINT) AS tokens_sel,
+           CAST(SUM(CASE WHEN c.cum_tok <= b.budget THEN c.n_tok
+                         ELSE 0 END) AS DOUBLE)
+             / greatest(SUM(c.n_tok), 1) AS sel_token_share
+    FROM c CROSS JOIN b
+    GROUP BY c.source
+"""
+
+
+@query(
+    "pipeline_token_budget_fill",
+    oracle=_BUDGET_FILL_ORACLE.format(
+        toks=_TOKENS_SQL,
+        n_stop="CAST(len(list_filter({t}, x -> x = 'the' OR x = 'a' OR "
+        "x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS BIGINT)".format(
+            t=_TOKENS_SQL
+        ),
+    ),
+)
+def pipeline_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget fill — the curation decision a training run
+    makes once per corpus: rank every document by a quality key
+    (stopword ratio in exact milli-units — the cheap fluency proxy),
+    walk the ranking greedily, and keep documents while the cumulative
+    token count fits the budget (60% of the corpus' tokens). Output:
+    the per-source composition of the selected set vs the corpus — the
+    table that shows which sources the budget squeezed out.
+
+    The global cumulative token count uses the two-phase rank machinery
+    (functions/ranks.global_cumsum): range-bucket the quality key,
+    driver-side exclusive prefix over the bounded bucket gather,
+    in-bucket window — NO single-partition sort at any scale,
+    bit-identical to the oracle's window form by integer associativity.
+
+    Exactness: token and stopword counts are integers; the quality key
+    is integer milli (floor division); the budget is integer (total·6
+    div 10); the only IEEE division is the final share. Full hash-exact
+    DuckDB oracle.
+
+    Scale: one narrow projection of documents (doc_id, source, two
+    counts) feeds the rank; the per-source rollup shuffles ~|sources|
+    groups with map-side partials. The selected set itself is never
+    materialized — the composition table is the decision artifact.
+    """
+    from redisgears_spark.functions.ranks import global_cumsum
+    from redisgears_spark.operators.text import _STOPWORDS, _count_in
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.expr(f"CAST(size({_TOKENS}) AS BIGINT)")
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        F.expr(
+            f"(({_count_in(_TOKENS, _STOPWORDS, sql=False)}) * 1000) "
+            f"div greatest(CAST(size({_TOKENS}) AS BIGINT), 1)"
+        ).alias("q_milli"),
+    )
+    ranked = global_cumsum(
+        base, "q_milli", "doc_id", "n_tok", "fill_rank", "cum_tok",
+        descending=True,
+    )
+    budget = base.agg(
+        F.expr("CAST(sum(n_tok) * 6 div 10 AS BIGINT)").alias("budget")
+    )
+    sel = F.col("cum_tok") <= F.col("budget")
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_total"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias(
+                "n_docs_sel"
+            ),
+            F.sum(F.when(sel, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_sel"),
+            (
+                F.sum(F.when(sel, F.col("n_tok")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.greatest(F.sum("n_tok"), F.lit(1))
+            ).alias("sel_token_share"),
+        )
+    )
+
+
 @query("pipeline_bpe_extend")  # iterative fixpoint — rows-only
 def pipeline_bpe_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BPE vocabulary update — extend a shipped tokenizer

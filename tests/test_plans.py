@@ -979,3 +979,18 @@ def test_skew_refined_rank_plan_stays_bucket_partitioned(spark, monkeypatch):
     plan = formatted_plan(out)
     assert "hashpartitioning(__gcs_bucket" in plan, plan[:3000]
     assert "Arguments: SinglePartition" not in plan, plan[:3000]
+
+
+def test_token_budget_fill_two_phase_plan(spark, sf_dir):
+    """pipeline_token_budget_fill's global cumulative-token rank must ride
+    the two-phase machinery: the rank/prefix-sum window partitions by the
+    range bucket (never a data-sized SinglePartition sort), and the only
+    SinglePartition exchanges are the bounded scalar folds (the budget
+    1-row aggregate and the bucket gather)."""
+    plan = formatted_plan(
+        QUERIES["pipeline_token_budget_fill"](spark, sf_dir)
+    )
+    assert "hashpartitioning(__gcs_bucket" in plan, plan[:4000]
+    assert "CartesianProduct" not in plan  # budget joins as broadcast
+    found = plan.count("Arguments: SinglePartition")
+    assert found <= 2, (found, plan[:4000])
