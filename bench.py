@@ -641,6 +641,7 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
     values at the bench scale factor)."""
     from redisgears_spark.operators.similarity import (
         sim_ann_ivf,
+        sim_ann_ivfpq,
         sim_ann_lsh,
         sim_ann_pq,
         sim_topk_bruteforce,
@@ -655,6 +656,7 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
         ("sim_ann_lsh", sim_ann_lsh),
         ("sim_ann_ivf", sim_ann_ivf),
         ("sim_ann_pq", sim_ann_pq),
+        ("sim_ann_ivfpq", sim_ann_ivfpq),
     ):
         got = {(r["q_id"], r["n_id"]) for r in fn(spark, sf_dir).collect()}
         out[name] = (

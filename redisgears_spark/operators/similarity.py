@@ -2261,6 +2261,290 @@ def embeddings_dim_variance_ladder(
 
 
 # ---------------------------------------------------------------------------
+# IVF + residual PQ (FAISS IVFADC composition, round 12)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 10
+# ADC shortlist per query before the exact re-rank — over the PROBED
+# cells only (vs sim_ann_pq's corpus-wide scan), so the shortlist can be
+# tighter for the same recall
+_IVFPQ_SHORTLIST = 128
+
+
+def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
+    """Residual PQ codebooks — the IVFADC trainer: sub-quantize the
+    RESIDUAL (v − its IVF cell centroid), not the raw vector. Residuals
+    are what remains after the coarse quantizer explains the cell mean,
+    so the same 4-bit budget encodes a much smaller-variance signal —
+    the reason FAISS's IVFADC beats flat PQ at equal code size.
+
+    Seeds: the residuals of fixed corpus rows (vec_id 300..315, one
+    sub-vector per subspace each) + ONE distributed Lloyd refinement,
+    accumulating quantized-residual int64 micro-units (order-independent
+    across partitions, same exact-integer discipline as _ivf_centroids /
+    _pq_codebooks) with one division at the end — bit-stable codebooks
+    under any partitioning. Cached per corpus fingerprint.
+    """
+    import numpy as np
+
+    fp = _emb_fingerprint(sf_dir)
+    ck = None if fp is None else ("ivfpq", fp)
+    cached = _TRAINED_CACHE.get(ck) if ck is not None else None
+    if cached is not None:
+        return cached
+
+    C_ivf = _ivf_centroids(spark, sf_dir)  # (cells, dim), L2-normalized
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds_pdf = (
+        emb.filter(F.col("vec_id").between(300, 300 + _PQ_K - 1))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    S = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")  # (K, dim)
+    cell = (S @ C_ivf.T).argmax(axis=1)
+    RS = S - C_ivf[cell]  # seed residuals
+    dim = S.shape[1]
+    dsub = dim // _PQ_M
+    R = np.stack([RS[:, m * dsub : (m + 1) * dsub] for m in range(_PQ_M)])
+
+    def partial_stats(batches):
+        import pandas as pd
+
+        sums = np.zeros((_PQ_M, _PQ_K, dsub), dtype="int64")
+        counts = np.zeros((_PQ_M, _PQ_K), dtype="int64")
+        seen = False
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            seen = True
+            cells = (V @ C_ivf.T).argmax(axis=1)
+            res = V - C_ivf[cells]
+            # quantized residual micro-units: HALF_UP, the module's
+            # rounding discipline — integer partials stay order-free
+            d = res * 1e6
+            RQ = np.where(
+                d >= 0, np.floor(d + 0.5), np.ceil(d - 0.5)
+            ).astype("int64")
+            for m in range(_PQ_M):
+                Rm = res[:, m * dsub : (m + 1) * dsub]
+                Qm = RQ[:, m * dsub : (m + 1) * dsub]
+                d2 = (
+                    np.einsum("ij,ij->i", Rm, Rm)[:, None]
+                    - 2.0 * (Rm @ R[m].T)
+                    + np.einsum("ij,ij->i", R[m], R[m])[None, :]
+                )
+                code = d2.argmin(axis=1)
+                for k in np.unique(code):
+                    sums[m, k] += Qm[code == k].sum(axis=0)
+                counts[m] += np.bincount(code, minlength=_PQ_K)
+        if not seen:
+            return
+        m_idx = np.repeat(np.arange(_PQ_M, dtype="int64"), _PQ_K * dsub)
+        k_idx = np.tile(np.repeat(np.arange(_PQ_K, dtype="int64"), dsub), _PQ_M)
+        p_idx = np.tile(np.arange(dsub, dtype="int64"), _PQ_M * _PQ_K)
+        yield pd.DataFrame(
+            {
+                "m": m_idx,
+                "k": k_idx,
+                "pos": p_idx,
+                "s": sums.reshape(-1),
+                "n": counts.repeat(dsub).reshape(-1),
+            }
+        )
+
+    vecs = rebalanced(
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    stats = (
+        vecs.mapInPandas(
+            _arrow_kernel(partial_stats),
+            "m long, k long, pos long, s long, n long",
+        )
+        .groupBy("m", "k", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    refined = np.array(R)
+    for r in stats:
+        refined[r["m"], r["k"], r["pos"]] = (r["s"] / r["n"]) / 1e6
+    if ck is not None:
+        _TRAINED_CACHE[ck] = refined
+    return refined
+
+
+@query("sim_ann_ivfpq")  # approximate — rows-only; recall pinned in tests/
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF routing + residual-PQ ADC — the FAISS
+    IVFADC composition, and THE canonical 100 TB ANN architecture: the
+    coarse quantizer prunes the scan to nprobe/cells of the corpus, the
+    4-bit residual codes make the scanned payload one packed int64 per
+    vector, and only the ≤_IVFPQ_SHORTLIST ADC winners per query pay an
+    exact distance.
+
+    Decomposition of the inner-product: q·v = q·c(v) + q·r(v), so the
+    ADC score is one per-(query, cell) scalar (q·centroid, |queries| ×
+    cells tiny table in the closure) plus M lookups in the per-query
+    residual LUT (q_m · R[m,k]) — no floats from the corpus touched at
+    scan time.
+
+    Exactness discipline: candidates are approximate, SCORES are not —
+    the shortlist re-ranks with the exact quantized cosine, so every
+    returned cosine is bit-identical to the brute-force path (pinned in
+    tests/test_pipeline_ops.py alongside LSH/IVF/PQ); recall@5 floor
+    pinned there too, recall@10 tracked per-round in BENCH ann_recall.
+
+    Scale: index build = one narrow Arrow pass emitting (vec_id, cell,
+    code) — 3 longs/vector; the candidate join is the IVF equi-join on
+    `cell` (broadcast probe table); the ADC kernel ships 8 tiny LUTs +
+    a cells-sized dot table in the closure and emits per-batch top-S
+    shortlists, never scored-candidate rows; the re-rank joins the
+    quantized corpus on the shortlist's n_id only.
+    """
+    import numpy as np
+
+    C_ivf = _ivf_centroids(spark, sf_dir)
+    R = _ivfpq_codebooks(spark, sf_dir)  # (M, K, dsub)
+    dsub = R.shape[2]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            cells = (V @ C_ivf.T).argmax(axis=1)
+            res = V - C_ivf[cells]
+            packed = np.zeros(len(V), dtype="int64")
+            for m in range(_PQ_M):
+                Rm = res[:, m * dsub : (m + 1) * dsub]
+                d2 = (
+                    np.einsum("ij,ij->i", Rm, Rm)[:, None]
+                    - 2.0 * (Rm @ R[m].T)
+                    + np.einsum("ij,ij->i", R[m], R[m])[None, :]
+                )
+                packed |= d2.argmin(axis=1).astype("int64") << (4 * m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "cell": cells.astype("int64"),
+                    "code": packed,
+                }
+            )
+
+    emb = rebalanced(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    codes = emb.mapInPandas(
+        _arrow_kernel(encode), "vec_id long, cell long, code long"
+    )
+
+    # query-side tables: probe cells (argsort, same order as sim_ann_ivf),
+    # per-(query, cell) centroid dots, per-query residual LUTs — all tiny
+    q_pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    QV = np.vstack(q_pdf["v"].to_numpy()).astype("float64")
+    q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
+    qdots = QV @ C_ivf.T  # (queries, cells)
+    order = np.argsort(-qdots, axis=1, kind="stable")[:, :_IVFPQ_NPROBE]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c))
+            for qi in range(len(q_ids))
+            for c in order[qi]
+        ],
+        "q_id long, cell long",
+    )
+    lut = np.einsum(
+        "qmd,mkd->qmk", QV.reshape(len(QV), _PQ_M, dsub), R
+    )  # (queries, M, K)
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
+
+    def adc_shortlist(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["q_id"].map(q_index).to_numpy(dtype="int64")
+            packed = pdf["code"].to_numpy(dtype="int64")
+            cells = pdf["cell"].to_numpy(dtype="int64")
+            codes_m = np.stack(
+                [(packed >> (4 * m)) & 0xF for m in range(_PQ_M)], axis=1
+            )
+            # q·v ≈ q·c + Σ_m lut[q, m, code_m]
+            scores = qdots[qi, cells] + lut[
+                qi[:, None], np.arange(_PQ_M)[None, :], codes_m
+            ].sum(axis=1)
+            df = pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(dtype="int64"),
+                    "n_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "adc": scores,
+                }
+            )
+            # per-batch shortlist: bound what leaves the scan
+            df = (
+                df.sort_values(
+                    ["q_id", "adc", "n_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_id", sort=False)
+                .head(_IVFPQ_SHORTLIST)
+            )
+            yield df
+
+    cand_rows = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "cell", "vec_id", "code")
+    )
+    shortlist = cand_rows.mapInPandas(
+        _arrow_kernel(adc_shortlist), "q_id long, n_id long, adc double"
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    cand = (
+        shortlist.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= _IVFPQ_SHORTLIST)
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    qv = quantized(spark, sf_dir, "q").filter(F.col("q_id") < _N_QUERIES)
+    nv = quantized(spark, sf_dir, "n")
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming IVF index parity (round 12)
 # ---------------------------------------------------------------------------
 

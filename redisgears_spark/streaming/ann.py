@@ -91,6 +91,10 @@ def _make_router(centroids, vec_field: str, id_field: str):
     def route(batches):
         import numpy as np
 
+        from redisgears_spark.streaming.stateful import (
+            _CTL_DELETE,
+            _CTL_FIELD,
+        )
         from redisgears_spark.workerpatch import ensure as _wp
 
         _wp()
@@ -105,12 +109,16 @@ def _make_router(centroids, vec_field: str, id_field: str):
                     continue
                 v = np.asarray(_json.loads(payload), dtype="float64")
                 cell = int((C @ v).argmax())
-                q = _quant_half_up(v)
+                # a `del` tombstone carries the vector so it routes to
+                # the same cell its insert landed in (the stream-deletion
+                # path every stateful runtime honors); q = [] marks it
+                delete = f.get(_CTL_FIELD) == _CTL_DELETE
+                q = [] if delete else _quant_half_up(v).tolist()
                 rows.append(
                     {
                         "cell": cell,
                         "vec_id": int(vid),
-                        "q": q.tolist(),
+                        "q": q,
                         "id": int(rec_id),
                     }
                 )
@@ -136,6 +144,9 @@ def _make_cell_reducer(max_per_cell: int | None):
         frame = _ordered_frame(pdfs)
         if len(frame):
             for vid, q in zip(frame["vec_id"], frame["q"]):
+                if len(q) == 0:  # routed `del` tombstone
+                    inv.pop(str(int(vid)), None)
+                    continue
                 inv[str(int(vid))] = [int(x) for x in q]
             if max_per_cell is not None and len(inv) > max_per_cell:
                 # bounded-state mode: retain the max_per_cell HIGHEST

@@ -10,6 +10,7 @@ from redisgears_spark.operators import QUERIES
 from redisgears_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
 from redisgears_spark.operators.similarity import (
     sim_ann_ivf,
+    sim_ann_ivfpq,
     sim_ann_lsh,
     sim_ann_pq,
     sim_topk_bruteforce,
@@ -25,7 +26,9 @@ def truth(spark, sf_dir):
     return _pairs(sim_topk_bruteforce(spark, sf_dir))
 
 
-@pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf, sim_ann_pq])
+@pytest.mark.parametrize(
+    "ann", [sim_ann_lsh, sim_ann_ivf, sim_ann_pq, sim_ann_ivfpq]
+)
 def test_ann_recall_beats_floor(ann, spark, sf_dir, truth):
     """Both ANN paths must recover most of the exact top-5 neighbor set
     (deterministic pipelines → recall is a fixed number per fixture;
@@ -35,7 +38,9 @@ def test_ann_recall_beats_floor(ann, spark, sf_dir, truth):
     assert recall >= 0.7, f"recall {recall:.3f} below floor"
 
 
-@pytest.mark.parametrize("ann", [sim_ann_lsh, sim_ann_ivf, sim_ann_pq])
+@pytest.mark.parametrize(
+    "ann", [sim_ann_lsh, sim_ann_ivf, sim_ann_pq, sim_ann_ivfpq]
+)
 def test_ann_scores_are_exact(ann, spark, sf_dir):
     """Candidates are approximate; their *scores* must not be — every
     returned cosine must equal the exact quantized cosine the brute-force

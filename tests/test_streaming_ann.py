@@ -186,3 +186,62 @@ def test_registered_twin_matches_batch(spark, sf_dir):
         for r in sim_ann_ivf_streamed(spark, sf_dir).collect()
     }
     assert got == _batch_topk(spark, sf_dir)
+
+
+def test_del_tombstone_removes_vector(spark, sf_dir, tmp_path, centroids):
+    """A `del` tombstone (carrying the vector, so it routes to the cell
+    its insert landed in) removes the entry: the index shrinks by one
+    and the deleted id can never be returned as a neighbour."""
+    import pandas as pd
+
+    from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+    spool = str(tmp_path / "spool")
+    _write_spool(spark, sf_dir, spool)
+    rt = StreamingAnnIvfRuntime(
+        GearsEngine(spark, sf_dir=sf_dir), spool, str(tmp_path / "work"),
+        centroids=centroids,
+    )
+    rt.start()
+    rt.process_available()
+
+    # pick a known neighbour of query 0 from the live index, delete it
+    queries = _queries(spark, sf_dir)
+    victim = rt.topk(queries, k=5, nprobe=10).filter(
+        F.col("q_id") == 0
+    ).orderBy("rank").collect()[0]["n_id"]
+    vrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == victim)
+        .select(
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        )
+        .collect()[0]
+    )
+    n_before = rt.inverted_lists().agg(F.sum("n_vectors")).collect()[0][0]
+    import json as _json
+
+    tomb = pd.DataFrame(
+        [
+            {
+                "stream_key": f"emb:{victim}",
+                "id": int(victim) + 10**9,
+                "id_ts": pd.Timestamp("2024-01-02"),
+                "fields": {
+                    "__ctl__": "del",
+                    "vec_id": str(victim),
+                    "vec": _json.dumps(list(vrow["v"])),
+                },
+                "record": None,
+            }
+        ]
+    )
+    spark.createDataFrame(tomb, STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(spool)
+    rt.process_available()
+    rt.stop()
+    n_after = rt.inverted_lists().agg(F.sum("n_vectors")).collect()[0][0]
+    assert n_after == n_before - 1
+    got = rt.topk(_queries(spark, sf_dir), k=5, nprobe=10).collect()
+    assert all(r["n_id"] != victim for r in got)
