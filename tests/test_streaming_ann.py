@@ -245,3 +245,135 @@ def test_del_tombstone_removes_vector(spark, sf_dir, tmp_path, centroids):
     assert n_after == n_before - 1
     got = rt.topk(_queries(spark, sf_dir), k=5, nprobe=10).collect()
     assert all(r["n_id"] != victim for r in got)
+
+
+def _random_corpus_dir(tmp_path, seed=7, n=400, dim=64):
+    """A synthetic embeddings.parquet in the fixture layout: seeded
+    random float32 unit-ish vectors, PLUS a planted near-duplicate of
+    query 0 (vec 350) carrying components that quantize to an EXACT
+    .5 micro-unit boundary (0.0078125 → 7812.5) — the one value where
+    Spark SQL round (HALF_UP, away from zero) and numpy's default
+    round (half-even) disagree. Vec 350 ranks #1 for query 0, so the
+    bit-comparison below actually exercises the boundary."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim)).astype("float32")
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V[350] = V[0]
+    V[350][3] = np.float32(0.0078125)   # → 7812.5 micro-units
+    V[350][4] = np.float32(-0.0078125)  # → -7812.5
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [row for row in V],
+            "label": (np.arange(n) % 4).astype("int32"),
+        }
+    )
+    d = tmp_path / "randcorpus"
+    d.mkdir(exist_ok=True)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        d / "embeddings.parquet",
+    )
+    return str(d), V
+
+
+def test_random_corpus_full_path_parity(spark, tmp_path):
+    """RANDOM-data triangle: on a generated corpus (not the fixture,
+    boundary components planted), (a) the streamed index's topk equals
+    batch sim_ann_ivf bit-for-bit — streaming numpy HALF_UP
+    quantization vs Spark SQL round ON THE SAME VALUES — and (b) both
+    equal an independent numpy IVF reference, op for op. A switch to
+    numpy's half-even rounding anywhere breaks (a) on the planted
+    7812.5 components."""
+    import math
+
+    import numpy as np
+
+    from redisgears_spark.operators.similarity import (
+        _TRAINED_CACHE,
+        _ivf_centroids,
+        sim_ann_ivf,
+    )
+    from redisgears_spark.streaming.ann import _quant_half_up
+
+    sfd, V64 = _random_corpus_dir(tmp_path)
+    V = V64.astype("float64")
+
+    # the planted boundary: HALF_UP must give ±7813, half-even ±7812
+    assert _quant_half_up(np.array([float(V64[350][3])]))[0] == 7813
+    assert _quant_half_up(np.array([float(V64[350][4])]))[0] == -7813
+
+    batch = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cosine"])
+        for r in sim_ann_ivf(spark, sfd).collect()
+    }
+    # the near-dup must actually be in play
+    assert batch[(0, 1)][0] == 350
+
+    C = _ivf_centroids(spark, sfd)
+    spool = str(tmp_path / "spool")
+    _write_spool(spark, sfd, spool)
+    rt = StreamingAnnIvfRuntime(
+        GearsEngine(spark, sf_dir=sfd), spool, str(tmp_path / "work"),
+        centroids=C,
+    )
+    rt.start()
+    rt.process_available()
+    rt.stop()
+    queries = _queries(spark, sfd)
+    streamed = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cosine"])
+        for r in rt.topk(queries, k=5, nprobe=10).collect()
+    }
+    assert streamed == batch  # (a) full-path bit parity on random data
+
+    # (b) independent numpy reference, replicating each op in order
+    Q = np.stack([_quant_half_up(V[i]) for i in range(len(V))])
+    nq = (Q * Q).sum(axis=1)
+    cells = (V @ C.T).argmax(axis=1)
+    ref = {}
+    for q_id in range(8):
+        probes = set(
+            int(c)
+            for c in np.argsort(-(C @ V[q_id]), kind="stable")[:10]
+        )
+        cand = [
+            i
+            for i in range(len(V))
+            if int(cells[i]) in probes and i != q_id
+        ]
+        scored = sorted(
+            (
+                (
+                    -(
+                        float(int(Q[q_id] @ Q[i]))
+                        / (
+                            math.sqrt(float(nq[q_id]))
+                            * math.sqrt(float(nq[i]))
+                        )
+                    ),
+                    i,
+                )
+                for i in cand
+            ),
+        )[:5]
+        for rank, (negcos, i) in enumerate(scored, start=1):
+            ref[(q_id, rank)] = (i, -negcos)
+    assert streamed == ref
+
+    # leave no stale trained-index entries behind for other tests
+    for k in list(_TRAINED_CACHE):
+        if isinstance(k, tuple) and sfd in str(k):
+            _TRAINED_CACHE.pop(k, None)
