@@ -2265,18 +2265,22 @@ def embeddings_dim_variance_ladder(
 # ---------------------------------------------------------------------------
 
 _IVFPQ_NPROBE = 10
+# IVFPQ uses FINER subspaces than flat PQ: 16 × 4-dim (vs PQ's 8 ×
+# 8-dim), 16 centroids each — 64 bits of code per vector, packed in TWO
+# longs. Chosen by measurement on this fixture, which is ADC's hard
+# case (embeddings near-uniform on the unit sphere: the coarse
+# quantizer explains only ~6% of vector energy — mean v·c ≈ 0.25,
+# residual norm 1.22 > |v| — so 4-bit codes over 8-dim residual
+# subspaces carry little signal): at sf0.1 against the exact top-5,
+# M=8 recalled 0.575/0.70/0.80 at shortlist 128/256/512, while M=16
+# reaches 0.825@128 and 0.875@256 — the IVF routing ceiling itself
+# (nprobe 10/16) — with reconstruction error 0.93 → 0.73. Double the
+# code bytes, recall at ceiling with a 2× tighter shortlist.
+_IVFPQ_M = 16
 # ADC shortlist per query before the exact re-rank — over the PROBED
-# cells only (vs sim_ann_pq's corpus-wide scan). Depth set by
-# measurement against the exact top-5 at sf0.1: 128 recalled 0.575,
-# 256 → 0.70, 512 → 0.80 (the IVF routing ceiling is 0.875 at
-# nprobe=10/16). The fixture is the hard case for ADC: its embeddings
-# are near-uniform on the unit sphere, so the coarse quantizer explains
-# only ~6% of vector energy (mean v·c ≈ 0.25, residual norm 1.22 > |v|)
-# and 4-bit residual codes carry little signal — on clusterable real
-# embedding corpora the residual encodes a far smaller-variance signal
-# and the shortlist can be much tighter (the IVFADC argument). The
-# re-rank cost is 512 exact dots/query, independent of corpus size.
-_IVFPQ_SHORTLIST = 512
+# cells only (vs sim_ann_pq's corpus-wide scan). 256 exact dots/query
+# at re-rank, independent of corpus size.
+_IVFPQ_SHORTLIST = 256
 
 
 def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
@@ -2287,7 +2291,8 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
     the reason FAISS's IVFADC beats flat PQ at equal code size.
 
     Seeds: the residuals of fixed corpus rows (vec_id 300..315, one
-    sub-vector per subspace each) + ONE distributed Lloyd refinement,
+    sub-vector per subspace each; 16 × 4-dim subspaces per _IVFPQ_M's
+    measurement note) + ONE distributed Lloyd refinement,
     accumulating quantized-residual int64 micro-units (order-independent
     across partitions, same exact-integer discipline as _ivf_centroids /
     _pq_codebooks) with one division at the end — bit-stable codebooks
@@ -2316,14 +2321,16 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
     cell = (S @ C_ivf.T).argmax(axis=1)
     RS = S - C_ivf[cell]  # seed residuals
     dim = S.shape[1]
-    dsub = dim // _PQ_M
-    R = np.stack([RS[:, m * dsub : (m + 1) * dsub] for m in range(_PQ_M)])
+    dsub = dim // _IVFPQ_M
+    R = np.stack(
+        [RS[:, m * dsub : (m + 1) * dsub] for m in range(_IVFPQ_M)]
+    )
 
     def partial_stats(batches):
         import pandas as pd
 
-        sums = np.zeros((_PQ_M, _PQ_K, dsub), dtype="int64")
-        counts = np.zeros((_PQ_M, _PQ_K), dtype="int64")
+        sums = np.zeros((_IVFPQ_M, _PQ_K, dsub), dtype="int64")
+        counts = np.zeros((_IVFPQ_M, _PQ_K), dtype="int64")
         seen = False
         for pdf in batches:
             V = np.vstack(pdf["v"].to_numpy()).astype("float64")
@@ -2336,7 +2343,7 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
             RQ = np.where(
                 d >= 0, np.floor(d + 0.5), np.ceil(d - 0.5)
             ).astype("int64")
-            for m in range(_PQ_M):
+            for m in range(_IVFPQ_M):
                 Rm = res[:, m * dsub : (m + 1) * dsub]
                 Qm = RQ[:, m * dsub : (m + 1) * dsub]
                 d2 = (
@@ -2350,9 +2357,11 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
                 counts[m] += np.bincount(code, minlength=_PQ_K)
         if not seen:
             return
-        m_idx = np.repeat(np.arange(_PQ_M, dtype="int64"), _PQ_K * dsub)
-        k_idx = np.tile(np.repeat(np.arange(_PQ_K, dtype="int64"), dsub), _PQ_M)
-        p_idx = np.tile(np.arange(dsub, dtype="int64"), _PQ_M * _PQ_K)
+        m_idx = np.repeat(np.arange(_IVFPQ_M, dtype="int64"), _PQ_K * dsub)
+        k_idx = np.tile(
+            np.repeat(np.arange(_PQ_K, dtype="int64"), dsub), _IVFPQ_M
+        )
+        p_idx = np.tile(np.arange(dsub, dtype="int64"), _IVFPQ_M * _PQ_K)
         yield pd.DataFrame(
             {
                 "m": m_idx,
@@ -2392,9 +2401,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF routing + residual-PQ ADC — the FAISS
     IVFADC composition, and THE canonical 100 TB ANN architecture: the
     coarse quantizer prunes the scan to nprobe/cells of the corpus, the
-    4-bit residual codes make the scanned payload one packed int64 per
-    vector, and only the ≤_IVFPQ_SHORTLIST ADC winners per query pay an
-    exact distance.
+    4-bit residual codes make the scanned payload two packed int64s per
+    vector (16 × 4-dim subspaces — see the _IVFPQ_M measurement note),
+    and only the ≤_IVFPQ_SHORTLIST ADC winners per query pay an exact
+    distance.
 
     Decomposition of the inner-product: q·v = q·c(v) + q·r(v), so the
     ADC score is one per-(query, cell) scalar (q·centroid, |queries| ×
@@ -2409,11 +2419,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned there too, recall@10 tracked per-round in BENCH ann_recall.
 
     Scale: index build = one narrow Arrow pass emitting (vec_id, cell,
-    code) — 3 longs/vector; the candidate join is the IVF equi-join on
-    `cell` (broadcast probe table); the ADC kernel ships 8 tiny LUTs +
-    a cells-sized dot table in the closure and emits per-batch top-S
-    shortlists, never scored-candidate rows; the re-rank joins the
-    quantized corpus on the shortlist's n_id only.
+    code_lo, code_hi, norm) — 4 longs + a double per vector; the
+    candidate join is the IVF equi-join on `cell` (broadcast probe
+    table); the ADC kernel ships 16 tiny LUTs + a cells-sized dot table
+    in the closure and emits per-batch top-S shortlists, never
+    scored-candidate rows; the re-rank joins the quantized corpus on
+    the shortlist's n_id only.
     """
     import numpy as np
 
@@ -2428,20 +2439,29 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.vstack(pdf["v"].to_numpy()).astype("float64")
             cells = (V @ C_ivf.T).argmax(axis=1)
             res = V - C_ivf[cells]
-            packed = np.zeros(len(V), dtype="int64")
-            for m in range(_PQ_M):
+            # 16 × 4-bit codes = 64 bits: packed in TWO longs (codes
+            # 0..7 in lo, 8..15 in hi) so the sign bit never hosts a
+            # code nibble
+            lo = np.zeros(len(V), dtype="int64")
+            hi = np.zeros(len(V), dtype="int64")
+            for m in range(_IVFPQ_M):
                 Rm = res[:, m * dsub : (m + 1) * dsub]
                 d2 = (
                     np.einsum("ij,ij->i", Rm, Rm)[:, None]
                     - 2.0 * (Rm @ R[m].T)
                     + np.einsum("ij,ij->i", R[m], R[m])[None, :]
                 )
-                packed |= d2.argmin(axis=1).astype("int64") << (4 * m)
+                code = d2.argmin(axis=1).astype("int64")
+                if m < 8:
+                    lo |= code << (4 * m)
+                else:
+                    hi |= code << (4 * (m - 8))
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
                     "cell": cells.astype("int64"),
-                    "code": packed,
+                    "code_lo": lo,
+                    "code_hi": hi,
                     # the vector's L2 norm rides along (one double) so the
                     # ADC scan can rank by approximate COSINE — the truth
                     # metric — instead of raw dot: without it, high-norm
@@ -2459,7 +2479,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = emb.mapInPandas(
         _arrow_kernel(encode),
-        "vec_id long, cell long, code long, vnorm double",
+        "vec_id long, cell long, code_lo long, code_hi long, vnorm double",
     )
 
     # query-side tables: probe cells (argsort, same order as sim_ann_ivf),
@@ -2487,7 +2507,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id long, cell long",
     )
     lut = np.einsum(
-        "qmd,mkd->qmk", QV.reshape(len(QV), _PQ_M, dsub), R
+        "qmd,mkd->qmk", QV.reshape(len(QV), _IVFPQ_M, dsub), R
     )  # (queries, M, K)
     q_index = {int(q): i for i, q in enumerate(q_ids)}
 
@@ -2498,10 +2518,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             qi = pdf["q_id"].map(q_index).to_numpy(dtype="int64")
-            packed = pdf["code"].to_numpy(dtype="int64")
+            lo = pdf["code_lo"].to_numpy(dtype="int64")
+            hi = pdf["code_hi"].to_numpy(dtype="int64")
             cells = pdf["cell"].to_numpy(dtype="int64")
             codes_m = np.stack(
-                [(packed >> (4 * m)) & 0xF for m in range(_PQ_M)], axis=1
+                [(lo >> (4 * m)) & 0xF for m in range(8)]
+                + [(hi >> (4 * m)) & 0xF for m in range(_IVFPQ_M - 8)],
+                axis=1,
             )
             # q·v ≈ q·c + Σ_m lut[q, m, code_m]; divide by the carried
             # corpus norm so the shortlist ranks by approximate COSINE
@@ -2509,7 +2532,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             scores = (
                 qdots[qi, cells]
                 + lut[
-                    qi[:, None], np.arange(_PQ_M)[None, :], codes_m
+                    qi[:, None], np.arange(_IVFPQ_M)[None, :], codes_m
                 ].sum(axis=1)
             ) / np.maximum(pdf["vnorm"].to_numpy(dtype="float64"), 1e-30)
             df = pd.DataFrame(
@@ -2533,7 +2556,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_rows = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "cell", "vec_id", "code", "vnorm")
+        .select("q_id", "cell", "vec_id", "code_lo", "code_hi", "vnorm")
     )
     shortlist = cand_rows.mapInPandas(
         _arrow_kernel(adc_shortlist), "q_id long, n_id long, adc double"
