@@ -1119,3 +1119,89 @@ def test_bpe_extend_distributed_strategy_equality(
         .collect()
     ]
     assert dist == local
+
+
+def _random_docs_dir(tmp_path, seed=11):
+    """Synthetic documents.parquet: base sources draw from one word
+    pool; the increment source ('newsrc') has a partially DISJOINT
+    vocabulary (never-seen symbols) plus heavy repetition designed to
+    shift pair supports — the shapes that stress frozen-prefix replay
+    (a base merge whose union support collapses, ext merges dominated
+    by the increment). Includes single-char words and a doc of pure
+    whitespace-separated repeats."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    base_pool = ["alpha", "beta", "gamma", "delta", "ab", "a", "bb"]
+    new_pool = ["zzyzx", "qq", "zq", "zzz", "alpha"]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(base_pool) for _ in range(rng.randrange(3, 12))]
+        rows.append((i, " ".join(words), "en", f"src{i % 3}"))
+    for i in range(40, 60):
+        words = [rng.choice(new_pool) for _ in range(rng.randrange(3, 12))]
+        rows.append((i, " ".join(words), "en", "newsrc"))
+    rows.append((60, "zzz zzz zzz zzz zzz zzz zzz zzz", "en", "newsrc"))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    d = tmp_path / "randdocs"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_bpe_extend_random_corpus_matches_reference(spark, tmp_path):
+    """pipeline_bpe_extend on a GENERATED corpus whose increment has a
+    partially disjoint vocabulary: the operator must equal the
+    independent pure-Python incremental reference, including base
+    merges whose union-time support the increment shifted and ext
+    merges drawn from never-seen symbols."""
+    import pyspark.sql.functions as F
+
+    from redisgears_spark.operators.pipeline import (
+        _BPE_EXTEND_MERGES,
+        _BPE_MERGES,
+        _bpe_extend,
+    )
+
+    sfd = _random_docs_dir(tmp_path)
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"], r["phase"])
+        for r in _bpe_extend(spark, sfd, ("newsrc",))
+        .orderBy("round")
+        .collect()
+    ]
+
+    base_wf = _word_counter(spark, sfd, F.col("source") != "newsrc")
+    union_wf = _word_counter(spark, sfd)
+    base_merges, _ = _pure_python_bpe(base_wf, _BPE_MERGES)
+    words = {w: list(w) for w in union_wf}
+    want = []
+    rnd = 0
+    for _i, l, r, _n in base_merges:
+        cnt = 0
+        for w, syms in words.items():
+            f = union_wf[w]
+            for a, b in zip(syms, syms[1:]):
+                if a == l and b == r:
+                    cnt += f
+        want.append((rnd, l, r, cnt, "base"))
+        words = {w: _pp_apply(syms, l, r) for w, syms in words.items()}
+        rnd += 1
+    ext, _ = _pure_python_bpe(union_wf, _BPE_EXTEND_MERGES, words, rnd)
+    want.extend((i, l, r, n, "ext") for (i, l, r, n) in ext)
+    assert got == want
+    # the scenario is non-degenerate: at least one ext merge involves a
+    # symbol the base corpus never produced
+    base_syms = set()
+    for w in base_wf:
+        base_syms.update(w)
+    assert any(
+        any(ch not in base_syms for ch in (l + r))
+        for (_i, l, r, _n, ph) in got
+        if ph == "ext"
+    ), got

@@ -994,3 +994,33 @@ def test_token_budget_fill_two_phase_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan  # budget joins as broadcast
     found = plan.count("Arguments: SinglePartition")
     assert found <= 2, (found, plan[:4000])
+
+
+def test_streaming_ann_topk_plan_shape(spark, sf_dir, tmp_path):
+    """The live-index query must keep the batch path's plan discipline:
+    probe table broadcast (no cartesian product), inverted lists
+    exploded JVM-side, top-k window partitioned by q_id (bounded key
+    set — never a SinglePartition data-sized sort)."""
+    from pyspark.sql import functions as F
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.operators.similarity import _ivf_centroids
+    from redisgears_spark.sources.keyspace import load_table
+    from redisgears_spark.streaming import StreamingAnnIvfRuntime
+    from tests.test_streaming_ann import _queries, _write_spool
+
+    spool = str(tmp_path / "spool")
+    _write_spool(spark, sf_dir, spool)
+    rt = StreamingAnnIvfRuntime(
+        GearsEngine(spark, sf_dir=sf_dir), spool, str(tmp_path / "work"),
+        centroids=_ivf_centroids(spark, sf_dir),
+    )
+    rt.start()
+    rt.process_available()
+    rt.stop()
+    plan = formatted_plan(rt.topk(_queries(spark, sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:3000]
+    )
+    assert "Arguments: SinglePartition" not in plan, plan[:3000]
