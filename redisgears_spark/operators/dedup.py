@@ -1897,3 +1897,121 @@ def docs_dup_cluster_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental batch-vs-corpus dedup (round 12 — the incremental theme's
+# third member, with pipeline_bpe_extend and the streaming ANN ingest)
+# ---------------------------------------------------------------------------
+
+# the increment: the sources that "arrive later" (same scenario split as
+# pipeline_bpe_extend — one story across the incremental operators)
+_INCR_SOURCES = ("src18", "src19")
+
+_ORACLE_INCR_CTE = """
+    docs AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ws) >= 3 THEN
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in generate_series(1, len(ws) - 2)])
+             ELSE [''] END AS sh
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, source, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS base_id, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s
+      WHERE a.source IN ('src18', 'src19')
+        AND b.source NOT IN ('src18', 'src19')
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_ORACLE_INCR_CTE}
+    SELECT new_id, base_id, inter,
+           (sa.n + sb.n - inter) AS union_n,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+           CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM pairs
+    JOIN sizes sa ON pairs.new_id = sa.doc_id
+    JOIN sizes sb ON pairs.base_id = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — screen a NEW batch against the EXISTING
+    corpus without re-pairing the corpus against itself: every
+    (new, base) document pair sharing ≥1 word-3-gram shingle, with the
+    exact Jaccard (≥ 0.2) and containment. The production shape: the
+    corpus's shingle index is saved state, only the increment is
+    shingled and joined, so the candidate cost is linear in the
+    increment × per-shingle document frequency — NOT quadratic in the
+    corpus (the dedup_ngram_jaccard self-join re-run from scratch).
+    A new doc with a high-Jaccard base match is dropped (or re-routed
+    to the dedup_clusters survivor logic); jaccard = 1.0 flags exact
+    re-crawls. The increment split (src18/src19) is the same scenario
+    pipeline_bpe_extend uses — one incremental story across the
+    tokenizer, the ANN index (StreamingAnnIvfRuntime), and dedup.
+
+    Exactness: intersections and sizes are exact integers; jaccard and
+    containment are one IEEE division each — full hash-exact DuckDB
+    oracle (the dedup_ngram_jaccard discipline restricted to the
+    new × base bipartite pairs).
+
+    Scale: the base explode is the big side but shuffles only
+    (shingle, doc_id) rows hash-partitioned on the shingle; the
+    increment side is batch-sized. No broadcast hints — `sizes` is
+    corpus-cardinality (the dedup_ngram_jaccard lesson), AQE broadcasts
+    the increment's size relation when it is small. At 100 TB swap the
+    exact shingle join for the MinHash band index exactly as
+    dedup_clusters_lsh swaps dedup_ngram_jaccard's — the banded twin is
+    `dedup_incremental_batch` over candidates="lsh"-style pairs, same
+    verify tail.
+    """
+    sh = shingled_docs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = sh.join(src, "doc_id")
+    is_new = F.col("source").isin(list(_INCR_SOURCES))
+    ex_new = (
+        d.filter(is_new)
+        .select(F.col("doc_id").alias("new_id"), F.explode("sh").alias("s"))
+    )
+    ex_base = (
+        d.filter(~is_new)
+        .select(F.col("doc_id").alias("base_id"), F.explode("sh").alias("s"))
+    )
+    pairs = (
+        ex_new.join(ex_base, "s")
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = d.select("doc_id", F.size("sh").cast("long").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, "new_id")
+        .join(sb, "base_id")
+        .select(
+            "new_id",
+            "base_id",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+            jac.alias("jaccard"),
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
