@@ -72,7 +72,18 @@ def _quant_half_up(v):
     """Quantize float64 → int64 micro-units with round-half-away-from-zero
     — the numpy twin of the batch path's Spark SQL
     `cast(round(x * 1e6) as bigint)` (BigDecimal HALF_UP). numpy's own
-    `round` is half-EVEN and would diverge on exact .5 boundaries."""
+    `round` is half-EVEN and would diverge on exact .5 boundaries.
+
+    Domain note (pinned in tests/test_streaming_ann.py): floor(d+0.5)
+    is NOT universally BigDecimal-HALF_UP — the classic counterexample
+    d = 0.49999999999999994 (the largest double < 0.5) has d+0.5 round
+    to 1.0, so floor gives 1 where HALF_UP of d gives 0. It IS exact
+    for every d this engine can produce, because d = double(float32) ×
+    1e6 carries ≤ 44 significant bits (24-bit f32 mantissa × 20-bit
+    1e6) while the counterexamples need a full 53-bit mantissa ending
+    …just-below a half-integer. Feed this function float64s derived
+    from float32 payloads (the embedding column's type), not arbitrary
+    doubles."""
     import numpy as np
 
     d = v * 1e6

@@ -377,3 +377,59 @@ def test_random_corpus_full_path_parity(spark, tmp_path):
     for k in list(_TRAINED_CACHE):
         if isinstance(k, tuple) and sfd in str(k):
             _TRAINED_CACHE.pop(k, None)
+
+
+def test_quant_half_up_matches_bigdecimal_on_f32_domain():
+    """_quant_half_up == BigDecimal-style ROUND_HALF_UP (what Spark SQL
+    round computes) for every value the engine can feed it: float64s
+    that ORIGINATE as float32 embedding components. The classic
+    floor(d+0.5) counterexample (d = 0.49999999999999994 → floor 1,
+    HALF_UP 0) needs a 53-bit mantissa a 24-bit-f32 × 1e6 product can
+    never produce — asserted here so the restriction stays honest, and
+    the f32 domain is swept with hypothesis plus ulp-walks around the
+    half-integer boundaries."""
+    import decimal
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redisgears_spark.streaming.ann import _quant_half_up
+
+    def half_up(d: float) -> int:
+        return int(
+            decimal.Decimal(d).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    # the documented counterexample: floor(d+0.5) misrounds raw doubles
+    d = 0.49999999999999994
+    assert math.floor(d + 0.5) == 1 and half_up(d) == 0
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.floats(
+            min_value=-4.0,
+            max_value=4.0,
+            allow_nan=False,
+            width=32,  # f32 domain — the embedding column's type
+        )
+    )
+    def sweep(x32):
+        x = float(np.float32(x32))  # double(float32), the engine's cast
+        got = int(_quant_half_up(np.array([x]))[0])
+        assert got == half_up(x * 1e6), (x, got)
+
+    sweep()
+
+    # ulp-walks across exact half-integer boundaries (the values the
+    # random sweep can't reliably hit): 0.0078125 quantizes to exactly
+    # 7812.5 in this f32 family
+    x = np.float32(0.0078125)
+    for _ in range(64):
+        for v in (float(x), -float(x)):
+            got = int(_quant_half_up(np.array([v]))[0])
+            assert got == half_up(v * 1e6), v
+        x = np.nextafter(x, np.float32(1), dtype=np.float32)
