@@ -2015,3 +2015,94 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+@query(
+    "dedup_incremental_streamed",
+    oracle=f"""
+    WITH {_ORACLE_INCR_CTE}
+    SELECT new_id, base_id, inter,
+           (sa.n + sb.n - inter) AS union_n,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+           CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM pairs
+    JOIN sizes sa ON pairs.new_id = sa.doc_id
+    JOIN sizes sb ON pairs.base_id = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    """,
+)
+def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup served from the STREAMING shingle index
+    (streaming/dedupindex.StreamingShingleIndexRuntime): the base corpus
+    (every source except the src18/src19 increment) is replayed as
+    stream records through the bucketed stateful index build, then the
+    increment is screened against the LIVE index. The result is
+    BIT-IDENTICAL to batch dedup_incremental_batch — same shingle kernel
+    (_shingles_py, the one word-3-gram definition), same exact integer
+    intersections/sizes, same IEEE jaccard/containment divisions — and
+    runs under the SAME hash-exact DuckDB oracle. This operator IS the
+    proof that a continuously-maintained corpus index and a batch
+    rebuild never diverge: the third leg of the round-12 incremental
+    trilogy (ANN index → StreamingAnnIvfRuntime, tokenizer →
+    pipeline_bpe_extend, dedup state → this runtime).
+
+    Reference analog: live stream consumers building queryable state
+    (redisgears_core/src/stream_reader.rs consumer-state discipline) —
+    here the state is the corpus's inverted shingle index.
+
+    Scale: ingest is one stateful streaming stage keyed on
+    crc32(shingle) % n_buckets (state hash-partitions across executors,
+    O(corpus_shingles / n_buckets) per bucket, n_buckets scales with
+    the corpus); the screen is one exploded-postings equi-join, linear
+    in the increment. The pair-sized result materializes driver-side so
+    the temp spool/checkpoint dirs can be reclaimed before return.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.streaming.dedupindex import (
+        StreamingShingleIndexRuntime,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(list(_INCR_SOURCES))
+    base = _tempfile.mkdtemp(prefix="rg_shidx_stream_")
+    try:
+        spool = _os.path.join(base, "spool")
+        docs.filter(~is_new).select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "stream_key"
+            ),
+            F.col("doc_id").cast("long").alias("id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("id_ts"),
+            F.create_map(
+                F.lit("doc_id"),
+                F.col("doc_id").cast("string"),
+                F.lit("text"),
+                F.col("text"),
+            ).alias("fields"),
+            F.lit(None)
+            .cast("array<struct<field:string,value:string>>")
+            .alias("record"),
+        ).write.parquet(spool)
+
+        engine = GearsEngine(spark, sf_dir=sf_dir)
+        rt = StreamingShingleIndexRuntime(
+            engine, spool, _os.path.join(base, "work")
+        )
+        rt.start()
+        rt.process_available()
+        rt.stop()
+
+        result = rt.screen(
+            docs.filter(is_new).select("doc_id", "text")
+        ).collect()
+        return spark.createDataFrame(
+            result,
+            "new_id long, base_id long, inter bigint, union_n bigint, "
+            "jaccard double, containment double",
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

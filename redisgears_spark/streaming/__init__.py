@@ -14,6 +14,9 @@ from redisgears_spark.streaming.windows import (  # noqa: F401
 from redisgears_spark.streaming.ann import (  # noqa: F401
     StreamingAnnIvfRuntime,
 )
+from redisgears_spark.streaming.dedupindex import (  # noqa: F401
+    StreamingShingleIndexRuntime,
+)
 from redisgears_spark.streaming.stateful import (  # noqa: F401
     StatefulStatsRuntime,
     StreamingBloomDedupRuntime,
