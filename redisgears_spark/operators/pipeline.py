@@ -2981,3 +2981,99 @@ def pipeline_contamination_gram_sensitivity(
             ).alias("contamination_rate"),
         )
     )
+
+
+@query(
+    "pipeline_incremental_stats_merge",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(tok) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(COUNT(*) * SUM(tok * tok) - SUM(tok) * SUM(tok) AS DOUBLE)
+             / (COUNT(*) * COUNT(*)) AS var_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def pipeline_incremental_stats_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained corpus statistics — the associative
+    merge law made explicit: per-language curation stats (doc count,
+    token totals, char totals/extrema, mean and population variance of
+    tokens-per-doc) are computed as BASE partials (every source except
+    src18/src19) and INCREMENT partials (the same increment scenario as
+    the rest of the round-12 incremental family), then MERGED with pure
+    integer associativity (sum-of-sums, min-of-mins, max-of-maxes,
+    sum-of-squares for the variance) — the exact shape a production
+    pipeline stores as saved state and folds each new batch into,
+    never rescanning the corpus. The DuckDB oracle computes the SAME
+    stats in one pass over the full corpus: hash-exactness IS the merge
+    law (partials-then-merge ≡ recompute, bit for bit).
+
+    Exactness: all partials are exact integers; mean is one IEEE
+    division; variance is computed as (n·Σx² − (Σx)²) / n² — exact
+    integer numerator and denominator, ONE IEEE division, no
+    running-mean float accumulation on either engine. At 100 TB the
+    int64 headroom for n·Σx² warrants DECIMAL(38,0) partials — same
+    associativity, documented swap.
+
+    Scale: two map-side partial aggregates (Catalyst already partials
+    within each), a 2×|langs|-row union, and a |langs|-row merge —
+    the reduce state is O(langs), the corpus is read once (and in
+    production the base leg is a saved table, not a scan).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(F.expr(_TOKENS)).cast("long").alias("tok"),
+        F.col("source").isin("src18", "src19").alias("is_new"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("tok").cast("long").alias("s_tok"),
+            F.sum(F.col("tok") * F.col("tok")).cast("long").alias("ss_tok"),
+            F.sum("n_chars").cast("long").alias("s_chars"),
+            F.min("n_chars").cast("long").alias("mn_chars"),
+            F.max("n_chars").cast("long").alias("mx_chars"),
+        )
+
+    merged = (
+        partials(docs.filter(~F.col("is_new")))
+        .unionByName(partials(docs.filter(F.col("is_new"))))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s_tok").cast("long").alias("s_tok"),
+            F.sum("ss_tok").cast("long").alias("ss_tok"),
+            F.sum("s_chars").cast("long").alias("s_chars"),
+            F.min("mn_chars").cast("long").alias("mn_chars"),
+            F.max("mx_chars").cast("long").alias("mx_chars"),
+        )
+    )
+    return merged.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("s_tok").alias("total_tokens"),
+        F.col("s_chars").alias("total_chars"),
+        F.col("mn_chars").alias("min_chars"),
+        F.col("mx_chars").alias("max_chars"),
+        (F.col("s_tok").cast("double") / F.col("n")).alias("mean_tokens"),
+        (
+            (
+                F.col("n") * F.col("ss_tok")
+                - F.col("s_tok") * F.col("s_tok")
+            ).cast("double")
+            / (F.col("n") * F.col("n"))
+        ).alias("var_tokens"),
+    )

@@ -2262,3 +2262,94 @@ def docs_token_repeat_ratio_by_source(
             "pooled_repeat_ratio"
         ),
     )
+
+
+@query(
+    "docs_incremental_vocab_novelty",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    base_vocab AS (
+      SELECT DISTINCT w FROM words WHERE source NOT IN ('src18', 'src19')
+    ),
+    incr AS (
+      SELECT source, w,
+             CAST(COUNT(*) AS BIGINT) AS occ,
+             MAX(CASE WHEN b.w IS NULL THEN 1 ELSE 0 END) AS is_novel
+      FROM (SELECT source, w FROM words
+            WHERE source IN ('src18', 'src19')) i
+      LEFT JOIN base_vocab b USING (w)
+      GROUP BY source, w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(occ) AS BIGINT) AS total_tokens,
+           CAST(SUM(is_novel) AS BIGINT) AS novel_tokens,
+           CAST(SUM(CASE WHEN is_novel = 1 THEN occ ELSE 0 END) AS BIGINT)
+             AS novel_occurrences,
+           CAST(SUM(is_novel) AS DOUBLE) / COUNT(*) AS novel_share
+    FROM incr GROUP BY source
+    """,
+)
+def docs_incremental_vocab_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental vocabulary novelty: when the src18/src19 increment
+    lands (the same increment scenario as pipeline_bpe_extend /
+    dedup_incremental_batch / dedup_incremental_streamed), how much NEW
+    vocabulary does each new source actually contribute against the
+    saved base vocabulary? Per increment source: distinct tokens, total
+    token occurrences, never-seen-in-base tokens, their occurrence
+    mass, and the novel share — the go/no-go diagnostic for whether a
+    new crawl source extends coverage or re-treads the corpus (and the
+    sizing input for pipeline_bpe_extend's continued merges: a ~0
+    novel share means the frozen-prefix vocabulary already covers the
+    increment).
+
+    Exactness: counts are exact integers; novel_share is one IEEE
+    division — full hash-exact DuckDB oracle.
+
+    Scale: in production the base vocabulary is SAVED STATE (one
+    (token) relation, refreshed by the same associative min/count merge
+    as docs_vocab_growth's first-seen table) — only the increment is
+    tokenized. The join is vocabulary × increment-vocabulary on the
+    token hash partitioning; no broadcast hint (a 100 TB corpus's
+    vocabulary is fact-sized — the pipeline_funnel_by_lang lesson), AQE
+    picks the strategy when the increment side is small. The final
+    aggregate is per-source — 2 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src18", "src19")
+    words = docs.select(
+        "source", F.explode(F.expr(_TOKENS)).alias("w")
+    )
+    base_vocab = (
+        words.filter(~is_new).select("w").distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    incr = (
+        words.filter(is_new)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .join(base_vocab, "w", "left")
+        .withColumn(
+            "is_novel",
+            F.when(F.col("in_base").isNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    return incr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.sum("occ").cast("long").alias("total_tokens"),
+        F.sum("is_novel").cast("long").alias("novel_tokens"),
+        F.sum(
+            F.when(F.col("is_novel") == 1, F.col("occ")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("novel_occurrences"),
+        (
+            F.sum("is_novel").cast("double") / F.count(F.lit(1))
+        ).alias("novel_share"),
+    )
