@@ -2685,3 +2685,222 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding dedup (round 12)
+# ---------------------------------------------------------------------------
+
+_INCR_EMB_ORACLE = f"""
+    WITH {_ORACLE_QUANT_CTE},
+    tagged AS (
+      SELECT n.vec_id, n.v, n.nq,
+             (d.source IN ('src18', 'src19')) AS is_new
+      FROM n JOIN documents d ON n.vec_id = d.doc_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS new_id, b.vec_id AS base_id,
+             CAST(list_sum([a.v[i] * b.v[i]
+                  for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
+             CAST(a.nq AS BIGINT) AS a_nq, CAST(b.nq AS BIGINT) AS b_nq
+      FROM tagged a JOIN tagged b ON a.is_new AND NOT b.is_new
+    )
+    SELECT new_id, base_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(a_nq AS DOUBLE)) * sqrt(CAST(b_nq AS DOUBLE)))
+             AS cosine
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(a_nq AS DOUBLE)) * sqrt(CAST(b_nq AS DOUBLE)))
+          >= 0.35
+"""
+
+
+def _increment_numpy(spark: SparkSession, sf_dir: str):
+    """Quantized increment vectors (vec_ids of src18/src19 documents) as
+    numpy — the bounded side of the incremental screen. Same structural
+    cap as _corpus_numpy: a batch larger than _BRUTEFORCE_MAX_ROWS
+    raises instead of OOMing the driver."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT).alias("v")
+    )
+    incr_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src18", "src19"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    pdf = (
+        emb.join(incr_ids, "vec_id", "semi")
+        .limit(_BRUTEFORCE_MAX_ROWS + 1)
+        .toPandas()
+    )
+    if len(pdf) > _BRUTEFORCE_MAX_ROWS:
+        raise ValueError(
+            f"incremental screen refuses > {_BRUTEFORCE_MAX_ROWS} "
+            "increment vectors on the driver; split the increment or "
+            "route candidates through the ANN index"
+        )
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    M = np.vstack(pdf["v"].to_numpy()).astype("int64")
+    return ids, M
+
+
+@query("dedup_embedding_incremental", oracle=_INCR_EMB_ORACLE)
+def dedup_embedding_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental embedding dedup — screen the NEW batch's vectors
+    (src18/src19 documents, the round-12 increment scenario) against
+    the EXISTING corpus without the corpus-quadratic all-pairs: every
+    (new, base) pair with exact quantized cosine >= 0.35. With
+    dedup_incremental_batch (shingle Jaccard) this completes the
+    incremental screen across both near-dup modalities — lexical and
+    semantic — on the same increment.
+
+    Shape: the INCREMENT is the broadcast side (it is batch-sized by
+    definition — the structural cap raises loudly past 1 M vectors) and
+    the CORPUS streams through a blocked int64 matmul Arrow kernel, so
+    the work is |corpus| x |increment| vectorized dot products, linear
+    in the corpus and never materializing it anywhere — the transpose
+    of dedup_embedding_cosine's broadcast-the-corpus layout, because
+    here the bounded side is the increment. At 100 TB, route candidates
+    through the IVF cells first (sim_ann_ivf's assignment; the
+    streamed twin dedup_embedding_incremental_streamed demonstrates the
+    index-served path) and rescore exactly on candidates only.
+
+    Exactness: integer dots/norms, one IEEE division per pair — full
+    hash-exact DuckDB oracle (dedup_embedding_cosine's discipline on
+    the bipartite new x base pairs).
+    """
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(_increment_numpy(spark, sf_dir))
+    incr_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src18", "src19"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        new_ids, A = bc.value
+        for pdf in batches:
+            base_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            B = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            cos = _block_cosine(A, B)  # increment x batch
+            aa, bb = np.broadcast_arrays(
+                new_ids[:, None], base_ids[None, :]
+            )
+            keep = cos >= 0.35
+            yield pd.DataFrame(
+                {
+                    "new_id": aa[keep],
+                    "base_id": bb[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    base = rebalanced(
+        load_table(spark, sf_dir, "embeddings")
+        .join(incr_ids, "vec_id", "anti")
+        .select("vec_id", F.expr(_QUANT).alias("v"))
+    )
+    return base.mapInPandas(
+        _arrow_kernel(score), "new_id long, base_id long, cosine double"
+    )
+
+
+@query("dedup_embedding_incremental_streamed", oracle=_INCR_EMB_ORACLE)
+def dedup_embedding_incremental_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental embedding dedup served from the STREAMING IVF index
+    (streaming/ann.StreamingAnnIvfRuntime.range_search): the BASE
+    corpus is replayed as stream records through the cell-routed
+    stateful ingest, then the increment's vectors range-query the live
+    inverted lists with an EXHAUSTIVE probe (nprobe = cells). Because
+    argmax routing partitions the corpus across cells, probing all
+    cells rescans every indexed vector exactly once — the result is
+    EXACT (same hash-exact DuckDB oracle as the batch
+    dedup_embedding_incremental, not a recall approximation): the
+    live-index screen and the batch screen never diverge. At
+    production scale the same call with nprobe < cells becomes the
+    approximate fast path; the exactness contract here pins the
+    index's bookkeeping, quantization, and rescore arithmetic.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.streaming.ann import StreamingAnnIvfRuntime
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    incr_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src18", "src19"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    C = _ivf_centroids(spark, sf_dir)
+    base = _tempfile.mkdtemp(prefix="rg_emb_incr_stream_")
+    try:
+        spool = _os.path.join(base, "spool")
+        emb.join(incr_ids, "vec_id", "anti").select(
+            F.concat(F.lit("emb:"), F.col("vec_id").cast("string")).alias(
+                "stream_key"
+            ),
+            F.col("vec_id").cast("long").alias("id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("id_ts"),
+            F.create_map(
+                F.lit("vec_id"),
+                F.col("vec_id").cast("string"),
+                F.lit("vec"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",",
+                        F.expr(
+                            "transform(embedding,"
+                            " x -> cast(cast(x as double) as string))"
+                        ),
+                    ),
+                    F.lit("]"),
+                ),
+            ).alias("fields"),
+            F.lit(None)
+            .cast("array<struct<field:string,value:string>>")
+            .alias("record"),
+        ).write.parquet(spool)
+
+        engine = GearsEngine(spark, sf_dir=sf_dir)
+        rt = StreamingAnnIvfRuntime(
+            engine, spool, _os.path.join(base, "work"), centroids=C
+        )
+        rt.start()
+        rt.process_available()
+        rt.stop()
+
+        qrows = (
+            emb.join(incr_ids, "vec_id", "semi")
+            .select(
+                "vec_id",
+                F.expr(
+                    "transform(embedding, x -> cast(x as double))"
+                ).alias("v"),
+            )
+            .collect()
+        )
+        result = [
+            (r["q_id"], r["n_id"], r["cosine"])
+            for r in rt.range_search(
+                [(r["vec_id"], list(r["v"])) for r in qrows],
+                threshold=0.35,
+            ).collect()
+        ]
+        return spark.createDataFrame(
+            result, "new_id long, base_id long, cosine double"
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -268,14 +268,14 @@ class StreamingAnnIvfRuntime(StatefulStatsRuntime):
             .select("cell", "s.*")
         )
 
-    def topk(
+    def _scored_candidates(
         self,
         queries: list[tuple[int, list[float]]],
-        k: int = 5,
-        nprobe: int = 10,
+        nprobe: int,
+        exclude_self: bool = True,
     ) -> DataFrame:
-        """Top-k nearest neighbours for a bounded query set against the
-        live index — one Spark job, bit-compatible with batch sim_ann_ivf.
+        """Shared probe-and-rescore stage for topk()/range_search():
+        (q_id, n_id, cosine) for every candidate in the probed cells.
 
         The driver assigns probe cells for the |queries| vectors (the
         query set is bounded by definition; the CORPUS never touches the
@@ -326,23 +326,64 @@ class StreamingAnnIvfRuntime(StatefulStatsRuntime):
             F.col("z.qs").alias("n_q"),
             F.col("z.nqs").alias("n_nq"),
         )
-        cand = (
-            lists.join(F.broadcast(probes), "cell")
-            .filter(F.col("n_id") != F.col("q_id"))
-            .select("q_id", "n_id", "n_q", "n_nq")
-            .dropDuplicates(["q_id", "n_id"])
+        cand = lists.join(F.broadcast(probes), "cell")
+        if exclude_self:
+            cand = cand.filter(F.col("n_id") != F.col("q_id"))
+        cand = cand.select("q_id", "n_id", "n_q", "n_nq").dropDuplicates(
+            ["q_id", "n_id"]
         )
-        scored = cand.join(F.broadcast(qdf), "q_id").select(
+        return cand.join(F.broadcast(qdf), "q_id").select(
             "q_id",
             "n_id",
             _cosine(_dot("q_q", "n_q"), "q_nq", "n_nq").alias("cosine"),
         )
+
+    def topk(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 5,
+        nprobe: int = 10,
+    ) -> DataFrame:
+        """Top-k nearest neighbours for a bounded query set against the
+        live index — one Spark job, bit-compatible with batch
+        sim_ann_ivf (see _scored_candidates for the probe/rescore
+        contract)."""
+        scored = self._scored_candidates(queries, nprobe)
         w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "cosine", "rank")
         )
+
+    def range_search(
+        self,
+        queries: list[tuple[int, list[float]]],
+        threshold: float,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Every indexed vector with cosine >= threshold against each
+        query — the range-query twin of topk(), same probe/rescore
+        machinery. With nprobe = number of cells (the default) the probe
+        is EXHAUSTIVE: argmax routing partitions the corpus across
+        cells, so probing all cells scans every indexed vector exactly
+        once and the result is EXACT (bit-identical cosines to the batch
+        brute-force path) — no recall loss, while the corpus is still
+        read from the index's quantized lists. At production scale pass
+        nprobe < cells for the usual IVF recall/cost trade, or keep the
+        exhaustive probe when the increment is small (screening a new
+        batch against the corpus costs |corpus| dot products either
+        way; the index supplies locality and the quantized layout).
+
+        Self-pairs are NOT excluded (a range query's id space is the
+        caller's concern — batch-vs-corpus screens use disjoint id
+        sets)."""
+        if nprobe is None:
+            nprobe = len(self.centroids)
+        scored = self._scored_candidates(
+            queries, nprobe, exclude_self=False
+        )
+        return scored.filter(F.col("cosine") >= threshold)
 
     def latest(self) -> dict[str, dict]:
         raise GearsError(

@@ -433,3 +433,53 @@ def test_quant_half_up_matches_bigdecimal_on_f32_domain():
             got = int(_quant_half_up(np.array([v]))[0])
             assert got == half_up(v * 1e6), v
         x = np.nextafter(x, np.float32(1), dtype=np.float32)
+
+
+def test_range_search_exhaustive_probe_is_exact(spark, sf_dir, tmp_path, centroids):
+    """range_search with nprobe=cells rescans every indexed vector (argmax
+    routing partitions the corpus), so the streamed screen bit-equals the
+    batch dedup_embedding_incremental pairs."""
+    from redisgears_spark.operators.similarity import (
+        dedup_embedding_incremental,
+        dedup_embedding_incremental_streamed,
+    )
+
+    want = sorted(
+        map(tuple, dedup_embedding_incremental(spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup_embedding_incremental_streamed(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture increment has near-dups
+
+
+def test_range_search_narrow_probe_is_subset(spark, sf_dir, tmp_path, centroids):
+    """With nprobe < cells the range search is the approximate fast path:
+    every returned pair must appear in the exhaustive result with the
+    identical cosine (candidates approximate, scores never)."""
+    spool = str(tmp_path / "spool")
+    _write_spool(spark, sf_dir, spool)
+    rt = StreamingAnnIvfRuntime(
+        GearsEngine(spark, sf_dir=sf_dir), spool, str(tmp_path / "work"),
+        centroids=centroids,
+    )
+    rt.start()
+    rt.process_available()
+    rt.stop()
+    qs = _queries(spark, sf_dir)
+    full = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in rt.range_search(qs, threshold=0.3).collect()
+    }
+    narrow = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in rt.range_search(qs, threshold=0.3, nprobe=4).collect()
+    }
+    assert narrow  # nprobe=4 still finds the close cells' matches
+    assert set(narrow) <= set(full)
+    for k, v in narrow.items():
+        assert v == full[k]  # bit-identical rescore
