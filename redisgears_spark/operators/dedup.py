@@ -2106,3 +2106,76 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query("dedup_incremental_lsh")  # banded candidate gen — rows-only check
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of dedup_incremental_batch, made real: screen the
+    NEW batch against the corpus via MinHash BAND matches instead of the
+    exact shingle index. Candidates are (new, base) pairs sharing ≥1 of
+    the 8 LSH band hashes (the banded index is the saved state at scale
+    — ~192 B/doc instead of the full inverted shingle index), then the
+    exact Jaccard/containment verify runs on candidates only, emitting
+    the same schema as the exact twin. Signatures ride _sketched_docs —
+    the ONE narrow pass shared with dedup_minhash_lsh, so batch sweeps
+    and incremental screens use the same hash family (and the
+    StreamingMinHashRuntime's live signatures band-match this table
+    directly for a fully-streaming variant).
+
+    Probabilistic contract: candidates are a SUBSET of the exact twin's
+    pairs (band collisions cannot fabricate a qualifying pair — the
+    verify is exact; a shingle-disjoint collision yields inter=0 and is
+    dropped); recall follows the standard 8×4 banding curve (≈1 at the
+    fixture's planted-dup jaccards ≥0.97: miss probability ~3e-8, and
+    the hash family is deterministic, so the fixture result is stable).
+    Rows-only by design; tests/test_round12_properties.py pins
+    fixture-equality with dedup_incremental_batch and the subset
+    property.
+
+    Scale: the shuffle carries (band_id, band_hash, doc_id) and the
+    candidate pairs only; increment-side bands are batch-sized. The
+    shingle arrays join candidates only for the verify — never
+    all-pairs.
+    """
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _sketched_docs(spark, sf_dir).join(src, "doc_id").cache()
+    is_new = F.col("source").isin(list(_INCR_SOURCES))
+    new_bands = (
+        d.filter(is_new)
+        .select(F.col("doc_id").alias("new_id"), F.explode("bands").alias("band"))
+        .select("new_id", "band.band_id", "band.band_hash")
+    )
+    base_bands = (
+        d.filter(~is_new)
+        .select(F.col("doc_id").alias("base_id"), F.explode("bands").alias("band"))
+        .select("base_id", "band.band_id", "band.band_hash")
+    )
+    cand = (
+        new_bands.join(base_bands, ["band_id", "band_hash"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    sa = d.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")
+    )
+    sb = d.filter(~is_new).select(
+        F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "base_id")
+        .select(
+            "new_id",
+            "base_id",
+            inter.alias("inter"),
+            union.alias("union_n"),
+            (inter.cast("double") / union).alias("jaccard"),
+            (
+                inter.cast("double")
+                / F.least(F.size("sh_a"), F.size("sh_b")).cast("long")
+            ).alias("containment"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )

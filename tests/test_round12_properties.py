@@ -131,3 +131,39 @@ def test_stats_merge_variance_is_population_variance(spark, sf_dir):
         assert n == len(toks)
         assert abs(mean - a.mean()) <= 1e-12 * max(1.0, a.mean())
         assert abs(var - a.var()) <= 1e-9 * max(1.0, a.var())
+
+
+def test_incremental_lsh_matches_exact_twin(spark, sf_dir):
+    """dedup_incremental_lsh emits a SUBSET of dedup_incremental_batch
+    (band collisions cannot fabricate a qualifying pair — the verify is
+    exact), and on the fixture the sets are EQUAL: every planted
+    increment near-dup has jaccard >= 0.97, where the 8x4 banding's
+    miss probability is ~3e-8 and the hash family is deterministic."""
+    from redisgears_spark.operators.dedup import (
+        dedup_incremental_batch,
+        dedup_incremental_lsh,
+    )
+
+    exact = {
+        (r["new_id"], r["base_id"]): (
+            r["inter"],
+            r["union_n"],
+            r["jaccard"],
+            r["containment"],
+        )
+        for r in dedup_incremental_batch(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["new_id"], r["base_id"]): (
+            r["inter"],
+            r["union_n"],
+            r["jaccard"],
+            r["containment"],
+        )
+        for r in dedup_incremental_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # identical exact-verify values
+    assert lsh == exact  # fixture: banding recalls every planted pair
+    assert len(lsh) > 0
