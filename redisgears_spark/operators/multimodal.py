@@ -528,3 +528,75 @@ def multimodal_size_mismatch_audit(
             (mism.cast("double") / F.count(F.lit(1))).alias("mismatch_rate"),
         )
     )
+
+
+@query(
+    "multimodal_dedup_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT md5(text) AS payload_md5, MIN(doc_id) AS base_doc_id,
+             COUNT(*) AS base_copies
+      FROM documents WHERE source NOT IN ('src18', 'src19')
+      GROUP BY md5(text)
+    )
+    SELECT d.doc_id AS new_id, md5(d.text) AS payload_md5,
+           (b.base_doc_id IS NOT NULL) AS is_dup,
+           b.base_doc_id,
+           CAST(COALESCE(b.base_copies, 0) AS BIGINT) AS base_copies
+    FROM documents d
+    LEFT JOIN base b ON md5(d.text) = b.payload_md5
+    WHERE d.source IN ('src18', 'src19')
+    """,
+)
+def multimodal_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental media dedup — the per-asset admit/reject screen for
+    a NEW batch of media against the EXISTING corpus's content-hash
+    index: every increment asset, flagged is_dup when its bytes already
+    exist in the base corpus (byte-exact, the multimodal_dedup_exact
+    contract — no normalization), with the canonical base asset and its
+    copy count when they do. The saved state here is the
+    (md5 → keep_doc_id, n_copies) fingerprint table — 24 B/asset
+    regardless of payload size — and only the increment is hashed: this
+    completes the round-12 incremental screen across all three near-dup
+    modalities (lexical shingles, semantic embeddings, and byte-exact
+    media), on the same src18/src19 increment scenario.
+
+    Exactness: md5 equality, boolean flag, integer counts — full
+    hash-exact DuckDB oracle.
+
+    Scale: both sides project to (md5, doc_id) map-side before any
+    exchange (payload pruned after the hash); the join is
+    increment-fingerprints x corpus-fingerprint-table on the 16-byte
+    hash. No broadcast hint — the fingerprint table is corpus-sized
+    (the dedup_exact lesson); AQE broadcasts the increment side when
+    small.
+    """
+    media = media_table(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    is_new = F.col("source").isin("src18", "src19")
+    base = (
+        media.filter(~is_new)
+        .select(F.md5("payload").alias("payload_md5"), "doc_id")
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("base_doc_id"),
+            F.count(F.lit(1)).alias("base_copies"),
+        )
+    )
+    new = media.filter(is_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    return new.join(base, "payload_md5", "left").select(
+        "new_id",
+        "payload_md5",
+        F.col("base_doc_id").isNotNull().alias("is_dup"),
+        "base_doc_id",
+        F.coalesce("base_copies", F.lit(0)).cast("long").alias(
+            "base_copies"
+        ),
+    )
