@@ -1024,3 +1024,29 @@ def test_streaming_ann_topk_plan_shape(spark, sf_dir, tmp_path):
         plan[:3000]
     )
     assert "Arguments: SinglePartition" not in plan, plan[:3000]
+
+
+def test_incremental_stats_merge_plan_is_partial_then_merge(spark, sf_dir):
+    """pipeline_incremental_stats_merge must stay the associative-merge
+    shape: per-lang hash aggregation (map-side partials feed a
+    lang-keyed exchange — reduce state is O(langs)), no SinglePartition
+    data-sized exchange, no cartesian product."""
+    plan = formatted_plan(
+        QUERIES["pipeline_incremental_stats_merge"](spark, sf_dir)
+    )
+    assert "hashpartitioning(lang" in plan, plan[:4000]
+    assert "Arguments: SinglePartition" not in plan, plan[:4000]
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_novelty_join_lets_aqe_pick_strategy(spark, sf_dir):
+    """docs_incremental_vocab_novelty carries NO static broadcast hint on
+    the base-vocabulary side (a 100 TB corpus's vocabulary is
+    fact-sized); at fixture scale AQE must still pick a broadcast join
+    at runtime from the observed sizes, and the token join shuffles on
+    the token key otherwise."""
+    df = QUERIES["docs_incremental_vocab_novelty"](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed
+    assert "BroadcastHashJoin" in executed, executed[:3000]
