@@ -3077,3 +3077,201 @@ def pipeline_incremental_stats_merge(
             / (F.col("n") * F.col("n"))
         ).alias("var_tokens"),
     )
+
+
+@query(
+    "pipeline_increment_report",
+    oracle="""
+    WITH incr AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE source IN ('src18', 'src19')
+    ),
+    base_fp AS (
+      SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fp
+      FROM documents WHERE source NOT IN ('src18', 'src19')
+    ),
+    exact_dups AS (
+      SELECT doc_id, source FROM incr
+      WHERE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+            IN (SELECT fp FROM base_fp)
+    ),
+    docs AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ws) >= 3 THEN
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in generate_series(1, len(ws) - 2)])
+             ELSE [''] END AS sh
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, source, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+    sh_pairs AS (
+      SELECT a.doc_id AS new_id, a.source, b.doc_id AS base_id,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s
+      WHERE a.source IN ('src18', 'src19')
+        AND b.source NOT IN ('src18', 'src19')
+      GROUP BY 1, 2, 3
+    ),
+    neardup AS (
+      SELECT DISTINCT new_id, p.source
+      FROM sh_pairs p
+      JOIN sizes sa ON p.new_id = sa.doc_id
+      JOIN sizes sb ON p.base_id = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    q AS (SELECT vec_id,
+                 [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  for x in embedding] AS v
+          FROM embeddings),
+    nrm AS (SELECT vec_id, v,
+                   CAST(list_sum([v[i] * v[i]
+                        for i in generate_series(1, len(v))]) AS BIGINT)
+                     AS nq
+            FROM q),
+    tagged AS (
+      SELECT nrm.vec_id, nrm.v, nrm.nq, d.source,
+             (d.source IN ('src18', 'src19')) AS is_new
+      FROM nrm JOIN documents d ON nrm.vec_id = d.doc_id
+    ),
+    semdup AS (
+      SELECT DISTINCT a.vec_id AS new_id, a.source
+      FROM tagged a JOIN tagged b ON a.is_new AND NOT b.is_new
+      WHERE CAST(list_sum([a.v[i] * b.v[i]
+                 for i in generate_series(1, len(a.v))]) AS DOUBLE)
+            / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+            >= 0.35
+    ),
+    words AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    base_vocab AS (
+      SELECT DISTINCT w FROM words WHERE source NOT IN ('src18', 'src19')
+    ),
+    incr_vocab AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS occ,
+             MAX(CASE WHEN b.w IS NULL THEN 1 ELSE 0 END) AS is_novel
+      FROM (SELECT source, w FROM words
+            WHERE source IN ('src18', 'src19')) i
+      LEFT JOIN base_vocab b USING (w)
+      GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT source,
+             CAST(SUM(occ) AS BIGINT) AS total_tokens,
+             CAST(SUM(is_novel) AS BIGINT) AS novel_tokens,
+             CAST(SUM(is_novel) AS DOUBLE) / COUNT(*) AS novel_share
+      FROM incr_vocab GROUP BY source
+    )
+    SELECT i.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.doc_id) AS BIGINT) AS exact_dup_docs,
+           CAST(COUNT(nd.new_id) AS BIGINT) AS neardup_docs,
+           CAST(COUNT(sd.new_id) AS BIGINT) AS semantic_dup_docs,
+           ANY_VALUE(v.total_tokens) AS total_tokens,
+           ANY_VALUE(v.novel_tokens) AS novel_tokens,
+           ANY_VALUE(v.novel_share) AS novel_share
+    FROM incr i
+    LEFT JOIN exact_dups e ON i.doc_id = e.doc_id
+    LEFT JOIN neardup nd ON i.doc_id = nd.new_id
+    LEFT JOIN semdup sd ON i.doc_id = sd.new_id
+    LEFT JOIN vocab v ON i.source = v.source
+    GROUP BY i.source
+    """,
+)
+def pipeline_increment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest funnel, end-to-end in ONE exact-oracle
+    operator: for each source in the new batch (the round-12 src18/19
+    increment scenario), how many documents it brings, how many are
+    exact re-crawls of the corpus (dedup_exact's normalized
+    fingerprint), how many are lexical near-dups (the
+    dedup_incremental_batch screen, jaccard >= 0.2), how many are
+    semantic near-dups (the dedup_embedding_incremental screen,
+    cosine >= 0.35), and what its vocabulary actually adds
+    (docs_incremental_vocab_novelty's counts). This is the one table a
+    data-acquisition review reads before paying for more of a source —
+    and the composition proof that the family's screens agree on a
+    single increment scenario (each leg reuses the member operator's
+    exact discipline, so the whole report is hash-exact against one
+    composed DuckDB oracle).
+
+    Scale: each leg keeps its member's shape — fingerprints project
+    map-side, the shingle screen shuffles (shingle, doc_id) postings,
+    the embedding screen is the broadcast-increment block matmul, the
+    vocab leg joins on the token hash — and the final assembly is
+    per-source joins of increment-sized relations (2 output rows).
+    """
+    from redisgears_spark.operators.dedup import dedup_incremental_batch
+    from redisgears_spark.operators.similarity import (
+        dedup_embedding_incremental,
+    )
+    from redisgears_spark.operators.text import (
+        docs_incremental_vocab_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src18", "src19")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    incr = docs.filter(is_new).select("doc_id", "source", fp.alias("fp"))
+    base_fp = (
+        docs.filter(~is_new).select(fp.alias("fp")).distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    exact_dup = (
+        incr.join(base_fp, "fp", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("in_base").isNotNull().alias("is_exact_dup"),
+        )
+    )
+    neardup = (
+        dedup_incremental_batch(spark, sf_dir)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_neardup", F.lit(1))
+    )
+    semdup = (
+        dedup_embedding_incremental(spark, sf_dir)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_semdup", F.lit(1))
+    )
+    vocab = docs_incremental_vocab_novelty(spark, sf_dir).select(
+        "source", "total_tokens", "novel_tokens", "novel_share"
+    )
+    return (
+        exact_dup.join(neardup, "doc_id", "left")
+        .join(semdup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_exact_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            F.sum(F.coalesce("is_neardup", F.lit(0)))
+            .cast("long")
+            .alias("neardup_docs"),
+            F.sum(F.coalesce("is_semdup", F.lit(0)))
+            .cast("long")
+            .alias("semantic_dup_docs"),
+        )
+        .join(vocab, "source")
+        .select(
+            "source",
+            "n_docs",
+            "exact_dup_docs",
+            "neardup_docs",
+            "semantic_dup_docs",
+            "total_tokens",
+            "novel_tokens",
+            "novel_share",
+        )
+    )
