@@ -2086,7 +2086,10 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-        ).write.parquet(spool)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingShingleIndexRuntime(

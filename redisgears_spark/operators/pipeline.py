@@ -1272,10 +1272,13 @@ _BPE_NEW_SOURCES = ("src18", "src19")
 
 
 def _bpe_extend(
-    spark: SparkSession, sf_dir: str, new_sources
+    spark: SparkSession, sf_dir: str, new_sources, inc_wf=None
 ) -> DataFrame:
     """Shared engine for pipeline_bpe_extend (new_sources parameterized
-    so tests can pin the empty-increment continuation property)."""
+    so tests can pin the empty-increment continuation property;
+    `inc_wf` lets a caller supply the increment's frequency table from
+    SAVED STATE instead of a scan — pipeline_bpe_extend_streamed feeds
+    it from StreamingWordFreqRuntime.word_freq())."""
     docs = load_table(spark, sf_dir, "documents")
     is_new = (
         F.col("source").isin(list(new_sources))
@@ -1283,7 +1286,8 @@ def _bpe_extend(
         else F.lit(False)
     )
     base_wf = _word_freq_of(docs.filter(~is_new)).cache()
-    inc_wf = _word_freq_of(docs.filter(is_new))
+    if inc_wf is None:
+        inc_wf = _word_freq_of(docs.filter(is_new))
     # incremental state algebra: the union table is base + increment
     # ADDED (frequency tables of disjoint slices are associative under
     # +), never a rescan of the combined corpus — at 100 TB the base
@@ -3275,3 +3279,80 @@ def pipeline_increment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novel_share",
         )
     )
+
+
+@query("pipeline_bpe_extend_streamed")  # iterative fixpoint — rows-only;
+# bit-equality vs pipeline_bpe_extend pinned in tests/test_streaming_vocab.py
+def pipeline_bpe_extend_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frozen-prefix BPE vocabulary extension fed from LIVE state: the
+    increment's documents (src18/src19) are replayed as stream records
+    through StreamingWordFreqRuntime (streaming/vocab.py — bucketed
+    per-document counters, replay-idempotent), and the extend machinery
+    consumes the runtime's word_freq() table instead of scanning the
+    increment. The result is BIT-IDENTICAL to batch
+    pipeline_bpe_extend — frequency tables are the additive unit of BPE
+    state, and the streamed table is row-identical to the batch scan —
+    completing the tokenizer's live leg of the round-12 incremental
+    trilogy (the ANN index and the dedup indexes got theirs first).
+
+    Reference analog: live stream consumers building queryable state
+    (stream_reader.rs consumer-state discipline) — here the state is
+    the tokenizer trainer's input table.
+
+    Scale: ingest is one stateful streaming stage keyed on
+    doc_id % n_buckets; word_freq() is one exploded-partials word-keyed
+    aggregate. The extend phase is unchanged (base merges replayed on
+    the ADDED union table, 4 continued merges).
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redisgears_spark.engine import GearsEngine
+    from redisgears_spark.streaming.vocab import StreamingWordFreqRuntime
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(list(_BPE_NEW_SOURCES))
+    base = _tempfile.mkdtemp(prefix="rg_wf_stream_")
+    try:
+        spool = _os.path.join(base, "spool")
+        docs.filter(is_new).select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "stream_key"
+            ),
+            F.col("doc_id").cast("long").alias("id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("id_ts"),
+            F.create_map(
+                F.lit("doc_id"),
+                F.col("doc_id").cast("string"),
+                F.lit("text"),
+                F.col("text"),
+            ).alias("fields"),
+            F.lit(None)
+            .cast("array<struct<field:string,value:string>>")
+            .alias("record"),
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
+
+        engine = GearsEngine(spark, sf_dir=sf_dir)
+        rt = StreamingWordFreqRuntime(
+            engine, spool, _os.path.join(base, "work")
+        )
+        rt.start()
+        rt.process_available()
+        rt.stop()
+
+        result = _bpe_extend(
+            spark, sf_dir, _BPE_NEW_SOURCES, inc_wf=rt.word_freq()
+        ).collect()
+        return spark.createDataFrame(
+            result,
+            "round long, left string, right string, pair_count long, "
+            "phase string",
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

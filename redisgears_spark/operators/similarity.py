@@ -2655,7 +2655,10 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-        ).write.parquet(spool)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingAnnIvfRuntime(
@@ -2872,7 +2875,10 @@ def dedup_embedding_incremental_streamed(
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-        ).write.parquet(spool)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingAnnIvfRuntime(

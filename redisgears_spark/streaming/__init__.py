@@ -17,6 +17,9 @@ from redisgears_spark.streaming.ann import (  # noqa: F401
 from redisgears_spark.streaming.dedupindex import (  # noqa: F401
     StreamingShingleIndexRuntime,
 )
+from redisgears_spark.streaming.vocab import (  # noqa: F401
+    StreamingWordFreqRuntime,
+)
 from redisgears_spark.streaming.stateful import (  # noqa: F401
     StatefulStatsRuntime,
     StreamingBloomDedupRuntime,
