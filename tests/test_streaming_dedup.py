@@ -289,3 +289,67 @@ def test_screen_plan_shape(spark, sf_dir, tmp_path):
     plan = rt.screen(_increment(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan  # JVM-side postings explode
+
+
+def test_live_minhash_bands_match_batch_band_table(spark, sf_dir, tmp_path):
+    """The INCREMENTAL.md scale-path claim, pinned: a document's
+    shingles streamed through StreamingMinHashRuntime produce EXACTLY
+    the band hashes the batch _sketched_docs table assigns the same
+    document — so live signatures can equi-join the saved band table as
+    the banded candidate generator (dedup_incremental_lsh's candidate
+    join, served from streaming state)."""
+    from redisgears_spark.operators.dedup import _sketched_docs
+    from redisgears_spark.streaming import StreamingMinHashRuntime
+    from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+    want = {
+        r["doc_id"]: [b["band_hash"] for b in r["bands"]]
+        for r in _sketched_docs(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("source").isin(list(_INCR)))
+            .select("doc_id"),
+            "doc_id",
+        )
+        .collect()
+    }
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in _sketched_docs(spark, sf_dir)
+        .filter(F.col("doc_id").isin(list(want)))
+        .select("doc_id", "sh")
+        .collect()
+    }
+    rows = []
+    i = 0
+    for doc_id, shingles in sh.items():
+        for s in shingles:
+            rows.append(
+                {
+                    "stream_key": f"doc:{doc_id}",
+                    "id": i,
+                    "id_ts": pd.Timestamp("2024-01-01"),
+                    "fields": {"u": s},
+                    "record": None,
+                }
+            )
+            i += 1
+    spool = str(tmp_path / "spool")
+    spark.createDataFrame(pd.DataFrame(rows), STREAM_SCHEMA).write.parquet(
+        spool
+    )
+    rt = StreamingMinHashRuntime(
+        GearsEngine(spark, sf_dir=sf_dir),
+        spool,
+        str(tmp_path / "work"),
+        field="u",
+    )
+    rt.start()
+    rt.process_available()
+    rt.stop()
+    got = {
+        int(k.split(":", 1)[1]): v["bands"]
+        for k, v in rt.signatures().items()
+    }
+    assert got == want  # live bands == batch band table, hash for hash
+    assert len(got) > 0
