@@ -353,3 +353,64 @@ def test_live_minhash_bands_match_batch_band_table(spark, sf_dir, tmp_path):
     }
     assert got == want  # live bands == batch band table, hash for hash
     assert len(got) > 0
+
+
+def test_degenerate_documents_match_python_reference(spark, tmp_path):
+    """Edge pin: short (<3 words), empty, and whitespace-only documents
+    stream through the index exactly as the batch shingle kernel treats
+    them (all collapse to the sentinel [''] shingle, so every
+    degenerate doc pairs with every other at jaccard 1.0) — screened
+    against a pure-Python _shingles_py reference."""
+    from redisgears_spark.operators.dedup import _shingles_py
+    from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+    base = {0: "a b", 1: "", 2: "   ", 3: "x y z w v u t s"}
+    new = {100: "q r", 101: "x y z w v q", 102: "only two"}
+    spool = str(tmp_path / "spool")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "stream_key": f"doc:{i}",
+                    "id": i,
+                    "id_ts": pd.Timestamp("2024-01-01"),
+                    "fields": {"doc_id": str(i), "text": t},
+                    "record": None,
+                }
+                for i, t in base.items()
+            ]
+        ),
+        STREAM_SCHEMA,
+    ).write.parquet(spool)
+    rt = StreamingShingleIndexRuntime(
+        GearsEngine(spark, sf_dir="/root/testdata/sf0.001"),
+        spool,
+        str(tmp_path / "work"),
+        n_buckets=3,
+    )
+    rt.start()
+    rt.process_available()
+    rt.stop()
+    new_df = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": i, "text": t} for i, t in new.items()]),
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["base_id"]): (r["inter"], r["jaccard"])
+        for r in rt.screen(new_df).collect()
+    }
+    want = {}
+    base_sh = {i: set(_shingles_py(t)) for i, t in base.items()}
+    for ni, nt in new.items():
+        ns = set(_shingles_py(nt))
+        for bi, bs in base_sh.items():
+            inter = len(ns & bs)
+            if inter == 0:
+                continue
+            union = len(ns) + len(bs) - inter
+            if inter / union >= 0.2:
+                want[(ni, bi)] = (inter, inter / union)
+    assert got == want
+    # the degenerate docs DID pair: every <3-word doc shares ['']
+    assert (100, 0) in got and got[(100, 0)] == (1, 1.0)
+    assert (100, 1) in got and (100, 2) in got and (102, 0) in got

@@ -222,3 +222,44 @@ def test_bpe_extend_streamed_bit_equals_batch(spark, sf_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_degenerate_documents_word_freq(spark, tmp_path):
+    """Edge pin: empty and whitespace-only documents contribute zero
+    counts (but are retained as documents for tombstone symmetry), and
+    the table equals a Counter over the non-degenerate text."""
+    from collections import Counter
+
+    from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+    from redisgears_spark.streaming.vocab import _tokens_py
+
+    docs = {0: "", 1: "   ", 2: "a b a", 3: "b"}
+    spool = str(tmp_path / "spool")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "stream_key": f"doc:{i}",
+                    "id": i,
+                    "id_ts": pd.Timestamp("2024-01-01"),
+                    "fields": {"doc_id": str(i), "text": t},
+                    "record": None,
+                }
+                for i, t in docs.items()
+            ]
+        ),
+        STREAM_SCHEMA,
+    ).write.parquet(spool)
+    rt = StreamingWordFreqRuntime(
+        GearsEngine(spark, sf_dir="/root/testdata/sf0.001"),
+        spool,
+        str(tmp_path / "work"),
+        n_buckets=2,
+    )
+    rt.start()
+    rt.process_available()
+    rt.stop()
+    want = Counter()
+    for t in docs.values():
+        want.update(_tokens_py(t))
+    assert _stream_freq(rt) == dict(want) == {"a": 2, "b": 2}
