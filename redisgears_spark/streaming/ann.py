@@ -191,6 +191,8 @@ class StreamingAnnIvfRuntime(StatefulStatsRuntime):
     module docstring for the routing/state/exactness contract.
     """
 
+    _SINK_KEY = ("cell",)  # sink snapshots key on the cell space
+
     def __init__(
         self,
         engine: GearsEngine,

@@ -211,6 +211,8 @@ class StreamingShingleIndexRuntime(StatefulStatsRuntime):
     routing/state/exactness contract.
     """
 
+    _SINK_KEY = ("bucket",)  # sink snapshots key on the bucket space
+
     def __init__(
         self,
         engine: GearsEngine,

@@ -137,6 +137,11 @@ def _running_stats(
 class StatefulStatsRuntime:
     """Owns the stateful running-stats query for a stream source."""
 
+    # the sink's key column(s): update mode emits one row per touched key
+    # per epoch, so "latest per key" is the live snapshot. Index-shaped
+    # runtimes (ANN cells, shingle/word-freq buckets) override this.
+    _SINK_KEY: tuple[str, ...] = ("stream_key",)
+
     def __init__(self, engine: GearsEngine, spool_dir: str, work_dir: str,
                  source_adapter=None):
         self.engine = engine
@@ -308,6 +313,49 @@ class StatefulStatsRuntime:
                 pd.DataFrame(rows), STREAM_SCHEMA
             ).coalesce(1).write.mode("append").parquet(self.spool_dir)
         return expired
+
+    # -- sink compaction (the trim/maintain() discipline, retention.py) ------
+
+    def compact_sink(self) -> int:
+        """Rewrite the sink to only the LATEST epoch row per key —
+        the maintenance step that bounds sink growth at O(state) instead
+        of O(epochs × state) (update mode re-emits a key's full snapshot
+        every epoch it changes, so superseded epochs are dead weight).
+        Run it under the same maintenance cadence as stream trim
+        (retention.apply_retention) — the reference also defers
+        trim/expiry to post-notification maintenance rather than doing
+        it inline.
+
+        The retained rows keep their ORIGINAL epoch numbers, and
+        checkpointed epoch ids are monotonic across restarts, so rows
+        appended after a compaction still supersede compacted ones in
+        every latest-per-key read. Requires the query to be stopped
+        (the sink directory is swapped atomically underneath the
+        readers). Returns the row count after compaction."""
+        if self.query is not None:
+            raise GearsError(
+                "compact_sink requires the streaming query to be "
+                "stopped — stop() first, compact, then start() resumes "
+                "from the checkpoint"
+            )
+        df = self._sink_df()
+        if df is None:
+            return 0
+        key_cols = list(self._SINK_KEY)
+        val_cols = [c for c in df.columns if c not in key_cols]
+        latest = (
+            df.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*val_cols), F.col("epoch")).alias("s"))
+            .select(*key_cols, "s.*")
+        )
+        tmp = self.sink_dir + "_compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the write materializes `latest` fully before the swap deletes
+        # its input files
+        latest.coalesce(8).write.parquet(tmp)
+        shutil.rmtree(self.sink_dir)
+        os.rename(tmp, self.sink_dir)
+        return self.spark.read.parquet(self.sink_dir).count()
 
     # -- FLUSHALL (lib.rs:1627-1640): drop stream state, keep registry -------
 

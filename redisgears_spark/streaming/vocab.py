@@ -175,6 +175,8 @@ class StreamingWordFreqRuntime(StatefulStatsRuntime):
     in ``fields[id_field]``. See the module docstring for the contract.
     """
 
+    _SINK_KEY = ("bucket",)  # sink snapshots key on the bucket space
+
     def __init__(
         self,
         engine: GearsEngine,

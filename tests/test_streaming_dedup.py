@@ -414,3 +414,73 @@ def test_degenerate_documents_match_python_reference(spark, tmp_path):
     # the degenerate docs DID pair: every <3-word doc shares ['']
     assert (100, 0) in got and got[(100, 0)] == (1, 1.0)
     assert (100, 1) in got and (100, 2) in got and (102, 0) in got
+
+
+def test_compact_sink_shingle_index_screen_unchanged(
+    spark, sf_dir, tmp_path, batch_pairs
+):
+    """compact_sink() on the shingle index (bucket-keyed sink): the
+    screen is bit-unchanged after compaction and the sink shrinks to
+    one row per touched bucket."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        ~F.col("source").isin(list(_INCR))
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    first = set(ids[: len(ids) // 2])
+    spool = str(tmp_path / "spool")
+    rt = _runtime(spark, sf_dir, tmp_path)
+    _write_spool(spark, sf_dir, spool, only_ids=first)
+    rt.start()
+    rt.process_available()
+    _write_spool(spark, sf_dir, spool, exclude_ids=first)
+    rt.process_available()
+    rt.stop()
+    before = spark.read.parquet(rt.sink_dir).count()
+    after = rt.compact_sink()
+    assert after < before
+    assert after <= rt.n_buckets
+    assert _rows(rt.screen(_increment(spark, sf_dir))) == batch_pairs
+
+
+def test_compact_sink_stream_key_runtime(spark, sf_dir, tmp_path):
+    """compact_sink() on a stream_key-keyed runtime (the default
+    _SINK_KEY): MinHash signatures are unchanged after compaction."""
+    from redisgears_spark.streaming import StreamingMinHashRuntime
+    from redisgears_spark.streaming.triggers import STREAM_SCHEMA
+
+    spool = str(tmp_path / "spool")
+
+    def write_chunk(chunk):
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "stream_key": f"k:{i % 3}",
+                        "id": i,
+                        "id_ts": pd.Timestamp("2024-01-01"),
+                        "fields": {"u": f"v{i % 17}"},
+                        "record": None,
+                    }
+                    for i in chunk
+                ]
+            ),
+            STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(spool)
+
+    write_chunk(range(0, 40))
+    rt = StreamingMinHashRuntime(
+        GearsEngine(spark, sf_dir=sf_dir),
+        spool,
+        str(tmp_path / "work"),
+        field="u",
+    )
+    rt.start()
+    rt.process_available()
+    write_chunk(range(40, 80))  # second epoch — keys re-emit
+    rt.process_available()
+    rt.stop()
+    before = spark.read.parquet(rt.sink_dir).count()
+    snapshot = rt.signatures()
+    after = rt.compact_sink()
+    assert after == 3 < before  # one row per stream_key
+    assert rt.signatures() == snapshot

@@ -263,3 +263,54 @@ def test_degenerate_documents_word_freq(spark, tmp_path):
     for t in docs.values():
         want.update(_tokens_py(t))
     assert _stream_freq(rt) == dict(want) == {"a": 2, "b": 2}
+
+
+def test_compact_sink_preserves_table_and_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """compact_sink() rewrites the sink to the latest epoch per bucket:
+    reads are unchanged, the row count drops to one per touched bucket,
+    and a restarted query (same checkpoint) appends rows that supersede
+    the compacted snapshot — the trim/maintain() discipline applied to
+    the state sink."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(list(_INCR))
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    first = set(ids[: len(ids) // 3])
+    second = set(ids[len(ids) // 3 : 2 * len(ids) // 3])
+    spool = str(tmp_path / "spool")
+    rt = _runtime(spark, sf_dir, tmp_path)
+    _write_spool(spark, sf_dir, spool, only_ids=first)
+    rt.start()
+    rt.process_available()
+    _write_spool(spark, sf_dir, spool, only_ids=second)
+    rt.process_available()
+    rt.stop()
+    before = spark.read.parquet(rt.sink_dir).count()
+    snapshot = _stream_freq(rt)
+    after = rt.compact_sink()
+    assert after < before  # superseded epochs dropped
+    assert _stream_freq(rt) == snapshot  # reads unchanged
+    # restart from the checkpoint and ingest the remainder
+    rt.start()
+    _write_spool(
+        spark, sf_dir, spool, exclude_ids=first | second
+    )
+    rt.process_available()
+    rt.stop()
+    assert _stream_freq(rt) == _batch_freq(spark, sf_dir)
+
+
+def test_compact_sink_refuses_running_query(spark, sf_dir, tmp_path):
+    from redisgears_spark.engine import GearsError
+
+    _write_spool(spark, sf_dir, str(tmp_path / "spool"))
+    rt = _runtime(spark, sf_dir, tmp_path)
+    rt.start()
+    rt.process_available()
+    try:
+        with pytest.raises(GearsError, match="stopped"):
+            rt.compact_sink()
+    finally:
+        rt.stop()
