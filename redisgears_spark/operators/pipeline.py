@@ -3356,3 +3356,87 @@ def pipeline_bpe_extend_streamed(
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "pipeline_contamination_increment",
+    oracle=f"""
+    WITH {_DECON_GRAMS_CTE},
+    eg AS (SELECT DISTINCT md5(g.g) AS gh
+           FROM g JOIN documents d ON g.doc_id = d.doc_id
+           WHERE g.doc_id % {_DECON_EVAL_MOD} = 0
+             AND d.source NOT IN ('src18', 'src19')),
+    tg AS (SELECT DISTINCT g.doc_id, md5(g.g) AS gh
+           FROM g JOIN documents d ON g.doc_id = d.doc_id
+           WHERE d.source IN ('src18', 'src19')),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hits
+             FROM tg JOIN eg USING (gh) GROUP BY doc_id)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_eval_grams,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source IN ('src18', 'src19')
+    """,
+)
+def pipeline_contamination_increment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination of the INCREMENT only — the admission
+    check the round-12 increment scenario was missing: before a new
+    batch (src18/src19) joins the corpus, screen EVERY new document
+    against the held-out benchmark's word-5-gram set (the deterministic
+    doc_id % 13 slice of the BASE corpus — the benchmark predates the
+    increment, so increment docs are never their own eval set). Output
+    per new document: its source (the triage dimension), how many
+    distinct eval 5-grams it contains, the contaminated verdict. With
+    pipeline_increment_report (dups + novelty) this completes the
+    increment-admission battery: a batch is admitted after dedup,
+    novelty, AND leakage screening.
+
+    Exactness: distinct-gram hit counts are exact integers — full
+    hash-exact DuckDB oracle (pipeline_decontaminate's discipline on
+    the increment slice).
+
+    Scale: the benchmark side reduces to DISTINCT md5 fingerprints —
+    in production a benchmark suite is thousands of documents, so this
+    side broadcast-joins (here it is corpus-proportional, so no hint:
+    the honest-100 TB pattern, AQE decides); the increment side
+    tokenizes map-side in one Arrow pass (_gram_rows) and only
+    (doc_id, 32-byte hash) rows reach the exchange. Cost is linear in
+    the increment + one pass over the saved benchmark fingerprints.
+    """
+    is_new = F.col("source").isin("src18", "src19")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    # predicates push into the gram scan (source is in scope before
+    # _gram_rows' projection) — neither side tokenizes rows it discards
+    eval_grams = (
+        _gram_rows(
+            spark,
+            sf_dir,
+            (F.col("doc_id") % _DECON_EVAL_MOD == 0) & ~is_new,
+        )
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    new_grams = (
+        _gram_rows(spark, sf_dir, is_new)
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    hits = new_grams.join(eval_grams, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs_src.filter(is_new)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias(
+                "n_eval_grams"
+            ),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
