@@ -2141,7 +2141,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs.
     """
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    d = _sketched_docs(spark, sf_dir).join(src, "doc_id").cache()
+    # NOT cached: a .cache() here outlives the query (nothing ever
+    # unpersists a returned-lazy operator's intermediates) and pins the
+    # sketch table in executor memory for the session; the band/shingle
+    # legs each scan it once and recomputing the narrow sketch pass is
+    # cheaper than a permanent storage leak
+    d = _sketched_docs(spark, sf_dir).join(src, "doc_id")
     is_new = F.col("source").isin(list(_INCR_SOURCES))
     new_bands = (
         d.filter(is_new)

@@ -3267,7 +3267,10 @@ def pipeline_increment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("semantic_dup_docs"),
         )
-        .join(vocab, "source")
+        # LEFT join to match the oracle: a source whose documents all
+        # tokenize to empty has no vocab row and must still report
+        # (with NULL token columns), not vanish from the funnel
+        .join(vocab, "source", "left")
         .select(
             "source",
             "n_docs",

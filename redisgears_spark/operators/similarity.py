@@ -2746,6 +2746,11 @@ def _increment_numpy(spark: SparkSession, sf_dir: str):
             "route candidates through the ANN index"
         )
     ids = pdf["vec_id"].to_numpy(dtype="int64")
+    if len(pdf) == 0:
+        # np.vstack rejects an empty sequence with an opaque error; an
+        # empty increment is a legal no-op screen
+        dim = len(load_table(spark, sf_dir, "embeddings").head()["embedding"])
+        return ids, np.zeros((0, dim), dtype="int64")
     M = np.vstack(pdf["v"].to_numpy()).astype("int64")
     return ids, M
 

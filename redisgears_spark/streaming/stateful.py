@@ -141,6 +141,12 @@ class StatefulStatsRuntime:
     # per epoch, so "latest per key" is the live snapshot. Index-shaped
     # runtimes (ANN cells, shingle/word-freq buckets) override this.
     _SINK_KEY: tuple[str, ...] = ("stream_key",)
+    # event-log sinks (sessionize, rate-limit, CUSUM, bloom-dedup) append
+    # one row per closed session / per record: every row IS history, the
+    # sink is already O(events), and latest-per-key compaction would
+    # silently destroy it — those runtimes set this True and
+    # compact_sink() refuses (same fail-loud pattern as their latest()).
+    _SINK_EVENT_LOG: bool = False
 
     def __init__(self, engine: GearsEngine, spool_dir: str, work_dir: str,
                  source_adapter=None):
@@ -317,7 +323,7 @@ class StatefulStatsRuntime:
     # -- sink compaction (the trim/maintain() discipline, retention.py) ------
 
     def compact_sink(self) -> int:
-        """Rewrite the sink to only the LATEST epoch row per key —
+        """Rewrite the sink to only the LATEST-epoch rows per key —
         the maintenance step that bounds sink growth at O(state) instead
         of O(epochs × state) (update mode re-emits a key's full snapshot
         every epoch it changes, so superseded epochs are dead weight).
@@ -326,12 +332,27 @@ class StatefulStatsRuntime:
         trim/expiry to post-notification maintenance rather than doing
         it inline.
 
+        A key's snapshot may span several rows in one epoch (the
+        heavy-hitters top-k emits one row per rank), so compaction keeps
+        EVERY row of the key's highest epoch (left-semi join on the
+        per-key max), never a single max_by row — lossless for single-
+        and multi-row snapshots alike. Event-log runtimes (sessionize,
+        rate-limit, CUSUM, bloom-dedup) have nothing compactable — every
+        row is history — and refuse loudly instead.
+
         The retained rows keep their ORIGINAL epoch numbers, and
         checkpointed epoch ids are monotonic across restarts, so rows
         appended after a compaction still supersede compacted ones in
         every latest-per-key read. Requires the query to be stopped
         (the sink directory is swapped atomically underneath the
         readers). Returns the row count after compaction."""
+        if self._SINK_EVENT_LOG:
+            raise GearsError(
+                f"{type(self).__name__} sink is an event log (one row "
+                "per event, no superseded snapshots) — latest-per-key "
+                "compaction would destroy history; bound growth with "
+                "expiry/trim of the SOURCE instead"
+            )
         if self.query is not None:
             raise GearsError(
                 "compact_sink requires the streaming query to be "
@@ -342,12 +363,8 @@ class StatefulStatsRuntime:
         if df is None:
             return 0
         key_cols = list(self._SINK_KEY)
-        val_cols = [c for c in df.columns if c not in key_cols]
-        latest = (
-            df.groupBy(*key_cols)
-            .agg(F.max_by(F.struct(*val_cols), F.col("epoch")).alias("s"))
-            .select(*key_cols, "s.*")
-        )
+        maxe = df.groupBy(*key_cols).agg(F.max("epoch").alias("epoch"))
+        latest = df.join(maxe, key_cols + ["epoch"], "left_semi")
         tmp = self.sink_dir + "_compacting"
         shutil.rmtree(tmp, ignore_errors=True)
         # the write materializes `latest` fully before the swap deletes
@@ -604,6 +621,8 @@ class StreamingSessionizeRuntime(StatefulStatsRuntime):
     axis: ms*2^20+seq); pass `gap` in the same packed units.
     """
 
+    _SINK_EVENT_LOG = True  # closed-session log: one row per session; compaction would destroy it
+
     def __init__(
         self,
         engine: GearsEngine,
@@ -735,6 +754,8 @@ class StreamingRateLimitRuntime(StatefulStatsRuntime):
     checkpointed, so quota survives restarts.
     """
 
+    _SINK_EVENT_LOG = True  # verdict log: one row per record; compaction would destroy it
+
     def __init__(
         self,
         engine: GearsEngine,
@@ -855,6 +876,8 @@ class StreamingCusumRuntime(StatefulStatsRuntime):
     as in production CUSUM deployments (k is chosen from the in-control
     level being monitored).
     """
+
+    _SINK_EVENT_LOG = True  # score log: one row per record; compaction would destroy it
 
     def __init__(
         self,
@@ -1550,6 +1573,8 @@ class StreamingBloomDedupRuntime(StatefulStatsRuntime):
     set per key and XADDs only unseen items; this runtime is that
     recipe with bounded memory and checkpointed state.
     """
+
+    _SINK_EVENT_LOG = True  # verdict log: one row per record; compaction would destroy it
 
     def __init__(
         self,

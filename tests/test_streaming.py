@@ -2471,6 +2471,95 @@ class TestHeavyHittersApiSurface:
             rt.expire_idle(60)
 
 
+class TestSinkCompactionSafety:
+    """compact_sink() must be lossless for snapshot sinks and REFUSED for
+    event-log sinks — never a silent history wipe (docs/INCREMENTAL.md
+    rule 5)."""
+
+    def test_compact_preserves_multirow_topk(self, spark, sf_dir, spool, work):
+        """The heavy-hitters sink carries MULTIPLE rows per key per epoch
+        (one per rank): compaction must keep the key's full latest-epoch
+        snapshot, not a single arbitrary max_by row."""
+        from redisgears_spark.streaming import StreamingHeavyHittersRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingHeavyHittersRuntime(
+            engine, spool, work, field="item", cap=5, topk=3
+        )
+        rows = []
+        for i in range(120):
+            item = "i0" if i % 3 == 0 else f"i{i % 7}"
+            rows.append(("k:1" if i % 2 == 0 else "k:2", i, {"item": item}))
+        _write_canonical(spark, spool, rows[:60])
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            _write_canonical(spark, spool, rows[60:])  # second epoch
+            rt.process_available()
+        finally:
+            rt.stop()
+        before = spark.read.parquet(rt.sink_dir).count()
+        snapshot = rt.top()
+        assert all(len(entries) > 1 for entries in snapshot.values())
+        after = rt.compact_sink()
+        # every rank of the latest epoch survives; older epochs are gone
+        assert after == sum(len(v) for v in snapshot.values()) < before
+        assert rt.top() == snapshot
+
+    @pytest.mark.parametrize(
+        "runtime_name,read_api",
+        [
+            ("StreamingSessionizeRuntime", "sessions"),
+            ("StreamingRateLimitRuntime", None),
+            ("StreamingCusumRuntime", "scores"),
+            ("StreamingBloomDedupRuntime", None),
+        ],
+    )
+    def test_event_log_runtimes_refuse_compaction(
+        self, spark, sf_dir, spool, work, runtime_name, read_api
+    ):
+        """Sessionize/rate-limit/CUSUM/bloom-dedup sinks are event logs
+        (one row per closed session / per record); latest-per-key
+        compaction would destroy history, so compact_sink fails loudly."""
+        import redisgears_spark.streaming as streaming_mod
+
+        engine = GearsEngine(spark, sf_dir)
+        cls = getattr(streaming_mod, runtime_name)
+        rt = cls(engine, spool, work)
+        with pytest.raises(GearsError, match="event log"):
+            rt.compact_sink()
+
+    def test_sessionize_history_intact_end_to_end(
+        self, spark, sf_dir, spool, work
+    ):
+        """Regression for the compaction-loss bug: after two closed
+        sessions on one key, the refused compaction leaves sessions()
+        returning BOTH (the lossy path returned at most one per key)."""
+        from redisgears_spark.streaming import StreamingSessionizeRuntime
+
+        engine = GearsEngine(spark, sf_dir)
+        rt = StreamingSessionizeRuntime(engine, spool, work, gap=10)
+        _write_canonical(
+            spark, spool, [("k:1", i, {"x": "1"}) for i in (1, 2, 3)]
+        )
+        rt.start(prefix="k:")
+        try:
+            rt.process_available()
+            _write_canonical(spark, spool, [("k:1", 50, {"x": "1"})])
+            rt.process_available()
+            _write_canonical(spark, spool, [("k:1", 100, {"x": "1"})])
+            rt.process_available()
+        finally:
+            rt.stop()
+        with pytest.raises(GearsError, match="event log"):
+            rt.compact_sink()
+        got = [
+            (s["session_start_id"], s["session_end_id"])
+            for s in rt.sessions()
+        ]
+        assert got == [(1, 3), (50, 50)]
+
+
 class TestStreamingSessionize:
     """Gap sessionization with state-store-resident open sessions."""
 
