@@ -2,12 +2,18 @@
 
 Beyond the reference's surface (driver north star): exact dedup, n-gram
 Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup — each designed
-partition-parallel. The exact/Jaccard variants carry DuckDB oracles; the
-sketch-based ones (MinHash/SimHash) are probabilistic by design and use the
-driver's rows-only check, with exact-verification stages inside the plan.
+partition-parallel. The exact/Jaccard variants carry DuckDB oracles, and —
+since the round-13 md5 hash-family migration — so does the ENTIRE banded
+MinHash family: the oracle replays the sketch itself in SQL
+(_ORACLE_MH_BANDS_CTE: md5_number_upper content hash + splitmix64 mixing
+through UHUGEINT wrap arithmetic), so candidate generation is hash-exact
+checked, not just the verify stage. SimHash remains rows-only (per-bit
+balance replay is possible but disproportionate).
 
-Determinism: shingle hashing uses xxhash64 with integer salts (stable across
-runs/partitions); cosine uses integer-quantized embeddings (see similarity).
+Determinism: shingle hashing is md5-64 + splitmix64 with integer salts
+(stable across runs/partitions/engines — functions/hashing keeps the
+three dialects in lockstep); cosine uses integer-quantized embeddings
+(see similarity).
 
 Scale design:
   * exact dedup — one hash-shuffle on the fingerprint; at 100 TB group on
@@ -29,6 +35,9 @@ from pyspark.sql.window import Window as W
 from redisgears_spark.functions.hashing import (
     md5_hash32_spark,
     md5_hash32_sql,
+    md5_hash64_sql,
+    splitmix64_py,
+    splitmix64_sql,
 )
 from redisgears_spark.operators.registry import query
 from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
@@ -129,6 +138,77 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_N = 32
+_MINHASH_BANDS = 8
+_MINHASH_ROWS = _MINHASH_N // _MINHASH_BANDS
+_U64 = (1 << 64) - 1
+
+# The 32 fixed salts of the MinHash family — splitmix64(i·golden) for
+# i = 1.._MINHASH_N, wrapping mod 2^64 exactly like the numpy uint64
+# multiply in _sketched_docs (and stateful._mh_salts). Embedded as SQL
+# literals so the DuckDB oracle replays the identical hash family.
+_ORACLE_MH_SALTS = ", ".join(
+    f"({i}, CAST({splitmix64_py(((i + 1) * 0x9E3779B97F4A7C15) & _U64)}"
+    " AS UBIGINT))"
+    for i in range(_MINHASH_N)
+)
+
+# DuckDB replay of the FULL banded MinHash sketch (round 13): per-shingle
+# md5-64 content hash (= md5_number_upper), 32 salted splitmix64 variants,
+# per-doc column-min signature, 4-deep splitmix64 band fold, band-bucket
+# candidate join, exact shingle-intersection verify. The final CTE is
+# named `pairs` with the SAME (a_id, b_id, inter) shape as
+# _ORACLE_PAIRS_CTE, so every exact twin's oracle tail composes with
+# either candidate generator unchanged. Bit-parity of the three dialects
+# (numpy sketch / scalar streaming twin / this SQL) is pinned in
+# tests/test_round13_properties.py.
+# docs → per-doc band hashes, no candidate policy yet — shared by the
+# symmetric (all-pairs) and bipartite (increment × base) candidate joins
+_ORACLE_MH_BANDS_CTE = f"""
+    {_ORACLE_DOCS_CTE},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+    mh_salts(i, salt) AS (VALUES {_ORACLE_MH_SALTS}),
+    mh_h AS (SELECT doc_id, {md5_hash64_sql('s')} AS h FROM ex),
+    mh_salted AS (
+      SELECT doc_id, i, {splitmix64_sql('xor(h, salt)')} AS v
+      FROM mh_h CROSS JOIN mh_salts
+    ),
+    mh_sig AS (SELECT doc_id, i, MIN(v) AS sig FROM mh_salted GROUP BY 1, 2),
+    mh_piv AS (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band_id,
+             MAX(CASE WHEN i % {_MINHASH_ROWS} = 0 THEN sig END) AS s0,
+             MAX(CASE WHEN i % {_MINHASH_ROWS} = 1 THEN sig END) AS s1,
+             MAX(CASE WHEN i % {_MINHASH_ROWS} = 2 THEN sig END) AS s2,
+             MAX(CASE WHEN i % {_MINHASH_ROWS} = 3 THEN sig END) AS s3
+      FROM mh_sig GROUP BY 1, 2
+    ),
+    mh_a1 AS (SELECT doc_id, band_id, s1, s2, s3,
+                     {splitmix64_sql('s0')} AS acc FROM mh_piv),
+    mh_a2 AS (SELECT doc_id, band_id, s2, s3,
+                     {splitmix64_sql('xor(acc, s1)')} AS acc FROM mh_a1),
+    mh_a3 AS (SELECT doc_id, band_id, s3,
+                     {splitmix64_sql('xor(acc, s2)')} AS acc FROM mh_a2),
+    mh_bands AS (SELECT doc_id, band_id,
+                        {splitmix64_sql('xor(acc, s3)')} AS bh FROM mh_a3)
+"""
+
+_ORACLE_LSH_PAIRS_CTE = f"""
+    {_ORACLE_MH_BANDS_CTE},
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM mh_bands a JOIN mh_bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      FROM mh_cand c
+      JOIN ex ea ON ea.doc_id = c.a_id
+      JOIN ex eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+"""
+
 # shingle-overlap pair counts — shared by the Jaccard verifier and the
 # duplicate-cluster oracle below
 _ORACLE_PAIRS_CTE = f"""
@@ -142,11 +222,14 @@ _ORACLE_PAIRS_CTE = f"""
     )
 """
 
+# Oracle TAILS shared between the exact candidate generator
+# (_ORACLE_PAIRS_CTE) and the banded one (_ORACLE_LSH_PAIRS_CTE): both
+# fragments end in a `pairs`(a_id, b_id, inter) + `sizes`(doc_id, n)
+# pair, so each downstream aggregate's SQL is written ONCE and composed
+# with either generator — the LSH registrations thereby gained exact
+# oracles in round 13 without duplicating a line of verify SQL.
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_ORACLE_PAIRS_CTE}
+_ORACLE_JACCARD_TAIL = """
     SELECT a_id, b_id, inter,
            (sa.n + sb.n - inter) AS union_n,
            CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
@@ -154,7 +237,78 @@ _ORACLE_PAIRS_CTE = f"""
     JOIN sizes sa ON pairs.a_id = sa.doc_id
     JOIN sizes sb ON pairs.b_id = sb.doc_id
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
-    """,
+"""
+
+_ORACLE_CLUSTERS_TAIL = """
+    jp AS (
+      SELECT a_id, b_id
+      FROM pairs
+      JOIN sizes sa ON pairs.a_id = sa.doc_id
+      JOIN sizes sb ON pairs.b_id = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM jp
+      UNION ALL
+      SELECT b_id, a_id FROM jp
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           (MIN(r) = node) AS is_survivor
+    FROM reach GROUP BY node
+"""
+
+_ORACLE_HISTOGRAM_TAIL = """
+    j AS (
+      SELECT (inter * 10) // (sa.n + sb.n - inter) AS bucket
+      FROM pairs
+      JOIN sizes sa ON pairs.a_id = sa.doc_id
+      JOIN sizes sb ON pairs.b_id = sb.doc_id
+    ),
+    h AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) / 10 AS jaccard_lo,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM h
+"""
+
+_ORACLE_ND_RATE_TAIL = """
+    nd AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a_id AS doc_id FROM pairs
+        JOIN sizes sa ON pairs.a_id = sa.doc_id
+        JOIN sizes sb ON pairs.b_id = sb.doc_id
+        WHERE inter * 2 >= sa.n + sb.n - inter
+        UNION ALL
+        SELECT b_id AS doc_id FROM pairs
+        JOIN sizes sa ON pairs.a_id = sa.doc_id
+        JOIN sizes sb ON pairs.b_id = sb.doc_id
+        WHERE inter * 2 >= sa.n + sb.n - inter
+      )
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(nd.doc_id) AS BIGINT) AS n_near_dup,
+           CAST(COUNT(nd.doc_id) AS DOUBLE) / COUNT(*) AS near_dup_rate
+    FROM documents d LEFT JOIN nd ON d.doc_id = nd.doc_id
+    GROUP BY d.source
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_ORACLE_PAIRS_CTE} {_ORACLE_JACCARD_TAIL}",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity pairs (>= 0.2).
@@ -259,29 +413,7 @@ _CC_LOCAL_EDGE_LIMIT = 5_000_000
 
 @query(
     "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_ORACLE_PAIRS_CTE},
-    jp AS (
-      SELECT a_id, b_id
-      FROM pairs
-      JOIN sizes sa ON pairs.a_id = sa.doc_id
-      JOIN sizes sb ON pairs.b_id = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
-    ),
-    edges AS (
-      SELECT a_id AS src, b_id AS dst FROM jp
-      UNION ALL
-      SELECT b_id, a_id FROM jp
-    ),
-    reach(node, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
-    )
-    SELECT node AS doc_id, MIN(r) AS cluster_id,
-           (MIN(r) = node) AS is_survivor
-    FROM reach GROUP BY node
-    """,
+    oracle=f"WITH RECURSIVE {_ORACLE_PAIRS_CTE}, {_ORACLE_CLUSTERS_TAIL}",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the near-dup
@@ -318,7 +450,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@query("dedup_clusters_lsh")  # candidate graph is probabilistic — rows-only
+@query(
+    "dedup_clusters_lsh",
+    oracle=f"WITH RECURSIVE {_ORACLE_LSH_PAIRS_CTE}, {_ORACLE_CLUSTERS_TAIL}",
+)
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cluster path end-to-end: MinHash-LSH candidate pairs →
     connected components → survivor pick. Identical clustering machinery to
@@ -477,11 +612,6 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 
 # MinHash parameters: 32 hashes in 8 bands of 4 rows → catches jaccard ≳ 0.3
-_MINHASH_N = 32
-_MINHASH_BANDS = 8
-_MINHASH_ROWS = _MINHASH_N // _MINHASH_BANDS
-
-
 def _splitmix64(z):
     """Vectorized splitmix64 finalizer over a uint64 ndarray — the salted
     hash family for the MinHash signature (deterministic, numpy-only)."""
@@ -494,14 +624,18 @@ def _splitmix64(z):
 
 
 def _hash64_str(values) -> "object":
-    """uint64 content hash per string (blake2b/8-byte) — stable across
-    runs, partitions, and engines."""
+    """uint64 content hash per string: little-endian first 8 md5 bytes —
+    stable across runs, partitions, and engines, and EXACTLY DuckDB's
+    md5_number_upper (functions/hashing.md5_hash64_py), which is what
+    makes the whole banded sketch family hash-exact oracle-able. Changed
+    from blake2b in round 13 — any future change must keep the three
+    dialects (here, hashing.md5_hash64_py, md5_hash64_sql) in lockstep."""
     import numpy as np
-    from hashlib import blake2b
+    from hashlib import md5
 
     return np.fromiter(
         (
-            int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "little")
+            int.from_bytes(md5(v.encode()).digest()[:8], "little")
             for v in values
         ),
         dtype=np.uint64,
@@ -565,7 +699,10 @@ def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # probabilistic candidate gen — rows-only check
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"WITH {_ORACLE_LSH_PAIRS_CTE} {_ORACLE_JACCARD_TAIL}",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection (shingle → minhash signature → band →
     bucket-join → exact-Jaccard verify).
@@ -1224,27 +1361,7 @@ def docs_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_threshold_histogram",
-    oracle=f"""
-    WITH {_ORACLE_PAIRS_CTE},
-    j AS (
-      SELECT (inter * 10) // (sa.n + sb.n - inter) AS bucket
-      FROM pairs
-      JOIN sizes sa ON pairs.a_id = sa.doc_id
-      JOIN sizes sb ON pairs.b_id = sb.doc_id
-    ),
-    h AS (
-      SELECT CAST(bucket AS BIGINT) AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS n_pairs
-      FROM j GROUP BY bucket
-    )
-    SELECT bucket,
-           CAST(bucket AS DOUBLE) / 10 AS jaccard_lo,
-           n_pairs,
-           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
-                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS n_pairs_at_or_above
-    FROM h
-    """,
+    oracle=f"WITH {_ORACLE_PAIRS_CTE}, {_ORACLE_HISTOGRAM_TAIL}",
 )
 def dedup_threshold_histogram(
     spark: SparkSession, sf_dir: str, candidates: str = "exact"
@@ -1290,28 +1407,7 @@ def dedup_threshold_histogram(
 
 @query(
     "docs_near_dup_rate_by_source",
-    oracle=f"""
-    WITH {_ORACLE_PAIRS_CTE},
-    nd AS (
-      SELECT DISTINCT doc_id FROM (
-        SELECT a_id AS doc_id FROM pairs
-        JOIN sizes sa ON pairs.a_id = sa.doc_id
-        JOIN sizes sb ON pairs.b_id = sb.doc_id
-        WHERE inter * 2 >= sa.n + sb.n - inter
-        UNION ALL
-        SELECT b_id AS doc_id FROM pairs
-        JOIN sizes sa ON pairs.a_id = sa.doc_id
-        JOIN sizes sb ON pairs.b_id = sb.doc_id
-        WHERE inter * 2 >= sa.n + sb.n - inter
-      )
-    )
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(nd.doc_id) AS BIGINT) AS n_near_dup,
-           CAST(COUNT(nd.doc_id) AS DOUBLE) / COUNT(*) AS near_dup_rate
-    FROM documents d LEFT JOIN nd ON d.doc_id = nd.doc_id
-    GROUP BY d.source
-    """,
+    oracle=f"WITH {_ORACLE_PAIRS_CTE}, {_ORACLE_ND_RATE_TAIL}",
 )
 def docs_near_dup_rate_by_source(
     spark: SparkSession, sf_dir: str, candidates: str = "exact"
@@ -1359,27 +1455,35 @@ def docs_near_dup_rate_by_source(
     )
 
 
-@query("dedup_threshold_histogram_lsh")  # LSH candidates — rows-only check
+@query(
+    "dedup_threshold_histogram_lsh",
+    oracle=f"WITH {_ORACLE_LSH_PAIRS_CTE}, {_ORACLE_HISTOGRAM_TAIL}",
+)
 def dedup_threshold_histogram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB mode of dedup_threshold_histogram: the cost curve priced
     from MinHash-LSH candidate pairs instead of the quadratic all-pairs
     wedge. Same schema, same integer bucketing; per-bucket counts are <=
     the exact twin's (containment pinned in tests/test_pipeline_ops.py),
     with high-Jaccard buckets near-complete and sub-recall-floor buckets
-    undercounted by design. Rows-only driver check (the candidate set is
-    probabilistic); the exact twin holds the hash-green oracle row.
+    undercounted by design. Hash-exact DuckDB oracle since round 13: the
+    banded candidate generator is replayed in SQL (_ORACLE_LSH_PAIRS_CTE),
+    so the probabilistic candidate set itself is checked bit-for-bit, not
+    just bounded by the exact twin.
     """
     return dedup_threshold_histogram(spark, sf_dir, candidates="lsh")
 
 
-@query("docs_near_dup_rate_by_source_lsh")  # LSH candidates — rows-only
+@query(
+    "docs_near_dup_rate_by_source_lsh",
+    oracle=f"WITH {_ORACLE_LSH_PAIRS_CTE}, {_ORACLE_ND_RATE_TAIL}",
+)
 def docs_near_dup_rate_by_source_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB mode of docs_near_dup_rate_by_source: near-dup membership
     decided over MinHash-LSH candidate pairs. The 0.5-Jaccard membership
     threshold sits above the banding recall floor (~0.3), so per-source
     rates track the exact twin closely; LSH counts <= exact counts is
-    pinned in tests. Rows-only driver check; the exact twin holds the
-    hash-green oracle row.
+    pinned in tests, and since round 13 the registration carries its own
+    hash-exact oracle (the banded candidate generator replayed in SQL).
     """
     return docs_near_dup_rate_by_source(spark, sf_dir, candidates="lsh")
 
@@ -2111,7 +2215,35 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
-@query("dedup_incremental_lsh")  # banded candidate gen — rows-only check
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_ORACLE_MH_BANDS_CTE},
+    tag AS (SELECT doc_id, (source IN ('src18', 'src19')) AS is_new
+            FROM documents),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+      FROM mh_bands a JOIN tag ta ON a.doc_id = ta.doc_id AND ta.is_new
+      JOIN mh_bands b ON a.band_id = b.band_id AND a.bh = b.bh
+      JOIN tag tb ON b.doc_id = tb.doc_id AND NOT tb.is_new
+    ),
+    pairs AS (
+      SELECT c.new_id, c.base_id, COUNT(*) AS inter
+      FROM mh_cand c
+      JOIN ex ea ON ea.doc_id = c.new_id
+      JOIN ex eb ON eb.doc_id = c.base_id AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT new_id, base_id, inter,
+           (sa.n + sb.n - inter) AS union_n,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+           CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM pairs
+    JOIN sizes sa ON pairs.new_id = sa.doc_id
+    JOIN sizes sb ON pairs.base_id = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    """,
+)
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of dedup_incremental_batch, made real: screen the
     NEW batch against the corpus via MinHash BAND matches instead of the
@@ -2131,9 +2263,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped); recall follows the standard 8×4 banding curve (≈1 at the
     fixture's planted-dup jaccards ≥0.97: miss probability ~3e-8, and
     the hash family is deterministic, so the fixture result is stable).
-    Rows-only by design; tests/test_round12_properties.py pins
-    fixture-equality with dedup_incremental_batch and the subset
-    property.
+    Hash-exact oracle since round 13 (the banded generator replayed in
+    SQL over the bipartite increment x base join);
+    tests/test_round12_properties.py additionally pins fixture-equality
+    with dedup_incremental_batch and the subset property.
 
     Scale: the shuffle carries (band_id, band_hash, doc_id) and the
     candidate pairs only; increment-side bands are batch-sized. The

@@ -145,9 +145,9 @@ def _block_cosine(A, M):
     )
 
 
-@query(
-    "sim_topk_bruteforce",
-    oracle=f"""
+# exact top-k ground truth — shared by sim_topk_bruteforce and every
+# registered ANN variant whose probe is provably exhaustive (exactprobe)
+_TOPK_EXACT_ORACLE = f"""
     WITH {_ORACLE_QUANT_CTE},
     pairs AS (
       SELECT a.vec_id AS q_id, b.vec_id AS n_id,
@@ -168,8 +168,10 @@ def _block_cosine(A, M):
         PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
       FROM scored
     ) WHERE rank <= {_TOP_K}
-    """,
-)
+    """
+
+
+@query("sim_topk_bruteforce", oracle=_TOPK_EXACT_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < 8).
 
@@ -467,18 +469,12 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     return out
 
 
-@query("sim_ann_ivf")  # approximate — rows-only check; recall tested in tests/
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) coarse quantization — the
-    cluster-then-probe alternative to sim_ann_lsh.
-
-    Scale path: corpus vectors partition into |cells| inverted lists (one
-    narrow assignment pass); each query probes its nprobe nearest cells, so
-    the candidate join is an equi-join on `cell` touching ~nprobe/cells of
-    the corpus. Candidates are rescored with the exact quantized cosine and
-    top-k'd. Training cost is one seeded Lloyd iteration, fully
-    distributed, exact-integer (deterministic under any partitioning).
-    """
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF probe machinery shared by sim_ann_ivf (nprobe=_IVF_NPROBE,
+    approximate) and sim_ann_ivf_exactprobe (nprobe=_IVF_CELLS: every
+    inverted list is probed, so the candidate set is the full corpus and
+    the result is EXACT — identical to sim_topk_bruteforce, which is why
+    the exactprobe registration carries the brute-force oracle)."""
     import numpy as np
 
     C = _ivf_centroids(spark, sf_dir)
@@ -508,10 +504,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             V = np.vstack(pdf["v"].to_numpy()).astype("float64")
             dots = V @ C.T
-            order = np.argsort(-dots, axis=1, kind="stable")[:, :_IVF_NPROBE]
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
             q_ids = pdf["vec_id"].to_numpy(dtype="int64")
             yield pd.DataFrame(
-                {"q_id": np.repeat(q_ids, _IVF_NPROBE),
+                {"q_id": np.repeat(q_ids, nprobe),
                  "cell": order.reshape(-1).astype("int64")}
             )
 
@@ -546,6 +542,41 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+@query("sim_ann_ivf")  # approximate — rows-only check; recall tested in tests/
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    cluster-then-probe alternative to sim_ann_lsh.
+
+    Scale path: corpus vectors partition into |cells| inverted lists (one
+    narrow assignment pass); each query probes its nprobe nearest cells, so
+    the candidate join is an equi-join on `cell` touching ~nprobe/cells of
+    the corpus. Candidates are rescored with the exact quantized cosine and
+    top-k'd. Training cost is one seeded Lloyd iteration, fully
+    distributed, exact-integer (deterministic under any partitioning).
+    """
+    return _ivf_topk(spark, sf_dir, _IVF_NPROBE)
+
+
+@query("sim_ann_ivf_exactprobe", oracle=_TOPK_EXACT_ORACLE)
+def sim_ann_ivf_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with an EXHAUSTIVE probe (nprobe = |cells|): every
+    inverted list is a candidate list, so the union of probed cells is
+    the whole corpus and the rescore's exact quantized cosine makes the
+    result identical to sim_topk_bruteforce — which is the oracle this
+    registration carries. This is the driver-checkable proof that the
+    IVF machinery (train → assign → probe → rescore → top-k) loses
+    nothing except through the probe budget: the approximate
+    registrations (sim_ann_ivf, nprobe=10/16) differ from exact ONLY by
+    which cells they skip, a property the recall floors in BENCH bound.
+
+    Scale note: exhaustive probing costs the brute-force candidate set
+    (|queries| x |corpus|) and exists for verification; production reads
+    use the bounded-nprobe twin. The per-batch candidate join stays the
+    same equi-join on `cell` — no new shuffle shape.
+    """
+    return _ivf_topk(spark, sf_dir, _IVF_CELLS)
 
 
 # recall-first defaults, set by measurement against the exact baseline

@@ -1707,13 +1707,13 @@ def _mh_salts() -> list[int]:
 
 
 def _mh_hash64(value: str) -> int:
-    """Scalar twin of operators/dedup._hash64_str: 8-byte blake2b,
-    little-endian uint64."""
-    from hashlib import blake2b
+    """Scalar twin of operators/dedup._hash64_str: little-endian first
+    8 md5 bytes (= functions/hashing.md5_hash64_py = DuckDB's
+    md5_number_upper) — the round-13 md5 migration that made the banded
+    family oracle-able; batch and streaming must move in lockstep."""
+    from hashlib import md5
 
-    return int.from_bytes(
-        blake2b(value.encode(), digest_size=8).digest(), "little"
-    )
+    return int.from_bytes(md5(value.encode()).digest()[:8], "little")
 
 
 def _mh_fold(sig: list[int], value: str, salts: list[int]) -> list[int]:
@@ -1793,7 +1793,7 @@ class StreamingMinHashRuntime(StatefulStatsRuntime):
     or another stream's bands for live near-dup candidate detection.
 
     Bit-compat contract (pinned in tests): the hash family is EXACTLY
-    the batch sketch's — blake2b-8 content hash, splitmix64(h ^ salt_i)
+    the batch sketch's — md5-64 content hash, splitmix64(h ^ salt_i)
     with the same 32 salts, column-min, and the same band fold emitted
     signed — so a streaming signature over a set of values equals the
     batch numpy signature over the same distinct values, component for
