@@ -846,7 +846,62 @@ _SIMHASH_BANDS = 4  # 32 bits per band
 _SIMHASH_K = 6  # near-dup ⇔ hamming <= K (Manku et al.'s 3/64 ratio, scaled)
 
 
-@query("dedup_simhash")  # sketch-based — rows-only check
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH ws0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) = 0 THEN [''] ELSE ws END) AS w
+      FROM ws0
+    ),
+    wh AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+             md5_number_upper(w) AS h0, md5_number_lower(w) AS h1
+      FROM words GROUP BY doc_id, w
+    ),
+    halves AS (
+      SELECT doc_id, cnt, 0 AS half, h0 AS h FROM wh
+      UNION ALL
+      SELECT doc_id, cnt, 1, h1 FROM wh
+    ),
+    bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
+    bal AS (
+      SELECT doc_id, half, bit,
+             SUM(cnt * (CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END))
+               AS balance
+      FROM halves CROSS JOIN bits
+      GROUP BY 1, 2, 3
+    ),
+    sigbit AS (SELECT doc_id, half, bit, (balance > 0) AS b FROM bal),
+    bands AS (
+      SELECT doc_id, half * 2 + bit // 32 AS band_id,
+             CAST(SUM(CASE WHEN b THEN CAST(1 AS BIGINT) << (bit % 32)
+                           ELSE 0 END) AS BIGINT) AS band_bits
+      FROM sigbit GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(SUM(CASE WHEN sa.b <> sb.b THEN 1 ELSE 0 END) AS BIGINT)
+             AS hamming
+    FROM cand c
+    JOIN sigbit sa ON sa.doc_id = c.a_id
+    JOIN sigbit sb ON sb.doc_id = c.b_id
+     AND sb.half = sa.half AND sb.bit = sa.bit
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN sa.b <> sb.b THEN 1 ELSE 0 END) <= 6
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 128-bit signature over word hashes, banded
     candidate generation, hamming-distance <= 6 filter (Manku et al.
@@ -872,7 +927,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sign(batches):
         import re
-        from hashlib import blake2b
+        from hashlib import md5
 
         import pandas as pd
 
@@ -885,11 +940,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lens = np.fromiter((len(w) for w in wlists), dtype=np.int64, count=len(wlists))
             offsets = np.zeros(len(wlists), dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
-            # 128-bit word hashes as two uint64 columns
+            # 128-bit word hashes as two uint64 columns — md5's 16 bytes,
+            # little-endian halves = DuckDB md5_number_upper / _lower
+            # (the round-13 migration that let the oracle replay the
+            # signature; was blake2b-16)
             buf = b"".join(
-                blake2b(w.encode(), digest_size=16).digest()
-                for ws in wlists
-                for w in ws
+                md5(w.encode()).digest() for ws in wlists for w in ws
             )
             flat = np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
             sims = np.empty((len(wlists), 2), dtype=np.uint64)

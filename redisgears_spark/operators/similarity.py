@@ -303,29 +303,33 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    planes = np.array(_hyperplanes())
+    planes = np.array(_sign_planes(), dtype="int64")
 
     def bucketize(batches):
+        """Bucket bit = EXACT integer sign of (quantized vector · ±1
+        plane) — with the Rademacher planes the projection is a sum of
+        int64 micro-units, so buckets are order-independent and the
+        DuckDB oracle replays them bit-for-bit (no float boundary)."""
         import pandas as pd
 
-        P = planes.reshape(-1, planes.shape[-1]).T
+        P = planes.reshape(-1, planes.shape[-1]).T  # (dim, T*B) of ±1
         weights = (1 << np.arange(_LSH_BITS, dtype="int64"))
         for pdf in batches:
-            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
-            bits = (V @ P) > 0
-            bits = bits.reshape(len(V), _LSH_TABLES, _LSH_BITS)
+            Q = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            bits = (Q @ P) > 0
+            bits = bits.reshape(len(Q), _LSH_TABLES, _LSH_BITS)
             bucket = (bits * weights[None, None, :]).sum(axis=2)
             vec_ids = pdf["vec_id"].to_numpy(dtype="int64")
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(vec_ids, _LSH_TABLES),
-                    "tbl": np.tile(np.arange(_LSH_TABLES, dtype="int64"), len(V)),
+                    "tbl": np.tile(np.arange(_LSH_TABLES, dtype="int64"), len(Q)),
                     "bucket": bucket.reshape(-1),
                 }
             )
 
     emb = rebalanced(load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        "vec_id", F.expr(_QUANT).alias("v")
     ))
     buckets = emb.mapInPandas(_arrow_kernel(bucketize), "vec_id long, tbl long, bucket long")
     l = buckets.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
@@ -349,7 +353,85 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_clusters")  # LSH candidates — rows-only check
+
+# recall-first defaults, set by measurement against the exact baseline
+# (BENCH ann_recall): 16 tables recalled 0.625@sf0.1, 32 recall 0.90 for
+# ~+0.25 s — banding theory says more tables only ADD candidate pairs,
+# so recall is monotone in tables and the price is 2x signature rows
+# (still |corpus|*tables tiny rows, shuffled on the band key)
+_LSH_TABLES = 32
+_LSH_BITS = 6
+
+# DuckDB replay of the sign-plane bucketing (round 13): ±1 plane entries
+# regenerated in SQL from the same splitmix64 construction, projections
+# as exact integer sums over the quantized vectors, then the standard
+# candidate → exact-cosine-verify → recursive-CTE connected components.
+from redisgears_spark.functions.hashing import splitmix64_sql as _sm64_sql
+
+_GOLDEN64 = 0x9E3779B97F4A7C15
+_PLANE_IDX_SQL = (
+    f"CAST((CAST(((pt.t * {_LSH_BITS} + pt.b) * 64 + pt.d) AS UHUGEINT)"
+    f" * {_GOLDEN64}) % {1 << 64} AS UBIGINT)"
+)
+
+_EMB_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_ORACLE_QUANT_CTE},
+    pl AS (
+      SELECT pt.t, pt.b, pt.d,
+             CASE WHEN {_sm64_sql(_PLANE_IDX_SQL)} & 1 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT t, b, d
+            FROM (SELECT unnest(generate_series(0, {_LSH_TABLES - 1})) AS t),
+                 (SELECT unnest(generate_series(0, {_LSH_BITS - 1})) AS b),
+                 (SELECT unnest(generate_series(1, 64)) AS d)) pt
+    ),
+    qd AS (
+      SELECT vec_id, gs.d, v[gs.d] AS qv
+      FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) gs
+    ),
+    proj AS (
+      SELECT qd.vec_id, pl.t, pl.b, SUM(qd.qv * pl.s) AS p
+      FROM qd JOIN pl ON qd.d = pl.d
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << b
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    verif AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c
+      JOIN n na ON na.vec_id = c.a_id
+      JOIN n nb ON nb.vec_id = c.b_id
+      WHERE CAST(list_sum([na.v[i] * nb.v[i]
+                 for i in generate_series(1, len(na.v))]) AS DOUBLE)
+            / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+            >= 0.35
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM verif
+      UNION ALL
+      SELECT b_id, a_id FROM verif
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS vec_id, MIN(r) AS cluster_id,
+           (MIN(r) = node) AS is_survivor
+    FROM reach GROUP BY node
+"""
+
+
+@query("dedup_embedding_clusters", oracle=_EMB_CLUSTERS_ORACLE)
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end at the 100 TB shape: LSH-bucketed
     candidate pairs → exact-cosine verify → connected components →
@@ -358,6 +440,13 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification, then the same union-find / label-propagation machinery),
     and because the verifier is exact, clusters here refine the exhaustive
     dedup_embedding_cosine clustering — containment pinned in tests.
+
+    Hash-exact oracle since round 13: the sign-plane family
+    (_sign_planes) makes every bucket bit an integer comparison the
+    DuckDB oracle regenerates from the same splitmix64 construction —
+    candidate generation, verify, and the recursive-CTE components are
+    all replayed, so the "probabilistic" stage is driver-checked
+    bit-for-bit.
     """
     from redisgears_spark.operators.dedup import connected_components
 
@@ -579,21 +668,49 @@ def sim_ann_ivf_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, _IVF_CELLS)
 
 
-# recall-first defaults, set by measurement against the exact baseline
-# (BENCH ann_recall): 16 tables recalled 0.625@sf0.1, 32 recall 0.90 for
-# ~+0.25 s — banding theory says more tables only ADD candidate pairs,
-# so recall is monotone in tables and the price is 2x signature rows
-# (still |corpus|*tables tiny rows, shuffled on the band key)
-_LSH_TABLES = 32
-_LSH_BITS = 6
 
 
 def _hyperplanes(dim: int = 64):
-    """Deterministic random hyperplanes (seeded), as python lists."""
+    """Deterministic random hyperplanes (seeded), as python lists — the
+    gaussian family behind sim_ann_lsh (recall 0.90 at sf0.1; the
+    Rademacher family below measured 0.80 there, so the top-k path keeps
+    gaussians and pays the rows-only check)."""
     import numpy as np
 
     rng = np.random.default_rng(7)
     return rng.standard_normal((_LSH_TABLES, _LSH_BITS, dim)).tolist()
+
+
+def _sign_planes(dim: int = 64):
+    """Rademacher ±1 hyperplanes derived from splitmix64 over the
+    (table, bit, dim) linear index — the sign-random-projection family
+    used by embedding_lsh_pairs/dedup_embedding_clusters, where a ±1
+    plane makes the bucket bit an EXACT integer sign over quantized
+    vectors: no float dot product, no IEEE summation-order fragility,
+    and the whole bucketize stage replays bit-for-bit in the DuckDB
+    oracle (the round-13 exactness migration). The top-k ANN path
+    (sim_ann_lsh) keeps the gaussian family above — its graded recall
+    is 0.10 higher at sf0.1 and its candidates are rescored exactly, so
+    it never needed SQL-replayable buckets."""
+    from redisgears_spark.functions.hashing import splitmix64_py
+
+    U64 = (1 << 64) - 1
+    out = []
+    for t in range(_LSH_TABLES):
+        tbl = []
+        for b in range(_LSH_BITS):
+            k0 = (t * _LSH_BITS + b) * dim
+            tbl.append(
+                [
+                    1
+                    if splitmix64_py(((k0 + d + 1) * 0x9E3779B97F4A7C15) & U64)
+                    & 1
+                    else -1
+                    for d in range(dim)
+                ]
+            )
+        out.append(tbl)
+    return out
 
 
 @query("sim_ann_lsh")  # approximate — rows-only check; recall tested in tests/
