@@ -1111,7 +1111,182 @@ def _merge_symbols_factory(left: str, right: str):
     return apply
 
 
-@query("pipeline_bpe_train")  # iterative — rows-only check
+# ---------------------------------------------------------------------------
+# DuckDB replay of the BPE greedy loop (round 13): the oracle UNROLLS the
+# data-dependent fixpoint — each round is a generated CTE block (pair
+# counts → argmax-with-tie-break OR frozen-merge replay → greedy
+# left-to-right non-overlapping apply), so "iterative, therefore
+# rows-only" stopped being true for the whole BPE family. The greedy
+# apply's only sequential wrinkle (runs of overlapping candidates when
+# left == right) is the classic gaps-and-islands: consecutive candidate
+# positions group into islands and even offsets within an island merge.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_wf_sql(name: str, where: str = "") -> str:
+    """CTE block: documents[ WHERE ...] → {name}(word, freq, sym)."""
+    return f"""
+    {name}_tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS w FROM documents {where}
+    ),
+    {name} AS MATERIALIZED (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+             string_split(w, '') AS sym
+      FROM {name}_tok GROUP BY w
+    )"""
+
+
+def _bpe_round_sql(tag: str, k: int, prev: str, replay: str | None) -> str:
+    """CTE block for ONE BPE round over state `prev`(word, freq, sym):
+    emits {tag}m{k}(l, r, cnt) — the merge chosen (argmax: count desc,
+    then lexicographic pair, the exact _local_bpe_rounds tie-break) or
+    replayed (cnt = the frozen pair's support on THIS state, 0 if gone)
+    — and {tag}st{k}, the state after the greedy non-overlapping apply."""
+    m = f"{tag}m{k}"
+    if replay is None:
+        pick = f"""
+    {m} AS MATERIALIZED (
+      SELECT l, r, cnt FROM {tag}pc{k} ORDER BY cnt DESC, l, r LIMIT 1
+    )"""
+    else:
+        pick = f"""
+    {m} AS MATERIALIZED (
+      SELECT b.l, b.r, CAST(COALESCE(p.cnt, 0) AS BIGINT) AS cnt
+      FROM {replay} b LEFT JOIN {tag}pc{k} p ON p.l = b.l AND p.r = b.r
+    )"""
+    return f"""
+    {tag}pc{k} AS MATERIALIZED (
+      SELECT p[1] AS l, p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   unnest(CASE WHEN len(sym) >= 2 THEN
+                     [[sym[j], sym[j+1]]
+                      for j in generate_series(1, len(sym) - 1)]
+                   ELSE [] END) AS p
+            FROM {prev})
+      GROUP BY 1, 2
+    ),{pick},
+    {tag}rows{k} AS MATERIALIZED (
+      SELECT word, freq, u.pos, u.s FROM (
+        SELECT word, freq,
+               unnest([{{'pos': j, 's': sym[j]}}
+                       for j in generate_series(1, len(sym))]) AS u
+        FROM {prev})
+    ),
+    {tag}cand{k} AS MATERIALIZED (
+      SELECT w.word, w.pos
+      FROM {tag}rows{k} w
+      JOIN {tag}rows{k} nx ON nx.word = w.word AND nx.pos = w.pos + 1
+      CROSS JOIN {m} mm
+      WHERE w.s = mm.l AND nx.s = mm.r
+    ),
+    {tag}mrg{k} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+        FROM (SELECT word, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY word
+                                              ORDER BY pos) AS grp
+              FROM {tag}cand{k}))
+      WHERE off % 2 = 0
+    ),
+    {tag}st{k} AS MATERIALIZED (
+      SELECT word, ANY_VALUE(freq) AS freq,
+             list(out_s ORDER BY pos) AS sym
+      FROM (
+        SELECT r.word, r.freq, r.pos,
+               CASE WHEN mg1.pos IS NOT NULL THEN mm.l || mm.r
+                    ELSE r.s END AS out_s
+        FROM {tag}rows{k} r
+        CROSS JOIN {m} mm
+        LEFT JOIN {tag}mrg{k} mg1
+          ON mg1.word = r.word AND mg1.pos = r.pos
+        LEFT JOIN {tag}mrg{k} mg2
+          ON mg2.word = r.word AND mg2.pos = r.pos - 1
+        WHERE mg2.pos IS NULL
+      ) GROUP BY word
+    )"""
+
+
+def _bpe_train_oracle_sql() -> str:
+    """pipeline_bpe_train: 8 unrolled rounds over the full corpus."""
+    parts = [_bpe_wf_sql("twf")]
+    prev = "twf"
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(_bpe_round_sql("t", k, prev, replay=None))
+        prev = f"tst{k}"
+    merges = "\n      UNION ALL\n".join(
+        f'      SELECT CAST({k - 1} AS BIGINT) AS round, l AS "left",'
+        f' r AS "right", cnt AS pair_count FROM tm{k}'
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + "\n" + merges
+    )
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """pipeline_bpe_apply: train chain, then per-document token counts
+    through the final symbol state (|encode(word)| = len(sym) in st8)."""
+    parts = [_bpe_wf_sql("twf")]
+    prev = "twf"
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(_bpe_round_sql("t", k, prev, replay=None))
+        prev = f"tst{k}"
+    return f"""WITH {",".join(parts)},
+    enc AS (SELECT word, CAST(len(sym) AS BIGINT) AS n FROM {prev}),
+    doc_tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    agg AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS nws,
+             CAST(SUM(e.n) AS BIGINT) AS nbpe
+      FROM doc_tok t JOIN enc e ON e.word = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.nws, 0) AS n_ws_tokens,
+           COALESCE(a.nbpe, 0) AS n_bpe_tokens,
+           CAST(COALESCE(a.nbpe, 0) AS DOUBLE)
+             / GREATEST(COALESCE(a.nws, 0), 1) AS bpe_tokens_per_word
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
+def _bpe_extend_oracle_sql() -> str:
+    """pipeline_bpe_extend(_streamed): base chain (8 trained rounds on
+    the corpus minus src18/src19), then the union chain — 8 REPLAYED
+    rounds (frozen base merges, union support recorded) + 4 continued
+    trained rounds. The streamed twin shares this oracle because its
+    word-frequency state is pinned bit-identical to the batch scan."""
+    not_new = (
+        "WHERE source NOT IN ("
+        + ", ".join(f"'{s}'" for s in _BPE_NEW_SOURCES)
+        + ")"
+    )
+    parts = [_bpe_wf_sql("bwf", not_new), _bpe_wf_sql("uwf")]
+    prev = "bwf"
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(_bpe_round_sql("b", k, prev, replay=None))
+        prev = f"bst{k}"
+    prev = "uwf"
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(_bpe_round_sql("u", k, prev, replay=f"bm{k}"))
+        prev = f"ust{k}"
+    for k in range(
+        _BPE_MERGES + 1, _BPE_MERGES + _BPE_EXTEND_MERGES + 1
+    ):
+        parts.append(_bpe_round_sql("u", k, prev, replay=None))
+        prev = f"ust{k}"
+    merges = "\n      UNION ALL\n".join(
+        f'      SELECT CAST({k - 1} AS BIGINT) AS round, l AS "left",'
+        f' r AS "right", cnt AS pair_count,'
+        f" '{'base' if k <= _BPE_MERGES else 'ext'}' AS phase FROM um{k}"
+        for k in range(1, _BPE_MERGES + _BPE_EXTEND_MERGES + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + merges
+
+
+@query("pipeline_bpe_train", oracle=_bpe_train_oracle_sql())
 def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 BPE merges over the corpus — the iterative
     tokenizer-training algorithm (Sennrich et al.; the GPT-2 tokenizer's
@@ -1121,10 +1296,13 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge table (round, left, right, pair_count) — the artifact a
     tokenizer ships.
 
-    Non-SQL-expressible (a data-dependent fixpoint loop), so rows-only
-    at the driver; tests/test_pipeline_ops.py pins the FULL merge
-    sequence against an independent pure-Python BPE reference — exact,
-    just not via DuckDB.
+    Hash-exact DuckDB oracle since round 13: the data-dependent
+    fixpoint is UNROLLED — each of the 8 rounds is a generated CTE
+    block (weighted pair counts, argmax with the count-desc/lexicographic
+    tie-break, greedy non-overlapping apply via gaps-and-islands), so
+    the driver checks the full merge table bit-for-bit.
+    tests/test_pipeline_ops.py additionally pins the merge sequence
+    against an independent pure-Python BPE reference.
 
     Scale: the state lives in the |distinct words| frequency table
     (tiny vs corpus — built with one map-side-partial groupBy over the
@@ -1200,7 +1378,7 @@ def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
     return _MERGE_CACHE[key]
 
 
-@query("pipeline_bpe_apply")  # depends on learned merges — rows-only
+@query("pipeline_bpe_apply", oracle=_bpe_apply_oracle_sql())
 def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus WITH the learned BPE merges — the apply half
     of the train→apply tokenizer pair: per document, the BPE token
@@ -1481,7 +1659,7 @@ def pipeline_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_bpe_extend")  # iterative fixpoint — rows-only
+@query("pipeline_bpe_extend", oracle=_bpe_extend_oracle_sql())
 def pipeline_bpe_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BPE vocabulary update — extend a shipped tokenizer
     when new corpus sources arrive, WITHOUT retraining from scratch and
@@ -1503,8 +1681,10 @@ def pipeline_bpe_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     retraining; cf. the registry's append-only upgrade semantics,
     function_load_lib.rs prologue checks).
 
-    Non-SQL-expressible (data-dependent fixpoint) → rows-only at the
-    driver. tests/test_pipeline_ops.py pins (a) the full output against
+    Hash-exact DuckDB oracle since round 13 (the unrolled-round replay
+    of _bpe_extend_oracle_sql: trained base chain, frozen-merge replay
+    with union support, continued training — all as generated CTE
+    blocks). tests/test_pipeline_ops.py pins (a) the full output against
     an independent pure-Python incremental reference, (b) the
     continuation property — with an EMPTY increment the base phase
     reproduces pipeline_bpe_train's merges bit-for-bit and the ext
@@ -3284,7 +3464,9 @@ def pipeline_increment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_bpe_extend_streamed")  # iterative fixpoint — rows-only;
+@query(
+    "pipeline_bpe_extend_streamed", oracle=_bpe_extend_oracle_sql()
+)  # shares the extend oracle: streamed word-freq state is bit-identical
 # bit-equality vs pipeline_bpe_extend pinned in tests/test_streaming_vocab.py
 def pipeline_bpe_extend_streamed(
     spark: SparkSession, sf_dir: str
