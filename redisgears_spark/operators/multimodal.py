@@ -346,22 +346,32 @@ _EMBED_DIM = 16
 def _embed_payload(payload: bytes) -> list:
     """Embedding step — STUBBED. A real implementation would run a CLIP-ish
     encoder (torch/onnxruntime absent in this container); the fallback is a
-    deterministic fake — unit-normalized values derived from a blake2b
-    digest of the payload — so the pipeline shape (binary → array<float>,
+    deterministic fake — unit-normalized values derived from two md5
+    digests of the payload — so the pipeline shape (binary → array<float>,
     batch iteration, downstream dedup/ANN joins) is exercised end-to-end
-    and identical payloads land on identical vectors."""
+    and identical payloads land on identical vectors.
+
+    Construction (round 13, was blake2b): 32 digest bytes → 16 uint16 u;
+    v_i = (2u_i - 65535) / sqrt(Σ(2u_j - 65535)²). The numerator and the
+    radicand are EXACT integers (2u-65535 is odd, so the norm is never
+    zero), leaving one sqrt + one division of IEEE doubles per element —
+    the discipline that makes the vector bit-reproducible in DuckDB
+    (md5_number_upper/_lower per digest half), i.e. the registered query
+    is hash-exact oracle-able."""
     try:  # pragma: no cover - encoders absent in this container
         raise ImportError  # no public model runtime available here
     except ImportError:
-        from hashlib import blake2b
+        import math
+        from hashlib import md5
 
         import numpy as np
 
-        raw = blake2b(payload, digest_size=_EMBED_DIM * 2).digest()
-        v = np.frombuffer(raw, dtype="<u2").astype("float64")
-        v = (v / 65535.0) * 2.0 - 1.0  # [-1, 1)
-        v /= np.linalg.norm(v) or 1.0
-        return [float(x) for x in v]
+        raw = md5(payload).digest() + md5(payload + b":1").digest()
+        u = np.frombuffer(raw, dtype="<u2").astype("int64")
+        w = 2 * u - 65535
+        s = int((w * w).sum())
+        root = math.sqrt(s)
+        return [float(x) / root for x in w]
 
 
 def embed_payloads(df: DataFrame) -> DataFrame:
@@ -373,7 +383,7 @@ def embed_payloads(df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "embedding": [_embed_payload(p) for p in pdf["payload"]],
-                    "model": "fake-blake2b-16",
+                    "model": "fake-md5-16",
                 }
             )
 
@@ -382,7 +392,63 @@ def embed_payloads(df: DataFrame) -> DataFrame:
     )
 
 
-@query("multimodal_embed")  # stubbed encoder — rows-only check
+@query(
+    "multimodal_embed",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5_number_upper(text) AS a0, md5_number_lower(text) AS a1,
+             md5_number_upper(text || ':1') AS b0,
+             md5_number_lower(text || ':1') AS b1
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST((a0 >> 0) & 65535 AS BIGINT) * 2 - 65535) AS w0,
+             (CAST((a0 >> 16) & 65535 AS BIGINT) * 2 - 65535) AS w1,
+             (CAST((a0 >> 32) & 65535 AS BIGINT) * 2 - 65535) AS w2,
+             (CAST((a0 >> 48) & 65535 AS BIGINT) * 2 - 65535) AS w3,
+             (CAST((a1 >> 0) & 65535 AS BIGINT) * 2 - 65535) AS w4,
+             (CAST((a1 >> 16) & 65535 AS BIGINT) * 2 - 65535) AS w5,
+             (CAST((a1 >> 32) & 65535 AS BIGINT) * 2 - 65535) AS w6,
+             (CAST((a1 >> 48) & 65535 AS BIGINT) * 2 - 65535) AS w7,
+             (CAST((b0 >> 0) & 65535 AS BIGINT) * 2 - 65535) AS w8,
+             (CAST((b0 >> 16) & 65535 AS BIGINT) * 2 - 65535) AS w9,
+             (CAST((b0 >> 32) & 65535 AS BIGINT) * 2 - 65535) AS w10,
+             (CAST((b0 >> 48) & 65535 AS BIGINT) * 2 - 65535) AS w11,
+             (CAST((b1 >> 0) & 65535 AS BIGINT) * 2 - 65535) AS w12,
+             (CAST((b1 >> 16) & 65535 AS BIGINT) * 2 - 65535) AS w13,
+             (CAST((b1 >> 32) & 65535 AS BIGINT) * 2 - 65535) AS w14,
+             (CAST((b1 >> 48) & 65535 AS BIGINT) * 2 - 65535) AS w15
+      FROM m
+    ),
+    n AS (SELECT *, (w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3 + w4 * w4 + w5 * w5 + w6 * w6 + w7 * w7 + w8 * w8 + w9 * w9 + w10 * w10 + w11 * w11 + w12 * w12 + w13 * w13 + w14 * w14 + w15 * w15) AS s FROM w),
+    v AS (
+      SELECT doc_id,
+             CAST(w0 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v0,
+             CAST(w1 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v1,
+             CAST(w2 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v2,
+             CAST(w3 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v3,
+             CAST(w4 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v4,
+             CAST(w5 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v5,
+             CAST(w6 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v6,
+             CAST(w7 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v7,
+             CAST(w8 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v8,
+             CAST(w9 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v9,
+             CAST(w10 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v10,
+             CAST(w11 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v11,
+             CAST(w12 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v12,
+             CAST(w13 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v13,
+             CAST(w14 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v14,
+             CAST(w15 AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) AS v15
+      FROM n
+    )
+    SELECT doc_id, 'fake-md5-16' AS model, 16 AS dim,
+           md5(CAST(CAST(round(v0 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v1 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v2 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v3 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v4 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v5 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v6 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v7 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v8 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v9 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v10 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v11 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v12 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v13 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v14 * 1000000) AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(round(v15 * 1000000) AS BIGINT) AS VARCHAR)) AS emb_md5,
+           CAST(round(((((((((((((((((0.0 + v0 * v0) + v1 * v1) + v2 * v2) + v3 * v3) + v4 * v4) + v5 * v5) + v6 * v6) + v7 * v7) + v8 * v8) + v9 * v9) + v10 * v10) + v11 * v11) + v12 * v12) + v13 * v13) + v14 * v14) + v15 * v15) * 1000000) AS BIGINT) AS norm_sq_q6
+    FROM v
+    """,
+)
 def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding extraction over binary media payloads — the bridge from
     the multimodal plumbing to the similarity/dedup stack:
@@ -408,7 +474,19 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "model",
         F.size("embedding").alias("dim"),
-        F.md5(F.to_json(F.col("embedding"))).alias("emb_md5"),
+        # commit to the vector through its micro-unit quantization (the
+        # engine-portable rendering — to_json float formatting is not)
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x * F.lit(1_000_000))
+                    .cast("long")
+                    .cast("string"),
+                ),
+            )
+        ).alias("emb_md5"),
         F.round(
             F.aggregate(
                 "embedding", F.lit(0.0), lambda acc, x: acc + x * x
