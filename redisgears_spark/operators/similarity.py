@@ -1472,9 +1472,88 @@ _MMR_K = 5  # diverse results kept per query
 _MMR_LAMBDA = 0.7  # relevance / diversity trade-off
 
 
-@query("sim_mmr_rerank")  # greedy selection — not SQL-expressible;
-# pinned instead by an independent pure-numpy reference implementation
-# (tests/test_similarity_mmr.py) over the same fixture
+def _mmr_oracle_sql() -> str:
+    """DuckDB replay of the greedy MMR loop (round 13): the k selection
+    rounds are UNROLLED — per round, every remaining pool member's score
+    lam*rel - (1-lam)*max_sim(selected) is recomputed with the IDENTICAL
+    IEEE expression (literals cast to DOUBLE; 1-lam computed, not
+    hand-inlined, so the 0.30000000000000004 artifact matches) and the
+    per-query argmax breaks ties to the smallest n_id, exactly the
+    kernel's strict-> walk in id order."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_m = f"(CAST(1 AS DOUBLE) - {lam})"
+    parts = [
+        f"""{_ORACLE_QUANT_CTE},
+    allp AS MATERIALIZED (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum([a.v[i] * b.v[i]
+                  for i in generate_series(1, len(a.v))]) AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+               AS cosine
+      FROM n a JOIN n b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+    ),
+    pool AS MATERIALIZED (
+      SELECT q_id, n_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        FROM allp
+      ) WHERE rnk <= {_MMR_POOL}
+    ),
+    cc AS MATERIALIZED (
+      SELECT pa.q_id, pa.n_id AS i_id, pb.n_id AS j_id,
+             CAST(list_sum([na.v[i] * nb.v[i]
+                  for i in generate_series(1, len(na.v))]) AS DOUBLE)
+               / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+               AS s
+      FROM pool pa
+      JOIN pool pb ON pb.q_id = pa.q_id AND pb.n_id <> pa.n_id
+      JOIN n na ON na.vec_id = pa.n_id
+      JOIN n nb ON nb.vec_id = pb.n_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT q_id, n_id, cosine AS relevance FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q_id
+          ORDER BY ({lam} * cosine - {one_m} * CAST(0 AS DOUBLE)) DESC,
+                   n_id) AS rnk
+        FROM pool
+      ) WHERE rnk = 1
+    )"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        sel_union = "\n        UNION ALL\n        ".join(
+            f"SELECT q_id, n_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(f"""
+    seen{r} AS MATERIALIZED (
+        {sel_union}
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT q_id, n_id, relevance FROM (
+        SELECT p.q_id, p.n_id, p.cosine AS relevance,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.q_id
+                 ORDER BY ({lam} * p.cosine - {one_m} * d.div) DESC,
+                          p.n_id) AS rnk
+        FROM pool p
+        JOIN (SELECT cc.q_id, cc.i_id, MAX(cc.s) AS div
+              FROM cc JOIN seen{r} sn
+                ON sn.q_id = cc.q_id AND sn.n_id = cc.j_id
+              GROUP BY 1, 2) d
+          ON d.q_id = p.q_id AND d.i_id = p.n_id
+        WHERE NOT EXISTS (SELECT 1 FROM seen{r} x
+                          WHERE x.q_id = p.q_id AND x.n_id = p.n_id)
+      ) WHERE rnk = 1
+    )""")
+    tail = "\n    UNION ALL\n    ".join(
+        f"SELECT q_id, n_id, CAST({r} AS BIGINT) AS mmr_rank, relevance"
+        f" FROM sel{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + tail
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle_sql())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance re-ranking: from each query's top-20
     relevance pool, greedily pick 5 results balancing relevance against
@@ -1486,7 +1565,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: exact-integer dot products, one fixed IEEE
     normalization (same kernel as sim_topk), candidates walked in
     n_id order with strict-> comparison so equal scores break to the
-    smallest id.
+    smallest id. Hash-exact DuckDB oracle since round 13: the greedy
+    loop is UNROLLED into k generated selection rounds (_mmr_oracle_sql)
+    with bit-identical score expressions, so 'iterative greedy' is
+    driver-checked, not just reference-pinned.
 
     Scale: the pool stage is the brute-force kernel (swap in
     sim_ann_lsh candidates past _BRUTEFORCE_MAX_ROWS); candidate
