@@ -331,9 +331,15 @@ class StreamingAnnIvfRuntime(StatefulStatsRuntime):
         cand = lists.join(F.broadcast(probes), "cell")
         if exclude_self:
             cand = cand.filter(F.col("n_id") != F.col("q_id"))
-        cand = cand.select("q_id", "n_id", "n_q", "n_nq").dropDuplicates(
-            ["q_id", "n_id"]
-        )
+        cand = cand.select("q_id", "n_id", "n_q", "n_nq")
+        if nprobe < len(C):
+            # argmax routing puts each corpus vector in exactly ONE
+            # inverted list, so (q_id, n_id) can repeat only through the
+            # probe table — and that has one row per (q, cell). With an
+            # exhaustive probe the pairs are unique by construction;
+            # skipping the dedup drops a whole shuffle from the
+            # range-screen path.
+            cand = cand.dropDuplicates(["q_id", "n_id"])
         return cand.join(F.broadcast(qdf), "q_id").select(
             "q_id",
             "n_id",
