@@ -298,15 +298,28 @@ def supplier_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").alias("rev_cp"),
     )
     tot = per.agg(F.sum("rev_cp").alias("total"))
-    w10 = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # cumulative share as a broadcast triangular self-join instead of a
+    # partition-less window (r12 verdict minor #3): the ten-row relation
+    # never warns "No Partition Defined", and the integer/decimal sum is
+    # order-independent so the value is bit-identical to the window form
+    below = per.select(
+        F.col("decile").alias("b_decile"), F.col("rev_cp").alias("b_rev")
+    )
+    cum = (
+        per.join(
+            F.broadcast(below), F.col("b_decile") <= F.col("decile")
+        )
+        .groupBy("decile", "n_suppliers", "rev_cp")
+        .agg(F.sum("b_rev").alias("cum_rev"))
+    )
     return (
-        per.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("long").alias("decile"),
             "n_suppliers",
             F.col("rev_cp").cast("long").alias("rev_cent_pct"),
             (
-                F.sum("rev_cp").over(w10).cast("double")
+                F.col("cum_rev").cast("double")
                 / F.col("total").cast("double")
             ).alias("cum_share"),
         )
