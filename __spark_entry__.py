@@ -106,13 +106,21 @@ _PRIORITY = [
 
 
 def _coverage_history() -> dict[str, int]:
-    """name → latest round with a driver row (hash-green, or recorded
-    rows-only for the no-oracle sketch ops), from the CORRECTNESS_r*.json
-    files beside this module. Queries absent from every file are the ones
-    the 50-entry cap has never reached."""
+    """name → latest round with a VALID driver row, from the
+    CORRECTNESS_r*.json files beside this module. Queries absent from
+    every file are the ones the 50-entry cap has never reached.
+
+    A row counts as a check only at the strength the name CURRENTLY
+    claims: hash-green always counts; a recorded rows-only pass counts
+    only for names that are still registered without an oracle — once a
+    name gains an oracle (the round-13 conversions), its historical
+    rows-only rows are obsolete evidence and the name floats back into
+    the rotation window for a real hash-exact check."""
     import glob
     import json
     import re
+
+    from redisgears_spark.operators import ORACLES
 
     here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, int] = {}
@@ -130,6 +138,7 @@ def _coverage_history() -> dict[str, int]:
             ok = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and name not in ORACLES
             )
             if ok:
                 latest[name] = max(latest.get(name, -1), rnd)
