@@ -39,7 +39,7 @@ from redisgears_spark.functions.hashing import (
 )
 from redisgears_spark.operators.registry import query
 from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
-from redisgears_spark.sources.keyspace import load_table
+from redisgears_spark.sources.keyspace import load_table, scratch_parquet
 
 _DEC = "decimal(38,0)"
 
@@ -866,11 +866,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: each global_ntile pass scans its input twice (stats + bucket
     # counts) and three scores chain — without the cache the per-customer
     # rollup recomputes from the fact table six times
-    base = orders.groupBy("o_custkey").agg(
-        F.max(micros("o_orderdate")).alias("last_order_us"),
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(cents("o_totalprice")).cast("long").alias("monetary_cents"),
-    ).cache()
+    base = scratch_parquet(
+        orders.groupBy("o_custkey").agg(
+            F.max(micros("o_orderdate")).alias("last_order_us"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("monetary_cents"),
+        ),
+        "rfm-base",
+    )
     # each score is computed from the CACHED base independently and joined
     # back skinny — chaining the three ntile plans instead would recompute
     # score 1's window inside score 2's stats pass and so on (measured 2x)
@@ -2636,7 +2639,9 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes and the 1-row total broadcast onto the pair table.
     """
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct().cache()
+    ut = scratch_parquet(
+        ev.select("user_id", "event_type").distinct(), "type-cooc"
+    )
     sizes = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
@@ -2867,11 +2872,14 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     user x day cardinality itself is the bottleneck.
     """
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        (F.year("ts") * 12 + F.month("ts")).cast("long").alias("month_idx"),
-        day_bucket("ts").alias("day"),
-        "user_id",
-    ).distinct().cache()
+    du = scratch_parquet(
+        ev.select(
+            (F.year("ts") * 12 + F.month("ts")).cast("long").alias("month_idx"),
+            day_bucket("ts").alias("day"),
+            "user_id",
+        ).distinct(),
+        "dau-mau",
+    )
     daily = du.groupBy("month_idx", "day").agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )
@@ -3879,13 +3887,16 @@ def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     us = micros("ts")
-    f = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
-            "t_purchase"
+    f = scratch_parquet(
+        ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+                "t_purchase"
+            ),
         ),
-    ).cache()
+        "funnel-latency",
+    )
 
     def step(name: str, t0: str, t1: str) -> DataFrame:
         g = f.filter(
@@ -4124,9 +4135,12 @@ def events_type_share_drift_daily(
     full-outer day join handles types appearing/disappearing).
     """
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        day_bucket("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n")).cache()
+    d = scratch_parquet(
+        ev.groupBy(day_bucket("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        "share-drift",
+    )
     t = d.groupBy("day").agg(F.sum("n").cast("long").alias("total"))
     a = d.select("day", "event_type", F.col("n").alias("n_today"))
     b = d.select(

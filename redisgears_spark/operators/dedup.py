@@ -41,7 +41,11 @@ from redisgears_spark.functions.hashing import (
 )
 from redisgears_spark.operators.registry import query
 from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
-from redisgears_spark.sources.keyspace import load_table, rebalanced
+from redisgears_spark.sources.keyspace import (
+    load_table,
+    rebalanced,
+    scratch_parquet,
+)
 
 # shared shingle expressions -------------------------------------------------
 
@@ -357,7 +361,7 @@ def _pair_stats(
     and hard-fails at Spark's broadcast limits at 100 TB (judge r8 #1).
     """
     if candidates == "lsh":
-        docs = _sketched_docs(spark, sf_dir).cache()
+        docs = scratch_parquet(_sketched_docs(spark, sf_dir), "sketched")
         buckets = docs.select(
             "doc_id", F.explode("bands").alias("band")
         ).select("doc_id", "band.band_id", "band.band_hash")
@@ -387,10 +391,11 @@ def _pair_stats(
         )
     if candidates != "exact":
         raise ValueError(f"candidates must be 'exact' or 'lsh', got {candidates!r}")
-    # cache: the shingle stage feeds four plan branches (two self-join
-    # sides + two size projections) — without it the Python shingling
-    # recomputes per branch
-    docs = shingled_docs(spark, sf_dir).cache()
+    # scratch-materialized: the shingle stage feeds four plan branches
+    # (two self-join sides + two size projections) — without it the Python
+    # shingling recomputes per branch. Per-invocation parquet, NOT .cache():
+    # a session cache would serve later invocations precomputed state
+    docs = scratch_parquet(shingled_docs(spark, sf_dir), "shingled")
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
     a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
@@ -501,14 +506,14 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over an (a_id, b_id) pair DataFrame →
     (doc_id, cluster_id, is_survivor). Strategy auto-selected by edge count
     (see dedup_clusters docstring)."""
-    edges = (
+    edges = scratch_parquet(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(
             pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
-        .cache()
+        ),
+        "cc-edges",
     )
-    n_edges = edges.count()  # materializes the cache; sizes the strategy
+    n_edges = edges.count()  # cheap parquet-metadata count; sizes the strategy
 
     if n_edges <= _CC_LOCAL_EDGE_LIMIT:
 
@@ -715,7 +720,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard's schema for pairs the LSH recalls (verified
     jaccard >= 0.2).
     """
-    docs = _sketched_docs(spark, sf_dir).cache()
+    docs = scratch_parquet(_sketched_docs(spark, sf_dir), "sketched")
     buckets = docs.select(
         "doc_id", F.explode("bands").alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
@@ -978,9 +983,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             _arrow_kernel(sign),
             "doc_id long, sim_lo long, sim_hi long, band_id int, band_bits long",
         )
-        # both self-join sides read this — cache or the Python pass runs twice
-        .cache()
     )
+    # both self-join sides read this — scratch-materialize or the Python
+    # pass runs twice (per-invocation parquet, not a session cache)
+    bands = scratch_parquet(bands, "simhash-bands")
     l = bands.select(
         "band_id",
         "band_bits",
@@ -1032,7 +1038,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is the VERIFIER — at 100 TB feed it LSH candidate pairs);
     the shingle pass is shared with the Jaccard query via the plan cache.
     """
-    docs = shingled_docs(spark, sf_dir).cache()
+    docs = scratch_parquet(shingled_docs(spark, sf_dir), "shingled")
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
     a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
@@ -1321,8 +1327,9 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the pair table.
     """
     ss = _source_shingles(spark, sf_dir).select("source", "s").distinct()
-    # cache: feeds both self-join sides and the sizes projection
-    ss = ss.cache()
+    # feeds both self-join sides and the sizes projection — materialize
+    # once per invocation (scratch parquet, not a session cache)
+    ss = scratch_parquet(ss, "src-shingles")
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = ss.select(F.col("source").alias("source_a"), F.col("s").alias("s_a"))
     b = ss.select(F.col("source").alias("source_b"), F.col("s").alias("s_b"))
@@ -2219,28 +2226,19 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os as _os
     import shutil as _shutil
+    import tempfile as _tempfile
 
     from redisgears_spark.engine import GearsEngine
-    from redisgears_spark.streaming import warmstate
     from redisgears_spark.streaming.dedupindex import (
         StreamingShingleIndexRuntime,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin(list(_INCR_SOURCES))
-    # warm-index fast path (r12 verdict #2): a prior invocation already
-    # ingested this corpus — reuse the saved index state, skip the spool
-    # roundtrip, screen directly (bit-exact: the state is pinned
-    # replay-idempotent)
-    _wtab = ("documents",)
-    base = warmstate.lookup("shingle_idx", sf_dir, _wtab)
-    warm = base is not None
-    if not warm:
-        base = warmstate.fresh_base("shingle_idx")
+    base = _tempfile.mkdtemp(prefix="rg_shidx_stream_")
     try:
         spool = _os.path.join(base, "spool")
-        if not warm:
-            docs.filter(~is_new).select(
+        docs.filter(~is_new).select(
             F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
                 "stream_key"
             ),
@@ -2255,21 +2253,18 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-            ).coalesce(8).write.parquet(spool)
-            # coalesce(8): one maxFilesPerTrigger micro-batch for the
-            # replay (fewer epochs -> the sink holds one full-state
-            # emission; the chunked/multi-epoch path is exercised by the
-            # runtime tests)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingShingleIndexRuntime(
             engine, spool, _os.path.join(base, "work")
         )
-        if not warm:
-            rt.start()
-            rt.process_available()
-            rt.stop()
-            warmstate.store("shingle_idx", sf_dir, _wtab, base)
+        rt.start()
+        rt.process_available()
+        rt.stop()
 
         result = rt.screen(
             docs.filter(is_new).select("doc_id", "text")
@@ -2279,10 +2274,8 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_id long, base_id long, inter bigint, union_n bigint, "
             "jaccard double, containment double",
         )
-    except BaseException:
-        if not warm:
-            _shutil.rmtree(base, ignore_errors=True)
-        raise
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 @query(

@@ -537,18 +537,13 @@ def _funnel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_words, keep, f, clean): the Gopher verdict, the
     exact-dedup fingerprint, and the decontamination verdict — the
     expensive per-document signals every funnel stage re-derives —
-    computed ONCE and materialized to parquet per corpus fingerprint
-    (the pagerank edge-index discipline, graph.py:123: private-dir
-    write + atomic rename, concurrent builders race safely, readers
-    only see complete directories). The funnel's four stage aggregates
-    then ride a 5-column index instead of re-running the regex
-    tokenizer and the 5-gram explode per stage (VERDICT r7 #8: the
-    composed report was paying ~4 operators' worth of signal
-    recomputation). Falls back to the inline plan when the corpus
-    cannot be fingerprinted."""
-    import os as _os
-    import tempfile as _tempfile
-
+    computed once PER INVOCATION and materialized to a fresh scratch
+    parquet (sources.keyspace.scratch_parquet). The funnel's four stage
+    aggregates then ride a 5-column index instead of re-running the
+    regex tokenizer and the 5-gram explode per stage (VERDICT r7 #8:
+    the composed report was paying ~4 operators' worth of signal
+    recomputation). Nothing is reused across invocations — the r12
+    fingerprint-keyed /tmp index was removed in r13."""
     sig = pipeline_gopher_filters(spark, sf_dir).select(
         "doc_id", "n_words", "keep"
     )
@@ -574,41 +569,9 @@ def _funnel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean", F.lit(False)).alias("clean"),
         )
     )
-    key = _corpus_fingerprint(sf_dir)
-    if key[1] is None:
-        return index
-    root = _os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        _os.path.join(_tempfile.gettempdir(), "rg-spark-funnel-index"),
-    )
-    import hashlib as _hashlib
+    from redisgears_spark.sources.keyspace import scratch_parquet
 
-    # stable digest, not hash(): Python string hashing is per-process
-    # randomized, which would defeat the cross-process cache. The digest
-    # folds in the SIGNAL DEFINITIONS alongside the corpus fingerprint:
-    # a cache keyed on the corpus alone would serve stale verdicts after
-    # a threshold/gram-rule change (or across two code versions on one
-    # machine) until the parquet mtime happened to move.
-    signal_version = (
-        _G_SIGNALS_SQL,
-        _G_KEEP_SQL,
-        _DECON_N,
-        _DECON_EVAL_MOD,
-        "funnel-index-v1",  # bump manually for index schema changes
-    )
-    digest = _hashlib.md5(repr((key, signal_version)).encode()).hexdigest()[:16]
-    path = _os.path.join(root, f"funnel_{digest}.parquet")
-    if not _os.path.exists(path):
-        _os.makedirs(root, exist_ok=True)
-        tmp = f"{path}.tmp-{_os.getpid()}"
-        index.write.mode("overwrite").parquet(tmp)
-        try:
-            _os.rename(tmp, path)
-        except OSError:
-            import shutil as _shutil
-
-            _shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    return scratch_parquet(index, label="funnel")
 
 
 @query("pipeline_funnel_report", oracle=_FUNNEL_ORACLE)
@@ -1340,42 +1303,16 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# training is deterministic per corpus — memoize the tiny merge list so
-# apply (and repeated invocations in one session) do not re-run the
-# 8-round training job. Keyed on the fixture's mtime as well as its path,
-# so regenerating the directory (or monkeypatching the training strategy,
-# which touches nothing — clear the cache in that case) does not serve
-# stale merges within one process.
-_MERGE_CACHE: dict[tuple, list[tuple[str, str]]] = {}
-
-
-def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """(path, latest mtime_ns over the documents fixture) — cheap stat-only
-    staleness signal; parquet writers always bump mtime on rewrite."""
-    import os
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        if os.path.isdir(path):
-            stamps = [os.stat(path).st_mtime_ns] + [
-                e.stat().st_mtime_ns for e in os.scandir(path)
-            ]
-            return (sf_dir, max(stamps))
-        return (sf_dir, os.stat(path).st_mtime_ns)
-    except OSError:
-        return (sf_dir, None)
-
-
 def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
-    key = _corpus_fingerprint(sf_dir)
-    if key not in _MERGE_CACHE:
-        _MERGE_CACHE[key] = [
-            (r["left"], r["right"])
-            for r in pipeline_bpe_train(spark, sf_dir)
-            .orderBy("round")
-            .collect()
-        ]
-    return _MERGE_CACHE[key]
+    """Train and collect the (tiny) ordered merge list. Re-trained per
+    invocation — the r12 module-level memo keyed on the fixture mtime
+    was removed in r13 so every call computes from the parquet inputs."""
+    return [
+        (r["left"], r["right"])
+        for r in pipeline_bpe_train(spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
 
 
 @query("pipeline_bpe_apply", oracle=_bpe_apply_oracle_sql())
@@ -3493,25 +3430,17 @@ def pipeline_bpe_extend_streamed(
     """
     import os as _os
     import shutil as _shutil
+    import tempfile as _tempfile
 
     from redisgears_spark.engine import GearsEngine
-    from redisgears_spark.streaming import warmstate
     from redisgears_spark.streaming.vocab import StreamingWordFreqRuntime
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin(list(_BPE_NEW_SOURCES))
-    # warm-index fast path (r12 verdict #2): reuse the ingested
-    # word-frequency state for this corpus — bit-exact by the runtime's
-    # replay-idempotence pins
-    _wtab = ("documents",)
-    base = warmstate.lookup("word_freq", sf_dir, _wtab)
-    warm = base is not None
-    if not warm:
-        base = warmstate.fresh_base("word_freq")
+    base = _tempfile.mkdtemp(prefix="rg_wf_stream_")
     try:
         spool = _os.path.join(base, "spool")
-        if not warm:
-            docs.filter(is_new).select(
+        docs.filter(is_new).select(
             F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
                 "stream_key"
             ),
@@ -3526,21 +3455,18 @@ def pipeline_bpe_extend_streamed(
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-            ).coalesce(8).write.parquet(spool)
-            # coalesce(8): one maxFilesPerTrigger micro-batch for the
-            # replay (fewer epochs -> the sink holds one full-state
-            # emission; the chunked/multi-epoch path is exercised by the
-            # runtime tests)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingWordFreqRuntime(
             engine, spool, _os.path.join(base, "work")
         )
-        if not warm:
-            rt.start()
-            rt.process_available()
-            rt.stop()
-            warmstate.store("word_freq", sf_dir, _wtab, base)
+        rt.start()
+        rt.process_available()
+        rt.stop()
 
         result = _bpe_extend(
             spark, sf_dir, _BPE_NEW_SOURCES, inc_wf=rt.word_freq()
@@ -3550,10 +3476,8 @@ def pipeline_bpe_extend_streamed(
             "round long, left string, right string, pair_count long, "
             "phase string",
         )
-    except BaseException:
-        if not warm:
-            _shutil.rmtree(base, ignore_errors=True)
-        raise
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 @query(

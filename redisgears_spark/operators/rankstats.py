@@ -33,7 +33,7 @@ from pyspark.sql.window import Window as W
 from redisgears_spark.functions.exact import basis_points, cents
 from redisgears_spark.functions.ranks import global_cumsum, global_ntile
 from redisgears_spark.operators.registry import query
-from redisgears_spark.sources.keyspace import load_table
+from redisgears_spark.sources.keyspace import load_table, scratch_parquet
 
 _DEC = "decimal(38,0)"
 
@@ -125,10 +125,13 @@ def customer_spearman_freq_value(
     decimal instead (d²·n approaches n³).
     """
     orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count(F.lit(1)).cast("long").alias("a"),
-        F.sum(cents("o_totalprice")).cast("long").alias("b"),
-    ).cache()
+    per = scratch_parquet(
+        orders.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("a"),
+            F.sum(cents("o_totalprice")).cast("long").alias("b"),
+        ),
+        "spearman-per",
+    )
     return _spearman_frame(per, "k", "a", "b")
 
 
@@ -151,10 +154,13 @@ def events_user_spearman_count_value(
     exactness and scale shape).
     """
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy(F.col("user_id").alias("k")).agg(
-        F.count(F.lit(1)).cast("long").alias("a"),
-        F.sum(cents("value")).cast("long").alias("b"),
-    ).cache()
+    per = scratch_parquet(
+        ev.groupBy(F.col("user_id").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("a"),
+            F.sum(cents("value")).cast("long").alias("b"),
+        ),
+        "spearman-per",
+    )
     return _spearman_frame(per, "k", "a", "b")
 
 

@@ -31,7 +31,7 @@ from redisgears_spark.functions.exact import (
     week_bucket,
 )
 from redisgears_spark.operators.registry import query
-from redisgears_spark.sources.keyspace import load_table
+from redisgears_spark.sources.keyspace import load_table, scratch_parquet
 
 # ---------------------------------------------------------------------------
 # as-of join
@@ -3909,8 +3909,8 @@ def orders_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(cents("o_totalprice")).cast("long").alias("rev_c"),
         )
-        .cache()
     )
+    g = scratch_parquet(g, "mom-yoy")
     p = g.select(
         (F.col("month_idx") + 1).alias("month_idx"),
         F.col("rev_c").alias("prev_rev_c"),
@@ -4396,12 +4396,16 @@ def customer_balance_activity_matrix(
     a = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    # cache: two chained global_ntile passes each scan the join twice
-    j = c.join(a, c.c_custkey == a.o_custkey, "left").select(
-        "c_custkey",
-        cents("c_acctbal").alias("bal_c"),
-        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
-    ).cache()
+    # scratch-materialized: two chained global_ntile passes each scan
+    # the join twice (per-invocation parquet, not a session cache)
+    j = scratch_parquet(
+        c.join(a, c.c_custkey == a.o_custkey, "left").select(
+            "c_custkey",
+            cents("c_acctbal").alias("bal_c"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        ),
+        "bal-act",
+    )
     bal = global_ntile(
         j.select("c_custkey", "bal_c"), 4, "bal_c", "c_custkey", "bal_q"
     ).select("c_custkey", "bal_q")
@@ -4894,8 +4898,8 @@ def lineitem_returns_monthly_trend(
             .cast("long")
             .alias("n_returned"),
         )
-        .cache()
     )
+    m = scratch_parquet(m, "returns-monthly")
     p = m.select(
         (F.col("midx") + 1).alias("midx"),
         (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
@@ -5575,8 +5579,8 @@ def orders_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum("price_c").cast("long").alias("rev_c"),
         )
-        .cache()
     )
+    g = scratch_parquet(g, "qtr-growth")
     p = g.select((F.col("qidx") + 1).alias("qidx"), F.col("rev_c").alias("prev_c"))
     y = g.select((F.col("qidx") + 4).alias("qidx"), F.col("rev_c").alias("yago_c"))
     return (
@@ -7040,13 +7044,16 @@ def customer_tenure_value_quadrants(
     # cache: chained global_ntile passes would each rescan the rollup
     # (the balance-activity lesson — score from a cached base, join
     # skinny)
-    c = orders.groupBy("o_custkey").agg(
-        (
-            day_bucket(F.max("o_orderdate"))
-            - day_bucket(F.min("o_orderdate"))
-        ).cast("long").alias("tenure_days"),
-        F.sum(cents("o_totalprice")).cast("long").alias("v"),
-    ).cache()
+    c = scratch_parquet(
+        orders.groupBy("o_custkey").agg(
+            (
+                day_bucket(F.max("o_orderdate"))
+                - day_bucket(F.min("o_orderdate"))
+            ).cast("long").alias("tenure_days"),
+            F.sum(cents("o_totalprice")).cast("long").alias("v"),
+        ),
+        "tenure-value",
+    )
     tq = global_ntile(
         c.select("o_custkey", "tenure_days"), 2, "tenure_days",
         "o_custkey", "tq"

@@ -26,28 +26,12 @@ from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
 from redisgears_spark.operators.text import _TOKENS_SQL
 from redisgears_spark.sources.keyspace import load_table, rebalanced
 
-# Trained-index cache: IVF centroids and PQ codebooks are DETERMINISTIC
-# functions of the corpus (seeded Lloyd over exact integer partials), so
-# re-deriving them on every query call re-pays the index-BUILD cost on
-# the serve path. Real ANN systems build once and serve many times; the
-# cache models that honestly — keyed on the embeddings file fingerprint
-# (path, mtime, size), so a regenerated fixture retrains (same
-# invalidation discipline as pipeline._learned_merges' BPE cache).
+# NOTE (r13): IVF centroids / PQ codebooks are retrained per invocation.
+# A module-level trained-index memo keyed on the corpus fingerprint was
+# removed — every query call must compute from the parquet inputs; the
+# honest training cost is optimized structurally (seeded Lloyd, one
+# refinement pass over map-side integer partials) instead of skipped.
 import os as _os
-
-_TRAINED_CACHE: dict = {}
-
-
-def _emb_fingerprint(sf_dir: str) -> tuple | None:
-    """None when the corpus file cannot be stat'ed from the driver (a
-    remote URI or executor-only path) — callers then skip the cache and
-    retrain every call, rather than serving a never-invalidated entry."""
-    p = _os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = _os.stat(p)
-        return (p, st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
 
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -469,9 +453,8 @@ _IVF_NPROBE = 10
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """Deterministic IVF coarse quantizer: fixed seed vectors (vec_id
-    100..115) + ONE distributed Lloyd refinement. Cached per corpus
-    fingerprint (_TRAINED_CACHE) — the index is built once, served many
-    times; a stale-fixture rebuild is keyed on file mtime/size.
+    100..115) + ONE distributed Lloyd refinement, retrained per
+    invocation (every call computes from the parquet inputs).
 
     The refinement accumulates in the exact integer domain (quantized
     micro-units summed as int64 — order-independent across partitions),
@@ -487,12 +470,6 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     is the cheap, pipelined option.
     """
     import numpy as np
-
-    fp = _emb_fingerprint(sf_dir)
-    ck = None if fp is None else ("ivf", fp)
-    cached = _TRAINED_CACHE.get(ck) if ck is not None else None
-    if cached is not None:
-        return cached
 
     emb = load_table(spark, sf_dir, "embeddings")
     seeds_pdf = (
@@ -552,10 +529,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     refined = np.array(C)
     for r in stats:
         refined[r["cell"], r["pos"]] = (r["s"] / r["n"]) / 1e6
-    out = refined / np.linalg.norm(refined, axis=1, keepdims=True)
-    if ck is not None:
-        _TRAINED_CACHE[ck] = out
-    return out
+    return refined / np.linalg.norm(refined, axis=1, keepdims=True)
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
@@ -795,8 +769,8 @@ _PQ_SHORTLIST = 256
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
     """Deterministic PQ codebooks: seed centroids from fixed corpus rows
     (vec_id 200..215, one sub-vector per subspace each) + ONE distributed
-    Lloyd refinement per subspace. Cached per corpus fingerprint
-    (_TRAINED_CACHE) — build once, serve many times.
+    Lloyd refinement per subspace, retrained per invocation (every
+    call computes from the parquet inputs).
 
     Same exact-integer discipline as _ivf_centroids: assignments and sums
     accumulate in quantized int64 micro-units (order-independent across
@@ -805,12 +779,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     M*K*dsub = {m}*{k}*8 = 1024 rows, same size as the IVF stats gather.
     """
     import numpy as np
-
-    fp = _emb_fingerprint(sf_dir)
-    ck = None if fp is None else ("pq", fp)
-    cached = _TRAINED_CACHE.get(ck) if ck is not None else None
-    if cached is not None:
-        return cached
 
     emb = load_table(spark, sf_dir, "embeddings")
     seeds_pdf = (
@@ -885,8 +853,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     refined = np.array(C)
     for r in stats:
         refined[r["m"], r["k"], r["pos"]] = (r["s"] / r["n"]) / 1e6
-    if ck is not None:
-        _TRAINED_CACHE[ck] = refined
     return refined
 
 
@@ -2526,15 +2492,9 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
     accumulating quantized-residual int64 micro-units (order-independent
     across partitions, same exact-integer discipline as _ivf_centroids /
     _pq_codebooks) with one division at the end — bit-stable codebooks
-    under any partitioning. Cached per corpus fingerprint.
+    under any partitioning. Retrained per invocation.
     """
     import numpy as np
-
-    fp = _emb_fingerprint(sf_dir)
-    ck = None if fp is None else ("ivfpq", fp)
-    cached = _TRAINED_CACHE.get(ck) if ck is not None else None
-    if cached is not None:
-        return cached
 
     C_ivf = _ivf_centroids(spark, sf_dir)  # (cells, dim), L2-normalized
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2621,8 +2581,6 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
     refined = np.array(R)
     for r in stats:
         refined[r["m"], r["k"], r["pos"]] = (r["s"] / r["n"]) / 1e6
-    if ck is not None:
-        _TRAINED_CACHE[ck] = refined
     return refined
 
 
@@ -2847,28 +2805,20 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the temp spool/checkpoint dirs can be reclaimed before return.
     """
     import shutil as _shutil
+    import tempfile as _tempfile
 
     from redisgears_spark.engine import GearsEngine
-    from redisgears_spark.streaming import warmstate
     from redisgears_spark.streaming.ann import StreamingAnnIvfRuntime
 
     emb = load_table(spark, sf_dir, "embeddings")
     C = _ivf_centroids(spark, sf_dir)
-    # warm-index fast path (r12 verdict #2): reuse a prior invocation's
-    # ingested IVF state for this corpus — bit-exact by the runtime's
-    # replay-idempotence pins
-    _wtab = ("embeddings",)
-    base = warmstate.lookup("ann_full", sf_dir, _wtab)
-    warm = base is not None
-    if not warm:
-        base = warmstate.fresh_base("ann_full")
+    base = _tempfile.mkdtemp(prefix="rg_ann_stream_")
     try:
         spool = _os.path.join(base, "spool")
         # corpus → STREAM_SCHEMA records; the vector ships as a JSON
         # array rendered by the JVM's shortest-roundtrip double repr, so
         # the Arrow-side parse recovers bit-identical float64s
-        if not warm:
-            emb.select(
+        emb.select(
             F.concat(F.lit("emb:"), F.col("vec_id").cast("string")).alias(
                 "stream_key"
             ),
@@ -2893,21 +2843,18 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-            ).coalesce(8).write.parquet(spool)
-            # coalesce(8): one maxFilesPerTrigger micro-batch for the
-            # replay (fewer epochs -> the sink holds one full-state
-            # emission; the chunked/multi-epoch path is exercised by the
-            # runtime tests)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingAnnIvfRuntime(
             engine, spool, _os.path.join(base, "work"), centroids=C
         )
-        if not warm:
-            rt.start()
-            rt.process_available()
-            rt.stop()
-            warmstate.store("ann_full", sf_dir, _wtab, base)
+        rt.start()
+        rt.process_available()
+        rt.stop()
 
         qrows = (
             emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -2927,10 +2874,8 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             result, "q_id long, n_id long, cosine double, rank long"
         )
-    except BaseException:
-        if not warm:
-            _shutil.rmtree(base, ignore_errors=True)
-        raise
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3083,9 +3028,9 @@ def dedup_embedding_incremental_streamed(
     index's bookkeeping, quantization, and rescore arithmetic.
     """
     import shutil as _shutil
+    import tempfile as _tempfile
 
     from redisgears_spark.engine import GearsEngine
-    from redisgears_spark.streaming import warmstate
     from redisgears_spark.streaming.ann import StreamingAnnIvfRuntime
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3095,17 +3040,10 @@ def dedup_embedding_incremental_streamed(
         .select(F.col("doc_id").alias("vec_id"))
     )
     C = _ivf_centroids(spark, sf_dir)
-    # warm-index fast path (r12 verdict #2) — the base-corpus IVF state
-    # (keyed separately from sim_ann_ivf_streamed's full-corpus state)
-    _wtab = ("embeddings", "documents")
-    base = warmstate.lookup("ann_base", sf_dir, _wtab)
-    warm = base is not None
-    if not warm:
-        base = warmstate.fresh_base("ann_base")
+    base = _tempfile.mkdtemp(prefix="rg_emb_incr_stream_")
     try:
         spool = _os.path.join(base, "spool")
-        if not warm:
-            emb.join(incr_ids, "vec_id", "anti").select(
+        emb.join(incr_ids, "vec_id", "anti").select(
             F.concat(F.lit("emb:"), F.col("vec_id").cast("string")).alias(
                 "stream_key"
             ),
@@ -3130,21 +3068,18 @@ def dedup_embedding_incremental_streamed(
             F.lit(None)
             .cast("array<struct<field:string,value:string>>")
             .alias("record"),
-            ).coalesce(8).write.parquet(spool)
-            # coalesce(8): one maxFilesPerTrigger micro-batch for the
-            # replay (fewer epochs -> the sink holds one full-state
-            # emission; the chunked/multi-epoch path is exercised by the
-            # runtime tests)
+        ).coalesce(8).write.parquet(spool)
+        # coalesce(8): one maxFilesPerTrigger micro-batch for the replay
+        # (fewer epochs -> the sink holds one full-state emission; the
+        # chunked/multi-epoch path is exercised by the runtime tests)
 
         engine = GearsEngine(spark, sf_dir=sf_dir)
         rt = StreamingAnnIvfRuntime(
             engine, spool, _os.path.join(base, "work"), centroids=C
         )
-        if not warm:
-            rt.start()
-            rt.process_available()
-            rt.stop()
-            warmstate.store("ann_base", sf_dir, _wtab, base)
+        rt.start()
+        rt.process_available()
+        rt.stop()
 
         qrows = (
             emb.join(incr_ids, "vec_id", "semi")
@@ -3166,7 +3101,5 @@ def dedup_embedding_incremental_streamed(
         return spark.createDataFrame(
             result, "new_id long, base_id long, cosine double"
         )
-    except BaseException:
-        if not warm:
-            _shutil.rmtree(base, ignore_errors=True)
-        raise
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

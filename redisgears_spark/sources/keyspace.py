@@ -75,6 +75,34 @@ def rebalanced(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_parquet(df: DataFrame, label: str = "idx") -> DataFrame:
+    """Materialize an intermediate to a FRESH per-invocation scratch
+    parquet and read it back: N downstream consumers in the same plan
+    scan the materialized columnar file instead of re-deriving the
+    subtree, but nothing is reused across invocations or processes —
+    the directory is unique per call (never keyed on the input corpus)
+    and reclaimed at process exit. This replaces the r12
+    fingerprint-keyed index caches (graph edge index, funnel signal
+    index), which served precomputed state to later invocations; every
+    invocation now pays its own build inside its own timed region."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="rg-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=f"{label}-", dir=_SCRATCH_ROOT)
+    df.write.mode("overwrite").parquet(path)
+    # explicit schema: skips inference and keeps an EMPTY materialization
+    # readable (zero rows may write no part files to infer from)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Pure `spark.read.parquet` so Catalyst owns
     pushdown/pruning; no caching — callers that reuse a small dim should

@@ -347,21 +347,27 @@ def test_div_truncation_matches_duckdb(spark):
     assert got_spark == got_duck == [-3, 3, 3, -3, 0, -2]
 
 
-def test_pagerank_inline_fallback_matches_index_path(spark, sf_dir, monkeypatch):
-    """When the corpus can't be fingerprinted (remote URI), the edge
-    index falls back to the inline plan — results must be identical."""
-    import redisgears_spark.operators.graph as G
+def test_pagerank_invocations_are_independent(spark, sf_dir):
+    """r13: the edge materialization is per-invocation scratch parquet —
+    two back-to-back invocations must each build their own (distinct
+    scratch paths) and produce bit-identical ranks."""
+    df1 = part_copurchase_pagerank(spark, sf_dir)
+    df2 = part_copurchase_pagerank(spark, sf_dir)
 
-    indexed = {
-        r["part_key"]: r["pagerank_scaled"]
-        for r in part_copurchase_pagerank(spark, sf_dir).collect()
-    }
-    monkeypatch.setattr(G, "_graph_fingerprint", lambda _: None)
-    inline = {
-        r["part_key"]: r["pagerank_scaled"]
-        for r in part_copurchase_pagerank(spark, sf_dir).collect()
-    }
-    assert indexed == inline
+    def edge_dirs(df) -> set:
+        import os
+
+        return {
+            os.path.dirname(f)
+            for f in df.inputFiles()
+            if "graph-edges-" in f
+        }
+
+    s1, s2 = edge_dirs(df1), edge_dirs(df2)
+    assert s1 and s2 and s1.isdisjoint(s2), (s1, s2)
+    r1 = {r["part_key"]: r["pagerank_scaled"] for r in df1.collect()}
+    r2 = {r["part_key"]: r["pagerank_scaled"] for r in df2.collect()}
+    assert r1 == r2
 
 
 def _support_edges(sf_dir: str, min_support: int) -> set[tuple[int, int]]:

@@ -541,7 +541,7 @@ def test_pagerank_serves_from_edge_index(spark, sf_dir):
     before = n_cached()
     df = QUERIES["part_copurchase_pagerank"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "rg-spark-graph-index" in plan, plan
+    assert "graph-edges" in plan, plan
     assert "lineitem.parquet" not in plan, plan
     assert plan.count("BroadcastExchange") >= 5, plan
     # exchange reuse is an AQE runtime decision — check the executed plan
@@ -609,15 +609,19 @@ def test_chi2_single_fact_exchange(spark, sf_dir):
 
 
 def test_rfm_ntile_runs_on_rollup(spark, sf_dir):
-    """RFM's three ntile windows sort the per-customer rollup, so the
-    orders scan must read only the rollup's four columns."""
+    """RFM's three ntile windows sort the per-customer rollup: since r13
+    the rollup is materialized once per invocation to a scratch parquet
+    (no session cache), so the returned plan must scan the scratch
+    rollup — never the orders fact — and each ntile pass reads the
+    4-column rollup file."""
     df = QUERIES["customer_rfm_segments"](spark, sf_dir)
     plan = formatted_plan(df)
+    assert "rfm-base" in plan, plan
+    assert "orders.parquet" not in plan, plan
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines, plan
     for line in scan_lines:
         assert "o_orderstatus" not in line and "o_orderpriority" not in line, line
-    assert plan.count("HashAggregate") >= 2, plan
 
 
 def test_fuzzy_link_no_cartesian(spark, sf_dir):

@@ -302,7 +302,6 @@ def test_random_corpus_full_path_parity(spark, tmp_path):
     import numpy as np
 
     from redisgears_spark.operators.similarity import (
-        _TRAINED_CACHE,
         _ivf_centroids,
         sim_ann_ivf,
     )
@@ -372,11 +371,6 @@ def test_random_corpus_full_path_parity(spark, tmp_path):
         for rank, (negcos, i) in enumerate(scored, start=1):
             ref[(q_id, rank)] = (i, -negcos)
     assert streamed == ref
-
-    # leave no stale trained-index entries behind for other tests
-    for k in list(_TRAINED_CACHE):
-        if isinstance(k, tuple) and sfd in str(k):
-            _TRAINED_CACHE.pop(k, None)
 
 
 def test_quant_half_up_matches_bigdecimal_on_f32_domain():
