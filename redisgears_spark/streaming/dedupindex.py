@@ -95,6 +95,8 @@ def _make_router(text_field: str, id_field: str, n_buckets: int):
     the removal twins instead. Runs executor-side over Arrow batches."""
 
     def route(batches):
+        from zlib import crc32
+
         from redisgears_spark.operators.dedup import _shingles_py
         from redisgears_spark.streaming.stateful import (
             _CTL_DELETE,
@@ -104,7 +106,17 @@ def _make_router(text_field: str, id_field: str, n_buckets: int):
 
         _wp()
         for pdf in batches:
-            rows = []
+            # columnar buffers, not per-row dicts: a corpus batch
+            # scatters |shingles| posting rows — list-of-dicts →
+            # DataFrame measured ~4x slower than column lists at this
+            # volume (guide §4.2: keep the Python row path out of bulk
+            # construction)
+            c_bucket: list[int] = []
+            c_doc: list[int] = []
+            c_sh: list[str | None] = []
+            c_n: list[int] = []
+            c_op: list[str] = []
+            c_id: list[int] = []
             for fields, rec_id in zip(pdf["fields"], pdf["id"]):
                 f = dict(fields) if fields is not None else {}
                 text = f.get(text_field)
@@ -112,33 +124,34 @@ def _make_router(text_field: str, id_field: str, n_buckets: int):
                 if text is None or did is None:
                     continue
                 did = int(did)
+                rid = int(rec_id)
                 delete = f.get(_CTL_FIELD) == _CTL_DELETE
                 sh = _shingles_py(text)
                 post_op = "del" if delete else "post"
-                for s in sh:
-                    rows.append(
-                        {
-                            "bucket": shingle_bucket(s, n_buckets),
-                            "doc_id": did,
-                            "sh": s,
-                            "n": -1,
-                            "op": post_op,
-                            "id": int(rec_id),
-                        }
-                    )
-                rows.append(
-                    {
-                        "bucket": did % n_buckets,
-                        "doc_id": did,
-                        "sh": None,
-                        "n": len(sh),
-                        "op": "delsize" if delete else "size",
-                        "id": int(rec_id),
-                    }
+                k = len(sh)
+                c_bucket.extend(
+                    crc32(s.encode("utf-8")) % n_buckets for s in sh
                 )
+                c_doc.extend([did] * k)
+                c_sh.extend(sh)
+                c_n.extend([-1] * k)
+                c_op.extend([post_op] * k)
+                c_id.extend([rid] * k)
+                c_bucket.append(did % n_buckets)
+                c_doc.append(did)
+                c_sh.append(None)
+                c_n.append(k)
+                c_op.append("delsize" if delete else "size")
+                c_id.append(rid)
             yield pd.DataFrame(
-                rows,
-                columns=["bucket", "doc_id", "sh", "n", "op", "id"],
+                {
+                    "bucket": pd.Series(c_bucket, dtype="int64"),
+                    "doc_id": pd.Series(c_doc, dtype="int64"),
+                    "sh": pd.Series(c_sh, dtype="object"),
+                    "n": pd.Series(c_n, dtype="int64"),
+                    "op": pd.Series(c_op, dtype="object"),
+                    "id": pd.Series(c_id, dtype="int64"),
+                }
             )
 
     return route
@@ -160,28 +173,54 @@ def _make_bucket_reducer():
             post, size = {}, {}
         frame = _ordered_frame(pdfs)
         if len(frame):
-            for doc_id, s, n, op in zip(
-                frame["doc_id"], frame["sh"], frame["n"], frame["op"]
-            ):
-                did = int(doc_id)
-                if op == "post":
-                    ids = post.setdefault(s, [])
-                    if did not in ids:
-                        ids.append(did)
-                        ids.sort()
-                elif op == "del":
-                    ids = post.get(s)
-                    if ids is not None:
-                        try:
-                            ids.remove(did)
-                        except ValueError:
-                            pass
-                        if not ids:
-                            post.pop(s)
-                elif op == "size":
-                    size[str(did)] = int(n)
-                elif op == "delsize":
-                    size.pop(str(did), None)
+            ops = frame["op"].to_numpy()
+            if not ((ops == "del") | (ops == "delsize")).any():
+                # insert-only fast path (the corpus-replay shape): posting
+                # lists are SETS, so pure inserts are order-independent —
+                # union per shingle via a C-grouped pandas groupby and
+                # sort ONCE at the end, instead of the per-row
+                # membership-scan + re-sort (quadratic on hot shingles).
+                # End state is bit-identical to the ordered loop.
+                posts = frame[ops == "post"]
+                if len(posts):
+                    for s, grp in posts.groupby("sh", sort=False)["doc_id"]:
+                        prev = post.get(s)
+                        merged = set(
+                            grp.to_numpy(dtype="int64").tolist()
+                        )
+                        if prev is not None:
+                            merged.update(prev)
+                        post[s] = sorted(merged)
+                sizes = frame[ops == "size"]
+                if len(sizes):
+                    # last write (highest id) wins per doc — frame is
+                    # already id-ordered
+                    last = sizes.drop_duplicates("doc_id", keep="last")
+                    for did, n in zip(last["doc_id"], last["n"]):
+                        size[str(int(did))] = int(n)
+            else:
+                for doc_id, s, n, op in zip(
+                    frame["doc_id"], frame["sh"], frame["n"], frame["op"]
+                ):
+                    did = int(doc_id)
+                    if op == "post":
+                        ids = post.setdefault(s, [])
+                        if did not in ids:
+                            ids.append(did)
+                            ids.sort()
+                    elif op == "del":
+                        ids = post.get(s)
+                        if ids is not None:
+                            try:
+                                ids.remove(did)
+                            except ValueError:
+                                pass
+                            if not ids:
+                                post.pop(s)
+                    elif op == "size":
+                        size[str(did)] = int(n)
+                    elif op == "delsize":
+                        size.pop(str(did), None)
         state.update((_json.dumps({"post": post, "size": size}),))
         shingles = sorted(post)
         size_ids = sorted(int(k) for k in size)
@@ -222,8 +261,10 @@ class StreamingShingleIndexRuntime(StatefulStatsRuntime):
         text_field: str = "text",
         id_field: str = "doc_id",
         n_buckets: int = 64,
+        files_per_trigger: int | None = None,
     ):
-        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        super().__init__(engine, spool_dir, work_dir, source_adapter,
+                         files_per_trigger=files_per_trigger)
         self.text_field = text_field
         self.id_field = id_field
         self.n_buckets = n_buckets

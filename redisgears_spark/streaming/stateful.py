@@ -149,12 +149,19 @@ class StatefulStatsRuntime:
     _SINK_EVENT_LOG: bool = False
 
     def __init__(self, engine: GearsEngine, spool_dir: str, work_dir: str,
-                 source_adapter=None):
+                 source_adapter=None, files_per_trigger: int | None = None):
         self.engine = engine
         self.spark: SparkSession = engine.spark
         self.spool_dir = spool_dir
         self.work_dir = work_dir
         self.source_adapter = source_adapter
+        # micro-batch chunking: files admitted per trigger. Default 8
+        # (the historical contract every runtime test pins). The
+        # registered streamed twins raise it together with a wider
+        # spool so the ROUTER stage runs at full core count — a
+        # file-stream batch plans one task per file, so an 8-file spool
+        # capped the Arrow router at 8-way parallelism on 32 cores.
+        self.files_per_trigger = files_per_trigger or 8
         self.query: StreamingQuery | None = None
         # wall-clock of each committed epoch, for idle-key expiry
         self._epoch_seen: dict[int, float] = {}
@@ -177,13 +184,13 @@ class StatefulStatsRuntime:
         if self.source_adapter is not None:
             raw = (
                 self.spark.readStream.schema(raw_schema)
-                .option("maxFilesPerTrigger", 8)
+                .option("maxFilesPerTrigger", self.files_per_trigger)
                 .parquet(self.spool_dir)
             )
             return self.source_adapter(raw)
         return (
             self.spark.readStream.schema(STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", 8)
+            .option("maxFilesPerTrigger", self.files_per_trigger)
             .parquet(self.spool_dir)
         )
 

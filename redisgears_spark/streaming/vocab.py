@@ -186,8 +186,10 @@ class StreamingWordFreqRuntime(StatefulStatsRuntime):
         text_field: str = "text",
         id_field: str = "doc_id",
         n_buckets: int = 32,
+        files_per_trigger: int | None = None,
     ):
-        super().__init__(engine, spool_dir, work_dir, source_adapter)
+        super().__init__(engine, spool_dir, work_dir, source_adapter,
+                         files_per_trigger=files_per_trigger)
         self.text_field = text_field
         self.id_field = id_field
         self.n_buckets = n_buckets
