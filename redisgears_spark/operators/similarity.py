@@ -114,6 +114,33 @@ def _corpus_numpy(spark: SparkSession, sf_dir: str, predicate=None):
     return ids, M
 
 
+def _driver_vecs(spark: SparkSession, sf_dir: str, predicate):
+    """One pushed-filter driver gather of (vec_id, v: float64 list) rows,
+    ordered by vec_id. The ANN operators need several tiny fixed row sets
+    on the driver (Lloyd seed vectors, the 8 query vectors); each separate
+    toPandas is a full job round trip, so an operator fetches the UNION of
+    its row sets once and slices (the slices are bit-identical to separate
+    fetches — same projection, same vec_id order)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(predicate)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+
+
+def _vec_slice(pdf, lo: int, hi: int):
+    """Rows of a _driver_vecs frame with lo <= vec_id <= hi (still
+    vec_id-ordered — the frame is)."""
+    return pdf[(pdf["vec_id"] >= lo) & (pdf["vec_id"] <= hi)].reset_index(
+        drop=True
+    )
+
+
 def _block_cosine(A, M):
     """Exact-integer block cosine: every element is
     double(dot_int) / (sqrt(double(na_int)) * sqrt(double(nb_int))) —
@@ -451,7 +478,7 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 10
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str):
+def _ivf_centroids(spark: SparkSession, sf_dir: str, seeds_pdf=None):
     """Deterministic IVF coarse quantizer: fixed seed vectors (vec_id
     100..115) + ONE distributed Lloyd refinement, retrained per
     invocation (every call computes from the parquet inputs).
@@ -460,6 +487,10 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     micro-units summed as int64 — order-independent across partitions),
     then divides once, so the trained centroids are bit-stable no matter
     how the corpus is partitioned. Returns L2-normalized (cells, dim).
+
+    `seeds_pdf` lets a caller that already gathered the seed rows (via
+    _driver_vecs, as part of a combined fetch) skip this function's own
+    gather — the rows are the same either way.
 
     Deliberately NOT cached across the three Arrow passes (training,
     corpus assign, query assign): measured at sf0.1, a .cache() of the
@@ -472,12 +503,12 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds_pdf = (
-        emb.filter(F.col("vec_id").between(100, 100 + _IVF_CELLS - 1))
-        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-        .orderBy("vec_id")
-        .toPandas()
-    )
+    if seeds_pdf is None:
+        seeds_pdf = _driver_vecs(
+            spark,
+            sf_dir,
+            F.col("vec_id").between(100, 100 + _IVF_CELLS - 1),
+        )
     C = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -540,7 +571,21 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     the exactprobe registration carries the brute-force oracle)."""
     import numpy as np
 
-    C = _ivf_centroids(spark, sf_dir)
+    # ONE driver gather for seeds + query vectors (they were two separate
+    # toPandas jobs — r13: each is a full scheduler round trip), then the
+    # probe table is computed driver-side from the trained centroids: the
+    # same `V @ C.T` argsort the executor kernel ran, on the same float64
+    # rows, so the (q_id, cell) set is bit-identical — and the final plan
+    # drops a whole corpus-scan + Python-eval subtree.
+    fetched = _driver_vecs(
+        spark,
+        sf_dir,
+        (F.col("vec_id") < _N_QUERIES)
+        | F.col("vec_id").between(100, 100 + _IVF_CELLS - 1),
+    )
+    C = _ivf_centroids(
+        spark, sf_dir, seeds_pdf=_vec_slice(fetched, 100, 100 + _IVF_CELLS - 1)
+    )
 
     def assign_corpus(batches):
         """One pass emits the inverted list AND the quantized vector +
@@ -561,18 +606,18 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
                 }
             )
 
-    def assign_queries(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            V = np.vstack(pdf["v"].to_numpy()).astype("float64")
-            dots = V @ C.T
-            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
-            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            yield pd.DataFrame(
-                {"q_id": np.repeat(q_ids, nprobe),
-                 "cell": order.reshape(-1).astype("int64")}
-            )
+    q_pdf = _vec_slice(fetched, 0, _N_QUERIES - 1)
+    QV = np.vstack(q_pdf["v"].to_numpy()).astype("float64")
+    q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
+    order = np.argsort(-(QV @ C.T), axis=1, kind="stable")[:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c))
+            for qi in range(len(q_ids))
+            for c in order[qi]
+        ],
+        "q_id long, cell long",
+    )
 
     vecs = rebalanced(load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -581,10 +626,6 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     ))
     lists = vecs.mapInPandas(
         _arrow_kernel(assign_corpus), "vec_id long, cell long, n_q array<bigint>, n_nq long"
-    )
-    probes = (
-        vecs.filter(F.col("vec_id") < _N_QUERIES)
-        .mapInPandas(_arrow_kernel(assign_queries), "q_id long, cell long")
     )
     cand = (
         lists.join(F.broadcast(probes), "cell")
@@ -766,11 +807,12 @@ _PQ_K = 16
 _PQ_SHORTLIST = 256
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str):
+def _pq_codebooks(spark: SparkSession, sf_dir: str, seeds_pdf=None):
     """Deterministic PQ codebooks: seed centroids from fixed corpus rows
     (vec_id 200..215, one sub-vector per subspace each) + ONE distributed
     Lloyd refinement per subspace, retrained per invocation (every
-    call computes from the parquet inputs).
+    call computes from the parquet inputs). `seeds_pdf`: optional
+    pre-gathered seed rows (combined _driver_vecs fetch — same rows).
 
     Same exact-integer discipline as _ivf_centroids: assignments and sums
     accumulate in quantized int64 micro-units (order-independent across
@@ -781,15 +823,10 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds_pdf = (
-        emb.filter(F.col("vec_id").between(200, 200 + _PQ_K - 1))
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    if seeds_pdf is None:
+        seeds_pdf = _driver_vecs(
+            spark, sf_dir, F.col("vec_id").between(200, 200 + _PQ_K - 1)
         )
-        .orderBy("vec_id")
-        .toPandas()
-    )
     S = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")  # (K, dim)
     dim = S.shape[1]
     dsub = dim // _PQ_M
@@ -881,7 +918,17 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    C = _pq_codebooks(spark, sf_dir)  # (M, K, dsub)
+    # one combined driver gather: PQ seed rows + the 8 query vectors
+    # (was two separate toPandas jobs — r13)
+    fetched = _driver_vecs(
+        spark,
+        sf_dir,
+        (F.col("vec_id") < _N_QUERIES)
+        | F.col("vec_id").between(200, 200 + _PQ_K - 1),
+    )
+    C = _pq_codebooks(
+        spark, sf_dir, seeds_pdf=_vec_slice(fetched, 200, 200 + _PQ_K - 1)
+    )  # (M, K, dsub)
     dsub = C.shape[2]
 
     def encode(batches):
@@ -911,16 +958,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = emb.mapInPandas(_arrow_kernel(encode), "vec_id long, code long")
 
     # query LUTs: tiny (8 queries × M × K doubles), shipped in the closure
-    q_pdf = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-        .orderBy("vec_id")
-        .toPandas()
-    )
+    q_pdf = _vec_slice(fetched, 0, _N_QUERIES - 1)
     QV = np.vstack(q_pdf["v"].to_numpy()).astype("float64")
     q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
     # lut[q, m, k] = dot(q_m, C[m, k])
@@ -2479,7 +2517,7 @@ _IVFPQ_M = 16
 _IVFPQ_SHORTLIST = 256
 
 
-def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
+def _ivfpq_codebooks(spark: SparkSession, sf_dir: str, C_ivf=None, seeds_pdf=None):
     """Residual PQ codebooks — the IVFADC trainer: sub-quantize the
     RESIDUAL (v − its IVF cell centroid), not the raw vector. Residuals
     are what remains after the coarse quantizer explains the cell mean,
@@ -2492,21 +2530,20 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
     accumulating quantized-residual int64 micro-units (order-independent
     across partitions, same exact-integer discipline as _ivf_centroids /
     _pq_codebooks) with one division at the end — bit-stable codebooks
-    under any partitioning. Retrained per invocation.
+    under any partitioning. Retrained per invocation. `C_ivf` lets the
+    caller pass the coarse quantizer it already trained this invocation
+    (sim_ann_ivfpq needs it too — r13 removed the double Lloyd run);
+    `seeds_pdf`: optional pre-gathered seed rows.
     """
     import numpy as np
 
-    C_ivf = _ivf_centroids(spark, sf_dir)  # (cells, dim), L2-normalized
+    if C_ivf is None:
+        C_ivf = _ivf_centroids(spark, sf_dir)  # (cells, dim), L2-normalized
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds_pdf = (
-        emb.filter(F.col("vec_id").between(300, 300 + _PQ_K - 1))
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    if seeds_pdf is None:
+        seeds_pdf = _driver_vecs(
+            spark, sf_dir, F.col("vec_id").between(300, 300 + _PQ_K - 1)
         )
-        .orderBy("vec_id")
-        .toPandas()
-    )
     S = np.vstack(seeds_pdf["v"].to_numpy()).astype("float64")  # (K, dim)
     cell = (S @ C_ivf.T).argmax(axis=1)
     RS = S - C_ivf[cell]  # seed residuals
@@ -2616,8 +2653,26 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    C_ivf = _ivf_centroids(spark, sf_dir)
-    R = _ivfpq_codebooks(spark, sf_dir)  # (M, K, dsub)
+    # one combined driver gather (IVF seeds + residual-PQ seeds + the 8
+    # query vectors — was three separate toPandas jobs), and ONE coarse
+    # quantizer training shared with the codebook trainer (the previous
+    # shape trained the identical IVF centroids twice per invocation)
+    fetched = _driver_vecs(
+        spark,
+        sf_dir,
+        (F.col("vec_id") < _N_QUERIES)
+        | F.col("vec_id").between(100, 100 + _IVF_CELLS - 1)
+        | F.col("vec_id").between(300, 300 + _PQ_K - 1),
+    )
+    C_ivf = _ivf_centroids(
+        spark, sf_dir, seeds_pdf=_vec_slice(fetched, 100, 100 + _IVF_CELLS - 1)
+    )
+    R = _ivfpq_codebooks(
+        spark,
+        sf_dir,
+        C_ivf=C_ivf,
+        seeds_pdf=_vec_slice(fetched, 300, 300 + _PQ_K - 1),
+    )  # (M, K, dsub)
     dsub = R.shape[2]
 
     def encode(batches):
@@ -2672,16 +2727,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query-side tables: probe cells (argsort, same order as sim_ann_ivf),
     # per-(query, cell) centroid dots, per-query residual LUTs — all tiny
-    q_pdf = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-        .orderBy("vec_id")
-        .toPandas()
-    )
+    q_pdf = _vec_slice(fetched, 0, _N_QUERIES - 1)
     QV = np.vstack(q_pdf["v"].to_numpy()).astype("float64")
     q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
     qdots = QV @ C_ivf.T  # (queries, cells)
@@ -2811,7 +2857,17 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redisgears_spark.streaming.ann import StreamingAnnIvfRuntime
 
     emb = load_table(spark, sf_dir, "embeddings")
-    C = _ivf_centroids(spark, sf_dir)
+    # one driver gather for Lloyd seeds + the 8 query vectors (the query
+    # rows were a separate collect after ingest — r13)
+    fetched = _driver_vecs(
+        spark,
+        sf_dir,
+        (F.col("vec_id") < _N_QUERIES)
+        | F.col("vec_id").between(100, 100 + _IVF_CELLS - 1),
+    )
+    C = _ivf_centroids(
+        spark, sf_dir, seeds_pdf=_vec_slice(fetched, 100, 100 + _IVF_CELLS - 1)
+    )
     base = _tempfile.mkdtemp(prefix="rg_ann_stream_")
     try:
         spool = _os.path.join(base, "spool")
@@ -2856,18 +2912,12 @@ def sim_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt.process_available()
         rt.stop()
 
-        qrows = (
-            emb.filter(F.col("vec_id") < _N_QUERIES)
-            .select(
-                "vec_id",
-                F.expr(
-                    "transform(embedding, x -> cast(x as double))"
-                ).alias("v"),
-            )
-            .collect()
-        )
+        q_pdf = _vec_slice(fetched, 0, _N_QUERIES - 1)
         result = rt.topk(
-            [(r["vec_id"], list(r["v"])) for r in qrows],
+            [
+                (int(vid), list(v))
+                for vid, v in zip(q_pdf["vec_id"], q_pdf["v"])
+            ],
             k=_TOP_K,
             nprobe=_IVF_NPROBE,
         ).collect()
