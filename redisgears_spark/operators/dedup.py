@@ -84,8 +84,8 @@ def _shingles_py(text: str) -> list[str]:
     return [""]
 
 
-def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, sh: array<string> of distinct word 3-grams).
+def shingle_pass(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sh) through the Arrow shingle kernel.
 
     Implemented as an Arrow-batched mapInPandas stage rather than the
     equivalent Catalyst expression (kept above as _SHINGLES for reference):
@@ -95,6 +95,11 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 7-10x slower at sf0.1. The pandas stage materializes the array
     once; downstream explodes are then free. Semantics are identical to the
     DuckDB oracle (same \\s+ split, lower, first-occurrence distinct).
+
+    Takes the (doc_id, text) relation as an argument so callers can push
+    their row filters BELOW the kernel (an opaque Python stage blocks
+    filter pushdown — filtering first means only the rows a branch needs
+    are ever shingled; the r13 incremental-screen rewrite).
     """
 
     def shingle(batches):
@@ -107,9 +112,16 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["doc_id", "sh"])
 
-    return rebalanced(
+    return rebalanced(docs).mapInPandas(
+        _arrow_kernel(shingle), "doc_id long, sh array<string>"
+    )
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh: array<string> of distinct word 3-grams)."""
+    return shingle_pass(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(_arrow_kernel(shingle), "doc_id long, sh array<string>")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -391,23 +403,38 @@ def _pair_stats(
         )
     if candidates != "exact":
         raise ValueError(f"candidates must be 'exact' or 'lsh', got {candidates!r}")
-    # scratch-materialized: the shingle stage feeds four plan branches
-    # (two self-join sides + two size projections) — without it the Python
-    # shingling recomputes per branch. Per-invocation parquet, NOT .cache():
-    # a session cache would serve later invocations precomputed state
+    # scratch-materialized: the shingle stage feeds both self-join sides —
+    # without it the Python shingling recomputes per branch. Per-invocation
+    # parquet, NOT .cache(): a session cache would serve later invocations
+    # precomputed state. Each document's shingle count rides its posting
+    # rows and folds back with MIN in the pair aggregate (r13) — the two
+    # post-aggregate size joins are gone.
     docs = scratch_parquet(shingled_docs(spark, sf_dir), "shingled")
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
-    sizes = docs.select("doc_id", F.size("sh").cast("long").alias("n"))
-    a = ex.select(F.col("doc_id").alias("a_id"), F.col("s").alias("s_a"))
-    b = ex.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
-    pairs = (
+    ex = docs.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n"),
+        F.explode("sh").alias("s"),
+    )
+    a = ex.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = ex.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    return (
         a.join(b, (a.s_a == b.s_b) & (a.a_id < b.b_id))
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            # constant per document — MIN is just the fold that carries it
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
-    return pairs.join(sa, "a_id").join(sb, "b_id")
 
 
 _CC_MAX_ITERS = 25
@@ -648,8 +675,8 @@ def _hash64_str(values) -> "object":
     )
 
 
-def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One narrow Python pass: documents → (doc_id, sh, bands) where
+def _sketch_pass(docs: DataFrame) -> DataFrame:
+    """One narrow Python pass: (doc_id, text) → (doc_id, sh, bands) where
     `bands` is the exploded-ready MinHash LSH band list.
 
     The signature is computed *inside* the shingle pass (vectorized numpy:
@@ -657,6 +684,9 @@ def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-min) — so the shuffle carries only (doc_id, band rows) and the
     shingle text never leaves the Python worker. At 100 TB this is the
     difference between shuffling the corpus and shuffling ~192 B/doc.
+
+    Takes the (doc_id, text) relation as an argument so callers can push
+    row filters BELOW the kernel (see shingle_pass).
     """
     import numpy as np
 
@@ -695,12 +725,17 @@ def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"doc_id": pdf["doc_id"], "sh": shs, "bands": bands_col}
                 )
 
-    return rebalanced(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(
+    return rebalanced(docs).mapInPandas(
         _arrow_kernel(sketch),
         "doc_id long, sh array<string>, "
         "bands array<struct<band_id:int,band_hash:long>>",
+    )
+
+
+def _sketched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh, bands); see _sketch_pass."""
+    return _sketch_pass(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -1324,7 +1359,10 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle value with per-shingle fan-out bounded by |sources| (each
     shingle contributes at most |sources|^2/2 pairs, and |sources| is
     a dimension, not a corpus, cardinality). Source vocab sizes are
-    broadcast back onto the pair table.
+    broadcast back onto the pair table. A groupBy(s)+collect_set pair
+    fold was MEASURED (r13) and rejected: millions of shingle groups
+    push ObjectHashAggregate into its sort-based fallback — 1.7 s →
+    6.8 s at sf0.1.
     """
     ss = _source_shingles(spark, sf_dir).select("source", "s").distinct()
     # feeds both self-join sides and the sizes projection — materialize
@@ -2143,33 +2181,40 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental_batch` over candidates="lsh"-style pairs, same
     verify tail.
     """
-    sh = shingled_docs(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    d = sh.join(src, "doc_id")
+    # r13 shape: the source filter lands BELOW the shingle kernel (each
+    # side shingles exactly the rows it needs, once — the previous plan
+    # shingled the whole corpus in three branches), and each document's
+    # shingle count rides its posting rows through the join, folded back
+    # with MIN in the pair aggregate — no per-side size joins at all.
+    docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin(list(_INCR_SOURCES))
-    ex_new = (
-        d.filter(is_new)
-        .select(F.col("doc_id").alias("new_id"), F.explode("sh").alias("s"))
+    new_sh = shingle_pass(docs.filter(is_new).select("doc_id", "text"))
+    base_sh = shingle_pass(docs.filter(~is_new).select("doc_id", "text"))
+    ex_new = new_sh.select(
+        F.col("doc_id").alias("new_id"),
+        F.size("sh").cast("long").alias("n_a"),
+        F.explode("sh").alias("s"),
     )
-    ex_base = (
-        d.filter(~is_new)
-        .select(F.col("doc_id").alias("base_id"), F.explode("sh").alias("s"))
+    ex_base = base_sh.select(
+        F.col("doc_id").alias("base_id"),
+        F.size("sh").cast("long").alias("n_b"),
+        F.explode("sh").alias("s"),
     )
     pairs = (
         ex_new.join(ex_base, "s")
         .groupBy("new_id", "base_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            # constant per document — MIN is just the fold that carries it
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    sizes = d.select("doc_id", F.size("sh").cast("long").alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n").alias("n_b"))
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
     return (
-        pairs.join(sa, "new_id")
-        .join(sb, "base_id")
-        .select(
+        pairs.select(
             "new_id",
             "base_id",
             "inter",
@@ -2336,21 +2381,25 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays join candidates only for the verify — never
     all-pairs.
     """
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # NOT cached: a .cache() here outlives the query (nothing ever
-    # unpersists a returned-lazy operator's intermediates) and pins the
-    # sketch table in executor memory for the session; the band/shingle
-    # legs each scan it once and recomputing the narrow sketch pass is
-    # cheaper than a permanent storage leak
-    d = _sketched_docs(spark, sf_dir).join(src, "doc_id")
+    # r13 shape: the source filter lands BELOW the sketch kernel — each
+    # side sketches exactly the rows it needs (the increment side is
+    # batch-sized), instead of the whole corpus flowing through the
+    # kernel once per plan branch. The band legs and the verify legs
+    # each consume their own filtered pass; no scratch materialization
+    # (measured: writing the corpus-wide shingle+band arrays costs more
+    # at bench scale than the narrow re-pass, and the kernel's shuffle
+    # payload is ~192 B/doc either way).
+    docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin(list(_INCR_SOURCES))
+    d_new = _sketch_pass(docs.filter(is_new).select("doc_id", "text"))
+    d_base = _sketch_pass(docs.filter(~is_new).select("doc_id", "text"))
     new_bands = (
-        d.filter(is_new)
+        d_new
         .select(F.col("doc_id").alias("new_id"), F.explode("bands").alias("band"))
         .select("new_id", "band.band_id", "band.band_hash")
     )
     base_bands = (
-        d.filter(~is_new)
+        d_base
         .select(F.col("doc_id").alias("base_id"), F.explode("bands").alias("band"))
         .select("base_id", "band.band_id", "band.band_hash")
     )
@@ -2359,10 +2408,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "base_id")
         .distinct()
     )
-    sa = d.filter(is_new).select(
+    sa = d_new.select(
         F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")
     )
-    sb = d.filter(~is_new).select(
+    sb = d_base.select(
         F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")

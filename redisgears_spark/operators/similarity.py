@@ -343,6 +343,10 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(_QUANT).alias("v")
     ))
     buckets = emb.mapInPandas(_arrow_kernel(bucketize), "vec_id long, tbl long, bucket long")
+    # both self-join sides re-run the bucketize pass; a scratch parquet
+    # of the (corpus × tables) bucket rows was measured (r13) and costs
+    # more than the narrow re-pass — the kernel is one matmul per batch
+    # and the write barrier dominates
     l = buckets.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
     r = buckets.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
     cand = (
