@@ -1353,13 +1353,21 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer selection in both engines, no float midpoint averaging.
     """
     ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type", cents("value").alias("cents")
-    ).agg(F.count(F.lit(1)).cast(_DEC).alias("cnt"))
+    # materialize the value histogram ONCE: every downstream relation
+    # (totals, both prefix-sum selections, the deviation re-key, the
+    # outlier count) is derived from h, and without this each branch
+    # re-aggregated the events fact table — six corpus passes for one
+    # histogram's worth of information
+    h = scratch_parquet(
+        ev.groupBy("event_type", cents("value").alias("cents")).agg(
+            F.count(F.lit(1)).cast(_DEC).alias("cnt")
+        ),
+        "mad-hist",
+    )
     tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
     w = W.partitionBy("event_type").orderBy("cents")
     cum = (
-        h.join(tot, "event_type")
+        h.join(F.broadcast(tot), "event_type")
         .withColumn("cum", F.sum("cnt").over(w))
     )
     med = (
@@ -1377,7 +1385,8 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wd = W.partitionBy("event_type").orderBy("d")
     dcum = (
-        dev.join(tot, "event_type").withColumn("cum", F.sum("cnt").over(wd))
+        dev.join(F.broadcast(tot), "event_type")
+        .withColumn("cum", F.sum("cnt").over(wd))
     )
     mad = (
         dcum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))

@@ -1253,10 +1253,18 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only corpus-scale shuffle carries (16-byte md5,
     doc_id) pairs — the span text is hashed in the projection and never
-    moves. docs-per-fingerprint is a two-key aggregate; the join back to
-    positions is fp-keyed. Documents shorter than the window emit no
-    spans and are absent from the result (same convention as the
-    oracle).
+    moves. Documents shorter than the window emit no spans and are
+    absent from the result (same convention as the oracle).
+
+    r13: single-pass formulation. The original shape joined the span
+    stream against its own fingerprint aggregate, so the tokenize +
+    md5-per-window explode (the expensive projection) sat under BOTH
+    join branches and ran twice. Now spans are pre-aggregated once to
+    (fp, doc_id, c) and the docs-per-fingerprint count nd becomes a
+    COUNT(*) window over fp on those aggregated rows — the count of
+    distinct docs per fingerprint, since the rows are distinct by
+    construction. One pass over the explode, no join; the two
+    post-aggregate shuffles carry only (md5, doc_id, count) rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1272,20 +1280,24 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    docs_per = spans.groupBy("fp").agg(
-        F.count_distinct("doc_id").alias("nd")
+    per = spans.groupBy("fp", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nd = per.withColumn(
+        "nd", F.count(F.lit(1)).over(W.partitionBy("fp"))
     )
     return (
-        spans.join(docs_per, "fp")
-        .groupBy("doc_id")
+        nd.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_shared_spans"),
             (
-                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("c")
             ).alias("shared_fraction"),
         )
     )

@@ -283,11 +283,20 @@ def supplier_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single partition is scale-independent.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            cents("l_extendedprice").cast(_DEC)
-            * (F.lit(100).cast(_DEC) - basis_points("l_discount").cast(_DEC))
-        ).alias("r")
+    # materialize the supplier rollup: global_ntile scans its input twice
+    # (stats + bucket counts) and the decile branches fan out below —
+    # without this the lineitem fact aggregate recomputes per branch
+    rev = scratch_parquet(
+        li.groupBy("l_suppkey").agg(
+            F.sum(
+                cents("l_extendedprice").cast(_DEC)
+                * (
+                    F.lit(100).cast(_DEC)
+                    - basis_points("l_discount").cast(_DEC)
+                )
+            ).alias("r")
+        ),
+        "lorenz-rev",
     )
     # NTILE cuts on the exact integer revenue; global_ntile needs a
     # BIGINT-castable key — cent·pct fits comfortably (< 2^63 per
@@ -299,9 +308,14 @@ def supplier_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "decile",
     )
-    per = tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-        F.sum("r").alias("rev_cp"),
+    # ten rows, but referenced three times (per / below / tot): materialize
+    # so the two-phase ntile machinery above runs once, not per branch
+    per = scratch_parquet(
+        tiled.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("r").alias("rev_cp"),
+        ),
+        "lorenz-deciles",
     )
     tot = per.agg(F.sum("rev_cp").alias("total"))
     # cumulative share as a broadcast triangular self-join instead of a

@@ -54,33 +54,33 @@ def _edge_profile(
 ) -> DataFrame:
     """Exact join-size estimate from per-key counts only: |A ⋈ B| =
     Σ_k cA(k)·cB(k). Two skinny grouped relations join on the key; the
-    fact rows themselves never shuffle."""
+    fact rows themselves never shuffle.
+
+    r13 single-pass shape: side totals, matched-key stats and the output
+    estimate all come out of ONE full-outer join of the two grouped
+    relations (cl/cr are NULL off-side, so COUNT/SUM over them recover
+    the per-side totals and products vanish for unmatched keys) — the
+    previous three-branch form re-aggregated each fact table twice."""
     lc = left.groupBy(F.col(lkey).alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("cl")
     )
     rc = right.groupBy(F.col(rkey).alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("cr")
     )
-    lt = lc.agg(
-        F.sum("cl").cast("long").alias("left_rows"),
-        F.count(F.lit(1)).cast("long").alias("left_keys"),
-    )
-    rt = rc.agg(
-        F.sum("cr").cast("long").alias("right_rows"),
-        F.count(F.lit(1)).cast("long").alias("right_keys"),
-    )
-    m = lc.join(rc, "k").agg(
-        F.count(F.lit(1)).cast("long").alias("matched_keys"),
-        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
-        .cast("long")
-        .alias("out_rows"),
-        F.coalesce(F.max(F.col("cl") * F.col("cr")), F.lit(0))
-        .cast("long")
-        .alias("max_key_pairs"),
-    )
+    pairs = F.col("cl") * F.col("cr")
     return (
-        lt.crossJoin(rt)
-        .crossJoin(m)
+        lc.join(rc, "k", "full_outer")
+        .agg(
+            F.sum("cl").cast("long").alias("left_rows"),
+            F.sum("cr").cast("long").alias("right_rows"),
+            F.count("cl").cast("long").alias("left_keys"),
+            F.count("cr").cast("long").alias("right_keys"),
+            F.count(pairs).cast("long").alias("matched_keys"),
+            F.coalesce(F.sum(pairs), F.lit(0)).cast("long").alias("out_rows"),
+            F.coalesce(F.max(pairs), F.lit(0))
+            .cast("long")
+            .alias("max_key_pairs"),
+        )
         .select(
             F.lit(name).alias("edge"),
             "left_rows",
@@ -390,40 +390,67 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit is the difference between "revenue by nation" and "revenue by
     nation, minus whatever didn't match".
 
-    Left-anti join per edge (null child keys count as orphans in both
-    engines: NULL never equals), grouped counts only.
+    Orphans via LEFT join against the DISTINCT parent key (null child
+    keys count as orphans in both engines: NULL never equals), grouped
+    counts only.
 
-    Scale: each edge is a semi-join of the child's key column against
-    the parent key — with the parent dimension-sized, AQE broadcasts
-    it and the audit is a map-side pass over the child.
+    Scale / r13 single-pass shape: edges are grouped BY CHILD TABLE and
+    each child is scanned ONCE — its row count and every edge's orphan
+    stats come out of one aggregate over the child with all of its
+    parent-key joins attached (lineitem: 3 edges, previously 6 scans of
+    the fact table, now 1). Per-edge rows are then exploded from the
+    single stats row, so nothing re-references (and so re-derives) the
+    scan. With the parent dimension-sized, AQE broadcasts each key side
+    and the audit is a map-side pass over the child.
     """
     tables = {
         t: load_table(spark, sf_dir, t)
         for t in {e[1] for e in _FK_EDGES} | {e[3] for e in _FK_EDGES}
     }
+    by_child: dict[str, list[tuple[str, str, str, str, str]]] = {}
+    for e in _FK_EDGES:
+        by_child.setdefault(e[1], []).append(e)
     parts = []
-    for name, child, ckey, parent, pkey in _FK_EDGES:
-        c, p = tables[child], tables[parent]
-        child_rows = c.agg(
-            F.count(F.lit(1)).cast("long").alias("child_rows")
+    for child, edges in by_child.items():
+        c = tables[child]
+        j = c.select(
+            *[F.col(e[2]).alias(f"ck{i}") for i, e in enumerate(edges)]
         )
-        orphans = c.join(
-            p, c[ckey] == p[pkey], "left_anti"
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
-            F.count_distinct(F.col(ckey)).cast("long").alias("orphan_keys"),
-        )
-        parts.append(
-            child_rows.crossJoin(orphans).select(
-                F.lit(name).alias("edge"),
-                "child_rows",
-                "orphan_rows",
-                "orphan_keys",
-                (
-                    F.col("orphan_rows").cast("double")
-                    / F.col("child_rows")
-                ).alias("orphan_rate"),
+        for i, e in enumerate(edges):
+            pk = tables[e[3]].select(F.col(e[4]).alias(f"pk{i}")).distinct()
+            j = j.join(pk, F.col(f"ck{i}") == F.col(f"pk{i}"), "left")
+        aggs = [F.count(F.lit(1)).cast("long").alias("child_rows")]
+        for i, e in enumerate(edges):
+            orphan = F.col(f"pk{i}").isNull()
+            aggs.append(
+                F.count(F.when(orphan, 1)).cast("long").alias(f"orows{i}")
             )
+            aggs.append(
+                F.count_distinct(F.when(orphan, F.col(f"ck{i}")))
+                .cast("long")
+                .alias(f"okeys{i}")
+            )
+        stats = j.agg(*aggs)
+        parts.append(
+            stats.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(e[0]).alias("edge"),
+                                F.col("child_rows").alias("child_rows"),
+                                F.col(f"orows{i}").alias("orphan_rows"),
+                                F.col(f"okeys{i}").alias("orphan_keys"),
+                                (
+                                    F.col(f"orows{i}").cast("double")
+                                    / F.col("child_rows")
+                                ).alias("orphan_rate"),
+                            )
+                            for i, e in enumerate(edges)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.*")
         )
     return reduce(DataFrame.unionAll, parts)
 

@@ -14,7 +14,11 @@ from pyspark.sql.window import Window as W
 
 from redisgears_spark.operators.registry import query
 from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
-from redisgears_spark.sources.keyspace import load_table, rebalanced
+from redisgears_spark.sources.keyspace import (
+    load_table,
+    rebalanced,
+    scratch_parquet,
+)
 
 _TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 _TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -164,7 +168,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize tf once: it feeds BOTH the df aggregate and the final
+    # join, and without this the tokenizer + explode (the expensive
+    # projection) is evaluated under each branch — two full corpus passes
+    tf = scratch_parquet(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        "tfidf-tf",
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; at 100 TB read from table stats instead
     weight = F.col("tf") * ((n_docs + 1.0) / (F.col("df") + 1.0))
@@ -433,7 +443,15 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
         )
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-(doc, token) counts, materialized ONCE: the raw token stream fed
+    # both the vocab build and the scoring join, so the tokenizer + explode
+    # ran twice; dtc is the same information at |doc|x|distinct-tok| rows
+    # (duplicates collapsed map-side) and every branch reads the scratch
+    dtc = scratch_parquet(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")),
+        "rarity-dtc",
+    )
+    counts = dtc.groupBy("tok").agg(F.sum("c").alias("cnt"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(
         _RARITY_VOCAB_K
     )
@@ -441,11 +459,11 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = top.withColumn("rank", F.row_number().over(w)).select("tok", "rank")
     rank = F.coalesce("rank", F.lit(_RARITY_OOV_RANK))
     return (
-        toks.join(F.broadcast(vocab), "tok", "left")
+        dtc.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(rank).alias("rank_sum"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * rank).alias("rank_sum"),
         )
         .withColumn(
             "mean_rarity",
