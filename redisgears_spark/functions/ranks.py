@@ -46,9 +46,24 @@ Bit-exactness is unaffected: every final bucket is still a contiguous,
 correctly-ordered slice of the total order (pinned by
 tests/test_properties.py against the window form, including the
 10M-ties-on-one-value worst case).
+
+Multi-cut fusion (r13): queries that cut the SAME relation several ways
+(RFM's three quintiles, a 2x2 median split, Spearman's two rank passes)
+previously paid the two driver jobs (stats + bucket-count gather) and a
+join-back PER CUT. `global_ranks(df, specs)` computes any number of
+rank/ntile/cumsum cuts with exactly ONE stats job, ONE fused gather job
+(bucket ids for every cut counted in a single pass via a narrow
+explode), and ONE chained final plan (N window shuffles, zero join-backs
+— the gathers run before any window exists, so chaining cannot
+re-trigger them). Per-spec skew refinement still engages independently,
+costing extra narrow jobs only for the specs that are actually hot.
+`global_ntile` / `global_cumsum` are single-spec wrappers over the same
+engine, so every property pin exercises the fused path.
 """
 
 from __future__ import annotations
+
+from decimal import Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,57 +87,64 @@ MAX_HOT_PER_LEVEL = 256  # largest-first; a CASE with 256 arms stays cheap
 SUB_BUCKET_CAP = 4_096   # per-bucket split fan-out bound (id-space bound)
 
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_DEC = "decimal(38,0)"
 
 
-def _bucket_refined(
-    df: DataFrame,
-    key: str,
-    tiebreak_col: str,
-    b: str,
-    n_rows: int,
-    lo: int,
-    hi: int,
-    sum_col: str | None = None,
-):
-    """Assign the order-monotone bucket column `b` (BIGINT) with skew
-    refinement, and gather the per-final-bucket stats.
-
-    Returns (bucketed_df, gathered) where `gathered` is the collected
-    per-bucket rows with fields: b, "c" (count) and — when sum_col is
-    given — "s" (SUM(sum_col)) and "sd" (COUNT(sum_col), for the NULL
-    guard). Bucket ids sort in global order by construction.
-    """
-    spark = df.sparkSession
-    n_buckets = min(
+def _n_buckets(spark, n_rows: int) -> int:
+    return min(
         MAX_BUCKETS,
         max(
             spark.sparkContext.defaultParallelism,
             n_rows // TARGET_ROWS_PER_BUCKET,
         ),
     )
-    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
-    bucketed = df.withColumn(
-        b, F.expr(f"(CAST({key} AS BIGINT) - {int(lo)}) DIV {width}")
-    )
 
+
+def _gather(bucketed: DataFrame, b: str, sum_col: str | None) -> list[dict]:
+    """One per-bucket count/sum gather job → list of plain dicts with
+    keys b (bucket id), "c" (count) and — when sum_col is given — "s"
+    (exact decimal SUM(sum_col)) and "sd" (COUNT(sum_col), the NULL
+    guard). NULL-bucket rows (skip_nulls specs) are excluded."""
     aggs = [F.count(F.lit(1)).alias("c")]
     if sum_col is not None:
-        aggs += [F.sum(sum_col).alias("s"), F.count(sum_col).alias("sd")]
+        aggs += [
+            F.sum(F.col(sum_col).cast(_DEC)).alias("s"),
+            F.count(sum_col).alias("sd"),
+        ]
+    rows = (
+        bucketed.filter(F.col(b).isNotNull()).groupBy(b).agg(*aggs).collect()
+    )
+    return [r.asDict() for r in rows]
 
+
+def _refine(
+    bucketed: DataFrame,
+    gathered: list[dict],
+    key: str,
+    tiebreak_col: str,
+    b: str,
+    n_rows: int,
+    sum_col: str | None,
+):
+    """Iterative hot-bucket splitting (module docstring): starting from a
+    level-0 `gathered`, split any bucket above the hot cut and re-gather,
+    up to MAX_REFINE_LEVELS times. Extra jobs run ONLY when hot buckets
+    exist. Returns the final (bucketed, gathered)."""
+    spark = bucketed.sparkSession
+    n_buckets = _n_buckets(spark, n_rows)
     target = max(1, n_rows // max(1, n_buckets))
     hot_cut = max(HOT_BUCKET_FLOOR, HOT_BUCKET_FACTOR * target)
     tb_integral = isinstance(
-        df.schema[tiebreak_col].dataType, _INTEGRAL_TYPES
+        bucketed.schema[tiebreak_col].dataType, _INTEGRAL_TYPES
     )
 
-    for level in range(MAX_REFINE_LEVELS + 1):
-        gathered = bucketed.groupBy(b).agg(*aggs).collect()
+    for _level in range(MAX_REFINE_LEVELS):
         hot = sorted(
             (r for r in gathered if r["c"] > hot_cut),
             key=lambda r: -r["c"],
         )[:MAX_HOT_PER_LEVEL]
-        if not hot or level == MAX_REFINE_LEVELS:
-            return bucketed, gathered
+        if not hot:
+            break
 
         # one narrow pass over the hot rows only: key span (finer-range
         # split) and tiebreak span (tie split) per hot bucket
@@ -175,7 +197,7 @@ def _bucket_refined(
             branches.append((int(r[b]), expr))
             stride = max(stride, n_sub)
         if not branches:
-            return bucketed, gathered
+            break
 
         case = (
             "CASE "
@@ -190,7 +212,343 @@ def _bucket_refined(
         bucketed = bucketed.withColumn(
             b, F.expr(f"{b} * {stride} + ({case})")
         )
-    return bucketed, gathered  # pragma: no cover — loop always returns
+        gathered = _gather(bucketed, b, sum_col)
+    return bucketed, gathered
+
+
+def _bucket_refined(
+    df: DataFrame,
+    key: str,
+    tiebreak_col: str,
+    b: str,
+    n_rows: int,
+    lo: int,
+    hi: int,
+    sum_col: str | None = None,
+):
+    """Assign the order-monotone bucket column `b` (BIGINT) with skew
+    refinement, and gather the per-final-bucket stats.
+
+    Returns (bucketed_df, gathered) where `gathered` is the collected
+    per-bucket rows with fields: b, "c" (count) and — when sum_col is
+    given — "s" (SUM(sum_col)) and "sd" (COUNT(sum_col), for the NULL
+    guard). Bucket ids sort in global order by construction.
+    """
+    spark = df.sparkSession
+    n_buckets = _n_buckets(spark, n_rows)
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    bucketed = df.withColumn(
+        b, F.expr(f"(CAST({key} AS BIGINT) - {int(lo)}) DIV {width}")
+    )
+    gathered = _gather(bucketed, b, sum_col)
+    return _refine(
+        bucketed, gathered, key, tiebreak_col, b, n_rows, sum_col
+    )
+
+
+def _tile_sql(rk: str, n: int, n_rows: int) -> str:
+    """NTILE(n) closed form over the 1-based global rank `rk` with
+    n_rows rows: q = n_rows DIV n rows in every bucket, the first
+    rem = n_rows % n buckets get one extra; ranks <= rem*(q+1) fall in
+    those wide buckets. All integer DIV — no float ever touches a
+    bucket boundary."""
+    q, rem = n_rows // n, n_rows % n
+    threshold = rem * (q + 1)
+    if q == 0:  # fewer rows than buckets: bucket i holds exactly row i
+        return rk
+    if rem == 0:
+        return f"({rk} - 1) DIV {q} + 1"
+    return (
+        f"IF({rk} <= {threshold}, "
+        f"({rk} - 1) DIV {q + 1} + 1, "
+        f"{rem} + ({rk} - {threshold} - 1) DIV {q} + 1)"
+    )
+
+
+def global_ranks(
+    df: DataFrame,
+    specs: list[dict],
+    _caller: str = "global_ranks",
+    totals: dict | None = None,
+) -> DataFrame:
+    """Compute N independent global rank/ntile/prefix-sum cuts of `df`
+    with ONE stats job, ONE fused bucket-count gather job and ONE final
+    plan (module docstring, "Multi-cut fusion").
+
+    Each spec is a dict:
+      value      (str)  integral order column (cast to BIGINT);
+      tiebreak   (str)  column making (value, tiebreak) a total order;
+      descending (bool) order direction, default False;
+      rank       (str | None)   output: 1-based global rank (long);
+      ntile      ((n, col) | None)  output: exact NTILE(n) bucket (long);
+      cumsum     ((sum_col, col) | None)  output: inclusive running sum
+                 of sum_col in sum_col's type (sum_col integral/decimal,
+                 NULL-free over the ranked rows);
+      skip_nulls (bool, default False)  NULL `value` rows get NULL
+                 outputs and do not occupy a rank/tile (the caller's
+                 pre-filtered-halves shape); default is to refuse NULLs
+                 loudly — a silent drop would skew every tile boundary.
+
+    Output assignments are bit-identical to running each cut through the
+    single-spec wrappers (same bucket widths, same offsets, same
+    windows); only the job count and plan shape differ.
+
+    When `totals` is a dict it is filled in place with driver-side
+    aggregates the machinery computes anyway: "n_rows" (row count of
+    df) and per-spec lists "n" (ranked-row count) and "sum" (exact
+    python-int total of sum_col, None for non-cumsum specs) — so a
+    caller needing "the total" for a cutoff grid can build it as
+    literals instead of re-deriving the ranked relation under a second
+    aggregate (each in-plan reference re-runs the whole input subtree).
+    """
+    spark = df.sparkSession
+    if not specs:
+        return df
+
+    # normalized per-spec state
+    class _S:
+        pass
+
+    ss: list[_S] = []
+    for i, d in enumerate(specs):
+        s = _S()
+        s.value = d["value"]
+        s.tiebreak = d["tiebreak"]
+        s.desc = bool(d.get("descending", False))
+        s.rank = d.get("rank")
+        s.ntile = d.get("ntile")
+        s.cumsum = d.get("cumsum")
+        s.skip_nulls = bool(d.get("skip_nulls", False))
+        s.sum_col = s.cumsum[0] if s.cumsum else None
+        first_out = (
+            (s.ntile[1] if s.ntile else None) or s.rank
+            or (s.cumsum[1] if s.cumsum else f"x{i}")
+        )
+        # bucket-name prefixes are plan-pinned (tests/test_plans.py):
+        # __gnt_bucket for tile cuts, __gcs_bucket for rank/prefix cuts
+        prefix = "__gnt_bucket" if s.ntile else "__gcs_bucket"
+        s.b = f"{prefix}_{first_out}"
+        s.key = f"__gr_key_{i}_{first_out}"
+        ss.append(s)
+
+    keyed = df
+    for s in ss:
+        sign = "-" if s.desc else ""
+        keyed = keyed.withColumn(
+            s.key, F.expr(f"{sign}CAST({s.value} AS BIGINT)")
+        )
+
+    # ---- phase 1: ONE stats job (row count + per-spec span) ----
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, s in enumerate(ss):
+        aggs += [
+            F.count(s.key).alias(f"__nd{i}"),
+            F.min(s.key).alias(f"__lo{i}"),
+            F.max(s.key).alias(f"__hi{i}"),
+        ]
+    st = keyed.agg(*aggs).first()
+    n_rows = st["__n"]
+
+    def _null_outputs(base: DataFrame) -> DataFrame:
+        out = base
+        for s in ss:
+            if s.rank:
+                out = out.withColumn(s.rank, F.lit(None).cast("long"))
+            if s.ntile:
+                out = out.withColumn(s.ntile[1], F.lit(None).cast("long"))
+            if s.cumsum:
+                out = out.withColumn(
+                    s.cumsum[1],
+                    F.lit(None).cast(df.schema[s.cumsum[0]].dataType),
+                )
+        return out
+
+    if totals is not None:
+        totals["n_rows"] = n_rows
+        totals["n"] = [st[f"__nd{i}"] for i in range(len(ss))]
+        totals["sum"] = [None] * len(ss)
+    if not n_rows:
+        return _null_outputs(df)
+
+    for i, s in enumerate(ss):
+        s.n_eff = st[f"__nd{i}"]
+        if s.n_eff != n_rows and not s.skip_nulls:
+            # a window NTILE would rank NULLs first; the range-bucket
+            # stage has no bucket for them and would SILENTLY drop the
+            # rows from every tile count — refuse loudly instead
+            # (callers coalesce a sentinel before cutting, which is also
+            # the only way the oracle side can mirror the ordering
+            # deterministically)
+            raise ValueError(
+                f"{_caller}: {s.value} contains NULLs "
+                f"({n_rows - s.n_eff} of {n_rows} rows); coalesce "
+                "them to a sentinel before cutting"
+            )
+        s.lo = st[f"__lo{i}"]
+        s.hi = st[f"__hi{i}"]
+
+    # ---- phase 2: bucket columns + ONE fused gather job ----
+    active = [s for s in ss if s.n_eff]
+    bucketed = keyed
+    for s in active:
+        n_buckets = _n_buckets(spark, n_rows)
+        width = max(1, (int(s.hi) - int(s.lo) + n_buckets) // n_buckets)
+        # NULL key (skip_nulls) → NULL bucket, excluded from the gather
+        bucketed = bucketed.withColumn(
+            s.b, F.expr(f"(CAST({s.key} AS BIGINT) - {int(s.lo)}) DIV {width}")
+        )
+
+    if len(active) == 1:
+        s = active[0]
+        s_gathered = _gather(bucketed, s.b, s.sum_col)
+        s.gathered = s_gathered
+    elif active:
+        # one narrow pass counts every spec's buckets: explode S structs
+        # of (spec id, bucket id, decimal sum term) per row — partial
+        # aggregation collapses them to |buckets| rows per spec before
+        # any exchange, exactly like the per-spec gathers it replaces
+        structs = []
+        for i, s in enumerate(active):
+            sv = (
+                F.col(s.sum_col).cast(_DEC)
+                if s.sum_col is not None
+                else F.lit(None).cast(_DEC)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(i).alias("mid"),
+                    F.col(s.b).alias("bb"),
+                    sv.alias("sv"),
+                )
+            )
+        fused = (
+            bucketed.select(F.explode(F.array(*structs)).alias("g"))
+            .select("g.mid", "g.bb", "g.sv")
+            .filter(F.col("bb").isNotNull())
+            .groupBy("mid", "bb")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("sv").alias("s"),
+                F.count("sv").alias("sd"),
+            )
+            .collect()
+        )
+        for i, s in enumerate(active):
+            s.gathered = [
+                {s.b: r["bb"], "c": r["c"], "s": r["s"], "sd": r["sd"]}
+                for r in fused
+                if r["mid"] == i
+            ]
+
+    # ---- phase 3: per-spec skew refinement (jobs only when hot) ----
+    for s in active:
+        bucketed, s.gathered = _refine(
+            bucketed, s.gathered, s.key, s.tiebreak, s.b, n_rows, s.sum_col
+        )
+        if s.sum_col is not None:
+            n_sum_defined = sum(r["sd"] for r in s.gathered)
+            if n_sum_defined != s.n_eff:
+                # Spark's SUM skips NULLs, so a partially-NULL bucket
+                # would silently under-sum its offset while an all-NULL
+                # bucket would crash on int(None) below — refuse loudly
+                # like the value path (callers coalesce a sentinel first)
+                raise ValueError(
+                    f"{_caller}: {s.sum_col} contains NULLs "
+                    f"({s.n_eff - n_sum_defined} of {s.n_eff} rows); "
+                    "coalesce them to a sentinel before summing"
+                )
+            if totals is not None:
+                totals["sum"][ss.index(s)] = sum(
+                    int(r["s"]) for r in s.gathered
+                )
+
+    # ---- phase 4: offsets broadcast + ONE chained window plan ----
+    out = bucketed
+    for i, s in enumerate(ss):
+        if not s.n_eff:
+            continue
+        roff = f"__gr_roff_{i}"
+        soff = f"__gr_soff_{i}"
+        per_bucket = {r[s.b]: r for r in s.gathered}
+        rows, racc, sacc = [], 0, 0
+        for bucket in sorted(per_bucket):
+            if s.sum_col is not None:
+                rows.append((bucket, racc, Decimal(sacc)))
+                sacc += int(per_bucket[bucket]["s"])
+            else:
+                rows.append((bucket, racc))
+            racc += per_bucket[bucket]["c"]
+        schema = f"{s.b} long, {roff} long" + (
+            f", {soff} {_DEC}" if s.sum_col is not None else ""
+        )
+        boff = spark.createDataFrame(rows, schema)
+
+        has_nulls = s.n_eff != n_rows
+        if has_nulls:
+            # NULL-value rows must not form one giant NULL window
+            # partition (their rank is discarded anyway) — spread them
+            # over deterministic salt ids disjoint from real buckets
+            # (bucket ids are always >= 0 by construction)
+            part = f"__gr_part_{i}"
+            out = out.withColumn(
+                part,
+                F.coalesce(
+                    F.col(s.b),
+                    -(F.pmod(F.xxhash64(s.tiebreak), F.lit(4096)) + 1),
+                ),
+            )
+        else:
+            part = s.b
+        out = out.join(
+            F.broadcast(boff), s.b, "left" if has_nulls else "inner"
+        )
+        w = W.partitionBy(part).orderBy(s.key, s.tiebreak)
+        rk = f"__gr_rk_{i}"
+        out = out.withColumn(rk, F.row_number().over(w) + F.col(roff))
+        guard = (
+            (lambda c: F.when(F.col(s.b).isNotNull(), c))
+            if has_nulls
+            else (lambda c: c)
+        )
+        if s.cumsum:
+            sum_col, cum_col = s.cumsum
+            sum_type = df.schema[sum_col].dataType.simpleString()
+            out = out.withColumn(
+                cum_col,
+                guard(
+                    (
+                        F.sum(sum_col)
+                        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                        + F.col(soff).cast(sum_type)
+                    ).cast(sum_type)
+                ),
+            )
+        if s.ntile:
+            n, tile_col = s.ntile
+            out = out.withColumn(
+                tile_col,
+                guard(F.expr(_tile_sql(rk, n, s.n_eff)).cast("long")),
+            )
+        if s.rank:
+            out = out.withColumn(s.rank, guard(F.col(rk).cast("long")))
+        drops = [rk, roff] + ([soff] if s.sum_col is not None else [])
+        if has_nulls:
+            drops.append(part)
+        out = out.drop(*drops)
+
+    # inactive specs (all-NULL value under skip_nulls): NULL outputs
+    for s in ss:
+        if not s.n_eff:
+            if s.rank:
+                out = out.withColumn(s.rank, F.lit(None).cast("long"))
+            if s.ntile:
+                out = out.withColumn(s.ntile[1], F.lit(None).cast("long"))
+            if s.cumsum:
+                out = out.withColumn(
+                    s.cumsum[1],
+                    F.lit(None).cast(df.schema[s.cumsum[0]].dataType),
+                )
+    return out.drop(*[s.key for s in ss], *[s.b for s in ss])
 
 
 def global_ntile(
@@ -203,70 +561,23 @@ def global_ntile(
     """Add `out_col` = NTILE(n) OVER (ORDER BY value_col, tiebreak_col)
     to `df` without a single-partition window.
 
-    `value_col` must be an integral column (the four call sites order by
+    `value_col` must be an integral column (the call sites order by
     exact integers: cents, counts, epoch-µs, ids); `tiebreak_col` must
     make (value, tiebreak) a total order — the same requirement the
     oracle's deterministic NTILE already imposes. Returns the input
-    columns plus `out_col` (long, 1-based).
+    columns plus `out_col` (long, 1-based). Single-spec wrapper over
+    `global_ranks`.
     """
-    spark = df.sparkSession
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(value_col).alias("n_defined"),
-        F.min(value_col).alias("lo"),
-        F.max(value_col).alias("hi"),
-    ).first()
-    n_rows, lo, hi = stats["n"], stats["lo"], stats["hi"]
-    if not n_rows:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    if stats["n_defined"] != n_rows:
-        # a window NTILE would rank NULLs first; the range-bucket stage
-        # has no bucket for them and would SILENTLY drop the rows from
-        # every tile count — refuse loudly instead (callers coalesce a
-        # sentinel before cutting, which is also the only way the oracle
-        # side can mirror the ordering deterministically)
-        raise ValueError(
-            f"global_ntile: {value_col} contains NULLs "
-            f"({n_rows - stats['n_defined']} of {n_rows} rows); coalesce "
-            "them to a sentinel before cutting"
-        )
-
-    b = f"__gnt_bucket_{out_col}"
-    off = f"__gnt_offset_{out_col}"
-    rk = f"__gnt_rank_{out_col}"
-    bucketed, gathered = _bucket_refined(
-        df, value_col, tiebreak_col, b, n_rows, int(lo), int(hi)
-    )
-
-    per_bucket = {r[b]: r["c"] for r in gathered}
-    offsets, acc = [], 0
-    for bucket in sorted(per_bucket):
-        offsets.append((bucket, acc))
-        acc += per_bucket[bucket]
-    boff = spark.createDataFrame(offsets, f"{b} long, {off} long")
-
-    w = W.partitionBy(b).orderBy(value_col, tiebreak_col)
-    # NTILE(n) closed form over the 1-based global rank r with N rows:
-    # q = N DIV n rows in every bucket, the first rem = N % n buckets get
-    # one extra; ranks <= rem*(q+1) fall in those wide buckets. All
-    # integer DIV — no float ever touches a bucket boundary.
-    q, rem = n_rows // n, n_rows % n
-    threshold = rem * (q + 1)
-    if q == 0:  # fewer rows than buckets: bucket i holds exactly row i
-        tile_sql = rk
-    elif rem == 0:
-        tile_sql = f"({rk} - 1) DIV {q} + 1"
-    else:
-        tile_sql = (
-            f"IF({rk} <= {threshold}, "
-            f"({rk} - 1) DIV {q + 1} + 1, "
-            f"{rem} + ({rk} - {threshold} - 1) DIV {q} + 1)"
-        )
-    return (
-        bucketed.join(F.broadcast(boff), b)
-        .withColumn(rk, F.row_number().over(w) + F.col(off))
-        .withColumn(out_col, F.expr(tile_sql).cast("long"))
-        .drop(b, off, rk)
+    return global_ranks(
+        df,
+        [
+            {
+                "value": value_col,
+                "tiebreak": tiebreak_col,
+                "ntile": (n, out_col),
+            }
+        ],
+        _caller="global_ntile",
     )
 
 
@@ -281,20 +592,9 @@ def global_cumsum(
 ) -> DataFrame:
     """Add the global 1-based rank (`rank_col`) and the INCLUSIVE running
     sum of `sum_col` (`cum_col`) over ORDER BY value_col [DESC],
-    tiebreak_col — without a single-partition window. The prefix-sum
-    extension of `global_ntile`'s recipe:
-
-      1. range-bucket the order key (negated for DESC — `-v ASC,
-         tiebreak ASC` is the same total order as `v DESC, tiebreak
-         ASC`; the bucket id stays monotone in the order), with the
-         module's skew refinement for hot buckets;
-      2. gather per-bucket (count, Σ sum_col) — |buckets| rows, bounded
-         by MAX_BUCKETS;
-      3. exclusive-prefix both on the driver (exact python ints — no
-         overflow at any width) and broadcast the offsets back;
-      4. within-bucket row_number + running SUM window (parallel across
-         buckets) + the bucket's offsets = the exact global rank and
-         prefix sum.
+    tiebreak_col — without a single-partition window (module docstring;
+    DESC rides the negated key: `-v ASC, tiebreak ASC` is the same total
+    order as `v DESC, tiebreak ASC`).
 
     Bit-exact against `SUM(sum_col) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING)` + `row_number()` because integer addition is associative
@@ -302,78 +602,18 @@ def global_cumsum(
     (cast to BIGINT for bucketing) and NULL-free; `sum_col` must be an
     exact integer/decimal column, also NULL-free — the running sum stays
     in its type. Returns the input columns plus rank_col (long) and
-    cum_col (sum_col's type).
+    cum_col (sum_col's type). Single-spec wrapper over `global_ranks`.
     """
-    spark = df.sparkSession
-    order_expr = (
-        f"-CAST({value_col} AS BIGINT)" if descending
-        else f"CAST({value_col} AS BIGINT)"
-    )
-    b = f"__gcs_bucket_{rank_col}"
-    keyed = df.withColumn(f"__gcs_key_{rank_col}", F.expr(order_expr))
-    key = f"__gcs_key_{rank_col}"
-    stats = keyed.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(key).alias("n_defined"),
-        F.min(key).alias("lo"),
-        F.max(key).alias("hi"),
-    ).first()
-    n_rows, lo, hi = stats["n"], stats["lo"], stats["hi"]
-    if not n_rows:
-        return (
-            df.withColumn(rank_col, F.lit(None).cast("long"))
-            .withColumn(cum_col, F.lit(None).cast(df.schema[sum_col].dataType))
-        )
-    if stats["n_defined"] != n_rows:
-        raise ValueError(
-            f"global_cumsum: {value_col} contains NULLs "
-            f"({n_rows - stats['n_defined']} of {n_rows} rows); coalesce "
-            "them to a sentinel before ranking"
-        )
-
-    bucketed, gathered = _bucket_refined(
-        keyed, key, tiebreak_col, b, n_rows, int(lo), int(hi),
-        sum_col=sum_col,
-    )
-    n_sum_defined = sum(r["sd"] for r in gathered)
-    if n_sum_defined != n_rows:
-        # Spark's SUM skips NULLs, so a partially-NULL bucket would
-        # silently under-sum its offset while an all-NULL bucket would
-        # crash on int(None) below — refuse loudly like the value_col
-        # path instead (callers coalesce a sentinel first)
-        raise ValueError(
-            f"global_cumsum: {sum_col} contains NULLs "
-            f"({n_rows - n_sum_defined} of {n_rows} rows); coalesce "
-            "them to a sentinel before summing"
-        )
-    from decimal import Decimal
-
-    per_bucket = {r[b]: (r["c"], r["s"]) for r in gathered}
-    roff = f"__gcs_roff_{rank_col}"
-    soff = f"__gcs_soff_{rank_col}"
-    rows, racc, sacc = [], 0, 0
-    for bucket in sorted(per_bucket):
-        rows.append((bucket, racc, Decimal(sacc)))
-        c, sm = per_bucket[bucket]
-        racc += c
-        sacc += int(sm)
-    sum_type = df.schema[sum_col].dataType.simpleString()
-    boff = spark.createDataFrame(
-        rows, f"{b} long, {roff} long, {soff} decimal(38,0)"
-    )
-    w = W.partitionBy(b).orderBy(key, tiebreak_col)
-    rk = f"__gcs_rk_{rank_col}"
-    return (
-        bucketed.join(F.broadcast(boff), b)
-        .withColumn(rk, F.row_number().over(w) + F.col(roff))
-        .withColumn(
-            cum_col,
-            (
-                F.sum(sum_col)
-                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-                + F.col(soff).cast(sum_type)
-            ).cast(sum_type),
-        )
-        .withColumn(rank_col, F.col(rk).cast("long"))
-        .drop(b, key, roff, soff, rk)
+    return global_ranks(
+        df,
+        [
+            {
+                "value": value_col,
+                "tiebreak": tiebreak_col,
+                "rank": rank_col,
+                "cumsum": (sum_col, cum_col),
+                "descending": descending,
+            }
+        ],
+        _caller="global_cumsum",
     )

@@ -860,12 +860,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows but computed via the two-phase prefix sum, so even a
     1e9-customer rollup never funnels through one task.
     """
-    from redisgears_spark.functions.ranks import global_ntile
+    from redisgears_spark.functions.ranks import global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
-    # cache: each global_ntile pass scans its input twice (stats + bucket
-    # counts) and three scores chain — without the cache the per-customer
-    # rollup recomputes from the fact table six times
+    # scratch: the rank machinery's stats + gather jobs and the final
+    # plan all re-scan their input — materialize the per-customer rollup
+    # once instead of re-aggregating the fact table per pass
     base = scratch_parquet(
         orders.groupBy("o_custkey").agg(
             F.max(micros("o_orderdate")).alias("last_order_us"),
@@ -874,27 +874,28 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rfm-base",
     )
-    # each score is computed from the CACHED base independently and joined
-    # back skinny — chaining the three ntile plans instead would recompute
-    # score 1's window inside score 2's stats pass and so on (measured 2x)
-    def score(metric: str, out: str) -> DataFrame:
-        return global_ntile(
-            base.select("o_custkey", metric), 5, metric, "o_custkey", out
-        ).select("o_custkey", out)
-
-    scored = (
-        base.join(score("last_order_us", "r_score"), "o_custkey")
-        .join(score("n_orders", "f_score"), "o_custkey")
-        .join(score("monetary_cents", "m_score"), "o_custkey")
-        .select(
-            "o_custkey",
-            "last_order_us",
-            "n_orders",
-            "monetary_cents",
-            "r_score",
-            "f_score",
-            "m_score",
-        )
+    # r13: ONE fused global_ranks call cuts all three quintiles — one
+    # stats job + one gather job + one chained three-window plan,
+    # replacing three independent ntile machines (6 driver jobs) and
+    # three join-backs onto base
+    scored = global_ranks(
+        base,
+        [
+            {"value": "last_order_us", "tiebreak": "o_custkey",
+             "ntile": (5, "r_score")},
+            {"value": "n_orders", "tiebreak": "o_custkey",
+             "ntile": (5, "f_score")},
+            {"value": "monetary_cents", "tiebreak": "o_custkey",
+             "ntile": (5, "m_score")},
+        ],
+    ).select(
+        "o_custkey",
+        "last_order_us",
+        "n_orders",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
     )
     seg = (
         F.when(
@@ -4044,12 +4045,12 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the midpoint is integer µs arithmetic on a broadcast
     scalar; both quartile cuts are exact NTILE over (cents, custkey)
     via global_ntile — bit-identical to the oracle windows, no global
-    sort; the FULL OUTER join's 0 sentinels keep the no-NULL contract.
+    sort; the 0 sentinels keep the no-NULL contract.
 
-    Scale: two filtered per-customer rollups off one scan shape; two
-    prefix-sum NTILEs; the matrix is 25 cells.
+    Scale: ONE conditional-sum rollup off one scan; one fused two-cut
+    prefix-sum NTILE pass; the matrix is 25 cells.
     """
-    from redisgears_spark.functions.ranks import global_ntile
+    from redisgears_spark.functions.ranks import global_ranks
 
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(
@@ -4064,21 +4065,40 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tm",
     )
 
-    def half(pred) -> DataFrame:
-        h = (
-            base.filter(pred)
-            .groupBy("o_custkey")
-            .agg(F.sum("price_c").cast("long").alias("rev_c"))
-        )
-        return global_ntile(h, 4, "rev_c", "o_custkey", "q").select(
-            "o_custkey", "q"
-        )
+    # ONE pass over the fact table computes both halves' rollups as
+    # conditional sums (SUM over an empty set is NULL, so a customer
+    # inactive in a half drops out of that half's quartile exactly as
+    # the filtered rollup dropped them); the scratch then feeds both
+    # ntile machines, which each scan their input twice — previously
+    # every one of those passes re-aggregated orders
+    hb = scratch_parquet(
+        base.groupBy("o_custkey").agg(
+            F.sum(F.when(F.col("us") < F.col("tm"), F.col("price_c")))
+            .cast("long")
+            .alias("rev1"),
+            F.sum(F.when(F.col("us") >= F.col("tm"), F.col("price_c")))
+            .cast("long")
+            .alias("rev2"),
+        ),
+        "migration-halves",
+    )
 
-    q1 = half(F.col("us") < F.col("tm")).withColumnRenamed("q", "q_before")
-    q2 = half(F.col("us") >= F.col("tm")).withColumnRenamed("q", "q_after")
+    # r13: ONE fused global_ranks call cuts both halves' quartiles with
+    # skip_nulls (a NULL half-revenue gets a NULL tile — exactly the
+    # rows the filtered half dropped, and exactly the rows the former
+    # FULL OUTER join re-admitted as NULL), so the join disappears: the
+    # 0 sentinel rides a coalesce on the same row
+    q = global_ranks(
+        hb,
+        [
+            {"value": "rev1", "tiebreak": "o_custkey",
+             "ntile": (4, "q_before"), "skip_nulls": True},
+            {"value": "rev2", "tiebreak": "o_custkey",
+             "ntile": (4, "q_after"), "skip_nulls": True},
+        ],
+    )
     return (
-        q1.join(q2, "o_custkey", "full_outer")
-        .select(
+        q.select(
             F.coalesce("q_before", F.lit(0)).cast("long").alias("q_before"),
             F.coalesce("q_after", F.lit(0)).cast("long").alias("q_after"),
         )

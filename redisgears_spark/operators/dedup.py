@@ -2034,31 +2034,50 @@ def docs_shingle_saturation_curve(
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").cast("long").alias("max_id"))
     j = sh.crossJoin(mx)
-    parts = []
-    for k in (1, 2, 3, 4):
-        cut = F.expr(f"(max_id * {k}) div 4")
-        # cutoff comes from mx directly and the count coalesces to 0 so
-        # a corpus whose docs are all too short to shingle (empty `sh`)
-        # still reports the oracle's cutoffs and 0 counts rather than
-        # an all-NULL row from aggregating the empty crossJoin
-        cnt = j.agg(
+    # r13 single-pass: the four cutoff counts were four separate
+    # aggregates over `j`, each re-running the shingle kernel (an Arrow
+    # Python stage) over the whole corpus. ONE aggregate computes all
+    # four conditional folds; the per-quarter rows are then exploded
+    # from that single stats row. The count coalesces to 0 so a corpus
+    # whose docs are all too short to shingle (empty `sh`) still
+    # reports the oracle's cutoffs and 0 counts rather than NULLs.
+    stats = j.agg(
+        *[
             F.coalesce(
                 F.sum(
-                    F.when(F.col("first_doc") <= cut, 1).otherwise(0)
+                    F.when(
+                        F.col("first_doc")
+                        <= F.expr(f"(max_id * {k}) div 4"),
+                        1,
+                    ).otherwise(0)
                 ),
                 F.lit(0),
-            ).cast("long").alias("distinct_shingles_cum"),
+            )
+            .cast("long")
+            .alias(f"c{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    return (
+        mx.crossJoin(stats)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("quarter"),
+                            F.expr(f"(max_id * {k}) div 4")
+                            .cast("long")
+                            .alias("cutoff_doc_id"),
+                            F.col(f"c{k}").alias("distinct_shingles_cum"),
+                        )
+                        for k in (1, 2, 3, 4)
+                    ]
+                )
+            ).alias("r")
         )
-        parts.append(
-            mx.select(
-                F.lit(k).cast("long").alias("quarter"),
-                cut.cast("long").alias("cutoff_doc_id"),
-            ).crossJoin(cnt)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        .select("r.*")
+    )
 
 
 @query(

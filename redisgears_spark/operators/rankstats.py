@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from redisgears_spark.functions.exact import basis_points, cents
-from redisgears_spark.functions.ranks import global_cumsum, global_ntile
+from redisgears_spark.functions.ranks import global_ntile
 from redisgears_spark.operators.registry import query
 from redisgears_spark.sources.keyspace import load_table, scratch_parquet
 
@@ -44,20 +44,22 @@ def _spearman_frame(
     """Tie-broken Spearman rho between two integer metrics of one entity
     relation: rank each metric by (metric, key) — a total order, so the
     ranks are deterministic on any engine — then the closed form
-    1 − 6·Σd²/(n·(n²−1)). `per` should be cached by the caller (two
-    rank passes re-scan it)."""
-    ra = global_cumsum(
-        per.select(key, a_col), a_col, key, a_col, "ra", "__ca"
-    ).select(key, "ra")
-    rb = global_cumsum(
-        per.select(key, b_col), b_col, key, b_col, "rb", "__cb"
-    ).select(F.col(key).alias("__k2"), "rb")
-    d = (
-        ra.join(rb, F.col(key) == F.col("__k2"))
-        .select(
-            (F.col("ra").cast(_DEC) - F.col("rb").cast(_DEC)).alias("d")
-        )
-    )
+    1 − 6·Σd²/(n·(n²−1)). `per` should be scratched by the caller (the
+    rank machinery's jobs re-scan it).
+
+    r13: ONE fused global_ranks call computes BOTH ranks (rank-only
+    specs — the former global_cumsum calls dragged the whole prefix-sum
+    machinery along and discarded the sums), and d = ra − rb rides the
+    same row, so the ra×rb self-join is gone."""
+    from redisgears_spark.functions.ranks import global_ranks
+
+    d = global_ranks(
+        per.select(key, a_col, b_col),
+        [
+            {"value": a_col, "tiebreak": key, "rank": "ra"},
+            {"value": b_col, "tiebreak": key, "rank": "rb"},
+        ],
+    ).select((F.col("ra").cast(_DEC) - F.col("rb").cast(_DEC)).alias("d"))
     agg = d.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum(F.col("d") * F.col("d")).alias("sd2"),
@@ -207,24 +209,29 @@ def orders_revenue_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window); the 3-row percentile grid joins on the
     exact cutoff rank.
     """
+    from redisgears_spark.functions.ranks import global_ranks
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).cast(_DEC).alias("r")
     )
-    ranked = global_cumsum(
-        rev, "r", "o_custkey", "r", "i", "cum", descending=True
+    # r13: (n, total) arrive driver-side via `totals` — the former
+    # in-plan tot aggregate + crossJoin re-derived the whole ranked
+    # subtree (rollup + rank machinery) a second time
+    totals: dict = {}
+    ranked = global_ranks(
+        rev,
+        [
+            {"value": "r", "tiebreak": "o_custkey", "rank": "i",
+             "cumsum": ("r", "cum"), "descending": True}
+        ],
+        totals=totals,
     )
-    tot = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("r").alias("total"),
-    )
-    ks = spark.createDataFrame([(1,), (5,), (10,)], "pct long")
-    grid = ks.crossJoin(F.broadcast(tot)).select(
-        "pct",
-        F.greatest(F.lit(1).cast("long"), F.expr("(n * pct) div 100"))
-        .alias("cut"),
-        "total",
-    )
+    n, total = totals["n_rows"], totals["sum"][0] or 0
+    grid = spark.createDataFrame(
+        [(pct, max(1, (n * pct) // 100), str(total)) for pct in (1, 5, 10)],
+        "pct long, cut long, total string",
+    ).select("pct", "cut", F.col("total").cast(_DEC).alias("total"))
     return (
         ranked.join(F.broadcast(grid), F.col("i") == F.col("cut"))
         .select(

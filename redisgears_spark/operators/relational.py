@@ -3449,28 +3449,36 @@ def orders_pareto_8020_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py); the only driver relation is the bounded
     per-bucket gather.
     """
-    from redisgears_spark.functions.ranks import global_cumsum
+    from redisgears_spark.functions.ranks import global_ranks
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("r")
     )
-    ranked = global_cumsum(
-        rev, "r", "o_custkey", "r", "i", "cum", descending=True
+    # r13: (n, total) arrive driver-side via `totals` — the former
+    # in-plan tot aggregate + crossJoin re-derived the whole ranked
+    # subtree (rollup + rank machinery) a second time
+    totals: dict = {}
+    ranked = global_ranks(
+        rev,
+        [
+            {"value": "r", "tiebreak": "o_custkey", "rank": "i",
+             "cumsum": ("r", "cum"), "descending": True}
+        ],
+        totals=totals,
     )
-    tot = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("r").alias("total"),
-    )
-    j = ranked.crossJoin(F.broadcast(tot))
-    hit = F.min(
-        F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("i"))
-    )
-    return j.agg(
-        F.max("n").cast("long").alias("n_customers"),
+    n, total = totals["n_rows"], totals["sum"][0] or 0
+    # string-form decimal literal: a cent total past 2^63 must not go
+    # through a long literal
+    tot_lit = F.expr(f"CAST('{total}' AS DECIMAL(38,0))")
+    hit = F.min(F.when(F.col("cum") * 5 >= tot_lit * 4, F.col("i")))
+    # max(lit(...)) keeps the empty-input behavior of the former in-plan
+    # aggregate: NULL columns from an empty relation, constants otherwise
+    return ranked.agg(
+        F.max(F.lit(n)).cast("long").alias("n_customers"),
         hit.cast("long").alias("n_top80"),
-        (hit.cast("double") / F.max("n")).alias("top_fraction"),
-        F.max("total").cast("long").alias("total_cents"),
+        (hit.cast("double") / F.max(F.lit(n))).alias("top_fraction"),
+        F.max(tot_lit).cast("long").alias("total_cents"),
     )
 
 
@@ -4387,7 +4395,7 @@ def customer_balance_activity_matrix(
     bit-identical to the oracle's global window but never plans a
     single-partition sort, so the shape survives extreme |customers|.
     """
-    from redisgears_spark.functions.ranks import global_ntile
+    from redisgears_spark.functions.ranks import global_ranks
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select(
@@ -4396,8 +4404,9 @@ def customer_balance_activity_matrix(
     a = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    # scratch-materialized: two chained global_ntile passes each scan
-    # the join twice (per-invocation parquet, not a session cache)
+    # scratch-materialized: the rank machinery's stats/gather jobs and
+    # final plan re-scan the join (per-invocation parquet, not a
+    # session cache)
     j = scratch_parquet(
         c.join(a, c.c_custkey == a.o_custkey, "left").select(
             "c_custkey",
@@ -4406,14 +4415,18 @@ def customer_balance_activity_matrix(
         ),
         "bal-act",
     )
-    bal = global_ntile(
-        j.select("c_custkey", "bal_c"), 4, "bal_c", "c_custkey", "bal_q"
-    ).select("c_custkey", "bal_q")
-    act = global_ntile(
-        j.select("c_custkey", "n_orders"), 4, "n_orders", "c_custkey", "act_q"
-    ).select("c_custkey", "act_q")
+    # r13: ONE fused global_ranks call cuts both quartiles — one stats
+    # job + one gather + one chained two-window plan, no join-back
     return (
-        bal.join(act, "c_custkey")
+        global_ranks(
+            j,
+            [
+                {"value": "bal_c", "tiebreak": "c_custkey",
+                 "ntile": (4, "bal_q")},
+                {"value": "n_orders", "tiebreak": "c_custkey",
+                 "ntile": (4, "act_q")},
+            ],
+        )
         .groupBy("bal_q", "act_q")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
@@ -7038,12 +7051,11 @@ def customer_tenure_value_quadrants(
     global_ntile range-buckets each cut; the quadrant rollup is
     4 rows.
     """
-    from redisgears_spark.functions.ranks import global_ntile
+    from redisgears_spark.functions.ranks import global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
-    # cache: chained global_ntile passes would each rescan the rollup
-    # (the balance-activity lesson — score from a cached base, join
-    # skinny)
+    # scratch: the rank machinery's stats/gather jobs and final plan
+    # re-scan the rollup (per-invocation parquet, not a session cache)
     c = scratch_parquet(
         orders.groupBy("o_custkey").agg(
             (
@@ -7054,15 +7066,18 @@ def customer_tenure_value_quadrants(
         ),
         "tenure-value",
     )
-    tq = global_ntile(
-        c.select("o_custkey", "tenure_days"), 2, "tenure_days",
-        "o_custkey", "tq"
-    ).select("o_custkey", "tq")
-    vq = global_ntile(
-        c.select("o_custkey", "v"), 2, "v", "o_custkey", "vq"
-    ).select(F.col("o_custkey").alias("v_custkey"), "vq")
+    # r13: ONE fused global_ranks call cuts both medians — one stats
+    # job + one gather + one chained two-window plan, no join-back
     return (
-        tq.join(vq, F.col("o_custkey") == F.col("v_custkey"))
+        global_ranks(
+            c,
+            [
+                {"value": "tenure_days", "tiebreak": "o_custkey",
+                 "ntile": (2, "tq")},
+                {"value": "v", "tiebreak": "o_custkey",
+                 "ntile": (2, "vq")},
+            ],
+        )
         .select(
             F.when(F.col("tq") == 2, "long")
             .otherwise("short")
@@ -7957,7 +7972,7 @@ def customer_order_gap_percentiles(
     buckets + offset broadcast — no single-partition sort); the 3-row
     percentile grid joins on the exact cutoff rank.
     """
-    from redisgears_spark.functions.ranks import global_cumsum
+    from redisgears_spark.functions.ranks import global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -7975,20 +7990,21 @@ def customer_order_gap_percentiles(
     # total order works — and a plain key column has no overflow seam at
     # any scale (the former custkey*10^10+orderkey composite wrapped past
     # custkey ~9.2e8; r11 verdict item 6).
-    keyed = g.select(
-        "gap",
-        F.col("o_orderkey").alias("tb"),
-        F.lit(1).cast("long").alias("one"),
+    # r13: rank-only spec (the former global_cumsum dragged the whole
+    # prefix-sum machinery along to sum literal ones), and n arrives
+    # driver-side via `totals` — the cutoff grid is literals instead of
+    # a second in-plan derivation of the ranked relation
+    keyed = g.select("gap", F.col("o_orderkey").alias("tb"))
+    totals: dict = {}
+    ranked = global_ranks(
+        keyed,
+        [{"value": "gap", "tiebreak": "tb", "rank": "rnk"}],
+        totals=totals,
     )
-    ranked = global_cumsum(keyed, "gap", "tb", "one", "rnk", "__c")
-    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    qs = spark.createDataFrame([(25,), (50,), (75,)], "q long")
-    grid = qs.crossJoin(F.broadcast(tot)).select(
-        "q",
-        F.greatest(
-            F.lit(1).cast("long"), F.expr("(q * n + 99) div 100")
-        ).alias("cut"),
-        "n",
+    n = totals["n_rows"]
+    grid = spark.createDataFrame(
+        [(q, max(1, (q * n + 99) // 100), n) for q in (25, 50, 75)],
+        "q long, cut long, n long",
     )
     return ranked.join(F.broadcast(grid), F.col("rnk") == F.col("cut")).select(
         F.col("q").alias("quartile_pct"),
