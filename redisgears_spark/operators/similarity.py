@@ -306,15 +306,56 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>= 0.35, dedup_embedding_cosine's threshold).
 
     The 100 TB semantic-dedup pair generator: vectors land in one bucket
-    per hash table; the candidate self-join is an equi-join on
-    (table, bucket), so cost follows bucket occupancy instead of
-    |corpus|²; the exact cosine then runs on candidates only. Emitted
-    pairs are a SUBSET of dedup_embedding_cosine's (same exact verify) —
-    pinned in tests.
+    per hash table; candidates then verify WITHIN each (table, bucket)
+    group, so cost follows bucket occupancy instead of |corpus|².
+    Emitted pairs are a SUBSET of dedup_embedding_cosine's (same exact
+    verify) — pinned in tests.
+
+    r13: the verify no longer materializes candidate pairs through a
+    bucket self-join + two quantized-corpus joins + an interpreted
+    per-pair `aggregate()` dot (815 k pairs × 64 interpreted lambda
+    steps at sf0.1 ≈ 6 s). The quantized vector RIDES the bucket row,
+    and each (table, bucket) group rescores itself with one chunked
+    int64 numpy matmul (`_block_cosine` — the identical IEEE op
+    sequence, so cosines stay bit-identical to the Catalyst expression
+    and the oracle); only ≥-threshold pairs leave the kernel, and the
+    final dropDuplicates collapses pairs shared by several tables. The
+    shuffle carries |corpus|·tables bucket rows (vector payload ~0.5 KB
+    each), versus the former candidate join's pair-occurrence volume.
     """
     import numpy as np
 
     planes = np.array(_sign_planes(), dtype="int64")
+
+    def bucket_verify(key, pdf):
+        """One (table, bucket) group: stack the member vectors, one
+        blocked exact-integer matmul, emit above-threshold (a<b) pairs.
+        Chunked so a hot bucket stays bounded-memory."""
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a_id": [], "b_id": [], "cosine": []}
+            ).astype({"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        M = np.vstack([np.asarray(x, dtype="int64") for x in pdf["v"]])
+        outs = []
+        for lo in range(0, len(ids), 4096):
+            hi = min(lo + 4096, len(ids))
+            cos = _block_cosine(M[lo:hi], M)
+            aa = np.repeat(ids[lo:hi], len(ids))
+            bb = np.tile(ids, hi - lo)
+            keep = (aa < bb) & (cos.ravel() >= 0.35)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": aa[keep],
+                        "b_id": bb[keep],
+                        "cosine": cos.ravel()[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     def bucketize(batches):
         """Bucket bit = EXACT integer sign of (quantized vector · ±1
@@ -331,40 +372,33 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits = bits.reshape(len(Q), _LSH_TABLES, _LSH_BITS)
             bucket = (bits * weights[None, None, :]).sum(axis=2)
             vec_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            n = len(Q)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(vec_ids, _LSH_TABLES),
-                    "tbl": np.tile(np.arange(_LSH_TABLES, dtype="int64"), len(Q)),
+                    "tbl": np.tile(
+                        np.arange(_LSH_TABLES, dtype="int64"), n
+                    ),
                     "bucket": bucket.reshape(-1),
+                    "v": [
+                        row
+                        for row in pdf["v"]
+                        for _ in range(_LSH_TABLES)
+                    ],
                 }
             )
 
     emb = rebalanced(load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QUANT).alias("v")
     ))
-    buckets = emb.mapInPandas(_arrow_kernel(bucketize), "vec_id long, tbl long, bucket long")
-    # both self-join sides re-run the bucketize pass; a scratch parquet
-    # of the (corpus × tables) bucket rows was measured (r13) and costs
-    # more than the narrow re-pass — the kernel is one matmul per batch
-    # and the write barrier dominates
-    l = buckets.select("tbl", "bucket", F.col("vec_id").alias("a_id"))
-    r = buckets.select("tbl", "bucket", F.col("vec_id").alias("b_id"))
-    cand = (
-        l.join(r, ["tbl", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    buckets = emb.mapInPandas(
+        _arrow_kernel(bucketize),
+        "vec_id long, tbl long, bucket long, v array<bigint>",
     )
-    av = quantized(spark, sf_dir, "a")
-    bv = quantized(spark, sf_dir, "b")
     return (
-        cand.join(av, "a_id")
-        .join(bv, "b_id")
-        .select(
-            "a_id", "b_id",
-            _cosine(_dot("a_q", "b_q"), "a_nq", "b_nq").alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
+        buckets.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_verify, "a_id long, b_id long, cosine double")
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
