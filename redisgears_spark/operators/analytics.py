@@ -300,8 +300,13 @@ def orders_gini_concentration_twophase(
     from redisgears_spark.functions.ranks import global_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(cents("o_totalprice")).cast(_DEC).alias("r")
+    # scratch: stats + gather + the final plan re-derive the rollup —
+    # three orders aggregations without it
+    rev = scratch_parquet(
+        orders.groupBy("o_custkey").agg(
+            F.sum(cents("o_totalprice")).cast(_DEC).alias("r")
+        ),
+        "gini-rev",
     )
     ranked = global_cumsum(rev, "r", "o_custkey", "r", "i", "cum")
     agg = ranked.agg(
@@ -3821,8 +3826,14 @@ def events_value_percentile_concentration(
     from redisgears_spark.functions.ranks import global_ntile
 
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.sum(cents("value")).cast("long").alias("value_c")
+    # scratch: the rank machinery's stats + gather jobs, the final plan
+    # AND the scalar total all re-derive this rollup — without the
+    # scratch the events fact table is aggregated four times
+    u = scratch_parquet(
+        ev.groupBy("user_id").agg(
+            F.sum(cents("value")).cast("long").alias("value_c")
+        ),
+        "pctile-user",
     )
     b = global_ntile(u, 100, "value_c", "user_id", "pctile")
     t = u.agg(F.sum("value_c").alias("total_c"))

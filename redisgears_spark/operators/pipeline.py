@@ -23,7 +23,11 @@ from redisgears_spark.functions.hashing import (
 from redisgears_spark.operators.registry import query
 from redisgears_spark.workerpatch import arrow_kernel as _arrow_kernel
 from redisgears_spark.operators.text import _TOKENS, _TOKENS_SQL
-from redisgears_spark.sources.keyspace import load_table, rebalanced
+from redisgears_spark.sources.keyspace import (
+    load_table,
+    rebalanced,
+    scratch_parquet,
+)
 
 # word n-gram width for contamination matching (eval-set leakage detection;
 # 13 is the published convention for web-scale corpora — the fixture docs
@@ -1557,14 +1561,20 @@ def pipeline_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.expr(f"CAST(size({_TOKENS}) AS BIGINT)")
-    base = docs.select(
-        "doc_id",
-        "source",
-        n_tok.alias("n_tok"),
-        F.expr(
-            f"(({_count_in(_TOKENS, _STOPWORDS, sql=False)}) * 1000) "
-            f"div greatest(CAST(size({_TOKENS}) AS BIGINT), 1)"
-        ).alias("q_milli"),
+    # scratch: referenced by the rank machinery's stats + gather jobs,
+    # the final plan AND the budget scalar — without it the tokenizer
+    # projection runs four times over the corpus
+    base = scratch_parquet(
+        docs.select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tok"),
+            F.expr(
+                f"(({_count_in(_TOKENS, _STOPWORDS, sql=False)}) * 1000) "
+                f"div greatest(CAST(size({_TOKENS}) AS BIGINT), 1)"
+            ).alias("q_milli"),
+        ),
+        "budget-fill",
     )
     ranked = global_cumsum(
         base, "q_milli", "doc_id", "n_tok", "fill_rank", "cum_tok",
@@ -2167,8 +2177,14 @@ def pipeline_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from redisgears_spark.functions.ranks import global_ntile
 
-    sig = pipeline_gopher_filters(spark, sf_dir).select(
-        "doc_id", "n_words", F.col("keep").cast("int").alias("keep")
+    # scratch: the rank machinery's stats + gather jobs and the final
+    # plan each re-derive their input — without it the gopher-filter
+    # corpus pass runs three times
+    sig = scratch_parquet(
+        pipeline_gopher_filters(spark, sf_dir).select(
+            "doc_id", "n_words", F.col("keep").cast("int").alias("keep")
+        ),
+        "len-deciles",
     )
     k = global_ntile(sig, 10, "n_words", "doc_id", "decile")
     return k.groupBy("decile").agg(

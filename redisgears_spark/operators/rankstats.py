@@ -212,8 +212,12 @@ def orders_revenue_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redisgears_spark.functions.ranks import global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(cents("o_totalprice")).cast(_DEC).alias("r")
+    # scratch: stats + gather + the final plan re-derive the rollup
+    rev = scratch_parquet(
+        orders.groupBy("o_custkey").agg(
+            F.sum(cents("o_totalprice")).cast(_DEC).alias("r")
+        ),
+        "topk-rev",
     )
     # r13: (n, total) arrive driver-side via `totals` — the former
     # in-plan tot aggregate + crossJoin re-derived the whole ranked

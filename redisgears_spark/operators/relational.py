@@ -3452,8 +3452,12 @@ def orders_pareto_8020_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redisgears_spark.functions.ranks import global_ranks
 
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("r")
+    # scratch: stats + gather + the final plan re-derive the rollup
+    rev = scratch_parquet(
+        o.groupBy("o_custkey").agg(
+            F.sum(cents("o_totalprice")).cast("decimal(38,0)").alias("r")
+        ),
+        "pareto-rev",
     )
     # r13: (n, total) arrive driver-side via `totals` — the former
     # in-plan tot aggregate + crossJoin re-derived the whole ranked
@@ -5908,8 +5912,13 @@ def orders_reorder_gap_by_value_band(
     from redisgears_spark.functions.ranks import global_ntile
 
     o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy("o_custkey").agg(
-        F.sum(cents("o_totalprice")).cast("long").alias("monetary_c")
+    # scratch: the rank machinery's stats + gather jobs and the final
+    # plan re-derive the rollup — three orders aggregations without it
+    m = scratch_parquet(
+        o.groupBy("o_custkey").agg(
+            F.sum(cents("o_totalprice")).cast("long").alias("monetary_c")
+        ),
+        "band-monetary",
     )
     banded = global_ntile(m, 4, "monetary_c", "o_custkey", "value_band").select(
         "o_custkey", "value_band"
@@ -7994,7 +8003,11 @@ def customer_order_gap_percentiles(
     # prefix-sum machinery along to sum literal ones), and n arrives
     # driver-side via `totals` — the cutoff grid is literals instead of
     # a second in-plan derivation of the ranked relation
-    keyed = g.select("gap", F.col("o_orderkey").alias("tb"))
+    # scratch: stats + gather + the final plan re-derive the input —
+    # without it the custkey lag window runs three times
+    keyed = scratch_parquet(
+        g.select("gap", F.col("o_orderkey").alias("tb")), "gap-ranked"
+    )
     totals: dict = {}
     ranked = global_ranks(
         keyed,
