@@ -599,34 +599,58 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     idx = _funnel_index(spark, sf_dir)
-    raw = idx.agg(
-        F.lit("raw").alias("stage"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
+    # r13 single-pass: the four stage summaries were four union branches
+    # over the index scratch (two of them re-running the dedup-keeper
+    # window). ONE window + ONE scalar aggregate computes every stage's
+    # conditional folds; the 4 stage rows explode from the single stats
+    # row. min(CASE) over the fingerprint partition picks the keeper
+    # among keep rows only — the same filtered window as before. Scalar
+    # aggregates emit on an empty corpus too, so the 0-count rows
+    # survive exactly as the four scalar branches did.
+    keeper = F.min(F.when(F.col("keep"), F.col("doc_id"))).over(
+        W.partitionBy("f")
     )
-    q = idx.filter(F.col("keep"))
-    quality = q.agg(
-        F.lit("quality").alias("stage"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
+    d = idx.withColumn(
+        "is_surv", F.col("keep") & (F.col("doc_id") == keeper)
     )
-    keeper = F.min("doc_id").over(W.partitionBy("f"))
-    surv = (
-        q.withColumn("keeper", keeper)
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "n_words", "clean")
+
+    def _cnt(cond):
+        return F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast("long")
+
+    def _tok(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("n_words"))), F.lit(0)
+        ).cast("long")
+
+    stats = d.agg(
+        _cnt(F.lit(True)).alias("c_raw"),
+        _tok(F.lit(True)).alias("t_raw"),
+        _cnt(F.col("keep")).alias("c_q"),
+        _tok(F.col("keep")).alias("t_q"),
+        _cnt(F.col("is_surv")).alias("c_s"),
+        _tok(F.col("is_surv")).alias("t_s"),
+        _cnt(F.col("is_surv") & F.col("clean")).alias("c_c"),
+        _tok(F.col("is_surv") & F.col("clean")).alias("t_c"),
     )
-    dedup = surv.agg(
-        F.lit("dedup").alias("stage"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
-    )
-    decon = surv.filter(F.col("clean")).agg(
-        F.lit("decontaminated").alias("stage"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("n_tokens"),
-    )
-    return raw.unionByName(quality).unionByName(dedup).unionByName(decon)
+    return stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(c).alias("n_docs"),
+                        F.col(t).alias("n_tokens"),
+                    )
+                    for name, c, t in (
+                        ("raw", "c_raw", "t_raw"),
+                        ("quality", "c_q", "t_q"),
+                        ("dedup", "c_s", "t_s"),
+                        ("decontaminated", "c_c", "t_c"),
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage", "r.n_docs", "r.n_tokens")
 
 
 # ---------------------------------------------------------------------------
@@ -2809,24 +2833,72 @@ def pipeline_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Leave the strategy to AQE (the pipeline_decontaminate pattern).
     j = idx.join(dl, "doc_id")
 
-    def stage(df, name):
-        return df.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_words"), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-        ).select(F.lit(name).alias("stage"), "lang", "n_docs", "n_tokens")
+    # r13 single-pass: the four stage rollups were four union branches,
+    # each re-running the idx⋈dl join (and two of them the dedup-keeper
+    # window). ONE window + ONE conditional-sum aggregate computes every
+    # stage; the per-stage rows explode from the lang row. min(CASE)
+    # over the fingerprint partition picks the keeper among keep rows
+    # only — exactly the filtered window the oracle's surv CTE runs.
+    keeper = F.min(F.when(F.col("keep"), F.col("doc_id"))).over(
+        W.partitionBy("f")
+    )
+    d = j.withColumn(
+        "is_surv", F.col("keep") & (F.col("doc_id") == keeper)
+    )
 
-    q = j.filter(F.col("keep"))
-    keeper = F.min("doc_id").over(W.partitionBy("f"))
-    surv = q.withColumn("keeper", keeper).filter(
-        F.col("doc_id") == F.col("keeper")
+    def _cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1)), F.lit(0)
+        ).cast("long")
+
+    def _tok(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("n_words"))), F.lit(0)
+        ).cast("long")
+
+    true = F.lit(True)
+    per = d.groupBy("lang").agg(
+        _cnt(true).alias("c_raw"),
+        _tok(true).alias("t_raw"),
+        _cnt(F.col("keep")).alias("c_q"),
+        _tok(F.col("keep")).alias("t_q"),
+        _cnt(F.col("is_surv")).alias("c_s"),
+        _tok(F.col("is_surv")).alias("t_s"),
+        _cnt(F.col("is_surv") & F.col("clean")).alias("c_c"),
+        _tok(F.col("is_surv") & F.col("clean")).alias("t_c"),
     )
     return (
-        stage(j, "raw")
-        .unionByName(stage(q, "quality"))
-        .unionByName(stage(surv, "dedup"))
-        .unionByName(stage(surv.filter(F.col("clean")), "decontaminated"))
+        per.select(
+            "lang",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("raw").alias("stage"),
+                        F.col("c_raw").alias("n_docs"),
+                        F.col("t_raw").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("quality").alias("stage"),
+                        F.col("c_q").alias("n_docs"),
+                        F.col("t_q").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("dedup").alias("stage"),
+                        F.col("c_s").alias("n_docs"),
+                        F.col("t_s").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("decontaminated").alias("stage"),
+                        F.col("c_c").alias("n_docs"),
+                        F.col("t_c").alias("n_tokens"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        # a lang with zero rows at a stage has NO row for that stage in
+        # the union form (GROUP BY over an empty subset) — match it
+        .filter(F.col("r.n_docs") > 0)
+        .select("r.stage", "lang", "r.n_docs", "r.n_tokens")
     )
 
 
