@@ -1001,10 +1001,13 @@ def test_token_budget_fill_two_phase_plan(spark, sf_dir):
 
 
 def test_streaming_ann_topk_plan_shape(spark, sf_dir, tmp_path):
-    """The live-index query must keep the batch path's plan discipline:
-    probe table broadcast (no cartesian product), inverted lists
-    exploded JVM-side, top-k window partitioned by q_id (bounded key
-    set — never a SinglePartition data-sized sort)."""
+    """The live-index query must keep the probe plan discipline: no
+    cartesian product, the per-cell numpy rescore kernel present (r13:
+    the probe map and quantized query matrix ship via sc.broadcast into
+    a mapInPandas kernel — one int64 matmul per cell — replacing the
+    former explode + broadcast-join + per-pair Catalyst dot), and the
+    top-k window partitioned by q_id (bounded key set — never a
+    SinglePartition data-sized sort)."""
     from pyspark.sql import functions as F
 
     from redisgears_spark.engine import GearsEngine
@@ -1024,9 +1027,8 @@ def test_streaming_ann_topk_plan_shape(spark, sf_dir, tmp_path):
     rt.stop()
     plan = formatted_plan(rt.topk(_queries(spark, sf_dir)))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
-        plan[:3000]
-    )
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "hashpartitioning(q_id" in plan, plan[:3000]
     assert "Arguments: SinglePartition" not in plan, plan[:3000]
 
 
