@@ -110,13 +110,17 @@ def _make_router(centroids, vec_field: str, id_field: str):
 
         _wp()
         C = np.asarray(centroids, dtype="float64")
+        dim = C.shape[1]
         for pdf in batches:
             # parse the batch first, then assign every cell with ONE
             # (batch × dim) @ (dim × cells) matmul instead of a per-row
             # C @ v (guide §4.2: hand whole batches to the vectorized
             # library). np.fromstring over the trimmed "[...]" payload
             # is the fast numeric parse of the JSON array — the payload
-            # is a flat double array by construction.
+            # is a flat double array by construction — but it silently
+            # TRUNCATES on unparseable content (and is deprecated), so
+            # any length mismatch falls back to a strict json.loads
+            # parse that raises loudly instead of misrouting the vector.
             vids: list[int] = []
             ids: list[int] = []
             dels: list[bool] = []
@@ -127,9 +131,21 @@ def _make_router(centroids, vec_field: str, id_field: str):
                 vid = f.get(id_field)
                 if payload is None or vid is None:
                     continue
-                vecs.append(
-                    np.fromstring(payload[1:-1], dtype="float64", sep=",")
-                )
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", DeprecationWarning)
+                    v = np.fromstring(
+                        payload[1:-1], dtype="float64", sep=","
+                    )
+                if v.shape[0] != dim:
+                    v = np.asarray(_json.loads(payload), dtype="float64")
+                    if v.shape[0] != dim:
+                        raise GearsError(
+                            f"vector payload for {id_field}={vid} has "
+                            f"{v.shape[0]} components, index dim is {dim}"
+                        )
+                vecs.append(v)
                 vids.append(int(vid))
                 ids.append(int(rec_id))
                 # a `del` tombstone carries the vector so it routes to
@@ -244,6 +260,8 @@ class StreamingAnnIvfRuntime(StatefulStatsRuntime):
         self.vec_field = vec_field
         self.id_field = id_field
         self.max_per_cell = max_per_cell
+        # bounded key space: state keys are the IVF cells
+        self._state_key_cap = len(self.centroids)
 
     @property
     def _ckpt_dir(self) -> str:
@@ -276,13 +294,14 @@ class StreamingAnnIvfRuntime(StatefulStatsRuntime):
                 "append"
             ).parquet(sink_dir)
 
-        self.query = (
-            out.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName("streaming_ann_ivf")
-            .start()
-        )
+        with self._sized_state_shuffle():
+            self.query = (
+                out.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", self._ckpt_dir)
+                .outputMode("update")
+                .queryName("streaming_ann_ivf")
+                .start()
+            )
         return self.query
 
     def inverted_lists(self) -> DataFrame | None:

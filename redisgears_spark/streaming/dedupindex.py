@@ -268,6 +268,7 @@ class StreamingShingleIndexRuntime(StatefulStatsRuntime):
         self.text_field = text_field
         self.id_field = id_field
         self.n_buckets = n_buckets
+        self._state_key_cap = n_buckets  # bounded key space (buckets)
 
     @property
     def _ckpt_dir(self) -> str:
@@ -300,13 +301,14 @@ class StreamingShingleIndexRuntime(StatefulStatsRuntime):
                 "append"
             ).parquet(sink_dir)
 
-        self.query = (
-            out.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName("streaming_shingle_index")
-            .start()
-        )
+        with self._sized_state_shuffle():
+            self.query = (
+                out.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", self._ckpt_dir)
+                .outputMode("update")
+                .queryName("streaming_shingle_index")
+                .start()
+            )
         return self.query
 
     def _latest(self) -> DataFrame | None:

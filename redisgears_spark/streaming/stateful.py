@@ -161,7 +161,15 @@ class StatefulStatsRuntime:
         # spool so the ROUTER stage runs at full core count — a
         # file-stream batch plans one task per file, so an 8-file spool
         # capped the Arrow router at 8-way parallelism on 32 cores.
-        self.files_per_trigger = files_per_trigger or 8
+        # `None` means the default; an explicit 0 is a caller bug and
+        # refused loudly rather than silently coerced to 8.
+        if files_per_trigger is not None and files_per_trigger < 1:
+            raise ValueError(
+                f"files_per_trigger must be >= 1, got {files_per_trigger}"
+            )
+        self.files_per_trigger = (
+            8 if files_per_trigger is None else files_per_trigger
+        )
         self.query: StreamingQuery | None = None
         # wall-clock of each committed epoch, for idle-key expiry
         self._epoch_seen: dict[int, float] = {}
@@ -173,6 +181,82 @@ class StatefulStatsRuntime:
     @property
     def sink_dir(self) -> str:
         return os.path.join(self.work_dir, "stateful_sink")
+
+    # ---- state-shuffle width (r14, guide §2.2) --------------------------
+    #
+    # A stateful micro-batch plans `spark.sql.shuffle.partitions` state
+    # tasks — each paying a state-store open/commit, a Python worker
+    # round-trip and a sink file, REGARDLESS of data volume. At
+    # core-count width those fixed costs dominate dimension-sized
+    # replays: the r13 driver measured every streamed twin FASTER at 8
+    # cores than at 32 (dedup_incremental_streamed 3.1 s @8 vs 4.4 s
+    # @32) because 32-core sessions planned 32 near-empty state tasks.
+    # Width is therefore derived from the BYTES the query will ingest —
+    # one state task per _STATE_TASK_INPUT_BYTES of spool, clamped to
+    # [1, defaultParallelism] — so a small replay runs a handful of
+    # state tasks while corpus-scale ingest still fans out to every
+    # core. The partition count never changes results (state is keyed;
+    # the bit-equality suites pin streamed == batch), and it is pinned
+    # per checkpoint, so one invocation's width cannot leak to another.
+    #
+    # A second cap: a runtime with a BOUNDED key space (the bucketed
+    # index runtimes — 64 shingle buckets, 32 word-freq buckets, 16 IVF
+    # cells) can never use more state tasks than keys; partitions past
+    # that open a store, commit an empty delta and write an empty sink
+    # file for nothing. Subclasses with bounded keys set _state_key_cap.
+    _STATE_TASK_INPUT_BYTES = 64 * 1024
+    _state_key_cap: int | None = None
+
+    def _spool_bytes(self) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self.spool_dir):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def _state_partitions(self) -> int:
+        per_task = int(
+            os.environ.get(
+                "SPARK_GRAFT_STATE_TASK_BYTES", self._STATE_TASK_INPUT_BYTES
+            )
+        )
+        want = -(-self._spool_bytes() // max(1, per_task))  # ceil div
+        cap = self.spark.sparkContext.defaultParallelism
+        if self._state_key_cap is not None:
+            cap = min(cap, self._state_key_cap)
+        return max(1, min(cap, want))
+
+    def _sized_state_shuffle(self):
+        """Context manager pinning spark.sql.shuffle.partitions to the
+        bytes-derived state width for the duration of query start.
+        Structured Streaming clones the session when the query starts
+        (every batch plans on the clone) and records the partition
+        count in the checkpoint's first offset entry, so restoring the
+        session conf right after .start() returns cannot race the
+        stream (pinned by tests/test_streaming_dedup.py's width test)."""
+        import contextlib
+
+        runtime = self
+
+        @contextlib.contextmanager
+        def _pin():
+            conf = runtime.spark.conf
+            prev = conf.get("spark.sql.shuffle.partitions")
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(runtime._state_partitions()),
+            )
+            try:
+                yield
+            finally:
+                conf.set("spark.sql.shuffle.partitions", prev)
+
+        return _pin()
 
     def _source(self) -> DataFrame:
         from redisgears_spark.streaming.triggers import STREAM_SCHEMA
@@ -229,13 +313,14 @@ class StatefulStatsRuntime:
 
                 self._epoch_seen[epoch_id] = _time.time()
 
-        self.query = (
-            out.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName(name)
-            .start()
-        )
+        with self._sized_state_shuffle():
+            self.query = (
+                out.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", self._ckpt_dir)
+                .outputMode("update")
+                .queryName(name)
+                .start()
+            )
         return self.query
 
     def _sink_df(self) -> DataFrame | None:

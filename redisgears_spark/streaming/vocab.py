@@ -193,6 +193,7 @@ class StreamingWordFreqRuntime(StatefulStatsRuntime):
         self.text_field = text_field
         self.id_field = id_field
         self.n_buckets = n_buckets
+        self._state_key_cap = n_buckets  # bounded key space (buckets)
 
     @property
     def _ckpt_dir(self) -> str:
@@ -225,13 +226,14 @@ class StreamingWordFreqRuntime(StatefulStatsRuntime):
                 "append"
             ).parquet(sink_dir)
 
-        self.query = (
-            out.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", self._ckpt_dir)
-            .outputMode("update")
-            .queryName("streaming_word_freq")
-            .start()
-        )
+        with self._sized_state_shuffle():
+            self.query = (
+                out.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", self._ckpt_dir)
+                .outputMode("update")
+                .queryName("streaming_word_freq")
+                .start()
+            )
         return self.query
 
     def word_freq(self) -> DataFrame:

@@ -484,3 +484,41 @@ def test_compact_sink_stream_key_runtime(spark, sf_dir, tmp_path):
     after = rt.compact_sink()
     assert after == 3 < before  # one row per stream_key
     assert rt.signatures() == snapshot
+
+
+def test_state_shuffle_width_sized_by_spool_bytes(spark, sf_dir, tmp_path):
+    """r14 state-shuffle sizing: the stateful ingest plans its state
+    tasks from the SPOOL BYTES (clamped by cores and the bucket count),
+    not from the session's core-count shuffle width — the r13 driver
+    measured the streamed twins slower at 32 cores than 8 because every
+    micro-batch opened 32 near-empty state stores. Pins (a) the derived
+    width for the fixture spool, (b) that the session conf is restored
+    after start() (the stream plans on a clone), and (c) that the
+    checkpoint recorded the pinned width, i.e. the stream really ran at
+    it."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    _write_spool(spark, sf_dir, str(tmp_path / "spool"))
+    rt = _runtime(spark, sf_dir, tmp_path)
+    want = rt._state_partitions()
+    assert 1 <= want <= min(
+        spark.sparkContext.defaultParallelism, rt.n_buckets
+    )
+    # the fixture spool is dimension-sized: the width must undercut a
+    # 32-core session's default fan-out
+    assert want < 32
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    rt.start()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    rt.process_available()
+    rt.stop()
+    offs = sorted(
+        p
+        for p in _glob.glob(_os.path.join(rt._ckpt_dir, "offsets", "*"))
+        if not _os.path.basename(p).startswith(".")
+    )
+    with open(offs[0]) as fh:
+        meta = _json.loads(fh.read().splitlines()[1])
+    assert meta["conf"]["spark.sql.shuffle.partitions"] == str(want)
