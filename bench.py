@@ -743,6 +743,103 @@ def run_quick(sections: list[str], runs: int) -> None:
     sys.stdout.flush()
 
 
+def run_scaling(
+    names: list[str] | None, top_n: int, cpus_low: int, reps: int
+) -> None:
+    """`bench.py --scaling [--scaling-top N] [--queries a,b]`: per-query
+    core-scaling record (VERDICT r13 #8) — time the named queries (or
+    the slowest N from the repo's BENCH.json) with the INVENTORY
+    methodology (noop sink, best-of-`reps` after warmup) at BOTH
+    $SPARK_GRAFT_CPUS and `cpus_low` cores, in two fresh sessions, and
+    print ONE JSON line with sec@main / sec@low / ratio per query.
+    Opt-in and additions-only: does NOT touch BENCH.json or the main
+    run's methodology."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus_main = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+
+    from redisgears_spark.session import get_spark
+
+    all_queries = entrymod.queries()
+    if not names:
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(here, "BENCH.json")) as fh:
+                prev = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            prev = {}
+        names = [
+            n
+            for n, _ in sorted(prev.items(), key=lambda kv: -kv[1])
+            if n in all_queries
+        ][:top_n]
+    unknown = [n for n in names if n not in all_queries]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
+
+    def time_at(cpus: int) -> dict[str, float]:
+        spark = get_spark(f"redisgears-spark-scaling-{cpus}", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+
+        def run(df) -> None:
+            df.write.mode("overwrite").format("noop").save()
+
+        run(all_queries["q06_agg_stats"](spark, sf_dir))
+
+        def _noop_pandas(batches):
+            for pdf in batches:
+                yield pdf
+
+        from redisgears_spark.sources.keyspace import load_table
+
+        run(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .mapInPandas(_noop_pandas, "doc_id long")
+        )
+        out: dict[str, float] = {}
+        for name in names:
+            spark.sparkContext.setJobDescription(f"scaling:{name}")
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run(all_queries[name](spark, sf_dir))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            out[name] = round(best, 3)
+        spark.sparkContext.setJobDescription(None)
+        spark.stop()
+        return out
+
+    main_t = time_at(cpus_main)
+    low_t = time_at(cpus_low)
+    per_query = {
+        n: {
+            "sec_main": main_t[n],
+            "sec_low": low_t[n],
+            "ratio_low_over_main": round(low_t[n] / max(main_t[n], 1e-9), 2),
+        }
+        for n in names
+    }
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "core_scaling",
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus_main": cpus_main,
+                "cpus_low": cpus_low,
+                "reps": reps,
+                "value": round(sum(main_t.values()), 3),
+                "value_low": round(sum(low_t.values()), 3),
+                "queries": per_query,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -1149,8 +1246,34 @@ if __name__ == "__main__":
         "--runs", type=int, default=3,
         help="runs per section in --sections mode (default 3)",
     )
+    ap.add_argument(
+        "--scaling", action="store_true",
+        help="per-query core-scaling mode: time queries at both "
+        "$SPARK_GRAFT_CPUS and --scaling-low cores, print one JSON line "
+        "(opt-in; never touches BENCH.json)",
+    )
+    ap.add_argument(
+        "--queries",
+        help="comma-separated query names for --scaling (default: the "
+        "slowest --scaling-top from the repo's BENCH.json)",
+    )
+    ap.add_argument("--scaling-top", type=int, default=30)
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument(
+        "--reps", type=int, default=2,
+        help="best-of-N per query in --scaling mode (default 2)",
+    )
     args = ap.parse_args()
-    if args.sections:
+    if args.scaling:
+        run_scaling(
+            [q.strip() for q in args.queries.split(",") if q.strip()]
+            if args.queries
+            else None,
+            args.scaling_top,
+            args.scaling_low,
+            args.reps,
+        )
+    elif args.sections:
         run_quick([s.strip() for s in args.sections.split(",")], args.runs)
     else:
         main()

@@ -103,6 +103,20 @@ def scratch_parquet(df: DataFrame, label: str = "idx") -> DataFrame:
     return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
+def reclaim_scratch() -> None:
+    """Remove every scratch directory created so far (the atexit sweep
+    remains the backstop). A long-lived driver process that invokes
+    operators repeatedly can call this BETWEEN invocations to bound temp
+    disk — after the caller has fully consumed (collected/written) the
+    returned DataFrames, whose plans reference the scratch files."""
+    global _SCRATCH_ROOT
+    import shutil
+
+    if _SCRATCH_ROOT is not None:
+        shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
+        _SCRATCH_ROOT = None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Pure `spark.read.parquet` so Catalyst owns
     pushdown/pruning; no caching — callers that reuse a small dim should
