@@ -439,7 +439,23 @@ def _pair_stats(
 
 _CC_MAX_ITERS = 25
 # edge count up to which the whole component-fold runs as ONE executor task
-# (union-find over the edge list — ~16 bytes/edge, so 5M edges ≈ 80 MB)
+# (union-find over the edge list — ~16 bytes/edge, so 5M edges ≈ 80 MB).
+#
+# Crossover MEASURED r14 (local[32], random graphs at avg degree 4, both
+# strategies forced, noop sink, best-of-2):
+#   edges     local (1 task)   distributed (min-label + pointer jump)
+#   250 k          4.6 s            16.9 s
+#   500 k          3.5 s            20.6 s
+#     1 M          5.7 s            33.2 s
+#     2 M         15.3 s            62.8 s
+#     5 M         36.6 s            90.0 s
+# The distributed loop's per-round fixed cost (2 joins + 2 eager
+# localCheckpoints × ~log2(diameter) rounds) dwarfs the serial
+# union-find at every size up to the limit — the crossover is ABOVE
+# 5 M edges on this hardware, so the limit stays at 5 M (the r13
+# verdict's 1 M guess is refuted by measurement). A 5 M-edge fold is a
+# ~37 s straggler pole, which is still 2.5x faster than the
+# distributed alternative at that size.
 _CC_LOCAL_EDGE_LIMIT = 5_000_000
 
 

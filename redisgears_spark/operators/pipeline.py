@@ -1000,25 +1000,80 @@ def _local_pair_counts(freq: dict, words: dict):
     return counts
 
 
+def _bpe_state(freq: dict, words: dict):
+    """(counts, index) over the symbol state: `counts` is exactly
+    _local_pair_counts; `index` maps each pair to the set of words that
+    currently contain it, so a merge touches only those words instead
+    of rescanning the whole vocabulary (r14, guide §1.2 step 2 — the
+    classic incremental BPE trainer; counts stay a pure function of the
+    state, so argmax/tie-breaks are bit-identical to a full recount)."""
+    from collections import Counter, defaultdict
+
+    counts: Counter = Counter()
+    index: dict = defaultdict(set)
+    for w, syms in words.items():
+        fq = freq[w]
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += fq
+            index[(a, b)].add(w)
+    return counts, index
+
+
+def _apply_merge_tracked(
+    freq: dict, words: dict, counts, index, lft: str, rgt: str
+) -> None:
+    """Apply one merge ONLY to the words containing (lft, rgt),
+    maintaining `counts`/`index` by exact deltas. Zero-count pairs are
+    deleted so `counts` stays equal (as a mapping) to a fresh
+    _local_pair_counts over the mutated state — the invariant that
+    keeps the incremental trainer's argmax identical to the naive
+    loop's."""
+    for w in list(index.get((lft, rgt), ())):
+        syms = words[w]
+        fq = freq[w]
+        new = _apply_merge(syms, lft, rgt)
+        for a, b in zip(syms, syms[1:]):
+            c = counts[(a, b)] - fq
+            if c:
+                counts[(a, b)] = c
+            else:
+                del counts[(a, b)]
+            index[(a, b)].discard(w)
+        for a, b in zip(new, new[1:]):
+            counts[(a, b)] += fq
+            index[(a, b)].add(w)
+        words[w] = new
+
+
 def _local_bpe_rounds(
-    freq: dict, words: dict, n_rounds: int, round_offset: int = 0
+    freq: dict,
+    words: dict,
+    n_rounds: int,
+    round_offset: int = 0,
+    state=None,
 ) -> list[tuple[int, str, str, int]]:
     """The exact Sennrich greedy loop over an in-memory word-frequency
     state (mutates `words`). Used by pipeline_bpe_train's local strategy
     and by pipeline_bpe_extend's base-training and continuation phases —
     one loop definition, so train and extend can never disagree on the
-    argmax/tie-break discipline."""
+    argmax/tie-break discipline.
+
+    r14: pair counts are maintained incrementally (`_bpe_state` /
+    `_apply_merge_tracked`) instead of recounted and re-applied over
+    every word each round — O(words containing the merged pair) per
+    round instead of O(total symbols). A caller that already holds the
+    maintained state (the extend replay) passes it via `state` to skip
+    the rebuild."""
+    counts, index = state if state is not None else _bpe_state(freq, words)
     recs: list[tuple[int, str, str, int]] = []
     for i in range(n_rounds):
-        counts = _local_pair_counts(freq, words)
         if not counts:
             break
         (lft, rgt), n = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
         recs.append((round_offset + i, lft, rgt, int(n)))
-        for w, syms in words.items():
-            words[w] = _apply_merge(syms, lft, rgt)
+        _apply_merge_tracked(freq, words, counts, index, lft, rgt)
     return recs
 
 
@@ -1462,23 +1517,24 @@ def _bpe_extend(
         uwords = {w: list(w) for w in ufreq}
         recs: list[tuple] = []
         rnd = 0
+        # r14: one maintained (counts, index) over the union state — the
+        # replayed pair's count ON THE UNION (the drift diagnostic, the
+        # same overlapping-zip statistic the trainer computes) is an O(1)
+        # lookup instead of a full vocabulary scan per merge, and the
+        # apply touches only the words containing the pair; the ext
+        # continuation reuses the same state
+        ucounts, uindex = _bpe_state(ufreq, uwords)
         for _r, lft, rgt, _n in base_merges:
-            # the replayed pair's count ON THE UNION at replay time —
-            # the drift diagnostic (how much the increment moved this
-            # merge's support); the same overlapping-zip statistic the
-            # trainer computes
-            cnt = 0
-            for w, syms in uwords.items():
-                fq = ufreq[w]
-                for a, b in zip(syms, syms[1:]):
-                    if a == lft and b == rgt:
-                        cnt += fq
+            cnt = ucounts.get((lft, rgt), 0)
             recs.append((rnd, lft, rgt, int(cnt), "base"))
-            for w, syms in uwords.items():
-                uwords[w] = _apply_merge(syms, lft, rgt)
+            _apply_merge_tracked(ufreq, uwords, ucounts, uindex, lft, rgt)
             rnd += 1
         ext = _local_bpe_rounds(
-            ufreq, uwords, _BPE_EXTEND_MERGES, round_offset=rnd
+            ufreq,
+            uwords,
+            _BPE_EXTEND_MERGES,
+            round_offset=rnd,
+            state=(ucounts, uindex),
         )
         recs.extend((r, l, rr, n, "ext") for (r, l, rr, n) in ext)
         base_wf.unpersist()

@@ -109,6 +109,15 @@ def _make_router(centroids, vec_field: str, id_field: str):
         from redisgears_spark.workerpatch import ensure as _wp
 
         _wp()
+        import warnings
+
+        # silence np.fromstring's DeprecationWarning ONCE per task (a
+        # per-row catch_warnings context manipulates global filter
+        # state on every record — pure overhead in the hot parse loop);
+        # matched by message so nothing unrelated is masked
+        warnings.filterwarnings(
+            "ignore", category=DeprecationWarning, message=r".*fromstring.*"
+        )
         C = np.asarray(centroids, dtype="float64")
         dim = C.shape[1]
         for pdf in batches:
@@ -131,13 +140,9 @@ def _make_router(centroids, vec_field: str, id_field: str):
                 vid = f.get(id_field)
                 if payload is None or vid is None:
                     continue
-                import warnings
-
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore", DeprecationWarning)
-                    v = np.fromstring(
-                        payload[1:-1], dtype="float64", sep=","
-                    )
+                v = np.fromstring(
+                    payload[1:-1], dtype="float64", sep=","
+                )
                 if v.shape[0] != dim:
                     v = np.asarray(_json.loads(payload), dtype="float64")
                     if v.shape[0] != dim:

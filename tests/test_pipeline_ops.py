@@ -1205,3 +1205,55 @@ def test_bpe_extend_random_corpus_matches_reference(spark, tmp_path):
         for (_i, l, r, _n, ph) in got
         if ph == "ext"
     ), got
+
+
+def test_bpe_incremental_state_matches_full_recount():
+    """r14 incremental trainer: after every merge the maintained pair
+    counter must EQUAL a fresh _local_pair_counts over the mutated
+    state (zero-count pairs deleted), and the merge sequence must match
+    the naive recount-every-round loop — including overlapping pairs
+    ('aaaa' counts (a,a) three times, merges non-overlapping) and
+    count ties broken lexicographically."""
+    from redisgears_spark.operators.pipeline import (
+        _apply_merge,
+        _apply_merge_tracked,
+        _bpe_state,
+        _local_bpe_rounds,
+        _local_pair_counts,
+    )
+
+    freq = {
+        "aaaa": 3,      # overlapping pair runs
+        "abab": 2,
+        "banana": 2,
+        "bandana": 1,
+        "cd": 5,        # ties with ce below on count
+        "ce": 5,
+        "abcd": 1,
+    }
+
+    # naive reference loop (the pre-r14 implementation, verbatim)
+    nf = dict(freq)
+    nwords = {w: list(w) for w in nf}
+    want = []
+    for i in range(8):
+        counts = _local_pair_counts(nf, nwords)
+        if not counts:
+            break
+        (lft, rgt), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((i, lft, rgt, int(n)))
+        for w, syms in nwords.items():
+            nwords[w] = _apply_merge(syms, lft, rgt)
+
+    iwords = {w: list(w) for w in freq}
+    got = _local_bpe_rounds(dict(freq), iwords, 8)
+    assert got == want
+    assert iwords == nwords  # identical final symbol state
+
+    # invariant: maintained counts == fresh recount after EVERY merge
+    sf = dict(freq)
+    swords = {w: list(w) for w in sf}
+    counts, index = _bpe_state(sf, swords)
+    for _i, lft, rgt, _n in want:
+        _apply_merge_tracked(sf, swords, counts, index, lft, rgt)
+        assert dict(counts) == dict(_local_pair_counts(sf, swords))
