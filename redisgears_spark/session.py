@@ -39,12 +39,24 @@ def get_spark(
         # converted to timestamp in sources.keyspace.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # small fixture files must still split across all cores: without a
-        # floor, one sub-128MB parquet file = ONE task, serializing every
-        # mapInPandas stage behind a single Python worker (measured: the
-        # dedup family ran 1-task stages on 32 cores). On a real cluster
-        # inputs have >> cores files and this floor is a no-op.
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # Scan-task policy (r14, guide §2.2/§6): ONE task per file, big
+        # files chunked at maxPartitionBytes. The former core-count
+        # minPartitionNum floor split every scan into `cpus` byte ranges,
+        # but a parquet row group cannot split — every fixture table and
+        # most scratch files are single-row-group, so the floor produced
+        # 1 working task + (cpus-1) EMPTY task launches per scan, on
+        # every scan of every query (the r13 driver measured the whole
+        # 412-query bench FASTER at 8 cores than at 32). Parallelism
+        # comes from where the data actually is: multi-file scratch
+        # indexes read one task per file (the writer sizes the file
+        # count), CPU-heavy Python kernels get an explicit `rebalanced`
+        # shuffle, and corpus-scale files chunk at 128 MB. openCost =
+        # maxPartitionBytes stops the packer from merging deliberately
+        # parallel scratch files into one split; on a real cluster
+        # inputs are many >=128 MB files, where this policy is the
+        # guide's recommended shape (large sequential splits, §6).
+        .config("spark.sql.files.minPartitionNum", "1")
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # keep saveAsTable warehouse data out of the repo/cwd
         .config(
