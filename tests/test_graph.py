@@ -348,26 +348,86 @@ def test_div_truncation_matches_duckdb(spark):
 
 
 def test_pagerank_invocations_are_independent(spark, sf_dir):
-    """r13: the edge materialization is per-invocation scratch parquet —
+    """r13: the pair materialization is per-invocation scratch parquet —
     two back-to-back invocations must each build their own (distinct
     scratch paths) and produce bit-identical ranks."""
     df1 = part_copurchase_pagerank(spark, sf_dir)
     df2 = part_copurchase_pagerank(spark, sf_dir)
 
-    def edge_dirs(df) -> set:
+    def pair_dirs(df) -> set:
         import os
 
         return {
             os.path.dirname(f)
             for f in df.inputFiles()
-            if "graph-edges-" in f
+            if "graph-pairs-" in f
         }
 
-    s1, s2 = edge_dirs(df1), edge_dirs(df2)
+    s1, s2 = pair_dirs(df1), pair_dirs(df2)
     assert s1 and s2 and s1.isdisjoint(s2), (s1, s2)
     r1 = {r["part_key"]: r["pagerank_scaled"] for r in df1.collect()}
     r2 = {r["part_key"]: r["pagerank_scaled"] for r in df2.collect()}
     assert r1 == r2
+
+
+def test_pagerank_local_and_distributed_paths_bit_identical(
+    spark, sf_dir, monkeypatch
+):
+    """r14: the compact-graph numpy kernel and the distributed
+    broadcast-join loop are twins — forcing each strategy on the same
+    fixture must produce the identical (key, degree, rank) set."""
+    from redisgears_spark.operators import graph as G
+
+    local = {
+        tuple(r) for r in part_copurchase_pagerank(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(G, "_PR_LOCAL_EDGE_LIMIT", 0)
+    dist = {
+        tuple(r) for r in part_copurchase_pagerank(spark, sf_dir).collect()
+    }
+    assert local == dist and local
+
+
+def test_pagerank_kernel_sparse_id_path_matches_dense(spark, sf_dir, monkeypatch):
+    """The kernel's sparse-id factorization (ids past the dense bound)
+    must agree with the dense direct-indexing fast path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from redisgears_spark.operators import graph as G
+
+    rng = np.random.default_rng(7)
+    pa_ids = rng.integers(1, 500, 4000, dtype=np.int64)
+    pb_ids = rng.integers(1, 500, 4000, dtype=np.int64)
+    keep = pa_ids != pb_ids
+    lo, hi = (
+        np.minimum(pa_ids[keep], pb_ids[keep]),
+        np.maximum(pa_ids[keep], pb_ids[keep]),
+    )
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    cat = np.arange(1, 600, dtype=np.int64)
+
+    def run(offset: int):
+        src = np.concatenate([pairs[:, 0] + offset, cat + offset])
+        dst = np.concatenate(
+            [pairs[:, 1] + offset, np.full(cat.size, -1, np.int64)]
+        )
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(src), pa.array(dst)], names=["src", "dst"]
+        )
+        (out,) = list(G._pagerank_local_kernel(iter([batch])))
+        return {
+            (int(k) - offset, int(d), int(r))
+            for k, d, r in zip(
+                out.column(0).to_pylist(),
+                out.column(1).to_pylist(),
+                out.column(2).to_pylist(),
+            )
+        }
+
+    dense = run(0)  # ids < 2^24: direct indexing
+    sparse = run(1 << 30)  # ids past the dense bound: factorized
+    assert dense == sparse and dense
 
 
 def _support_edges(sf_dir: str, min_support: int) -> set[tuple[int, int]]:

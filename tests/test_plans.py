@@ -524,13 +524,13 @@ def test_ks_drift_never_shuffles_text(spark, sf_dir):
         assert "text" not in line, line
 
 
-def test_pagerank_serves_from_edge_index(spark, sf_dir):
-    """part_copurchase_pagerank materializes the adjacency index to
-    parquet once per corpus: the query plan must scan the INDEX (the
-    raw lineitem fact never appears — the basket self-derivation is not
-    replanned per iteration), reuse one repartition exchange across all
-    5 iterations, broadcast only the dimension-sized rank table, and
-    leave no cached relations behind."""
+def test_pagerank_serves_from_pair_index(spark, sf_dir):
+    """part_copurchase_pagerank materializes the undirected pair list to
+    parquet once per corpus and (compact graphs) folds the 5-iteration
+    recurrence in ONE kernel task: the query plan must scan the PAIR
+    index (the raw lineitem fact never appears — the basket
+    self-derivation is not replanned), show the single-task kernel with
+    no shuffle above the scan, and leave no cached relations behind."""
     jsc = spark.sparkContext._jsc.sc()
 
     def n_cached():
@@ -539,6 +539,26 @@ def test_pagerank_serves_from_edge_index(spark, sf_dir):
         )
 
     before = n_cached()
+    df = QUERIES["part_copurchase_pagerank"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "graph-pairs" in plan, plan
+    assert "lineitem.parquet" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    # the kernel input is a narrow coalesce, never a shuffle of the pairs
+    assert "Exchange" not in plan, plan
+    assert "Coalesce" in plan, plan
+    # other suites may hold their own caches in the shared session —
+    # pagerank itself must not ADD any
+    assert n_cached() == before, (before, n_cached())
+
+
+def test_pagerank_distributed_path_plan_shape(spark, sf_dir, monkeypatch):
+    """Above the compact-graph limit the loop must keep its r13 shape:
+    scan the symmetric edge scratch, broadcast only the dimension-sized
+    rank table per iteration, reuse exchanges across iterations."""
+    from redisgears_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_PR_LOCAL_EDGE_LIMIT", 0)
     df = QUERIES["part_copurchase_pagerank"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "graph-edges" in plan, plan
@@ -550,9 +570,6 @@ def test_pagerank_serves_from_edge_index(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed[:3000]
-    # other suites may hold their own caches in the shared session —
-    # pagerank itself must not ADD any
-    assert n_cached() == before, (before, n_cached())
 
 
 def test_weighted_median_refine_stage_is_selective(spark, sf_dir):
