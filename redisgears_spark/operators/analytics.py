@@ -1000,7 +1000,11 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints with map-side partials; the histogram then reduces
     |clusters| rows to |distinct sizes|. Text never moves.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from redisgears_spark.sources.keyspace import rebalanced
+
+    # rebalanced (r14): the full-text md5 partial aggregate otherwise
+    # runs single-task over the single-row-group fixture file
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     clusters = docs.groupBy(F.md5("text").alias("fp")).agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.min("n_chars").cast("long").alias("chars_each"),
@@ -1128,6 +1132,9 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     never moves, and the DISTINCT inside each doc bounds a repetitive
     doc's contribution at its vocabulary, not its length.
     """
+    # (r14: a rebalanced tokenizer input was measured 1.2 -> 1.3-1.7 s
+    # — the distinct/aggregate machinery dominates, not the explode;
+    # reverted)
     docs = load_table(spark, sf_dir, "documents")
     # the corpus-wide tokenizer definition (text.py) — novelty must
     # tokenize identically to every other text operator

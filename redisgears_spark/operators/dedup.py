@@ -1177,7 +1177,9 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation, and what the oracle runs — would instead sort
     corpus-scale text per segment group.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalanced (r14): the tokenize + segment posexplode otherwise
+    # runs single-task over the single-row-group fixture file
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.expr(
@@ -1282,7 +1284,10 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. One pass over the explode, no join; the two
     post-aggregate shuffles carry only (md5, doc_id, count) rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalanced (r14): the tokenize + per-window md5 explode is the
+    # dominant cost and otherwise runs (with the partial aggregate) in
+    # the one-task scan stage of the single-row-group fixture file
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("w"),

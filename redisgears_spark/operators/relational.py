@@ -7664,7 +7664,9 @@ def supplier_monthly_active_sketched(
 
     Scale: the salted two-level k-smallest (grouped_kmv) bounds every
     task at k rows per (month, salt-bucket); no month funnels its full
-    distinct-supplier set through one task.
+    distinct-supplier set through one task. (r14: rebalancing the KMV
+    input was measured flat — 2.27 vs 2.24 s — the fold is not
+    scan-stage-bound; left alone.)
     """
     from redisgears_spark.operators.analytics import grouped_kmv
 

@@ -294,7 +294,12 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation marks via one regex pass — the subword-tokenizer-shaped
     statistic (whitespace counting is text_token_stats). All JVM regex,
     no Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the four regex projections are the whole cost and run in the scan
+    # stage — a single task over a single-row-group fixture file;
+    # rebalanced spreads the regex work across the cores (r14, guide
+    # §2.5: parallelism where the CPU is, the shuffled payload is just
+    # the narrow (doc_id, text) projection)
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     toks = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE_SPARK}', 0)")
     return docs.select(
         "doc_id",
@@ -322,8 +327,12 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-document and prefix-window content
     hashes over normalized text (rolling-hash family; md5 keeps the oracle
-    engine-portable). Feeds dedup_exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    engine-portable). Feeds dedup_exact.
+
+    r14: rebalanced — the regex normalize + two md5 passes over the full
+    text are the whole cost and otherwise run in the one-task scan stage
+    of the single-row-group fixture file."""
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return docs.select(
         "doc_id",
@@ -753,6 +762,8 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs; phrase lengths join back ON (doc, phrase) — all keys
     narrow. Output is |vocabulary| rows (bounded).
     """
+    # (r14: a rebalanced input was measured 0.9 -> 1.2-1.4 s — the
+    # doc-window shuffle dominates, not the posexplode; reverted)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "word")
@@ -984,7 +995,11 @@ def text_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the LM — they can be bucketed or broadcast when the vocabulary
     is capped, exactly how distributed KenLM count passes are laid out.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalanced (r14): the tokenizer + bigram explode is the dominant
+    # cost and otherwise runs in the one-task scan stage of the
+    # single-row-group fixture file — and it feeds THREE plan branches
+    # (bgc, w1c, scored), so the one-task stage ran three times
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     bg = (
         docs.select(
             "doc_id", F.expr(_TOKENS).alias("w")
@@ -1070,6 +1085,9 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from redisgears_spark.functions.ranks import global_ntile
 
+    # (r14: rebalancing this input was measured 1.3 -> 1.9-2.3 s: the
+    # ntile machinery reads it three times and each read re-ran the
+    # repartition; reverted)
     docs = load_table(spark, sf_dir, "documents")
     d = global_ntile(
         docs.select("doc_id"), 10, "doc_id", "doc_id", "decile"
@@ -1181,9 +1199,11 @@ def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure codegen projections over the scan (count-by-delete
     regexes, no explode, no Python); one map-side partial aggregate to
-    |langs| rows.
+    |langs| rows. r14: rebalanced — the five count-by-delete regexes
+    over the full text ran in the one-task scan stage of the
+    single-row-group fixture file (3.9 s isolated; 0.6 s spread).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalanced(load_table(spark, sf_dir, "documents"))
 
     def n_of(pattern: str):
         return F.sum(
@@ -1652,6 +1672,8 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded version of this query is exactly the all-pairs shape the
     dedup-economics verdict banned.
     """
+    # (r14: a rebalanced tokenizer input was measured flat-to-worse —
+    # the distinct + 30-token broadcast filter dominate; reverted)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
@@ -1723,9 +1745,11 @@ def docs_trigram_uniqueness_hist(
 
     Scale: the trigram set is computed per row with array expressions
     (no explode, no shuffle of trigram rows); the histogram aggregate
-    is map-side to ≤11 rows.
+    is map-side to ≤11 rows. r14: rebalanced — the per-row trigram
+    array build is the whole cost and otherwise runs in the one-task
+    scan stage of the single-row-group fixture file.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalanced(load_table(spark, sf_dir, "documents"))
     x = docs.filter(F.length("text") >= 3).select(
         (F.length("text") - 2).cast("long").alias("n_tri"),
         F.expr(
