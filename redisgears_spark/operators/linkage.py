@@ -41,6 +41,12 @@ from redisgears_spark.sources.keyspace import load_table
 # loudly if a longer name ever appears rather than silently missing pairs.
 _MAX_NAME_LEN = 40
 
+# corpus size up to which the broadcast variant self-join beats the
+# grouped numpy verify kernel (measured r14: join 1.4 s vs kernel 2.6 s
+# at 15k customers; kernel 12 s vs join 43 s at 150k — the crossover
+# sits near the broadcast threshold, ~50k rows of variants x 19)
+_JOIN_PATH_MAX_ROWS = 50_000
+
 _FUZZY_ORACLE = f"""
 WITH pos AS (SELECT i FROM generate_series(1, {_MAX_NAME_LEN}) AS t(i)),
 variants AS (
@@ -63,6 +69,87 @@ SELECT ka AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
 FROM (SELECT ka, kb FROM pairs UNION ALL SELECT kb, ka FROM pairs) s(ka, kb)
 GROUP BY ka
 """
+
+
+def _match_kernel(batches):
+    """Per-group edit-distance-≤1 verification, vectorized.
+
+    Input rows: one variant group each, `ms: list<struct<c_custkey,
+    c_name>>` (k ≥ 2 members sharing one deletion variant). Output:
+    oriented (ka < kb) matched key pairs, with multiplicity across
+    groups (the caller dedups).
+
+    Within a shared-variant group, `levenshtein(na, nb) <= 1` is
+    equivalent to: lengths differ (by exactly 1 — then the shorter
+    member IS the variant and the longer deletes one char to reach it)
+    OR equal lengths with char-hamming <= 1. Group pair indices come
+    from a cached `np.triu_indices` table; the hamming test is one
+    chunked uint32 char-matrix compare over all of the task's pairs —
+    no per-pair Python, no join.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    triu_cache: dict = {}
+    chunk = 1 << 21  # pairs per compare chunk (~300 MB traffic at U40)
+
+    for batch in batches:
+        ms = batch.column(0)
+        if ms.offset != 0:  # sliced list arrays: fall back to a copy
+            ms = pa.concat_arrays([ms])
+        offsets = ms.offsets.to_numpy()
+        values = ms.values
+        keys = values.field(0).to_numpy(zero_copy_only=False)
+        names_obj = values.field(1).to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            continue
+        chars = names_obj.astype(np.str_)  # '<U<maxlen>', NUL-padded
+        lens = np.char.str_len(chars)
+        mat = chars.view(np.uint32).reshape(chars.size, -1)
+
+        a_parts, b_parts = [], []
+        for i in range(offsets.size - 1):
+            s, e = int(offsets[i]), int(offsets[i + 1])
+            k = e - s
+            if k < 2:
+                continue
+            pair = triu_cache.get(k)
+            if pair is None:
+                pair = np.triu_indices(k, 1)
+                triu_cache[k] = pair
+            a_parts.append(pair[0] + s)
+            b_parts.append(pair[1] + s)
+        if not a_parts:
+            continue
+        ia = np.concatenate(a_parts)
+        ib = np.concatenate(b_parts)
+
+        out_a, out_b = [], []
+        for lo in range(0, ia.size, chunk):
+            ca, cb = ia[lo:lo + chunk], ib[lo:lo + chunk]
+            la, lb = lens[ca], lens[cb]
+            ldiff = np.abs(la - lb)
+            if (ldiff > 1).any():
+                raise ValueError(
+                    "fuzzy-link variant group carries members whose "
+                    "lengths differ by more than one deletion"
+                )
+            match = ldiff == 1  # shorter == variant, longer deletes to it
+            eq = ~match
+            if eq.any():
+                diffs = (mat[ca[eq]] != mat[cb[eq]]).sum(axis=1)
+                m = np.zeros(match.size, dtype=bool)
+                m[np.flatnonzero(eq)[diffs <= 1]] = True
+                match |= m
+            ka, kb = keys[ca[match]], keys[cb[match]]
+            out_a.append(np.minimum(ka, kb))
+            out_b.append(np.maximum(ka, kb))
+        ka = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        kb = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ka, type=pa.int64()), pa.array(kb, type=pa.int64())],
+            names=["ka", "kb"],
+        )
 
 
 @query("customer_fuzzy_link", oracle=_FUZZY_ORACLE)
@@ -121,36 +208,85 @@ def customer_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v"),
     )
-    a = variants.alias("a")
-    b = variants.alias("b")
-    # Both directions come out of ONE explode on the join output — a
-    # unionAll(pairs, pairs.swapped) would make Catalyst re-run the whole
-    # expansion+join+distinct once per branch (measured: the union plan
-    # duplicated the BroadcastHashJoin subtree and doubled wall-clock).
-    undirected = (
-        a.join(
-            b,
-            (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    # r14: candidate verification runs as a vectorized numpy kernel
+    # over each variant's member group instead of a variants⋈variants
+    # self-join — at 10x the bench fixture the join enumerated ~108M
+    # candidate occurrences through hash-join machinery (43 s on 32
+    # cores; the 8-core 100x leg read 235x its sf0.01 time). One
+    # shuffle groups the variant rows; the kernel (_match_kernel)
+    # generates each group's k² pairs with cached triu indices and
+    # verifies them with ONE chunked char-matrix compare. The match SET
+    # is provably the join's: a pair is emitted iff it shares a variant
+    # (the same completeness property), and within a shared-variant
+    # group `levenshtein <= 1` reduces exactly to the kernel's test —
+    # members differ in length by at most 1 (group lengths are |v| and
+    # |v|+1); a cross-length pair always matches (the shorter member IS
+    # the variant, the longer deletes one char to reach it, lev = 1),
+    # and an equal-length pair matches iff char-hamming <= 1 (an
+    # equal-length levenshtein-1 edit is exactly one substitution).
+    # Pinned against F.levenshtein on randomized groups in
+    # tests/test_linkage.py.
+    # Strategy switch (measured crossover, r14): at small corpora the
+    # all-JVM broadcast self-join wins (the variant relation broadcasts
+    # and candidates stream through one codegen stage: 1.4 s vs the
+    # kernel's 2.6 s at the 15k-customer bench fixture); past the
+    # broadcast scale the grouped kernel wins 3.5x (12 s vs 43 s at
+    # 150k customers) because the join enumerates every candidate
+    # occurrence through hash-probe machinery. Both paths verify the
+    # same candidate set with the same predicate — the equality is
+    # pinned by the oracle and the kernel-vs-levenshtein test.
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    if n_cust <= _JOIN_PATH_MAX_ROWS:
+        a = variants.alias("a")
+        b = variants.alias("b")
+        matched = (
+            a.join(
+                b,
+                (F.col("a.v") == F.col("b.v"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .filter(
+                F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1
+            )
+            .select(
+                F.col("a.c_custkey").alias("ka"),
+                F.col("b.c_custkey").alias("kb"),
+            )
+            .distinct()
         )
-        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("a.c_custkey").alias("ka"),
-                        F.col("b.c_custkey").alias("kb"),
-                    ),
-                    F.struct(
-                        F.col("b.c_custkey").alias("ka"),
-                        F.col("a.c_custkey").alias("kb"),
-                    ),
-                )
-            ).alias("p")
+    else:
+        members = (
+            variants.groupBy("v")
+            .agg(
+                F.collect_list(
+                    F.struct("c_custkey", "c_name")
+                ).alias("ms")
+            )
+            .filter(F.size("ms") >= 2)
+            .select("ms")
         )
-        .select("p.ka", "p.kb")
-        .distinct()
-    )
+        from redisgears_spark.workerpatch import arrow_kernel
+
+        matched = members.mapInArrow(
+            arrow_kernel(_match_kernel), "ka long, kb long"
+        ).distinct()
+    # Dedup the (ka < kb) matches BEFORE the symmetric explode (r14): a
+    # pair can collide on several shared variants, and the fixture's
+    # dense digit names make matches plentiful (36M at 10x bench scale)
+    # — deduping the oriented form shuffles each matched pair once,
+    # and the per-key aggregate's map-side partials then reduce the
+    # exploded rows to |keys|-bounded partials before the final
+    # exchange.
+    undirected = matched.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ka"), F.col("kb")),
+                F.struct(
+                    F.col("kb").alias("ka"), F.col("ka").alias("kb")
+                ),
+            )
+        ).alias("p")
+    ).select("p.ka", "p.kb")
     return undirected.groupBy(F.col("ka").alias("c_custkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_neighbors"),
         F.min("kb").cast("long").alias("nearest_neighbor"),

@@ -786,6 +786,90 @@ def test_fuzzy_link_matches_bruteforce(spark, sf_dir):
         assert got[k] == (len(nbrs), min(nbrs)), k
 
 
+def test_fuzzy_link_kernel_path_matches_join_path(spark, sf_dir, monkeypatch):
+    """r14: the grouped numpy verify kernel (large-corpus path) must
+    produce exactly the broadcast self-join path's result."""
+    from redisgears_spark.operators import linkage as L
+
+    join_rows = {
+        tuple(r) for r in L.customer_fuzzy_link(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(L, "_JOIN_PATH_MAX_ROWS", 0)
+    kernel_rows = {
+        tuple(r) for r in L.customer_fuzzy_link(spark, sf_dir).collect()
+    }
+    assert join_rows == kernel_rows and join_rows
+
+
+def test_fuzzy_match_kernel_equals_levenshtein_on_adversarial_groups():
+    """The kernel's per-group test (cross-length auto-match +
+    equal-length hamming <= 1) must equal levenshtein <= 1 on groups
+    built the way the operator builds them (members sharing a deletion
+    variant), including multibyte chars and duplicate names."""
+    import numpy as np
+    import pyarrow as pa
+
+    from redisgears_spark.operators.linkage import _match_kernel
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcd") + ["é", "ß"]
+    groups = []
+    key = 0
+    for _ in range(200):
+        v = "".join(rng.choice(alphabet, size=int(rng.integers(2, 7))))
+        members = []
+        for _ in range(int(rng.integers(2, 6))):
+            key += 1
+            if rng.random() < 0.3:
+                members.append((key, v))  # shorter member == the variant
+            else:
+                pos = int(rng.integers(0, len(v) + 1))
+                ch = str(rng.choice(alphabet))
+                members.append((key, v[:pos] + ch + v[pos:]))
+        groups.append(members)
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(
+                [
+                    [{"c_custkey": k, "c_name": n} for k, n in g]
+                    for g in groups
+                ],
+                type=pa.list_(
+                    pa.struct(
+                        [("c_custkey", pa.int64()), ("c_name", pa.string())]
+                    )
+                ),
+            )
+        ],
+        names=["ms"],
+    )
+    got = set()
+    for out in _match_kernel(iter([batch])):
+        got |= set(
+            zip(out.column(0).to_pylist(), out.column(1).to_pylist())
+        )
+    want = set()
+    for g in groups:
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if lev(g[i][1], g[j][1]) <= 1:
+                    ka, kb = g[i][0], g[j][0]
+                    want.add((min(ka, kb), max(ka, kb)))
+    assert got == want and want
+
+
 def test_span_coverage_matches_pure_python(spark, sf_dir):
     import duckdb
 
